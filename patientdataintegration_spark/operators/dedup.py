@@ -1,0 +1,229 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension, BASELINE.json; SURVEY.md §7 phase 6).
+
+Four families, all shuffle-conscious:
+
+- **Exact**: md5 fingerprint → groupBy. One shuffle on the (short)
+  fingerprint; at 100 TB this is the canonical hash-partitioned
+  dedup and the fingerprint column is 32 bytes regardless of doc
+  size — shuffle volume is O(rows), not O(bytes).
+- **MinHash + LSH**: word-shingle → 56-bit md5-derived shingle hash
+  → k permutation minima → band buckets → candidate pairs from
+  bucket joins. Signatures cost one scan + one groupBy(doc); pair
+  generation shuffles only (band, bucket-hash) keys, never full
+  docs. Exact-verify candidates afterwards with jaccard.
+- **SimHash**: per-token hash bit-votes → 16-bit signature;
+  near-dups differ in few bits. One scan + one groupBy(doc).
+- **N-gram Jaccard**: exact set overlap of word 3-grams for
+  candidate pairs; the self-join is bounded by a blocking key
+  (e.g. source or an LSH bucket) so it never goes quadratic
+  globally.
+
+Everything derives hashes from md5 (engine-portable, SURVEY.md §4.3)
+rather than Spark's murmur `hash()`, so every stage is
+oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from patientdataintegration_spark.functions.deterministic import MODULUS, md5_bigint
+from patientdataintegration_spark.operators.textops import fingerprint
+
+# (a, b) parameters for the MinHash permutation family
+# h_i(x) = (a_i * x + b_i) mod MODULUS — odd multipliers, fixed seed.
+def minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    params = []
+    a, b = 1, seed
+    for i in range(k):
+        a = (a * 1103515245 + 12345) % MODULUS
+        b = (b * 69069 + 1) % MODULUS
+        params.append((a | 1, b))
+    return params
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: fingerprint → (canonical id, count)."""
+    fp = fingerprint(df, text_col)
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    toks = F.split(F.lower(F.trim(text)), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Exploded (doc, shingle, shingle_hash) relation — the input to
+    both MinHash and exact-jaccard verification."""
+    return (
+        df.select(id_col, F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .withColumn("shingle_hash", md5_bigint(F.col("shingle")))
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", k: int = 8, seed: int = 42
+) -> DataFrame:
+    """k-column MinHash signature per doc: min over shingles of each
+    permutation hash. Single groupBy(doc) with k `min` aggregates —
+    partial aggregation makes the shuffle k numbers per doc."""
+    # reduce the 56-bit hash mod M before multiplying so intermediates
+    # stay < 1e18 (no bigint overflow — DuckDB would error, Spark
+    # would silently wrap; neither is acceptable)
+    aggs = [
+        F.min(((F.col("shingle_hash") % MODULUS) * F.lit(a) + F.lit(b)) % F.lit(MODULUS)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(k, seed))
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair. Shuffles (band_id, band_key) — tiny keys. The
+    within-bucket self-join is the standard LSH cost; hot buckets
+    (all-identical docs) are the skew case AQE's skew-join handles."""
+    k = bands * rows_per_band
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("key"))
+        )
+    banded = signatures.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "source",
+    n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle
+    within a blocking key. jaccard = |A∩B| / (|A| + |B| - |A∩B|) —
+    pure integer arithmetic, exact.
+    """
+    base = df.select(id_col, text_col, *( [block_col] if block_col else [] ))
+    sh = base.select(
+        id_col,
+        *([block_col] if block_col else []),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    join_keys = [F.col("a.shingle") == F.col("b.shingle")]
+    if block_col:
+        join_keys.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    join_keys.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), join_keys[0] & join_keys[1] & join_keys[2] if block_col else join_keys[0] & join_keys[-1])
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return out.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash signature: per-token 56-bit hash votes +1/-1 on each of
+    `bits` bit positions; the sign of the vote sum forms the
+    signature. One explode + one groupBy(doc) — the per-bit sums are
+    a handful of longs per doc after partial aggregation."""
+    toks = df.select(
+        id_col, F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok")
+    ).withColumn("th", md5_bigint(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        term = bit * F.lit(2**b)
+        sig = term if sig is None else sig + term
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 2, bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, blocked on half-
+    signatures (a pair within hamming<=k must agree on one half for
+    k<=... pigeonhole with 2 blocks covers hamming<=1 exactly; for
+    larger k increase blocks). Demonstrates blocked-join pattern."""
+    half = bits // 2
+    lo = (F.col("simhash") % F.lit(2**half)).alias("blk_lo")
+    hi = (F.shiftright(F.col("simhash"), half)).alias("blk_hi")
+    s = sig.select(id_col, "simhash", lo, hi)
+    a, b = s.alias("a"), s.alias("b")
+    cand = a.join(
+        b,
+        ((F.col("a.blk_lo") == F.col("b.blk_lo")) | (F.col("a.blk_hi") == F.col("b.blk_hi")))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.col("a.simhash").alias("sig_a"),
+        F.col("b.simhash").alias("sig_b"),
+    )
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ham = sum(
+        (F.shiftright(xor, b).bitwiseAND(F.lit(1))) for b in range(bits)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )

@@ -1,0 +1,48 @@
+"""Seeded per-group sampling (SURVEY.md §2.6 W1; reference
+`dataset_classes_v1.py:44-48` — `random.sample(tiles, min(len, n))`
+per slide with a fixed seed).
+
+Python's `random.sample` picks are RNG-implementation-specific, so
+the contract here is the documented equivalence class (SURVEY.md §7
+hard part (c)): a *seed-stable, partitioning-independent* n-per-group
+sample. The draw order comes from `pseudo_random` (pure key
+arithmetic, engine-portable) rather than `rand(seed)` (whose draws
+depend on the physical partition layout — a silent repro hazard at
+scale where partitioning changes run-to-run).
+
+Physical plan: one shuffle on the group key for the window, then
+`row_number() <= n`. At 100 TB this is the same single shuffle any
+per-group top-n costs; the filter removes rows before anything wide
+(e.g. image bytes) is materialized — the reference's "sample before
+decode" pushdown (SURVEY.md §4.1) falls out of Spark's column
+pruning as long as sampling precedes use of the wide column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from patientdataintegration_spark.functions.deterministic import pseudo_random
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    n: int,
+    key_cols: Sequence[str],
+    seed: int = 42,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Keep a deterministic pseudo-random sample of `n` rows per group.
+
+    `key_cols` (1 or 2 numeric key columns unique within the group)
+    drive the deterministic draw. Groups smaller than `n` keep all
+    rows — matching `min(len(group), n)` in the reference.
+    """
+    keys = [F.col(k) for k in key_cols]
+    draw = pseudo_random(keys[0], keys[1] if len(keys) > 1 else None, seed=seed)
+    w = Window.partitionBy(*group_cols).orderBy(draw.asc(), *[k.asc() for k in keys])
+    out = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n)
+    return out if keep_rank else out.drop("_rn")

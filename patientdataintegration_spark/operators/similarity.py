@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (north-star extension,
+BASELINE.json; SURVEY.md §7 phase 6).
+
+Two paths, as a large-scale pipeline needs both:
+
+- **Brute-force cosine top-k** (`cosine_topk`): exact baseline.
+  The dot product is a higher-order `zip_with`+`aggregate` (JVM
+  expression — no Python). Cost is |Q|×|C| — correct whenever the
+  query side is small/broadcastable; at 100 TB this is the re-rank
+  stage, not the first stage.
+- **LSH-bucketed cosine** (`lsh_cosine_topk`): random-hyperplane
+  signatures; candidates must share a signature bucket, cutting the
+  join from |Q|×|C| to per-bucket products. Planes are generated
+  driver-side from a seed (deterministic) and applied as literal
+  arrays — the signature is a native expression, no UDF. This is
+  the scale path (an IVF variant would replace the hyperplanes with
+  k-means centroids from `pyspark.ml`).
+
+Float arrays are cast element-wise to double BEFORE any arithmetic:
+sequential left-fold accumulation then matches any engine that
+reduces sequentially (DuckDB `list_reduce`), keeping the oracle
+check exact up to the final rounding.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two numeric arrays."""
+    prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def sq_norm(a: Column) -> Column:
+    prods = F.transform(_as_double(a), lambda x: x * x)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (it is small by contract); the
+    candidate scan streams once. Rounding before ranking makes the
+    ranking stable across engines; ties break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side seed, tiny)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def rh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature: bit i = sign(vec · plane_i),
+    packed into a bigint. Native expressions only."""
+    sig = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (dot(vec, plane) > 0).cast("bigint") * F.lit(2**i)
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates must share the hyperplane bucket
+    with the query. Join key is the bigint signature — the shuffle
+    moves (id, signature) pairs, not vectors; vectors are re-read
+    only for the per-bucket exact re-rank."""
+    planes = hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        rh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        rh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    pairs = c.join(F.broadcast(q), on="sig").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

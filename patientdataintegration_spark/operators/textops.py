@@ -1,0 +1,97 @@
+"""Text analysis operators for large-scale training-data pipelines
+(north-star extension, BASELINE.json; not in the reference —
+SURVEY.md §7 phase 6).
+
+All operators are native Column expressions over the `documents`
+table: tokenization via `split`, counting via higher-order array
+functions (`filter`, `transform`), fingerprints via `md5`. No
+Python UDFs — everything stays in whole-stage codegen and scales
+linearly with a single scan, no shuffle at all for the per-document
+operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny marker-word lists for the heuristic language scorer. On real
+# corpora these would be per-language frequency profiles; the
+# mechanism (per-language token-hit ratio + argmax) is the operator.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "y", "que"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the reference's corpora are opaque to
+    us; a BPE-ish regex split is `split(text, '[^a-z0-9]+')`)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def marker_hits(toks: Column, markers: Sequence[str]) -> Column:
+    """# tokens in the marker list — `size(filter(tokens, in-list))`."""
+    lit_markers = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit_markers, t)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: length, token count, mean token
+    length, stopword ratio. One scan, zero shuffles."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    return (
+        df.withColumn("n_chars_calc", F.length(t).cast("bigint"))
+        .withColumn("n_tokens", n_tok.cast("bigint"))
+        .withColumn(
+            "avg_token_len",
+            (F.length(t) - (n_tok - 1)) / n_tok,
+        )
+        .withColumn(
+            "stopword_ratio",
+            marker_hits(toks, STOPWORDS) / n_tok,
+        )
+    )
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: per-language marker-hit ratio, argmax
+    as prediction (first language in LANG_MARKERS order wins ties)."""
+    toks = tokens(F.col(text_col))
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(
+            f"score_{lang}", marker_hits(toks, markers) / F.size(toks)
+        )
+    # chained argmax, first language in declaration order wins ties
+    langs = list(LANG_MARKERS)
+    pred: Column | None = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for o in langs[i + 1 :]:
+            c = F.col(f"score_{lang}") >= F.col(f"score_{o}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit(langs[-1]))
+    return out.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic document fingerprint: md5 over the
+    whitespace-normalized lowercased text. md5 (not Spark `hash`) so
+    fingerprints are stable across engines and Spark versions."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(norm))

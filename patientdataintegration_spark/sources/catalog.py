@@ -1,0 +1,65 @@
+"""Table catalog over the driver's parquet star schema (TESTDATA.md).
+
+The reference's sources are per-cohort CSVs and a recursive file
+walk (SURVEY.md §2.1 S1/S2, `ExperimentSetup_v2.py:57-60`,
+`dataset_classes_v1.py:32-54`); our engine's canonical source is
+columnar parquet so scans get predicate pushdown, column pruning and
+row-group skipping for free. CSV and binary-file sources live in
+their own modules (`csv_io`, `binaryfile`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough that any join against them should be a
+# broadcast hash join at every scale factor (they grow slowly or not
+# at all with SF, like TPC-H's nation/region).
+SMALL_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one catalog table.
+
+    Timestamp normalization: some tables carry nanosecond-precision
+    parquet timestamps, which Spark's reader only surfaces as long
+    nanos (`spark.sql.legacy.parquet.nanosAsLong`). Those columns
+    are converted to proper microsecond timestamps here (floor/
+    truncation — the same narrowing DuckDB applies), so every
+    downstream operator sees `TimestampType` and pushdown-friendly
+    literals.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name in ("ts",) and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.floor(F.col(field.name) / 1000).cast("long")),
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so `spark.sql` queries run
+    against the same scans (one logical catalog for DataFrame + SQL)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,875 @@
+"""Core query suite: reference operators (SURVEY.md §2) on the
+driver's TPC-H-ish tables.
+
+The reference's analytics are re-shaped onto the synthetic star
+schema per FIXTURES.md's mapping: `lineitem` plays the tile/score
+fact (F2/F3), `orders` the slide dimension (F4), `customer` the
+patient-metadata dimension (F1). The derived `tile_scores` relation
+gives every metric query the same shape the reference computes on:
+(group_id, score, label, cohort, fold).
+
+Scale stance: orders⋈lineitem is fact-to-fact — it must be a shuffle
+join on the join key (never broadcast; both sides grow with SF), and
+AQE handles skew. Joins against nation/region/1-row aggregates are
+explicitly broadcast. Aggregations rely on partial aggregation;
+windows partition by high-cardinality keys so no single reducer
+bottlenecks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from patientdataintegration_spark.functions.deterministic import (
+    KNUTH_A,
+    KNUTH_B,
+    MODULUS,
+    pseudo_random_sql,
+)
+from patientdataintegration_spark.functions.metrics import auroc, balanced_accuracy
+from patientdataintegration_spark.operators.encodings import (
+    bucketize_age2,
+    bucketize_age3,
+    onehot_columns,
+    scale01,
+)
+from patientdataintegration_spark.operators.fusion import naive_fusion, threshold_sweep
+from patientdataintegration_spark.operators.imputation import impute_mean, impute_mode
+from patientdataintegration_spark.operators.sampling import sample_per_group
+from patientdataintegration_spark.operators.scoring import group_scores
+from patientdataintegration_spark.operators.splits import assign_folds, balance_audit, fold_to_set
+from patientdataintegration_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def dsum(col: Column, alias: str) -> Column:
+    """Order-independent exact sum of a money-like double: decimal
+    accumulate, one cast back. Scale 6 (not 4): price*discount
+    products have exactly 4 decimal digits, so their doubles sit
+    within 1 ulp of a 4-decimal boundary where engines' cast
+    rounding can disagree; at scale 6 every input is far from the
+    rounding boundary and the cast is unambiguous."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+def davg(col: Column, alias: str) -> Column:
+    """Exact mean built from the exact decimal sum."""
+    return (F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Shared derived relation: tile_scores (FIXTURES.md F3 on lineitem/orders).
+# score_i = FLOOR(l_discount*1000) in {0,10,...,100}: integer-valued, so
+# grouped means are exact. label/cohort/fold derive from order columns.
+# ---------------------------------------------------------------------------
+
+TILE_SCORES_SQL = """
+  SELECT l.l_orderkey AS group_id,
+         CAST(FLOOR(l.l_discount * 1000) AS DOUBLE) AS score_i,
+         CAST(o.o_orderkey % 2 AS INTEGER) AS label,
+         o.o_orderpriority AS cohort,
+         CAST(o.o_custkey % 5 AS INTEGER) AS fold,
+         l.l_linenumber AS l_linenumber,
+         l.l_quantity AS l_quantity
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def tile_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    # fact-to-fact equi-join: shuffle join on the key, NOT broadcast.
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_orderkey").alias("group_id"),
+        F.floor(F.col("l_discount") * 1000).cast("double").alias("score_i"),
+        (F.col("o_orderkey") % 2).cast("int").alias("label"),
+        F.col("o_orderpriority").alias("cohort"),
+        (F.col("o_custkey") % 5).cast("int").alias("fold"),
+        F.col("l_linenumber"),
+        F.col("l_quantity"),
+    )
+
+
+GROUPED_SQL = f"""
+  WITH t AS ({TILE_SCORES_SQL}),
+  g AS (
+    SELECT group_id,
+           AVG(score_i) AS group_score,
+           MIN(label) AS label,
+           MIN(cohort) AS cohort,
+           MIN(fold) AS fold,
+           COUNT(*) AS n_items
+    FROM t GROUP BY group_id
+  ),
+  gp AS (
+    SELECT *, CASE WHEN group_score >= 50.0 THEN 1 ELSE 0 END AS pred FROM g
+  )
+"""
+
+
+def grouped_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship building block: per-order mean score + label + pred
+    (A5/J6/F3; `calculate_slide_acc`, functions_v2.py:515-537)."""
+    return group_scores(
+        tile_scores(spark, sf_dir),
+        group_cols=["group_id"],
+        score_col="score_i",
+        label_col="label",
+        threshold=50.0,
+        carry_cols=["cohort", "fold"],
+    ).select(
+        "group_id",
+        F.col("group_score"),
+        "label",
+        "cohort",
+        "fold",
+        "n_items",
+        "pred",
+    )
+
+
+# --- S1/Ext scan + A5 grouped mean + F3 threshold (flagship) ----------------
+
+
+@_register(
+    "q02_group_scores",
+    GROUPED_SQL + "SELECT group_id, group_score, label, cohort, fold, n_items, pred FROM gp",
+)
+def q02_group_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grouped_scores(spark, sf_dir)
+
+
+# --- TPC-H Q1 style pricing summary (A5/A12/A13, decimal-exact) -------------
+
+
+@_register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- A9 balanced accuracy (macro recall) ------------------------------------
+
+
+@_register(
+    "q03_balanced_accuracy",
+    GROUPED_SQL
+    + """,
+    p AS (
+      SELECT cohort, label,
+             AVG(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END) AS _recall
+      FROM gp GROUP BY cohort, label
+    )
+    SELECT cohort, AVG(_recall) AS bal_acc FROM p GROUP BY cohort
+    """,
+)
+def q03_balanced_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grouped_scores(spark, sf_dir)
+    return balanced_accuracy(g, "label", "pred", ["cohort"])
+
+
+# --- A10 AUROC via Mann-Whitney rank statistic ------------------------------
+
+
+@_register(
+    "q04_auroc",
+    GROUPED_SQL
+    + """,
+    r AS (
+      SELECT cohort, label,
+             rank() OVER (PARTITION BY cohort ORDER BY group_score)
+               + (COUNT(*) OVER (PARTITION BY cohort, group_score) - 1) / 2.0 AS _arank
+      FROM gp
+    )
+    SELECT cohort,
+           (SUM(CASE WHEN label = 1 THEN _arank ELSE 0.0 END)
+             - SUM(CAST(label AS BIGINT)) * (SUM(CAST(label AS BIGINT)) + 1) / 2.0)
+           / (SUM(CAST(label AS BIGINT)) * SUM(1 - CAST(label AS BIGINT))) AS auroc
+    FROM r GROUP BY cohort
+    """,
+)
+def q04_auroc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grouped_scores(spark, sf_dir)
+    return auroc(g, "label", "group_score", ["cohort"])
+
+
+# --- A11 mean ± population std over folds -----------------------------------
+
+
+@_register(
+    "q05_mean_std_over_folds",
+    GROUPED_SQL
+    + """,
+    p AS (
+      SELECT fold, label,
+             AVG(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END) AS _recall
+      FROM gp GROUP BY fold, label
+    ),
+    ba AS (SELECT fold, AVG(_recall) AS bal_acc FROM p GROUP BY fold)
+    SELECT ROUND(AVG(bal_acc), 9) AS mean_bal_acc,
+           ROUND(STDDEV_POP(bal_acc), 6) AS std_bal_acc
+    FROM ba
+    """,
+)
+def q05_mean_std_over_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from patientdataintegration_spark.functions.metrics import mean_std_over
+
+    g = grouped_scores(spark, sf_dir)
+    ba = balanced_accuracy(g, "label", "pred", ["fold"])
+    return mean_std_over(ba, "bal_acc")
+
+
+# --- A1/A3 mean imputation ---------------------------------------------------
+
+
+IMPUTE_BASE_SQL = """
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL
+              ELSE CAST(FLOOR(c_acctbal) AS DOUBLE) END AS bal,
+         CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_nationkey END AS nk
+  FROM customer
+"""
+
+
+def _impute_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.floor(F.col("c_acctbal")).cast("double")
+        ).alias("bal"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None)).otherwise(F.col("c_nationkey")).alias("nk"),
+    )
+
+
+@_register(
+    "q06_impute_mean",
+    f"""
+    WITH base AS ({IMPUTE_BASE_SQL}),
+    m AS (SELECT AVG(bal) AS _fill FROM base)
+    SELECT c_custkey,
+           COALESCE(bal, _fill) AS bal,
+           CASE WHEN bal IS NULL THEN 1 ELSE 0 END AS was_null
+    FROM base CROSS JOIN m
+    """,
+)
+def q06_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _impute_base(spark, sf_dir).withColumn(
+        "was_null", F.col("bal").isNull().cast("int")
+    )
+    return impute_mean(base, "bal").select("c_custkey", "bal", "was_null")
+
+
+# --- A2/A3 mode imputation (tie -> lowest value) ----------------------------
+
+
+@_register(
+    "q07_impute_mode",
+    f"""
+    WITH base AS ({IMPUTE_BASE_SQL}),
+    cnt AS (SELECT nk, COUNT(*) AS c FROM base WHERE nk IS NOT NULL GROUP BY nk),
+    m AS (SELECT nk AS _fill FROM cnt ORDER BY c DESC, nk ASC LIMIT 1)
+    SELECT c_custkey, COALESCE(nk, _fill) AS nk FROM base CROSS JOIN m
+    """,
+)
+def q07_impute_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _impute_base(spark, sf_dir)
+    return impute_mode(base, "nk").select("c_custkey", "nk")
+
+
+# --- E1 min-max scaling ------------------------------------------------------
+
+
+@_register(
+    "q08_scale01",
+    f"""
+    WITH base AS ({IMPUTE_BASE_SQL}),
+    b AS (SELECT c_custkey, COALESCE(bal, 0.0) AS bal FROM base),
+    bounds AS (SELECT MIN(bal) AS mn, MAX(bal) AS mx FROM b)
+    SELECT c_custkey,
+           CASE WHEN mx = mn THEN 0.0 ELSE (bal - mn) / (mx - mn) END AS bal_scaled
+    FROM b CROSS JOIN bounds
+    """,
+)
+def q08_scale01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _impute_base(spark, sf_dir).select(
+        "c_custkey", F.coalesce("bal", F.lit(0.0)).alias("bal")
+    )
+    return scale01(base, ["bal"]).select("c_custkey", "bal_scaled")
+
+
+# --- E2 one-hot --------------------------------------------------------------
+
+
+@_register(
+    "q09_onehot",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_returnflag = 'A' AS INTEGER) AS rf_A,
+           CAST(l_returnflag = 'N' AS INTEGER) AS rf_N,
+           CAST(l_returnflag = 'R' AS INTEGER) AS rf_R
+    FROM lineitem
+    """,
+)
+def q09_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return onehot_columns(li, "l_returnflag", ["A", "N", "R"], prefix="rf").select(
+        "l_orderkey", "l_linenumber", "rf_A", "rf_N", "rf_R"
+    )
+
+
+# --- E3/E4 bucketize ---------------------------------------------------------
+
+
+@_register(
+    "q10_bucketize",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal <= 60 THEN 0 ELSE 1 END AS bucket2,
+           CASE WHEN c_acctbal <= 30 THEN 0
+                WHEN c_acctbal <= 60 THEN 1 ELSE 2 END AS bucket3
+    FROM customer
+    """,
+)
+def q10_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        bucketize_age2(F.col("c_acctbal")).alias("bucket2"),
+        bucketize_age3(F.col("c_acctbal")).alias("bucket3"),
+    )
+
+
+# --- W2/W3 stratified fold assignment + set mapping -------------------------
+
+
+FOLDS_SQL = f"""
+  SELECT c_custkey, c_mktsegment,
+         CAST(ntile(13) OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY {pseudo_random_sql('c_custkey')} ASC, c_custkey ASC
+           ) - 1 AS INTEGER) AS fold
+  FROM customer
+"""
+
+
+@_register(
+    "q11_fold_assignment",
+    f"""
+    WITH f AS ({FOLDS_SQL})
+    SELECT c_custkey, fold,
+           CASE WHEN fold < 2 THEN 'val'
+                WHEN fold < 6 THEN 'test'
+                ELSE 'train' END AS set_name
+    FROM f
+    """,
+)
+def q11_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    f = assign_folds(c, ["c_mktsegment"], ["c_custkey"], n_folds=13, seed=42)
+    return f.select("c_custkey", "fold", fold_to_set(F.col("fold")).alias("set_name"))
+
+
+# --- A4 fold balance audit ---------------------------------------------------
+
+
+@_register(
+    "q12_balance_audit",
+    f"""
+    WITH f AS ({FOLDS_SQL}),
+    b AS (
+      SELECT f.c_custkey, f.fold, CAST(FLOOR(c.c_acctbal) AS DOUBLE) AS bal
+      FROM f JOIN customer c ON f.c_custkey = c.c_custkey
+    )
+    SELECT fold, COUNT(*) AS n, AVG(bal) AS avg_bal FROM b GROUP BY fold
+    """,
+)
+def q12_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    f = assign_folds(c, ["c_mktsegment"], ["c_custkey"], n_folds=13, seed=42)
+    b = f.withColumn("bal", F.floor(F.col("c_acctbal")).cast("double"))
+    return balance_audit(b, "fold", mean_cols=["bal"]).select("fold", "n", "avg_bal")
+
+
+# --- W1 seeded per-group sampling -------------------------------------------
+
+
+@_register(
+    "q13_sample_per_group",
+    f"""
+    WITH r AS (
+      SELECT l_orderkey, l_linenumber,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY ((CAST(l_orderkey AS BIGINT) * {KNUTH_A} + 7
+                          + CAST(l_linenumber AS BIGINT) * {KNUTH_B}) % {MODULUS}) ASC,
+                        l_orderkey ASC, l_linenumber ASC
+             ) AS rn
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber FROM r WHERE rn <= 2
+    """,
+)
+def q13_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = sample_per_group(li, ["l_orderkey"], 2, ["l_orderkey", "l_linenumber"], seed=7)
+    return s.select("l_orderkey", "l_linenumber")
+
+
+# --- U1/P1 cohort union with provenance -------------------------------------
+
+
+@_register(
+    "q14_union_cohorts",
+    """
+    WITH u AS (
+      SELECT c_custkey, CAST(FLOOR(c_acctbal) AS DOUBLE) AS bal, 0 AS lab
+      FROM customer WHERE c_acctbal >= 0
+      UNION ALL
+      SELECT c_custkey, CAST(FLOOR(c_acctbal) AS DOUBLE) AS bal, 1 AS lab
+      FROM customer WHERE c_acctbal < 0
+    )
+    SELECT lab, COUNT(*) AS n, AVG(bal) AS avg_bal FROM u GROUP BY lab
+    """,
+)
+def q14_union_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bal", F.floor(F.col("c_acctbal")).cast("double")
+    )
+    a = c.filter(F.col("c_acctbal") >= 0).withColumn("lab", F.lit(0))
+    b = c.filter(F.col("c_acctbal") < 0).withColumn("lab", F.lit(1))
+    return (
+        a.unionByName(b)
+        .groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("bal").alias("avg_bal"))
+    )
+
+
+# --- O1 top-1 per group ------------------------------------------------------
+
+
+@_register(
+    "q15_topk_per_group",
+    """
+    WITH r AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber ASC
+             ) AS rn
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM r WHERE rn = 1
+    """,
+)
+def q15_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# --- J5/C1 naive fusion ------------------------------------------------------
+
+
+FUSION_SQL = (
+    GROUPED_SQL
+    + """,
+    rf AS (
+      SELECT o.o_orderkey AS group_id,
+             CAST((o.o_custkey + c.c_nationkey) % 2 AS INTEGER) AS rf_pred
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    fused AS (
+      SELECT gp.group_id, gp.group_score AS cnn_score, gp.pred AS cnn_pred,
+             rf.rf_pred, gp.label,
+             CASE WHEN gp.group_score <= 70.0 THEN rf.rf_pred ELSE gp.pred END AS fused_pred
+      FROM gp JOIN rf ON gp.group_id = rf.group_id
+    )
+"""
+)
+
+
+def _fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grouped_scores(spark, sf_dir).select(
+        "group_id",
+        F.col("group_score").alias("cnn_score"),
+        F.col("pred").alias("cnn_pred"),
+        "label",
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rf = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_orderkey").alias("group_id"),
+        ((F.col("o_custkey") + F.col("c_nationkey")) % 2).cast("int").alias("rf_pred"),
+    )
+    return naive_fusion(
+        g, rf, on=["group_id"], threshold=70.0, broadcast_rf=False
+    )
+
+
+@_register(
+    "q16_naive_fusion",
+    FUSION_SQL + "SELECT group_id, cnn_score, cnn_pred, rf_pred, label, fused_pred FROM fused",
+)
+def q16_naive_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fused(spark, sf_dir).select(
+        "group_id", "cnn_score", "cnn_pred", "rf_pred", "label", "fused_pred"
+    )
+
+
+# --- C2/C8/A14 threshold sweep ----------------------------------------------
+
+
+@_register(
+    "q17_threshold_sweep",
+    GROUPED_SQL
+    + """
+    SELECT t.threshold,
+           CAST(SUM(CASE WHEN gp.group_score > t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_secure,
+           CAST(SUM(CASE WHEN gp.group_score > t.threshold THEN 0 ELSE 1 END) AS BIGINT) AS n_unsecure,
+           AVG(CASE WHEN gp.group_score > t.threshold
+                    THEN CASE WHEN gp.pred = gp.label THEN 1.0 ELSE 0.0 END
+               END) AS acc_secure
+    FROM gp CROSS JOIN (VALUES (50.0), (60.0), (70.0), (80.0), (90.0)) AS t(threshold)
+    GROUP BY t.threshold
+    """,
+)
+def q17_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grouped_scores(spark, sf_dir)
+    tagged = threshold_sweep(
+        g, [50.0, 60.0, 70.0, 80.0, 90.0], score_col="group_score"
+    )
+    hit = F.when(F.col("pred") == F.col("label"), F.lit(1.0)).otherwise(F.lit(0.0))
+    return tagged.groupBy("threshold").agg(
+        F.sum("is_secure").cast("bigint").alias("n_secure"),
+        F.sum(1 - F.col("is_secure")).cast("bigint").alias("n_unsecure"),
+        F.avg(F.when(F.col("is_secure") == 1, hit)).alias("acc_secure"),
+    )
+
+
+# --- join family: semi / anti ------------------------------------------------
+
+
+@_register(
+    "q18_semi_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def q18_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    has_f = o.filter(F.col("o_orderstatus") == "F")
+    has_o = o.filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(has_f, c.c_custkey == has_f.o_custkey, "left_semi")
+        .join(has_o, F.col("c_custkey") == has_o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# --- set operations ----------------------------------------------------------
+
+
+@_register(
+    "q19_set_ops",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def q19_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = lambda s: o.filter(F.col("o_orderstatus") == s).select("o_custkey")  # noqa: E731
+    return k("O").intersect(k("F")).subtract(k("P"))
+
+
+# --- rollup ------------------------------------------------------------------
+
+
+@_register(
+    "q20_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q20_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+# --- window lag / running best (events; SURVEY §2.6 extension) --------------
+
+
+@_register(
+    "q21_window_lag",
+    """
+    SELECT event_id, user_id, value,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def q21_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@_register(
+    "q22_running_best",
+    """
+    SELECT event_id, user_id,
+           max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best_so_far
+    FROM events
+    """,
+)
+def q22_running_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select("event_id", "user_id", F.max("value").over(w).alias("best_so_far"))
+
+
+# --- A7 distinct aggregates --------------------------------------------------
+
+
+@_register(
+    "q23_distinct_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q23_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+# --- TPC-H Q3-style shipping priority (scalar-subquery segment filter) ------
+
+
+@_register(
+    "q24_shipping_priority",
+    """
+    WITH seg AS (SELECT MIN(c_mktsegment) AS s FROM customer)
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    CROSS JOIN seg
+    WHERE c.c_mktsegment = seg.s
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q24_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    seg = c.agg(F.min("c_mktsegment").alias("s"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(F.broadcast(seg), c.c_mktsegment == F.col("s"))
+        .join(o, F.col("c_custkey") == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(disc_price, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5-style local supplier volume (multi-join + broadcast dims) -----
+
+
+@_register(
+    "q25_local_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE s.s_nationkey % 5 = c.c_nationkey % 5
+    GROUP BY n.n_name
+    """,
+)
+def q25_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .filter(F.col("s_nationkey") % 5 == F.col("c_nationkey") % 5)
+        .groupBy("n_name")
+        .agg(dsum(disc_price, "revenue"))
+    )
+
+
+# --- P2/P3 path parsing ------------------------------------------------------
+
+
+@_register(
+    "q26_path_parsing",
+    r"""
+    WITH paths AS (
+      SELECT p_partkey,
+             concat('/data/', p_brand, '/tile_', CAST(p_partkey AS VARCHAR),
+                    '_', CAST(p_size AS VARCHAR), '.jpg') AS path
+      FROM part
+    )
+    SELECT p_partkey, path,
+           str_split(path, '/')[3] AS slide_name,
+           CAST(regexp_extract(path, '_(\d+)_(\d+)\.jpg$', 1) AS INTEGER) AS tile_col,
+           CAST(regexp_extract(path, '_(\d+)_(\d+)\.jpg$', 2) AS INTEGER) AS tile_row
+    FROM paths
+    """,
+)
+def q26_path_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    path = F.concat(
+        F.lit("/data/"),
+        F.col("p_brand"),
+        F.lit("/tile_"),
+        F.col("p_partkey").cast("string"),
+        F.lit("_"),
+        F.col("p_size").cast("string"),
+        F.lit(".jpg"),
+    )
+    df = p.select("p_partkey", path.alias("path"))
+    pat = r"_(\d+)_(\d+)\.jpg$"
+    return df.select(
+        "p_partkey",
+        "path",
+        F.element_at(F.split(F.col("path"), "/"), 3).alias("slide_name"),
+        F.regexp_extract(F.col("path"), pat, 1).cast("int").alias("tile_col"),
+        F.regexp_extract(F.col("path"), pat, 2).cast("int").alias("tile_row"),
+    )
+
+
+# --- conditional-agg status matrix (A4 pivot-style) -------------------------
+
+
+@_register(
+    "q27_status_matrix",
+    """
+    SELECT c.c_mktsegment,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q27_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    flag = lambda s: F.sum(  # noqa: E731
+        F.when(F.col("o_orderstatus") == s, 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            flag("O").alias("n_open"),
+            flag("F").alias("n_finished"),
+            flag("P").alias("n_pending"),
+        )
+    )

@@ -1,0 +1,310 @@
+"""Extension query suite: text analysis, deduplication, similarity
+search, and event-time analytics (north-star operators,
+BASELINE.json) over `documents` / `embeddings` / `events`.
+
+Oracle twins are generated alongside (md5-derived hashes and pure
+integer/sequential-fold arithmetic keep them bit-exact — see
+suite/__init__). Queries that are NOT SQL-expressible (structured
+streaming, pandas-UDF multimodal lane) are registered without an
+oracle — the driver then applies its weaker rows-only check, and
+pytest covers their semantics instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from patientdataintegration_spark.functions.deterministic import MODULUS
+from patientdataintegration_spark.operators.dedup import (
+    exact_dedup,
+    minhash_params,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_table,
+    simhash,
+)
+from patientdataintegration_spark.operators.similarity import cosine_topk
+from patientdataintegration_spark.operators.textops import (
+    LANG_MARKERS,
+    lang_scores,
+    quality_features,
+)
+from patientdataintegration_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+HEX_HASH_SQL = "CAST(('0x' || substr(md5({col}), 1, 14)) AS BIGINT)"
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+@_register(
+    "q30_token_stats",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           (length(text) - (len(toks) - 1)) / len(toks) AS avg_token_len,
+           len(list_filter(toks, x -> x IN ('the','a','and','of','to','in'))) / len(toks) AS stopword_ratio
+    FROM t
+    """,
+)
+def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return quality_features(d).select(
+        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio"
+    )
+
+
+def _lang_sql() -> str:
+    score_cols = ",\n           ".join(
+        "len(list_filter(toks, x -> x IN ({vals}))) / len(toks) AS score_{lang}".format(
+            vals=", ".join(f"'{m}'" for m in markers), lang=lang
+        )
+        for lang, markers in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in langs[i + 1 :]
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+           {score_cols}
+    FROM t)
+    SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+           {case_sql} AS lang_pred
+    FROM s
+    """
+
+
+@_register("q31_lang_id", _lang_sql())
+def q31_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return lang_scores(d).select(
+        "doc_id", "lang", "score_en", "score_de", "score_fr", "score_es", "lang_pred"
+    )
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+@_register(
+    "q32_exact_dedup",
+    r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def q32_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d)
+
+
+# --- n-gram jaccard near-dup -------------------------------------------------
+
+
+NGRAM_SH_SQL = """
+  toks AS (SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS t FROM documents),
+  sh AS (
+    SELECT doc_id, source,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                  ELSE [] END) AS shingle
+    FROM toks
+  )
+"""
+
+
+@_register(
+    "q33_ngram_jaccard",
+    f"""
+    WITH {NGRAM_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    """,
+)
+def q33_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, block_col="source")
+
+
+# --- minhash signatures ------------------------------------------------------
+
+
+def _minhash_sql(k: int = 8, seed: int = 42) -> str:
+    h = HEX_HASH_SQL.format(col="shingle")
+    mins = ",\n           ".join(
+        f"MIN((sh_mod * {a} + {b}) % {MODULUS}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(k, seed))
+    )
+    return f"""
+    WITH {NGRAM_SH_SQL},
+    hashed AS (SELECT doc_id, {h} % {MODULUS} AS sh_mod FROM sh)
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id
+    """
+
+
+@_register("q34_minhash_signatures", _minhash_sql())
+def q34_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(d)
+    return minhash_signatures(sh, k=8, seed=42)
+
+
+# --- simhash -----------------------------------------------------------------
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = HEX_HASH_SQL.format(col="tok")
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v_{b} > 0 THEN 1 ELSE 0 END) * {2**b}" for b in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents
+    ),
+    th AS (SELECT doc_id, {h} AS h FROM toks),
+    v AS (SELECT doc_id,
+           {votes}
+    FROM th GROUP BY doc_id)
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v
+    """
+
+
+@_register("q35_simhash", _simhash_sql())
+def q35_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, bits=16)
+
+
+# --- brute-force cosine top-k ------------------------------------------------
+
+
+COSINE_REDUCE = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+@_register(
+    "q36_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    pairs AS (
+      SELECT query_id, neighbor_id,
+             round(
+               {COSINE_REDUCE.format(a='qv', b='cv')}
+               / (sqrt({COSINE_REDUCE.format(a='qv', b='qv')})
+                  * sqrt({COSINE_REDUCE.format(a='cv', b='cv')})), 4) AS cos_sim
+      FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+          FROM pairs)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return cosine_topk(q, e, k=3).withColumnRenamed("rank", "rnk")
+
+
+# --- event-time tumbling window ---------------------------------------------
+
+
+@_register(
+    "q37_events_tumbling",
+    """
+    SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) * 300 AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY bucket, event_type
+    """,
+)
+def q37_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / F.lit(300)) * 300).alias("bucket")
+    return e.groupBy(bucket, F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+# --- quality-gate filter (curation pipeline) --------------------------------
+
+
+@_register(
+    "q38_quality_filter",
+    """
+    WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             (length(text) - (len(toks) - 1)) / len(toks) AS avg_token_len,
+             len(list_filter(toks, x -> x IN ('the','a','and','of','to','in'))) / len(toks) AS stopword_ratio
+      FROM t
+    )
+    SELECT lang, COUNT(*) AS n_docs_kept
+    FROM q
+    WHERE n_tokens >= 20 AND stopword_ratio <= 0.5
+      AND avg_token_len >= 3 AND avg_token_len <= 8
+    GROUP BY lang
+    """,
+)
+def q38_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_features(d)
+    return (
+        q.filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("stopword_ratio") <= 0.5)
+            & (F.col("avg_token_len") >= 3)
+            & (F.col("avg_token_len") <= 8)
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs_kept"))
+    )
