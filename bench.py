@@ -1,0 +1,71 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with total + per-query wall seconds.
+
+Each query executes against the `noop` sink (full computation, no
+result materialization on the driver) — the closest local analogue
+of "the job ran on the cluster". A tiny warm-up query first pays the
+JVM/codegen startup cost once so per-query numbers reflect the plans,
+not session boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # operator-coverage headliners, one per family
+    "q01_pricing_summary",   # scan+agg (decimal-exact)
+    "q02_group_scores",      # fact-fact join + grouped mean (flagship)
+    "q04_auroc",             # window rank metric
+    "q11_fold_assignment",   # stratified ntile window
+    "q13_sample_per_group",  # seeded per-group sampling window
+    "q16_naive_fusion",      # multi-join fusion
+    "q24_shipping_priority", # 3-way join + top-k
+    "q25_local_volume",      # 6-way star join
+    "q33_ngram_jaccard",     # explode + self-join dedup
+    "q34_minhash_signatures",# explode + 8-way min agg
+    "q36_cosine_topk",       # vector similarity
+    "q37_events_tumbling",   # event-time bucketing
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from patientdataintegration_spark.session import build_session
+    from patientdataintegration_spark.suite import QUERIES
+
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: trivial job to absorb session/codegen startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

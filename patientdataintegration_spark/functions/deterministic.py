@@ -10,10 +10,15 @@ reproducible across runs AND verifiable against an external oracle
 pseudo-random draws from pure integer arithmetic over the row's own
 keys — identical in any engine, any partitioning, any run.
 
-`pseudo_random` is a Knuth-style multiplicative hash:
-    (key1 * 2654435761 + key2 * 40503 + seed) % 1_000_000_007
-All intermediates stay far below 2^63 for key domains up to ~1e9
-(scale those constants down if keys are larger).
+`pseudo_random` is a Knuth-multiplicative hash followed by a
+mid-square step:
+    x = (key1 * 2654435761 + key2 * 40503 + seed * 97531) % M
+    draw = (x * x) % M,  M = 1_000_000_007
+The squaring is what makes the seed effective: without it a seed
+change is a constant additive shift within a group, which (mod
+wraparound aside) preserves the relative order of draws and so
+yields the SAME per-group sample for every seed. All intermediates
+stay below 2^63 for key domains up to ~1e9 (x < M ⇒ x² < 1.1e18).
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ from pyspark.sql import functions as F
 
 KNUTH_A = 2654435761  # 2^32 * golden ratio
 KNUTH_B = 40503
+SEED_MIX = 97531
 MODULUS = 1_000_000_007
 
 
@@ -32,18 +38,20 @@ def pseudo_random(key1: Column, key2: Column | None = None, seed: int = 42) -> C
     Pure integer arithmetic => same value in Spark, DuckDB, or any
     ANSI SQL engine; independent of partitioning (unlike rand(seed)).
     """
-    expr = key1.cast("bigint") * F.lit(KNUTH_A) + F.lit(int(seed))
+    expr = key1.cast("bigint") * F.lit(KNUTH_A) + F.lit(int(seed) * SEED_MIX)
     if key2 is not None:
         expr = expr + key2.cast("bigint") * F.lit(KNUTH_B)
-    return expr % F.lit(MODULUS)
+    x = expr % F.lit(MODULUS)
+    return (x * x) % F.lit(MODULUS)
 
 
 def pseudo_random_sql(key1: str, key2: str | None = None, seed: int = 42) -> str:
     """ANSI-SQL twin of `pseudo_random` for oracle queries."""
-    expr = f"CAST({key1} AS BIGINT) * {KNUTH_A} + {seed}"
+    expr = f"CAST({key1} AS BIGINT) * {KNUTH_A} + {int(seed) * SEED_MIX}"
     if key2 is not None:
         expr += f" + CAST({key2} AS BIGINT) * {KNUTH_B}"
-    return f"(({expr}) % {MODULUS})"
+    x = f"(({expr}) % {MODULUS})"
+    return f"(({x} * {x}) % {MODULUS})"
 
 
 def md5_bigint(col: Column, hex_digits: int = 14) -> Column:

@@ -36,14 +36,17 @@ def group_scores(
     """Per-group mean score + carried label + thresholded prediction.
 
     One shuffle on `group_cols`; partial aggregation halves the
-    shuffle volume at scale. `carry_cols` are additional
-    functionally-dependent columns carried with `first()`.
+    shuffle volume at scale. `label_col` and `carry_cols` must be
+    functionally dependent on the group key (the reference's "slide
+    label = label of its tiles", J6); they are carried as EXTRA GROUP
+    KEYS rather than first()/min() aggregates — same result, same
+    group cardinality, but the aggregation stays a pure
+    HashAggregate (first() is order-sensitive and min(string) has no
+    mutable buffer, either would force a SortAggregate).
     """
     aggs = [
         F.avg(score_col).alias("group_score"),
-        F.first(label_col).alias(label_col),
-        *[F.first(c).alias(c) for c in carry_cols],
         F.count(F.lit(1)).alias("n_items"),
     ]
-    out = df.groupBy(*group_cols).agg(*aggs)
+    out = df.groupBy(*group_cols, label_col, *carry_cols).agg(*aggs)
     return out.withColumn("pred", threshold_pred(F.col("group_score"), threshold))

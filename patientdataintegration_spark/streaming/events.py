@@ -1,0 +1,95 @@
+"""Structured Streaming lane over the `events` table (north-star
+extension — the reference has no streaming, SURVEY.md §2.12; the
+closest analogue is its per-epoch metric append,
+`functions_v2.py:365-372`).
+
+Design: event-time tumbling/sliding windows with a watermark for
+late data. The same `tumbling_counts` transformation applies to a
+batch DataFrame and a streaming DataFrame (Spark's unified API), so
+correctness of the streaming path is checkable against the batch
+oracle: run the stream with an `availableNow` trigger over the
+static parquet, and the final counts must equal the batch groupBy.
+
+Scale notes: a windowed streaming agg shuffles on (window, keys) and
+keeps per-window state in the state store; the watermark bounds that
+state (windows older than watermark are finalized and evicted) —
+without it, 100 TB of history would pin unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-(window, key) count + sum over event time.
+
+    Works identically on batch and streaming inputs; the watermark is
+    only attached on the streaming side (it is a no-op hint for
+    batch). Output carries window start/end as epoch seconds so
+    results are engine-portable.
+    """
+    df = events
+    if streaming:
+        df = df.withWatermark(ts_col, watermark)
+    agg = df.groupBy(F.window(ts_col, window_duration).alias("w"), F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return agg.select(
+        F.unix_timestamp("w.start").alias("bucket"),
+        key_col,
+        "n",
+        "sum_value",
+    )
+
+
+def run_tumbling_counts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "stream_tumbling_counts",
+    window_duration: str = "5 minutes",
+) -> DataFrame:
+    """Execute the tumbling-count aggregation as a real streaming
+    query (file source → availableNow trigger → memory sink) and
+    return the final result table.
+
+    `availableNow` processes the backlog exactly once and stops —
+    the batch-equivalent streaming execution, which makes the result
+    comparable to the batch oracle while still exercising the
+    streaming engine (state store, watermark, incremental planner).
+    """
+    # schema must be the RAW parquet schema (ts as bigint nanos under
+    # nanosAsLong), not the catalog's normalized one
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # file stream source requires a directory; select the table file
+    # with a glob filter
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # normalize nanos→timestamp exactly like the batch catalog does
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    agg = tumbling_counts(stream, window_duration=window_duration, streaming=True)
+    query: StreamingQuery = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(table_name)

@@ -21,12 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from patientdataintegration_spark.functions.deterministic import (
-    KNUTH_A,
-    KNUTH_B,
-    MODULUS,
-    pseudo_random_sql,
-)
+from patientdataintegration_spark.functions.deterministic import pseudo_random_sql
 from patientdataintegration_spark.functions.metrics import auroc, balanced_accuracy
 from patientdataintegration_spark.operators.encodings import (
     bucketize_age2,
@@ -106,13 +101,10 @@ def tile_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 GROUPED_SQL = f"""
   WITH t AS ({TILE_SCORES_SQL}),
   g AS (
-    SELECT group_id,
+    SELECT group_id, label, cohort, fold,
            AVG(score_i) AS group_score,
-           MIN(label) AS label,
-           MIN(cohort) AS cohort,
-           MIN(fold) AS fold,
            COUNT(*) AS n_items
-    FROM t GROUP BY group_id
+    FROM t GROUP BY group_id, label, cohort, fold
   ),
   gp AS (
     SELECT *, CASE WHEN group_score >= 50.0 THEN 1 ELSE 0 END AS pred FROM g
@@ -445,8 +437,7 @@ def q12_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_orderkey, l_linenumber,
              row_number() OVER (
                PARTITION BY l_orderkey
-               ORDER BY ((CAST(l_orderkey AS BIGINT) * {KNUTH_A} + 7
-                          + CAST(l_linenumber AS BIGINT) * {KNUTH_B}) % {MODULUS}) ASC,
+               ORDER BY {pseudo_random_sql('l_orderkey', 'l_linenumber', seed=7)} ASC,
                         l_orderkey ASC, l_linenumber ASC
              ) AS rn
       FROM lineitem

@@ -308,3 +308,50 @@ def q38_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs_kept"))
     )
+
+
+# --- rows-only lanes (not SQL-expressible; pytest covers semantics) ---------
+
+
+@_register("q90_stream_tumbling")  # no oracle: Structured Streaming execution
+def q90_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming run (file source → watermark+window agg →
+    availableNow → memory sink); equals q37's batch buckets, which
+    pytest asserts."""
+    from patientdataintegration_spark.streaming.events import run_tumbling_counts_stream
+
+    return run_tumbling_counts_stream(spark, sf_dir)
+
+
+@_register("q91_multimodal_features")  # no oracle: pandas-UDF lane
+def q91_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode lane: synthetic binary tiles from `part` →
+    Arrow-batched mapInPandas feature extraction (stubbed decode)."""
+    from patientdataintegration_spark.operators.multimodal import (
+        image_features,
+        synthetic_tiles,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    tiles = synthetic_tiles(p, key_col="p_partkey", name_col="p_name")
+    return image_features(tiles)
+
+
+@_register("q92_minhash_lsh_pairs")  # no oracle: pair set checked in pytest
+def q92_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate near-dup pairs (bands=4, rows=2)."""
+    from patientdataintegration_spark.operators.dedup import lsh_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
+    return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+
+
+@_register("q93_lsh_cosine_topk")  # no oracle: approx ANN, recall checked in pytest
+def q93_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-bucketed approximate cosine top-k."""
+    from patientdataintegration_spark.operators.similarity import lsh_cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return lsh_cosine_topk(q, e, dim=64, k=3, n_planes=6, seed=42)

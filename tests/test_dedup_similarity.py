@@ -1,0 +1,120 @@
+"""Dedup + similarity semantics: MinHash estimates Jaccard, LSH
+candidates cover true near-dups, simhash hamming tracks similarity,
+brute-force cosine is exact, LSH-ANN achieves recall on clustered
+data."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from patientdataintegration_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_table,
+    simhash,
+    simhash_near_pairs,
+)
+from patientdataintegration_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+
+def _doc_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # near-dup of doc 0
+    far = "completely different content about spark catalyst optimizer plans"
+    dup = base  # exact dup of doc 0
+    rows = [(0, base, "s"), (1, near, "s"), (2, far, "s"), (3, dup, "s")]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_groups(spark):
+    d = _doc_corpus(spark)
+    groups = {r["canonical_id"]: r["n_docs"] for r in exact_dedup(d).collect()}
+    assert groups[0] == 2  # doc 0 and 3 identical
+    assert groups[1] == 1 and groups[2] == 1
+
+
+def test_ngram_jaccard_identifies_near_dup(spark):
+    d = _doc_corpus(spark)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(d).collect()}
+    assert pairs[(0, 3)] == 1.0  # exact dup
+    assert 0.5 < pairs[(0, 1)] < 1.0  # near dup
+    assert (0, 2) not in pairs  # no shared shingles
+
+
+def test_minhash_lsh_finds_dup_pair(spark):
+    d = _doc_corpus(spark)
+    sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
+    cand = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 3) in cand  # identical docs share every band
+    # near-dup (0,1) very likely but probabilistic; dissimilar pair
+    # (0,2) sharing a band is possible only by hash collision
+    assert (0, 2) not in cand
+
+
+def test_minhash_estimates_jaccard(spark):
+    # two docs with known shingle overlap; k=64 signature agreement
+    # rate should approximate the true jaccard
+    a = " ".join(f"w{i}" for i in range(100))
+    b = " ".join(f"w{i}" for i in range(50)) + " " + " ".join(f"x{i}" for i in range(50))
+    d = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    sh = shingle_table(d)
+    sigs = minhash_signatures(sh, k=64, seed=1).collect()
+    s0 = [sigs[0][f"mh_{i}"] for i in range(64)] if sigs[0]["doc_id"] == 0 else [sigs[1][f"mh_{i}"] for i in range(64)]
+    s1 = [sigs[1][f"mh_{i}"] for i in range(64)] if sigs[1]["doc_id"] == 1 else [sigs[0][f"mh_{i}"] for i in range(64)]
+    agree = sum(x == y for x, y in zip(s0, s1)) / 64
+    # true 3-gram jaccard: 48 common shingles of 98 each -> 48/148
+    true_j = 48 / 148
+    assert abs(agree - true_j) < 0.18  # 64 hashes -> wide but bounded CI
+
+
+def test_simhash_near_pairs(spark):
+    d = _doc_corpus(spark)
+    sig = simhash(d, bits=16)
+    sigs = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert sigs[0] == sigs[3]  # identical text, identical signature
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(sig, max_hamming=3).collect()}
+    assert pairs[(0, 3)] == 0
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = [(r["neighbor_id"], r["rank"]) for r in cosine_topk(q, df, k=3).orderBy("rank").collect()]
+    assert got[0][0] == 1  # most similar
+    assert got[-1][0] == 3  # least similar (opposite)
+
+
+def test_lsh_cosine_recall_on_clusters(spark):
+    rng = random.Random(3)
+    rows = []
+    for cid in range(4):
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        nrm = math.sqrt(sum(x * x for x in center))
+        center = [x / nrm for x in center]
+        for i in range(25):
+            vec = [c + rng.gauss(0, 0.05) for c in center]
+            rows.append((cid * 25 + i, [float(x) for x in vec]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") % 25 == 0)  # one query per cluster
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, df, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_cosine_topk(q, df, dim=16, k=3, n_planes=4, seed=11).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # tight clusters: same-bucket neighbors dominate

@@ -1,0 +1,94 @@
+"""Imputation / encodings / sampling / splits semantics
+(SURVEY.md §2.5 A1-A3, §2.9, §2.6 W1-W3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from patientdataintegration_spark.operators.encodings import onehot_columns, scale01
+from patientdataintegration_spark.operators.imputation import impute_mean, impute_mode, mode_value
+from patientdataintegration_spark.operators.sampling import sample_per_group
+from patientdataintegration_spark.operators.splits import assign_folds, fold_to_set
+
+
+def test_impute_mean_fills_with_nonnull_mean(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 20.0), (4, None)], "id int, v double"
+    )
+    got = {r["id"]: r["v"] for r in impute_mean(df, "v").collect()}
+    assert got[2] == got[4] == pytest.approx(15.0)
+    assert got[1] == 10.0 and got[3] == 20.0
+
+
+def test_impute_mode_tie_breaks_to_lowest(spark):
+    # values 1 and 2 both appear twice -> reference argmax picks the
+    # first (lowest) category value (functions_v2.py:43)
+    df = spark.createDataFrame(
+        [(1, 2), (2, 2), (3, 1), (4, 1), (5, None)], "id int, v int"
+    )
+    assert mode_value(df, "v").collect()[0]["mode_v"] == 1
+    got = {r["id"]: r["v"] for r in impute_mode(df, "v").collect()}
+    assert got[5] == 1
+
+
+def test_scale01_bounds_and_degenerate(spark):
+    df = spark.createDataFrame([(0.0, 5.0), (10.0, 5.0)], "a double, b double")
+    row = {
+        (r["a"]): (r["a_scaled"], r["b_scaled"]) for r in scale01(df, ["a", "b"]).collect()
+    }
+    assert row[0.0] == (0.0, 0.0)  # degenerate b -> 0.0 like sklearn
+    assert row[10.0][0] == 1.0
+
+
+def test_onehot_columns(spark):
+    df = spark.createDataFrame([(0,), (1,), (2,)], "loc int")
+    out = onehot_columns(df, "loc", [0, 1, 2]).collect()
+    for r in out:
+        vec = (r["loc_0"], r["loc_1"], r["loc_2"])
+        assert sum(vec) == 1 and vec[r["loc"]] == 1
+
+
+def test_sample_per_group_caps_and_is_partitioning_invariant(spark):
+    rows = [(g, i) for g in range(20) for i in range(g % 7 + 1)]
+    df = spark.createDataFrame(rows, "g int, i int")
+    s1 = sample_per_group(df, ["g"], 3, ["g", "i"], seed=5)
+    s2 = sample_per_group(df.repartition(17), ["g"], 3, ["g", "i"], seed=5)
+    got1 = sorted((r["g"], r["i"]) for r in s1.collect())
+    got2 = sorted((r["g"], r["i"]) for r in s2.collect())
+    assert got1 == got2  # deterministic under repartitioning
+    sizes = {}
+    for g, _ in got1:
+        sizes[g] = sizes.get(g, 0) + 1
+    for g, n in sizes.items():
+        assert n == min(3, g % 7 + 1)  # min(len(group), n) reference semantics
+
+
+def test_sample_per_group_seed_changes_picks(spark):
+    rows = [(g, i) for g in range(50) for i in range(10)]
+    df = spark.createDataFrame(rows, "g int, i int")
+    a = sorted(map(tuple, sample_per_group(df, ["g"], 2, ["g", "i"], seed=1).collect()))
+    b = sorted(map(tuple, sample_per_group(df, ["g"], 2, ["g", "i"], seed=2).collect()))
+    assert a != b
+
+
+def test_assign_folds_stratified_balance(spark):
+    # 4 strata x 260 rows; 13 folds -> each stratum contributes
+    # exactly 20 per fold (ntile guarantee: sizes differ by <= 1)
+    rows = [(s, s * 1000 + i) for s in range(4) for i in range(260)]
+    df = spark.createDataFrame(rows, "stratum int, key int")
+    f = assign_folds(df, ["stratum"], ["key"], n_folds=13, seed=42)
+    counts = {
+        (r["stratum"], r["fold"]): r["n"]
+        for r in f.groupBy("stratum", "fold").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n == 20 for n in counts.values())
+    assert {k[1] for k in counts} == set(range(13))
+
+
+def test_fold_to_set_reference_ranges(spark):
+    df = spark.createDataFrame([(i,) for i in range(13)], "fold int")
+    got = {r["fold"]: r["s"] for r in df.select("fold", fold_to_set(F.col("fold")).alias("s")).collect()}
+    assert [got[i] for i in range(13)] == (
+        ["val"] * 2 + ["test"] * 4 + ["train"] * 7
+    )  # functions_v2.py:105
