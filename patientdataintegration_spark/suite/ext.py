@@ -143,11 +143,12 @@ NGRAM_SH_SQL = """
     "q33_ngram_jaccard",
     f"""
     WITH {NGRAM_SH_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    hashed AS (SELECT doc_id, source, {HEX_HASH_SQL.format(col='shingle')} AS sh FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hashed GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b
-        ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+      FROM hashed a JOIN hashed b
+        ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b, n_common,
