@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from patientdataintegration_spark.functions.deterministic import MODULUS, md5_bigint
 from patientdataintegration_spark.operators.textops import fingerprint
+from patientdataintegration_spark.plans.partitioning import fan_out
 
 # (a, b) parameters for the MinHash permutation family
 # h_i(x) = (a_i * x + b_i) mod MODULUS — odd multipliers, fixed seed.
@@ -53,25 +54,40 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document."""
+    """Distinct word n-gram shingles of a document.
+
+    The token array is BOUND as a lambda variable (via a one-element
+    `transform`) before the per-gram lambda uses it. Capturing the
+    `split()` expression directly would re-tokenize the document for
+    every `element_at` of every gram — higher-order functions run
+    interpreted (no codegen subexpression elimination), so that
+    version is O(len·grams) per document and measured 12x slower on
+    the documents table."""
+
+    def gram_of(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(tk) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
     toks = F.split(F.lower(F.trim(text)), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.element_at(F.transform(F.array(toks), gram_of), 1)
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Exploded (doc, shingle, shingle_hash) relation — the input to
-    both MinHash and exact-jaccard verification."""
+    both MinHash and exact-jaccard verification. `fan_out` keeps the
+    explode+md5 map stage as wide as the cluster even when the input
+    is a single small file (no-op at real data volumes)."""
     return (
-        df.select(id_col, F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        fan_out(df.select(id_col, text_col))
+        .select(id_col, F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
         .withColumn("shingle_hash", md5_bigint(F.col("shingle")))
     )
 
@@ -140,30 +156,35 @@ def ngram_jaccard_pairs(
 
     Physical strategy — measured 7x faster than the naive self-join
     at sf0.1: group the (hashed) shingles, collect each shingle's
-    sorted doc list, and explode the C(f,2) pairs with higher-order
-    array functions. One shuffle of the shingle table (8-byte
-    md5-derived keys, not n-word strings) instead of two, and no
-    join hash table over the whole corpus. `max_docs_per_shingle`
-    caps pathological stop-shingles (a shingle in f docs emits
-    O(f^2) pairs): at training-corpus scale you ALWAYS set it —
-    ultra-common shingles carry no near-dup signal; unset, the
-    operator is exact.
+    sorted (doc, set-size) list, and explode the C(f,2) pairs with
+    higher-order array functions. Each doc's shingle-set size rides
+    along through the group-by (8 extra bytes per row), so the pair
+    counts arrive with both set sizes attached — the whole operator
+    is ONE scan and TWO shuffles (by shingle hash, then by pair),
+    with no size-lookup joins and no recomputation of the explode.
+    `max_docs_per_shingle` caps pathological stop-shingles (a
+    shingle in f docs emits O(f^2) pairs): at training-corpus scale
+    you ALWAYS set it — ultra-common shingles carry no near-dup
+    signal; unset, the operator is exact.
     """
-    base = df.select(id_col, text_col, *( [block_col] if block_col else [] ))
+    block = [block_col] if block_col else []
+    base = fan_out(df.select(id_col, text_col, *block)).select(
+        id_col, *block, word_shingles(F.col(text_col), n).alias("shingles")
+    )
     sh = base.select(
         id_col,
-        *([block_col] if block_col else []),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    ).select(
-        id_col,
-        *([block_col] if block_col else []),
-        md5_bigint(F.col("shingle")).alias("sh"),
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    group_keys = ["sh", block_col] if block_col else ["sh"]
+        *block,
+        F.size("shingles").cast("bigint").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    ).select(id_col, *block, "n_sh", md5_bigint(F.col("shingle")).alias("sh"))
+    group_keys = ["sh", *block]
     grouped = (
         sh.groupBy(*group_keys)
-        .agg(F.sort_array(F.collect_list(id_col)).alias("docs"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("d"), F.col("n_sh").alias("n")))
+            ).alias("docs")
+        )
         .filter(F.size("docs") > 1)
     )
     if max_docs_per_shingle is not None:
@@ -173,23 +194,19 @@ def ngram_jaccard_pairs(
             F.flatten(
                 F.expr(
                     "transform(docs, (x, i) -> transform("
-                    "slice(docs, i + 2, size(docs)), y -> struct(x AS doc_a, y AS doc_b)))"
+                    "slice(docs, i + 2, size(docs)), "
+                    "y -> struct(x.d AS doc_a, x.n AS n_a, y.d AS doc_b, y.n AS n_b)))"
                 )
             )
         ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
-    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
+    ).select("p.doc_a", "p.n_a", "p.doc_b", "p.n_b")
+    inter = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("n_common")
     )
+    out = inter.withColumn(
+        "jaccard",
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+    ).filter(F.col("jaccard") >= min_jaccard)
     return out.select("doc_a", "doc_b", "n_common", "jaccard")
 
 
@@ -200,7 +217,7 @@ def simhash(
     `bits` bit positions; the sign of the vote sum forms the
     signature. One explode + one groupBy(doc) — the per-bit sums are
     a handful of longs per doc after partial aggregation."""
-    toks = df.select(
+    toks = fan_out(df.select(id_col, text_col)).select(
         id_col, F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok")
     ).withColumn("th", md5_bigint(F.col("tok")))
     votes = [
