@@ -32,6 +32,10 @@ BENCH_QUERIES = [
     "q34_minhash_signatures",# explode + 8-way min agg
     "q36_cosine_topk",       # vector similarity
     "q37_events_tumbling",   # event-time bucketing
+    "q28_asof_join",         # tagged-union as-of join
+    "q39_events_sliding",    # sliding windows
+    "q40_embedding_neardup", # block-local cosine pairs
+    "q41_winnowing_fp",      # rolling-hash winnowing
 ]
 
 

@@ -1,0 +1,75 @@
+"""MLlib bridge — the reference's sklearn/torch surface re-expressed
+on `pyspark.ml` (SURVEY.md §2.11).
+
+M1 (random forest on tabular patient features, `ipynb cell
+10:37-48`: RandomForestClassifier(n_estimators=121, max_depth=5))
+maps to `pyspark.ml.classification.RandomForestClassifier` over a
+`VectorAssembler` feature column. Training happens distributed;
+scoring is a plan-native transform. Tree ensembles are not
+bit-reproducible across libraries, so this lane is rows-only checked
+(driver contract) and pytest asserts invariants (probability range,
+better-than-chance accuracy on a separable label) instead of exact
+values — the same stance SURVEY.md §5.2 takes for W1 sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from patientdataintegration_spark.sources.catalog import load_table
+
+
+def random_forest_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    num_trees: int = 121,
+    max_depth: int = 5,
+    seed: int = 1,
+) -> DataFrame:
+    """Train an RF on customer tabular features and score the same
+    relation (the reference's RF trains/scores the slide-metadata
+    table in-memory the same way).
+
+    Label: account balance above the global mean — a deterministic,
+    separable target derived only from the data. Features exclude
+    the balance itself (nation key, market segment index, name
+    digits) so the task is non-trivial.
+    """
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+
+    c = load_table(spark, sf_dir, "customer")
+    mean_bal = c.agg(F.avg("c_acctbal").alias("m"))
+    base = c.crossJoin(F.broadcast(mean_bal)).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.regexp_extract("c_name", r"(\d+)$", 1).cast("double").alias("name_num"),
+        (F.col("c_acctbal") > F.col("m")).cast("int").alias("label"),
+    )
+    seg_idx = StringIndexer(
+        inputCol="c_mktsegment", outputCol="seg_idx", stringOrderType="alphabetAsc"
+    )
+    assembler = VectorAssembler(
+        inputCols=["c_nationkey", "seg_idx", "name_num"], outputCol="features"
+    )
+    rf = RandomForestClassifier(
+        numTrees=num_trees,
+        maxDepth=max_depth,
+        seed=seed,
+        labelCol="label",
+        featuresCol="features",
+    )
+    indexed = seg_idx.fit(base).transform(base)
+    feats = assembler.transform(indexed)
+    model = rf.fit(feats)
+    scored = model.transform(feats)
+    from pyspark.ml.functions import vector_to_array
+
+    p1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    return scored.select(
+        "c_custkey",
+        "label",
+        F.col("prediction").cast("int").alias("pred"),
+        F.round(p1, 6).alias("score"),
+    )

@@ -63,12 +63,21 @@ def cosine_topk(
     The query side is broadcast (it is small by contract); the
     candidate scan streams once. Rounding before ranking makes the
     ranking stable across engines; ties break on neighbor id.
+
+    Norms are computed ONCE per vector before the join — inside the
+    pair projection they would be re-evaluated per pair (higher-order
+    functions run interpreted, no CSE), tripling the dominant cost.
+    The expression value is identical, so rounding is unaffected.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("q_norm"),
     )
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("c_norm"),
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -76,7 +85,10 @@ def cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+            round_digits,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -85,6 +97,50 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def neardup_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) within the
+    same block whose cosine similarity clears `threshold`.
+
+    The self-join is equi-keyed on the blocking column, so the
+    shuffle co-locates each block and the quadratic compare stays
+    per-block (the block is the unit of skew — at corpus scale the
+    block key is an LSH bucket or cluster id, exactly like
+    `lsh_cosine_topk`'s signature). Dedup via id ordering, not
+    `distinct()`."""
+    a = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("na"),
+    )
+    b = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("nb"),
+    )
+    pairs = a.join(b, "block").filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "block",
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 
@@ -125,11 +181,13 @@ def lsh_cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("q_norm"),
         rh_signature(F.col(vec_col), planes).alias("sig"),
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("c_norm"),
         rh_signature(F.col(vec_col), planes).alias("sig"),
     )
     pairs = c.join(F.broadcast(q), on="sig").filter(
@@ -138,7 +196,10 @@ def lsh_cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+            4,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

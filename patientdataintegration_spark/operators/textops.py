@@ -16,6 +16,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from patientdataintegration_spark.plans.partitioning import fan_out
+
 # Tiny marker-word lists for the heuristic language scorer. On real
 # corpora these would be per-language frequency profiles; the
 # mechanism (per-language token-hit ratio + argmax) is the operator.
@@ -87,6 +89,62 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
     pred = pred.otherwise(F.lit(langs[-1]))
     return out.withColumn("lang_pred", pred)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every positional word k-gram, slide a window of
+    `w` consecutive hashes, keep each window's minimum; the distinct
+    minima are the fingerprint set. Guarantees any shared run of
+    k+w-1 words between two documents shares a fingerprint.
+
+    All per-document: one fan_out'd scan, zero shuffles before the
+    explode. Hashes are md5-derived (engine-portable, oracle-
+    checkable). Docs shorter than k tokens emit no rows; docs with
+    fewer than `w` grams emit their single global minimum.
+    """
+
+    def fps_of(tk):
+        n_grams = F.size(tk) - F.lit(k - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", *[F.element_at(tk, (i + j).cast("int")) for j in range(k)]
+                        )
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+        # bind the gram-hash array once before windowing over it
+        def windows_of(hs):
+            mins = F.transform(
+                F.sequence(F.lit(1), F.size(hs) - F.lit(w - 1)),
+                lambda s: F.array_min(F.slice(hs, s, w)),
+            )
+            return F.when(F.size(hs) >= w, F.array_distinct(mins)).otherwise(
+                F.array(F.array_min(hs))
+            )
+
+        wins = F.element_at(F.transform(F.array(grams), windows_of), 1)
+        return F.when(n_grams >= 1, wins).otherwise(F.array().cast("array<bigint>"))
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    fps = F.element_at(F.transform(F.array(toks), fps_of), 1)
+    base = fan_out(df.select(id_col, text_col)).select(id_col, fps.alias("fps"))
+    return base.select(id_col, F.explode("fps").alias("fp"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:

@@ -47,9 +47,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name in ("ts",) and field.dataType.simpleString() == "bigint":
+            # integer DIV, not `/`: epoch-nanos ≈ 1.7e18 exceeds double's
+            # 2^53 exact range, so floating division drifts by ~hundreds
+            # of ns and the floor lands on the wrong microsecond
             df = df.withColumn(
                 field.name,
-                F.timestamp_micros(F.floor(F.col(field.name) / 1000).cast("long")),
+                F.timestamp_micros(F.expr(f"{field.name} DIV 1000")),
             )
     return df
 

@@ -864,3 +864,70 @@ def q27_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             flag("P").alias("n_pending"),
         )
     )
+
+
+# --- as-of join (temporal; beyond-reference join family) ---------------------
+
+
+@_register(
+    "q28_asof_join",
+    """
+    SELECT e.event_id, e.user_id, e.value,
+           c.value AS click_value,
+           epoch_us(e.ts) - epoch_us(c.ts) AS micros_since
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each error event picks up the user's
+    latest click at-or-before it (operators/temporal.asof_join —
+    tagged-union + window, one shuffle)."""
+    from patientdataintegration_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(errors, clicks, on=["user_id"], payload=["value"], how="inner")
+    return j.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("asof_value").alias("click_value"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("micros_since"),
+    )
+
+
+# --- JSON extraction (semi-structured props column) --------------------------
+
+
+@_register(
+    "q29_json_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q29_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured lane: extract a field from the JSON `props`
+    string and aggregate it. `get_json_object` evaluates JVM-side;
+    at scale prefer parsing ONCE with `from_json` into a struct
+    column if several fields are read."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -356,3 +356,130 @@ def q93_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return lsh_cosine_topk(q, e, dim=64, k=3, n_planes=6, seed=42)
+
+
+# --- sliding event-time windows ---------------------------------------------
+
+
+@_register(
+    "q39_events_sliding",
+    """
+    WITH b AS (
+      SELECT unnest([CAST(FLOOR(epoch(ts) / 300) AS BIGINT) * 300,
+                     CAST(FLOOR(epoch(ts) / 300) AS BIGINT) * 300 - 300]) AS bucket,
+             event_type, value
+      FROM events
+    )
+    SELECT bucket, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM b GROUP BY bucket, event_type
+    """,
+)
+def q39_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min wide, 5 min slide) via the native
+    `window()` generator — each event lands in exactly two windows.
+    Same construct Structured Streaming uses, so this plan is
+    batch/stream portable."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "600 seconds", "300 seconds").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("bucket"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+# --- embedding-cosine near-duplicate pairs ----------------------------------
+
+
+@_register(
+    "q40_embedding_neardup",
+    f"""
+    WITH e AS (SELECT label AS block, vec_id, embedding FROM embeddings),
+    pairs AS (
+      SELECT a.block, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(
+               {COSINE_REDUCE.format(a='a.embedding', b='b.embedding')}
+               / (sqrt({COSINE_REDUCE.format(a='a.embedding', b='a.embedding')})
+                  * sqrt({COSINE_REDUCE.format(a='b.embedding', b='b.embedding')})), 4) AS cos_sim
+      FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
+    )
+    SELECT block, vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
+    """,
+)
+def q40_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates: block-local quadratic
+    compare (block = label here; an LSH bucket at corpus scale)."""
+    from patientdataintegration_spark.operators.similarity import neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs(e, block_col="label", threshold=0.3)
+
+
+# --- winnowing fingerprints --------------------------------------------------
+
+
+@_register(
+    "q41_winnowing_fp",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+               i -> CAST(('0x' || substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 14)) AS BIGINT)
+             ) AS hs
+      FROM toks WHERE len(t) >= 3
+    ),
+    wmin AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4
+                  THEN list_distinct(list_transform(range(1, len(hs) - 2),
+                       s -> list_aggregate(hs[s:s+3], 'min')))
+                  ELSE [list_aggregate(hs, 'min')] END AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM wmin
+    """,
+)
+def q41_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=3-gram hashes, window w=4)."""
+    from patientdataintegration_spark.operators.textops import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=3, w=4)
+
+
+# --- MLlib random forest (M1; rows-only) ------------------------------------
+
+
+@_register("q94_random_forest")  # no oracle: tree ensembles aren't bit-portable
+def q94_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RF train+score on customer tabular features
+    (`pyspark.ml`, numTrees=121/maxDepth=5 per reference ipynb cell
+    10:37-41). pytest asserts better-than-chance accuracy."""
+    from patientdataintegration_spark.operators.mlbridge import random_forest_scores
+
+    return random_forest_scores(spark, sf_dir)
+
+
+# --- approximate distinct sketch (rows-only) --------------------------------
+
+
+@_register("q95_approx_distinct")  # no oracle: HLL sketches differ per engine
+def q95_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the 100 TB path for distinct-user metrics; pytest asserts the
+    relative error bound."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
