@@ -75,14 +75,34 @@ def auroc(
         AUC = (sum(rank+) - n+(n+ + 1)/2) / (n+ * n-)
 
     with average ranks for ties — matches `roc_auc_score` exactly.
-    Window rank shuffles once on the group key; every sum afterwards
-    is exact in double precision, so the result is deterministic.
+
+    Scale formulation: all rows tied on a score share one average
+    rank, so the statistic only needs PER-SCORE counts, never
+    per-row ranks. Stage 1 is a hash aggregate on (group, score) —
+    partial aggregation shrinks the shuffle to |distinct scores| per
+    group regardless of row count. Stage 2's window sort then runs
+    over that compressed domain (a score histogram), not raw rows —
+    the difference between sorting billions of rows and sorting a
+    few thousand histogram buckets per group. avg_rank of a tie
+    block = (#rows before it) + (block + 1)/2; every term is an
+    integer or half, exact in double below 2^53.
     """
-    ranked = df.withColumn("_arank", average_rank(score_col, group_cols))
     pos = F.col(label_col).cast("bigint")
-    n_pos = F.sum(pos)
-    n_neg = F.sum(F.lit(1) - pos)
-    rank_pos_sum = F.sum(F.when(F.col(label_col) == 1, F.col("_arank")).otherwise(F.lit(0.0)))
+    hist = df.groupBy(*group_cols, score_col).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(pos).alias("_np")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(score_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.withColumn(
+        "_arank",
+        F.coalesce(F.sum("_n").over(w), F.lit(0)) + (F.col("_n") + F.lit(1)) / F.lit(2.0),
+    )
+    n_pos = F.sum("_np")
+    n_neg = F.sum(F.col("_n") - F.col("_np"))
+    rank_pos_sum = F.sum(F.col("_np") * F.col("_arank"))
     auc = (rank_pos_sum - n_pos * (n_pos + F.lit(1)) / F.lit(2.0)) / (n_pos * n_neg)
     if group_cols:
         return ranked.groupBy(*group_cols).agg(auc.alias(out_col))

@@ -80,9 +80,9 @@ def run_tumbling_counts_stream(
     )
     # normalize nanos→timestamp exactly like the batch catalog does
     if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # integer DIV (see sources/catalog.py): epoch nanos exceed
+        # double's exact range; float division drifts a microsecond
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     agg = tumbling_counts(stream, window_duration=window_duration, streaming=True)
     query: StreamingQuery = (
         agg.writeStream.format("memory")

@@ -931,3 +931,40 @@ def q29_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# --- gap-based sessionization (event analytics) -----------------------------
+
+
+@_register(
+    "q42_sessionize",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    l AS (
+      SELECT user_id, event_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+      FROM e
+    ),
+    t AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000 THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t
+    )
+    SELECT user_id, session_id, MIN(us) AS start_us, MAX(us) AS end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q42_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (12 h inactivity gap) — lag + running sum,
+    one shuffle (operators/sessionize)."""
+    from patientdataintegration_spark.operators.sessionize import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    return sessionize(e, gap_seconds=43200)

@@ -483,3 +483,17 @@ def q95_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+# --- stateful streaming sessionization (rows-only) --------------------------
+
+
+@_register("q96_stream_sessionize")  # no oracle: custom stateful streaming
+def q96_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions computed incrementally with
+    applyInPandasWithState (event-time timeouts flush open sessions);
+    pytest asserts the emitted sessions equal the batch operator's
+    output up to the trailing still-open session per user."""
+    from patientdataintegration_spark.streaming.sessions import sessionize_stream
+
+    return sessionize_stream(spark, sf_dir, gap_seconds=43200, watermark="0 seconds")

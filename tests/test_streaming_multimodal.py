@@ -69,3 +69,103 @@ def test_binaryfile_scan_parses_reference_layout(spark):
         )
         joined = join_tiles_to_metadata(tiles, meta)
         assert joined.filter(F.col("label") == 1).count() == 2
+
+
+def test_stream_sessionize_matches_batch(spark, sf_dir):
+    """Stateful streaming sessions == batch sessions, except each
+    user's trailing session that the final watermark couldn't flush
+    (timeout fires only when watermark >= session_end + gap)."""
+    from patientdataintegration_spark.operators.sessionize import sessionize
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.streaming.sessions import sessionize_stream
+
+    import pyspark.sql.functions as F
+
+    gap_us = 43_200 * 1_000_000
+    e = load_table(spark, sf_dir, "events")
+    batch = sessionize(e, gap_seconds=43200).select(
+        "user_id", "start_us", "end_us", "n_events"
+    )
+    streamed = sessionize_stream(
+        spark, sf_dir, gap_seconds=43200, watermark="0 seconds",
+        table_name="t_sessions",
+    ).select(
+        "user_id",
+        F.col("session_start_us").alias("start_us"),
+        F.col("session_end_us").alias("end_us"),
+        "n_events",
+    )
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in streamed.collect()}
+    assert s, "stream emitted no sessions"
+    assert s <= b, f"streamed sessions not in batch: {sorted(s - b)[:3]}"
+    # watermark semantics: the engine's final watermark is max event
+    # ts (0s delay) but timeouts fire with >= comparison on the NEXT
+    # no-data batch; every unflushed session must be within gap of
+    # the stream's end
+    max_us = e.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    for (_, _, end_us, _) in b - s:
+        assert end_us + gap_us >= max_us - 1_000_000, (
+            "session old enough to flush was not emitted"
+        )
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: an event arriving
+    in a later micro-batch, older than the advanced watermark, is
+    dropped; finalized window counts exclude it. Two availableNow
+    runs over a shared checkpoint make the batch boundary (and the
+    persisted watermark) deterministic."""
+    import pyspark.sql.functions as F
+    from patientdataintegration_spark.streaming.events import tumbling_counts
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    base = 1_700_000_000  # arbitrary epoch seconds
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "user_id long, value double, sec long")
+        df = df.select(
+            "user_id", "value", F.timestamp_seconds("sec").alias("ts"),
+            F.lit("click").alias("event_type"),
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(src_dir / name))
+
+    def run_once():
+        raw_schema = "user_id long, value double, ts timestamp, event_type string"
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("recursiveFileLookup", "true")
+            .load(str(src_dir))
+        )
+        agg = tumbling_counts(stream, window_duration="5 minutes", watermark="0 seconds")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: two events in the first 5-min window, one event 2h later
+    # (advances the persisted watermark far past the first window)
+    write_file("a", [(1, 1.0, base + 10), (1, 1.0, base + 20), (1, 1.0, base + 7200)])
+    run_once()
+    # run 2: a late event for the long-finalized first window + a fresh one
+    write_file("b", [(1, 5.0, base + 30), (1, 1.0, base + 7500)])
+    run_once()
+
+    got = {
+        r["bucket"]: (r["n"], r["sum_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    first_bucket = base - base % 300
+    # the first window was finalized in run 1: count 2, and the late
+    # value=5.0 event must NOT appear anywhere
+    assert got[first_bucket] == (2, 2.0), got
+    assert all(abs(v - 5.0) > 1e-9 for _, v in got.values()), got
