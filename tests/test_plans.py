@@ -57,3 +57,56 @@ def test_partial_aggregation_present(spark, sf_dir):
     plan = explain_str(df)
     # partial + final hash aggregate pairs around the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The tagged-union as-of join shuffles ONCE (the window's
+    partition-by-key exchange) — never a range join / cartesian."""
+    from patientdataintegration_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    j = asof_join(errors, clicks, on=["user_id"], payload=["value"])
+    plan = explain_str(j)
+    assert count_shuffles(j) == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """lag-window, running-sum window, and the (user, session) agg all
+    reuse the one hash partitioning on user_id."""
+    from patientdataintegration_spark.operators.sessionize import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, gap_seconds=43200)
+    assert count_shuffles(s) == 1, explain_str(s)
+
+
+def test_auroc_windows_over_histogram(spark, sf_dir):
+    """AUROC's rank window must consume the per-score aggregate (a
+    histogram), not raw rows: exactly one extra exchange beyond the
+    grouped-scores input, and the window sits above a HashAggregate."""
+    from patientdataintegration_spark.functions.metrics import auroc
+
+    g = grouped_scores(spark, sf_dir)
+    a = auroc(g, "label", "group_score", ["cohort"])
+    base = count_shuffles(g)
+    assert count_shuffles(a) <= base + 2  # (cohort,score) agg + cohort window
+    plan = explain_str(a)
+    assert "Window" in plan and plan.count("HashAggregate") >= 4
+
+
+def test_ngram_jaccard_two_shuffles(spark, sf_dir):
+    """Shingle group-by + pair group-by; the fan_out repartition is
+    small-input-only and the size join is gone."""
+    from patientdataintegration_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    p = ngram_jaccard_pairs(d, block_col="source")
+    plan = explain_str(p)
+    assert "Join" not in plan, "size-lookup joins should be folded into the group-by"
+    # <= 3: shingle agg + pair agg + (small-input fan_out round-robin)
+    assert count_shuffles(p) <= 3, plan
