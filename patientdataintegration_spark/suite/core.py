@@ -968,3 +968,56 @@ def q42_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return sessionize(e, gap_seconds=43200)
+
+
+# --- exact percentiles (order statistics) -----------------------------------
+
+
+@_register(
+    "q43_percentiles",
+    """
+    SELECT l_returnflag,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS DOUBLE) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (`percentile` is exact — the
+    100 TB variant is `approx_percentile`, a mergeable KLL-style
+    sketch; both are single-shuffle grouped aggs). l_quantity is
+    integer-valued so the interpolation arithmetic is FP-exact and
+    engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.25)).alias("p25"),
+        F.percentile(q, F.lit(0.5)).alias("p50"),
+        F.percentile(q, F.lit(0.75)).alias("p75"),
+    )
+
+
+# --- cube / grouping sets ----------------------------------------------------
+
+
+@_register(
+    "q44_cube",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q44_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping-id disambiguation (rollup's sibling, A4
+    family extension — both engines share the MSB-first bit order)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    )

@@ -338,9 +338,30 @@ def q91_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(tiles)
 
 
-@_register("q92_minhash_lsh_pairs")  # no oracle: pair set checked in pytest
+def _lsh_pairs_sql(bands: int = 4, rows_per_band: int = 2, seed: int = 42) -> str:
+    sig = _minhash_sql(bands * rows_per_band, seed)
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat(mh_{i}, '_', mh_{j}) AS key FROM sig".format(
+            b=b, i=b * rows_per_band, j=b * rows_per_band + 1
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sig AS ({sig}),
+    banded AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
+@_register("q92_minhash_lsh_pairs", _lsh_pairs_sql())
 def q92_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate near-dup pairs (bands=4, rows=2)."""
+    """MinHash-LSH candidate near-dup pairs (bands=4, rows=2).
+    Oracle-checkable end-to-end because every stage (shingle hash,
+    permutations, band keys) is md5-derived integer arithmetic."""
     from patientdataintegration_spark.operators.dedup import lsh_candidate_pairs
 
     d = load_table(spark, sf_dir, "documents")

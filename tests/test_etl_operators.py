@@ -92,3 +92,43 @@ def test_fold_to_set_reference_ranges(spark):
     assert [got[i] for i in range(13)] == (
         ["val"] * 2 + ["test"] * 4 + ["train"] * 7
     )  # functions_v2.py:105
+
+
+def test_csv_roundtrip_and_cohort_union(spark, tmp_path):
+    """S1/K1/U1: explicit-schema CSV read with provenance tag, union
+    by name, sink, and read-back equality."""
+    from patientdataintegration_spark.sources.csv_io import (
+        SLIDE_METADATA_SCHEMA,
+        read_cohort_csv,
+        union_cohorts,
+        write_csv,
+    )
+
+    import pyspark.sql.functions as F
+
+    lab1 = tmp_path / "lab1.csv"
+    lab2 = tmp_path / "lab2.csv"
+    lab1.write_text(
+        "slide_name,label,age,gender,location,UV\n"
+        "F01,1,63.0,0,2,1\nF02,0,,1,0,\n"
+    )
+    lab2.write_text(
+        "slide_name,label,age,gender,location,UV\n"
+        "2019-03-12 12.05.43,1,48.0,1,,0\n"
+    )
+    a = read_cohort_csv(spark, str(lab1), lab=1)
+    b = read_cohort_csv(spark, str(lab2), lab=0)
+    u = union_cohorts(a, b)
+    assert u.count() == 3
+    assert dict(u.dtypes)["age"] == "double"
+    assert u.filter(F.col("age").isNull()).count() == 1
+    assert {r["lab"] for r in u.select("lab").distinct().collect()} == {0, 1}
+
+    out = tmp_path / "out_csv"
+    write_csv(u, str(out), single_file=True)
+    back = (
+        spark.read.option("header", True)
+        .schema(SLIDE_METADATA_SCHEMA.add("lab", "integer"))
+        .csv(str(out))
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, u.collect()))
