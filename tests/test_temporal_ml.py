@@ -133,3 +133,32 @@ def test_sliding_windows_cover_tumbling(spark, sf_dir):
         .count()
     )
     assert missing == 0
+
+
+def test_random_forest_model_artifact_roundtrip(spark, sf_dir, tmp_path):
+    """K2 (binary artifact sink/load, reference torch.save of the
+    best model, functions_v2.py:382-387): MLlib model write +
+    read-back produces identical predictions."""
+    from pyspark.ml.classification import RandomForestClassificationModel
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    from patientdataintegration_spark.sources.catalog import load_table
+
+    import pyspark.sql.functions as F
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", (F.col("c_acctbal") > 0).cast("int").alias("label")
+    )
+    feats = VectorAssembler(
+        inputCols=["c_nationkey"], outputCol="features"
+    ).transform(c)
+    model = RandomForestClassifier(
+        numTrees=11, maxDepth=3, seed=1, labelCol="label"
+    ).fit(feats)
+    path = str(tmp_path / "rf_model")
+    model.write().overwrite().save(path)
+    back = RandomForestClassificationModel.load(path)
+    a = model.transform(feats).select("c_custkey", "prediction")
+    b = back.transform(feats).select("c_custkey", "prediction")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
