@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "q39_events_sliding",    # sliding windows
     "q40_embedding_neardup", # block-local cosine pairs
     "q41_winnowing_fp",      # rolling-hash winnowing
+    "q42_sessionize",        # gap sessions (windows + agg, 1 shuffle)
 ]
 
 

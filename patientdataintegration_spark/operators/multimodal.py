@@ -105,3 +105,92 @@ def synthetic_tiles(df: DataFrame, key_col: str, name_col: str) -> DataFrame:
         F.lit(".jpg"),
     )
     return df.select(path.alias("path"), F.encode(F.col(name_col), "utf-8").alias("content"))
+
+
+VIDEO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", StringType()),  # binary-ish token; real: BinaryType
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 8,
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Sample every-Nth "frame" from a binary video payload
+    (M3-family: the temporal analogue of tile sampling W1 — sample
+    BEFORE any per-frame decode cost, the same below-the-decode
+    pushdown as the reference's tile sampler).
+
+    STUB decode: frames are derived deterministically from the
+    payload bytes (a real build decodes with pyav/ffmpeg inside the
+    same mapInPandas shape). One input row fans out to <= max_frames
+    rows; the iterator form bounds memory to one Arrow batch."""
+    cols = df.select(F.col(path_col).alias("path"), F.col(content_col).alias("content"))
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_path, out_idx, out_frame = [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                payload = content if content is not None else b""
+                n_virtual = max(len(payload), 1)
+                for j, idx in enumerate(range(0, n_virtual, every_n)):
+                    if j >= max_frames:
+                        break
+                    digest = hashlib.md5(payload + idx.to_bytes(4, "big")).hexdigest()
+                    out_path.append(path)
+                    out_idx.append(idx)
+                    out_frame.append(digest[:16])
+            yield pd.DataFrame(
+                {"path": out_path, "frame_idx": out_idx, "frame": out_frame}
+            )
+
+    return cols.mapInPandas(sample_batches, VIDEO_FRAMES_SCHEMA)
+
+
+INFERENCE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def batch_inference(df: DataFrame, path_col: str = "path", content_col: str = "content") -> DataFrame:
+    """M2 (CNN batch inference, `functions_v2.py:321-325`) as a
+    scalar-iterator lane: the model loads ONCE per Python worker (in
+    production: torch weights to GPU), then scores every Arrow batch
+    the task streams through — the mapInPandas shape that makes
+    per-batch model amortization explicit. STUB model: a fixed
+    byte-histogram dot product, deterministic and library-free."""
+    cols = df.select(F.col(path_col).alias("path"), F.col(content_col).alias("content"))
+
+    def infer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # "model load" happens here: once per task/worker, NOT per batch
+        weights = [((i * 2654435761) % 1000) / 1000.0 - 0.5 for i in range(256)]
+
+        def score(payload: bytes) -> float:
+            if not payload:
+                return 0.0
+            acc = 0.0
+            for b in payload[:1024]:
+                acc += weights[b]
+            return acc / min(len(payload), 1024)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "score": [
+                        score(c if c is not None else b"") for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return cols.mapInPandas(infer_batches, INFERENCE_SCHEMA)

@@ -518,3 +518,29 @@ def q96_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patientdataintegration_spark.streaming.sessions import sessionize_stream
 
     return sessionize_stream(spark, sf_dir, gap_seconds=43200, watermark="0 seconds")
+
+
+@_register("q97_batch_inference")  # no oracle: pandas-UDF model lane
+def q97_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 analogue: load-once model scoring over binary tiles via
+    mapInPandas (stub model; the Spark-side amortization shape is
+    what's under test)."""
+    from patientdataintegration_spark.operators.multimodal import (
+        batch_inference,
+        synthetic_tiles,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    tiles = synthetic_tiles(p, key_col="p_partkey", name_col="p_name")
+    return batch_inference(tiles)
+
+
+@_register("q98_ivf_cosine_topk")  # no oracle: approx ANN, recall in pytest
+def q98_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVF ANN: KMeans coarse quantizer + n_probe cells
+    + exact rerank (the sibling scale path to q93's hyperplane LSH)."""
+    from patientdataintegration_spark.operators.similarity import ivf_cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_cosine_topk(q, e, k=3, n_cells=16, n_probe=4, seed=42)

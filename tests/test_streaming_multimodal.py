@@ -169,3 +169,51 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # value=5.0 event must NOT appear anywhere
     assert got[first_bucket] == (2, 2.0), got
     assert all(abs(v - 5.0) > 1e-9 for _, v in got.values()), got
+
+
+def test_frame_sample_shape_and_cap(spark):
+    from patientdataintegration_spark.operators.multimodal import frame_sample
+
+    rows = [("v1", b"x" * 95), ("v2", b"y" * 5), ("v3", None)]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = frame_sample(df, every_n=10, max_frames=8).collect()
+    by_path = {}
+    for r in out:
+        by_path.setdefault(r["path"], []).append(r["frame_idx"])
+    assert len(by_path["v1"]) == 8          # capped at max_frames
+    assert by_path["v2"] == [0]             # 5 bytes -> single frame
+    assert by_path["v3"] == [0]             # empty payload -> one stub frame
+    assert by_path["v1"] == list(range(0, 80, 10))
+
+
+def test_batch_inference_deterministic(spark):
+    from patientdataintegration_spark.operators.multimodal import batch_inference
+
+    rows = [("a", b"hello"), ("b", b"hello"), ("c", b"other"), ("d", None)]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r["path"]: r["score"] for r in batch_inference(df).collect()}
+    assert out["a"] == out["b"]             # same payload -> same score
+    assert out["a"] != out["c"]
+    assert out["d"] == 0.0
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    """IVF with n_probe=4/16 cells must recover most of the exact
+    top-3 neighbors on the synthetic embeddings."""
+    from patientdataintegration_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+    from patientdataintegration_spark.sources.catalog import load_table
+
+    import pyspark.sql.functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, e, k=3).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(q, e, k=3, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
