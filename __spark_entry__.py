@@ -17,13 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: scan → join →
-    grouped mean → threshold → per-cohort balanced accuracy (the
-    Spark rendering of the reference's `calculate_slide_acc` +
-    `balanced_accuracy_score` pipeline, SURVEY.md §7 phase 0)."""
-    from patientdataintegration_spark.suite.core import q03_balanced_accuracy
+    """Flagship query on /root/testdata/sf0.001: the reference's full
+    experiment lifecycle (SURVEY.md §3.1) as ONE lazy DAG — cohort
+    union → imputation → encoding → stratified folds → seeded
+    sampling → fact join → grouped scoring → per-set balanced
+    accuracy + AUROC."""
+    from patientdataintegration_spark.suite.core import q45_full_pipeline
 
-    return q03_balanced_accuracy(spark, "/root/testdata/sf0.001")
+    return q45_full_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "q40_embedding_neardup", # block-local cosine pairs
     "q41_winnowing_fp",      # rolling-hash winnowing
     "q42_sessionize",        # gap sessions (windows + agg, 1 shuffle)
+    "q45_full_pipeline",     # full experiment lifecycle, one DAG
 ]
 
 

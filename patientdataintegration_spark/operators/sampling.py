@@ -34,15 +34,25 @@ def sample_per_group(
     key_cols: Sequence[str],
     seed: int = 42,
     keep_rank: bool = False,
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Keep a deterministic pseudo-random sample of `n` rows per group.
 
     `key_cols` (1 or 2 numeric key columns unique within the group)
     drive the deterministic draw. Groups smaller than `n` keep all
     rows — matching `min(len(group), n)` in the reference.
+
+    If `key_cols` is NOT unique within a group (the draw ties),
+    row_number's pick among tied rows is engine-/partitioning-
+    arbitrary; pass `tiebreak_cols` covering the carried attributes
+    to make the order total. Rows identical across keys AND
+    tiebreaks remain interchangeable — which by definition cannot
+    change any downstream result.
     """
     keys = [F.col(k) for k in key_cols]
     draw = pseudo_random(keys[0], keys[1] if len(keys) > 1 else None, seed=seed)
-    w = Window.partitionBy(*group_cols).orderBy(draw.asc(), *[k.asc() for k in keys])
+    w = Window.partitionBy(*group_cols).orderBy(
+        draw.asc(), *[k.asc() for k in keys], *[F.col(t).asc() for t in tiebreak_cols]
+    )
     out = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n)
     return out if keep_rank else out.drop("_rn")

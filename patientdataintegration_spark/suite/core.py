@@ -1021,3 +1021,167 @@ def q44_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("o_totalprice"), "sum_price"),
     )
+
+
+# --- full experiment lifecycle (SURVEY §3.1 end-to-end) ---------------------
+
+
+FULL_PIPE_SQL = f"""
+  u AS (
+    SELECT c_custkey, c_mktsegment, 0 AS lab,
+           CASE WHEN c_custkey % 29 = 0 THEN NULL
+                ELSE CAST(FLOOR(c_acctbal) AS DOUBLE) END AS age
+    FROM customer WHERE c_acctbal >= 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, 1 AS lab,
+           CASE WHEN c_custkey % 29 = 0 THEN NULL
+                ELSE CAST(FLOOR(c_acctbal) AS DOUBLE) END AS age
+    FROM customer WHERE c_acctbal < 0
+  ),
+  fill AS (SELECT AVG(age) AS m FROM u),
+  imp AS (SELECT u.*, COALESCE(u.age, fill.m) AS age_f FROM u CROSS JOIN fill),
+  mm AS (SELECT MIN(age_f) AS mn, MAX(age_f) AS mx FROM imp),
+  enc AS (
+    SELECT imp.*, (imp.age_f - mm.mn) / (mm.mx - mm.mn) AS age_scaled
+    FROM imp CROSS JOIN mm
+  ),
+  f AS (
+    SELECT c_custkey,
+           CAST(ntile(13) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY {pseudo_random_sql('c_custkey')} ASC, c_custkey ASC
+             ) - 1 AS INTEGER) AS fold
+    FROM customer
+  ),
+  dim AS (
+    SELECT enc.c_custkey, enc.lab, enc.age_scaled, f.fold,
+           CASE WHEN f.fold < 2 THEN 'val'
+                WHEN f.fold < 6 THEN 'test'
+                ELSE 'train' END AS set_name
+    FROM enc JOIN f ON enc.c_custkey = f.c_custkey
+  ),
+  samp AS (
+    SELECT l_orderkey, l_linenumber, l_discount FROM (
+      SELECT l_orderkey, l_linenumber, l_discount,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY {pseudo_random_sql('l_orderkey', 'l_linenumber', seed=7)} ASC,
+                        l_orderkey ASC, l_linenumber ASC, l_discount ASC
+             ) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+  ),
+  ts AS (
+    SELECT l.l_orderkey AS group_id, o.o_custkey,
+           CAST(FLOOR(l.l_discount * 1000) AS DOUBLE) AS score_i,
+           CAST(o.o_orderkey % 2 AS INTEGER) AS label
+    FROM samp l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+  ),
+  g AS (
+    SELECT group_id, o_custkey, label, AVG(score_i) AS group_score,
+           CASE WHEN AVG(score_i) >= 50.0 THEN 1 ELSE 0 END AS pred
+    FROM ts GROUP BY group_id, o_custkey, label
+  ),
+  j AS (
+    SELECT g.*, dim.set_name, dim.age_scaled
+    FROM g JOIN dim ON g.o_custkey = dim.c_custkey
+  )
+"""
+
+
+@_register(
+    "q45_full_pipeline",
+    f"""
+    WITH {FULL_PIPE_SQL},
+    recalls AS (
+      SELECT set_name, label,
+             AVG(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END) AS _recall
+      FROM j GROUP BY set_name, label
+    ),
+    ba AS (SELECT set_name, AVG(_recall) AS bal_acc FROM recalls GROUP BY set_name),
+    hist AS (
+      SELECT set_name, group_score, COUNT(*) AS _n, SUM(label) AS _np
+      FROM j GROUP BY set_name, group_score
+    ),
+    ranked AS (
+      SELECT set_name, _n, _np,
+             COALESCE(SUM(_n) OVER (PARTITION BY set_name ORDER BY group_score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (_n + 1) / 2.0 AS _arank
+      FROM hist
+    ),
+    auc AS (
+      SELECT set_name,
+             (SUM(_np * _arank) - SUM(_np) * (SUM(_np) + 1) / 2.0)
+               / (SUM(_np) * SUM(_n - _np)) AS auroc
+      FROM ranked GROUP BY set_name
+    ),
+    stats AS (
+      SELECT set_name, COUNT(*) AS n_groups,
+             ROUND(AVG(age_scaled), 9) AS avg_age_scaled
+      FROM j GROUP BY set_name
+    )
+    SELECT s.set_name, s.n_groups, s.avg_age_scaled, ba.bal_acc, auc.auroc
+    FROM stats s JOIN ba ON s.set_name = ba.set_name
+    JOIN auc ON s.set_name = auc.set_name
+    """,
+)
+def q45_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.1 lifecycle end-to-end, composed from the engine's
+    operators: cohort union + provenance (U1/P1) → mean imputation
+    (A1/A3) → min-max encoding (E1/W4) → stratified folds + set
+    mapping (W2/W3) → seeded per-group sampling (W1) → fact join +
+    grouped scoring (J1/A5/F3) → per-set balanced accuracy (A9),
+    AUROC (A10), and encoded-feature means. One lazy DAG — Catalyst
+    sees the whole pipeline, so pruning/pushdown/broadcasts span
+    stage boundaries the reference executed eagerly."""
+    from patientdataintegration_spark.functions.metrics import auroc as auroc_fn
+    from patientdataintegration_spark.functions.metrics import balanced_accuracy
+    from patientdataintegration_spark.operators.imputation import impute_mean
+    from patientdataintegration_spark.operators.encodings import scale01
+
+    c = load_table(spark, sf_dir, "customer")
+    masked_age = F.when(F.col("c_custkey") % 29 == 0, F.lit(None).cast("double")).otherwise(
+        F.floor(F.col("c_acctbal")).cast("double")
+    )
+    pos = c.filter(F.col("c_acctbal") >= 0).withColumn("lab", F.lit(0))
+    neg = c.filter(F.col("c_acctbal") < 0).withColumn("lab", F.lit(1))
+    u = pos.unionByName(neg).withColumn("age", masked_age)
+    imp = impute_mean(u, "age").withColumnRenamed("age", "age_f")
+    enc = scale01(imp, ["age_f"], suffix="_scaled").withColumnRenamed(
+        "age_f_scaled", "age_scaled"
+    )
+    folds = assign_folds(c, ["c_mktsegment"], ["c_custkey"], n_folds=13, seed=42).select(
+        F.col("c_custkey").alias("f_custkey"), "fold"
+    )
+    dim = enc.join(folds, enc.c_custkey == folds.f_custkey).select(
+        "c_custkey", "lab", "age_scaled", "fold", fold_to_set(F.col("fold")).alias("set_name")
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    samp = sample_per_group(
+        li, ["l_orderkey"], 3, ["l_orderkey", "l_linenumber"], seed=7,
+        tiebreak_cols=["l_discount"],
+    ).select("l_orderkey", "l_linenumber", "l_discount")
+    o = load_table(spark, sf_dir, "orders")
+    ts = samp.join(o, samp.l_orderkey == o.o_orderkey).select(
+        F.col("l_orderkey").alias("group_id"),
+        "o_custkey",
+        F.floor(F.col("l_discount") * 1000).cast("double").alias("score_i"),
+        (F.col("o_orderkey") % 2).cast("int").alias("label"),
+    )
+    g = ts.groupBy("group_id", "o_custkey", "label").agg(
+        F.avg("score_i").alias("group_score")
+    ).withColumn("pred", F.when(F.col("group_score") >= 50.0, 1).otherwise(0))
+    j = g.join(F.broadcast(dim), g.o_custkey == dim.c_custkey).select(
+        "group_id", "label", "group_score", "pred", "set_name", "age_scaled"
+    )
+
+    ba = balanced_accuracy(j, "label", "pred", ["set_name"])
+    auc = auroc_fn(j, "label", "group_score", ["set_name"])
+    stats = j.groupBy("set_name").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.round(F.avg("age_scaled"), 9).alias("avg_age_scaled"),
+    )
+    return stats.join(ba, "set_name").join(auc, "set_name")
