@@ -1,0 +1,60 @@
+"""Skew-handling join: explicit key salting.
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin`, on in our
+session defaults) handles most skew at runtime, but it only splits
+the SORT-MERGE side of an already-shuffled join. Explicit salting is
+the operator-level tool for the cases AQE can't reach — a hot key in
+a shuffled hash join, or skew you know about at plan time (a
+power-user id, a null-heavy foreign key, a stop-shingle) and want to
+neutralize deterministically.
+
+Mechanics: the skewed (large) side gets a pseudo-random salt in
+[0, n_salts) derived from its own row keys — deterministic, engine-
+portable (`functions/deterministic.pseudo_random`), never `rand()`.
+The small-but-hot side is replicated n_salts times (explode of a
+literal range), so every (key, salt) bucket can join locally. The
+shuffle key becomes (key, salt): a hot key's rows spread over
+n_salts reducers instead of one.
+
+Cost model: replication multiplies the small side by n_salts —
+correct when |small| * n_salts ≪ |large| (the usual hot-dimension
+case). Results are identical to the plain join by construction; the
+test asserts exactly that.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from patientdataintegration_spark.functions.deterministic import pseudo_random
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    salt_key_cols: Sequence[str] | None = None,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with the shuffle key widened to (on…, salt).
+
+    `salt_key_cols` (defaults to `on`) are the large side's columns
+    the deterministic salt derives from — pass a row-unique key for
+    an even spread (salting on the join key alone would put each key
+    in ONE salt bucket and change nothing).
+    """
+    on = list(on)
+    keys = list(salt_key_cols or on)
+    k1 = F.col(keys[0])
+    k2 = F.col(keys[1]) if len(keys) > 1 else None
+    salt = (pseudo_random(k1, k2, seed=seed) % F.lit(n_salts)).cast("int")
+    l_salted = large.withColumn("_salt", salt)
+    s_replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    out = l_salted.join(s_replicated, on=[*on, "_salt"], how=how)
+    return out.drop("_salt")

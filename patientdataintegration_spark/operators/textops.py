@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from patientdataintegration_spark.plans.partitioning import fan_out
 
@@ -153,3 +153,42 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     fingerprints are stable across engines and Spark versions."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out_col, F.md5(norm))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Top-k terms per document by tf-idf (tf * ln(N/df)).
+
+    Plan: one explode → (doc, term) hash agg (tf), a second agg on
+    term (df — shuffles only distinct (doc,term) pairs thanks to
+    partial aggregation), the corpus size N as a broadcast 1-row
+    frame, then a per-doc top-k window. idf uses raw ln(N/df) —
+    rounded because libm implementations may differ in the last ulp
+    across engines."""
+    toks = fan_out(df.select(id_col, text_col)).select(
+        id_col, F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), round_digits),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rnk")
+    )

@@ -110,3 +110,24 @@ def test_ngram_jaccard_two_shuffles(spark, sf_dir):
     assert "Join" not in plan, "size-lookup joins should be folded into the group-by"
     # <= 3: shingle agg + pair agg + (small-input fan_out round-robin)
     assert count_shuffles(p) <= 3, plan
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting is a pure physical rewrite: results identical to the
+    plain join, shuffle key widened to (key, salt)."""
+    from patientdataintegration_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    o = o.withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = li.join(o, "l_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_orderpriority"
+    )
+    salted = salted_join(
+        li, o, on=["l_orderkey"], n_salts=4,
+        salt_key_cols=["l_orderkey", "l_linenumber"],
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "o_orderpriority")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
