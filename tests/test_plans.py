@@ -131,3 +131,50 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "l_quantity", "o_orderpriority")
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both fact tables on the join key pre-partitions data
+    at write time: the join then needs ZERO exchanges — the 100 TB
+    recipe for repeated fact-fact joins (pay the shuffle once at
+    ingest, never per query)."""
+    db = "bucketdb"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path / 'warehouse'}'")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable(f"{db}.li_b"))
+        (o.withColumnRenamed("o_orderkey", "l_orderkey")
+            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable(f"{db}.o_b"))
+        li_b = spark.table(f"{db}.li_b")
+        o_b = spark.table(f"{db}.o_b")
+        # forbid broadcast so the assert can't pass vacuously at tiny SF:
+        # the join must be sort-merge over the bucketed layout
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = li_b.join(o_b, "l_orderkey")
+            plan = explain_str(joined)
+            assert "SortMergeJoin" in plan, plan
+            assert count_shuffles(joined) == 0, plan
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        joined = li_b.join(o_b, "l_orderkey")
+        # and it computes the same rows as the shuffled plan
+        plain = (
+            load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+            .join(
+                load_table(spark, sf_dir, "orders")
+                .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"),
+                "l_orderkey",
+            )
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
