@@ -49,15 +49,27 @@ def main() -> None:
     spark = build_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: trivial job to absorb session/codegen startup
+    # warm-up: absorb session startup, JIT, and parquet-reader/file-
+    # listing initialization (a long-lived cluster has all of these
+    # warm; per-query numbers should reflect the plans)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    def run_pass() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 3)
+        return out
+
+    # pass 1 (headline): cold — includes each plan's one-time codegen
+    # compile, the honest "fresh process" number. pass 2: steady-state,
+    # what a long-lived cluster session sees per query.
+    timings = run_pass()
+    warm = run_pass()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -67,6 +79,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "value_warm": round(sum(warm.values()), 3),
+                "queries_warm": warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
