@@ -131,3 +131,69 @@ def sessionize_stream(
     )
     query.awaitTermination()
     return spark.table(table_name)
+
+
+def interval_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window_hours: int = 24,
+    table_name: str = "stream_interval_join",
+) -> DataFrame:
+    """Watermarked stream-stream inner join (the streaming twin of the
+    batch interval join q47): errors joined to same-user clicks within
+    the preceding `window_hours`.
+
+    The time-range condition plus both watermarks bound the join
+    state: clicks older than (watermark - window) are evicted — this
+    is THE mechanism that makes a 100 TB/day stream-stream join
+    feasible. availableNow over the static parquet makes the result
+    comparable to the batch twin."""
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def src():
+        s = (
+            spark.readStream.schema(raw.schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return s
+
+    errors = (
+        src()
+        .filter(F.col("event_type") == "error")
+        .withWatermark("ts", "0 seconds")
+        .select(F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts"))
+    )
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "0 seconds")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    j = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("e_ts"))
+        & (F.col("c_ts") > F.col("e_ts") - F.expr(f"INTERVAL {window_hours} HOURS")),
+    ).select(
+        "error_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("e_ts") - F.unix_micros("c_ts")).alias("micros_between"),
+    )
+    query = (
+        j.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(table_name)

@@ -1185,3 +1185,46 @@ def q45_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("age_scaled"), 9).alias("avg_age_scaled"),
     )
     return stats.join(ba, "set_name").join(auc, "set_name")
+
+
+# --- interval (range) join ---------------------------------------------------
+
+
+@_register(
+    "q47_interval_join",
+    """
+    SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS micros_between
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts <= e.ts AND c.ts > e.ts - INTERVAL 24 HOUR
+    """,
+)
+def q47_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: every (error, click-of-same-user-within-
+    preceding-24h) pair. Catalyst executes it as an equi-join on the
+    user key with the range as a post-join predicate — one shuffle;
+    the streaming twin (q99) runs the same condition with watermarked
+    stream-stream join state."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = e.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("e_ts"))
+        & (F.col("c_ts") > F.col("e_ts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    return j.select(
+        "error_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("e_ts") - F.unix_micros("c_ts")).alias("micros_between"),
+    )

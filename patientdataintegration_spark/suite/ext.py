@@ -576,3 +576,12 @@ def q46_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(d, k=3)
+
+
+@_register("q99_stream_stream_join")  # no oracle: streaming execution
+def q99_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join; pytest asserts set
+    equality with the batch twin q47."""
+    from patientdataintegration_spark.streaming.sessions import interval_join_stream
+
+    return interval_join_stream(spark, sf_dir, window_hours=24)

@@ -132,3 +132,18 @@ def test_csv_roundtrip_and_cohort_union(spark, tmp_path):
         .csv(str(out))
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, u.collect()))
+
+
+def test_engine_facade(spark, sf_dir):
+    from patientdataintegration_spark.engine import Engine
+
+    eng = Engine(data_dir=sf_dir, spark=spark)
+    assert eng.table("orders").count() > 0
+    assert eng.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"] > 0
+    assert "q45_full_pipeline" in eng.names()
+    assert eng.run("q03_balanced_accuracy").count() > 0
+    assert eng.oracle_sql("q03_balanced_accuracy") is not None
+    assert eng.oracle_sql("q90_stream_tumbling") is None
+    assert "Exchange" in eng.explain("q02_group_scores") or "Scan" in eng.explain(
+        "q02_group_scores"
+    )

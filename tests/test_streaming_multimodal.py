@@ -217,3 +217,19 @@ def test_ivf_ann_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from patientdataintegration_spark.streaming.sessions import interval_join_stream
+    from patientdataintegration_spark.suite.core import q47_interval_join
+
+    batch = {tuple(r) for r in q47_interval_join(spark, sf_dir).collect()}
+    stream = {
+        tuple(r)
+        for r in interval_join_stream(
+            spark, sf_dir, window_hours=24, table_name="t_ssj"
+        ).collect()
+    }
+    assert stream == batch, (
+        f"missing={len(batch - stream)} extra={len(stream - batch)}"
+    )
