@@ -1228,3 +1228,62 @@ def q47_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("e_ts") - F.unix_micros("c_ts")).alias("micros_between"),
     )
+
+
+# --- map-typed metric dict (SURVEY §1.4 metric_dict analogue) ---------------
+
+
+@_register(
+    "q48_metric_map",
+    """
+    WITH m AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, sum_v FROM m
+    """,
+)
+def q48_metric_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round trip: per-user metric dict (event_type -> sum),
+    the reference's `metric_dict` nested structure (`functions_v2.py:
+    393-399`) as a map column — built with map_from_entries over a
+    grouped collect_list, then exploded back to relational rows so
+    the oracle can hash it. The map stays a first-class column for
+    users (`eng.run(...).select(map_keys(...))`)."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_v")
+    )
+    as_map = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "sum_v")))
+        ).alias("metrics")
+    )
+    return as_map.select(
+        "user_id", F.explode("metrics").alias("event_type", "sum_v")
+    )
+
+
+# --- global top-k (TakeOrderedAndProject, no full sort) ---------------------
+
+
+@_register(
+    "q49_global_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+)
+def q49_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT. Spark plans this as
+    TakeOrderedAndProject: per-partition top-k heaps merged on the
+    driver — O(n) scan, NO global sort exchange. The plan-shape test
+    pins that; at 100 TB this is the difference between a full
+    range-partitioned sort and a single narrow pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )

@@ -178,3 +178,10 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         assert joined.count() == plain.count()
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    from patientdataintegration_spark.suite.core import q49_global_topk
+
+    plan = explain_str(q49_global_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
