@@ -1287,3 +1287,196 @@ def q49_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+# --- correlated subqueries (Catalyst decorrelation; SQL entry surface) ------
+
+
+def _as_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    """Register catalog tables as temp views for spark.sql queries.
+    Views are cheap metadata; the parquet scan underneath is the same
+    pruned/pushed-down scan the DataFrame lane gets."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@_register(
+    "q50_exists_correlated",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q50_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi predicate on
+    the outer row. Catalyst decorrelates to a LEFT SEMI join on
+    l_orderkey with the date comparison as join condition — one
+    shuffle, no per-row subquery execution. Proves the SQL entry
+    lane (spark.sql over temp views) alongside the DataFrame lane.
+    Reference analogue: membership predicates (F6,
+    `ExperimentSetup_v2.py:198-203`) generalized to dependent
+    subqueries."""
+    _as_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@_register(
+    "q51_scalar_subquery",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN part p ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q51_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar aggregate subquery.
+    Catalyst rewrites to a per-partkey aggregate joined back to the
+    fact (RewriteCorrelatedScalarSubquery) — the naive plan would
+    re-aggregate lineitem once per row. l_quantity is integer-valued
+    so AVG is a sum of exact integers over a count: both engines get
+    bit-identical doubles, and the 0.2* threshold compare is
+    deterministic."""
+    _as_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+                 AS avg_yearly
+        FROM lineitem l JOIN part p ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+            SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
+
+
+# --- unpivot / melt (wide -> long reshaping) --------------------------------
+
+
+@_register(
+    "q52_unpivot",
+    """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE)
+    FROM part
+    """,
+)
+def q52_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape via native unpivot (Spark 3.4+ `Unpivot`
+    logical node — a zero-shuffle per-row expand, NOT a union of N
+    re-scans like the oracle spelling). The reference's matrix view
+    of selected columns (`functions_v2.py:29`) is this reshape's
+    transpose."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+# --- HAVING + join-back (TPC-H Q18 large-volume groups) ---------------------
+
+
+@_register(
+    "q53_having_join_back",
+    """
+    SELECT c_name, o.o_orderkey, o_totalprice, t.sum_qty
+    FROM (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    ) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q53_having_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate with HAVING, joined back to the
+    dimension rows. The HAVING filter runs at the aggregate (top
+    ~1.5% of orders survive), so the join-back moves only the
+    qualifying keys — at 100 TB the orders/customer probe is tiny
+    after the filter and AQE converts it to a broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            F.sum("l_quantity").alias("_raw"),
+        )
+        .filter(F.col("_raw") > 250)
+        .drop("_raw")
+    )
+    return big.join(o, big.l_orderkey == o.o_orderkey).join(
+        c, F.col("o_custkey") == c.c_custkey
+    ).select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+
+
+# --- ntile / percent_rank deciles -------------------------------------------
+
+
+@_register(
+    "q54_spend_deciles",
+    """
+    SELECT decile,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal,
+           MIN(pr) AS min_pr, MAX(pr) AS max_pr
+    FROM (
+      SELECT c_acctbal,
+             NTILE(10) OVER w AS decile,
+             PERCENT_RANK() OVER w AS pr
+      FROM customer
+      WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey ASC)
+    )
+    GROUP BY decile
+    """,
+)
+def q54_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE + PERCENT_RANK over a global ordering, rolled up per
+    decile. The unpartitioned window is single-reducer by nature —
+    acceptable here because the rollup output is 10 rows; the 100 TB
+    spelling replaces NTILE with approx_percentile bucket edges
+    (mergeable sketch, no global sort). percent_rank's
+    (rank-1)/(n-1) is exact IEEE division, portable across engines.
+    Deterministic tiebreak on c_custkey."""
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    c = load_table(spark, sf_dir, "customer")
+    ranked = c.select(
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("c_acctbal"), "sum_bal"),
+        F.min("pr").alias("min_pr"),
+        F.max("pr").alias("max_pr"),
+    )

@@ -185,3 +185,23 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
 
     plan = explain_str(q49_global_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    from patientdataintegration_spark.suite.core import q50_exists_correlated
+
+    plan = explain_str(q50_exists_correlated(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    # decorrelated: no per-row subquery execution node survives
+    assert "Subquery" not in plan, plan
+
+
+def test_unpivot_is_single_expand_no_rescan(spark, sf_dir):
+    from patientdataintegration_spark.suite.core import q52_unpivot
+
+    df = q52_unpivot(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Expand" in plan, plan
+    # one scan, not a UNION of per-column re-scans (formatted explain
+    # prints one "Location:" block per distinct scan node)
+    assert plan.count("Location:") == 1, plan
