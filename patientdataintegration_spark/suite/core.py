@@ -1480,3 +1480,230 @@ def q54_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pr").alias("min_pr"),
         F.max("pr").alias("max_pr"),
     )
+
+
+# --- quantile binning (the 100 TB spelling of decile bucketing) -------------
+
+
+@_register(
+    "q55_quantile_binning",
+    """
+    WITH e AS (
+      SELECT CAST(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.25) AS DECIMAL(18,6)) AS e1,
+             CAST(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.50) AS DECIMAL(18,6)) AS e2,
+             CAST(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.75) AS DECIMAL(18,6)) AS e3
+      FROM customer
+    )
+    SELECT CASE WHEN CAST(c_acctbal AS DECIMAL(18,6)) <= e1 THEN 0
+                WHEN CAST(c_acctbal AS DECIMAL(18,6)) <= e2 THEN 1
+                WHEN CAST(c_acctbal AS DECIMAL(18,6)) <= e3 THEN 2
+                ELSE 3 END AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+    FROM customer, e
+    GROUP BY bucket
+    """,
+)
+def q55_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning without a global sort: compute exact quartile
+    edges as a 1-row aggregate, broadcast them, and bucket with a
+    CASE expression. This is the scale-out replacement for q54's
+    NTILE — edges are a mergeable aggregate (approx_percentile at
+    100 TB), bucketing is map-side, and no single reducer ever sees
+    the whole table. Edge compares go through decimal(18,6) so both
+    engines' interpolation (error ≤1 ulp around a ≤4-decimal value)
+    rounds to the same boundary."""
+    c = load_table(spark, sf_dir, "customer")
+    edges = c.agg(
+        F.percentile(F.col("c_acctbal"), F.lit(0.25)).cast("decimal(18,6)").alias("e1"),
+        F.percentile(F.col("c_acctbal"), F.lit(0.50)).cast("decimal(18,6)").alias("e2"),
+        F.percentile(F.col("c_acctbal"), F.lit(0.75)).cast("decimal(18,6)").alias("e3"),
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,6)")
+    bucket = (
+        F.when(bal <= F.col("e1"), 0)
+        .when(bal <= F.col("e2"), 1)
+        .when(bal <= F.col("e3"), 2)
+        .otherwise(3)
+        .alias("bucket")
+    )
+    return (
+        c.crossJoin(F.broadcast(edges))
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("c_acctbal"), "sum_bal"))
+    )
+
+
+# --- pivot (long -> wide reshaping, q52's inverse) --------------------------
+
+
+@_register(
+    "q56_pivot_status",
+    """
+    SELECT o_orderpriority,
+           COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS F,
+           COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS O,
+           COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q56_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot with an explicit value list. Passing the
+    values up front matters at scale: without them Spark runs an
+    extra distinct scan just to discover the columns. The pivot
+    compiles to one hash aggregate over (priority × status) — same
+    cost as the plain groupBy (A4's balance-profile report shape,
+    functions_v2.py:84-95)."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ("F", "O", "P")],
+    )
+
+
+# --- anti join via NOT EXISTS (complement of q50) ---------------------------
+
+
+@_register(
+    "q57_not_exists_anti",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    GROUP BY c_nationkey
+    """,
+)
+def q57_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no recent orders (TPC-H Q22 shape): the date
+    filter pushes to the orders scan, then a LEFT ANTI join ships
+    only the surviving key column, and the per-nation rollup runs on
+    the non-matching customers. Complement of q50's EXISTS/semi
+    lane."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        c.join(recent.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum(F.col("c_acctbal"), "sum_bal"))
+    )
+
+
+# --- full outer join of two aggregates --------------------------------------
+
+
+@_register(
+    "q58_full_outer",
+    """
+    SELECT COALESCE(a.nk, b.nk) AS nationkey, a.n_cust, b.n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+          FROM customer WHERE c_acctbal < -900 GROUP BY c_nationkey) a
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+          FROM supplier WHERE s_acctbal < -900 GROUP BY s_nationkey) b
+    ON a.nk = b.nk
+    """,
+)
+def q58_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two sparse per-nation aggregates, keeping
+    nulls where one side is absent. Aggregating BEFORE the join is
+    the scale move: each side collapses to ≤25 rows, so the outer
+    join is trivially broadcastable instead of row-level
+    fact-to-fact."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = (
+        c.filter(F.col("c_acctbal") < -900)
+        .groupBy(F.col("c_nationkey").alias("nk_a"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    b = (
+        s.filter(F.col("s_acctbal") < -900)
+        .groupBy(F.col("s_nationkey").alias("nk_b"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return a.join(b, a.nk_a == b.nk_b, "full_outer").select(
+        F.coalesce(F.col("nk_a"), F.col("nk_b")).alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+# --- grouping sets (the general form of rollup/cube) ------------------------
+
+
+@_register(
+    "q59_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q59_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form q20's ROLLUP and
+    q44's CUBE specialize. One Expand node replicates each input row
+    once per set, so it is a single-pass aggregate, not three scans.
+    grouping_id bit order (MSB = first listed column) matches across
+    engines."""
+    _as_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# --- calendar arithmetic battery --------------------------------------------
+
+
+@_register(
+    "q61_date_battery",
+    """
+    WITH o AS (SELECT CAST(o_orderdate AS DATE) AS od FROM orders)
+    SELECT CAST(year(od) AS INTEGER) AS yr,
+           CAST(quarter(od) AS INTEGER) AS qtr,
+           COUNT(*) AS n,
+           CAST(MIN(od + 30) AS VARCHAR) AS min_due,
+           CAST(MAX(last_day(od)) AS VARCHAR) AS max_eom,
+           CAST(MAX(date_diff('day', DATE '1992-01-01', od)) AS BIGINT)
+             AS max_age_days
+    FROM o
+    GROUP BY yr, qtr
+    """,
+)
+def q61_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic (year/quarter extraction, date offsets,
+    end-of-month, day differences) grouped per quarter — the P5
+    experiment-id date handling (`ExperimentSetup_v2.py:34-40`)
+    widened to the full date-function family. All pure JVM
+    expressions inside whole-stage codegen; dates emitted as ISO
+    strings so both engines hash identically."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.groupBy(
+        F.year(d).cast("int").alias("yr"), F.quarter(d).cast("int").alias("qtr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.date_add(d, 30)).cast("string").alias("min_due"),
+        F.max(F.last_day(d)).cast("string").alias("max_eom"),
+        F.max(F.datediff(d, F.lit("1992-01-01"))).cast("bigint").alias("max_age_days"),
+    )

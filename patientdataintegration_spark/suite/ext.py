@@ -12,7 +12,7 @@ pytest covers their semantics instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from patientdataintegration_spark.functions.deterministic import MODULUS
 from patientdataintegration_spark.operators.dedup import (
@@ -585,3 +585,71 @@ def q99_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patientdataintegration_spark.streaming.sessions import interval_join_stream
 
     return interval_join_stream(spark, sf_dir, window_hours=24)
+
+
+# --- lateral explode + re-aggregation ---------------------------------------
+
+
+@_register(
+    "q60_explode_vocab",
+    """
+    SELECT lang,
+           COUNT(DISTINCT tok) AS n_distinct,
+           COUNT(*) AS n_total
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY lang
+    """,
+)
+def q60_explode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generator lane: split->explode flattens each document to
+    its tokens (Generate node — per-row expansion, zero shuffle),
+    then a per-language vocabulary rollup. The distinct-agg runs as
+    Spark's two-phase expand/partial plan, so no executor holds a
+    language's full vocabulary at once — the property that matters
+    when one language dominates a 100 TB corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return toks.groupBy("lang").agg(
+        F.countDistinct("tok").alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+# --- moving row-frame window over event time --------------------------------
+
+
+@_register(
+    "q62_moving_frame",
+    """
+    SELECT event_id, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS mov_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_frame,
+           CAST(MIN(value) OVER w AS DOUBLE) AS mov_min
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q62_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 7-row frame per event type (sum/count/min) — the
+    epoch-over-epoch smoothing lane SURVEY §2.6 calls out
+    (best-so-far tracking, functions_v2.py:376-380) generalized to
+    bounded frames. Partitioned by event_type so reducers scale with
+    type cardinality; ordering tiebreaks on event_id for a total
+    order. The frame sum accumulates in decimal so incremental
+    (add/evict) evaluation is exact and engine-portable."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("mov_sum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_frame"),
+        F.min("value").over(w).cast("double").alias("mov_min"),
+    )

@@ -205,3 +205,27 @@ def test_unpivot_is_single_expand_no_rescan(spark, sf_dir):
     # one scan, not a UNION of per-column re-scans (formatted explain
     # prints one "Location:" block per distinct scan node)
     assert plan.count("Location:") == 1, plan
+
+
+def test_pivot_is_single_scan_single_agg_pass(spark, sf_dir):
+    from patientdataintegration_spark.suite.core import q56_pivot_status
+
+    plan = explain_str(q56_pivot_status(spark, sf_dir))
+    # explicit value list => no extra distinct-discovery scan
+    assert plan.count("Location:") == 1, plan
+
+
+def test_anti_join_pushes_date_filter_to_scan(spark, sf_dir):
+    from patientdataintegration_spark.suite.core import q57_not_exists_anti
+
+    plan = explain_str(q57_not_exists_anti(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_grouping_sets_is_one_expand_pass(spark, sf_dir):
+    from patientdataintegration_spark.suite.core import q59_grouping_sets
+
+    plan = explain_str(q59_grouping_sets(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert plan.count("Location:") == 1, plan
