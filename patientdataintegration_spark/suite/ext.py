@@ -653,3 +653,22 @@ def q62_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_frame"),
         F.min("value").over(w).cast("double").alias("mov_min"),
     )
+
+
+@_register("q88_stream_static_enrich")  # no oracle: streaming execution
+def q88_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (events × customer dim) with a
+    downstream count aggregate; pytest asserts equality with the
+    batch join."""
+    from patientdataintegration_spark.streaming.events import enrich_stream_static
+
+    return enrich_stream_static(spark, sf_dir)
+
+
+@_register("q89_stream_dedup")  # no oracle: streaming execution
+def q89_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup of a doubled feed; pytest
+    asserts each event_id survives exactly once."""
+    from patientdataintegration_spark.streaming.events import dedup_stream
+
+    return dedup_stream(spark, sf_dir)

@@ -233,3 +233,42 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     assert stream == batch, (
         f"missing={len(batch - stream)} extra={len(stream - batch)}"
     )
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.streaming.events import enrich_stream_static
+
+    got = {
+        (r.c_mktsegment, r.event_type): (r.n, round(r.sum_value, 6))
+        for r in enrich_stream_static(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    batch = (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    want = {
+        (r.c_mktsegment, r.event_type): (r.n, round(r.sum_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_dedup_each_event_once(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.streaming.events import dedup_stream
+
+    out = dedup_stream(spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events
+    assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
