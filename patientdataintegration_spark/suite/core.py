@@ -1707,3 +1707,261 @@ def q61_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.last_day(d)).cast("string").alias("max_eom"),
         F.max(F.datediff(d, F.lit("1992-01-01"))).cast("bigint").alias("max_age_days"),
     )
+
+
+# --- CDC latest-per-key dedup (upsert compaction) ---------------------------
+
+
+@_register(
+    "q63_latest_per_key",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q63_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: latest record per key (the merge/upsert
+    read-side view). One shuffle on the key, row_number frame, keep
+    rn=1 — at 100 TB this is the standard 'latest snapshot from an
+    append log' pattern, and the partitioned window never needs a
+    global sort. Tiebreak on event_id makes latest deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+        )
+    )
+
+
+# --- string-function battery -------------------------------------------------
+
+
+@_register(
+    "q64_string_battery",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n,
+           CAST(SUM(length(p_name)) AS BIGINT) AS sum_len,
+           CAST(SUM(levenshtein(substr(p_name, 1, 10),
+                                substr(reverse(p_name), 1, 10))) AS BIGINT)
+             AS sum_lev,
+           MIN(upper(replace(p_name, ' ', '-'))) AS min_name_slug,
+           MAX(regexp_replace(p_type, '[aeiou]', '')) AS max_consonant_type,
+           MIN(lpad(CAST(p_size AS VARCHAR), 4, '0')) AS min_size_padded
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def q64_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery (length, levenshtein edit distance,
+    case/replace/regexp/pad/reverse) rolled up per manufacturer —
+    the P2/P3/P5 path-and-id string manipulation family
+    (`dataset_classes_v1.py:62-71`) widened to the full built-in
+    string surface. All JVM codegen expressions; levenshtein is the
+    only quadratic one and runs on clamped 10-char prefixes."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("p_name")).cast("bigint").alias("sum_len"),
+        F.sum(
+            F.levenshtein(
+                F.substring("p_name", 1, 10), F.substring(F.reverse("p_name"), 1, 10)
+            )
+        )
+        .cast("bigint")
+        .alias("sum_lev"),
+        F.min(F.upper(F.replace(F.col("p_name"), F.lit(" "), F.lit("-")))).alias(
+            "min_name_slug"
+        ),
+        F.max(F.regexp_replace("p_type", "[aeiou]", "")).alias("max_consonant_type"),
+        F.min(F.lpad(F.col("p_size").cast("string"), 4, "0")).alias("min_size_padded"),
+    )
+
+
+# --- exact per-label embedding centroids ------------------------------------
+
+
+@_register(
+    "q65_label_centroids",
+    """
+    WITH dims AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000, 0) AS BIGINT) AS vq
+      FROM embeddings
+    )
+    SELECT label, pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(vq) AS DOUBLE) / (10000.0 * COUNT(*)) AS mean_v
+    FROM dims GROUP BY label, pos
+    """,
+)
+def q65_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (mean-pool the class embedding),
+    computed exactly at any scale: posexplode to (label, dim, value),
+    quantize each float32 to an integer at 1e-4 resolution, and take
+    integer sums — order-free, mergeable, bit-identical across
+    engines (raw double/decimal sums of arbitrary floats are not:
+    engines disagree in the last ulp of the rounding). Both shuffles
+    key on (label, dim), so no executor ever materializes a whole
+    class's vectors. 640 output rows = 10 labels x 64 dims."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "v0")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v0").cast("double") * 10000, 0).cast("bigint").alias("vq"),
+    )
+    return dims.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (F.sum("vq").cast("double") / (10000.0 * F.count(F.lit(1)))).alias("mean_v"),
+    )
+
+
+# --- TPC-H Q7 shape: bi-nation shipping volume ------------------------------
+
+
+@_register(
+    "q66_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS yr,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def q66_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: six-way join tree. The two nation filters are
+    applied BEFORE the big joins, so supplier and customer shrink to
+    2/25 of their rows pre-shuffle and nation broadcasts; only
+    lineitem⋈orders remains fact-to-fact. Catalyst pushes the
+    IN-filters through the joins; AQE picks broadcast for the
+    filtered dims at runtime."""
+    sf = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pair = F.col("n_name").isin("NATION_1", "NATION_2")
+    n1 = n.filter(pair).select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(pair).select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    supp = sf.join(F.broadcast(n1), sf.s_nationkey == F.col("nk1")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = c.join(F.broadcast(n2), c.c_nationkey == F.col("nk2")).select(
+        "c_custkey", "cust_nation"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume")
+        )
+    )
+
+
+# --- TPC-H Q8 shape: market share ratio -------------------------------------
+
+
+@_register(
+    "q67_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+             CAST(CASE WHEN n1.n_name = 'NATION_1'
+                  THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END AS DECIMAL(18,6)) AS nation_vol,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS total_vol
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'AMERICA'
+    )
+    SELECT yr,
+           CAST(SUM(nation_vol) AS DOUBLE) / CAST(SUM(total_vol) AS DOUBLE)
+             AS mkt_share
+    FROM vol GROUP BY yr
+    """,
+)
+def q67_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a share-of-total ratio from one pass — the
+    conditional numerator rides in the same aggregate as the
+    denominator (no second scan, no join of two aggregates). The
+    region filter prunes the customer side before the fact join; the
+    final ratio divides two exact decimal sums, so it is IEEE-exact
+    and engine-portable."""
+    sf_ = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n2 = (
+        n.join(
+            F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("nk2"))
+    )
+    cust = c.join(F.broadcast(n2), c.c_nationkey == F.col("nk2")).select("c_custkey")
+    supp = sf_.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        sf_.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.when(F.col("supp_nation") == "NATION_1", vol.cast("decimal(18,6)"))
+            .otherwise(F.lit(0).cast("decimal(18,6)"))
+            .alias("nation_vol"),
+            vol.cast("decimal(18,6)").alias("total_vol"),
+        )
+    )
+    return base.groupBy("yr").agg(
+        (F.sum("nation_vol").cast("double") / F.sum("total_vol").cast("double")).alias(
+            "mkt_share"
+        )
+    )

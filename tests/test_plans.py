@@ -229,3 +229,23 @@ def test_grouping_sets_is_one_expand_pass(spark, sf_dir):
     plan = explain_str(q59_grouping_sets(spark, sf_dir))
     assert "Expand" in plan, plan
     assert plan.count("Location:") == 1, plan
+
+
+def test_nation_volume_broadcasts_filtered_dims(spark, sf_dir):
+    from patientdataintegration_spark.suite.core import q66_nation_volume
+
+    plan = explain_str(q66_nation_volume(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    # nation-name IN filter reaches the nation scan, not the joined fact
+    assert "In(n_name" in plan or "n_name#" in plan, plan
+
+
+def test_market_share_single_pass_ratio(spark, sf_dir):
+    from patientdataintegration_spark.suite.core import q67_market_share
+
+    plan = explain_str(q67_market_share(spark, sf_dir))
+    # numerator+denominator in ONE aggregate: no self-join of two aggs.
+    # 7 scans = 6 tables + nation read twice (supplier names / region
+    # filter); a two-aggregate spelling would rescan the whole tree.
+    assert plan.count("Location:") == 7, plan
+    assert "LeftSemi" in plan, plan
