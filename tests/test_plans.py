@@ -249,3 +249,50 @@ def test_market_share_single_pass_ratio(spark, sf_dir):
     # filter); a two-aggregate spelling would rescan the whole tree.
     assert plan.count("Location:") == 7, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.sources.parquet_io import (
+        read_pruned,
+        write_partitioned,
+    )
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate").cast("int")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(o, path, ["yr"])
+
+    # one file per partition directory (small-files control)
+    import glob as g
+
+    for d in g.glob(f"{path}/yr=*"):
+        files = [f for f in g.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, (d, files)
+
+    pruned = read_pruned(spark, path, yr=1996)
+    plan = explain_str(pruned)
+    assert "PartitionFilters" in plan and "yr" in plan, plan
+    want = o.filter(F.col("yr") == 1996).count()
+    assert pruned.count() == want and want > 0
+
+
+def test_compact_rewrites_to_target_file_count(spark, sf_dir, tmp_path):
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.sources.parquet_io import compact
+
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    # fragment: 16 tiny files
+    load_table(spark, sf_dir, "orders").repartition(16).write.parquet(src)
+    n = compact(spark, src, out, target_file_mb=128)
+    import glob as g
+
+    assert n == 1
+    assert len(g.glob(f"{out}/*.parquet")) == 1
+    assert (
+        spark.read.parquet(out).count() == load_table(spark, sf_dir, "orders").count()
+    )
