@@ -1965,3 +1965,171 @@ def q67_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mkt_share"
         )
     )
+
+
+# --- array-function battery --------------------------------------------------
+
+
+@_register(
+    "q68_array_battery",
+    """
+    WITH t AS (
+      SELECT p_partkey,
+             list_sort(list_distinct(string_split(p_name, ' '))) AS a,
+             list_sort(list_distinct(string_split(p_type, ' '))) AS b
+      FROM part
+    )
+    SELECT a[1][1:1] AS initial,
+           COUNT(*) AS n_parts,
+           CAST(SUM(len(a) + len(b)) AS BIGINT) AS sum_tokens,
+           CAST(SUM(len(list_intersect(a, b))) AS BIGINT) AS sum_common,
+           MIN(array_to_string(a, '|')) AS min_joined,
+           MAX(CASE WHEN list_contains(a, 'widget') THEN 1 ELSE 0 END)
+             AS has_widget
+    FROM t
+    GROUP BY initial
+    """,
+)
+def q68_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery: split → distinct → sort → intersect →
+    contains → join-to-string, rolled up by the first token's
+    initial. All higher-order array expressions evaluate per-row
+    JVM-side (no shuffle, no UDF) — the E6 feature-vector assembly
+    lane (`dataset_classes_v1.py:79-91`) generalized to set algebra
+    on token arrays."""
+    p = load_table(spark, sf_dir, "part")
+    t = p.select(
+        F.array_sort(F.array_distinct(F.split(F.col("p_name"), " "))).alias("a"),
+        F.array_sort(F.array_distinct(F.split(F.col("p_type"), " "))).alias("b"),
+    )
+    return (
+        t.select(
+            F.substring(F.element_at(F.col("a"), 1), 1, 1).alias("initial"),
+            (F.size("a") + F.size("b")).alias("n_tokens"),
+            F.size(F.array_intersect(F.col("a"), F.col("b"))).alias("n_common"),
+            F.array_join(F.col("a"), "|").alias("joined"),
+            F.array_contains(F.col("a"), "widget").cast("int").alias("has_w"),
+        )
+        .groupBy("initial")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("n_common").cast("bigint").alias("sum_common"),
+            F.min("joined").alias("min_joined"),
+            F.max("has_w").alias("has_widget"),
+        )
+    )
+
+
+# --- forward fill (last non-null, IGNORE NULLS window) ----------------------
+
+
+@_register(
+    "q69_forward_fill",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(last_value(v IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS v_filled
+    FROM e
+    """,
+)
+def q69_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill: carry the last non-null observation forward per
+    key (the distributed spelling of pandas ffill — the reference
+    imputes statically via A1-A3; time-ordered gap-fill is its
+    sequential sibling). One shuffle on user_id; the running
+    last-non-null frame is O(1) per row. Rows before a key's first
+    observation stay null — both engines agree."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).cast("double").alias("v_filled"),
+    )
+
+
+# --- multiple DISTINCT aggregates in one pass -------------------------------
+
+
+@_register(
+    "q70_multi_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT CASE WHEN o_totalprice > 150000
+                               THEN o_custkey END) AS n_big_custs,
+           COUNT(DISTINCT year(o_orderdate)) AS n_years,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q70_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several DISTINCT aggregates with different keys in one query —
+    Catalyst compiles them to a single Expand (one input replica per
+    distinct clause) + two-level aggregate, not N self-joined
+    subqueries. The conditional distinct (big spenders) is the
+    filtered-distinct idiom. At 100 TB the Expand multiplies shuffle
+    volume by #distinct-clauses — the documented trade; the
+    alternative per-clause rescans cost more."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct(
+            F.when(F.col("o_totalprice") > 150000, F.col("o_custkey"))
+        ).alias("n_big_custs"),
+        F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --- first_value / nth_value windows ----------------------------------------
+
+
+@_register(
+    "q71_first_nth_value",
+    """
+    SELECT user_id,
+           first_value(event_type) OVER w AS first_type,
+           nth_value(event_type, 3) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_type,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    QUALIFY ROW_NUMBER() OVER w = 1
+    """,
+)
+def q71_first_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user journey summary: first and third event type plus
+    event count, one row per user (QUALIFY rn=1 in the oracle, a
+    row_number filter here). first/nth_value run in the same
+    user_id-partitioned window pass as the row_number — one shuffle
+    total."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        e.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.nth_value("event_type", 3).over(w_all).alias("third_type"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).cast("bigint").alias("n_events"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
