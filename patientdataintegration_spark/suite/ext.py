@@ -672,3 +672,46 @@ def q89_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patientdataintegration_spark.streaming.events import dedup_stream
 
     return dedup_stream(spark, sf_dir)
+
+
+# --- BPE-ish regex tokenizer (subword-style token counting) -----------------
+
+
+@_register(
+    "q72_regex_tokens",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))))
+                AS BIGINT) AS n_numeric,
+           CAST(SUM(len(list_filter(toks, x -> len(x) = 1 AND
+                regexp_matches(x, '^[^a-z0-9]$')))) AS BIGINT) AS n_punct,
+           CAST(MAX(len(toks)) AS BIGINT) AS max_doc_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def q72_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization: the GPT-2-family regex split
+    (letter runs | digit runs | single punctuation) as a native
+    regexp_extract_all — the token-count accounting a training-data
+    pipeline runs over every corpus shard. Pure per-row JVM regex,
+    one aggregate shuffle on lang; the same pattern at 100 TB is a
+    map-side count with a tiny rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    t = d.select("lang", toks.alias("toks"))
+    is_num = F.filter(F.col("toks"), lambda x: x.rlike("^[0-9]+$"))
+    is_punct = F.filter(
+        F.col("toks"), lambda x: (F.length(x) == 1) & x.rlike("^[^a-z0-9]$")
+    )
+    return t.groupBy("lang").agg(
+        F.sum(F.size("toks")).cast("bigint").alias("n_tokens"),
+        F.sum(F.size(is_num)).cast("bigint").alias("n_numeric"),
+        F.sum(F.size(is_punct)).cast("bigint").alias("n_punct"),
+        F.max(F.size("toks")).cast("bigint").alias("max_doc_tokens"),
+    )

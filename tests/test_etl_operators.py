@@ -147,3 +147,56 @@ def test_engine_facade(spark, sf_dir):
     assert "Exchange" in eng.explain("q02_group_scores") or "Scan" in eng.explain(
         "q02_group_scores"
     )
+
+
+def test_schema_evolution_merge_and_union(spark, sf_dir, tmp_path):
+    """Schema evolution: two writers with drifting schemas; mergeSchema
+    reconciles at read time, unionByName(allowMissingColumns) at
+    compute time — the two lanes a long-lived 100 TB table needs."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.select("o_orderkey", "o_totalprice")
+    v2 = o.select("o_orderkey", "o_totalprice", F.year("o_orderdate").alias("yr"))
+    path = str(tmp_path / "evolving")
+    v1.write.parquet(f"{path}/batch=1")
+    v2.write.parquet(f"{path}/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) >= {"o_orderkey", "o_totalprice", "yr"}
+    assert merged.count() == 2 * o.count()
+    # old-batch rows surface the new column as null
+    assert merged.filter(F.col("yr").isNull()).count() == o.count()
+
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    assert unioned.count() == 2 * o.count()
+    assert unioned.filter(F.col("yr").isNull()).count() == o.count()
+
+
+def test_approx_percentile_within_error_bound(spark, sf_dir):
+    """approx_percentile (the 100 TB replacement for exact
+    percentiles, q43/q55) must land within its accuracy contract:
+    rank error <= n/accuracy."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 1000
+    got = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("p50_approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    # translate rank error to a value tolerance empirically: the
+    # approx answer must sit between the exact (0.5 - 1/acc) and
+    # (0.5 + 1/acc) quantiles
+    lo, hi = (
+        li.agg(
+            F.expr(f"percentile(l_extendedprice, {0.5 - 1.0/acc})"),
+            F.expr(f"percentile(l_extendedprice, {0.5 + 1.0/acc})"),
+        ).first()
+    )
+    assert lo <= got.p50_approx <= hi, (lo, got.p50_approx, hi)
