@@ -267,3 +267,80 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (node, label)
+    where label = the smallest doc id reachable from the node.
+
+    Iterative min-label propagation — each round, every node adopts
+    the minimum label in its neighborhood; converges in O(cluster
+    diameter) rounds, and near-dup clusters are shallow (most are
+    pairs/triangles), so 3-4 rounds typical. Each round is ONE
+    shuffle (edge⋈label) + ONE aggregate; `localCheckpoint`
+    truncates the lineage so the plan doesn't grow per iteration —
+    the standard Spark iterative-algorithm discipline. The reference
+    has no graph step; this is the cluster-formation stage of the
+    north-star dedup lane (pairs from `lsh_candidate_pairs` /
+    `ngram_jaccard_pairs`).
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.col("nbr_label")).alias("new_label"),
+                "label",
+            )
+        ).localCheckpoint()
+        n_changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if n_changed == 0:
+            break
+    return labels
+
+
+def canonicalize_clusters(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Pick one canonical document per near-dup cluster (highest
+    quality, ties to smallest id) and tag every row with its cluster
+    and keep/drop decision — the dedup pipeline's final emit.
+    Documents in no cluster are their own canonical. One shuffle on
+    the cluster label for the ranking window."""
+    labeled = docs.join(
+        components.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("cluster", F.coalesce(F.col("label"), F.col(id_col)))
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("rank_in_cluster", F.row_number().over(w))
+        .withColumn("is_canonical", (F.col("rank_in_cluster") == 1).cast("boolean"))
+        .drop("label")
+    )

@@ -715,3 +715,25 @@ def q72_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(is_punct)).cast("bigint").alias("n_punct"),
         F.max(F.size("toks")).cast("bigint").alias("max_doc_tokens"),
     )
+
+
+@_register("q86_dedup_clusters")  # no oracle: iterative algorithm
+def q86_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline tail: LSH candidate pairs → connected
+    components → canonical selection. Emits one row per document
+    with (cluster, rank_in_cluster, is_canonical); pytest pins the
+    clustering against a driver-side union-find."""
+    from patientdataintegration_spark.operators.dedup import (
+        canonicalize_clusters,
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(d)
+    sigs = minhash_signatures(sh, k=8, seed=42)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    comps = connected_components(pairs)
+    return canonicalize_clusters(
+        d.select("doc_id", "n_chars"), comps
+    ).select("doc_id", "cluster", "rank_in_cluster", "is_canonical")

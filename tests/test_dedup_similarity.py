@@ -118,3 +118,62 @@ def test_lsh_cosine_recall_on_clusters(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5  # tight clusters: same-bucket neighbors dominate
+
+
+def test_connected_components_match_union_find(spark, sf_dir):
+    """Spark min-label propagation == driver-side union-find on the
+    same pair list."""
+    from patientdataintegration_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+    from patientdataintegration_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(shingle_table(d), k=8, seed=42), bands=4, rows_per_band=2
+    )
+    got = {
+        r.node: r.label for r in connected_components(pairs).collect()
+    }
+
+    edges = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node of each component
+    want = {}
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    for n in parent:
+        want[n] = comp_min[find(n)]
+    assert got == want and len(got) > 0
+
+
+def test_canonicalize_keeps_one_per_cluster(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.suite.ext import q86_dedup_clusters
+
+    out = q86_dedup_clusters(spark, sf_dir)
+    per = out.groupBy("cluster").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert per.filter(F.col("n_canon") != 1).count() == 0
+    # every document appears exactly once
+    d_total = out.count()
+    assert out.select("doc_id").distinct().count() == d_total
