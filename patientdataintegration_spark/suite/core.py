@@ -2133,3 +2133,168 @@ def q71_first_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --- declarative data-quality gate ------------------------------------------
+
+
+@_register(
+    "q73_quality_checks",
+    """
+    WITH base AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_0,
+             SUM(CASE WHEN o_totalprice IS NULL
+                       OR NOT (o_totalprice BETWEEN 0 AND 1000000)
+                      THEN 1 ELSE 0 END) AS v_1,
+             SUM(CASE WHEN NOT (o_orderpriority IN
+                      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'))
+                      THEN 1 ELSE 0 END) AS v_2,
+             SUM(CASE WHEN NOT regexp_matches(o_orderstatus, '^[FOP]$')
+                      THEN 1 ELSE 0 END) AS v_3
+      FROM orders
+    ),
+    long AS (
+      SELECT 'not_null_o_custkey' AS check_name, v_0 AS n_violations, n_rows FROM base
+      UNION ALL SELECT 'range_o_totalprice', v_1, n_rows FROM base
+      UNION ALL SELECT 'accepted_o_orderpriority', v_2, n_rows FROM base
+      UNION ALL SELECT 'status_format', v_3, n_rows FROM base
+      UNION ALL
+      SELECT 'unique_o_orderkey',
+             SUM(CASE WHEN n > 1 THEN n ELSE 0 END),
+             SUM(n)
+      FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+    )
+    SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS DOUBLE) / n_rows AS violation_ratio
+    FROM long
+    """,
+)
+def q73_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: null/range/accepted-values/
+    regex checks compile into ONE conditional aggregate over ONE scan
+    (stack() unpivots the report); key uniqueness adds its single
+    shuffle and unions into the same report schema. The admission
+    gate a training pipeline runs on every ingest batch."""
+    from patientdataintegration_spark.operators.quality_checks import (
+        accepted_values,
+        in_range,
+        matches,
+        not_null,
+        run_checks,
+        uniqueness_check,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    report = run_checks(
+        o,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 1_000_000),
+            accepted_values(
+                "o_orderpriority",
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            ),
+            matches("o_orderstatus", "^[FOP]$", name="status_format"),
+        ],
+    )
+    return report.unionByName(uniqueness_check(o, ["o_orderkey"]))
+
+
+# --- funnel analysis (ordered multi-step conversion) ------------------------
+
+
+@_register(
+    "q74_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS step_click,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_buy > t_click THEN 1 ELSE 0 END) AS step_buy
+    FROM per_user
+    """,
+)
+def q74_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): first-touch time per
+    step via conditional MIN in one aggregate, then ordering
+    predicates between the step times. One shuffle on user_id, no
+    joins, no window — the scalable funnel spelling (a per-step
+    self-join would be 3 fact-fact joins)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    did_view = F.col("t_view").isNotNull()
+    did_click = did_view & (F.col("t_click") > F.col("t_view"))
+    did_buy = did_click & (F.col("t_buy") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(did_view.cast("int")).alias("step_view"),
+        F.sum(did_click.cast("int")).alias("step_click"),
+        F.sum(did_buy.cast("int")).alias("step_buy"),
+    )
+
+
+# --- retention cohorts -------------------------------------------------------
+
+
+@_register(
+    "q75_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             date_diff('day', f.first_day, CAST(e.ts AS DATE)) // 7 AS week_n,
+             f.first_day
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(date_trunc('week', first_day) AS VARCHAR) AS cohort_week,
+           CAST(week_n AS INTEGER) AS week_n,
+           COUNT(*) AS n_active
+    FROM activity GROUP BY cohort_week, week_n
+    """,
+)
+def q75_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: cohort = week of first event, cell = users
+    active N weeks later. The first-touch aggregate and the activity
+    dedup both shuffle on user_id (partitioning reuse); the cohort
+    rollup is a tiny second aggregate. week_n = floor(days-since-
+    first/7) — calendar-agnostic; the cohort label uses Monday-based
+    date_trunc('week') (same in both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("first_day")) / 7
+            ).cast("int").alias("week_n"),
+            "first_day",
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_trunc("week", F.col("first_day")).cast("date").cast("string").alias(
+            "cohort_week"
+        ),
+        "week_n",
+    ).agg(F.count(F.lit(1)).alias("n_active"))

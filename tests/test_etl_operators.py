@@ -200,3 +200,21 @@ def test_approx_percentile_within_error_bound(spark, sf_dir):
         ).first()
     )
     assert lo <= got.p50_approx <= hi, (lo, got.p50_approx, hi)
+
+
+def test_quality_checks_single_scan(spark, sf_dir):
+    """All row-level checks must run in ONE scan of the table."""
+    from patientdataintegration_spark.operators.quality_checks import (
+        in_range,
+        not_null,
+        run_checks,
+    )
+    from patientdataintegration_spark.plans.inspect import explain_str
+    from patientdataintegration_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    rep = run_checks(o, [not_null("o_custkey"), in_range("o_totalprice", 0, 1e6)])
+    plan = explain_str(rep)
+    assert plan.count("Location:") == 1, plan
+    rows = {r.check_name: r for r in rep.collect()}
+    assert rows["not_null_o_custkey"].n_violations == 0
