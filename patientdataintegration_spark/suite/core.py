@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from patientdataintegration_spark.functions.deterministic import pseudo_random_sql
+from patientdataintegration_spark.functions.deterministic import pseudo_random, pseudo_random_sql
 from patientdataintegration_spark.functions.metrics import auroc, balanced_accuracy
 from patientdataintegration_spark.operators.encodings import (
     bucketize_age2,
@@ -2298,3 +2298,51 @@ def q75_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "week_n",
     ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+# --- deterministic stratified sampling (fraction per stratum) ---------------
+
+
+@_register(
+    "q76_stratified_sample",
+    """
+    WITH s AS (
+      SELECT l_returnflag, l_quantity,
+             ((((CAST(l_orderkey AS BIGINT) * 2654435761 + 682717 + CAST(l_linenumber AS BIGINT) * 40503) % 1000000007) * ((CAST(l_orderkey AS BIGINT) * 2654435761 + 682717 + CAST(l_linenumber AS BIGINT) * 40503) % 1000000007)) % 1000000007) AS draw,
+             CASE l_returnflag WHEN 'R' THEN 0.5 WHEN 'A' THEN 0.1
+                  ELSE 0.01 END AS frac
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM s WHERE draw < frac * 1000000007
+    GROUP BY l_returnflag
+""",
+)
+def q76_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum fraction sampling with engine-portable determinism:
+    the keep/drop draw derives from the row's own keys
+    (functions/deterministic.pseudo_random), so the sample is
+    identical under ANY partitioning, any run, any engine — unlike
+    rand(seed), whose draw depends on the partition layout. This is
+    `df.sampleBy` made reproducible-by-construction; pure map-side
+    filter, zero extra shuffles (W1's seeded-sampling contract,
+    `dataset_classes_v1.py:44-48`, generalized to fractions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    draw = pseudo_random(F.col("l_orderkey"), F.col("l_linenumber"), seed=7)
+    frac = (
+        F.when(F.col("l_returnflag") == "R", 0.5)
+        .when(F.col("l_returnflag") == "A", 0.1)
+        .otherwise(0.01)
+    )
+    from patientdataintegration_spark.functions.deterministic import MODULUS
+
+    return (
+        li.filter(draw < frac * F.lit(MODULUS))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+        )
+    )

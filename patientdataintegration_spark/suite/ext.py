@@ -737,3 +737,22 @@ def q86_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_clusters(
         d.select("doc_id", "n_chars"), comps
     ).select("doc_id", "cluster", "rank_in_cluster", "is_canonical")
+
+
+@_register("q85_session_window")  # no oracle: engine-native session windows
+def q85_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window aggregation (gap-close semantics
+    identical to operators/sessionize; pytest pins the equality).
+    Unlike the lag+running-sum spelling this works unchanged in
+    Structured Streaming with state eviction."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "12 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

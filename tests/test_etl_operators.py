@@ -218,3 +218,19 @@ def test_quality_checks_single_scan(spark, sf_dir):
     assert plan.count("Location:") == 1, plan
     rows = {r.check_name: r for r in rep.collect()}
     assert rows["not_null_o_custkey"].n_violations == 0
+
+
+def test_global_row_ids_match_window_numbering(spark, sf_dir):
+    """Range-partitioned prefix-sum ids == single-reducer row_number,
+    with no global sort in the plan's critical path."""
+    from pyspark.sql import Window, functions as F
+
+    from patientdataintegration_spark.operators.indexing import global_row_ids
+    from patientdataintegration_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    got = global_row_ids(o, ["o_orderkey"], num_partitions=8)
+    w = Window.orderBy("o_orderkey")
+    want = o.withColumn("row_id", (F.row_number().over(w) - 1).cast("bigint"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

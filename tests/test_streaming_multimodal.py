@@ -272,3 +272,44 @@ def test_stream_dedup_each_event_once(spark, sf_dir):
     n_events = load_table(spark, sf_dir, "events").count()
     assert out.count() == n_events
     assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_session_window_matches_sessionize(spark, sf_dir):
+    """Native session_window == the lag+running-sum sessionizer on
+    (user, session_start, n_events)."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.sessionize import sessionize
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.suite.ext import q85_session_window
+
+    native = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in q85_session_window(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    ours = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in sessionize(e, gap_seconds=43200)
+        .select("user_id", "session_start", "n_events")
+        .collect()
+    }
+    assert native == ours and len(native) > 0
+
+
+def test_foreachbatch_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpointed foreachBatch drains the backlog once; restarting
+    with the same checkpoint ingests nothing new."""
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.streaming.sinks import stream_to_parquet
+
+    out = str(tmp_path / "ingested")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_to_parquet(spark, sf_dir, out, ckpt)
+    q.awaitTermination()
+    n_in = load_table(spark, sf_dir, "events").count()
+    assert spark.read.parquet(out).count() == n_in
+
+    q2 = stream_to_parquet(spark, sf_dir, out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n_in
