@@ -238,19 +238,33 @@ def simhash(
 def simhash_near_pairs(
     sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 2, bits: int = 16
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, blocked on half-
-    signatures (a pair within hamming<=k must agree on one half for
-    k<=... pigeonhole with 2 blocks covers hamming<=1 exactly; for
-    larger k increase blocks). Demonstrates blocked-join pattern."""
-    half = bits // 2
-    lo = (F.col("simhash") % F.lit(2**half)).alias("blk_lo")
-    hi = (F.shiftright(F.col("simhash"), half)).alias("blk_hi")
-    s = sig.select(id_col, "simhash", lo, hi)
+    """Near-dup pairs by simhash hamming distance, blocked on signature
+    sub-blocks. Pigeonhole guarantee: a pair within hamming<=k differs
+    in at most k blocks, so splitting the signature into k+1 blocks
+    means every qualifying pair agrees exactly on at least one block —
+    the blocked join has FULL recall at the `max_hamming` threshold
+    (k+1 blocks for hamming<=k, the Manku et al. WWW'07 scheme)."""
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    if width == 0:
+        raise ValueError(f"bits={bits} too small for max_hamming={max_hamming}")
+    blk_cols = []
+    for i in range(n_blocks):
+        lo_bit = i * width
+        # last block absorbs the remainder bits
+        w = bits - lo_bit if i == n_blocks - 1 else width
+        blk_cols.append(
+            (F.shiftright(F.col("simhash"), lo_bit) % F.lit(2**w)).alias(f"blk_{i}")
+        )
+    s = sig.select(id_col, "simhash", *blk_cols)
     a, b = s.alias("a"), s.alias("b")
+    agree_any = None
+    for i in range(n_blocks):
+        eq = F.col(f"a.blk_{i}") == F.col(f"b.blk_{i}")
+        agree_any = eq if agree_any is None else (agree_any | eq)
     cand = a.join(
         b,
-        ((F.col("a.blk_lo") == F.col("b.blk_lo")) | (F.col("a.blk_hi") == F.col("b.blk_hi")))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        agree_any & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(
         F.col(f"a.{id_col}").alias("doc_a"),
         F.col(f"b.{id_col}").alias("doc_b"),
@@ -300,6 +314,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -318,7 +333,16 @@ def connected_components(
         n_changed = updated.filter(F.col("new_label") != F.col("label")).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silently-split component is a correctness bug, not a perf
+        # detail: long duplicate chains (diameter > max_iters) would
+        # come back as several clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "raise max_iters (diameter-bound) for long duplicate chains"
+        )
     return labels
 
 

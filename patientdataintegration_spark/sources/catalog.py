@@ -31,6 +31,16 @@ TABLES = (
 SMALL_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
 
 
+def enable_nanos_read(spark: SparkSession) -> None:
+    """Make this session able to read INT64 TIMESTAMP(NANOS) parquet.
+
+    Runtime-settable on any session (including a vanilla one the
+    driver builds): without it Spark rejects events.parquet with
+    PARQUET_TYPE_ILLEGAL; with it, nanos surface as bigint and are
+    normalized to microsecond timestamps by the readers."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one catalog table.
 
@@ -44,6 +54,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    # Runtime-settable on any session (including the driver's vanilla
+    # one): without it Spark rejects INT64 TIMESTAMP(NANOS) columns
+    # (events.parquet) with PARQUET_TYPE_ILLEGAL. With it, nanos
+    # surface as bigint and are normalized to timestamps below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name in ("ts",) and field.dataType.simpleString() == "bigint":

@@ -741,8 +741,12 @@ def q86_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("q85_session_window")  # no oracle: engine-native session windows
 def q85_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark's native session_window aggregation (gap-close semantics
-    identical to operators/sessionize; pytest pins the equality).
+    """Spark's native session_window aggregation (pytest pins equality
+    with operators/sessionize on this data). Exact-boundary caveat:
+    session_window's end is EXCLUSIVE (an event exactly `gap` after
+    the previous one starts a NEW session) while sessionize splits
+    only on strictly-greater gaps (`> gap_us`, sessionize.py:41) —
+    the two differ only for events landing exactly on the boundary.
     Unlike the lag+running-sum spelling this works unchanged in
     Structured Streaming with state eviction."""
     e = load_table(spark, sf_dir, "events")

@@ -284,14 +284,20 @@ def test_session_window_matches_sessionize(spark, sf_dir):
     from patientdataintegration_spark.suite.ext import q85_session_window
 
     native = {
-        (r.user_id, r.session_start, r.n_events)
-        for r in q85_session_window(spark, sf_dir).collect()
+        (r.user_id, r.start_us, r.n_events)
+        for r in q85_session_window(spark, sf_dir)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            "n_events",
+        )
+        .collect()
     }
     e = load_table(spark, sf_dir, "events")
     ours = {
-        (r.user_id, r.session_start, r.n_events)
+        (r.user_id, r.start_us, r.n_events)
         for r in sessionize(e, gap_seconds=43200)
-        .select("user_id", "session_start", "n_events")
+        .select("user_id", "start_us", "n_events")
         .collect()
     }
     assert native == ours and len(native) > 0
