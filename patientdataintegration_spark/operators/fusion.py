@@ -22,7 +22,13 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-from patientdataintegration_spark.functions.scalars import oriented_score
+from pyspark.sql import Column
+
+from patientdataintegration_spark.functions.scalars import (
+    oriented_score,
+    pairwise_softmax,
+    sigmoid,
+)
 
 
 def naive_fusion(
@@ -71,3 +77,43 @@ def orient_scores(df: DataFrame, score_col: str, pred_col: str, out_col: str = "
     """C4: orient predicted-class probability to positive-class
     probability for AUROC (`ipynb cell 13:14`)."""
     return df.withColumn(out_col, oriented_score(F.col(score_col), F.col(pred_col)))
+
+
+def weighted_fusion(
+    prob_img: Column,
+    imp_img: Column,
+    prob_meta: Column,
+    imp_meta: Column,
+) -> Column:
+    """C5 weighted fusion (`mymodels.py:49-62`, paper approach_2):
+    per-channel probabilities pass through sigmoid, per-channel
+    importance logits through a 2-way softmax, and the fused score is
+    the importance-weighted sum of the probabilities —
+    `softmax(imp)·sigmoid(prob)` summed over the two channels. Pure
+    scalar expressions, whole-stage-codegen, zero shuffle."""
+    w_img = pairwise_softmax(imp_img, imp_meta)
+    return w_img * sigmoid(prob_img) + (F.lit(1.0) - w_img) * sigmoid(prob_meta)
+
+
+def se_gate(img: Column, meta: Column) -> Column:
+    """C6 SE-style gating (`mymodels.py:89-94`, paper approach_3):
+    the metadata feature vector, squashed through sigmoid, gates the
+    image feature vector elementwise — `zip_with(img, meta,
+    (x, y) -> x * sigmoid(y))`. Native higher-order function; the
+    downstream linear head is a dot product against a weight array
+    (see `similarity.dot`)."""
+    return F.zip_with(
+        img,
+        meta,
+        lambda x, y: x.cast("double") * (F.lit(1.0) / (F.lit(1.0) + F.exp(-y.cast("double")))),
+    )
+
+
+def cat_concat(img: Column, meta: Column) -> Column:
+    """C7 CAT fusion (`mymodels.py:126-131`, paper approach_1):
+    feature-level fusion is plain array concatenation ahead of the
+    linear head."""
+    return F.concat(
+        F.transform(img, lambda x: x.cast("double")),
+        F.transform(meta, lambda x: x.cast("double")),
+    )

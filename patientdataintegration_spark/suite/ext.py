@@ -145,9 +145,15 @@ NGRAM_SH_SQL = """
     WITH {NGRAM_SH_SQL},
     hashed AS (SELECT doc_id, source, {HEX_HASH_SQL.format(col='shingle')} AS sh FROM sh),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hashed GROUP BY doc_id),
+    freq AS (SELECT sh, source, COUNT(*) AS f FROM hashed GROUP BY sh, source),
+    kept AS (
+      SELECT h.doc_id, h.source, h.sh
+      FROM hashed h JOIN freq g ON h.sh = g.sh AND h.source = g.source
+      WHERE g.f <= 256
+    ),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM hashed a JOIN hashed b
+      FROM kept a JOIN kept b
         ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
@@ -159,8 +165,12 @@ NGRAM_SH_SQL = """
     """,
 )
 def q33_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingles are capped (a shingle in f docs emits O(f^2)
+    pairs — at corpus scale an ultra-common shingle carries no
+    near-dup signal and would dominate the pair shuffle); the oracle
+    applies the same frequency cutoff."""
     d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, block_col="source")
+    return ngram_jaccard_pairs(d, block_col="source", max_docs_per_shingle=256)
 
 
 # --- minhash signatures ------------------------------------------------------
@@ -227,18 +237,41 @@ COSINE_REDUCE = (
 )
 
 
+def _rh_sig_sql(vec: str, dim: int, n_planes: int, seed: int) -> str:
+    """Random-hyperplane signature as DuckDB SQL, the planes baked in
+    as full-precision double literals (repr round-trips exactly, and
+    both engines left-fold the dot product in index order, so the
+    sign — hence the bucket — matches Spark bit-for-bit)."""
+    from patientdataintegration_spark.operators.similarity import hyperplanes
+
+    terms = []
+    for i, p in enumerate(hyperplanes(dim, n_planes, seed)):
+        lit = "([" + ", ".join(repr(x) for x in p) + "])"
+        dotp = COSINE_REDUCE.format(a=vec, b=lit)
+        terms.append(f"(CASE WHEN {dotp} > 0 THEN {2**i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_Q36_PLANES = 4
+
+
 @_register(
     "q36_cosine_topk",
     f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_rh_sig_sql('embedding', 64, _Q36_PLANES, 42)} AS sig
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, sig FROM v WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, sig FROM v),
     pairs AS (
       SELECT query_id, neighbor_id,
              round(
                {COSINE_REDUCE.format(a='qv', b='cv')}
                / (sqrt({COSINE_REDUCE.format(a='qv', b='qv')})
                   * sqrt({COSINE_REDUCE.format(a='cv', b='cv')})), 4) AS cos_sim
-      FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+      FROM c JOIN q USING (sig) WHERE query_id <> neighbor_id
     ),
     r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
@@ -247,9 +280,20 @@ COSINE_REDUCE = (
     """,
 )
 def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine neighbors, LSH-bucketed: candidates must share the
+    random-hyperplane signature with the query, then the survivors get
+    an exact cosine re-rank. The plan is an equi-join on the signature
+    key — NEVER the |Q|x|C| crossJoin (`cosine_topk` remains available
+    as the exact re-rank primitive for an already-bucketed candidate
+    set). Oracle mirrors the bucketing with plane literals baked into
+    the SQL, so the approximate result is still bit-exact-checkable."""
+    from patientdataintegration_spark.operators.similarity import lsh_cosine_topk
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
-    return cosine_topk(q, e, k=3).withColumnRenamed("rank", "rnk")
+    return lsh_cosine_topk(q, e, dim=64, k=3, n_planes=_Q36_PLANES, seed=42).withColumnRenamed(
+        "rank", "rnk"
+    )
 
 
 # --- event-time tumbling window ---------------------------------------------
@@ -759,4 +803,111 @@ def q85_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+# --- C5/C6/C7 model-fusion battery ------------------------------------------
+
+
+_SE_W = [0.25, -0.25, 0.125, -0.125, 0.0625, -0.0625, 0.03125, -0.03125]
+_CAT_W0 = [2.0 ** -(i % 6 + 2) for i in range(16)]
+_CAT_W1 = [(-1.0) ** i * 2.0 ** -(i % 5 + 3) for i in range(16)]
+
+
+def _dot_lit_sql(vec: str, weights: list[float]) -> str:
+    lit = "([" + ", ".join(repr(w) for w in weights) + "])"
+    return COSINE_REDUCE.format(a=vec, b=lit)
+
+
+def _fusion_battery_sql() -> str:
+    softmax_img = "(exp(i_img) / (exp(i_img) + exp(i_meta)))"
+    sig = "(1.0 / (1.0 + exp(-({x}))))"
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS img,
+             list_transform(embedding[9:16], x -> CAST(x AS DOUBLE)) AS meta,
+             CAST(embedding[1] AS DOUBLE) AS p_img,
+             CAST(embedding[2] AS DOUBLE) AS i_img,
+             CAST(embedding[3] AS DOUBLE) AS p_meta,
+             CAST(embedding[4] AS DOUBLE) AS i_meta
+      FROM embeddings
+    ),
+    g AS (
+      SELECT vec_id, p_img, i_img, p_meta, i_meta,
+             list_transform(range(1, 9),
+                            i -> img[i] * (1.0 / (1.0 + exp(-meta[i])))) AS gated,
+             img || meta AS cat
+      FROM v
+    )
+    SELECT vec_id,
+           round({softmax_img} * {sig.format(x='p_img')}
+                 + (1.0 - {softmax_img}) * {sig.format(x='p_meta')}, 6) AS fused_weighted,
+           round({sig.format(x=_dot_lit_sql('gated', _SE_W))}, 6) AS se_score,
+           CAST(({_dot_lit_sql('cat', _CAT_W1)} > {_dot_lit_sql('cat', _CAT_W0)}) AS INT) AS cat_pred,
+           round({_dot_lit_sql('cat', _CAT_W1)} - {_dot_lit_sql('cat', _CAT_W0)}, 6) AS cat_margin
+    FROM g
+    """
+
+
+@_register("q77_fusion_battery", _fusion_battery_sql())
+def q77_fusion_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/C6/C7 in one scan — the paper's three fusion approaches as
+    column expressions over the embeddings table (channels simulated
+    by slicing the embedding: first 8 dims = image features, next 8 =
+    metadata features, first 4 scalars = per-channel prob/importance
+    logits):
+
+    - `fused_weighted` — C5 `weighted_fusion` (softmax-importance ·
+      sigmoid-prob, `mymodels.py:49-62`),
+    - `se_score` — C6 `se_gate` (img ⊙ sigmoid(meta)) through a
+      fixed linear head + sigmoid (`mymodels.py:89-94`),
+    - `cat_pred` / `cat_margin` — C7 `cat_concat` through a fixed
+      2-logit linear head (`mymodels.py:126-131`).
+
+    Zero shuffle, whole-stage codegen end-to-end; the fixed heads are
+    power-of-two literals so every product is exact and the rounded
+    outputs hash-match DuckDB."""
+    from patientdataintegration_spark.operators.fusion import (
+        cat_concat,
+        se_gate,
+        weighted_fusion,
+    )
+    from patientdataintegration_spark.operators.similarity import dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    v = e.select(
+        "vec_id",
+        F.slice(emb, 1, 8).alias("img"),
+        F.slice(emb, 9, 8).alias("meta"),
+        F.element_at(emb, 1).cast("double").alias("p_img"),
+        F.element_at(emb, 2).cast("double").alias("i_img"),
+        F.element_at(emb, 3).cast("double").alias("p_meta"),
+        F.element_at(emb, 4).cast("double").alias("i_meta"),
+    )
+    se_w = F.array(*[F.lit(w) for w in _SE_W])
+    w0 = F.array(*[F.lit(w) for w in _CAT_W0])
+    w1 = F.array(*[F.lit(w) for w in _CAT_W1])
+    g = v.select(
+        "vec_id",
+        "p_img",
+        "i_img",
+        "p_meta",
+        "i_meta",
+        se_gate(F.col("img"), F.col("meta")).alias("gated"),
+        cat_concat(F.col("img"), F.col("meta")).alias("cat"),
+    )
+    sig = lambda x: F.lit(1.0) / (F.lit(1.0) + F.exp(-x))  # noqa: E731
+    return g.select(
+        "vec_id",
+        F.round(
+            weighted_fusion(
+                F.col("p_img"), F.col("i_img"), F.col("p_meta"), F.col("i_meta")
+            ),
+            6,
+        ).alias("fused_weighted"),
+        F.round(sig(dot(F.col("gated"), se_w)), 6).alias("se_score"),
+        (dot(F.col("cat"), w1) > dot(F.col("cat"), w0)).cast("int").alias("cat_pred"),
+        F.round(dot(F.col("cat"), w1) - dot(F.col("cat"), w0), 6).alias("cat_margin"),
     )
