@@ -10,12 +10,14 @@ Arrow-batched pandas iterators via `mapInPandas`: the ONLY sanctioned
 Python hot path in the engine, because it moves whole record batches
 across the JVM↔Python boundary instead of rows.
 
-The actual pixel decode requires image libraries not present in this
-container, so `decode_image` is a clearly-marked STUB with a
-deterministic fake implementation (derived from the bytes) — the
-Spark-side plumbing (schema contract, batch iteration, partition
-sizing) is real and tested. Swap `_fake_decode` for PIL/torchvision
-in production.
+Image dimensions come from a REAL pure-Python container-header parse
+(`parse_image_header`: JPEG SOF / PNG IHDR / GIF logical screen — no
+image libraries needed). Full pixel decode (mean intensity, resize)
+still requires libraries not present in this container, so that part
+falls back to a clearly-marked deterministic STUB derived from the
+bytes — the Spark-side plumbing (schema contract, batch iteration,
+partition sizing) is real and tested. Swap `_fake_decode` for
+PIL/torchvision in production.
 
 Scale notes: binary columns make wide rows — keep
 `spark.sql.files.maxPartitionBytes` bounded and NEVER aggregate or
@@ -52,16 +54,77 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+def parse_image_header(content: bytes) -> tuple[int, int] | None:
+    """REAL (width, height) from the container header — pure Python,
+    no image libraries. Handles JPEG (scan to the first SOFn frame
+    marker), PNG (IHDR) and GIF (logical screen descriptor); returns
+    None for anything else so callers can fall back."""
+    if not content:
+        return None
+    # PNG: 8-byte signature, then the IHDR chunk holds width/height
+    # as big-endian uint32 at offsets 16/20
+    if content[:8] == b"\x89PNG\r\n\x1a\n" and len(content) >= 24:
+        w = int.from_bytes(content[16:20], "big")
+        h = int.from_bytes(content[20:24], "big")
+        return (w, h) if w and h else None
+    # GIF87a/GIF89a: logical-screen width/height, little-endian uint16
+    if content[:4] == b"GIF8" and len(content) >= 10:
+        w = int.from_bytes(content[6:8], "little")
+        h = int.from_bytes(content[8:10], "little")
+        return (w, h) if w and h else None
+    # JPEG: walk the marker stream to the first start-of-frame (SOFn,
+    # 0xC0-0xCF minus the non-frame C4/C8/CC); its payload is
+    # precision(1) height(2) width(2), big-endian
+    if content[:2] == b"\xff\xd8":
+        i, n = 2, len(content)
+        while i + 3 < n:
+            if content[i] != 0xFF:
+                i += 1
+                continue
+            marker = content[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > n:
+                return None
+            seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    return None
+                h = int.from_bytes(content[i + 5 : i + 7], "big")
+                w = int.from_bytes(content[i + 7 : i + 9], "big")
+                return (w, h) if w and h else None
+            i += 2 + seg_len
+        return None
+    return None
+
+
 def _fake_decode(content: bytes) -> tuple[int, int, float]:
     """STUB decode: deterministic pseudo-dimensions/intensity from the
-    byte payload. Replace with `PIL.Image.open(io.BytesIO(content))`
-    where image libs exist; raise NotImplementedError there if you
-    need a hard failure instead of fake values."""
+    byte payload, used only when `parse_image_header` can't read the
+    container (unknown format / synthetic payloads). Replace with
+    `PIL.Image.open(io.BytesIO(content))` where image libs exist;
+    raise NotImplementedError there if you need a hard failure
+    instead of fake values."""
     digest = hashlib.md5(content or b"").digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
     mean_intensity = digest[2] / 255.0
     return width, height, mean_intensity
+
+
+def _decode(content: bytes) -> tuple[int, int, float]:
+    """Real header dims when the format is recognized; pixel-level
+    mean intensity stays the deterministic stub either way (no pixel
+    decode without image libs)."""
+    dims = parse_image_header(content)
+    fake_w, fake_h, intensity = _fake_decode(content)
+    if dims is not None:
+        return dims[0], dims[1], intensity
+    return fake_w, fake_h, intensity
 
 
 def image_features(df: DataFrame, path_col: str = "path", content_col: str = "content") -> DataFrame:
@@ -75,7 +138,7 @@ def image_features(df: DataFrame, path_col: str = "path", content_col: str = "co
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(c if c is not None else b"") for c in pdf["content"]]
+            decoded = [_decode(c if c is not None else b"") for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "path": pdf["path"],

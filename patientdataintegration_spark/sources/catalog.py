@@ -26,9 +26,13 @@ TABLES = (
 )
 
 # Dimensions small enough that any join against them should be a
-# broadcast hash join at every scale factor (they grow slowly or not
-# at all with SF, like TPC-H's nation/region).
-SMALL_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
+# broadcast hash join at EVERY scale factor. Only region/nation truly
+# qualify (fixed cardinality, like TPC-H's); supplier grows slowly
+# enough (10k rows/SF, a few MB at SF100) to stay broadcastable.
+# customer/part deliberately NOT listed: they scale linearly with SF
+# (15M customers at SF100) — joins against them should let AQE pick
+# broadcast from runtime stats at small SF and shuffle at large SF.
+SMALL_DIMS = frozenset({"region", "nation", "supplier"})
 
 
 def enable_nanos_read(spark: SparkSession) -> None:

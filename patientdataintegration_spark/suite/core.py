@@ -1174,7 +1174,10 @@ def q45_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ts.groupBy("group_id", "o_custkey", "label").agg(
         F.avg("score_i").alias("group_score")
     ).withColumn("pred", F.when(F.col("group_score") >= 50.0, 1).otherwise(0))
-    j = g.join(F.broadcast(dim), g.o_custkey == dim.c_custkey).select(
+    # no explicit broadcast: dim derives from the full customer table
+    # (linear in SF — 15M rows at SF100, not broadcastable); AQE picks
+    # broadcast from runtime stats at small SF and shuffle at scale
+    j = g.join(dim, g.o_custkey == dim.c_custkey).select(
         "group_id", "label", "group_score", "pred", "set_name", "age_scaled"
     )
 
@@ -2346,3 +2349,110 @@ def q76_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_quantity"), "sum_qty"),
         )
     )
+
+
+# --- consolidation batteries (grouping / subquery) --------------------------
+# One oracle-checked query per family so the whole family fits inside
+# the driver's bounded correctness window; the individual queries
+# (q20/q44/q59, q50/q51/q57) stay registered for direct use.
+
+
+_GROUPING_BATTERY_SQL = """
+    SELECT 'rollup' AS battery, o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    UNION ALL
+    SELECT 'cube' AS battery, o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    UNION ALL
+    SELECT 'gsets' AS battery, o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """
+
+
+@_register("q78_grouping_battery", _GROUPING_BATTERY_SQL)
+def q78_grouping_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + GROUPING SETS over orders in one result (A4
+    family, q20/q44/q59 consolidated). Each arm is a single Expand-
+    pass aggregate; grouping_id's MSB-first bit order matches both
+    engines. Three scans of one table — at scale each arm is the
+    same single-shuffle plan as its standalone query."""
+    _as_views(spark, sf_dir, "orders")
+    return spark.sql(
+        _GROUPING_BATTERY_SQL.replace(
+            "GROUPING(o_orderpriority, o_orderstatus)",
+            "grouping_id(o_orderpriority, o_orderstatus)",
+        )
+    )
+
+
+@_register(
+    "q79_subquery_battery",
+    """
+    SELECT 'exists' AS battery, o_orderpriority AS key,
+           COUNT(*) AS n, CAST(NULL AS DOUBLE) AS val
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'scalar' AS battery, 'all' AS key, CAST(NULL AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS val
+    FROM lineitem l JOIN part p ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    UNION ALL
+    SELECT 'not_exists' AS battery, CAST(c_nationkey AS VARCHAR) AS key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS val
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    GROUP BY c_nationkey
+    """,
+)
+def q79_subquery_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / scalar-aggregate subquery / NOT EXISTS in
+    one conformed result (q50/q51/q57 consolidated). Composes the
+    proven standalone queries — Catalyst decorrelates each arm to its
+    semi/anti/aggregate-join-back plan; the union is plan-level, not
+    a materialization."""
+    ex = q50_exists_correlated(spark, sf_dir).select(
+        F.lit("exists").alias("battery"),
+        F.col("o_orderpriority").alias("key"),
+        F.col("n_orders").alias("n"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    sc = q51_scalar_subquery(spark, sf_dir).select(
+        F.lit("scalar").alias("battery"),
+        F.lit("all").alias("key"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.col("avg_yearly").alias("val"),
+    )
+    ne = q57_not_exists_anti(spark, sf_dir).select(
+        F.lit("not_exists").alias("battery"),
+        F.col("c_nationkey").cast("string").alias("key"),
+        F.col("n_customers").alias("n"),
+        F.col("sum_bal").alias("val"),
+    )
+    return ex.unionAll(sc).unionAll(ne)

@@ -911,3 +911,93 @@ def q77_fusion_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dot(F.col("cat"), w1) > dot(F.col("cat"), w0)).cast("int").alias("cat_pred"),
         F.round(dot(F.col("cat"), w1) - dot(F.col("cat"), w0), 6).alias("cat_margin"),
     )
+
+
+# --- window-function battery (moving frame / ffill / journey) ---------------
+
+
+@_register(
+    "q80_window_battery",
+    """
+    WITH mov AS (
+      SELECT event_id, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS mov_sum,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_frame,
+             CAST(MIN(value) OVER w AS DOUBLE) AS mov_min
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    ff AS (
+      SELECT event_id,
+             CAST(last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS v_filled
+      FROM (SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+            FROM events)
+    ),
+    j AS (
+      SELECT user_id,
+             first_value(event_type) OVER w AS first_type,
+             nth_value(event_type, 3) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS third_type,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      QUALIFY ROW_NUMBER() OVER w = 1
+    )
+    SELECT 'moving' AS battery, event_id AS k, event_type AS s,
+           n_frame AS n, mov_sum AS v1, mov_min AS v2
+    FROM mov
+    UNION ALL
+    SELECT 'ffill' AS battery, event_id AS k, CAST(NULL AS VARCHAR) AS s,
+           CAST(NULL AS BIGINT) AS n, v_filled AS v1, CAST(NULL AS DOUBLE) AS v2
+    FROM ff
+    UNION ALL
+    SELECT 'journey' AS battery, user_id AS k,
+           first_type || '|' || COALESCE(third_type, '') AS s,
+           n_events AS n, CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+    FROM j
+    """,
+)
+def q80_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded moving frame + forward-fill + first/nth journey rows in
+    one conformed result (q62/q69/q71 consolidated for the driver's
+    correctness window). Composes the standalone queries; each arm
+    keeps its own single-shuffle window plan."""
+    from patientdataintegration_spark.suite.core import (
+        q69_forward_fill,
+        q71_first_nth_value,
+    )
+
+    mov = q62_moving_frame(spark, sf_dir).select(
+        F.lit("moving").alias("battery"),
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("s"),
+        F.col("n_frame").alias("n"),
+        F.col("mov_sum").alias("v1"),
+        F.col("mov_min").alias("v2"),
+    )
+    ff = q69_forward_fill(spark, sf_dir).select(
+        F.lit("ffill").alias("battery"),
+        F.col("event_id").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.col("v_filled").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    j = q71_first_nth_value(spark, sf_dir).select(
+        F.lit("journey").alias("battery"),
+        F.col("user_id").alias("k"),
+        F.concat(
+            F.col("first_type"), F.lit("|"), F.coalesce(F.col("third_type"), F.lit(""))
+        ).alias("s"),
+        F.col("n_events").alias("n"),
+        F.lit(None).cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return mov.unionAll(ff).unionAll(j)

@@ -50,6 +50,37 @@ def test_multimodal_feature_schema_and_determinism(spark, sf_dir):
     assert all(64 <= r[1] < 256 for r in a)
 
 
+def test_image_header_parse_real_dimensions(spark):
+    """JPEG/PNG/GIF headers yield REAL dimensions through the
+    mapInPandas decode lane; unknown payloads fall back to the
+    deterministic stub."""
+    # minimal JPEG: SOI, APP0 (empty), SOF0 with height=31, width=640
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x02"
+        + b"\xff\xc0\x00\x0b\x08" + (31).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + b"\x01\x11\x00"
+    )
+    # minimal PNG: signature + IHDR length/type + width=12, height=34
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\x0dIHDR"
+        + (12).to_bytes(4, "big") + (34).to_bytes(4, "big")
+    )
+    gif = b"GIF89a" + (77).to_bytes(2, "little") + (55).to_bytes(2, "little")
+    df = spark.createDataFrame(
+        [("a.jpg", bytearray(jpeg)), ("b.png", bytearray(png)),
+         ("c.gif", bytearray(gif)), ("d.bin", bytearray(b"not an image"))],
+        "path string, content binary",
+    )
+    got = {r.path: (r.width, r.height) for r in image_features(df).collect()}
+    assert got["a.jpg"] == (640, 31)
+    assert got["b.png"] == (12, 34)
+    assert got["c.gif"] == (77, 55)
+    w, h = got["d.bin"]
+    assert 64 <= w < 256 and 64 <= h < 256  # stub fallback range
+
+
 def test_binaryfile_scan_parses_reference_layout(spark):
     # reference layout: <base>/<slide_name>/<name>_<col>_<row>.jpg
     # (dataset_classes_v1.py:62,70-71)
