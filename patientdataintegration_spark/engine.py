@@ -75,3 +75,56 @@ class Engine:
         from patientdataintegration_spark.plans.inspect import explain_str
 
         return explain_str(self.run(name), mode)
+
+    # --- config/glob batch driver (S4) -------------------------------------
+    def run_experiments(
+        self, config_glob: str, repeats: int = 1
+    ) -> dict[str, list[DataFrame]]:
+        """S4 (`run_experiments.py:11-17`): the reference globs
+        per-experiment YAML configs and launches one OS process per
+        config x repeat; here each config is a small JSON/key=value
+        file naming a suite query (plus optional `data_dir`), and
+        every experiment runs as a job on THIS long-lived
+        SparkSession — scans, broadcast state and the JIT-warmed
+        executors are shared across the whole sweep instead of paying
+        a cold JVM per experiment.
+
+        Config format (JSON object, or `key=value` lines for a
+        yaml-lite without a parser dependency):
+            {"query": "q45_full_pipeline", "data_dir": "..."}
+        Returns {config_path: [result DataFrame per repeat]} — lazy
+        frames; callers trigger execution (`.collect`, writers).
+        """
+        import glob as _glob
+        import json
+
+        paths = sorted(_glob.glob(config_glob))
+        if not paths:
+            raise FileNotFoundError(f"no configs match {config_glob!r}")
+        results: dict[str, list[DataFrame]] = {}
+        for path in paths:
+            with open(path) as fh:
+                text = fh.read()
+            try:
+                cfg = json.loads(text)
+            except json.JSONDecodeError:
+                cfg = {}
+                for line in text.splitlines():
+                    line = line.strip()
+                    if line and not line.startswith("#") and ("=" in line or ":" in line):
+                        k, _, v = (
+                            line.partition("=") if "=" in line else line.partition(":")
+                        )
+                        cfg[k.strip()] = v.strip()
+            if "query" not in cfg:
+                raise KeyError(f"{path}: config missing 'query'")
+            data_dir = cfg.get("data_dir", self.data_dir)
+            from patientdataintegration_spark.suite import QUERIES
+
+            name = cfg["query"]
+            if name not in QUERIES:
+                raise KeyError(f"{path}: unknown query {name!r}")
+            results[path] = [
+                QUERIES[name](self.spark, data_dir) for _ in range(int(repeats))
+            ]
+        return results

@@ -149,6 +149,26 @@ def test_engine_facade(spark, sf_dir):
     )
 
 
+def test_engine_run_experiments_config_glob(spark, sf_dir, tmp_path):
+    """S4 (`run_experiments.py:11-17`): glob configs (JSON and
+    key=value forms), run each named query on the shared session."""
+    from patientdataintegration_spark.engine import Engine
+
+    (tmp_path / "exp_a.json").write_text('{"query": "q03_balanced_accuracy"}')
+    (tmp_path / "exp_b.json").write_text("query = q14_union_cohorts\n# comment\n")
+    eng = Engine(data_dir=sf_dir, spark=spark)
+    results = eng.run_experiments(str(tmp_path / "exp_*.json"), repeats=2)
+    assert sorted(p.split("/")[-1] for p in results) == ["exp_a.json", "exp_b.json"]
+    for frames in results.values():
+        assert len(frames) == 2
+        assert frames[0].count() > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        eng.run_experiments(str(tmp_path / "nope_*.json"))
+
+
 def test_schema_evolution_merge_and_union(spark, sf_dir, tmp_path):
     """Schema evolution: two writers with drifting schemas; mergeSchema
     reconciles at read time, unionByName(allowMissingColumns) at
