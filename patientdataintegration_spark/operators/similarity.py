@@ -295,3 +295,41 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    levels_pow2: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Scalar quantization of an embedding column to a power-of-two
+    lattice — the storage-compression step of a 100 TB vector
+    pipeline (int8-style codes at a fraction of the float32 bytes;
+    ANN pre-filters on codes, exact re-rank on floats).
+
+    `code = floor(x * levels)` per element. With a power-of-two
+    `levels`, x*levels, floor, and code/levels are all IEEE-exact, so
+    codes and reconstruction error are bit-identical across engines
+    and partitionings — no rounding leniency needed anywhere except
+    the final squared-error sum. Zero shuffle, one scan."""
+    if levels_pow2 & (levels_pow2 - 1):
+        raise ValueError("levels_pow2 must be a power of two")
+    lv = F.lit(float(levels_pow2))
+    codes = F.transform(
+        _as_double(F.col(vec_col)), lambda x: F.floor(x * lv).cast("bigint")
+    )
+    err_terms = F.zip_with(
+        _as_double(F.col(vec_col)),
+        codes,
+        lambda x, c: (x - c.cast("double") / lv) * (x - c.cast("double") / lv),
+    )
+    return df.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        F.aggregate(codes, F.lit(0).cast("bigint"), lambda a, c: a + c).alias("code_sum"),
+        F.round(
+            F.aggregate(err_terms, F.lit(0.0), lambda a, e: a + e), round_digits
+        ).alias("recon_err"),
+    )

@@ -192,3 +192,139 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "tfidf", "rnk")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    of an LLM training/RAG pipeline: token windows of `chunk_size`
+    with `overlap` tokens shared between consecutive chunks.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_size) with
+    stride = chunk_size - overlap; the last chunk may be short; a doc
+    shorter than one chunk emits exactly one chunk. Pure per-row
+    higher-order array expressions (token array bound once via the
+    one-element-transform idiom) — one scan, zero shuffle, rows fan
+    out ~n_tokens/stride per document.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+
+    def chunks_of(tk: Column) -> Column:
+        n = F.size(tk)
+        # highest chunk index: floor((max(n - overlap, 1) - 1) / stride)
+        last_idx = F.floor((F.greatest(n - F.lit(overlap), F.lit(1)) - 1) / F.lit(stride))
+        return F.transform(
+            F.sequence(F.lit(0), last_idx.cast("int")),
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                F.concat_ws(" ", F.slice(tk, i * stride + 1, chunk_size)).alias(
+                    "chunk_text"
+                ),
+                F.size(F.slice(tk, i * stride + 1, chunk_size)).alias("n_chunk_tokens"),
+            ),
+        )
+
+    toks = tokens(F.lower(F.trim(F.col(text_col))))
+    packed = F.element_at(F.transform(F.array(toks), chunks_of), 1)
+    return (
+        fan_out(df.select(id_col, text_col))
+        .select(id_col, F.explode(packed).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def token_rarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_threshold: int = 3,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Corpus-statistics quality scoring — unigram-LM surprisal: each
+    document's mean token log-probability under the corpus unigram
+    distribution, plus its count of rare tokens (corpus frequency <
+    `rare_threshold`, hapax-family signal). Low avg_logprob = unusual
+    token mix (boilerplate, noise, wrong-language); the classic cheap
+    LM-quality gate before perplexity models.
+
+    Plan: one explode → (token) corpus-count agg (partial-aggregated;
+    shuffle is O(vocab)), corpus total as a broadcast 1-row frame,
+    then a (doc, token) join back and a per-doc agg. The (doc,token)
+    join is the big shuffle — both sides hash on token, and no
+    executor ever holds more than one token's postings."""
+    toks = fan_out(df.select(id_col, text_col)).select(
+        id_col, F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    scored = toks.join(counts, "tok").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # per-token ln rounded to 9 digits THEN summed as exact
+            # decimal: order-independent across partitionings/engines
+            # (a raw double sum is not); one double division at the end
+            F.round(
+                F.sum(
+                    F.round(F.log(F.col("c") / F.col("t")), 9).cast("decimal(28,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                round_digits,
+            ).alias("avg_logprob"),
+            F.sum((F.col("c") < rare_threshold).cast("bigint")).alias("n_rare"),
+        )
+        .withColumn("rare_ratio", F.col("n_rare") / F.col("n_tokens"))
+    )
+
+
+def contamination_check(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check — the train/test leakage audit an
+    LLM data pipeline runs before training: for every candidate
+    document, the fraction of its word n-gram shingles that appear
+    ANYWHERE in the benchmark set.
+
+    Plan: shingle both sides (distinct within doc), distinct the
+    benchmark side down to a shingle-hash set (tiny relative to the
+    corpus — O(unique benchmark shingles)), LEFT JOIN candidates'
+    shingles against it, per-doc agg. The join hashes on the 8-byte
+    shingle hash, never text; at 100 TB the benchmark side is
+    broadcastable or bucketed."""
+    from patientdataintegration_spark.operators.dedup import shingle_table
+
+    cand = shingle_table(candidates, text_col=text_col, id_col=id_col, n=n)
+    bench = (
+        shingle_table(benchmark, text_col=text_col, id_col=id_col, n=n)
+        .select("shingle_hash")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = cand.join(bench, "shingle_hash", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination", F.col("n_contaminated") / F.col("n_shingles")
+        )
+    )

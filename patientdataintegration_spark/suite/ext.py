@@ -1001,3 +1001,136 @@ def q80_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v2"),
     )
     return mov.unionAll(ff).unionAll(j)
+
+
+# --- LLM-pipeline additions: chunking / rarity / contamination / quantize ---
+
+
+@_register(
+    "q81_chunking",
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+    c AS (
+      SELECT doc_id, tk,
+             unnest(range(0,
+               CAST(FLOOR((GREATEST(len(tk) - 16, 1) - 1) / 48) AS BIGINT) + 1)) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT)
+             AS n_chunk_tokens
+    FROM c
+    """,
+)
+def q81_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, 16-token overlap) —
+    the LLM context-window prep step as pure array expressions."""
+    from patientdataintegration_spark.operators.textops import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_size=64, overlap=16)
+
+
+@_register(
+    "q82_token_rarity",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT SUM(c) AS t FROM counts)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           round(CAST(SUM(CAST(round(ln(c / t), 9) AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_logprob,
+           CAST(SUM(CASE WHEN c < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN c < 3 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS rare_ratio
+    FROM toks JOIN counts USING (tok) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def q82_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal quality gate: mean corpus log-probability
+    per document + rare-token counts. Per-token ln is rounded to 9
+    digits THEN summed as exact decimal — order-independent across
+    partitionings and engines (the double sum would not be)."""
+    from patientdataintegration_spark.operators.textops import token_rarity
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_rarity(d)
+
+
+@_register(
+    "q83_contamination",
+    f"""
+    WITH {NGRAM_SH_SQL},
+    h AS (SELECT doc_id, source, {HEX_HASH_SQL.format(col='shingle')} AS shash FROM sh),
+    bench AS (SELECT DISTINCT shash FROM h WHERE source IN ('src0', 'src1')),
+    cand AS (SELECT doc_id, shash FROM h WHERE source NOT IN ('src0', 'src1'))
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN b.shash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN b.shash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*) AS contamination
+    FROM cand LEFT JOIN bench b USING (shash)
+    GROUP BY doc_id
+    """,
+)
+def q83_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: per candidate document, the
+    fraction of its 3-gram shingles that appear anywhere in the
+    'benchmark' subset (sources src0/src1 stand in for held-out eval
+    sets)."""
+    from patientdataintegration_spark.operators.textops import contamination_check
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source").isin("src0", "src1"))
+    cand = d.filter(~F.col("source").isin("src0", "src1"))
+    return contamination_check(cand, bench)
+
+
+@_register(
+    "q84_quantize_embeddings",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS codes,
+             round(list_reduce(
+               list_transform(range(1, len(embedding) + 1),
+                 i -> (CAST(embedding[i] AS DOUBLE)
+                       - FLOOR(CAST(embedding[i] AS DOUBLE) * 64) / 64)
+                    * (CAST(embedding[i] AS DOUBLE)
+                       - FLOOR(CAST(embedding[i] AS DOUBLE) * 64) / 64)),
+               (a, e) -> a + e), 9) AS recon_err
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(list_reduce(codes, (a, c) -> a + c) AS BIGINT) AS code_sum,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max,
+           recon_err
+    FROM q
+    """,
+)
+def q84_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two scalar quantization of the embedding column with
+    exact reconstruction error — every step IEEE-exact (see
+    operators/similarity.quantize_embeddings). The checked output
+    projects code summaries rather than the code array itself (the
+    driver's value-hash contract is scalar-typed); `codes` stays
+    available from the operator."""
+    from patientdataintegration_spark.operators.similarity import quantize_embeddings
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e, levels_pow2=64)
+    return q.select(
+        "vec_id",
+        "code_sum",
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        "recon_err",
+    )

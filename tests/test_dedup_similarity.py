@@ -177,3 +177,70 @@ def test_canonicalize_keeps_one_per_cluster(spark, sf_dir):
     # every document appears exactly once
     d_total = out.count()
     assert out.select("doc_id").distinct().count() == d_total
+
+
+def test_chunk_documents_reassembles_and_overlaps(spark):
+    """Chunks tile the token stream: stride apart, overlap shared,
+    short docs emit exactly one chunk."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.textops import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "just three tokens"), (3, "one")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(df, chunk_size=64, overlap=16).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 150 tokens, stride 48: starts 0,48,96 -> 3 chunks (96+16 < 150)
+    assert [len(by_doc[d]) for d in (1, 2, 3)] == [3, 1, 1]
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    toks = long_text.split(" ")
+    for i, r in enumerate(c1):
+        want = toks[i * 48 : i * 48 + 64]
+        assert r.chunk_text.split(" ") == want
+        assert r.n_chunk_tokens == len(want)
+    # consecutive chunks share exactly the 16-token overlap
+    assert c1[0].chunk_text.split(" ")[48:] == c1[1].chunk_text.split(" ")[:16]
+    assert by_doc[2][0].chunk_text == "just three tokens"
+
+
+def test_quantize_embeddings_exact_and_partition_invariant(spark, sf_dir):
+    from patientdataintegration_spark.operators.similarity import quantize_embeddings
+    from patientdataintegration_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, quantize_embeddings(e).drop("codes").collect()))
+    b = sorted(
+        map(tuple, quantize_embeddings(e.repartition(13)).drop("codes").collect())
+    )
+    assert a == b and len(a) > 0
+    # codes reconstruct to within one lattice step
+    row = quantize_embeddings(e).first()
+    assert all(isinstance(c, int) for c in row.codes)
+    assert 0.0 <= row.recon_err < len(row.codes) * (1 / 64) ** 2
+
+
+def test_contamination_bounds_and_self_containment(spark, sf_dir):
+    """Benchmark docs checked against themselves are 100% contaminated;
+    ratios always lie in [0, 1]."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.textops import contamination_check
+    from patientdataintegration_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    out = contamination_check(bench, bench)
+    assert out.filter(F.col("contamination") != 1.0).count() == 0
+    cand = d.filter(F.col("source") != "src0")
+    mixed = contamination_check(cand, bench)
+    assert (
+        mixed.filter(
+            (F.col("contamination") < 0) | (F.col("contamination") > 1)
+        ).count()
+        == 0
+    )

@@ -20,17 +20,46 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 
+def _norm(x):
+    """numpy arrays/scalars → plain python so str() and == behave."""
+    if hasattr(x, "tolist"):
+        return x.tolist()
+    if hasattr(x, "item"):
+        return x.item()
+    return x
+
+
 def canon(df) -> list[tuple]:
     """Column-name-sorted, row-sorted representation (driver-style)."""
     cols = sorted(df.columns)
     df = df[cols]
-    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    rows = [tuple(_norm(x) for x in r) for r in df.itertuples(index=False, name=None)]
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        if (
+            not isinstance(a, (list, tuple))
+            or not isinstance(b, (list, tuple))
+            or len(a) != len(b)
+        ):
+            return False
+        # arrays must be EXACT (no float tolerance): the driver's
+        # value-hash stringifies them, so a last-ulp difference fails
+        return all(
+            x == y
+            or (x is None and y is None)
+            or (
+                isinstance(x, float)
+                and isinstance(y, float)
+                and math.isnan(x)
+                and math.isnan(y)
+            )
+            for x, y in zip(a, b)
+        )
     if isinstance(a, float) or isinstance(b, float):
         try:
             af, bf = float(a), float(b)
@@ -64,6 +93,8 @@ def compare(name, spark_pdf, duck_pdf) -> list[str]:
                 if n_bad <= 3:
                     problems.append(f"value: spark={ra} duck={rb}")
                 break
+            if isinstance(va, (list, tuple)) or isinstance(vb, (list, tuple)):
+                continue  # elementwise equality already established above
             if va != vb and not (va is None and vb is None):
                 try:
                     fa, fb = float(va), float(vb)
