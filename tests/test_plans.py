@@ -296,3 +296,53 @@ def test_compact_rewrites_to_target_file_count(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(out).count() == load_table(spark, sf_dir, "orders").count()
     )
+
+
+def test_fusion_battery_zero_shuffle(spark, sf_dir):
+    from patientdataintegration_spark.suite.ext import q77_fusion_battery
+
+    df = q77_fusion_battery(spark, sf_dir)
+    assert count_shuffles(df) == 0
+
+
+def test_chunking_single_fanout_exchange(spark, sf_dir):
+    """Chunking is per-row: its only exchange is the deliberate
+    fan_out repartition that widens the explode stage (a no-op at
+    real data volumes); no aggregation/join shuffle may appear."""
+    from patientdataintegration_spark.operators.textops import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    assert count_shuffles(chunk_documents(d)) <= 1
+
+
+def test_quantize_zero_shuffle(spark, sf_dir):
+    from patientdataintegration_spark.operators.similarity import quantize_embeddings
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assert count_shuffles(quantize_embeddings(e)) == 0
+
+
+def test_lsh_cosine_topk_no_cartesian(spark, sf_dir):
+    """q36's registered form must be an equi-join on the signature
+    bucket — NEVER the |Q|x|C| cross join (the 100 TB contract)."""
+    from patientdataintegration_spark.suite.ext import q36_cosine_topk
+
+    plan = explain_str(q36_cosine_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_bounded_shuffles(spark, sf_dir):
+    """Shingle-hash semi-join plan: candidate explode (no shuffle),
+    benchmark distinct (one exchange), the hash join, the per-doc
+    agg — never a text-keyed or quadratic stage."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.textops import contamination_check
+    from patientdataintegration_spark.sources.catalog import load_table as lt
+
+    d = lt(spark, sf_dir, "documents")
+    out = contamination_check(
+        d.filter(F.col("source") != "src0"), d.filter(F.col("source") == "src0")
+    )
+    assert count_shuffles(out) <= 4
