@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "q41_winnowing_fp",      # rolling-hash winnowing
     "q42_sessionize",        # gap sessions (windows + agg, 1 shuffle)
     "q45_full_pipeline",     # full experiment lifecycle, one DAG
+    "q77_fusion_battery",    # C5-C7 model fusion, zero shuffle
+    "q81_chunking",          # sliding-window doc chunking
+    "q82_token_rarity",      # unigram-LM surprisal quality gate
+    "q84_quantize_embeddings",  # scalar quantization, zero shuffle
 ]
 
 

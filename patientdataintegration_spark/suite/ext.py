@@ -1134,3 +1134,96 @@ def q84_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("codes").alias("code_max"),
         "recon_err",
     )
+
+
+# --- multi-resolution time rollup + PII redaction ---------------------------
+
+
+@_register(
+    "q87_multires_rollup",
+    """
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+           CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_s,
+           CAST(GROUPING(date_trunc('day', ts), date_trunc('hour', ts),
+                         date_trunc('minute', ts)) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts),
+                     date_trunc('minute', ts))
+    """,
+)
+def q87_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute, hour, day and
+    grand-total aggregates of the event stream in ONE pass — a single
+    Expand node replicates each row once per resolution, so the scan
+    cost is paid once no matter how many resolutions (the continuous-
+    aggregate pattern of a time-series store, spelled as ROLLUP over
+    truncated timestamps). Buckets surface as epoch seconds (BIGINT)
+    so the result is engine-unambiguous."""
+    from patientdataintegration_spark.suite.core import _as_views
+
+    _as_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT) AS day_s,
+               CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+               CAST(unix_timestamp(date_trunc('minute', ts)) AS BIGINT) AS minute_s,
+               CAST(grouping_id(date_trunc('day', ts), date_trunc('hour', ts),
+                                date_trunc('minute', ts)) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts),
+                         date_trunc('minute', ts))
+        """
+    )
+
+
+@_register(
+    "q100_redaction",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user-' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example or call 555-' || CAST(doc_id % 10000 AS VARCHAR)
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z0-9-]+@[a-z.]+')) AS n_emails,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+           regexp_replace(regexp_replace(text, '[a-z0-9-]+@[a-z.]+', '<email>', 'g'),
+                          '[0-9]+', '#', 'g') AS redacted
+    FROM aug
+    """,
+)
+def q100_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style masking battery — the redaction step of a training-
+    data pipeline: count and mask email-like and digit-run spans with
+    portable regexes (the corpus has no organic PII, so a
+    deterministic contact line is synthesized per document first —
+    the masking mechanics are what is exercised). Pure per-row
+    expressions, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user-"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or call 555-"),
+            (F.col("doc_id") % 10000).cast("string"),
+        ).alias("text"),
+    )
+    email = r"[a-z0-9-]+@[a-z.]+"
+    digits = r"[0-9]+"
+    return aug.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{email}', 0)")).cast("bigint").alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{digits}', 0)")).cast("bigint").alias("n_digit_runs"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<email>"), digits, "#"
+        ).alias("redacted"),
+    )
