@@ -63,6 +63,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (events.parquet) with PARQUET_TYPE_ILLEGAL. With it, nanos
     # surface as bigint and are normalized to timestamps below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin the session timezone so date_trunc/year/unix_timestamp match
+    # the (timezone-naive) DuckDB oracle on any host, not just UTC ones
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name in ("ts",) and field.dataType.simpleString() == "bigint":

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from patientdataintegration_spark.sources.catalog import enable_nanos_read
+
 
 def tumbling_counts(
     events: DataFrame,
@@ -69,6 +71,7 @@ def run_tumbling_counts_stream(
     """
     # schema must be the RAW parquet schema (ts as bigint nanos under
     # nanosAsLong), not the catalog's normalized one
+    enable_nanos_read(spark)  # vanilla sessions reject TIMESTAMP(NANOS) otherwise
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     # file stream source requires a directory; select the table file
     # with a glob filter
@@ -98,6 +101,7 @@ def run_tumbling_counts_stream(
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the static events parquet (schema from
     a batch peek; ns→us normalization mirroring sources/catalog)."""
+    enable_nanos_read(spark)  # vanilla sessions reject TIMESTAMP(NANOS) otherwise
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(raw.schema)
@@ -125,7 +129,7 @@ def enrich_stream_static(
     auto-broadcasts the static side whenever its size stats fall
     under the threshold. The downstream count aggregate is the only
     stateful operator."""
-    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.sources.catalog import enable_nanos_read, load_table
 
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment")

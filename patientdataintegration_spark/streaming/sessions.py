@@ -30,6 +30,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from patientdataintegration_spark.sources.catalog import enable_nanos_read
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -102,6 +104,7 @@ def sessionize_stream(
     """Run stateful sessionization over the events parquet as a real
     stream (file source → applyInPandasWithState → availableNow →
     memory sink) and return the emitted sessions."""
+    enable_nanos_read(spark)  # vanilla sessions reject TIMESTAMP(NANOS) otherwise
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(raw.schema)
@@ -148,6 +151,7 @@ def interval_join_stream(
     is THE mechanism that makes a 100 TB/day stream-stream join
     feasible. availableNow over the static parquet makes the result
     comparable to the batch twin."""
+    enable_nanos_read(spark)  # vanilla sessions reject TIMESTAMP(NANOS) otherwise
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
 
     def src():
