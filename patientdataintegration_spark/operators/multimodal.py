@@ -257,3 +257,90 @@ def batch_inference(df: DataFrame, path_col: str = "path", content_col: str = "c
             )
 
     return cols.mapInPandas(infer_batches, INFERENCE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def parse_wav_header(content: bytes) -> tuple[int, int, int, int] | None:
+    """REAL (sample_rate, channels, bits_per_sample, n_samples) from a
+    RIFF/WAVE container header — pure Python chunk walk, no audio
+    libraries. Returns None for non-WAV payloads so callers can fall
+    back (the audio twin of `parse_image_header`)."""
+    if len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    sample_rate = channels = bits = block_align = None
+    n_samples = 0
+    i, n = 12, len(content)
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        size = int.from_bytes(content[i + 4 : i + 8], "little")
+        body = content[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data" and block_align:
+            n_samples = size // block_align
+        # chunks are word-aligned: odd sizes carry a pad byte
+        i += 8 + size + (size & 1)
+    if not (sample_rate and channels and bits):
+        return None
+    return sample_rate, channels, bits, n_samples
+
+
+def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "content") -> DataFrame:
+    """Decode + featurize a binary audio column via mapInPandas: real
+    RIFF/WAVE header metadata (rate, channels, bit depth, sample
+    count, duration); unknown containers surface as nulls rather than
+    fakes (audio has no meaningful deterministic stub — the row is
+    still emitted so joins don't drop media). Same iterator-batch
+    contract as `image_features`."""
+    cols = df.select(F.col(path_col).alias("path"), F.col(content_col).alias("content"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                payload = bytes(content) if content is not None else b""
+                parsed = parse_wav_header(payload)
+                if parsed is None:
+                    rows.append((path, None, None, None, None, None, len(payload)))
+                else:
+                    rate, ch, bits, n_samp = parsed
+                    rows.append(
+                        (
+                            path,
+                            rate,
+                            ch,
+                            bits,
+                            n_samp,
+                            n_samp / rate if rate else None,
+                            len(payload),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path",
+                    "sample_rate",
+                    "channels",
+                    "bits_per_sample",
+                    "n_samples",
+                    "duration_s",
+                    "n_bytes",
+                ],
+            )
+
+    return cols.mapInPandas(decode_batches, AUDIO_FEATURES_SCHEMA)

@@ -350,3 +350,42 @@ def test_foreachbatch_sink_exactly_once(spark, sf_dir, tmp_path):
     q2 = stream_to_parquet(spark, sf_dir, out, ckpt)
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == n_in
+
+
+def test_audio_wav_header_real_metadata(spark):
+    """RIFF/WAVE headers yield real rate/channels/bits/duration
+    through the mapInPandas audio lane; non-audio rows survive with
+    null metadata."""
+    from patientdataintegration_spark.operators.multimodal import audio_features
+
+    def wav(rate, channels, bits, n_samples):
+        block = channels * bits // 8
+        data_size = n_samples * block
+        fmt = (
+            (1).to_bytes(2, "little")
+            + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * block).to_bytes(4, "little")
+            + block.to_bytes(2, "little")
+            + bits.to_bytes(2, "little")
+        )
+        body = b"WAVEfmt " + (16).to_bytes(4, "little") + fmt
+        body += b"data" + data_size.to_bytes(4, "little") + b"\x00" * data_size
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    df = spark.createDataFrame(
+        [
+            ("a.wav", bytearray(wav(16000, 1, 16, 8000))),
+            ("b.wav", bytearray(wav(44100, 2, 16, 44100))),
+            ("c.bin", bytearray(b"not audio at all")),
+        ],
+        "path string, content binary",
+    )
+    got = {r.path: r for r in audio_features(df).collect()}
+    a = got["a.wav"]
+    assert (a.sample_rate, a.channels, a.bits_per_sample, a.n_samples) == (16000, 1, 16, 8000)
+    assert a.duration_s == 0.5
+    b = got["b.wav"]
+    assert (b.sample_rate, b.channels, b.n_samples) == (44100, 2, 44100)
+    assert b.duration_s == 1.0
+    assert got["c.bin"].sample_rate is None and got["c.bin"].n_bytes == 16
