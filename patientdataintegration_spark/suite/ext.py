@@ -1227,3 +1227,139 @@ def q100_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.col("text"), email, "<email>"), digits, "#"
         ).alias("redacted"),
     )
+
+
+# --- CDC upsert merge + time-weighted average -------------------------------
+
+
+@_register(
+    "q101_upsert_merge",
+    """
+    WITH base AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM (
+        SELECT user_id, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-25'
+      ) WHERE rn = 1
+    ),
+    delta AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM (
+        SELECT user_id, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-25'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(d.user_id, b.user_id) AS user_id,
+           COALESCE(d.event_id, b.event_id) AS event_id,
+           COALESCE(d.ts_us, b.ts_us) AS ts_us,
+           COALESCE(d.value, b.value) AS value,
+           CASE WHEN d.user_id IS NOT NULL AND b.user_id IS NOT NULL THEN 'updated'
+                WHEN d.user_id IS NOT NULL THEN 'inserted'
+                ELSE 'unchanged' END AS merge_action
+    FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+    """,
+)
+def q101_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE/upsert semantics without a table format: the
+    delta partition's latest row per key overrides the base state,
+    keys only in the delta insert, untouched keys carry over — a FULL
+    OUTER join of two latest-per-key compactions plus coalesce. Both
+    compactions shuffle once on the key; the merge join reuses that
+    hash partitioning (no extra exchange under ALL scale factors —
+    this is exactly how periodic CDC compaction jobs run at 100 TB:
+    partition-pruned delta vs bucketed base)."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+
+    def latest(df):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+            )
+        )
+
+    base = latest(e.filter(F.col("ts") < cutoff)).alias("b")
+    delta = latest(e.filter(F.col("ts") >= cutoff)).alias("d")
+    merged = base.join(delta, F.col("b.user_id") == F.col("d.user_id"), "full_outer")
+    action = (
+        F.when(
+            F.col("d.user_id").isNotNull() & F.col("b.user_id").isNotNull(),
+            F.lit("updated"),
+        )
+        .when(F.col("d.user_id").isNotNull(), F.lit("inserted"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return merged.select(
+        F.coalesce(F.col("d.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.coalesce(F.col("d.event_id"), F.col("b.event_id")).alias("event_id"),
+        F.coalesce(F.col("d.ts_us"), F.col("b.ts_us")).alias("ts_us"),
+        F.coalesce(F.col("d.value"), F.col("b.value")).alias("value"),
+        action.alias("merge_action"),
+    )
+
+
+@_register(
+    "q102_time_weighted_avg",
+    """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * (next_us - ts_us)) AS BIGINT)) AS DOUBLE)
+                / (MAX(ts_us) - MIN(ts_us)) AS twa
+    FROM t
+    WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    HAVING MAX(ts_us) > MIN(ts_us)
+    """,
+)
+def q102_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over irregularly-sampled events (the
+    timeseries-store `time_weight` operator): each observation is
+    held until the next one (LOCF integration), so
+    twa = Σ value_i·(t_{i+1}−t_i) / (t_last − t_first) per key.
+    One shuffle serves both the LEAD window and the aggregate (same
+    user_id partitioning). Each product value·Δt (µs units, so the
+    integer part alone carries ~12 significant digits) is floored to
+    a bigint before summing: floor is rounding-mode-unambiguous
+    across engines (a double→decimal cast is NOT — half-up vs
+    half-even), integer sums are order-independent, and the single
+    final division is deterministic — bit-identical at any
+    parallelism."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    g = t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * (F.col("next_us") - F.col("ts_us"))).cast("bigint")
+        ).alias("_num"),
+        F.max("ts_us").alias("_mx"),
+        F.min("ts_us").alias("_mn"),
+    )
+    return (
+        g.filter(F.col("_mx") > F.col("_mn"))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("_num").cast("double") / (F.col("_mx") - F.col("_mn")))
+            .cast("double")
+            .alias("twa"),
+        )
+    )
