@@ -7,6 +7,15 @@ result materialization on the driver) — the closest local analogue
 of "the job ran on the cluster". A tiny warm-up query first pays the
 JVM/codegen startup cost once so per-query numbers reflect the plans,
 not session boot.
+
+Known floor: every testdata table is a SINGLE-row-group parquet file,
+so Spark cannot parallelize the scan stage (one effective reader task
+per table regardless of split tuning); queries whose cost is in the
+scan-side partial aggregate run that stage ~single-threaded here. On
+real multi-file/multi-row-group data the same plans fan out
+naturally; compute-heavy lanes (dedup/text) additionally route
+through `plans/partitioning.fan_out`, which widens small inputs and
+is a guarded no-op at real volumes.
 """
 
 from __future__ import annotations
