@@ -1363,3 +1363,58 @@ def q102_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("twa"),
         )
     )
+
+
+# --- VARIANT (semi-structured) battery --------------------------------------
+
+
+@_register(
+    "q103_variant_battery",
+    """
+    WITH j AS (
+      SELECT event_id,
+             '{"u": ' || CAST(user_id AS VARCHAR)
+               || ', "t": "' || event_type || '"'
+               || ', "ks": [' || CAST(json_extract(props::JSON, '$.k') AS VARCHAR)
+               || ', ' || CAST(CAST(json_extract(props::JSON, '$.k') AS BIGINT) * 2 AS VARCHAR)
+               || ']}' AS doc
+      FROM events
+    )
+    SELECT event_id,
+           CAST(json_extract(doc::JSON, '$.u') AS BIGINT) AS u,
+           CAST(json_extract_string(doc::JSON, '$.t') AS VARCHAR) AS t,
+           CAST(json_extract(doc::JSON, '$.ks[0]') AS BIGINT) AS k0,
+           CAST(json_extract(doc::JSON, '$.ks[1]') AS BIGINT) AS k1
+    FROM j
+    """,
+)
+def q103_variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured lane on Spark 4's VARIANT type: a nested JSON
+    document (synthesized from row fields + the `props` payload) goes
+    through `parse_json` ONCE into a variant value, and every typed
+    path extraction (`variant_get` scalar, string, array index) reads
+    the decoded binary form — the engine-native answer to repeated
+    `get_json_object` string re-parses (q29's lane), and the right
+    shape for schema-on-read event payloads at 100 TB. Oracle mirrors
+    with DuckDB's JSON extraction on the same document."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    doc = F.concat(
+        F.lit('{"u": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "t": "'),
+        F.col("event_type"),
+        F.lit('", "ks": ['),
+        k.cast("string"),
+        F.lit(", "),
+        (k * 2).cast("string"),
+        F.lit("]}"),
+    )
+    v = e.select("event_id", F.parse_json(doc).alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.u', 'bigint')").alias("u"),
+        F.expr("variant_get(v, '$.t', 'string')").alias("t"),
+        F.expr("variant_get(v, '$.ks[0]', 'bigint')").alias("k0"),
+        F.expr("variant_get(v, '$.ks[1]', 'bigint')").alias("k1"),
+    )

@@ -254,3 +254,32 @@ def test_global_row_ids_match_window_numbering(spark, sf_dir):
     want = o.withColumn("row_id", (F.row_number().over(w) - 1).cast("bigint"))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_python_datasource_partitioned_deterministic(spark):
+    """Custom Python DataSource (Spark 4): declared partition planning
+    drives task parallelism, and values derive from keys alone so the
+    relation is identical under any partition count."""
+    from patientdataintegration_spark.sources.pydatasource import register
+
+    register(spark)
+    df8 = (
+        spark.read.format("synthetic_events")
+        .option("rows", 500)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df8.rdd.getNumPartitions() == 8
+    assert df8.count() == 500
+    df3 = (
+        spark.read.format("synthetic_events")
+        .option("rows", 500)
+        .option("partitions", 3)
+        .load()
+    )
+    assert sorted(map(tuple, df8.collect())) == sorted(map(tuple, df3.collect()))
+    # joins into the engine like any relation
+    from pyspark.sql import functions as F
+
+    agg = df8.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert agg.count() == 4 and agg.agg(F.sum("n")).collect()[0][0] == 500
