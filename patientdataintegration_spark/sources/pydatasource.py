@@ -26,7 +26,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 EVENT_TYPES = ("click", "view", "purchase", "refund")
@@ -68,9 +73,39 @@ class _SyntheticEventsReader(DataSourceReader):
             yield _row_of(event_id, self.n_users)
 
 
+class _SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming view of the same generator: each
+    micro-batch advances the event_id cursor by `batch_rows`. Offsets
+    are plain dicts the engine checkpoints — restart-safe exactly-once
+    ingestion without any broker, the shape of a real queue/CDC tail
+    connector. `readBetweenOffsets` replays a committed range
+    deterministically (the generator IS the log)."""
+
+    def __init__(self, options: dict):
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.n_users = int(options.get("users", 100))
+        self.max_rows = int(options.get("rows", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"next_id": 0}
+
+    def read(self, start: dict):
+        lo = start["next_id"]
+        hi = min(lo + self.batch_rows, self.max_rows)
+        rows = [_row_of(i, self.n_users) for i in range(lo, hi)]
+        return iter(rows), {"next_id": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            _row_of(i, self.n_users)
+            for i in range(start["next_id"], end["next_id"])
+        )
+
+
 class SyntheticEventsDataSource(DataSource):
     """spark.read.format("synthetic_events").option("rows", N)...
-    after `spark.dataSource.register(SyntheticEventsDataSource)`."""
+    after `spark.dataSource.register(SyntheticEventsDataSource)`;
+    also streamable via spark.readStream on the same format name."""
 
     @classmethod
     def name(cls) -> str:
@@ -81,6 +116,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _SyntheticEventsReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:
