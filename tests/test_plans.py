@@ -346,3 +346,26 @@ def test_contamination_bounded_shuffles(spark, sf_dir):
         d.filter(F.col("source") != "src0"), d.filter(F.col("source") == "src0")
     )
     assert count_shuffles(out) <= 4
+
+
+def test_upsert_merge_reuses_key_partitioning(spark, sf_dir):
+    """q101: the two latest-per-key windows each shuffle once on
+    user_id and the FULL OUTER merge join reuses that partitioning —
+    exactly 2 exchanges, never a third for the join."""
+    from patientdataintegration_spark.suite.ext import q101_upsert_merge
+
+    assert count_shuffles(q101_upsert_merge(spark, sf_dir)) == 2
+
+
+def test_time_weighted_avg_single_shuffle(spark, sf_dir):
+    """q102: LEAD window and per-user aggregate share one user_id
+    exchange."""
+    from patientdataintegration_spark.suite.ext import q102_time_weighted_avg
+
+    assert count_shuffles(q102_time_weighted_avg(spark, sf_dir)) == 1
+
+
+def test_variant_battery_zero_shuffle(spark, sf_dir):
+    from patientdataintegration_spark.suite.ext import q103_variant_battery
+
+    assert count_shuffles(q103_variant_battery(spark, sf_dir)) == 0
