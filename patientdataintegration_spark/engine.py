@@ -128,3 +128,33 @@ class Engine:
                 QUERIES[name](self.spark, data_dir) for _ in range(int(repeats))
             ]
         return results
+
+    def results_overview(
+        self, results: dict[str, list[DataFrame]], out_path: str | None = None
+    ) -> DataFrame:
+        """K3 (`main.py:51` overview_results_finals.csv): one long
+        relation over an experiment sweep — every result row tagged
+        with (config, repeat) provenance, columns conformed by name
+        across heterogeneous queries (missing ones null), optionally
+        sunk to CSV. The union is plan-level; nothing materializes on
+        the driver."""
+        from pyspark.sql import functions as F
+
+        tagged = []
+        for path, frames in results.items():
+            for i, df in enumerate(frames):
+                tagged.append(
+                    df.select(
+                        F.lit(path).alias("config"),
+                        F.lit(i).alias("repeat"),
+                        *[F.col(c).cast("string").alias(c) for c in df.columns],
+                    )
+                )
+        out = tagged[0]
+        for df in tagged[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        if out_path is not None:
+            from patientdataintegration_spark.sources.csv_io import write_csv
+
+            write_csv(out, out_path, single_file=True)
+        return out

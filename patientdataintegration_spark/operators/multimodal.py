@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -344,3 +345,46 @@ def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "co
             )
 
     return cols.mapInPandas(decode_batches, AUDIO_FEATURES_SCHEMA)
+
+
+def synthetic_wavs(df: DataFrame, key_col: str, rate: int = 8000) -> DataFrame:
+    """Deterministic (path, content) WAV relation from any table — the
+    audio twin of `synthetic_tiles`: real RIFF/WAVE containers built
+    in the Arrow batch lane (each row's sample count derives from its
+    key), so `audio_features` exercises the REAL header parser
+    without any files on disk."""
+    keys = df.select(F.col(key_col).cast("bigint").alias("k"))
+
+    def gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def wav_of(k: int) -> bytes:
+            channels, bits = 1 + (k % 2), 16
+            block = channels * bits // 8
+            n_samples = 100 + (k % 400)
+            data_size = n_samples * block
+            fmt = (
+                (1).to_bytes(2, "little")
+                + channels.to_bytes(2, "little")
+                + rate.to_bytes(4, "little")
+                + (rate * block).to_bytes(4, "little")
+                + block.to_bytes(2, "little")
+                + bits.to_bytes(2, "little")
+            )
+            body = b"WAVEfmt " + (16).to_bytes(4, "little") + fmt
+            body += b"data" + data_size.to_bytes(4, "little")
+            body += bytes((hashlib.md5((str(k) + str(i)).encode()).digest()[0]) % 256
+                          for i in range(min(data_size, 64)))
+            body += b"\x00" * max(0, data_size - 64)
+            return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": [f"/synthetic/audio/{k}.wav" for k in pdf["k"]],
+                    "content": [wav_of(int(k)) for k in pdf["k"]],
+                }
+            )
+
+    schema = StructType(
+        [StructField("path", StringType()), StructField("content", BinaryType())]
+    )
+    return keys.mapInPandas(gen_batches, schema)

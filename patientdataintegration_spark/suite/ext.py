@@ -1418,3 +1418,27 @@ def q103_variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(v, '$.ks[0]', 'bigint')").alias("k0"),
         F.expr("variant_get(v, '$.ks[1]', 'bigint')").alias("k1"),
     )
+
+
+@_register("q104_audio_metadata")  # no oracle: pandas-UDF binary lane
+def q104_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality lane end-to-end: deterministic RIFF/WAVE
+    payloads (synthetic_wavs over the part table) through the REAL
+    header parser (`audio_features`), aggregated per channel layout.
+    Rows-only check; pytest pins the header-parse values."""
+    from patientdataintegration_spark.operators.multimodal import (
+        audio_features,
+        synthetic_wavs,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    wavs = synthetic_wavs(p, "p_partkey")
+    feats = audio_features(wavs)
+    return (
+        feats.groupBy("sample_rate", "channels", "bits_per_sample")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_samples").alias("total_samples"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )

@@ -168,6 +168,13 @@ def test_engine_run_experiments_config_glob(spark, sf_dir, tmp_path):
     with _pytest.raises(FileNotFoundError):
         eng.run_experiments(str(tmp_path / "nope_*.json"))
 
+    # K3: overview sink unions heterogeneous results with provenance
+    overview = eng.results_overview(results, out_path=str(tmp_path / "overview"))
+    assert {"config", "repeat"} <= set(overview.columns)
+    assert overview.select("config").distinct().count() == 2
+    back = spark.read.option("header", True).csv(str(tmp_path / "overview"))
+    assert back.count() == overview.count() > 0
+
 
 def test_schema_evolution_merge_and_union(spark, sf_dir, tmp_path):
     """Schema evolution: two writers with drifting schemas; mergeSchema
