@@ -76,6 +76,15 @@ class Engine:
 
         return explain_str(self.run(name), mode)
 
+    def verify(self, name: str) -> dict:
+        """Run `name` on Spark AND its ANSI-SQL oracle twin on DuckDB
+        over the same parquet, comparing rows/schema/values — the
+        migration-trust check as a library call. Returns {name, rows,
+        match, problems, rows_only}."""
+        from patientdataintegration_spark.verify import verify_query
+
+        return verify_query(self.spark, self.data_dir, name)
+
     # --- config/glob batch driver (S4) -------------------------------------
     def run_experiments(
         self, config_glob: str, repeats: int = 1

@@ -327,3 +327,14 @@ def test_python_datasource_streaming_checkpointed_drain(spark, tmp_path):
         spark.read.format("synthetic_events").option("rows", 250).load()
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_engine_verify_against_oracle(spark, sf_dir):
+    """Engine.verify: the migration-trust check as a library call."""
+    from patientdataintegration_spark.engine import Engine
+
+    eng = Engine(data_dir=sf_dir, spark=spark)
+    res = eng.verify("q03_balanced_accuracy")
+    assert res["match"] is True and res["rows"] > 0 and not res["problems"]
+    ro = eng.verify("q90_stream_tumbling")
+    assert ro["rows_only"] is True and ro["match"] is None
