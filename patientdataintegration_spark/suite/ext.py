@@ -463,10 +463,16 @@ def q39_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embedding-cosine near-duplicate pairs ----------------------------------
 
 
-@_register(
-    "q40_embedding_neardup",
-    f"""
-    WITH e AS (SELECT label AS block, vec_id, embedding FROM embeddings),
+_Q40_PLANES = 5  # 2^5 = 32 LSH buckets
+
+
+def _q40_sql() -> str:
+    return f"""
+    WITH e AS (
+      SELECT {_rh_sig_sql('embedding', 64, _Q40_PLANES, 42)} AS block,
+             vec_id, embedding
+      FROM embeddings
+    ),
     pairs AS (
       SELECT a.block, a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(
@@ -476,15 +482,29 @@ def q39_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
     )
     SELECT block, vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
-    """,
-)
-def q40_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup candidates: block-local quadratic
-    compare (block = label here; an LSH bucket at corpus scale)."""
-    from patientdataintegration_spark.operators.similarity import neardup_pairs
+    """
 
-    e = load_table(spark, sf_dir, "embeddings")
-    return neardup_pairs(e, block_col="label", threshold=0.3)
+
+@_register("q40_embedding_neardup", _q40_sql())
+def q40_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates with the SCALE-CORRECT
+    blocking key: a random-hyperplane LSH bucket (32 buckets), so the
+    quadratic compare is per-bucket and the bucket population — not a
+    data column's skew — bounds the join. (Earlier registration
+    blocked on `label`, which at corpus scale is exactly the skewed
+    key you must not block on.) Oracle mirrors the bucketing with
+    plane literals baked into the SQL."""
+    from patientdataintegration_spark.operators.similarity import (
+        hyperplanes,
+        neardup_pairs,
+        rh_signature,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "lsh_bucket",
+        rh_signature(F.col("embedding"), hyperplanes(64, _Q40_PLANES, 42)),
+    )
+    return neardup_pairs(e, block_col="lsh_bucket", threshold=0.3)
 
 
 # --- winnowing fingerprints --------------------------------------------------
