@@ -250,7 +250,7 @@ def token_rarity(
     text_col: str = "text",
     id_col: str = "doc_id",
     rare_threshold: int = 3,
-    round_digits: int = 9,
+    round_digits: int = 6,
 ) -> DataFrame:
     """Corpus-statistics quality scoring — unigram-LM surprisal: each
     document's mean token log-probability under the corpus unigram
@@ -274,12 +274,14 @@ def token_rarity(
         scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            # per-token ln rounded to 9 digits THEN summed as exact
+            # per-token ln rounded to 6 digits THEN summed as exact
             # decimal: order-independent across partitionings/engines
-            # (a raw double sum is not); one double division at the end
+            # (a raw double sum is not, and at 9 digits a last-ulp
+            # libm ln difference can still flip the round at corpus
+            # vocabulary sizes); one double division at the end
             F.round(
                 F.sum(
-                    F.round(F.log(F.col("c") / F.col("t")), 9).cast("decimal(28,12)")
+                    F.round(F.log(F.col("c") / F.col("t")), 6).cast("decimal(28,12)")
                 ).cast("double")
                 / F.count(F.lit(1)),
                 round_digits,

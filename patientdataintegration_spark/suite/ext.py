@@ -413,14 +413,45 @@ def q92_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
 
 
-@_register("q93_lsh_cosine_topk")  # no oracle: approx ANN, recall checked in pytest
+_Q93_PLANES = 6
+
+
+def _q93_sql() -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_rh_sig_sql('embedding', 64, _Q93_PLANES, 42)} AS sig
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, sig FROM v WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, sig FROM v),
+    pairs AS (
+      SELECT query_id, neighbor_id,
+             round(
+               {COSINE_REDUCE.format(a='qv', b='cv')}
+               / (sqrt({COSINE_REDUCE.format(a='qv', b='qv')})
+                  * sqrt({COSINE_REDUCE.format(a='cv', b='cv')})), 4) AS cos_sim
+      FROM c JOIN q USING (sig) WHERE query_id <> neighbor_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM pairs)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3
+    """
+
+
+@_register("q93_lsh_cosine_topk", _q93_sql())
 def q93_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane-bucketed approximate cosine top-k."""
+    """Random-hyperplane-bucketed approximate cosine top-k at a finer
+    bucketing than q36 (6 planes → 64 buckets vs 16): the higher-
+    precision/lower-recall end of the same scale path. Oracle bakes
+    the same seed-42 planes into the SQL, so even the approximate
+    candidate set is bit-exact-checkable."""
     from patientdataintegration_spark.operators.similarity import lsh_cosine_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
-    return lsh_cosine_topk(q, e, dim=64, k=3, n_planes=6, seed=42)
+    return lsh_cosine_topk(q, e, dim=64, k=3, n_planes=_Q93_PLANES, seed=42)
 
 
 # --- sliding event-time windows ---------------------------------------------
@@ -1063,8 +1094,8 @@ def q81_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     total AS (SELECT SUM(c) AS t FROM counts)
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           round(CAST(SUM(CAST(round(ln(c / t), 9) AS DECIMAL(28,12))) AS DOUBLE)
-                 / COUNT(*), 9) AS avg_logprob,
+           round(CAST(SUM(CAST(round(ln(c / t), 6) AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_logprob,
            CAST(SUM(CASE WHEN c < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
            CAST(SUM(CASE WHEN c < 3 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS rare_ratio
     FROM toks JOIN counts USING (tok) CROSS JOIN total
