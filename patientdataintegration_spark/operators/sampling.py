@@ -56,3 +56,47 @@ def sample_per_group(
     )
     out = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n)
     return out if keep_rank else out.drop("_rn")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic downsample of a corpus to a per-group TOKEN
+    budget — the "mix N billion tokens per source" step of assembling
+    a training set. Documents are ordered by a seeded engine-portable
+    hash of their id (so the subset is a uniform sample, stable
+    across runs, engines, and partitionings) and kept while the
+    group's running token total stays within `budget_tokens`. The
+    first document of a group is always kept, so every group is
+    represented even when one document overshoots the budget.
+
+    Plan: one shuffle on the group key for the running-sum window.
+    Token counts ride along as one long per row; document text is
+    pruned before the shuffle. Group skew (one giant source) is the
+    same skew any per-source window costs — at 100 TB, salt the
+    running sum with a two-level scan (per-salt partials, then a
+    broadcast prefix offset) if one source dominates.
+    """
+    from patientdataintegration_spark.operators.textops import token_count
+
+    base = df.select(
+        id_col,
+        group_col,
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    draw = pseudo_random(F.col(id_col), seed=seed)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(draw.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return out.filter(
+        (F.col("cum_tokens") <= budget_tokens)
+        | (F.col("cum_tokens") == F.col("n_tokens"))
+    )

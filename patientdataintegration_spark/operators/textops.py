@@ -330,3 +330,75 @@ def contamination_check(
             "contamination", F.col("n_contaminated") / F.col("n_shingles")
         )
     )
+
+
+def _grams(text: Column, n: int) -> Column:
+    """All word n-gram occurrences of a document, duplicates KEPT
+    (unlike `dedup.word_shingles`, which is distinct-per-doc) —
+    repetition signals need the occurrence counts. Same lambda-binding
+    trick: the token array is bound once via a one-element transform
+    so the per-gram lambda doesn't re-tokenize per element."""
+
+    def gram_of(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(tk) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    toks = F.split(F.lower(F.trim(text)), " ")
+    return F.element_at(F.transform(F.array(toks), gram_of), 1)
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition quality signals, the Gopher-rule
+    family an LLM pipeline filters on before training: the fraction
+    of tokens taken by the most common token, the fraction of n-gram
+    occurrences taken by the top n-gram, and the duplicate n-gram
+    occurrence fraction (1 - distinct/total) for n = 2, 3.
+
+    All outputs are ratios of exact integer counts — one IEEE
+    division each, so bit-identical across engines with no rounding.
+
+    Plan: ONE scan; the three gram streams (tokens, 2-grams, 3-grams)
+    are concatenated into a single tagged array and exploded once, so
+    the input is never re-read. Then (doc, k, gram) partial-aggregated
+    counts — the only wide shuffle, keyed on (doc, k, gram), no skew
+    beyond document size — and a per-doc conditional agg. O(tokens)
+    rows shuffled per document; nothing quadratic anywhere."""
+    def _tag(k: int):
+        # NOT `lambda g, k=k`: a two-parameter lambda makes
+        # F.transform bind (element, index), clobbering the default
+        return lambda g: F.struct(F.lit(k).alias("k"), g.alias("gram"))
+
+    tagged = F.concat(
+        *[F.transform(_grams(F.col(text_col), k), _tag(k)) for k in (1, 2, 3)]
+    )
+    g = fan_out(df.select(id_col, text_col)).select(
+        id_col, F.explode(tagged).alias("t")
+    ).select(id_col, F.col("t.k").alias("k"), F.col("t.gram").alias("gram"))
+    c = g.groupBy(id_col, "k", "gram").agg(F.count(F.lit(1)).alias("c"))
+
+    def _sum(k: int) -> Column:
+        return F.sum(F.when(F.col("k") == k, F.col("c")))
+
+    def _max(k: int) -> Column:
+        return F.max(F.when(F.col("k") == k, F.col("c")))
+
+    def _distinct(k: int) -> Column:
+        return F.count(F.when(F.col("k") == k, F.lit(1)))
+
+    return c.groupBy(id_col).agg(
+        _sum(1).cast("bigint").alias("n_tokens"),
+        (_max(1) / _sum(1)).alias("top_token_frac"),
+        (_max(2) / _sum(2)).alias("top_2gram_frac"),
+        ((_sum(2) - _distinct(2)) / _sum(2)).alias("dup_2gram_frac"),
+        ((_sum(3) - _distinct(3)) / _sum(3)).alias("dup_3gram_frac"),
+    )

@@ -1493,3 +1493,86 @@ def q104_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").alias("total_bytes"),
         )
     )
+
+
+# --- within-document repetition signals (Gopher-rule family) ----------------
+
+
+@_register(
+    "q105_repetition_signals",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, 1 AS k, unnest(t) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id, 2 AS k,
+             unnest(list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1])))
+      FROM toks WHERE len(t) >= 2
+      UNION ALL
+      SELECT doc_id, 3 AS k,
+             unnest(list_transform(range(1, len(t) - 1),
+                                   i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+      FROM toks WHERE len(t) >= 3
+    ),
+    c AS (SELECT doc_id, k, gram, COUNT(*) AS c FROM g GROUP BY doc_id, k, gram)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN k = 1 THEN c END) AS BIGINT) AS n_tokens,
+           CAST(MAX(CASE WHEN k = 1 THEN c END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN k = 1 THEN c END) AS DOUBLE) AS top_token_frac,
+           CAST(MAX(CASE WHEN k = 2 THEN c END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN k = 2 THEN c END) AS DOUBLE) AS top_2gram_frac,
+           CAST(SUM(CASE WHEN k = 2 THEN c END) - COUNT(CASE WHEN k = 2 THEN 1 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN k = 2 THEN c END) AS DOUBLE) AS dup_2gram_frac,
+           CAST(SUM(CASE WHEN k = 3 THEN c END) - COUNT(CASE WHEN k = 3 THEN 1 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN k = 3 THEN c END) AS DOUBLE) AS dup_3gram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def q105_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals (top-token fraction,
+    top/duplicate n-gram occurrence fractions for n=2,3) — the
+    Gopher-rule repetition family. Exact integer-ratio outputs."""
+    from patientdataintegration_spark.operators.textops import repetition_signals
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_signals(d)
+
+
+# --- token-budget corpus downsampling ---------------------------------------
+
+
+def _q106_sql() -> str:
+    from patientdataintegration_spark.functions.deterministic import pseudo_random_sql
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(text, ' ')) END AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY {pseudo_random_sql('doc_id')} ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM base
+    )
+    SELECT * FROM cum WHERE cum_tokens <= 1500 OR cum_tokens = n_tokens
+    """
+
+
+@_register("q106_token_budget_sample", _q106_sql())
+def q106_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the corpus to a deterministic 1500-token budget per
+    source — the "N tokens per source" mixing step of training-set
+    assembly. Selection order is a seeded engine-portable hash, so
+    the kept subset is identical across runs, engines, partitionings."""
+    from patientdataintegration_spark.operators.sampling import token_budget_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_budget_sample(d, budget_tokens=1500)

@@ -244,3 +244,55 @@ def test_contamination_bounds_and_self_containment(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_repetition_signals_hand_computed(spark):
+    from patientdataintegration_spark.operators.textops import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y z"), (3, "w w w w")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    # doc 1: tokens a,b,a,b,c -> top token 2/5; 2-grams ab,ba,ab,bc ->
+    # top 2/4, dup (4-3)/4; 3-grams aba,bab,abc -> dup 0/3
+    r1 = rows[1]
+    assert r1["n_tokens"] == 5
+    assert r1["top_token_frac"] == 2 / 5
+    assert r1["top_2gram_frac"] == 2 / 4
+    assert r1["dup_2gram_frac"] == 1 / 4
+    assert r1["dup_3gram_frac"] == 0.0
+    # doc 2: no repetition at all
+    r2 = rows[2]
+    assert r2["top_token_frac"] == 1 / 3
+    assert r2["dup_2gram_frac"] == 0.0
+    # doc 3: maximal repetition: w w w w
+    r3 = rows[3]
+    assert r3["top_token_frac"] == 1.0
+    assert r3["dup_2gram_frac"] == 2 / 3
+    assert r3["dup_3gram_frac"] == 1 / 2
+
+
+def test_token_budget_sample_budget_and_determinism(spark):
+    from patientdataintegration_spark.operators.sampling import token_budget_sample
+
+    docs = [(i, f"src{i % 3}", " ".join(["tok"] * (10 + i % 7))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id int, source string, text string")
+    out = token_budget_sample(df, budget_tokens=50)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        total = sum(r["n_tokens"] for r in rs)
+        # within budget unless a single first doc overshoots
+        assert total <= 50 or len(rs) == 1
+        assert max(r["cum_tokens"] for r in rs) == total
+    # deterministic under a different partitioning
+    out2 = token_budget_sample(df.repartition(7), budget_tokens=50)
+    assert sorted(r["doc_id"] for r in out2.collect()) == sorted(
+        r["doc_id"] for r in rows
+    )
+    # a bigger budget keeps a superset
+    out3 = {r["doc_id"] for r in token_budget_sample(df, budget_tokens=200).collect()}
+    assert {r["doc_id"] for r in rows} <= out3
