@@ -58,3 +58,91 @@ def global_row_ids(
         .withColumn(out_col, (F.col("_offset") + F.col("_local") - 1).cast("bigint"))
         .drop("_pid", "_local", "_offset")
     )
+
+
+def shard_assignment(
+    df: DataFrame, n_shards: int, id_col: str = "doc_id", out_col: str = "shard"
+) -> Column | DataFrame:
+    """Deterministic shard id in [0, n_shards) from an engine-portable
+    md5 hash of the row key — the write-side of "emit the corpus as N
+    stable shards". Unlike `pmod(hash(id))`, the assignment is
+    reproducible in any engine, so a manifest built today still
+    describes shards written last year."""
+    from patientdataintegration_spark.functions.deterministic import md5_bigint
+
+    shard = (
+        md5_bigint(F.col(id_col).cast("string")) % F.lit(n_shards)
+    ).cast("int")
+    return df.withColumn(out_col, shard)
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bytes_col: str = "n_chars",
+) -> DataFrame:
+    """Per-shard manifest of a corpus emit: document count, exact
+    token and byte totals, and the id range — what a training loader
+    checks before streaming a shard, and what an auditor diffs after
+    a re-emit. One hash-agg shuffle keyed on the shard id; with
+    n_shards partitions the agg IS the shard layout, so writing the
+    data `partitionBy(shard)` reuses the same key."""
+    from patientdataintegration_spark.operators.textops import token_count
+
+    with_shard = shard_assignment(
+        df.select(id_col, text_col, bytes_col), n_shards, id_col=id_col
+    )
+    return with_shard.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("bigint"))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.sum(F.col(bytes_col).cast("bigint")).cast("bigint").alias("total_bytes"),
+        F.min(F.col(id_col)).cast("bigint").alias("min_id"),
+        F.max(F.col(id_col)).cast("bigint").alias("max_id"),
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Term → (doc-frequency, sorted posting list) over the corpus —
+    the retrieval/audit index a data pipeline builds next to the
+    shards (which documents contain this contaminated string?).
+
+    Scale shape: per-doc DISTINCT terms explode (O(tokens) rows),
+    then ONE shuffle on the term key serving both the doc-frequency
+    window-count and the posting cap — `row_number` per term keeps
+    at most `max_postings` doc ids BEFORE `collect_list`, so a
+    stop-word's posting list never materializes O(corpus) elements
+    in one task. The final groupBy reuses the window's hash
+    partitioning (no second exchange under AQE)."""
+    from patientdataintegration_spark.operators.textops import tokens
+
+    t = df.select(
+        F.col(id_col).cast("bigint").alias("_doc"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("term")
+    ranked = t.select(
+        "term",
+        "_doc",
+        F.count(F.lit(1)).over(w).alias("_df"),
+        F.row_number().over(w.orderBy(F.col("_doc").asc())).alias("_rn"),
+    )
+    if max_postings is not None:
+        ranked = ranked.filter(F.col("_rn") <= max_postings)
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.max("_df").cast("bigint").alias("doc_freq"),
+            F.sort_array(F.collect_list("_doc")).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= min_df)
+    )

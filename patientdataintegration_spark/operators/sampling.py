@@ -100,3 +100,59 @@ def token_budget_sample(
         (F.col("cum_tokens") <= budget_tokens)
         | (F.col("cum_tokens") == F.col("n_tokens"))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Concat-and-chop sequence packing: the step that turns a
+    filtered corpus into fixed-length training sequences. Documents
+    are laid end-to-end per group in a deterministic seeded-hash
+    order and the concatenation is chopped every `seq_len` tokens;
+    each document learns which pack it starts in (`pack_id`), at
+    what offset (`pack_offset`), and how many packs it straddles
+    (`packs_spanned`) — the manifest a loader needs to materialize
+    token windows without re-reading the corpus.
+
+    All outputs are pure integer arithmetic over an exact running
+    sum — bit-identical across engines and partitionings.
+
+    Plan: identical shape to `token_budget_sample` — one shuffle on
+    the group key for the running-sum window, text pruned before the
+    shuffle. Per-group sequential scan is the algorithm's nature
+    (packing is order-defined); at 100 TB the group is a corpus
+    shard, not the whole corpus, so each window stays bounded.
+    """
+    from patientdataintegration_spark.operators.textops import token_count
+
+    base = df.select(
+        id_col,
+        group_col,
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    draw = pseudo_random(F.col(id_col), seed=seed)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(draw.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")  # tokens before this doc
+    pack_id = F.floor(start / F.lit(seq_len)).cast("bigint")
+    last_pack = F.floor((cum - F.lit(1)) / F.lit(seq_len)).cast("bigint")
+    return base.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        pack_id.alias("pack_id"),
+        (start % F.lit(seq_len)).cast("bigint").alias("pack_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(1))
+        .otherwise(last_pack - pack_id + F.lit(1))
+        .cast("bigint")
+        .alias("packs_spanned"),
+    )

@@ -1576,3 +1576,155 @@ def q106_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return token_budget_sample(d, budget_tokens=1500)
+
+
+# --- JSONL roundtrip (corpus interchange format) -----------------------------
+
+
+_TOKENS_SQL = (
+    "CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split(text, ' ')) END"
+)
+
+
+@_register(
+    "q107_jsonl_roundtrip",
+    f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM({_TOKENS_SQL}) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents GROUP BY source
+    """,
+)
+def q107_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → JSONL shards → schema-enforced read-back → per-source
+    audit aggregate. The oracle computes the SAME aggregate straight
+    from the parquet, so a green row proves the JSONL emit+ingest is
+    lossless (counts, char/token totals, id ranges all survive)."""
+    import tempfile
+
+    from patientdataintegration_spark.operators.textops import token_count
+    from patientdataintegration_spark.sources.jsonl_io import read_jsonl, write_jsonl
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="pdi_q107_jsonl_") + "/docs"
+    write_jsonl(d, path, n_files=4)
+    back = read_jsonl(spark, path, schema=d.schema)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(token_count(F.col("text")).cast("bigint"))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+
+
+# --- sequence packing (concat-and-chop) --------------------------------------
+
+
+def _q108_sql(seq_len: int = 512) -> str:
+    from patientdataintegration_spark.functions.deterministic import pseudo_random_sql
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY {pseudo_random_sql('doc_id')} ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM base
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((cum_tokens - n_tokens) // {seq_len} AS BIGINT) AS pack_id,
+           CAST((cum_tokens - n_tokens) % {seq_len} AS BIGINT) AS pack_offset,
+           CAST(CASE WHEN n_tokens = 0 THEN 1
+                ELSE ((cum_tokens - 1) // {seq_len})
+                     - ((cum_tokens - n_tokens) // {seq_len}) + 1 END
+                AS BIGINT) AS packs_spanned
+    FROM cum
+    """
+
+
+@_register("q108_sequence_packing", _q108_sql())
+def q108_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop packing manifest: each document's pack id,
+    offset, and straddle count for 512-token training sequences,
+    in deterministic seeded-hash order per source. Pure integer
+    arithmetic over an exact running sum — bit-exact everywhere."""
+    from patientdataintegration_spark.operators.sampling import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=512)
+
+
+# --- shard manifest ----------------------------------------------------------
+
+
+@_register(
+    "q109_shard_manifest",
+    f"""
+    WITH s AS (
+      SELECT {HEX_HASH_SQL.format(col="CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+             doc_id, n_chars, {_TOKENS_SQL} AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM s GROUP BY shard
+    """,
+)
+def q109_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit-side shard manifest: 16 engine-portable md5 shards with
+    exact doc/token/byte totals and id ranges — what a loader
+    validates before streaming a shard. One hash-agg shuffle whose
+    key IS the physical shard layout."""
+    from patientdataintegration_spark.operators.indexing import shard_manifest
+
+    d = load_table(spark, sf_dir, "documents")
+    return shard_manifest(d, n_shards=16)
+
+
+# --- inverted index ----------------------------------------------------------
+
+
+@_register(
+    "q110_inverted_index",
+    """
+    WITH t AS (
+      SELECT DISTINCT doc_id, term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term <> ''
+    ),
+    r AS (
+      SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY term) AS df
+      FROM t
+    )
+    SELECT term, CAST(MAX(df) AS BIGINT) AS doc_freq,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM r WHERE rn <= 16 GROUP BY term HAVING MAX(df) >= 2
+    """,
+)
+def q110_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inverted index: term → doc-frequency + capped sorted
+    posting list (16 ids). The cap is applied by per-term row_number
+    BEFORE collect_list, so hot terms never materialize O(corpus)
+    arrays in one task."""
+    from patientdataintegration_spark.operators.indexing import inverted_index
+
+    d = load_table(spark, sf_dir, "documents")
+    return inverted_index(d, min_df=2, max_postings=16)

@@ -338,3 +338,86 @@ def test_engine_verify_against_oracle(spark, sf_dir):
     assert res["match"] is True and res["rows"] > 0 and not res["problems"]
     ro = eng.verify("q90_stream_tumbling")
     assert ro["rows_only"] is True and ro["match"] is None
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL write→read is lossless; malformed lines land in the
+    corrupt-record lane, not in the data columns."""
+    from patientdataintegration_spark.sources.jsonl_io import (
+        bad_lines,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 'uni"code\ttext', "en"), (2, "plain", "de"), (3, None, "fr")],
+        "doc_id bigint, text string, lang string",
+    )
+    path = str(tmp_path / "docs")
+    write_jsonl(df, path, n_files=2)
+    back = read_jsonl(spark, path, schema=df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # inject a malformed line next to the valid shards
+    (tmp_path / "docs" / "extra.json").write_text(
+        '{"doc_id": 9, "text": "ok", "lang": "en"}\n{broken json\n'
+    )
+    quarantined = bad_lines(spark, path, df.schema).collect()
+    assert [r[0] for r in quarantined] == ["{broken json"]
+    good = read_jsonl(spark, path, schema=df.schema).filter("doc_id = 9")
+    assert good.count() == 1
+
+
+def test_pack_sequences_hand_computed(spark):
+    from patientdataintegration_spark.operators.sampling import pack_sequences
+
+    # one source, force hash order = doc order is NOT assumed: check
+    # invariants that hold under ANY order instead of exact layout
+    docs = [(i, "s", " ".join(["t"] * n)) for i, n in enumerate([3, 10, 4, 0, 7])]
+    df = spark.createDataFrame(docs, "doc_id int, source string, text string")
+    rows = sorted(pack_sequences(df, seq_len=8).collect(), key=lambda r: r["pack_id"] * 8 + r["pack_offset"])
+    # concatenation is gapless: each doc starts where the previous ended
+    pos = 0
+    for r in rows:
+        assert r["pack_id"] * 8 + r["pack_offset"] == pos
+        pos += r["n_tokens"]
+        if r["n_tokens"] == 0:
+            assert r["packs_spanned"] == 1
+        else:
+            last = (r["pack_id"] * 8 + r["pack_offset"] + r["n_tokens"] - 1) // 8
+            assert r["packs_spanned"] == last - r["pack_id"] + 1
+        assert 0 <= r["pack_offset"] < 8
+    assert pos == 24  # total tokens
+
+
+def test_inverted_index_hand_computed(spark):
+    from patientdataintegration_spark.operators.indexing import inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c"), (3, "c a a"), (4, "")],
+        "doc_id int, text string",
+    )
+    idx = {r["term"]: r for r in inverted_index(df).collect()}
+    assert set(idx) == {"a", "b", "c"}  # empty doc contributes nothing
+    assert idx["a"]["postings"] == [1, 3] and idx["a"]["doc_freq"] == 2
+    assert idx["c"]["postings"] == [1, 2, 3] and idx["c"]["doc_freq"] == 3
+    capped = {r["term"]: r for r in inverted_index(df, max_postings=2).collect()}
+    assert capped["c"]["postings"] == [1, 2] and capped["c"]["doc_freq"] == 3
+    assert "b" not in {r["term"] for r in inverted_index(df, min_df=3).collect()}
+
+
+def test_shard_manifest_partitions_corpus(spark):
+    from patientdataintegration_spark.operators.indexing import shard_manifest
+
+    docs = [(i, f"{'w ' * (i % 5)}".strip(), (i % 5) * 2 - 1) for i in range(100)]
+    df = spark.createDataFrame(
+        [(i, t, max(len(t), 0)) for i, t, _ in docs],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    m = shard_manifest(df, n_shards=8)
+    rows = m.collect()
+    assert sum(r["n_docs"] for r in rows) == 100  # every doc in exactly one shard
+    assert len(rows) <= 8 and all(0 <= r["shard"] < 8 for r in rows)
+    # deterministic across partitionings
+    again = sorted(map(tuple, shard_manifest(df.repartition(7), n_shards=8).collect()))
+    assert again == sorted(map(tuple, rows))
