@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def scale01(df: DataFrame, cols: Sequence[str], suffix: str = "_scaled") -> DataFrame:
@@ -63,3 +63,45 @@ def onehot_columns(df: DataFrame, col: str, values: Sequence[int], prefix: str |
     for v in values:
         out = out.withColumn(f"{p}_{v}", (F.col(col) == v).cast("int"))
     return out
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clamp values to the [p_lo, p_hi]
+    discrete percentiles — the robust cousin of `scale01` that caps
+    outliers before features reach a model (the reference min-max
+    scales raw values, `functions_v2.py:142-163`, which one outlier
+    distorts).
+
+    Percentiles are `percentile_disc` by the rank definition: the
+    value at ascending position `ceil(p * n)` within the group.
+    Selecting an existing value (never interpolating) keeps the
+    output bit-exact across engines: clamping is a comparison, not
+    arithmetic.
+
+    Plan: ONE shuffle on the group key serving three window passes
+    (count+rank, bound propagation, clamp) — Catalyst keeps them in
+    one exchange since all windows share the partitioning. At scale
+    the group must be a real key (a global winsorize = single
+    partition, same caveat as every global window)."""
+    out_col = out_col or f"{value_col}_w"
+    v = F.col(value_col)
+    w = Window.partitionBy(group_col)
+    ranked = df.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+        "_rn", F.row_number().over(w.orderBy(v.asc()))
+    )
+    lo_pos = F.greatest(F.lit(1), F.ceil(F.lit(p_lo) * F.col("_n")))
+    hi_pos = F.ceil(F.lit(p_hi) * F.col("_n"))
+    bounded = ranked.withColumn(
+        "_lo", F.max(F.when(F.col("_rn") == lo_pos, v)).over(w)
+    ).withColumn("_hi", F.max(F.when(F.col("_rn") == hi_pos, v)).over(w))
+    return (
+        bounded.withColumn(out_col, F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
+        .drop("_n", "_rn", "_lo", "_hi")
+    )

@@ -13,7 +13,7 @@ parallelism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -32,3 +32,77 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def morton_code(x: Column, y: Column, bits: int = 10) -> Column:
+    """Z-order (Morton) interleave of two already-quantized
+    non-negative int columns in [0, 2^bits): bit j of x lands at
+    position 2j, bit j of y at 2j+1. Pure integer arithmetic —
+    engine-portable and exact.
+
+    Z-ordering is how a lakehouse clusters data for MULTI-column
+    min-max pruning: sorting by (a, b) prunes scans filtered on `a`
+    only, but sorting by morton(a, b) keeps both dimensions local in
+    every file, so per-file min/max statistics skip files for range
+    predicates on EITHER column."""
+    terms = []
+    for j in range(bits):
+        terms.append(
+            F.shiftright(x.cast("bigint"), j).bitwiseAND(F.lit(1))
+            * F.lit(1 << (2 * j))
+        )
+        terms.append(
+            F.shiftright(y.cast("bigint"), j).bitwiseAND(F.lit(1))
+            * F.lit(1 << (2 * j + 1))
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def morton_code_sql(x: str, y: str, bits: int = 10) -> str:
+    """ANSI-SQL twin of `morton_code` for oracle queries."""
+    terms = [
+        f"(((CAST({x} AS BIGINT) >> {j}) & 1) * {1 << (2 * j)})" for j in range(bits)
+    ] + [
+        f"(((CAST({y} AS BIGINT) >> {j}) & 1) * {1 << (2 * j + 1)})"
+        for j in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def quantize_minmax(col: Column, cmin: Column, cmax: Column, bits: int = 10) -> Column:
+    """Quantize a column to [0, 2^bits) by global min-max. One fixed
+    IEEE expression (sub, div, mul, floor) — bit-identical in any
+    IEEE-754 engine, so quantized codes are oracle-checkable. The
+    degenerate max==min group maps to 0."""
+    span = cmax - cmin
+    q = F.floor((col - cmin) / span * F.lit((1 << bits) - 1))
+    return F.when(span == 0, F.lit(0)).otherwise(q).cast("bigint")
+
+
+def zorder_by(df: DataFrame, x: str, y: str, bits: int = 10) -> DataFrame:
+    """Cluster a frame for multi-dimensional pruning: range-partition
+    and sort by the Morton code of the two (min-max quantized)
+    columns. The written files then carry tight min/max stats on BOTH
+    columns. Cost: one stats pass (broadcast 1-row bounds) + the
+    range shuffle any clustering write pays."""
+    bounds = df.agg(
+        F.min(x).alias("_xmin"),
+        F.max(x).alias("_xmax"),
+        F.min(y).alias("_ymin"),
+        F.max(y).alias("_ymax"),
+    )
+    z = morton_code(
+        quantize_minmax(F.col(x), F.col("_xmin"), F.col("_xmax"), bits),
+        quantize_minmax(F.col(y), F.col("_ymin"), F.col("_ymax"), bits),
+        bits,
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn("_z", z)
+        .repartitionByRange(F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_xmin", "_xmax", "_ymin", "_ymax", "_z")
+    )

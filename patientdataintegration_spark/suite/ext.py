@@ -1728,3 +1728,108 @@ def q110_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return inverted_index(d, min_df=2, max_postings=16)
+
+
+# --- Z-order layout audit ----------------------------------------------------
+
+
+def _q111_sql() -> str:
+    from patientdataintegration_spark.plans.partitioning import morton_code_sql
+
+    quant = (
+        "CASE WHEN {mx} = {mn} THEN 0 ELSE CAST(FLOOR(({c} - {mn}) / ({mx} - {mn})"
+        " * 1023) AS BIGINT) END"
+    )
+    qx = quant.format(c="user_id", mn="xmin", mx="xmax")
+    qy = quant.format(c="value", mn="ymin", mx="ymax")
+    return f"""
+    WITH b AS (
+      SELECT MIN(user_id) AS xmin, MAX(user_id) AS xmax,
+             MIN(value) AS ymin, MAX(value) AS ymax
+      FROM events
+    ),
+    z AS (
+      SELECT {morton_code_sql(qx, qy)} >> 14 AS zbucket, user_id, value
+      FROM events, b
+    )
+    SELECT CAST(zbucket AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM z GROUP BY zbucket
+    """
+
+
+@_register("q111_zorder_layout", _q111_sql())
+def q111_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit: events bucketed by the top bits of
+    the Morton code of (user_id, value). Each bucket's min/max spans
+    on BOTH dimensions are what per-file statistics would be after a
+    `zorder_by` write — tight on either column, so range predicates
+    on user OR value prune buckets. Integer interleave is exact; the
+    min-max quantization is one fixed IEEE expression."""
+    from patientdataintegration_spark.plans.partitioning import (
+        morton_code,
+        quantize_minmax,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    bounds = e.agg(
+        F.min("user_id").alias("xmin"),
+        F.max("user_id").alias("xmax"),
+        F.min("value").alias("ymin"),
+        F.max("value").alias("ymax"),
+    )
+    z = morton_code(
+        quantize_minmax(F.col("user_id"), F.col("xmin"), F.col("xmax")),
+        quantize_minmax(F.col("value"), F.col("ymin"), F.col("ymax")),
+    )
+    return (
+        e.join(F.broadcast(bounds))
+        .withColumn("zbucket", F.shiftright(z, 14))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+            F.max("user_id").cast("bigint").alias("max_user"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+# --- winsorization -----------------------------------------------------------
+
+
+@_register(
+    "q112_winsorize",
+    """
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC) AS rn
+      FROM events
+    ),
+    b AS (
+      SELECT event_id, event_type, value,
+             MAX(CASE WHEN rn = GREATEST(1, CEIL(0.05 * n)) THEN value END)
+               OVER (PARTITION BY event_type) AS lo,
+             MAX(CASE WHEN rn = CEIL(0.95 * n) THEN value END)
+               OVER (PARTITION BY event_type) AS hi
+      FROM r
+    )
+    SELECT event_id, event_type, value,
+           LEAST(GREATEST(value, lo), hi) AS value_w
+    FROM b
+    """,
+)
+def q112_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization of `value` at the discrete
+    [p05, p95] percentiles — outlier capping before features reach a
+    model. Percentile-by-rank selects existing values (no
+    interpolation), so clamping is exact across engines."""
+    from patientdataintegration_spark.operators.encodings import winsorize
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return winsorize(e, "value", "event_type", out_col="value_w")

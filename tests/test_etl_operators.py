@@ -421,3 +421,47 @@ def test_shard_manifest_partitions_corpus(spark):
     # deterministic across partitionings
     again = sorted(map(tuple, shard_manifest(df.repartition(7), n_shards=8).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_morton_code_hand_computed(spark):
+    from patientdataintegration_spark.plans.partitioning import morton_code
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0b101, 0b011)], "x long, y long")
+    got = df.select(morton_code(F.col("x"), F.col("y"), bits=3).alias("z")).first()["z"]
+    # interleave x=101, y=011 -> bits (y2 x2)(y1 x1)(y0 x0) = 01 10 11
+    assert got == 0b011011
+    # z-order sorts (0,0),(1,0),(0,1),(1,1) as 0,1,2,3
+    quad = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1)], "x long, y long"
+    ).select("x", "y", morton_code(F.col("x"), F.col("y"), bits=1).alias("z"))
+    assert sorted(r["z"] for r in quad.collect()) == [0, 1, 2, 3]
+
+
+def test_zorder_by_clusters_both_dims(spark):
+    from patientdataintegration_spark.plans.inspect import explain_str
+    from patientdataintegration_spark.plans.partitioning import zorder_by
+
+    df = spark.range(0, 4096).selectExpr(
+        "id % 64 AS a", "CAST(floor(id / 64) AS BIGINT) AS b", "id AS payload"
+    )
+    z = zorder_by(df.repartition(8), "a", "b")
+    assert "rangepartitioning" in explain_str(z).lower()
+    assert z.count() == 4096 and set(z.columns) == {"a", "b", "payload"}
+
+
+def test_winsorize_hand_computed(spark):
+    from patientdataintegration_spark.operators.encodings import winsorize
+
+    # group g: values 1..20 -> p05 pos = ceil(.05*20)=1 -> lo=1;
+    # p95 pos = ceil(.95*20)=19 -> hi=19, so only 20 clamps (to 19)
+    rows = [(i, "g", float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id int, grp string, value double")
+    out = {r["id"]: r["value_w"] for r in winsorize(df, "value", "grp").collect()}
+    assert out[20] == 19.0 and out[19] == 19.0 and out[1] == 1.0 and out[10] == 10.0
+    # tighter caps clamp both tails
+    out2 = {
+        r["id"]: r["value_w"]
+        for r in winsorize(df, "value", "grp", p_lo=0.25, p_hi=0.75).collect()
+    }
+    assert out2[1] == 5.0 and out2[20] == 15.0
