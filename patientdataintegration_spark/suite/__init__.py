@@ -18,13 +18,18 @@ engines and partitionings):
 
 Registration order is an explicit PRIORITY list: the driver's
 correctness harness checks a bounded prefix of the registry (50
-entries in round 1), so the prefix must cover every SURVEY §2
-operator family AND the LLM-pipeline lane (dedup, similarity, text,
-fusion). Batteries (q77-q80) consolidate families that would
-otherwise overflow the window; the standalone member queries stay
-registered after the priority block for direct use. Lanes with no
-SQL oracle (streaming, ML, multimodal) park at the end, where a
-missing row costs least — pytest covers their semantics.
+entries per round), so the prefix is ROTATED each round to extend
+cumulative coverage. Round 1 checked the core §2 operator queries
+(q01-q29, q42-q65: 42 green; the 8 events-lane reds were the
+vanilla-session nanos conf, fixed in `catalog.load_table`). The
+round-2 window therefore holds (a) the 8 events-lane queries, to
+prove the fix green, and (b) 42 queries never yet inside a window —
+the whole LLM-pipeline lane (text, dedup, similarity, tokenization)
+plus every operator added since. Previously-green queries stay
+registered after the priority block; their evidence is
+CORRECTNESS_r01.json. Lanes with no SQL oracle (streaming, ML,
+multimodal) park at the end, where a missing row costs least —
+pytest covers their semantics.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -35,36 +40,11 @@ from patientdataintegration_spark.suite.ext import QUERIES as EXT_QUERIES
 _ALL_QUERIES = {**CORE_QUERIES, **EXT_QUERIES}
 _ALL_ORACLES = {**CORE_ORACLES, **EXT_ORACLES}
 
-# The driver-checked prefix, by design exactly 50 names:
-# §2 core operators, the flagship pipeline, the events lane, the
-# LLM-data-pipeline lane, and the consolidation batteries.
+# The driver-checked prefix, by design exactly 50 names (round-2
+# rotation: events lane + everything not yet oracle-checked).
 PRIORITY = [
-    # §2 core operator queries (imputation, encodings, splits,
-    # sampling, metrics, fusion, unions, top-k, path parsing)
-    "q01_pricing_summary",
-    "q02_group_scores",
-    "q03_balanced_accuracy",
-    "q04_auroc",
-    "q05_mean_std_over_folds",
-    "q06_impute_mean",
-    "q07_impute_mode",
-    "q08_scale01",
-    "q09_onehot",
-    "q10_bucketize",
-    "q11_fold_assignment",
-    "q12_balance_audit",
-    "q13_sample_per_group",
-    "q14_union_cohorts",
-    "q15_topk_per_group",
-    "q16_naive_fusion",
-    "q17_threshold_sweep",
-    "q18_semi_anti_join",
-    "q19_set_ops",
-    "q23_distinct_agg",
-    "q24_shipping_priority",
-    "q26_path_parsing",
-    "q45_full_pipeline",
     # events lane (TIMESTAMP(NANOS) read + window/asof/interval ops)
+    # — red in r01 for the session-conf reason above, now fixed
     "q21_window_lag",
     "q22_running_best",
     "q28_asof_join",
@@ -83,18 +63,43 @@ PRIORITY = [
     "q36_cosine_topk",
     "q37_events_tumbling",
     "q38_quality_filter",
+    "q39_events_sliding",
     "q40_embedding_neardup",
     "q41_winnowing_fp",
     "q46_tfidf_top_terms",
     "q72_regex_tokens",
     "q92_minhash_lsh_pairs",
     "q93_lsh_cosine_topk",
+    "q105_repetition_signals",
+    "q106_token_budget_sample",
     # consolidation batteries (fusion C5-C7, grouping, subqueries,
-    # window functions)
+    # window functions, type/variant handling)
     "q77_fusion_battery",
     "q78_grouping_battery",
     "q79_subquery_battery",
     "q80_window_battery",
+    "q103_variant_battery",
+    # operators added after the round-1 window closed
+    "q81_chunking",
+    "q82_token_rarity",
+    "q83_contamination",
+    "q84_quantize_embeddings",
+    "q87_multires_rollup",
+    "q100_redaction",
+    "q101_upsert_merge",
+    "q102_time_weighted_avg",
+    "q107_jsonl_roundtrip",
+    "q108_sequence_packing",
+    "q109_shard_manifest",
+    "q110_inverted_index",
+    "q111_zorder_layout",
+    "q112_winsorize",
+    # remaining never-checked standalone operators
+    "q68_array_battery",
+    "q69_forward_fill",
+    "q74_funnel",
+    "q75_retention_cohorts",
+    "q76_stratified_sample",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

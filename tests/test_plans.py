@@ -369,3 +369,37 @@ def test_variant_battery_zero_shuffle(spark, sf_dir):
     from patientdataintegration_spark.suite.ext import q103_variant_battery
 
     assert count_shuffles(q103_variant_battery(spark, sf_dir)) == 0
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a FILTERED dim must prune fact
+    partitions at runtime (DPP): the filter lives on the dim side, so
+    static pruning can't see it — the plan instead carries a
+    `dynamicpruning` subquery on the fact's partition column. This is
+    the 100 TB shape: fact partitioned by date/key, dim filter decides
+    which partitions exist for the scan."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.sources.parquet_io import write_partitioned
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate").cast("int")
+    )
+    path = str(tmp_path / "orders_by_year_dpp")
+    write_partitioned(o, path, ["yr"])
+    fact = spark.read.parquet(path)
+
+    dim = spark.createDataFrame(
+        [(1996, "keep"), (1997, "drop")], "yr int, tag string"
+    )
+    # DPP plans the pruning subquery only when the dim side carries a
+    # selective predicate (a bare small-table join won't trigger it)
+    joined = (
+        fact.join(dim.filter(F.col("tag") == "keep"), "yr")
+        .select("o_orderkey", "tag")
+    )
+    plan = explain_str(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    want = o.filter(F.col("yr") == 1996).count()
+    assert joined.count() == want and want > 0
