@@ -346,6 +346,97 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    same (node, label=min reachable id) contract as
+    `connected_components`, but converging in O(log n) rounds instead
+    of O(component diameter) — the scale path for corpora with long
+    duplicate CHAINS (doc A ≈ B ≈ C ≈ … from iterative edits), where
+    min-label propagation would need diameter-many shuffles.
+
+    Each half-round is pure DataFrame algebra with NO per-node
+    neighbor lists (the naive formulation collects Γ(u), which for a
+    hub node is O(component) in one task): the min over Γ⁺(u) comes
+    from a groupBy-min, then one equi-join re-keys every edge to that
+    min. Hot nodes therefore cost one skewed-but-splittable shuffle
+    key, not one giant in-memory array — AQE's skew split applies.
+
+    Convergence is detected by an (edge-count, xxhash64-sum) edge-set
+    signature staying fixed across a full round — collision odds
+    ~2^-64, and a collision could only DELAY termination detection,
+    never mislabel (the fixed point of the recurrence is the star).
+    """
+    e = (
+        pairs.select(
+            F.col(id_a).cast("bigint").alias("a"),
+            F.col(id_b).cast("bigint").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    converged = False
+    for _ in range(max_rounds):
+        for phase in ("large", "small"):
+            bidir = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+                e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            mins = (
+                bidir.groupBy("src")
+                .agg(F.min("dst").alias("mn"))
+                .select("src", F.least("mn", F.col("src")).alias("m"))
+            )
+            j = bidir.join(mins, "src")
+            if phase == "large":
+                # re-point every LARGER neighbor of u at min(Γ⁺(u));
+                # smaller neighbors are handled from their own center
+                # (every edge appears in both orientations in bidir)
+                out = j.filter(F.col("dst") > F.col("src")).select(
+                    F.col("dst").alias("a"), F.col("m").alias("b")
+                )
+            else:
+                out = j.filter(F.col("dst") < F.col("src")).select(
+                    F.col("dst").alias("a"), F.col("m").alias("b")
+                ).union(mins.select(F.col("src").alias("a"), F.col("m").alias("b")))
+            e = (
+                out.filter(F.col("a") != F.col("b"))
+                .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+                .distinct()
+                .localCheckpoint()
+            )
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: summing raw 64-bit hashes
+            # overflows long under ANSI arithmetic
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    bidir = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    return (
+        bidir.groupBy("node")
+        .agg(F.min("nbr").alias("mn"))
+        .select("node", F.least("mn", F.col("node")).alias("label"))
+    )
+
+
 def canonicalize_clusters(
     docs: DataFrame,
     components: DataFrame,

@@ -1,0 +1,71 @@
+"""Incremental aggregate maintenance: mergeable partial rollups.
+
+At 100 TB the daily pattern is never "re-aggregate everything" — it
+is "keep a per-key rollup table, aggregate ONLY today's delta, and
+merge". That works exactly when the stored state is a commutative
+monoid per aggregate: (count, sum, min, max) merge by (+, +, min,
+max), and derived statistics (avg) are reconstructed at read time
+from the merged state, never stored.
+
+Exactness contract: the sum state is `decimal(18,6)` — decimal
+addition is associative and order-independent, so merging any
+partitioning of the data (historical ∪ delta, or 365 daily rollups)
+is bit-identical to one aggregation of the full table. That identity
+IS the oracle twin for q114 (a plain GROUP BY over the whole table).
+
+Scale shape: each `partial_rollup` is one map-side-combined
+hash-agg over just its slice; `merge_rollups` unions O(#keys)-sized
+states and re-aggregates — shuffle is proportional to the KEY
+cardinality, not the data. The reference has no incremental path
+(it recomputes per run, `functions_v2.py` metric loops); this is the
+Spark-native replacement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+STATE_COLS = ("n", "sum_dec", "min_v", "max_v")
+
+
+def partial_rollup(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Aggregate one slice into mergeable per-key state
+    (keys…, n, sum_dec, min_v, max_v)."""
+    return df.groupBy(*keys).agg(
+        F.count(value_col).cast("bigint").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sum_dec"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def merge_rollups(rollups: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Merge any number of partial-rollup states into one: the monoid
+    fold. Equivalent (bit-exact) to `partial_rollup` over the union
+    of the underlying slices."""
+    u = reduce(DataFrame.unionByName, rollups)
+    return u.groupBy(*keys).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sum_dec").cast("decimal(18,6)").alias("sum_dec"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def rollup_readout(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Read-time view over merged state: exact sum as double plus the
+    reconstructed average (double division of exact operands — one
+    deterministic IEEE op, identical across engines)."""
+    return state.select(
+        *keys,
+        "n",
+        F.col("sum_dec").cast("double").alias("sum_v"),
+        (F.col("sum_dec").cast("double") / F.col("n")).alias("avg_v"),
+        "min_v",
+        "max_v",
+    )

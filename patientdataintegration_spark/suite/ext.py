@@ -1833,3 +1833,131 @@ def q112_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return winsorize(e, "value", "event_type", out_col="value_w")
+
+
+# --- skew-neutralized join ---------------------------------------------------
+
+
+@_register(
+    "q113_salted_join",
+    """
+    SELECT c.c_mktsegment AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q113_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-neutralized enrich-then-aggregate: events carry a HOT
+    user_id distribution (a handful of users own most events), so the
+    shuffle key for the join is widened to (user_id, salt) by
+    `operators/skew.salted_join` — each hot user's rows spread over 8
+    reducers, the customer side replicated 8×. Result is identical to
+    the plain join BY CONSTRUCTION, which is exactly what the plain-
+    SQL oracle checks. Decimal sum keeps the aggregate order-
+    independent across the salted partitioning."""
+    from patientdataintegration_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    j = salted_join(e, c, on=["user_id"], n_salts=8, salt_key_cols=["event_id"])
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+# --- incremental rollup maintenance ------------------------------------------
+
+
+@_register(
+    "q114_incremental_rollup",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(o_totalprice) AS avg_v,
+           MIN(o_totalprice) AS min_v,
+           MAX(o_totalprice) AS max_v
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q114_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the orders table is split into a
+    'historical' slice (< 1999-01-01) and a 'delta' (the rest), each
+    aggregated independently into mergeable (n, decimal-sum, min, max)
+    state, then merged (`operators/incremental`). The oracle is ONE
+    aggregation of the full table — the decimal monoid makes
+    merge-of-partials bit-identical to recompute, which is the whole
+    point: at scale you aggregate only the delta, never the history."""
+    from patientdataintegration_spark.operators.incremental import (
+        merge_rollups,
+        partial_rollup,
+        rollup_readout,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    cut = "1999-01-01"
+    hist = partial_rollup(
+        o.filter(F.col("o_orderdate") < cut), ["o_orderpriority"], "o_totalprice"
+    )
+    delta = partial_rollup(
+        o.filter(F.col("o_orderdate") >= cut), ["o_orderpriority"], "o_totalprice"
+    )
+    merged = merge_rollups([hist, delta], ["o_orderpriority"])
+    out = rollup_readout(merged, ["o_orderpriority"])
+    return out.select(
+        "o_orderpriority",
+        "n",
+        F.col("sum_v").alias("sum_v"),
+        "avg_v",
+        "min_v",
+        "max_v",
+    )
+
+
+# --- connected components (star algorithm, oracle-checked) -------------------
+
+
+def _q115_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(lab) AS BIGINT) AS label
+    FROM reach GROUP BY node
+    """
+
+
+@_register("q115_components_star", _q115_sql())
+def q115_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via the O(log n)-round large-star/small-star
+    algorithm (`dedup.connected_components_star`) over MinHash-LSH
+    candidate pairs — the first ORACLE-CHECKED clustering query: the
+    DuckDB twin computes min-reachable-label by recursive transitive
+    closure over the same md5-derived LSH pairs, so an agreement is
+    end-to-end (shingle → minhash → banding → graph → labels)."""
+    from patientdataintegration_spark.operators.dedup import (
+        connected_components_star,
+        lsh_candidate_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return connected_components_star(pairs)

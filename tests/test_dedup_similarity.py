@@ -296,3 +296,67 @@ def test_token_budget_sample_budget_and_determinism(spark):
     # a bigger budget keeps a superset
     out3 = {r["doc_id"] for r in token_budget_sample(df, budget_tokens=200).collect()}
     assert {r["doc_id"] for r in rows} <= out3
+
+
+def test_components_star_matches_min_label(spark):
+    """Large-star/small-star == min-label propagation on adversarial
+    shapes: a diameter-200 chain (where min-label needs 200 rounds
+    but star needs O(log)), bridged cliques, and a random graph."""
+    import random
+
+    from patientdataintegration_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = {
+        "chain": [(i, i + 1) for i in range(200)],
+        "cliques": [(i, j) for i in range(10) for j in range(i + 1, 10)]
+        + [(100 + i, 100 + j) for i in range(8) for j in range(i + 1, 8)]
+        + [(9, 100)],
+    }
+    rng = random.Random(7)
+    cases["random"] = [
+        (rng.randrange(500), rng.randrange(500)) for _ in range(400)
+    ]
+    for name, edges in cases.items():
+        df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        want = {
+            (r.node, r.label)
+            for r in connected_components(df, max_iters=300).collect()
+        }
+        got = {
+            (r.node, r.label) for r in connected_components_star(df).collect()
+        }
+        assert got == want and len(got) > 0, name
+
+
+def test_merge_rollups_equals_full_recompute(spark, sf_dir):
+    """Merging partial rollups of ANY slicing is bit-identical to one
+    aggregation of the full table (the decimal-monoid contract)."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.incremental import (
+        merge_rollups,
+        partial_rollup,
+        rollup_readout,
+    )
+    from patientdataintegration_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    # a 3-way mod split — deliberately unrelated to the group key
+    slices = [o.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    merged = merge_rollups(
+        [partial_rollup(s, ["o_orderpriority"], "o_totalprice") for s in slices],
+        ["o_orderpriority"],
+    )
+    full = partial_rollup(o, ["o_orderpriority"], "o_totalprice")
+    got = {
+        tuple(r) for r in rollup_readout(merged, ["o_orderpriority"]).collect()
+    }
+    want = {
+        tuple(r) for r in rollup_readout(full, ["o_orderpriority"]).collect()
+    }
+    assert got == want and len(got) == 5
