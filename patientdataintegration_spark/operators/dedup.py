@@ -53,6 +53,38 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Daily-crawl dedup: dedup a DELTA against a persistent
+    fingerprint store without ever rescanning the history.
+
+    At 100 TB the corpus is append-only and yesterday's crawl is
+    already deduped — the only work each day is (a) fingerprint the
+    delta, (b) `left_anti` join it against the store (anti-join
+    never replicates rows, and the store side carries 32-byte
+    fingerprints only, so shuffle volume is O(delta + store keys),
+    independent of document bytes), (c) collapse duplicates WITHIN
+    the delta. The survivors' fingerprints union into the store for
+    tomorrow — the same mergeable-state discipline as
+    `operators/incremental` rollups.
+
+    Returns (fingerprint, canonical_id, n_docs) for the surviving
+    delta groups, same contract as `exact_dedup`.
+    """
+    fp = fingerprint(new_docs, text_col)
+    fresh = fp.join(
+        seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+    )
+    return fresh.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a document.
 

@@ -1961,3 +1961,137 @@ def q115_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
     pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     return connected_components_star(pairs)
+
+
+# --- bucketed co-located join (shuffle paid once, at write time) -------------
+
+
+@_register(
+    "q116_bucketed_join",
+    """
+    SELECT c.c_mktsegment AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q116_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through BUCKETED tables: both sides are first
+    written hash-clustered on the join key (`sources/bucketing`), so
+    the join itself runs with ZERO Exchange — the plan-shape test
+    pins that property. The write-time clustering is the shuffle this
+    key's joins never pay again; the oracle (a plain join) certifies
+    the layout change is invisible to results. Identical aggregate to
+    a plain plan BY CONSTRUCTION — bucket routing uses the same
+    pmod(murmur3) hash the exchange would."""
+    import hashlib
+
+    from patientdataintegration_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/root/repo/.scratch/bucketed/{tag}"
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(o, f"bkt_orders_{tag}", f"{base}/orders", ["o_custkey"], 8)
+    write_bucketed(
+        c.withColumnRenamed("c_custkey", "o_custkey"),
+        f"bkt_customer_{tag}",
+        f"{base}/customer",
+        ["o_custkey"],
+        8,
+    )
+    j = bucketed_join(spark, f"bkt_orders_{tag}", f"bkt_customer_{tag}", ["o_custkey"])
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("sum_price"),
+    )
+
+
+# --- incremental dedup against a fingerprint store ---------------------------
+
+
+@_register(
+    "q117_incremental_dedup",
+    r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 < 7),
+    delta AS (SELECT * FROM fp WHERE doc_id % 10 >= 7)
+    SELECT fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM delta d
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fingerprint = d.fingerprint)
+    GROUP BY fingerprint
+    """,
+)
+def q117_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-crawl dedup pattern: 70% of the corpus plays the
+    role of the already-deduped HISTORY (reduced to its fingerprint
+    store), the rest is today's DELTA; the delta is deduped against
+    the store by `left_anti` join and within itself by groupBy —
+    history is never rescanned (`dedup.incremental_exact_dedup`).
+    The oracle states the same semantics declaratively (NOT EXISTS
+    + GROUP BY over md5 fingerprints)."""
+    from patientdataintegration_spark.operators.dedup import incremental_exact_dedup
+    from patientdataintegration_spark.operators.textops import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    hist = fingerprint(d.filter(F.col("doc_id") % 10 < 7)).select("fingerprint").distinct()
+    delta = d.filter(F.col("doc_id") % 10 >= 7)
+    return incremental_exact_dedup(delta, hist)
+
+
+# --- single-pass table profiler ----------------------------------------------
+
+
+def _q118_profile_sql() -> str:
+    num = """
+    SELECT '{c}' AS col_name,
+           CAST(COUNT({c}) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS DOUBLE) AS min_num,
+           CAST(MAX({c}) AS DOUBLE) AS max_num,
+           CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str
+    FROM lineitem"""
+    strc = """
+    SELECT '{c}' AS col_name,
+           CAST(COUNT({c}) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num,
+           CAST(NULL AS DOUBLE) AS max_num,
+           CAST(NULL AS DOUBLE) AS sum_v,
+           MIN({c}) AS min_str,
+           MAX({c}) AS max_str
+    FROM lineitem"""
+    parts = [num.format(c=c) for c in ("l_quantity", "l_extendedprice")] + [
+        strc.format(c=c) for c in ("l_returnflag", "l_linestatus")
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@_register("q118_profile", _q118_profile_sql())
+def q118_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission-gate profiling: stats for 4 lineitem columns in ONE
+    scan + one hash aggregate (`operators/profiling.profile`); the
+    oracle is the naive 4-subquery UNION ALL — same report, N passes.
+    The single-pass shape is the point at 100 TB."""
+    from patientdataintegration_spark.operators.profiling import profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(
+        li,
+        numeric_cols=["l_quantity", "l_extendedprice"],
+        string_cols=["l_returnflag", "l_linestatus"],
+    )

@@ -360,3 +360,34 @@ def test_merge_rollups_equals_full_recompute(spark, sf_dir):
         tuple(r) for r in rollup_readout(full, ["o_orderpriority"]).collect()
     }
     assert got == want and len(got) == 5
+
+
+def test_incremental_dedup_properties(spark, sf_dir):
+    """(a) against an EMPTY store, incremental == plain exact_dedup;
+    (b) against a store, no surviving fingerprint is in the store and
+    survivors == delta fingerprints minus store."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+    from patientdataintegration_spark.operators.textops import fingerprint
+    from patientdataintegration_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    empty = spark.createDataFrame([], "fingerprint string")
+    got = {
+        tuple(r) for r in incremental_exact_dedup(d, empty).collect()
+    }
+    want = {tuple(r) for r in exact_dedup(d).collect()}
+    assert got == want and len(got) > 0
+
+    hist = fingerprint(d.filter(F.col("doc_id") % 10 < 7)).select("fingerprint").distinct()
+    delta = d.filter(F.col("doc_id") % 10 >= 7)
+    surv = incremental_exact_dedup(delta, hist)
+    hist_set = {r.fingerprint for r in hist.collect()}
+    surv_rows = surv.collect()
+    assert all(r.fingerprint not in hist_set for r in surv_rows)
+    delta_fps = {r.fingerprint for r in fingerprint(delta).collect()}
+    assert {r.fingerprint for r in surv_rows} == delta_fps - hist_set

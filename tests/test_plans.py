@@ -5,6 +5,8 @@ way that adds a shuffle or breaks pushdown."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from patientdataintegration_spark.plans.inspect import (
@@ -403,3 +405,53 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     want = o.filter(F.col("yr") == 1996).count()
     assert joined.count() == want and want > 0
+
+
+def test_bucketed_join_has_zero_exchange(spark, sf_dir, tmp_path):
+    """The bucketing contract: two tables bucketed on the join key
+    with equal bucket counts join with NO shuffle Exchange at all —
+    the write-time clustering replaced it."""
+    from patientdataintegration_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    write_bucketed(o, "t_bkt_o", str(tmp_path / "o"), ["o_custkey"], 4)
+    write_bucketed(c, "t_bkt_c", str(tmp_path / "c"), ["o_custkey"], 4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "t_bkt_o", "t_bkt_c", ["o_custkey"])
+        assert count_shuffles(j) == 0
+        plan = explain_str(j)
+        assert "SortMergeJoin" in plan and "SelectedBucketsCount" in plan
+        # the bucketed layout also pre-partitions a groupBy on the key
+        agg = j.groupBy("o_custkey").count()
+        assert count_shuffles(agg) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_profile_single_scan_single_agg(spark, sf_dir):
+    """The profiler is ONE scan + one aggregate: exactly one parquet
+    scan node and no more than one shuffle (the Expand-based
+    multi-distinct agg), however many columns are profiled."""
+    from patientdataintegration_spark.operators.profiling import profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = profile(
+        li,
+        numeric_cols=["l_quantity", "l_extendedprice"],
+        string_cols=["l_returnflag", "l_linestatus"],
+    )
+    plan = explain_str(p)
+    # exactly one numbered scan node (formatted mode repeats the
+    # name in the details section, so count tree nodes)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert count_shuffles(p) <= 2  # distinct-expand agg + the tiny final sort
