@@ -173,6 +173,45 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_bipartite(
+    sigs_left: DataFrame,
+    sigs_right: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Cross-corpus LSH: candidate near-dup pairs BETWEEN two
+    corpora (training set vs. today's crawl), never within either
+    side — the decontamination/incremental-ingest shape of LSH.
+
+    Identical banding to `lsh_candidate_pairs`, but the bucket join
+    is bipartite: left banded rows join right banded rows on
+    (band, key). At 100 TB the left side reduces to its banded keys
+    once (a persisted store, like the fingerprint store of
+    `incremental_exact_dedup`) and each day's crawl joins against
+    it — cost is O(crawl + store keys), not O(corpus^2).
+
+    Returns (left_id, right_id) distinct pairs.
+    """
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        band_cols = []
+        for b in range(bands):
+            cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            band_cols.append(
+                F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("key"))
+            )
+        return sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+            id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
+        )
+
+    a = banded(sigs_left).withColumnRenamed(id_col, "left_id")
+    b = banded(sigs_right).withColumnRenamed(id_col, "right_id")
+    return (
+        a.join(b, ["band", "band_key"]).select("left_id", "right_id").distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

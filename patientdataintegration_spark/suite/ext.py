@@ -2095,3 +2095,78 @@ def q118_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         numeric_cols=["l_quantity", "l_extendedprice"],
         string_cols=["l_returnflag", "l_linestatus"],
     )
+
+
+# --- cross-corpus (bipartite) LSH near-dup -----------------------------------
+
+
+def _q119_sql(bands: int = 4, rows_per_band: int = 2, seed: int = 42) -> str:
+    sig = _minhash_sql(bands * rows_per_band, seed)
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat(mh_{i}, '_', mh_{j}) AS key FROM sig".format(
+            b=b, i=b * rows_per_band, j=b * rows_per_band + 1
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sig AS ({sig}),
+    banded AS (
+      {band_selects}
+    ),
+    a AS (SELECT * FROM banded WHERE doc_id % 10 < 7),
+    b AS (SELECT * FROM banded WHERE doc_id % 10 >= 7)
+    SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+    FROM a JOIN b ON a.band = b.band AND a.key = b.key
+    """
+
+
+@_register("q119_crosscorpus_neardup", _q119_sql())
+def q119_crosscorpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination-shaped LSH: near-dup candidates BETWEEN the
+    'training' slice (70% of docs, playing the persisted banded-key
+    store) and the 'crawl' slice — never within either side
+    (`dedup.lsh_candidate_pairs_bipartite`). Same md5-derived
+    minhash pipeline as q92, so the oracle checks the full chain."""
+    from patientdataintegration_spark.operators.dedup import (
+        lsh_candidate_pairs_bipartite,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
+    train = sigs.filter(F.col("doc_id") % 10 < 7)
+    crawl = sigs.filter(F.col("doc_id") % 10 >= 7)
+    return lsh_candidate_pairs_bipartite(train, crawl, bands=4, rows_per_band=2)
+
+
+# --- source-mixture reweighting ----------------------------------------------
+
+
+@_register(
+    "q120_mixture_weights",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS nsrc FROM per)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / total AS natural_share,
+           LEAST(4.0, (CAST(total AS DOUBLE) / nsrc) / n_tokens) AS weight,
+           LEAST(4.0, (CAST(total AS DOUBLE) / nsrc) / n_tokens) * n_tokens
+             AS target_tokens
+    FROM per, t
+    """,
+)
+def q120_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum mixing: per-source sampling weights that equalize
+    token share across sources, capped at 4 epochs
+    (`operators/mixture.mixture_weights`). One scan; the weights
+    frame is O(#sources) rows. Every ratio is a single IEEE division
+    of exact integers — bit-identical to the DuckDB twin."""
+    from patientdataintegration_spark.operators.mixture import mixture_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_weights(d, max_epochs=4.0)

@@ -391,3 +391,36 @@ def test_incremental_dedup_properties(spark, sf_dir):
     assert all(r.fingerprint not in hist_set for r in surv_rows)
     delta_fps = {r.fingerprint for r in fingerprint(delta).collect()}
     assert {r.fingerprint for r in surv_rows} == delta_fps - hist_set
+
+
+def test_bipartite_lsh_matches_cross_restriction(spark, sf_dir):
+    """Bipartite LSH pairs == the cross-split restriction of the
+    self-join LSH pairs (same banding, same buckets)."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_bipartite,
+        minhash_signatures,
+        shingle_table,
+    )
+    from patientdataintegration_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
+    train = sigs.filter(F.col("doc_id") % 10 < 7)
+    crawl = sigs.filter(F.col("doc_id") % 10 >= 7)
+    got = {
+        (r.left_id, r.right_id)
+        for r in lsh_candidate_pairs_bipartite(train, crawl).collect()
+    }
+    is_train = lambda i: i % 10 < 7
+    full = {
+        (r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs).collect()
+    }
+    want = {
+        (a, b) if is_train(a) else (b, a)
+        for a, b in full
+        if is_train(a) != is_train(b)
+    }
+    assert got == want
