@@ -90,3 +90,91 @@ def asof_join(
     elif how != "left":
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     return out
+
+
+def resample_linear(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Resample an irregular per-key series onto a fixed time grid
+    with LINEAR interpolation between the nearest observations —
+    the standard time-series regularization step before windowed
+    feature extraction.
+
+    Scale shape: same tagged-union + window discipline as
+    `asof_join` — grid points and observations are unioned and each
+    grid point resolves (prev, next) neighbors with one
+    last/first(ignorenulls) window pass, so every row shuffles
+    exactly ONCE on the key. The naive formulation (grid x events
+    range join, then argmin per grid point) is O(|grid| x |events|)
+    per key before pruning; this is O((|grid|+|events|) log).
+
+    Grid: hour-aligned boundaries within [min(ts), max(ts)] per key
+    (first boundary >= min, last <= max), so both neighbors always
+    exist. Ties at identical (key, timestamp) collapse to the
+    lowest-event-id observation upstream; a grid point landing
+    exactly on an observation returns that observation's value
+    (frac = 0 — exact in IEEE arithmetic).
+
+    Returns (key, us, v_interp): epoch-micros grid point and the
+    interpolated value.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    obs = (
+        events.select(F.col(key_col).alias("k"), us.alias("us"), F.col(value_col).alias("v"))
+        .groupBy("k", "us")
+        .agg(F.min("v").alias("v"))
+    )
+    step = F.lit(int(step_us))
+    bounds = obs.groupBy("k").agg(F.min("us").alias("lo_us"), F.max("us").alias("hi_us"))
+    grid = (
+        bounds.select(
+            "k",
+            # pure bigint arithmetic (add/mod) — never a double
+            # division of epoch-micros, which loses exactness near
+            # 2^53
+            ((F.col("lo_us") + step - 1) - ((F.col("lo_us") + step - 1) % step)).alias("lo"),
+            (F.col("hi_us") - (F.col("hi_us") % step)).alias("hi"),
+        )
+        .filter(F.col("lo") <= F.col("hi"))
+        .select("k", F.explode(F.sequence("lo", "hi", step)).alias("us"))
+    )
+    tagged = obs.withColumn("kind", F.lit(0)).unionByName(
+        grid.select("k", "us", F.lit(None).cast("double").alias("v"), F.lit(1).alias("kind"))
+    )
+    w = Window.partitionBy("k").orderBy("us", "kind")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    prev_us = F.last(F.when(F.col("v").isNotNull(), F.col("us")), ignorenulls=True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    next_us = F.first(F.when(F.col("v").isNotNull(), F.col("us")), ignorenulls=True).over(fwd)
+    frac = (F.col("g_us") - F.col("p_us")).cast("double") / (
+        F.col("n_us") - F.col("p_us")
+    ).cast("double")
+    interp = (
+        F.when(F.col("p_us").isNull(), F.col("n_v"))
+        .when(F.col("n_us").isNull(), F.col("p_v"))
+        .when(F.col("n_us") == F.col("p_us"), F.col("p_v"))
+        .otherwise(F.col("p_v") + (F.col("n_v") - F.col("p_v")) * frac)
+    )
+    return (
+        tagged.select(
+            "k",
+            F.col("us").alias("g_us"),
+            "kind",
+            prev_v.alias("p_v"),
+            prev_us.alias("p_us"),
+            next_v.alias("n_v"),
+            next_us.alias("n_us"),
+        )
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("k").alias(key_col),
+            F.col("g_us").alias("us"),
+            interp.alias("v_interp"),
+        )
+    )

@@ -2170,3 +2170,66 @@ def q120_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return mixture_weights(d, max_epochs=4.0)
+
+
+# --- time-grid resample with linear interpolation ----------------------------
+
+
+@_register(
+    "q121_resample_interp",
+    """
+    WITH obs AS (
+      SELECT user_id AS k, epoch_us(ts) AS us, MIN(value) AS v
+      FROM events GROUP BY k, us
+    ),
+    bounds AS (
+      SELECT k,
+             (MIN(us) + 3599999999) - ((MIN(us) + 3599999999) % 3600000000) AS lo,
+             MAX(us) - (MAX(us) % 3600000000) AS hi
+      FROM obs GROUP BY k
+    ),
+    grid AS (
+      SELECT k, unnest(generate_series(lo, hi, 3600000000)) AS us
+      FROM bounds WHERE lo <= hi
+    ),
+    tagged AS (
+      SELECT k, us, v, 0 AS kind FROM obs
+      UNION ALL
+      SELECT k, us, NULL, 1 FROM grid
+    ),
+    nb AS (
+      SELECT k, us AS g_us, kind,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY k ORDER BY us, kind
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_v,
+             last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER
+               (PARTITION BY k ORDER BY us, kind
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_us,
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY k ORDER BY us, kind
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_v,
+             first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER
+               (PARTITION BY k ORDER BY us, kind
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_us
+      FROM tagged
+    )
+    SELECT CAST(k AS BIGINT) AS user_id, CAST(g_us AS BIGINT) AS us,
+           CASE WHEN p_us IS NULL THEN n_v
+                WHEN n_us IS NULL THEN p_v
+                WHEN n_us = p_us THEN p_v
+                ELSE p_v + (n_v - p_v)
+                       * (CAST(g_us - p_us AS DOUBLE) / CAST(n_us - p_us AS DOUBLE))
+           END AS v_interp
+    FROM nb WHERE kind = 1
+    """,
+)
+def q121_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular series → hour-aligned grid with linear interpolation
+    (`temporal.resample_linear`): tagged union + ONE window pass per
+    key, never a grid x events range join. The oracle spells the
+    identical union/window/interpolation arithmetic in SQL, so the
+    doubles match bit-for-bit (same IEEE op order)."""
+    from patientdataintegration_spark.operators.temporal import resample_linear
+
+    e = load_table(spark, sf_dir, "events")
+    return resample_linear(e)
