@@ -63,3 +63,45 @@ def mixture_weights(
         weight.alias("weight"),
         (weight * F.col("n_tokens")).alias("target_tokens"),
     )
+
+
+def realize_mixture(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize the weighted sample: every document appears
+    floor(weight) times (full epochs) plus once more with
+    probability frac(weight), selected by the engine-portable
+    integer hash — so the realized training set is identical across
+    runs, engines, and partitionings (never `rand()`).
+
+    The weights frame is O(#sources) and broadcast; the epoch
+    explode multiplies rows by at most ceil(max_epochs), which is
+    the intended oversampling, not overhead. Returns
+    (id, source, epoch) rows — the draw order for the packer.
+    """
+    from patientdataintegration_spark.functions.deterministic import (
+        MODULUS as PR_MODULUS,
+    )
+    from patientdataintegration_spark.functions.deterministic import pseudo_random
+
+    w = weights.select(F.col("source").alias("__w_source"), "weight")
+    j = docs.select(id_col, F.col(source_col).alias("source")).join(
+        F.broadcast(w), F.col("source") == F.col("__w_source")
+    )
+    n_full = F.floor("weight").cast("int")
+    frac = F.col("weight") - F.floor("weight")
+    exploded = j.select(
+        id_col,
+        "source",
+        "weight",
+        F.explode(F.sequence(F.lit(0), n_full)).alias("epoch"),
+    )
+    draw = pseudo_random(F.col(id_col), F.col("epoch"), seed=seed)
+    keep = (F.col("epoch") < F.floor("weight")) | (
+        draw < frac * F.lit(PR_MODULUS)
+    )
+    return exploded.filter(keep).select(id_col, "source", "epoch")

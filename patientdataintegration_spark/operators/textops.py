@@ -402,3 +402,32 @@ def repetition_signals(
         ((_sum(2) - _distinct(2)) / _sum(2)).alias("dup_2gram_frac"),
         ((_sum(3) - _distinct(3)) / _sum(3)).alias("dup_3gram_frac"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str = "text", top_n: int = 200
+) -> DataFrame:
+    """Vocabulary-induction analysis: the `top_n` most frequent
+    tokens with their corpus counts and the CUMULATIVE share of all
+    token occurrences they cover — the curve that sizes a tokenizer
+    vocabulary ("how many types cover 95% of tokens?").
+
+    One scan + one explode + one hash agg on token; the ranking
+    windows run over the (small) type table, not the corpus. Ties
+    rank deterministically by token string (binary collation in both
+    Spark and the oracle).
+    """
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    total = Window.partitionBy()
+    ranked = counts.select(
+        "token",
+        "cnt",
+        F.row_number().over(w).alias("rank"),
+        (
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double")
+            / F.sum("cnt").over(total)
+        ).alias("cum_share"),
+    )
+    return ranked.filter(F.col("rank") <= top_n)

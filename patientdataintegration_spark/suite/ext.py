@@ -2233,3 +2233,94 @@ def q121_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return resample_linear(e)
+
+
+# --- mixture realization (deterministic weighted sampling) -------------------
+
+
+_Q122_WEIGHTS_SQL = """
+    per AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS nsrc FROM per),
+    w AS (
+      SELECT source,
+             LEAST(4.0, (CAST(total AS DOUBLE) / nsrc) / n_tokens) AS weight
+      FROM per, t
+    )
+"""
+
+
+def _q122_sql() -> str:
+    from patientdataintegration_spark.functions.deterministic import (
+        pseudo_random_sql,
+    )
+
+    draw = pseudo_random_sql("doc_id", "epoch", 42)
+    return f"""
+    WITH {_Q122_WEIGHTS_SQL},
+    e AS (
+      SELECT d.doc_id, d.source, w.weight, ep.epoch
+      FROM documents d
+      JOIN w USING (source)
+      CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS epoch) ep
+      WHERE ep.epoch <= FLOOR(w.weight)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(epoch AS INT) AS epoch
+    FROM e
+    WHERE epoch < FLOOR(weight)
+       OR {draw} < (weight - FLOOR(weight)) * 1000000007
+    """
+
+
+@_register("q122_realize_mixture", _q122_sql())
+def q122_realize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized curriculum: every doc appears floor(weight)
+    times plus a fractional epoch drawn by the engine-portable
+    integer hash (`mixture.realize_mixture`) — the realized training
+    set is bit-identical across runs/engines/partitionings. Weights
+    come from `mixture_weights` (uniform token target, 4-epoch cap)
+    and are broadcast (O(#sources) rows)."""
+    from patientdataintegration_spark.operators.mixture import (
+        mixture_weights,
+        realize_mixture,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = mixture_weights(d, max_epochs=4.0)
+    out = realize_mixture(d, weights, seed=42)
+    return out.select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+
+
+# --- vocabulary coverage curve ----------------------------------------------
+
+
+@_register(
+    "q123_vocab_coverage",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+    r AS (
+      SELECT token, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rnk,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / SUM(cnt) OVER () AS cum_share
+      FROM counts
+    )
+    SELECT token, cnt, rnk, cum_share FROM r WHERE rnk <= 200
+    """,
+)
+def q123_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sizing: top-200 token types with the
+    cumulative share of corpus occurrences they cover
+    (`textops.vocab_coverage`). The ranking windows run over the
+    type table (post-agg), not the corpus; ties break on the token
+    string under binary collation in both engines."""
+    from patientdataintegration_spark.operators.textops import vocab_coverage
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(d, top_n=200).withColumnRenamed("rank", "rnk")

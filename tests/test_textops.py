@@ -16,3 +16,45 @@ def test_mixture_weights_hand_computed(spark):
     # target per source = 10 tokens: web 10/18, code capped at 4.0 (not 5.0)
     assert web.weight == (20.0 / 2) / 18 and code.weight == 4.0
     assert code.target_tokens == 8.0
+
+
+def test_realize_mixture_epochs_and_determinism(spark):
+    """floor(weight) full epochs always survive; the fractional
+    epoch keeps a hash-selected subset; two runs are identical."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.mixture import realize_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "web") for i in range(40)] + [(100 + i, "code") for i in range(10)],
+        "doc_id bigint, source string",
+    )
+    weights = spark.createDataFrame(
+        [("web", 1.0), ("code", 2.5)], "source string, weight double"
+    )
+    out = realize_mixture(docs, weights, seed=42)
+    rows = out.collect()
+    per = out.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in per}
+    # web: exactly 1 epoch per doc; code: 2 full epochs + 0..10 extra
+    assert counts["web"] == 40
+    assert 20 <= counts["code"] <= 30
+    code_extra = [r for r in rows if r.source == "code" and r.epoch == 2]
+    assert 0 < len(code_extra) < 10  # fractional epoch is a strict subset
+    again = {tuple(r) for r in realize_mixture(docs, weights, seed=42).collect()}
+    assert again == {tuple(r) for r in rows}
+    # a different seed draws a different fractional subset
+    other = {tuple(r) for r in realize_mixture(docs, weights, seed=7).collect()}
+    assert {t for t in other if t[2] < 2} == {t for t in again if t[2] < 2}
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from patientdataintegration_spark.operators.textops import vocab_coverage
+
+    df = spark.createDataFrame(
+        [("a a a b",), ("b c",), ("a d",)], "text string"
+    )
+    rows = {r.rank: r for r in vocab_coverage(df, top_n=10).collect()}
+    assert [rows[i].token for i in (1, 2, 3, 4)] == ["a", "b", "c", "d"]
+    assert rows[1].cnt == 4 and rows[2].cnt == 2
+    assert rows[1].cum_share == 4 / 8 and rows[4].cum_share == 1.0
