@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "q81_chunking",          # sliding-window doc chunking
     "q82_token_rarity",      # unigram-LM surprisal quality gate
     "q84_quantize_embeddings",  # scalar quantization, zero shuffle
+    "q110_inverted_index",      # explode + capped posting lists
+    "q115_components_star",     # iterative large/small-star components
+    "q119_crosscorpus_neardup", # bipartite banded-LSH near-dup
+    "q121_resample_interp",     # time-grid resample + interpolation
 ]
 
 

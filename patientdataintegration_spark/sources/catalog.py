@@ -11,6 +11,7 @@ their own modules (`csv_io`, `binaryfile`).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TABLES = (
     "region",
@@ -36,47 +37,56 @@ SMALL_DIMS = frozenset({"region", "nation", "supplier"})
 
 
 def enable_nanos_read(spark: SparkSession) -> None:
-    """Make this session able to read INT64 TIMESTAMP(NANOS) parquet.
+    """Prepare this session for any events-parquet timestamp format.
 
     Runtime-settable on any session (including a vanilla one the
-    driver builds): without it Spark rejects events.parquet with
-    PARQUET_TYPE_ILLEGAL; with it, nanos surface as bigint and are
-    normalized to microsecond timestamps by the readers."""
+    driver builds): without `nanosAsLong` Spark rejects INT64
+    TIMESTAMP(NANOS) parquet with PARQUET_TYPE_ILLEGAL; with it,
+    nanos surface as bigint and are normalized by the readers. The
+    UTC session timezone makes the NTZ→TIMESTAMP cast (and every
+    date_trunc/unix_timestamp downstream) wall-clock-preserving, so
+    results match the timezone-naive DuckDB oracle on any host."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every supported on-disk timestamp encoding to
+    `TimestampType` so downstream operators (window functions,
+    `unix_micros`, `withWatermark`) see exactly one type.
+
+    Two encodings exist across driver testdata generations:
+    - INT64 TIMESTAMP(NANOS): read as bigint under `nanosAsLong`;
+      floored to microseconds (integer DIV — epoch-nanos ≈ 1.7e18
+      exceeds double's 2^53 exact range, so float division drifts).
+    - INT64 micros with isAdjustedToUTC=0: read as TIMESTAMP_NTZ;
+      cast to TIMESTAMP under the pinned UTC session timezone —
+      wall-clock-preserving, matching DuckDB's naive reading.
+    """
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"{field.name} DIV 1000")),
+            )
+        elif isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one catalog table.
 
-    Timestamp normalization: some tables carry nanosecond-precision
-    parquet timestamps, which Spark's reader only surfaces as long
-    nanos (`spark.sql.legacy.parquet.nanosAsLong`). Those columns
-    are converted to proper microsecond timestamps here (floor/
-    truncation — the same narrowing DuckDB applies), so every
-    downstream operator sees `TimestampType` and pushdown-friendly
-    literals.
+    Timestamp columns are normalized to `TimestampType` regardless of
+    the on-disk encoding (nanos-as-bigint or TIMESTAMP_NTZ) — see
+    `normalize_timestamps` — so every downstream operator sees one
+    timestamp type and pushdown-friendly literals.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
-    # Runtime-settable on any session (including the driver's vanilla
-    # one): without it Spark rejects INT64 TIMESTAMP(NANOS) columns
-    # (events.parquet) with PARQUET_TYPE_ILLEGAL. With it, nanos
-    # surface as bigint and are normalized to timestamps below.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # pin the session timezone so date_trunc/year/unix_timestamp match
-    # the (timezone-naive) DuckDB oracle on any host, not just UTC ones
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    enable_nanos_read(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for field in df.schema.fields:
-        if field.name in ("ts",) and field.dataType.simpleString() == "bigint":
-            # integer DIV, not `/`: epoch-nanos ≈ 1.7e18 exceeds double's
-            # 2^53 exact range, so floating division drifts by ~hundreds
-            # of ns and the floor lands on the wrong microsecond
-            df = df.withColumn(
-                field.name,
-                F.timestamp_micros(F.expr(f"{field.name} DIV 1000")),
-            )
-    return df
+    return normalize_timestamps(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

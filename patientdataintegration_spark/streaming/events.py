@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from patientdataintegration_spark.sources.catalog import enable_nanos_read
+from patientdataintegration_spark.sources.catalog import (
+    enable_nanos_read,
+    normalize_timestamps,
+)
 
 
 def tumbling_counts(
@@ -69,8 +72,8 @@ def run_tumbling_counts_stream(
     comparable to the batch oracle while still exercising the
     streaming engine (state store, watermark, incremental planner).
     """
-    # schema must be the RAW parquet schema (ts as bigint nanos under
-    # nanosAsLong), not the catalog's normalized one
+    # schema must be the RAW parquet schema (bigint nanos or NTZ),
+    # not the catalog's normalized one
     enable_nanos_read(spark)  # vanilla sessions reject TIMESTAMP(NANOS) otherwise
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     # file stream source requires a directory; select the table file
@@ -81,11 +84,9 @@ def run_tumbling_counts_stream(
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # normalize nanos→timestamp exactly like the batch catalog does
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # integer DIV (see sources/catalog.py): epoch nanos exceed
-        # double's exact range; float division drifts a microsecond
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # normalize ts→TimestampType exactly like the batch catalog does
+    # (withWatermark rejects NTZ event time)
+    stream = normalize_timestamps(stream)
     agg = tumbling_counts(stream, window_duration=window_duration, streaming=True)
     query: StreamingQuery = (
         agg.writeStream.format("memory")
@@ -100,7 +101,7 @@ def run_tumbling_counts_stream(
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the static events parquet (schema from
-    a batch peek; ns→us normalization mirroring sources/catalog)."""
+    a batch peek; ts normalization mirroring sources/catalog)."""
     enable_nanos_read(spark)  # vanilla sessions reject TIMESTAMP(NANOS) otherwise
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
@@ -109,9 +110,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return stream
+    return normalize_timestamps(stream)
 
 
 def enrich_stream_static(
@@ -129,7 +128,7 @@ def enrich_stream_static(
     auto-broadcasts the static side whenever its size stats fall
     under the threshold. The downstream count aggregate is the only
     stateful operator."""
-    from patientdataintegration_spark.sources.catalog import enable_nanos_read, load_table
+    from patientdataintegration_spark.sources.catalog import load_table
 
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment")

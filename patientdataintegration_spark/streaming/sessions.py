@@ -31,7 +31,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from patientdataintegration_spark.sources.catalog import enable_nanos_read
+from patientdataintegration_spark.sources.catalog import (
+    enable_nanos_read,
+    normalize_timestamps,
+)
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -112,8 +115,7 @@ def sessionize_stream(
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = normalize_timestamps(stream)
     prepared = (
         stream.withWatermark("ts", watermark)
         .select("user_id", "ts", F.unix_micros("ts").alias("us"))
@@ -161,9 +163,7 @@ def interval_join_stream(
             .option("pathGlobFilter", "events.parquet")
             .load(sf_dir)
         )
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return s
+        return normalize_timestamps(s)
 
     errors = (
         src()

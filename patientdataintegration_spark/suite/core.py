@@ -2219,11 +2219,11 @@ def q73_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                    THEN 1 ELSE 0 END) AS step_click,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                     AND t_buy > t_click THEN 1 ELSE 0 END) AS step_buy
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT) AS step_buy
     FROM per_user
     """,
 )

@@ -1715,7 +1715,7 @@ def q109_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT term, CAST(MAX(df) AS BIGINT) AS doc_freq,
-           list(doc_id ORDER BY doc_id) AS postings
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
     FROM r WHERE rn <= 16 GROUP BY term HAVING MAX(df) >= 2
     """,
 )
@@ -1723,11 +1723,17 @@ def q110_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus inverted index: term → doc-frequency + capped sorted
     posting list (16 ids). The cap is applied by per-term row_number
     BEFORE collect_list, so hot terms never materialize O(corpus)
-    arrays in one task."""
+    arrays in one task. Postings are emitted comma-joined (a scalar
+    string) so the result is hashable by any downstream harness; the
+    operator itself keeps the typed array form."""
     from patientdataintegration_spark.operators.indexing import inverted_index
 
     d = load_table(spark, sf_dir, "documents")
-    return inverted_index(d, min_df=2, max_postings=16)
+    idx = inverted_index(d, min_df=2, max_postings=16)
+    return idx.withColumn(
+        "postings",
+        F.concat_ws(",", F.transform("postings", lambda x: x.cast("string"))),
+    )
 
 
 # --- Z-order layout audit ----------------------------------------------------
