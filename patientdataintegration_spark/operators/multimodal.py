@@ -12,11 +12,14 @@ across the JVM↔Python boundary instead of rows.
 
 Image dimensions come from a REAL pure-Python container-header parse
 (`parse_image_header`: JPEG SOF / PNG IHDR / GIF logical screen — no
-image libraries needed). Full pixel decode (mean intensity, resize)
-still requires libraries not present in this container, so that part
-falls back to a clearly-marked deterministic STUB derived from the
-bytes — the Spark-side plumbing (schema contract, batch iteration,
-partition sizing) is real and tested. Swap `_fake_decode` for
+image libraries needed). PNG payloads get a REAL pixel decode too
+(`decode_png_pixels`: stdlib zlib inflate + scanline unfiltering for
+every non-interlaced 8-bit color type), so mean intensity is the true
+pixel statistic for PNGs. Only non-PNG pixel data (JPEG entropy
+decode needs a DCT/huffman stack this container lacks) falls back to
+a clearly-marked deterministic STUB derived from the bytes — the
+Spark-side plumbing (schema contract, batch iteration, partition
+sizing) is real and tested either way. Swap `_fake_decode` for
 PIL/torchvision in production.
 
 Scale notes: binary columns make wide rows — keep
@@ -103,6 +106,115 @@ def parse_image_header(content: bytes) -> tuple[int, int] | None:
     return None
 
 
+def decode_png_pixels(content: bytes) -> tuple[int, int, float] | None:
+    """REAL (width, height, mean_intensity∈[0,1]) from a PNG payload —
+    stdlib-only pixel decode: chunk walk, zlib inflate of the IDAT
+    stream, then per-scanline unfiltering (None/Sub/Up/Average/Paeth,
+    the five filters of the PNG spec). Supports non-interlaced 8-bit
+    images of every color type (gray, RGB, palette, gray+alpha,
+    RGBA); intensity is the mean over color channels (alpha and
+    palette indirection handled). Returns None for anything else
+    (interlaced, 16-bit, truncated) so callers can fall back."""
+    if len(content) < 45 or content[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    import zlib
+
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette: bytes | None = None
+    idat = bytearray()
+    i, n = 8, len(content)
+    while i + 8 <= n:
+        size = int.from_bytes(content[i : i + 4], "big")
+        cid = content[i + 4 : i + 8]
+        body = content[i + 8 : i + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"IHDR" and size >= 13:
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type = body[8], body[9]
+            interlace = body[12]
+        elif cid == b"PLTE":
+            palette = bytes(body)
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        i += 12 + size  # length + type + body + CRC
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if (
+        not width
+        or not height
+        or channels is None
+        or bit_depth != 8
+        or interlace != 0
+        or not idat
+        or (color_type == 3 and palette is None)
+    ):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        return None
+
+    prev = bytearray(stride)
+    total = 0
+    n_vals = 0
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        # accumulate color channels only (skip alpha; expand palette)
+        if color_type == 3:
+            for v in line:
+                base = 3 * v
+                total += palette[base] + palette[base + 1] + palette[base + 2]
+                n_vals += 3
+        elif color_type == 0:
+            total += sum(line)
+            n_vals += stride
+        elif color_type == 2:
+            total += sum(line)
+            n_vals += stride
+        elif color_type == 4:  # gray + alpha: even indices are gray
+            total += sum(line[0::2])
+            n_vals += width
+        else:  # 6: RGBA — drop every 4th byte (alpha)
+            for x in range(0, stride, 4):
+                total += line[x] + line[x + 1] + line[x + 2]
+            n_vals += 3 * width
+        prev = line
+    if not n_vals:
+        return None
+    return width, height, total / n_vals / 255.0
+
+
 def _fake_decode(content: bytes) -> tuple[int, int, float]:
     """STUB decode: deterministic pseudo-dimensions/intensity from the
     byte payload, used only when `parse_image_header` can't read the
@@ -118,9 +230,12 @@ def _fake_decode(content: bytes) -> tuple[int, int, float]:
 
 
 def _decode(content: bytes) -> tuple[int, int, float]:
-    """Real header dims when the format is recognized; pixel-level
-    mean intensity stays the deterministic stub either way (no pixel
-    decode without image libs)."""
+    """PNG: real pixel decode (dims + true mean intensity). Other
+    recognized containers: real header dims, stub intensity (JPEG/GIF
+    entropy decode needs libs this container lacks). Unknown: stub."""
+    px = decode_png_pixels(content)
+    if px is not None:
+        return px
     dims = parse_image_header(content)
     fake_w, fake_h, intensity = _fake_decode(content)
     if dims is not None:
@@ -169,6 +284,59 @@ def synthetic_tiles(df: DataFrame, key_col: str, name_col: str) -> DataFrame:
         F.lit(".jpg"),
     )
     return df.select(path.alias("path"), F.encode(F.col(name_col), "utf-8").alias("content"))
+
+
+def synthetic_pngs(df: DataFrame, key_col: str) -> DataFrame:
+    """Deterministic (path, content) relation of REAL grayscale PNGs
+    built from any table — the image twin of `synthetic_wavs`: each
+    row's key seeds the dimensions and a gradient pixel pattern, the
+    container is a genuine spec-compliant PNG (zlib-deflated IDAT,
+    CRC'd chunks), so `image_features` exercises the REAL pixel
+    decoder end-to-end with exactly predictable mean intensity."""
+    import zlib
+
+    keys = df.select(F.col(key_col).cast("bigint").alias("k"))
+
+    def png_of(k: int) -> bytes:
+        w, h = 4 + (k % 13), 4 + (k % 7)
+        rows = bytearray()
+        for y in range(h):
+            rows.append(0)  # filter: None
+            rows += bytes(((k + x * y) * 31) % 256 for x in range(w))
+
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            return (
+                len(body).to_bytes(4, "big")
+                + cid
+                + body
+                + zlib.crc32(cid + body).to_bytes(4, "big")
+            )
+
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes([8, 0, 0, 0, 0])  # 8-bit gray, non-interlaced
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(rows)))
+            + chunk(b"IEND", b"")
+        )
+
+    def gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": [f"/synthetic/img/{k}.png" for k in pdf["k"]],
+                    "content": [png_of(int(k)) for k in pdf["k"]],
+                }
+            )
+
+    schema = StructType(
+        [StructField("path", StringType()), StructField("content", BinaryType())]
+    )
+    return keys.mapInPandas(gen_batches, schema)
 
 
 VIDEO_FRAMES_SCHEMA = StructType(

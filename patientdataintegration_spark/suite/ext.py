@@ -834,24 +834,50 @@ def q86_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster", "rank_in_cluster", "is_canonical")
 
 
-@_register("q85_session_window")  # no oracle: engine-native session windows
+@_register(
+    "q85_session_window",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    l AS (
+      SELECT user_id, event_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+      FROM e
+    ),
+    t AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000 THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t
+    )
+    SELECT user_id, MIN(us) AS session_start_us,
+           MAX(us) + 43200000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
 def q85_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark's native session_window aggregation (pytest pins equality
-    with operators/sessionize on this data). Exact-boundary caveat:
-    session_window's end is EXCLUSIVE (an event exactly `gap` after
-    the previous one starts a NEW session) while sessionize splits
-    only on strictly-greater gaps (`> gap_us`, sessionize.py:41) —
-    the two differ only for events landing exactly on the boundary.
-    Unlike the lag+running-sum spelling this works unchanged in
-    Structured Streaming with state eviction."""
+    """Spark's native session_window aggregation. Boundary semantics
+    verified empirically (tests/test_temporal_events.py): an event
+    exactly `gap` after the previous one MERGES into the session and
+    1 µs past splits — i.e. split on strictly-greater gaps, identical
+    to operators/sessionize (`> gap_us`, sessionize.py:41). That
+    makes the lag+running-sum SQL spelling an exact oracle: session
+    start = MIN(event time), end = MAX(event time) + gap. Unlike the
+    lag spelling this operator works unchanged in Structured
+    Streaming with state eviction."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("user_id", F.session_window("ts", "12 hours").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
             "n_events",
         )
     )

@@ -319,7 +319,7 @@ def test_session_window_matches_sessionize(spark, sf_dir):
         for r in q85_session_window(spark, sf_dir)
         .select(
             "user_id",
-            F.unix_micros("session_start").alias("start_us"),
+            F.col("session_start_us").alias("start_us"),
             "n_events",
         )
         .collect()
@@ -424,3 +424,117 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     }
     assert len(s) == len(b) > 0
     assert s == b
+
+
+def test_png_pixel_decode_all_filters():
+    """The pure-stdlib PNG decoder recovers exact pixel means through
+    every scanline filter type (0..4), checked against pixels held in
+    plain arrays before encoding."""
+    import zlib
+
+    from patientdataintegration_spark.operators.multimodal import decode_png_pixels
+
+    w, h = 6, 5
+    pixels = [[(3 * x + 7 * y * y + 13) % 256 for x in range(w)] for y in range(h)]
+
+    def encode(filters):
+        raw = bytearray()
+        prev = [0] * w
+        for y, ftype in enumerate(filters):
+            line = pixels[y]
+            raw.append(ftype)
+            for x in range(w):
+                a = line[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                if ftype == 0:
+                    v = line[x]
+                elif ftype == 1:
+                    v = line[x] - a
+                elif ftype == 2:
+                    v = line[x] - b
+                elif ftype == 3:
+                    v = line[x] - ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] - pred
+                raw.append(v & 0xFF)
+            prev = line
+
+        def chunk(cid, body):
+            return (
+                len(body).to_bytes(4, "big") + cid + body
+                + zlib.crc32(cid + body).to_bytes(4, "big")
+            )
+
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
+    expect = sum(sum(r) for r in pixels) / (w * h) / 255.0
+    for filters in ([0] * h, [1] * h, [0, 2, 2, 2, 2], [0, 3, 4, 1, 2]):
+        got = decode_png_pixels(encode(filters))
+        assert got is not None, filters
+        gw, gh, mean = got
+        assert (gw, gh) == (w, h)
+        assert abs(mean - expect) < 1e-12, filters
+
+
+def test_png_pixel_decode_rgba_and_palette():
+    """Color types beyond grayscale: RGBA means ignore alpha; palette
+    images resolve indices through PLTE."""
+    import zlib
+
+    from patientdataintegration_spark.operators.multimodal import decode_png_pixels
+
+    def chunk(cid, body):
+        return (
+            len(body).to_bytes(4, "big") + cid + body
+            + zlib.crc32(cid + body).to_bytes(4, "big")
+        )
+
+    # 2x1 RGBA: pixels (10,20,30,alpha=0) and (40,50,60,alpha=255)
+    ihdr = (2).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 6, 0, 0, 0])
+    raw = bytes([0, 10, 20, 30, 0, 40, 50, 60, 255])
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    got = decode_png_pixels(png)
+    assert got == (2, 1, (10 + 20 + 30 + 40 + 50 + 60) / 6 / 255.0)
+
+    # 3x1 palette: indices 0,1,1 → colors (0,0,0) and (255,255,255)
+    ihdr = (3).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    plte = bytes([0, 0, 0, 255, 255, 255])
+    raw = bytes([0, 0, 1, 1])
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    got = decode_png_pixels(png)
+    assert got == (3, 1, (0 + 255 + 255) * 3 / 9 / 255.0)
+
+
+def test_image_features_real_png_pixels(spark):
+    """End-to-end through the Spark lane: synthetic real PNGs →
+    image_features returns the TRUE per-image pixel mean (computed
+    independently here from the same generator formula)."""
+    from patientdataintegration_spark.operators.multimodal import (
+        image_features,
+        synthetic_pngs,
+    )
+
+    tiles = synthetic_pngs(spark.range(1, 9), "id")
+    feats = {r.path: r for r in image_features(tiles).collect()}
+    assert len(feats) == 8
+    for k in range(1, 9):
+        w, h = 4 + (k % 13), 4 + (k % 7)
+        vals = [((k + x * y) * 31) % 256 for y in range(h) for x in range(w)]
+        expect = sum(vals) / len(vals) / 255.0
+        r = feats[f"/synthetic/img/{k}.png"]
+        assert (r.width, r.height) == (w, h)
+        assert abs(r.mean_intensity - expect) < 1e-12

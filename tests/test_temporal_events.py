@@ -31,3 +31,44 @@ def test_resample_linear_hand_computed(spark):
     # user 2: only grid point is 1h, halfway between 0.5h and 1.5h
     assert rows[(2, t0 + H)] == 7.0
     assert len(rows) == 4
+
+
+def test_session_gap_boundary_semantics(spark):
+    """Pin the exact-gap boundary rule for BOTH session spellings:
+    an event exactly `gap` after the previous one MERGES into the
+    session, one microsecond past SPLITS. Verified empirically for
+    Spark's native session_window; sessionize implements the same
+    strictly-greater split (`> gap_us`) — so the two agree at every
+    boundary, which is what lets q85 carry an exact SQL oracle."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.sessionize import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+
+    def at(us):
+        return base + dt.timedelta(microseconds=us)
+
+    gap_us = 60_000_000  # 60 s
+    df = spark.createDataFrame(
+        [
+            (1, 10, at(0), 0.0),
+            (1, 11, at(gap_us), 0.0),          # exactly gap → merges
+            (1, 12, at(2 * gap_us + 1), 0.0),  # 1 µs past → splits
+        ],
+        "user_id bigint, event_id bigint, ts timestamp, value double",
+    )
+
+    native = (
+        df.groupBy("user_id", F.session_window("ts", "60 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("w.start").alias("start_us"), "n")
+    )
+    ours = sessionize(df, gap_seconds=60).select("start_us", F.col("n_events").alias("n"))
+
+    expect = {(r.start_us, r.n) for r in native.collect()}
+    got = {(r.start_us, r.n) for r in ours.collect()}
+    assert expect == got
+    assert {n for _, n in got} == {2, 1}  # first session holds the boundary event
