@@ -230,10 +230,16 @@ def _fake_decode(content: bytes) -> tuple[int, int, float]:
 
 
 def _decode(content: bytes) -> tuple[int, int, float]:
-    """PNG: real pixel decode (dims + true mean intensity). Other
-    recognized containers: real header dims, stub intensity (JPEG/GIF
-    entropy decode needs libs this container lacks). Unknown: stub."""
+    """PNG and baseline JPEG: real pixel decode (dims + true mean
+    intensity — stdlib-only decoders, see `decode_png_pixels` and
+    `operators/jpeg.py`). Other recognized containers (GIF,
+    progressive JPEG): real header dims, stub intensity. Unknown
+    payloads: deterministic stub."""
+    from patientdataintegration_spark.operators.jpeg import decode_jpeg_pixels
+
     px = decode_png_pixels(content)
+    if px is None:
+        px = decode_jpeg_pixels(content)
     if px is not None:
         return px
     dims = parse_image_header(content)

@@ -1,0 +1,350 @@
+"""Baseline-JPEG decoder correctness.
+
+Strategy: a minimal ENCODER here (independent code path — canonical
+huffman construction from scratch, coefficient-level input so no FDCT
+is needed) produces spec-compliant baseline JPEGs from known DCT
+coefficient blocks; expected pixels come from an independent numpy
+IDCT. Analytic DC-only cases additionally pin exact flat values with
+no reference implementation in the loop at all.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from patientdataintegration_spark.operators.jpeg import (
+    ZIGZAG,
+    decode_baseline_jpeg,
+    decode_jpeg_pixels,
+)
+
+
+# ---------------------------------------------------------------- encoder ---
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int):
+        for k in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _canonical(symbols):
+    """All symbols at one code length L (canonical, consecutive codes;
+    the all-ones code stays unused because count < 2^L)."""
+    L = max(1, math.ceil(math.log2(len(symbols) + 1)))
+    bits = [0] * 16
+    bits[L - 1] = len(symbols)
+    codes = {sym: (L, code) for code, sym in enumerate(symbols)}
+    return bits, list(symbols), codes
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _value_bits(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def encode_jpeg(width, height, comps, quant, blocks, restart_interval=0):
+    """comps: [(h_samp, v_samp)] per component; quant: 64 ints
+    (zigzag order), shared by all components; blocks: dict
+    comp_idx -> list of 64-int coefficient lists (zigzag order,
+    already UNQUANTIZED — we divide by quant here) in MCU order."""
+    hmax = max(h for h, _ in comps)
+    vmax = max(v for _, v in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+
+    # gather the symbol alphabets actually used
+    dc_syms, ac_syms = set(), set()
+    qblocks = {
+        ci: [[c // q if q else c for c, q in zip(b, quant)] for b in bs]
+        for ci, bs in blocks.items()
+    }
+    for ci, bs in qblocks.items():
+        # collect DC categories for both the running-diff and the
+        # restart-reset (absolute) cases so the table always covers
+        # whatever the writer emits
+        pred = 0
+        for b in bs:
+            dc_syms.add(_category(b[0] - pred))
+            dc_syms.add(_category(b[0]))  # reset-case diff
+            pred = b[0]
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and b[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    ac_syms.add(0x00)
+                    break
+                while run > 15:
+                    ac_syms.add(0xF0)
+                    run -= 16
+                ac_syms.add((run << 4) | _category(b[k]))
+                k += 1
+            else:
+                ac_syms.add(0x00)
+    dc_bits, dc_vals, dc_codes = _canonical(sorted(dc_syms))
+    ac_bits, ac_vals, ac_codes = _canonical(sorted(ac_syms))
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(quant))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for ci, (hs, vs) in enumerate(comps):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([len(comps)])
+    for ci in range(len(comps)):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    # entropy-coded data, fully interleaved MCU order
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    iters = {ci: iter(bs) for ci, bs in qblocks.items()}
+    body = bytearray()
+    mcu_idx = 0
+    for _my in range(mcus_y):
+        for _mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                body += bw.flush()
+                body += bytes([0xFF, 0xD0 + ((mcu_idx // restart_interval - 1) % 8)])
+                bw = _BitWriter()
+                pred = [0] * len(comps)
+            for ci, (hs, vs) in enumerate(comps):
+                for _ in range(hs * vs):
+                    b = next(iters[ci])
+                    diff = b[0] - pred[ci]
+                    pred[ci] = b[0]
+                    t = _category(diff)
+                    L, code = dc_codes[t]
+                    bw.write(code, L)
+                    if t:
+                        bw.write(_value_bits(diff, t), t)
+                    k = 1
+                    while k < 64:
+                        run = 0
+                        while k < 64 and b[k] == 0:
+                            run += 1
+                            k += 1
+                        if k == 64:
+                            L, code = ac_codes[0x00]
+                            bw.write(code, L)
+                            break
+                        while run > 15:
+                            L, code = ac_codes[0xF0]
+                            bw.write(code, L)
+                            run -= 16
+                        s = _category(b[k])
+                        L, code = ac_codes[(run << 4) | s]
+                        bw.write(code, L)
+                        bw.write(_value_bits(b[k], s), s)
+                        k += 1
+                    else:
+                        L, code = ac_codes[0x00]
+                        bw.write(code, L)
+            mcu_idx += 1
+    body += bw.flush()
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------------- numpy reference ---
+
+
+def ref_idct(coeffs_zigzag, quant):
+    """Independent IDCT: dequantize, dezigzag, numpy cosine-matrix
+    IDCT, level shift, clamp — mirrors the spec, not the decoder."""
+    F = np.zeros(64)
+    for k in range(64):
+        F[ZIGZAG[k]] = (coeffs_zigzag[k] // quant[k] if quant[k] else 0) * quant[k]
+    F = F.reshape(8, 8)
+    A = np.array(
+        [
+            [
+                (1 / math.sqrt(2) if u == 0 else 1.0) / 2.0
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for u in range(8)
+            ]
+            for x in range(8)
+        ]
+    )
+    px = A @ F @ A.T
+    return np.clip(np.round(px) + 128, 0, 255).astype(np.int64)
+
+
+# ----------------------------------------------------------------- tests ---
+
+FLAT_Q = [8] * 64
+
+
+def test_dc_only_flat_block_analytic():
+    """A block with only a DC coefficient decodes to the exact flat
+    value round(DC·q/8)+128 — no reference implementation needed."""
+    dc = 16  # dequantized DC = 128 → pixels = 128/8 + 128 = 144
+    block = [dc * FLAT_Q[0]] + [0] * 63
+    content = encode_jpeg(8, 8, [(1, 1)], FLAT_Q, {0: [block]})
+    got = decode_baseline_jpeg(content)
+    assert got is not None
+    w, h, ncomp, planes = got
+    assert (w, h, ncomp) == (8, 8, 1)
+    assert set(planes[0]) == {144}
+    mean = decode_jpeg_pixels(content)
+    assert mean == (8, 8, 144 / 255.0)
+
+
+def test_negative_dc_and_ac_coefficients_match_reference():
+    """Two-MCU grayscale image with negative DC diffs, AC runs and a
+    ZRL — decoded pixels equal the independent numpy IDCT exactly."""
+    b1 = [0] * 64
+    b1[0] = -24 * FLAT_Q[0]
+    b1[1] = 5 * FLAT_Q[1]
+    b1[7] = -3 * FLAT_Q[7]
+    b2 = [0] * 64
+    b2[0] = 40 * FLAT_Q[0]
+    b2[20] = 7 * FLAT_Q[20]
+    b2[63] = -2 * FLAT_Q[63]  # forces a long zero run (ZRL path)
+    content = encode_jpeg(16, 8, [(1, 1)], FLAT_Q, {0: [b1, b2]})
+    got = decode_baseline_jpeg(content)
+    assert got is not None
+    w, h, ncomp, planes = got
+    assert (w, h, ncomp) == (16, 8, 1)
+    expect = np.concatenate([ref_idct(b1, FLAT_Q), ref_idct(b2, FLAT_Q)], axis=1)
+    plane = np.array(planes[0]).reshape(8, 16)
+    np.testing.assert_array_equal(plane, expect)
+
+
+def test_color_420_upsampling_and_rgb_mean():
+    """4:2:0 color: four Y blocks + one Cb + one Cr per MCU; chroma
+    nearest-upsamples; mean intensity equals the independent
+    pipeline (numpy IDCT → upsample → YCbCr→RGB → mean)."""
+    yb = []
+    for dc in (10, -10, 30, -30):
+        b = [0] * 64
+        b[0] = dc * FLAT_Q[0]
+        b[3] = 4 * FLAT_Q[3]
+        yb.append(b)
+    cb = [0] * 64
+    cb[0] = 12 * FLAT_Q[0]
+    cr = [0] * 64
+    cr[0] = -9 * FLAT_Q[0]
+    content = encode_jpeg(
+        16, 16, [(2, 2), (1, 1), (1, 1)], FLAT_Q, {0: yb, 1: [cb], 2: [cr]}
+    )
+    got = decode_baseline_jpeg(content)
+    assert got is not None
+    w, h, ncomp, planes = got
+    assert (w, h, ncomp) == (16, 16, 3)
+
+    ytop = np.concatenate([ref_idct(yb[0], FLAT_Q), ref_idct(yb[1], FLAT_Q)], axis=1)
+    ybot = np.concatenate([ref_idct(yb[2], FLAT_Q), ref_idct(yb[3], FLAT_Q)], axis=1)
+    Y = np.concatenate([ytop, ybot], axis=0).astype(np.float64)
+    Cb = np.kron(ref_idct(cb, FLAT_Q), np.ones((2, 2))).astype(np.float64)
+    Cr = np.kron(ref_idct(cr, FLAT_Q), np.ones((2, 2))).astype(np.float64)
+    np.testing.assert_array_equal(np.array(planes[0]).reshape(16, 16), Y)
+    np.testing.assert_array_equal(np.array(planes[1]).reshape(16, 16), Cb)
+    np.testing.assert_array_equal(np.array(planes[2]).reshape(16, 16), Cr)
+
+    r = np.clip(Y + 1.402 * (Cr - 128), 0, 255)
+    g = np.clip(Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128), 0, 255)
+    b = np.clip(Y + 1.772 * (Cb - 128), 0, 255)
+    expect_mean = float((r + g + b).sum() / (3 * 16 * 16) / 255.0)
+    got_mean = decode_jpeg_pixels(content)
+    assert got_mean is not None
+    assert abs(got_mean[2] - expect_mean) < 1e-9
+
+
+def test_restart_markers_reset_predictors():
+    """DRI=1: each MCU is its own restart interval; DC predictors
+    reset so each block's stored DC is absolute, and the decoder must
+    consume the RST markers between MCUs."""
+    b1 = [0] * 64
+    b1[0] = 16 * FLAT_Q[0]
+    b2 = [0] * 64
+    b2[0] = -16 * FLAT_Q[0]
+    content = encode_jpeg(16, 8, [(1, 1)], FLAT_Q, {0: [b1, b2]}, restart_interval=1)
+    got = decode_baseline_jpeg(content)
+    assert got is not None
+    plane = np.array(got[3][0]).reshape(8, 16)
+    assert set(plane[:, :8].flatten()) == {144}   # 128/8+128
+    assert set(plane[:, 8:].flatten()) == {112}   # -128/8+128
+
+
+def test_odd_dimensions_crop_padding():
+    """A 12x10 image needs 2x2 blocks of padding; decoded planes are
+    cropped to the declared frame size."""
+    blocks = []
+    for dc in (8, 16, 24, 32):
+        b = [0] * 64
+        b[0] = dc * FLAT_Q[0]
+        blocks.append(b)
+    content = encode_jpeg(12, 10, [(1, 1)], FLAT_Q, {0: blocks})
+    got = decode_baseline_jpeg(content)
+    assert got is not None
+    w, h, _, planes = got
+    assert (w, h) == (12, 10)
+    assert len(planes[0]) == 12 * 10
+    plane = np.array(planes[0]).reshape(10, 12)
+    # flat value = dequantized_DC/8 + 128 = (dc·8)/8 + 128 = dc + 128
+    assert set(plane[:8, :8].flatten()) == {136}
+    assert set(plane[:8, 8:].flatten()) == {144}
+    assert set(plane[8:, :8].flatten()) == {152}
+    assert set(plane[8:, 8:].flatten()) == {160}
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [b"", b"not a jpeg", b"\xff\xd8\xff\xd9", b"\x89PNG\r\n\x1a\n" + b"\x00" * 40],
+)
+def test_undecodable_payloads_return_none(payload):
+    assert decode_baseline_jpeg(payload) is None
+    assert decode_jpeg_pixels(payload) is None
+
+
+def test_image_features_uses_real_jpeg_decode(spark):
+    """Through the Spark mapInPandas lane: a real encoded JPEG yields
+    its true dimensions AND true mean intensity (flat DC-only tile →
+    analytic value), not the stub."""
+    from patientdataintegration_spark.operators.multimodal import image_features
+
+    block = [16 * FLAT_Q[0]] + [0] * 63
+    content = encode_jpeg(8, 8, [(1, 1)], FLAT_Q, {0: [block]})
+    df = spark.createDataFrame(
+        [("t.jpg", bytearray(content))], "path string, content binary"
+    )
+    r = image_features(df).collect()[0]
+    assert (r.width, r.height) == (8, 8)
+    assert abs(r.mean_intensity - 144 / 255.0) < 1e-12
