@@ -156,3 +156,45 @@ def pack_sequences(
         .cast("bigint")
         .alias("packs_spanned"),
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    n: int = 5,
+    weight_col: str = "n_chars",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, n rows per
+    group — the Efraimidis–Spirakis A-ES scheme: each row draws a
+    deterministic uniform u from its key, gets priority
+    ``-ln(u) / weight`` (an exponential with rate = weight), and the
+    n SMALLEST priorities per group win. Inclusion probability is
+    proportional to weight, and the result is identical for any
+    partitioning, engine, or run (the same engine-portable
+    pseudo-randomness as seeded sampling W1).
+
+    Scale shape: one shuffle on the group key for the top-n window —
+    no global sort, no driver collect; at 100 TB a window top-n
+    partial-aggregates per partition before the shuffle under AQE.
+    Zero-weight rows are excluded (their priority would be +inf).
+
+    Output: the sampled rows' (group, id, weight, priority rank).
+    """
+    u = (pseudo_random(F.col(id_col), seed=seed) + F.lit(1)).cast("double") / F.lit(
+        1_000_000_008.0
+    )
+    prio = -F.log(u) / F.col(weight_col).cast("double")
+    base = df.filter(F.col(weight_col) > 0).select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(weight_col).cast("bigint").alias("weight"),
+        prio.alias("_prio"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("_prio").asc(), F.col(id_col).asc())
+    return (
+        base.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n)
+        .select(group_col, id_col, "weight", "rnk")
+    )

@@ -30,31 +30,55 @@ def asof_join(
     payload: Sequence[str] = ("value",),
     prefix: str = "asof_",
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach `payload` of the LATEST right row with
-    ``right.ts <= left.ts`` within the `on` key (backward as-of join,
-    equality allowed — same semantics as DuckDB ``ASOF JOIN`` and
-    pandas ``merge_asof(direction='backward')``).
+    """For each left row, attach `payload` of the matching right row
+    within the `on` key:
 
-    Right rows must be unique per (key, ts) — otherwise "the" latest
-    row is ill-defined in any engine; pre-aggregate first.
+    - ``direction='backward'`` (default): the LATEST right row with
+      ``right.ts <= left.ts`` — DuckDB ``ASOF JOIN ... l.ts >= r.ts``,
+      pandas ``merge_asof(direction='backward')``;
+    - ``'forward'``: the EARLIEST right row with
+      ``right.ts >= left.ts``;
+    - ``'nearest'``: whichever of the two is closer in time, ties
+      resolved backward.
+
+    Right rows must be unique per (key, ts) — otherwise "the" match
+    is ill-defined in any engine; pre-aggregate first.
 
     Output: all left columns + ``{prefix}{right_ts}`` (the matched
     row's timestamp) + ``{prefix}{p}`` for each payload column.
-    ``how='inner'`` drops left rows with no prior right row;
-    ``'left'`` keeps them with nulls.
+    ``how='inner'`` drops unmatched left rows; ``'left'`` keeps them
+    with nulls.
+
+    All three directions keep the same scale shape: tagged union +
+    ONE shuffle on the key, with backward resolved by a running
+    ``last(ignorenulls)`` and forward by the mirrored
+    ``first(ignorenulls)`` over the following frame — never a range
+    join.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     on = list(on)
     payload = list(payload)
     carried = [right_ts] + [p for p in payload if p != right_ts]
     l_types = {f.name: f.dataType for f in left.schema.fields}
     r_types = {f.name: f.dataType for f in right.schema.fields}
 
+    # Equal-timestamp visibility: right rows sort BEFORE left rows
+    # (_side 0 < 1) so a simultaneous right row lands in the left
+    # row's PRECEDING-inclusive frame — exact backward semantics. The
+    # forward frame starts at currentRow, so with right-first ordering
+    # it misses the equal-ts row; for pure 'forward' that's wrong, so
+    # there the sides flip (left first). For 'nearest' the backward
+    # arm already claims equal-ts matches at distance 0, which wins
+    # every tie, so right-first ordering is correct there too.
+    right_side = 1 if direction == "forward" else 0
     l_side = left.select(
         *left.columns,
-        F.lit(1).alias("_side"),
+        F.lit(1 - right_side).alias("_side"),
         F.col(left_ts).alias("_ts"),
-        *[F.lit(None).cast(r_types[p]).alias(f"{prefix}{p}") for p in carried],
+        *[F.lit(None).cast(r_types[p]).alias(f"_r_{p}") for p in carried],
     )
     r_side = right.select(
         *on,
@@ -63,28 +87,68 @@ def asof_join(
             for c in left.columns
             if c not in on
         ],
-        F.lit(0).alias("_side"),
+        F.lit(right_side).alias("_side"),
         F.col(right_ts).alias("_ts"),
-        *[F.col(p).alias(f"{prefix}{p}") for p in carried],
+        *[F.col(p).alias(f"_r_{p}") for p in carried],
     )
     u = l_side.unionByName(r_side)
 
-    # right rows sort BEFORE left rows at equal ts (_side 0 < 1), so
-    # an exactly-simultaneous right row is visible to the left row.
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(*on).orderBy(F.col("_ts").asc(), F.col("_side").asc())
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    if direction == "backward":
+        picks = [
+            F.last(F.col(f"_r_{p}"), ignorenulls=True).over(w_back).alias(f"{prefix}{p}")
+            for p in carried
+        ]
+    elif direction == "forward":
+        picks = [
+            F.first(F.col(f"_r_{p}"), ignorenulls=True).over(w_fwd).alias(f"{prefix}{p}")
+            for p in carried
+        ]
+    else:  # nearest: resolve both arms, then choose per row
+        both = [
+            c
+            for p in carried
+            for c in (
+                F.last(F.col(f"_r_{p}"), ignorenulls=True).over(w_back).alias(f"_b_{p}"),
+                F.first(F.col(f"_r_{p}"), ignorenulls=True).over(w_fwd).alias(f"_f_{p}"),
+            )
+        ]
+        staged = u.select(*left.columns, "_side", F.col("_ts"), *both)
+        b_ts = F.col(f"_b_{right_ts}")
+        f_ts = F.col(f"_f_{right_ts}")
+        take_back = b_ts.isNotNull() & (
+            f_ts.isNull()
+            | (
+                (F.unix_micros(F.col("_ts")) - F.unix_micros(b_ts))
+                <= (F.unix_micros(f_ts) - F.unix_micros(F.col("_ts")))
+            )
+        )
+        filled = staged.select(
+            *left.columns,
+            "_side",
+            *[
+                F.when(take_back, F.col(f"_b_{p}"))
+                .otherwise(F.col(f"_f_{p}"))
+                .alias(f"{prefix}{p}")
+                for p in carried
+            ],
+        )
+        out = filled.filter(F.col("_side") == 1).drop("_side")
+        if how == "inner":
+            out = out.filter(F.col(f"{prefix}{right_ts}").isNotNull())
+        elif how != "left":
+            raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+        return out
+
     filled = u.select(
         *left.columns,
         "_side",
-        *[
-            F.last(F.col(f"{prefix}{p}"), ignorenulls=True).over(w).alias(f"{prefix}{p}")
-            for p in carried
-        ],
+        *picks,
     )
-    out = filled.filter(F.col("_side") == 1).drop("_side")
+    out = filled.filter(F.col("_side") == (1 - right_side)).drop("_side")
     if how == "inner":
         out = out.filter(F.col(f"{prefix}{right_ts}").isNotNull())
     elif how != "left":

@@ -431,3 +431,94 @@ def vocab_coverage(
         ).alias("cum_share"),
     )
     return ranked.filter(F.col("rank") <= top_n)
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    min_sim: float = 0.3,
+    min_df: int = 2,
+    max_df: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """All-pairs document cosine similarity over tf-idf vectors via
+    the term-partitioned sparse dot-product join (a.k.a. the
+    inverted-index similarity join): pairs are generated ONLY through
+    shared terms, never by a doc×doc cross product.
+
+    Scale shape: one explode → (doc, term, tf) agg; document
+    frequency prunes the vocabulary to `min_df <= df <= max_df` —
+    df=1 terms cannot produce a pair (pure cost), and high-df terms
+    are BOTH stop-word noise and the quadratic blow-up axis (a term
+    in f docs yields f² partials), so the cap is the scale guard
+    exactly like the shingle cap in n-gram dedup. The self-join
+    shuffles on the term key; per-term fan-out is bounded by
+    max_df², and the (a,b) dot aggregation partial-aggregates
+    map-side.
+
+    Exactness: weights are ln-idf doubles rounded to 9 digits (the
+    q46 contract); per-term partial products are cast to
+    DECIMAL(30,15) before summing so the dot and the norms are
+    order-independent and engine-exact; the final similarity is one
+    deterministic double division + sqrt, rounded.
+
+    Cosine is defined over the PRUNED vector space (kept terms only)
+    — the standard convention once stop-words are dropped.
+
+    Output: (doc_a, doc_b, cos_sim) with doc_a < doc_b and
+    cos_sim >= min_sim.
+    """
+    toks = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("_doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_doc",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                9,
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("_doc").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(30,15)")).alias("norm2")
+    )
+    a = w.select(F.col("_doc").alias("doc_a"), "term", F.col("w").alias("w_a"))
+    b = w.select(F.col("_doc").alias("doc_b"), "term", F.col("w").alias("w_b"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("w_a") * F.col("w_b")).cast("decimal(30,15)")).alias("dot"))
+    )
+    na = norms.select(F.col("_doc").alias("doc_a"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col("_doc").alias("doc_b"), F.col("norm2").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_sim)
+    )

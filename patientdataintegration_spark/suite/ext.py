@@ -2356,3 +2356,205 @@ def q123_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return vocab_coverage(d, top_n=200).withColumnRenamed("rank", "rnk")
+
+
+# --- forward / nearest as-of joins ------------------------------------------
+
+
+@_register(
+    "q124_asof_forward",
+    """
+    SELECT e.event_id, e.user_id, e.value,
+           c.value AS next_click_value,
+           epoch_us(c.ts) - epoch_us(e.ts) AS micros_until
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts <= c.ts
+    """,
+)
+def q124_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each error picks up the user's EARLIEST
+    click at-or-after it (operators/temporal.asof_join
+    direction='forward' — the mirrored first(ignorenulls) window over
+    the same single-shuffle tagged union; DuckDB spells it as ASOF
+    with the inequality flipped)."""
+    from patientdataintegration_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(
+        errors, clicks, on=["user_id"], payload=["value"], how="inner",
+        direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("asof_value").alias("next_click_value"),
+        (F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("micros_until"),
+    )
+
+
+@_register(
+    "q125_asof_nearest",
+    """
+    WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT e.event_id, e.user_id, e.ts, e.value,
+             c.ts AS b_ts, c.value AS b_value
+      FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
+    ),
+    f AS (
+      SELECT e.event_id, c.ts AS f_ts, c.value AS f_value
+      FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts <= c.ts
+    )
+    SELECT b.event_id, b.user_id, b.value,
+           CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+                      OR epoch_us(b.ts) - epoch_us(b.b_ts)
+                         <= epoch_us(f.f_ts) - epoch_us(b.ts))
+                THEN b.b_value ELSE f.f_value END AS near_click_value,
+           CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+                      OR epoch_us(b.ts) - epoch_us(b.b_ts)
+                         <= epoch_us(f.f_ts) - epoch_us(b.ts))
+                THEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                ELSE epoch_us(f.f_ts) - epoch_us(b.ts) END AS micros_away
+    FROM b JOIN f ON b.event_id = f.event_id
+    WHERE b.b_ts IS NOT NULL OR f.f_ts IS NOT NULL
+    """,
+)
+def q125_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each error picks up the user's click
+    CLOSEST in time, ties resolved backward
+    (operators/temporal.asof_join direction='nearest' — both window
+    arms over ONE tagged union and one shuffle; the oracle needs two
+    ASOF joins plus a CASE to express the same)."""
+    from patientdataintegration_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(
+        errors, clicks, on=["user_id"], payload=["value"], how="inner",
+        direction="nearest",
+    )
+    near_us = F.unix_micros("asof_ts")
+    this_us = F.unix_micros("ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("asof_value").alias("near_click_value"),
+        F.when(near_us <= this_us, this_us - near_us)
+        .otherwise(near_us - this_us)
+        .alias("micros_away"),
+    )
+
+
+# --- sparse tf-idf cosine similarity join -----------------------------------
+
+
+@_register(
+    "q126_sparse_cosine_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      HAVING COUNT(*) BETWEEN 2 AND 64
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 9) AS w
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    ),
+    norms AS (
+      SELECT doc_id, SUM(CAST(w*w AS DECIMAL(30,15))) AS norm2
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(CAST(a.w * b.w AS DECIMAL(30,15))) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sims AS (
+      SELECT d.doc_a, d.doc_b,
+             ROUND(CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(na.norm2 AS DOUBLE))
+                      * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cos_sim
+      FROM dots d
+      JOIN norms na ON d.doc_a = na.doc_id
+      JOIN norms nb ON d.doc_b = nb.doc_id
+    )
+    SELECT doc_a, doc_b, cos_sim FROM sims WHERE cos_sim >= 0.3
+    """,
+)
+def q126_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs tf-idf cosine similarity >= 0.3 via the
+    term-partitioned sparse dot-product join
+    (`textops.sparse_cosine_pairs`): pairs form only through shared
+    terms, df-pruned to [2, 64] — never a doc x doc cross product.
+    The df cap bounds per-term fan-out at df^2 partials, the same
+    scale guard as the shingle cap in n-gram dedup; decimal partial
+    sums keep the dot order-independent and engine-exact."""
+    from patientdataintegration_spark.operators.textops import sparse_cosine_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(d, min_sim=0.3, min_df=2, max_df=64)
+
+
+# --- deterministic weighted sampling ----------------------------------------
+
+
+def _q127_sql() -> str:
+    from patientdataintegration_spark.functions.deterministic import pseudo_random_sql
+
+    pr = pseudo_random_sql("doc_id", seed=42)
+    return f"""
+    WITH scored AS (
+      SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+             -ln(({pr} + 1) / 1000000008.0) / CAST(n_chars AS DOUBLE) AS prio
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT lang, doc_id, weight,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY prio ASC, doc_id ASC) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT lang, doc_id, weight, rnk FROM r WHERE rnk <= 5
+    """
+
+
+@_register("q127_weighted_sample", _q127_sql())
+def q127_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (5 docs per
+    language, weight = n_chars) via the Efraimidis-Spirakis A-ES
+    priority -ln(u)/w over the engine-portable pseudo-random draw
+    (`sampling.weighted_sample_per_group`). One shuffle on the group
+    key; identical results for any partitioning or engine."""
+    from patientdataintegration_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        d, n=5, weight_col="n_chars", group_col="lang", id_col="doc_id", seed=42
+    )

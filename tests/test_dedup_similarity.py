@@ -424,3 +424,31 @@ def test_bipartite_lsh_matches_cross_restriction(spark, sf_dir):
         if is_train(a) != is_train(b)
     }
     assert got == want
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """A-ES weighted sampling: a row with overwhelming weight is
+    picked in (nearly) every seed's n=1 sample; zero-weight rows are
+    never picked; output is partitioning-invariant."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [("g", i, 1) for i in range(1, 20)] + [("g", 99, 100000), ("g", 100, 0)]
+    df = spark.createDataFrame(rows, "lang string, doc_id bigint, n_chars bigint")
+
+    hits = 0
+    for seed in range(10):
+        got = weighted_sample_per_group(df, n=1, seed=seed).collect()
+        assert len(got) == 1
+        assert got[0].doc_id != 100  # zero weight excluded
+        hits += got[0].doc_id == 99
+    assert hits >= 8  # weight 100000 vs 19 × 1
+
+    a = sorted(map(tuple, weighted_sample_per_group(df, n=3, seed=7).collect()))
+    b = sorted(
+        map(tuple, weighted_sample_per_group(df.repartition(13), n=3, seed=7).collect())
+    )
+    assert a == b

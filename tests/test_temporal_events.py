@@ -72,3 +72,46 @@ def test_session_gap_boundary_semantics(spark):
     got = {(r.start_us, r.n) for r in ours.collect()}
     assert expect == got
     assert {n for _, n in got} == {2, 1}  # first session holds the boundary event
+
+
+def test_asof_join_directions_hand_computed(spark):
+    """Backward / forward / nearest on a tiny series with boundary
+    cases: equal timestamps (both directions must match at distance
+    0), nearest ties (resolved backward), and no-match edges."""
+    import datetime as dt
+
+    from patientdataintegration_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return base + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, at(50), 0.0),   # between clicks at 40 and 60 (tie)
+            (1, 101, at(40), 0.0),   # exactly on click at 40
+            (1, 102, at(5), 0.0),    # before all clicks
+            (1, 103, at(95), 0.0),   # after all clicks
+        ],
+        "user_id bigint, event_id bigint, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(1, at(40), 4.0), (1, at(60), 6.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+
+    def run(direction, how="left"):
+        out = asof_join(
+            left, right, on=["user_id"], payload=["value"], how=how,
+            direction=direction,
+        )
+        return {r.event_id: r.asof_value for r in out.collect()}
+
+    assert run("backward") == {100: 4.0, 101: 4.0, 102: None, 103: 6.0}
+    assert run("forward") == {100: 6.0, 101: 4.0, 102: 4.0, 103: None}
+    # nearest: 100 is equidistant (10s each way) → backward wins (4.0)
+    assert run("nearest") == {100: 4.0, 101: 4.0, 102: 4.0, 103: 6.0}
+    # inner drops the unmatched edges
+    assert set(run("backward", how="inner")) == {100, 101, 103}
+    assert set(run("forward", how="inner")) == {100, 101, 102}

@@ -58,3 +58,50 @@ def test_vocab_coverage_hand_computed(spark):
     assert [rows[i].token for i in (1, 2, 3, 4)] == ["a", "b", "c", "d"]
     assert rows[1].cnt == 4 and rows[2].cnt == 2
     assert rows[1].cum_share == 4 / 8 and rows[4].cum_share == 1.0
+
+
+def test_sparse_cosine_pairs_hand_computed(spark):
+    """Identical docs → cosine 1.0; df=1 terms can't pair and are
+    pruned; terms above max_df are dropped (stop-word/scale guard)."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.textops import sparse_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha beta"),
+            (3, "gamma"),            # df=1 terms only → no pairs
+            (4, "common common"),    # 'common' below: df=4 > max_df
+            (5, "common alpha"),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 4, F.lit("common stuff"))
+        .when(F.col("doc_id") == 5, F.lit("common alpha"))
+        .otherwise(F.col("text")),
+    )
+    # df: alpha=3, beta=2, common=2, gamma/stuff=1
+    out = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in sparse_cosine_pairs(
+            docs, min_sim=0.0, min_df=2, max_df=2
+        ).collect()
+    }
+    # alpha df=3 > max_df=2 → dropped; beta pairs docs 1-2 (identical
+    # single-term vectors → 1.0); common pairs 4-5 (1.0)
+    assert out == {(1, 2): 1.0, (4, 5): 1.0}
+
+    out2 = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in sparse_cosine_pairs(
+            docs, min_sim=0.0, min_df=2, max_df=64
+        ).collect()
+    }
+    # now alpha kept: docs 1,2 share alpha+beta (cos 1.0); doc 5
+    # shares alpha with 1 and 2; doc 4 shares common with 5
+    assert out2[(1, 2)] == 1.0
+    assert set(out2) == {(1, 2), (1, 5), (2, 5), (4, 5)}
+    assert 0.0 < out2[(1, 5)] < 1.0 and out2[(1, 5)] == out2[(2, 5)]
