@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "q115_components_star",     # iterative large/small-star components
     "q119_crosscorpus_neardup", # bipartite banded-LSH near-dup
     "q121_resample_interp",     # time-grid resample + interpolation
+    "q126_sparse_cosine_pairs", # term-partitioned sparse dot-product join
+    "q130_pagerank",            # unrolled iterative graph dataflow
 ]
 
 

@@ -1,0 +1,86 @@
+"""Graph operators over pair/edge relations (north-star extension —
+the reference has no graph stage; the natural input here is the
+near-dup candidate graph the dedup lane already produces, e.g.
+`dedup.lsh_candidate_pairs`).
+
+`connected_components` lives in `operators/dedup.py` (min-label and
+large-star/small-star variants); this module adds fixed-iteration
+PageRank — the canonical "iterative algorithm as unrolled dataflow"
+shape: each iteration is one join + one aggregation on the edge
+relation, so K iterations cost K shuffles on the same key and AQE
+handles skewed hubs. No driver-side loops over collected data.
+
+Exactness: per-node contribution sums route through DECIMAL(38,18)
+(order-independent, engine-exact — the same discipline as the sparse
+cosine dot products); everything else is deterministic double
+arithmetic, so ranks are bit-identical across engines and an SQL
+oracle can check the result with the iterations unrolled as CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    pairs: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an UNDIRECTED pair relation.
+
+    r_{t+1}(v) = (1-d)/N + d * Σ_{u~v} r_t(u) / deg(u), starting from
+    the uniform 1/N over nodes incident to at least one edge (no
+    dangling nodes by construction).
+
+    Scale shape per iteration: edges ⋈ ranks on the source key, then
+    a groupBy on the destination — two hash shuffles over the edge
+    relation, partial-aggregated map-side; the node-side frames
+    (ranks, degrees) are small relative to edges and AQE broadcasts
+    them when stats allow. K iterations = K repetitions of the same
+    pattern; lineage stays a DAG (no driver loop state).
+
+    Output: (node, rank) with rank rounded for cross-engine hashing.
+    """
+    fwd = pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+    rev = pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("t"))
+    edges = fwd.unionByName(rev)
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    nodes = edges.select("s").distinct()
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "s", (F.lit(1.0) / F.col("n").cast("double")).alias("r")
+    )
+    base = F.lit(1.0 - damping)
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, "s")
+            .join(deg, "s")
+            .select(
+                F.col("t").alias("s"),
+                (F.col("r") / F.col("deg").cast("double"))
+                .cast("decimal(38,18)")
+                .alias("c"),
+            )
+            .groupBy("s")
+            .agg(F.sum("c").alias("c_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "s", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "s",
+                (
+                    base / F.col("n").cast("double")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("c_sum").cast("double"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("s").alias("node"), F.round(F.col("r"), round_digits).alias("rank")
+    )

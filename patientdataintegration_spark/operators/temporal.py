@@ -242,3 +242,33 @@ def resample_linear(
             interp.alias("v_interp"),
         )
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    stream: each observation opens a version valid from its own
+    timestamp until the NEXT observation of the same key (exclusive);
+    the latest version is open-ended (null valid_to) — the standard
+    CDC-to-warehouse materialization.
+
+    Plan: ONE window (lead over the key) — no self-join, no range
+    join; the 100 TB shape. Timestamps surface as epoch micros.
+
+    Output: (key, version, value, valid_from_us, valid_to_us) with
+    version numbered 1.. per key in time order.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    return df.select(
+        F.col(key_col),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col(value_col),
+        us.alias("valid_from_us"),
+        F.lead(us).over(w).alias("valid_to_us"),
+    )

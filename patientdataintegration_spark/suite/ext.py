@@ -2558,3 +2558,129 @@ def q127_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_per_group(
         d, n=5, weight_col="n_chars", group_col="lang", id_col="doc_id", seed=42
     )
+
+
+# --- SCD2 history build / robust stats / PageRank ---------------------------
+
+
+@_register(
+    "q128_scd2_history",
+    """
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           value,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER w AS valid_to_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q128_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history from a change stream
+    (`temporal.scd2_intervals`): one lead window per key — each
+    observation's validity runs to the next observation, latest is
+    open-ended. No self-join, no range join."""
+    from patientdataintegration_spark.operators.temporal import scd2_intervals
+
+    e = load_table(spark, sf_dir, "events")
+    return scd2_intervals(e)
+
+
+@_register(
+    "q129_robust_stats",
+    """
+    WITH med AS (
+      SELECT l_returnflag,
+             CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS DOUBLE) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT li.l_returnflag, med.med,
+             abs(CAST(li.l_quantity AS DOUBLE) - med.med) AS adev
+      FROM lineitem li JOIN med ON li.l_returnflag = med.l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(MAX(med) AS DOUBLE) AS med,
+           CAST(quantile_cont(adev, 0.5) AS DOUBLE) AS mad
+    FROM dev GROUP BY l_returnflag
+    """,
+)
+def q129_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: exact median + median absolute
+    deviation. Two grouped exact-percentile aggregations with the
+    group medians joined back between them (broadcast — one row per
+    flag); l_quantity is integer-valued so every interpolation and
+    abs-difference is FP-exact cross-engine. The 100 TB variant
+    swaps `percentile` for the mergeable `approx_percentile` KLL
+    sketch at both steps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.5)).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(q - F.col("med")).alias("adev"),
+    )
+    return dev.groupBy("l_returnflag").agg(
+        F.max("med").alias("med"),
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad"),
+    )
+
+
+def _q130_sql(iterations: int = 3) -> str:
+    pairs = _lsh_pairs_sql()
+    # (1.0 - 0.85) spelled as the SUBTRACTION in both engines so the
+    # IEEE double (0.15000000000000002) matches bit-for-bit
+    cte = f"""
+    WITH pairs AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS t FROM pairs
+    ),
+    deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+    nodes AS (SELECT DISTINCT s FROM edges),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT nodes.s, 1.0 / n.n AS r FROM nodes CROSS JOIN n)"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        cte += f""",
+    r{i} AS (
+      SELECT nodes.s,
+             (1.0 - 0.85) / MAX(n.n) + 0.85 * CAST(
+               COALESCE(SUM(CAST({prev}.r / deg.deg AS DECIMAL(38,18))),
+                        CAST(0 AS DECIMAL(38,18))) AS DOUBLE) AS r
+      FROM nodes CROSS JOIN n
+      LEFT JOIN edges ON edges.t = nodes.s
+      LEFT JOIN {prev} ON {prev}.s = edges.s
+      LEFT JOIN deg ON deg.s = edges.s
+      GROUP BY nodes.s
+    )"""
+        prev = f"r{i}"
+    return cte + f"""
+    SELECT s AS node, ROUND(r, 9) AS rank FROM {prev}
+    """
+
+
+@_register("q130_pagerank", _q130_sql())
+def q130_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, d=0.85) over the MinHash-
+    LSH candidate near-dup graph (`operators/graph.pagerank`): each
+    iteration is one edges-ranks join + one destination aggregation —
+    the iterative-algorithm-as-dataflow shape, K shuffles for K
+    rounds. The oracle unrolls the same three iterations as CTEs;
+    decimal contribution sums make ranks bit-identical across
+    engines."""
+    from patientdataintegration_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+    from patientdataintegration_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return pagerank(pairs, iterations=3, damping=0.85)

@@ -115,3 +115,46 @@ def test_asof_join_directions_hand_computed(spark):
     # inner drops the unmatched edges
     assert set(run("backward", how="inner")) == {100, 101, 103}
     assert set(run("forward", how="inner")) == {100, 101, 102}
+
+
+def test_scd2_intervals_hand_computed(spark):
+    """Each observation's validity runs to the next; latest is
+    open-ended; versions number 1.. in time order."""
+    import datetime as dt
+
+    from patientdataintegration_spark.operators.temporal import scd2_intervals
+
+    base = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return base + dt.timedelta(seconds=s)
+
+    df = spark.createDataFrame(
+        [(1, 10, at(0), 1.0), (1, 11, at(60), 2.0), (2, 12, at(30), 9.0)],
+        "user_id bigint, event_id bigint, ts timestamp, value double",
+    )
+    rows = {
+        (r.user_id, r.version): (r.value, r.valid_from_us, r.valid_to_us)
+        for r in scd2_intervals(df).collect()
+    }
+    t0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert rows == {
+        (1, 1): (1.0, t0, t0 + 60_000_000),
+        (1, 2): (2.0, t0 + 60_000_000, None),
+        (2, 1): (9.0, t0 + 30_000_000, None),
+    }
+
+
+def test_pagerank_star_graph(spark):
+    """On a star (hub connected to 3 leaves) the hub outranks every
+    leaf, leaves tie exactly, and total mass stays 1."""
+    from patientdataintegration_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "doc_a bigint, doc_b bigint"
+    )
+    ranks = {r.node: r.rank for r in pagerank(pairs, iterations=5).collect()}
+    assert set(ranks) == {0, 1, 2, 3}
+    assert ranks[1] == ranks[2] == ranks[3]
+    assert ranks[0] > ranks[1]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
