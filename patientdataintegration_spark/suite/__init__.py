@@ -92,20 +92,22 @@ PRIORITY = [
     "q90_stream_tumbling",
     "q96_stream_sessionize",
     "q99_stream_stream_join",
-    # (d) events-lane re-proof: the NTZ cast rewrote every events
-    # scan, so re-prove the r2-green events/temporal rows under it
-    "q21_window_lag",
-    "q22_running_best",
-    "q29_json_props",
+    # (d) operators added this round — driver-unproven is the gap
+    # that bit round 2, so new queries enter the window immediately
+    "q124_asof_forward",
+    "q125_asof_nearest",
+    "q126_sparse_cosine_pairs",
+    "q127_weighted_sample",
+    "q128_scd2_history",
+    "q129_robust_stats",
+    "q130_pagerank",
+    # (e) events-lane re-proof: the NTZ cast rewrote every events
+    # scan, so re-prove a spread of r2-green events rows under it,
+    # plus the flagship pipeline
     "q37_events_tumbling",
     "q39_events_sliding",
     "q48_metric_map",
-    "q61_date_battery",
-    "q75_retention_cohorts",
-    "q87_multires_rollup",
-    # flagship + decimal-exactness canary under the rewritten scans
     "q45_full_pipeline",
-    "q01_pricing_summary",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]
