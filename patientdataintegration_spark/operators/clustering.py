@@ -1,0 +1,102 @@
+"""Deterministic k-means over embedding columns (north-star
+extension — the semantic-clustering stage of a training-data
+pipeline: cluster-then-canonicalize semantic dedup, IVF cell
+training for ANN, curriculum bucketing).
+
+`pyspark.ml.clustering.KMeans` exists but is neither deterministic
+across partitionings (k-means|| init, RNG) nor oracle-checkable;
+this implementation is both, which is what the correctness gate
+needs, and it demonstrates the iterative-dataflow shape explicitly:
+
+- seeds: the k lowest-id vectors (deterministic, SQL-expressible);
+- assign: every vector against all k centroids — the centroid frame
+  is k rows, ALWAYS broadcast, so assignment is a map-side cross
+  product with an argmin window per vector, no shuffle of the
+  embedding table beyond the per-vector window;
+- update: per-dimension means with the sums routed through
+  DECIMAL(38,15) — order-independent and engine-exact, so centroid
+  coordinates (and therefore every subsequent distance) are
+  bit-identical across engines and partitionings;
+- distances: sequential left-fold squared-L2 (zip_with + aggregate),
+  matching DuckDB's list_reduce fold order exactly.
+
+K iterations = K (assign + update) rounds + one final assignment,
+all as one lazy DAG — no driver-side .collect() loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _sq_dist(a, b):
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _assign(emb: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        "v",
+        "c",
+        _sq_dist(F.col("v"), F.col("cv")).alias("dist"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("c").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Run `iterations` rounds of deterministic Lloyd's k-means and
+    return the final assignment (id, cluster, squared distance).
+
+    Ties in the argmin break on the cluster index; empty clusters
+    simply stop receiving updates (their centroid row disappears —
+    acceptable for the deterministic-analytics use; a trainer would
+    re-seed them)."""
+    emb = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    w_seed = Window.orderBy(id_col)
+    centroids = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w_seed) - 1).cast("bigint").alias("c"),
+            F.col("v").alias("cv"),
+        )
+    )
+    for _ in range(iterations):
+        assigned = _assign(emb, centroids, id_col)
+        dims = assigned.select(
+            "c", F.posexplode("v").alias("dim", "val")
+        )
+        means = dims.groupBy("c", "dim").agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,15)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("m")
+        )
+        centroids = means.groupBy("c").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    final = _assign(emb, centroids, id_col)
+    return final.select(
+        id_col,
+        F.col("c").alias("cluster"),
+        F.round(F.col("dist"), round_digits).alias("sq_dist"),
+    )

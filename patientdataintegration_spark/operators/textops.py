@@ -522,3 +522,42 @@ def sparse_cosine_pairs(
         )
         .filter(F.col("cos_sim") >= min_sim)
     )
+
+
+def paragraph_dedup_stats(
+    df: DataFrame,
+    para_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level duplication signals — the C4/RefinedWeb-style
+    boilerplate detector: split each document into non-overlapping
+    `para_tokens`-token paragraphs, fingerprint each (md5), and score
+    every document by how many of its paragraphs also appear in at
+    least one OTHER document.
+
+    Scale shape: paragraph fanout is one scan (array slicing, no
+    shuffle), then ONE shuffle on the 128-bit fingerprint for the
+    cross-corpus frequency, and one join back + doc aggregation. The
+    fingerprint table is the only O(paragraphs) shuffle — 32 bytes a
+    row regardless of paragraph text size, the same discipline as
+    exact doc-level dedup.
+
+    Output: (doc_id, n_paras, n_dup_paras, dup_ratio).
+    """
+    paras = chunk_documents(
+        df, chunk_size=para_tokens, overlap=0, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col), F.md5(F.col("chunk_text")).alias("h"))
+    freq = paras.groupBy("h").agg(F.count_distinct(F.col(id_col)).alias("nd"))
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        paras.join(freq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(dup).cast("bigint").alias("n_dup_paras"),
+            F.round(
+                F.sum(dup).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_ratio"),
+        )
+    )

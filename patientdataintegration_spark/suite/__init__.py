@@ -101,11 +101,10 @@ PRIORITY = [
     "q128_scd2_history",
     "q129_robust_stats",
     "q130_pagerank",
-    # (e) events-lane re-proof: the NTZ cast rewrote every events
-    # scan, so re-prove a spread of r2-green events rows under it,
-    # plus the flagship pipeline
-    "q37_events_tumbling",
-    "q39_events_sliding",
+    "q131_paragraph_dedup",
+    "q132_kmeans_assign",
+    # (e) events-lane re-proof (the NTZ cast rewrote every events
+    # scan) + the flagship pipeline
     "q48_metric_map",
     "q45_full_pipeline",
 ]

@@ -2684,3 +2684,110 @@ def q130_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
     pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     return pagerank(pairs, iterations=3, damping=0.85)
+
+
+# --- paragraph-level dedup signals ------------------------------------------
+
+
+@_register(
+    "q131_paragraph_dedup",
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+    c AS (
+      SELECT doc_id, tk,
+             unnest(range(0,
+               CAST(FLOOR((GREATEST(len(tk), 1) - 1) / 32) AS BIGINT) + 1)) AS chunk_id
+      FROM t
+    ),
+    p AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(tk, chunk_id * 32 + 1,
+                                            chunk_id * 32 + 32), ' ')) AS h
+      FROM c
+    ),
+    f AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY h)
+    SELECT doc_id,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+           ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_ratio
+    FROM p JOIN f USING (h)
+    GROUP BY doc_id
+    """,
+)
+def q131_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level duplication signals (32-token paragraphs,
+    cross-document md5 frequency — `textops.paragraph_dedup_stats`):
+    the boilerplate-removal signal of a web-corpus pipeline. One
+    paragraph fanout scan, one fingerprint shuffle, one join-back."""
+    from patientdataintegration_spark.operators.textops import paragraph_dedup_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup_stats(d, para_tokens=32)
+
+
+# --- deterministic k-means clustering ---------------------------------------
+
+
+_SQDIST_REDUCE = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i])), "
+    "(x, y) -> x + y)"
+)
+
+
+def _q132_sql(k: int = 8, iterations: int = 2, dim: int = 64) -> str:
+    dist = _SQDIST_REDUCE.format(a="e.embedding", b="c.cv")
+    sql = f"""
+    WITH c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    prev = "c0"
+    for it in range(iterations):
+        sql += f""",
+    a{it} AS (
+      SELECT e.vec_id, e.embedding, c.c,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist} ASC, c.c ASC) AS rn
+      FROM embeddings e CROSS JOIN {prev} c
+    ),
+    m{it} AS (
+      SELECT a.c, r.i AS dim,
+             CAST(SUM(CAST(CAST(a.embedding[r.i] AS DOUBLE)
+                           AS DECIMAL(38,15))) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM (SELECT * FROM a{it} WHERE rn = 1) a
+      CROSS JOIN range(1, {dim + 1}) r(i)
+      GROUP BY a.c, r.i
+    ),
+    c{it + 1} AS (SELECT c, list(m ORDER BY dim) AS cv FROM m{it} GROUP BY c)"""
+        prev = f"c{it + 1}"
+    return sql + f""",
+    fin AS (
+      SELECT e.vec_id, c.c,
+             {dist} AS dist,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist} ASC, c.c ASC) AS rn
+      FROM embeddings e CROSS JOIN {prev} c
+    )
+    SELECT vec_id, c AS cluster, ROUND(dist, 6) AS sq_dist
+    FROM fin WHERE rn = 1
+    """
+
+
+@_register("q132_kmeans_assign", _q132_sql())
+def q132_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=8, 2 rounds + final assign)
+    over the embeddings table (`operators/clustering.kmeans_assign`)
+    — the semantic-clustering stage (cluster-then-canonicalize dedup,
+    IVF cell training). Centroid frames are k rows and ALWAYS
+    broadcast; per-dimension means route their sums through
+    DECIMAL(38,15) so centroids — and every downstream distance —
+    are bit-identical across engines, letting the oracle unroll the
+    same iterations as CTEs."""
+    from patientdataintegration_spark.operators.clustering import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, k=8, iterations=2)

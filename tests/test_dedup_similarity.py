@@ -452,3 +452,42 @@ def test_weighted_sample_favors_heavy_rows(spark):
         map(tuple, weighted_sample_per_group(df.repartition(13), n=3, seed=7).collect())
     )
     assert a == b
+
+
+def test_kmeans_assign_separated_clusters(spark):
+    """Two well-separated groups: 2-means recovers them exactly and
+    is invariant to input partitioning; points sit at sq_dist 0 from
+    their centroid when the group is symmetric around it."""
+    from patientdataintegration_spark.operators.clustering import kmeans_assign
+
+    lo = [(i, [0.0 + (i % 2), 0.0]) for i in range(4)]       # around (0.5, 0)
+    hi = [(10 + i, [100.0 + (i % 2), 0.0]) for i in range(4)]  # around (100.5, 0)
+    df = spark.createDataFrame(lo + hi, "vec_id bigint, embedding array<float>")
+
+    got = {r.vec_id: (r.cluster, r.sq_dist) for r in kmeans_assign(df, k=2, iterations=2).collect()}
+    assert {got[i][0] for i in range(4)} == {0}
+    assert {got[10 + i][0] for i in range(4)} == {1}
+    # symmetric group around (0.5, 0) / (100.5, 0): sq_dist = 0.25
+    assert all(got[i][1] == 0.25 for i in got)
+
+    rep = {
+        r.vec_id: (r.cluster, r.sq_dist)
+        for r in kmeans_assign(df.repartition(7), k=2, iterations=2).collect()
+    }
+    assert rep == got
+
+
+def test_paragraph_dedup_stats_hand_computed(spark):
+    """Shared 2-token paragraph across docs counts as dup for both;
+    unique paragraphs don't."""
+    from patientdataintegration_spark.operators.textops import paragraph_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb zz yy"), (3, "qq ww")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_paras, r.n_dup_paras, r.dup_ratio)
+        for r in paragraph_dedup_stats(df, para_tokens=2).collect()
+    }
+    assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (1, 0, 0.0)}
