@@ -84,9 +84,7 @@ PRIORITY = [
     "q95_approx_distinct",
     "q98_ivf_cosine_topk",
     "q104_audio_metadata",
-    "q91_multimodal_features",
     "q94_random_forest",
-    "q97_batch_inference",
     "q88_stream_static_enrich",
     "q89_stream_dedup",
     "q90_stream_tumbling",
@@ -103,6 +101,8 @@ PRIORITY = [
     "q130_pagerank",
     "q131_paragraph_dedup",
     "q132_kmeans_assign",
+    "q133_ewma",
+    "q134_source_kl",
     # (e) events-lane re-proof (the NTZ cast rewrote every events
     # scan) + the flagship pipeline
     "q48_metric_map",

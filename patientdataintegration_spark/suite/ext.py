@@ -28,6 +28,7 @@ from patientdataintegration_spark.operators.textops import (
     LANG_MARKERS,
     lang_scores,
     quality_features,
+    tokens,
 )
 from patientdataintegration_spark.sources.catalog import load_table
 
@@ -2791,3 +2792,111 @@ def q132_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(e, k=8, iterations=2)
+
+
+# --- EWMA smoothing / source KL divergence ----------------------------------
+
+
+@_register(
+    "q133_ewma",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS vals
+      FROM events
+    )
+    SELECT user_id, event_id, ts_us,
+           ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 9) AS ewma
+    FROM w
+    """,
+)
+def q133_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per key (alpha = 0.3)
+    over a BOUNDED 32-row window: the trailing values are gathered by
+    the frame (one shuffle on the key, sorted once) and smoothed with
+    a sequential left fold — O(32) per row, never a per-row rescan.
+    The unbounded-recursion EWMA is not window-expressible without
+    pow() under/overflow at scale; the bounded form is the production
+    spelling (the tail weight (1-a)^32 ~ 1e-5 is negligible). Both
+    engines fold in identical frame order, so values are bit-
+    identical before the final rounding; alpha is deliberately
+    NON-dyadic — 0.25/0.75 over dyadic inputs makes results land
+    exactly on decimal halfway points, where the two engines' ROUND
+    directions differ (observed live: ...4375 → 437 vs 438)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-31, Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.slice(vals, 2, 32),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(ewma, 9).alias("ewma"),
+    )
+
+
+@_register(
+    "q134_source_kl",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ),
+    sc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok),
+    st AS (SELECT source, SUM(c) AS t FROM sc GROUP BY source),
+    gc AS (SELECT tok, SUM(c) AS c FROM sc GROUP BY tok),
+    gt AS (SELECT SUM(c) AS t FROM gc)
+    SELECT sc.source,
+           CAST(st.t AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(
+             (sc.c / st.t) * ln((sc.c / st.t) / (gc.c / gt.t)), 9)
+             AS DECIMAL(28,12))) AS DOUBLE), 9) AS kl_bits
+    FROM sc
+    JOIN st ON sc.source = st.source
+    JOIN gc ON sc.tok = gc.tok
+    CROSS JOIN gt
+    GROUP BY sc.source, st.t
+    """,
+)
+def q134_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the
+    corpus distribution — the drift/mixture-diagnostic a data
+    pipeline runs per ingestion source. Each token's contribution
+    p*ln(p/q) is deterministic double arithmetic rounded to 9
+    digits, then summed as DECIMAL (order-independent) — the q82
+    exactness pattern. Two shuffles: (source, token) counts, then the
+    token-global roll-up joined back (token side partial-aggregated
+    map-side)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(tokens(F.lower(F.trim(F.col("text"))))).alias("tok"),
+    )
+    sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("t"))
+    gc = sc.groupBy("tok").agg(F.sum("c").alias("c_g"))
+    gt = gc.agg(F.sum("c_g").alias("t_g"))
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    q = F.col("c_g").cast("double") / F.col("t_g").cast("double")
+    term = F.round(p * F.log(p / q), 9).cast("decimal(28,12)")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(gc, "tok")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("source", "t")
+        .agg(F.round(F.sum(term).cast("double"), 9).alias("kl_bits"))
+        .select(
+            "source",
+            F.col("t").cast("bigint").alias("n_tokens"),
+            "kl_bits",
+        )
+    )
