@@ -538,40 +538,3 @@ def test_image_features_real_png_pixels(spark):
         r = feats[f"/synthetic/img/{k}.png"]
         assert (r.width, r.height) == (w, h)
         assert abs(r.mean_intensity - expect) < 1e-12
-
-
-def test_transform_with_state_running_totals(spark, sf_dir):
-    """transformWithStateInPandas running aggregate == batch groupBy
-    after an availableNow drain (counts exact, sums to FP tolerance).
-    Skips where the runtime lacks the protobuf state protocol."""
-    import pytest
-
-    from pyspark.sql import functions as F
-
-    from patientdataintegration_spark.sources.catalog import load_table
-    from patientdataintegration_spark.streaming.stateful import (
-        running_totals_stream,
-        transform_with_state_available,
-    )
-
-    if not transform_with_state_available():
-        pytest.skip("transformWithState needs google.protobuf (absent here)")
-
-    got = {
-        r.user_id: (r.n, r.total)
-        for r in running_totals_stream(spark, sf_dir, table_name="t_tws").collect()
-    }
-    expect = {
-        r.user_id: (r.n, r.total)
-        for r in load_table(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total"),
-        )
-        .collect()
-    }
-    assert set(got) == set(expect) and len(got) > 0
-    for u in got:
-        assert got[u][0] == expect[u][0], u
-        assert abs(got[u][1] - expect[u][1]) <= 1e-6 * max(1.0, abs(expect[u][1])), u
