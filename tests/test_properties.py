@@ -1,0 +1,158 @@
+"""Property-based tests (hypothesis) for the pure-Python decode lane
+and the temporal join semantics.
+
+The decoders get broad randomized coverage cheaply (no Spark in the
+loop); the as-of join is anchored to pandas.merge_asof — an
+independent, widely-trusted implementation of the same semantics —
+on small randomized frames with a bounded example count (each
+example runs a Spark job).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from patientdataintegration_spark.operators.multimodal import decode_png_pixels
+
+
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + cid
+        + body
+        + zlib.crc32(cid + body).to_bytes(4, "big")
+    )
+
+
+def _encode_png_gray(pixels: list[list[int]], filters: list[int]) -> bytes:
+    h, w = len(pixels), len(pixels[0])
+    raw = bytearray()
+    prev = [0] * w
+    for y, ftype in enumerate(filters):
+        line = pixels[y]
+        raw.append(ftype)
+        for x in range(w):
+            a = line[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if ftype == 0:
+                v = line[x]
+            elif ftype == 1:
+                v = line[x] - a
+            elif ftype == 2:
+                v = line[x] - b
+            elif ftype == 3:
+                v = line[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[x] - pred
+            raw.append(v & 0xFF)
+        prev = line
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_png_decode_roundtrip_random_pixels_and_filters(data):
+    """decode(encode(pixels, any filter choice)) recovers the exact
+    dimensions and mean for arbitrary 8-bit grayscale images."""
+    w = data.draw(st.integers(1, 12))
+    h = data.draw(st.integers(1, 10))
+    pixels = [
+        [data.draw(st.integers(0, 255)) for _ in range(w)] for _ in range(h)
+    ]
+    filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+    got = decode_png_pixels(_encode_png_gray(pixels, filters))
+    assert got is not None
+    gw, gh, mean = got
+    assert (gw, gh) == (w, h)
+    expect = sum(map(sum, pixels)) / (w * h) / 255.0
+    assert abs(mean - expect) < 1e-12
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_png_decoder_never_raises_on_garbage(payload):
+    """Arbitrary byte soup (including payloads starting with the PNG
+    signature) either decodes or returns None — never raises."""
+    decode_png_pixels(payload)
+    decode_png_pixels(b"\x89PNG\r\n\x1a\n" + payload)
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_jpeg_decoder_never_raises_on_garbage(payload):
+    from patientdataintegration_spark.operators.jpeg import decode_baseline_jpeg
+
+    decode_baseline_jpeg(payload)
+    decode_baseline_jpeg(b"\xff\xd8" + payload)
+
+
+@given(data=st.data())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_backward_matches_pandas_merge_asof(spark, data):
+    """Backward as-of join == pandas.merge_asof(direction='backward')
+    on randomized per-key event sets (unique right timestamps per
+    key, the operator's documented contract)."""
+    import datetime as dt
+
+    from patientdataintegration_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    n_keys = data.draw(st.integers(1, 3))
+    left_rows, right_rows = [], []
+    eid = 0
+    for k in range(n_keys):
+        l_secs = data.draw(
+            st.lists(st.integers(0, 500), min_size=1, max_size=6)
+        )
+        r_secs = data.draw(
+            st.lists(st.integers(0, 500), min_size=1, max_size=6, unique=True)
+        )
+        for s in l_secs:
+            left_rows.append((k, eid, base + dt.timedelta(seconds=s), float(s)))
+            eid += 1
+        for s in r_secs:
+            right_rows.append((k, base + dt.timedelta(seconds=s), float(s * 10)))
+
+    left = spark.createDataFrame(
+        left_rows, "user_id bigint, event_id bigint, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        right_rows, "user_id bigint, ts timestamp, value double"
+    )
+    got = {
+        r.event_id: r.asof_value
+        for r in asof_join(
+            left, right, on=["user_id"], payload=["value"], how="left"
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["user_id", "event_id", "ts", "value"])
+    rp = pd.DataFrame(right_rows, columns=["user_id", "ts", "rvalue"])
+    lp = lp.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    rp = rp.sort_values(["ts", "user_id"]).reset_index(drop=True)
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="backward"
+    )
+    expect = {
+        int(r.event_id): (None if pd.isna(r.rvalue) else float(r.rvalue))
+        for r in merged.itertuples()
+    }
+    assert got == expect
