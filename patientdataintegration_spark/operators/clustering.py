@@ -64,6 +64,11 @@ def kmeans_assign(
     simply stop receiving updates (their centroid row disappears —
     acceptable for the deterministic-analytics use; a trainer would
     re-seed them)."""
+    # Deliberately NOT persisted although it is consumed once per
+    # assignment round: measured SLOWER with persist at sf0.1 — the
+    # cache boundary hides runtime stats from AQE on every downstream
+    # join, which costs more than re-running the cheap scan+cast. A
+    # caller with an expensive upstream should materialize it first.
     emb = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

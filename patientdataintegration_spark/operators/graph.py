@@ -47,6 +47,14 @@ def pagerank(
     """
     fwd = pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
     rev = pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("t"))
+    # Deliberately NOT persisted: caching here looks attractive (the
+    # edge lineage is re-planned once per iteration) but measured
+    # 20x SLOWER at sf0.1 — a persist boundary blocks AQE from using
+    # runtime stats on every downstream join, forcing sort-merge
+    # plans at static partition counts, which costs far more than
+    # re-running the (cheap, AQE-optimized) pair-generation plan.
+    # Callers with a genuinely expensive pair producer should
+    # checkpoint/write the pair table themselves before calling.
     edges = fwd.unionByName(rev)
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     nodes = edges.select("s").distinct()
