@@ -86,8 +86,6 @@ PRIORITY = [
     "q104_audio_metadata",
     "q94_random_forest",
     "q88_stream_static_enrich",
-    "q89_stream_dedup",
-    "q90_stream_tumbling",
     "q96_stream_sessionize",
     "q99_stream_stream_join",
     # (d) operators added this round — driver-unproven is the gap
@@ -103,6 +101,8 @@ PRIORITY = [
     "q132_kmeans_assign",
     "q133_ewma",
     "q134_source_kl",
+    "q135_session_funnel",
+    "q136_growth_accounting",
     # (e) events-lane re-proof (the NTZ cast rewrote every events
     # scan) + the flagship pipeline
     "q48_metric_map",

@@ -2900,3 +2900,134 @@ def q134_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_bits",
         )
     )
+
+
+# --- sessionized funnel / growth accounting ---------------------------------
+
+
+@_register(
+    "q135_session_funnel",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    l AS (
+      SELECT user_id, event_id, event_type, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+      FROM e
+    ),
+    t AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000 THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, event_type, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM t
+    ),
+    per_session AS (
+      SELECT user_id, sid,
+             MIN(CASE WHEN event_type = 'view' THEN us END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN us END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN us END) AS t_buy
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS s_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT) AS s_buy
+    FROM per_session
+    """,
+)
+def q135_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session ordered funnel (view → click → purchase inside
+    one 12 h-gap session): the q42 session tagging and the q74
+    conditional-min funnel composed into ONE windowed pass + one
+    aggregation — no joins. The scalable spelling of 'conversion
+    within a visit'."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 43_200_000_000
+    new_s = (
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
+        ).otherwise(0)
+    )
+    tagged = e.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.sum(new_s).over(run).alias("sid"),
+    )
+
+    def first_us(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("us")))
+
+    per_session = tagged.groupBy("user_id", "sid").agg(
+        first_us("view").alias("t_view"),
+        first_us("click").alias("t_click"),
+        first_us("purchase").alias("t_buy"),
+    )
+    did_view = F.col("t_view").isNotNull()
+    did_click = did_view & (F.col("t_click") > F.col("t_view"))
+    did_buy = did_click & (F.col("t_buy") > F.col("t_click"))
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(did_view.cast("int")).cast("bigint").alias("s_view"),
+        F.sum(did_click.cast("int")).cast("bigint").alias("s_click"),
+        F.sum(did_buy.cast("int")).cast("bigint").alias("s_buy"),
+    )
+
+
+@_register(
+    "q136_growth_accounting",
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS week_n
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, week_n,
+             lag(week_n) OVER (PARTITION BY user_id ORDER BY week_n) AS prev_wk
+      FROM wk
+    )
+    SELECT week_n,
+           CAST(SUM(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN prev_wk = week_n - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN prev_wk IS NOT NULL AND prev_wk < week_n - 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+    FROM tagged GROUP BY week_n
+    """,
+)
+def q136_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (new / retained / resurrected) — the
+    standard activity-ledger classification: distinct (user, week)
+    activity, one lag window per user, one aggregation. Weeks are
+    pure integer epoch-week indices (epoch_us DIV 7 days) so the
+    bucketing is engine-portable with no calendar semantics."""
+    e = load_table(spark, sf_dir, "events")
+    week_us = 604_800_000_000
+    wk = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(week_us)).cast("bigint").alias("week_n"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week_n")
+    tagged = wk.select("user_id", "week_n", F.lag("week_n").over(w).alias("prev_wk"))
+    # three-valued logic: `prev_wk == x` is NULL (not false) when
+    # prev_wk is NULL, and a SUM over all-NULLs is NULL — spell each
+    # class as WHEN/OTHERWISE 0 exactly like the oracle's CASE
+    is_new = F.when(F.col("prev_wk").isNull(), 1).otherwise(0)
+    is_ret = F.when(F.col("prev_wk") == F.col("week_n") - 1, 1).otherwise(0)
+    is_res = F.when(
+        F.col("prev_wk").isNotNull() & (F.col("prev_wk") < F.col("week_n") - 1), 1
+    ).otherwise(0)
+    return tagged.groupBy("week_n").agg(
+        F.sum(is_new).cast("bigint").alias("n_new"),
+        F.sum(is_ret).cast("bigint").alias("n_retained"),
+        F.sum(is_res).cast("bigint").alias("n_resurrected"),
+    )
