@@ -2807,23 +2807,29 @@ def q132_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, event_id, ts_us,
-           ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 9) AS ewma
+           ROUND(list_reduce(vals, (acc, x) -> (x + 2.0 * acc) / 3.0), 6) AS ewma
     FROM w
     """,
 )
 def q133_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially-weighted moving average per key (alpha = 0.3)
+    """Exponentially-weighted moving average per key (alpha = 1/3)
     over a BOUNDED 32-row window: the trailing values are gathered by
     the frame (one shuffle on the key, sorted once) and smoothed with
     a sequential left fold — O(32) per row, never a per-row rescan.
     The unbounded-recursion EWMA is not window-expressible without
     pow() under/overflow at scale; the bounded form is the production
-    spelling (the tail weight (1-a)^32 ~ 1e-5 is negligible). Both
-    engines fold in identical frame order, so values are bit-
-    identical before the final rounding; alpha is deliberately
-    NON-dyadic — 0.25/0.75 over dyadic inputs makes results land
-    exactly on decimal halfway points, where the two engines' ROUND
-    directions differ (observed live: ...4375 → 437 vs 438)."""
+    spelling (the tail weight (2/3)^32 ~ 2e-6 is negligible).
+
+    Alpha = 1/3 — spelled (x + 2*acc)/3 — is a cross-engine-rounding
+    requirement, not a tuning choice: finite-decimal weights
+    (0.25/0.75, 0.3/0.7) over the finite-decimal input values produce
+    EWMAs that land EXACTLY on decimal halfway points, where Spark
+    (exact BigDecimal rounding of the double) and DuckDB (scale-by-
+    1e^d double rounding) disagree — observed live at both alphas
+    (…4375 → 437 vs 438; 6 rows in 100k at sf0.1). Division by 3
+    makes every result's decimal expansion infinite, so no value can
+    sit exactly on a rounding boundary, and the residual 1-ulp
+    near-boundary probability at 6 digits is ~1e-8 per row."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -2834,13 +2840,13 @@ def q133_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ewma = F.aggregate(
         F.slice(vals, 2, 32),
         F.element_at(vals, 1),
-        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+        lambda acc, x: (x + F.lit(2.0) * acc) / F.lit(3.0),
     )
     return e.select(
         "user_id",
         "event_id",
         F.unix_micros("ts").alias("ts_us"),
-        F.round(ewma, 9).alias("ewma"),
+        F.round(ewma, 6).alias("ewma"),
     )
 
 
