@@ -530,3 +530,44 @@ def canonicalize_clusters(
         .withColumn("is_canonical", (F.col("rank_in_cluster") == 1).cast("boolean"))
         .drop("label")
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str = "p_name",
+    block_expr: Column | None = None,
+    max_distance: int = 4,
+) -> DataFrame:
+    """Blocked edit-distance similarity join over a string column —
+    the fuzzy-matching complement of the hash/LSH dedup family
+    (catalog reconciliation, entity resolution on names).
+
+    Scale shape, in order of importance:
+    1. DISTINCT first: edit distance is a property of the string, so
+       the join runs over the distinct-value table (usually orders of
+       magnitude smaller than the fact table), never over rows.
+    2. BLOCK second: candidate pairs form only within a blocking key
+       (default: the last whitespace token), so the quadratic term is
+       per-block, never corpus-wide — same discipline as LSH banding.
+    3. Only then the O(len^2)-per-pair levenshtein, on the surviving
+       candidates.
+
+    Output: (name_a, name_b, distance) with name_a < name_b and
+    distance <= max_distance.
+    """
+    if block_expr is None:
+        block_expr = F.element_at(F.split(F.col("name"), " "), -1)
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    blocked = names.select("name", block_expr.alias("blk"))
+    a = blocked.select(F.col("name").alias("name_a"), "blk")
+    b = blocked.select(F.col("name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

@@ -84,7 +84,6 @@ PRIORITY = [
     "q95_approx_distinct",
     "q98_ivf_cosine_topk",
     "q104_audio_metadata",
-    "q94_random_forest",
     "q88_stream_static_enrich",
     "q96_stream_sessionize",
     "q99_stream_stream_join",
@@ -103,6 +102,7 @@ PRIORITY = [
     "q134_source_kl",
     "q135_session_funnel",
     "q136_growth_accounting",
+    "q137_fuzzy_join",
     # (e) events-lane re-proof (the NTZ cast rewrote every events
     # scan) + the flagship pipeline
     "q48_metric_map",

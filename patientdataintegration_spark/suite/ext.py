@@ -3037,3 +3037,32 @@ def q136_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_ret).cast("bigint").alias("n_retained"),
         F.sum(is_res).cast("bigint").alias("n_resurrected"),
     )
+
+
+# --- blocked fuzzy (edit-distance) join -------------------------------------
+
+
+@_register(
+    "q137_fuzzy_join",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    blocked AS (
+      SELECT name, split_part(name, ' ', -1) AS blk FROM names
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 4
+    """,
+)
+def q137_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance join over part names
+    (`dedup.fuzzy_name_pairs`): distinct-first (edit distance is a
+    string property, so the join runs over the value table, not the
+    fact table), then per-block candidate pairs (last name token),
+    then levenshtein <= 4 — the entity-resolution shape that never
+    goes quadratic corpus-wide."""
+    from patientdataintegration_spark.operators.dedup import fuzzy_name_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    return fuzzy_name_pairs(p, name_col="p_name", max_distance=4)
