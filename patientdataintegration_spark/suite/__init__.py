@@ -77,18 +77,20 @@ PRIORITY = [
     "q70_multi_distinct",
     "q71_first_nth_value",
     "q73_quality_checks",
-    # (c) rows-only lanes, never driver-checked (no SQL oracle —
-    # pytest covers semantics; a rows-only driver row beats none)
+    # (c) never driver-checked: q85 (upgraded to a full SQL oracle
+    # this round) + rows-only lanes (no SQL oracle — pytest covers
+    # semantics; a rows-only driver row beats none)
     "q85_session_window",
     "q86_dedup_clusters",
     "q95_approx_distinct",
     "q98_ivf_cosine_topk",
     "q104_audio_metadata",
-    "q88_stream_static_enrich",
     "q96_stream_sessionize",
     "q99_stream_stream_join",
-    # (d) operators added this round — driver-unproven is the gap
-    # that bit round 2, so new queries enter the window immediately
+    # (d) operators added this round (all SQL-oracle-backed) —
+    # driver-unproven is the gap that bit round 2, so new queries
+    # enter the window immediately, displacing stream lanes whose
+    # batch twins are hash-checked and stream==batch pytest-pinned
     "q124_asof_forward",
     "q125_asof_nearest",
     "q126_sparse_cosine_pairs",
@@ -103,6 +105,7 @@ PRIORITY = [
     "q135_session_funnel",
     "q136_growth_accounting",
     "q137_fuzzy_join",
+    "q138_reachability",
     # (e) events-lane re-proof (the NTZ cast rewrote every events
     # scan) + the flagship pipeline
     "q48_metric_map",

@@ -3066,3 +3066,59 @@ def q137_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = load_table(spark, sf_dir, "part")
     return fuzzy_name_pairs(p, name_col="p_name", max_distance=4)
+
+
+# --- recursive CTE reachability ---------------------------------------------
+
+
+def _q138_reach_ctes(pairs_rel: str) -> str:
+    """The shared reachability CTE list (goes after WITH RECURSIVE):
+    seeds = every 5th doc, BFS over the undirected near-dup graph,
+    hop cap 3. `pairs_rel` is the relation holding (doc_a, doc_b)."""
+    return f"""edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM {pairs_rel}
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS t FROM {pairs_rel}
+    ),
+    reach(node, hops) AS (
+      SELECT DISTINCT s AS node, 0 AS hops FROM edges WHERE s % 5 = 0
+      UNION ALL
+      SELECT e.t AS node, r.hops + 1 AS hops
+      FROM reach r JOIN edges e ON e.s = r.node
+      WHERE r.hops < 3
+    )"""
+
+
+_Q138_SELECT = """
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops
+    FROM reach GROUP BY node
+    """
+
+
+@_register(
+    "q138_reachability",
+    f"WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),\n"
+    f"{_q138_reach_ctes('pairs')}{_Q138_SELECT}",
+)
+def q138_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS reachability via Spark 4's RECURSIVE CTE: min hop
+    count from the seed set (every 5th doc) over the MinHash-LSH
+    near-dup graph, hop cap 3. Spark and DuckDB execute the SAME
+    recursive SQL text — the SQL-native spelling of bounded graph
+    traversal (each recursion step is one join + union under the
+    hood). For unbounded convergence at scale the large/small-star
+    operator (q115) remains the right tool; a recursion depth cap
+    is what keeps the recursive spelling shuffle-bounded."""
+    from patientdataintegration_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    pairs.createOrReplaceTempView("q138_pairs")
+    return spark.sql(
+        f"WITH RECURSIVE {_q138_reach_ctes('q138_pairs')}{_Q138_SELECT}"
+    )
