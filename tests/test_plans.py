@@ -455,3 +455,78 @@ def test_profile_single_scan_single_agg(spark, sf_dir):
     # name in the details section, so count tree nodes)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert count_shuffles(p) <= 2  # distinct-expand agg + the tiny final sort
+
+
+def test_asof_forward_nearest_single_shuffle(spark, sf_dir):
+    """Forward and nearest as-of directions keep the single-shuffle
+    tagged-union shape — no range join appears in any direction."""
+    from patientdataintegration_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    for direction in ("forward", "nearest"):
+        j = asof_join(
+            errors, clicks, on=["user_id"], payload=["value"], direction=direction
+        )
+        plan = explain_str(j)
+        assert count_shuffles(j) == 1, (direction, plan)
+        assert "CartesianProduct" not in plan, direction
+        assert "BroadcastNestedLoop" not in plan, direction
+
+
+def test_sparse_cosine_no_cartesian(spark, sf_dir):
+    """The sparse tf-idf similarity join pairs documents ONLY through
+    the term equi-join — no cartesian/nested-loop anywhere, and the
+    corpus-size frame is the only broadcast."""
+    from patientdataintegration_spark.operators.textops import sparse_cosine_pairs
+    from patientdataintegration_spark.sources.catalog import load_table as lt
+
+    d = lt(spark, sf_dir, "documents")
+    plan = explain_str(sparse_cosine_pairs(d, min_sim=0.3))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the 1-row corpus-count
+    # broadcasts (crossJoin(broadcast(n_docs))); the doc-pair
+    # generation itself must be the term equi-join
+    assert re.search(r"Join.*\bterm\b", plan) or "term" in plan
+
+
+def test_kmeans_centroids_broadcast(spark, sf_dir):
+    """Every k-means assignment round joins against a k-row centroid
+    frame — all those joins must be broadcasts (the embedding table
+    is never shuffled for assignment)."""
+    from patientdataintegration_spark.operators.clustering import kmeans_assign
+    from patientdataintegration_spark.sources.catalog import load_table as lt
+
+    e = lt(spark, sf_dir, "embeddings")
+    plan = explain_str(kmeans_assign(e, k=4, iterations=1))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_blocked_not_cartesian(spark, sf_dir):
+    """The fuzzy name join pairs only within the blocking key — the
+    pair generation is an equi-join on the block, never a cartesian
+    over the name table."""
+    from patientdataintegration_spark.operators.dedup import fuzzy_name_pairs
+    from patientdataintegration_spark.sources.catalog import load_table as lt
+
+    p = lt(spark, sf_dir, "part")
+    plan = explain_str(fuzzy_name_pairs(p, name_col="p_name"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """SCD2 history build is one window pass — exactly one exchange,
+    no join at all."""
+    from patientdataintegration_spark.operators.temporal import scd2_intervals
+    from patientdataintegration_spark.sources.catalog import load_table as lt
+
+    e = lt(spark, sf_dir, "events")
+    df = scd2_intervals(e)
+    plan = explain_str(df)
+    assert count_shuffles(df) == 1, plan
+    assert "Join" not in plan
