@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "q121_resample_interp",     # time-grid resample + interpolation
     "q126_sparse_cosine_pairs", # term-partitioned sparse dot-product join
     "q130_pagerank",            # unrolled iterative graph dataflow
+    "q132_kmeans_assign",       # iterative clustering, broadcast centroids
+    "q138_reachability",        # recursive-CTE bounded BFS
 ]
 
 
