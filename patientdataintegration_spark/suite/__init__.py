@@ -86,7 +86,6 @@ PRIORITY = [
     "q98_ivf_cosine_topk",
     "q104_audio_metadata",
     "q96_stream_sessionize",
-    "q99_stream_stream_join",
     # (d) operators added this round (all SQL-oracle-backed) —
     # driver-unproven is the gap that bit round 2, so new queries
     # enter the window immediately, displacing stream lanes whose
@@ -106,6 +105,7 @@ PRIORITY = [
     "q136_growth_accounting",
     "q137_fuzzy_join",
     "q138_reachability",
+    "q139_correlation_matrix",
     # (e) events-lane re-proof (the NTZ cast rewrote every events
     # scan) + the flagship pipeline
     "q48_metric_map",

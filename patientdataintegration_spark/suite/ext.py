@@ -3122,3 +3122,86 @@ def q138_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"WITH RECURSIVE {_q138_reach_ctes('q138_pairs')}{_Q138_SELECT}"
     )
+
+
+# --- single-pass correlation matrix -----------------------------------------
+
+_Q139_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _q139_sql() -> str:
+    sums = ["COUNT(*) AS n"]
+    for c in _Q139_COLS:
+        sums.append(f"SUM(CAST(CAST({c} AS DOUBLE) AS DECIMAL(38,6))) AS s_{c}")
+        sums.append(
+            f"SUM(CAST(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)"
+            f" AS DECIMAL(38,6))) AS ss_{c}"
+        )
+    for i, a in enumerate(_Q139_COLS):
+        for b in _Q139_COLS[i + 1 :]:
+            sums.append(
+                f"SUM(CAST(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE)"
+                f" AS DECIMAL(38,6))) AS sp_{a}_{b}"
+            )
+    pair_rows = []
+    for i, a in enumerate(_Q139_COLS):
+        for b in _Q139_COLS[i + 1 :]:
+            num = f"(CAST(sp_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE) / n)"
+            da = f"(CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE) / n)"
+            db = f"(CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE) / n)"
+            pair_rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" ROUND({num} / sqrt({da} * {db}), 6) AS corr FROM agg"
+            )
+    return "WITH agg AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n" + "\nUNION ALL ".join(pair_rows)
+
+
+@_register("q139_correlation_matrix", _q139_sql())
+def q139_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation across the numeric lineitem
+    columns in ONE scan + one single-row aggregate: all sums
+    (Σx, Σx², Σxy per pair) accumulate as DECIMAL(38,6) — exact and
+    order-independent — then each pair's correlation is deterministic
+    double arithmetic off the one aggregate row. The feature-
+    engineering staple spelled without per-pair passes: 4 columns =
+    15 decimal sums, one shuffle of ONE row. (`F.corr` exists but
+    accumulates in FP — partitioning-dependent and not
+    oracle-matchable.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dec(col_expr):
+        return col_expr.cast("decimal(38,6)")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _Q139_COLS:
+        x = F.col(c).cast("double")
+        aggs.append(F.sum(dec(x)).alias(f"s_{c}"))
+        aggs.append(F.sum(dec(x * x)).alias(f"ss_{c}"))
+    for i, a in enumerate(_Q139_COLS):
+        for b in _Q139_COLS[i + 1 :]:
+            aggs.append(
+                F.sum(
+                    dec(F.col(a).cast("double") * F.col(b).cast("double"))
+                ).alias(f"sp_{a}_{b}")
+            )
+    agg = li.agg(*aggs)
+    # all 6 correlations as columns of the ONE aggregate row, then a
+    # stack() unpivot to rows — a union of per-pair selects would
+    # recompute the full-scan aggregate once per pair
+    corr_cols = []
+    stack_args = []
+    for i, a in enumerate(_Q139_COLS):
+        for b in _Q139_COLS[i + 1 :]:
+            n = F.col("n").cast("double")
+            sa = F.col(f"s_{a}").cast("double")
+            sb = F.col(f"s_{b}").cast("double")
+            num = F.col(f"sp_{a}_{b}").cast("double") - sa * sb / n
+            da = F.col(f"ss_{a}").cast("double") - sa * sa / n
+            db = F.col(f"ss_{b}").cast("double") - sb * sb / n
+            corr_cols.append(F.round(num / F.sqrt(da * db), 6).alias(f"c_{a}_{b}"))
+            stack_args.append(f"'{a}', '{b}', c_{a}_{b}")
+    one = agg.select(*corr_cols)
+    n_pairs = len(corr_cols)
+    return one.selectExpr(
+        f"stack({n_pairs}, {', '.join(stack_args)}) AS (col_a, col_b, corr)"
+    )
