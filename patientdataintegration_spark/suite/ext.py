@@ -3205,3 +3205,56 @@ def q139_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(
         f"stack({n_pairs}, {', '.join(stack_args)}) AS (col_a, col_b, corr)"
     )
+
+
+# --- categorical mutual information -----------------------------------------
+
+
+@_register(
+    "q140_mutual_information",
+    """
+    WITH joint AS (
+      SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source
+    ),
+    ml AS (SELECT lang, SUM(c) AS cl FROM joint GROUP BY lang),
+    ms AS (SELECT source, SUM(c) AS cs FROM joint GROUP BY source),
+    n AS (SELECT SUM(c) AS t FROM joint)
+    SELECT CAST(n.t AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(ROUND(
+             (j.c / n.t) * ln((j.c * n.t) / (CAST(ml.cl AS DOUBLE) * ms.cs)), 9)
+             AS DECIMAL(28,12))) AS DOUBLE), 9) AS mi_nats
+    FROM joint j
+    JOIN ml ON j.lang = ml.lang
+    JOIN ms ON j.source = ms.source
+    CROSS JOIN n
+    GROUP BY n.t
+    """,
+)
+def q140_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) over the documents table —
+    the dependence diagnostic a pipeline runs between metadata
+    dimensions (is language confounded with ingestion source?). One
+    (lang, source) contingency aggregation; the marginals re-roll the
+    joint (tiny frames, broadcast); each cell's p·ln term rounds to 9
+    digits then decimal-sums — the q82/q134 exactness pattern."""
+    d = load_table(spark, sf_dir, "documents")
+    joint = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    ml = joint.groupBy("lang").agg(F.sum("c").alias("cl"))
+    ms = joint.groupBy("source").agg(F.sum("c").alias("cs"))
+    n = joint.agg(F.sum("c").alias("t"))
+    term = F.round(
+        (F.col("c").cast("double") / F.col("t").cast("double"))
+        * F.log(
+            (F.col("c").cast("double") * F.col("t").cast("double"))
+            / (F.col("cl").cast("double") * F.col("cs").cast("double"))
+        ),
+        9,
+    ).cast("decimal(28,12)")
+    return (
+        joint.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("t")
+        .agg(F.round(F.sum(term).cast("double"), 9).alias("mi_nats"))
+        .select(F.col("t").cast("bigint").alias("n_docs"), "mi_nats")
+    )
