@@ -82,7 +82,6 @@ PRIORITY = [
     # semantics; a rows-only driver row beats none)
     "q85_session_window",
     "q86_dedup_clusters",
-    "q98_ivf_cosine_topk",
     "q104_audio_metadata",
     "q96_stream_sessionize",
     # (d) operators added this round (all SQL-oracle-backed) —
@@ -106,6 +105,7 @@ PRIORITY = [
     "q138_reachability",
     "q139_correlation_matrix",
     "q140_mutual_information",
+    "q141_group_trend",
     # (e) events-lane re-proof (the NTZ cast rewrote every events
     # scan) + the flagship pipeline
     "q48_metric_map",

@@ -3258,3 +3258,80 @@ def q140_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term).cast("double"), 9).alias("mi_nats"))
         .select(F.col("t").cast("bigint").alias("n_docs"), "mi_nats")
     )
+
+
+# --- per-group OLS trend ----------------------------------------------------
+
+
+@_register(
+    "q141_group_trend",
+    """
+    WITH base AS (
+      SELECT user_id, value,
+             (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+               / 1000000.0 AS x
+      FROM events
+    ),
+    sums AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+             SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+             SUM(CAST(value AS DECIMAL(38,6))) AS sy,
+             SUM(CAST(x * value AS DECIMAL(38,6))) AS sxy
+      FROM base GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+    FROM sums
+    WHERE n >= 2 AND n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+    """,
+)
+def q141_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of value over time (slope per second +
+    intercept) from exact decimal sums — the grouped linear-trend
+    feature (drift per entity). x is CENTERED per group (micros minus
+    the group minimum, a window min on the same partitioning as the
+    aggregate — no extra shuffle) so the nΣx²−(Σx)² difference never
+    cancels catastrophically the way absolute epoch x would; sums
+    accumulate in DECIMAL(38,6), the closed-form solution is
+    deterministic double arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id")
+    x = (us - F.min(us).over(w)).cast("double") / F.lit(1_000_000.0)
+    base = e.select("user_id", F.col("value"), x.alias("x"))
+
+    def dec(c):
+        return c.cast("decimal(38,6)")
+
+    sums = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("value"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("value"))).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    return (
+        sums.filter((F.col("n") >= 2) & (denom > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_obs"),
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+        )
+    )
