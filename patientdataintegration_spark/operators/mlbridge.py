@@ -73,3 +73,33 @@ def random_forest_scores(
         F.col("prediction").cast("int").alias("pred"),
         F.round(p1, 6).alias("score"),
     )
+
+
+def count_parameters(model) -> dict[str, int]:
+    """M6 (`ExperimentSetup_v2.py:192-193,234-235` counts torch model
+    parameters): the MLlib analogue — model size accounting for
+    tree ensembles and linear models, the number a training pipeline
+    logs next to its metrics.
+
+    For tree ensembles every internal node carries (feature index,
+    threshold) and every leaf a prediction — `total_nodes` is the
+    parameter-bearing unit count; linear models report coefficient +
+    intercept counts. Returns a plain dict so callers can log or
+    union it into a results overview.
+    """
+    out: dict[str, int] = {}
+    if hasattr(model, "totalNumNodes"):
+        out["n_trees"] = int(model.getNumTrees)
+        out["total_nodes"] = int(model.totalNumNodes)
+        depths = [t.depth for t in model.trees]
+        out["max_tree_depth"] = int(max(depths)) if depths else 0
+        out["n_parameters"] = int(model.totalNumNodes)
+    elif hasattr(model, "coefficients"):
+        n_coef = len(model.coefficients)
+        out["n_coefficients"] = int(n_coef)
+        out["n_parameters"] = int(n_coef) + (
+            1 if hasattr(model, "intercept") else 0
+        )
+    else:
+        raise TypeError(f"unsupported model type {type(model).__name__}")
+    return out

@@ -162,3 +162,28 @@ def test_random_forest_model_artifact_roundtrip(spark, sf_dir, tmp_path):
     a = model.transform(feats).select("c_custkey", "prediction")
     b = back.transform(feats).select("c_custkey", "prediction")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_count_parameters_rf_and_linear(spark):
+    """M6 parameter counting: tree ensembles report node totals,
+    linear models coefficient+intercept counts."""
+    from pyspark.ml.classification import LogisticRegression, RandomForestClassifier
+    from pyspark.ml.linalg import Vectors
+
+    from patientdataintegration_spark.operators.mlbridge import count_parameters
+
+    df = spark.createDataFrame(
+        [(Vectors.dense([float(i), float(i % 3)]), i % 2) for i in range(40)],
+        ["features", "label"],
+    )
+    rf = RandomForestClassifier(numTrees=3, maxDepth=2, seed=7).fit(df)
+    got = count_parameters(rf)
+    assert got["n_trees"] == 3
+    assert got["total_nodes"] >= 3  # at least a root per tree
+    assert got["n_parameters"] == got["total_nodes"]
+    assert 0 <= got["max_tree_depth"] <= 2
+
+    lr = LogisticRegression(maxIter=5).fit(df)
+    got = count_parameters(lr)
+    assert got["n_coefficients"] == 2
+    assert got["n_parameters"] == 3  # 2 coefficients + intercept
