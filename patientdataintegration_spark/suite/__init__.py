@@ -12,9 +12,15 @@ engines and partitionings):
   their sums/averages are exact in double precision;
 - rank statistics (AUROC) only depend on score *order* plus sums of
   integers/halves — exact below 2^53;
-- the only rounded outputs are stddev (A11) and cosine similarity /
-  fusion scores, rounded to 6/4 digits where accumulation order (or
-  libm last-ulp) genuinely differs.
+- rounded outputs (stddev, cosine/fusion scores, ln-based terms —
+  tf-idf, surprisal, KL, MI — EWMA, correlations, OLS trends) round
+  to 4-9 digits where accumulation order or libm last-ulp genuinely
+  differs; ln-term and dot-product SUMS route through DECIMAL casts
+  first so only the final scalar step carries FP;
+- rounded values must not be able to land ON a decimal boundary:
+  finite-decimal weights over finite-decimal inputs do exactly that,
+  and Spark/DuckDB round such doubles in different directions (the
+  q133 EWMA lesson — its alpha is 1/3 for this reason).
 
 Registration order is an explicit PRIORITY list: the driver's
 correctness harness checks a bounded prefix of the registry (50
