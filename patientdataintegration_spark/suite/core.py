@@ -1135,7 +1135,17 @@ def q45_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped scoring (J1/A5/F3) → per-set balanced accuracy (A9),
     AUROC (A10), and encoded-feature means. One lazy DAG — Catalyst
     sees the whole pipeline, so pruning/pushdown/broadcasts span
-    stage boundaries the reference executed eagerly."""
+    stage boundaries the reference executed eagerly.
+
+    Plan-shape note: the physical plan rescans the customer DIMENSION
+    once per derived statistic (impute means, scale bounds, fold
+    stats, metric branches) — each scan column-pruned to the 1-2
+    columns that statistic needs. This is the deliberate columnar
+    trade: the fact tables (lineitem/orders) scan once per use, and a
+    persist() of the dimension would hide runtime stats from AQE on
+    every downstream join (measured 20x slower on the iterative
+    lanes, operators/graph.py) — re-reading a pruned dimension
+    column is cheaper than un-optimizing the join tree."""
     from patientdataintegration_spark.functions.metrics import auroc as auroc_fn
     from patientdataintegration_spark.functions.metrics import balanced_accuracy
     from patientdataintegration_spark.operators.imputation import impute_mean
