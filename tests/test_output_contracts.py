@@ -99,3 +99,48 @@ def test_oracle_backed_outputs_are_scalar_columns(spark):
             if isinstance(field.dataType, (ArrayType, MapType)):
                 offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
     assert not offenders, f"unhashable output columns: {offenders}"
+
+
+def test_complex_operators_survive_empty_input(spark):
+    """Every structurally complex operator returns an empty (or
+    degenerate-but-well-formed) result on 0-row input rather than
+    raising — the property that matters when a filter upstream of
+    the operator matches nothing on some partition of a 100 TB run."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.clustering import kmeans_assign
+    from patientdataintegration_spark.operators.dedup import fuzzy_name_pairs
+    from patientdataintegration_spark.operators.graph import pagerank
+    from patientdataintegration_spark.operators.sessionize import sessionize
+    from patientdataintegration_spark.operators.temporal import (
+        asof_join,
+        resample_linear,
+        scd2_intervals,
+    )
+    from patientdataintegration_spark.operators.textops import (
+        paragraph_dedup_stats,
+        sparse_cosine_pairs,
+    )
+
+    empty_events = spark.createDataFrame(
+        [], "user_id bigint, event_id bigint, ts timestamp, value double"
+    )
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    empty_vecs = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    empty_pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    empty_names = spark.createDataFrame([], "p_name string")
+
+    assert sessionize(empty_events).count() == 0
+    assert scd2_intervals(empty_events).count() == 0
+    assert resample_linear(empty_events).count() == 0
+    assert (
+        asof_join(
+            empty_events, empty_events, on=["user_id"], payload=["value"]
+        ).count()
+        == 0
+    )
+    assert sparse_cosine_pairs(empty_docs).count() == 0
+    assert paragraph_dedup_stats(empty_docs).count() == 0
+    assert pagerank(empty_pairs).count() == 0
+    assert fuzzy_name_pairs(empty_names, name_col="p_name").count() == 0
+    assert kmeans_assign(empty_vecs, k=2, iterations=1).count() == 0
