@@ -87,7 +87,6 @@ PRIORITY = [
     # this round) + rows-only lanes (no SQL oracle — pytest covers
     # semantics; a rows-only driver row beats none)
     "q85_session_window",
-    "q86_dedup_clusters",
     "q104_audio_metadata",
     "q96_stream_sessionize",
     # (d) operators added this round (all SQL-oracle-backed) —
@@ -112,6 +111,7 @@ PRIORITY = [
     "q139_correlation_matrix",
     "q140_mutual_information",
     "q141_group_trend",
+    "q142_dedup_impact",
     # (e) events-lane re-proof (the NTZ cast rewrote every events
     # scan) + the flagship pipeline
     "q48_metric_map",

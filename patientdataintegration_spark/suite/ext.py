@@ -3335,3 +3335,47 @@ def q141_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(intercept, 6).alias("intercept"),
         )
     )
+
+
+# --- dedup impact report ----------------------------------------------------
+
+
+@_register(
+    "q142_dedup_impact",
+    f"""
+    WITH comp AS ({_q115_sql()}),
+    sizes AS (SELECT label, COUNT(*) AS sz FROM comp GROUP BY label)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY sz
+    """,
+)
+def q142_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: the cluster-size histogram over the
+    near-dup components, with the removable-duplicate count per size
+    (size − 1 docs per cluster survive canonicalization) — the
+    number a pipeline reports before committing a dedup pass. Two
+    tiny aggregations on top of the q115 component labels; the
+    oracle rolls the same histogram off the recursive-CTE closure."""
+    from patientdataintegration_spark.operators.dedup import (
+        connected_components_star,
+        lsh_candidate_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    comp = connected_components_star(pairs)
+    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"),
+    ).select(
+        F.col("sz").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "n_removable",
+    )
