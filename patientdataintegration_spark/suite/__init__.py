@@ -56,7 +56,6 @@ PRIORITY = [
     "q28_asof_join",
     "q42_sessionize",
     "q47_interval_join",
-    "q63_latest_per_key",
     "q74_funnel",
     "q101_upsert_merge",
     "q102_time_weighted_avg",
@@ -112,9 +111,12 @@ PRIORITY = [
     "q140_mutual_information",
     "q141_group_trend",
     "q142_dedup_impact",
-    # (e) events-lane re-proof (the NTZ cast rewrote every events
-    # scan) + the flagship pipeline
-    "q48_metric_map",
+    "q143_histogram",
+    "q144_event_pmi",
+    # (e) the flagship pipeline under the rewritten events scans
+    # (q63/q48 dropped: q101 subsumes the latest-per-key NTZ re-proof
+    # and q48's output is all-scalar since r2, so its struct-canary
+    # role is moot)
     "q45_full_pipeline",
 ]
 

@@ -3379,3 +3379,110 @@ def q142_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_removable",
     )
+
+
+# --- equi-width histogram / event co-occurrence PMI -------------------------
+
+
+@_register(
+    "q143_histogram",
+    """
+    WITH b AS (
+      SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+             MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+      FROM lineitem
+    )
+    SELECT LEAST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - b.lo)
+                             / (b.hi - b.lo) * 16) AS BIGINT), 15) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(CAST(l_extendedprice AS DOUBLE)), 2) AS bin_min,
+           ROUND(MAX(CAST(l_extendedprice AS DOUBLE)), 2) AS bin_max
+    FROM lineitem CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def q143_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 16-bin histogram of a numeric column — the classic
+    profiling visualization's data. Global min/max is a broadcast
+    1-row aggregate (the q08 scale01 pattern); the bin index is
+    deterministic double arithmetic floored to an integer, with the
+    max value folded into the last bin. One scan + one tiny agg +
+    one grouped count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    b = li.agg(F.min(x).alias("lo"), F.max(x).alias("hi"))
+    binc = F.least(
+        F.floor((x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 16).cast("bigint"),
+        F.lit(15),
+    )
+    return (
+        li.crossJoin(F.broadcast(b))
+        .groupBy(binc.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(x), 2).alias("bin_min"),
+            F.round(F.max(x), 2).alias("bin_max"),
+        )
+    )
+
+
+@_register(
+    "q144_event_pmi",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+    m AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS cab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.cab AS BIGINT) AS n_users_both,
+           ROUND(ln((CAST(p.cab AS DOUBLE) * n.nu)
+                    / (CAST(ma.c AS DOUBLE) * mb.c)), 9) AS pmi_nats
+    FROM pairs p
+    JOIN m ma ON p.type_a = ma.event_type
+    JOIN m mb ON p.type_b = mb.event_type
+    CROSS JOIN n
+    """,
+)
+def q144_event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types over users —
+    association-mining lite (which behaviors co-occur beyond
+    chance?). The pair space is (distinct types)² — bounded and tiny
+    — while users shuffle once for the distinct (user, type)
+    projection; the per-user self-join fans out at most
+    |types|² rows per user. Marginals broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    n = e.agg(F.count_distinct("user_id").alias("nu"))
+    m = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    ma = m.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    mb = m.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("cab").cast("bigint").alias("n_users_both"),
+            F.round(
+                F.log(
+                    (F.col("cab").cast("double") * F.col("nu").cast("double"))
+                    / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+                ),
+                9,
+            ).alias("pmi_nats"),
+        )
+    )
