@@ -348,3 +348,52 @@ def test_image_features_uses_real_jpeg_decode(spark):
     r = image_features(df).collect()[0]
     assert (r.width, r.height) == (8, 8)
     assert abs(r.mean_intensity - 144 / 255.0) < 1e-12
+
+
+def test_color_422_asymmetric_upsampling():
+    """4:2:2 (2x1 luma sampling): chroma upsamples horizontally only —
+    the asymmetric sx/sy path; planes must equal the independent
+    reference exactly."""
+    y1 = [0] * 64
+    y1[0] = 20 * FLAT_Q[0]
+    y2 = [0] * 64
+    y2[0] = -20 * FLAT_Q[0]
+    y2[5] = 3 * FLAT_Q[5]
+    cb = [0] * 64
+    cb[0] = 6 * FLAT_Q[0]
+    cr = [0] * 64
+    cr[0] = -4 * FLAT_Q[0]
+    cr[2] = 2 * FLAT_Q[2]
+    content = encode_jpeg(
+        16, 8, [(2, 1), (1, 1), (1, 1)], FLAT_Q, {0: [y1, y2], 1: [cb], 2: [cr]}
+    )
+    got = decode_baseline_jpeg(content)
+    assert got is not None
+    w, h, ncomp, planes = got
+    assert (w, h, ncomp) == (16, 8, 3)
+    Y = np.concatenate([ref_idct(y1, FLAT_Q), ref_idct(y2, FLAT_Q)], axis=1)
+    Cb = np.kron(ref_idct(cb, FLAT_Q), np.ones((1, 2)))  # horizontal only
+    Cr = np.kron(ref_idct(cr, FLAT_Q), np.ones((1, 2)))
+    np.testing.assert_array_equal(np.array(planes[0]).reshape(8, 16), Y)
+    np.testing.assert_array_equal(np.array(planes[1]).reshape(8, 16), Cb)
+    np.testing.assert_array_equal(np.array(planes[2]).reshape(8, 16), Cr)
+
+
+def test_restart_interval_two_of_four_mcus():
+    """DRI=2 over 4 MCUs: exactly one RST marker (after MCU 2), DC
+    predictors reset mid-stream — the modulo path, not the
+    every-MCU special case."""
+    blocks = []
+    for dc in (8, 16, -8, -16):
+        b = [0] * 64
+        b[0] = dc * FLAT_Q[0]
+        blocks.append(b)
+    content = encode_jpeg(32, 8, [(1, 1)], FLAT_Q, {0: blocks}, restart_interval=2)
+    got = decode_baseline_jpeg(content)
+    assert got is not None
+    plane = np.array(got[3][0]).reshape(8, 32)
+    # flat value = dc + 128 (q=8 cancels the /8)
+    assert set(plane[:, 0:8].flatten()) == {136}
+    assert set(plane[:, 8:16].flatten()) == {144}
+    assert set(plane[:, 16:24].flatten()) == {120}
+    assert set(plane[:, 24:32].flatten()) == {112}
