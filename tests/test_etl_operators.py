@@ -465,3 +465,25 @@ def test_winsorize_hand_computed(spark):
         for r in winsorize(df, "value", "grp", p_lo=0.25, p_hi=0.75).collect()
     }
     assert out2[1] == 5.0 and out2[20] == 15.0
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/source: lossless roundtrip of a typed table and
+    predicate pushdown reaching the ORC scan (PushedFilters), the
+    same scale posture as the parquet path."""
+    from patientdataintegration_spark.plans.inspect import explain_str
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.sources.orc_io import read_orc, write_orc
+
+    src = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    a = sorted(map(tuple, src.orderBy("o_orderkey").limit(50).collect()))
+    b = sorted(map(tuple, back.orderBy("o_orderkey").limit(50).collect()))
+    assert a == b
+
+    plan = explain_str(back.filter(F.col("o_orderkey") == 7).select("o_orderkey"))
+    assert "PushedFilters" in plan and "o_orderkey" in plan
