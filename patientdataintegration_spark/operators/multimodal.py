@@ -54,6 +54,13 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("height", IntegerType()),
         StructField("n_bytes", LongType()),
         StructField("mean_intensity", DoubleType()),
+        # provenance of the decoded values, so stub fallbacks are
+        # filterable instead of silently plausible:
+        #   'real'   — true pixel decode (PNG or baseline JPEG)
+        #   'header' — real dims from the container header, STUB intensity
+        #              (GIF / progressive JPEG: no pixel decoder)
+        #   'stub'   — unknown container, dims AND intensity are fake
+        StructField("decode_status", StringType()),
     ]
 )
 
@@ -160,7 +167,6 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, float] | None:
     stride = width * channels
     if len(raw) < height * (stride + 1):
         return None
-
     prev = bytearray(stride)
     total = 0
     n_vals = 0
@@ -192,6 +198,10 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, float] | None:
             return None
         # accumulate color channels only (skip alpha; expand palette)
         if color_type == 3:
+            if max(line) * 3 + 2 >= len(palette):
+                # palette index beyond PLTE: malformed file — decline
+                # rather than fail the Spark task with an IndexError
+                return None
             for v in line:
                 base = 3 * v
                 total += palette[base] + palette[base + 1] + palette[base + 2]
@@ -229,24 +239,28 @@ def _fake_decode(content: bytes) -> tuple[int, int, float]:
     return width, height, mean_intensity
 
 
-def _decode(content: bytes) -> tuple[int, int, float]:
-    """PNG and baseline JPEG: real pixel decode (dims + true mean
+def _decode(content: bytes) -> tuple[int, int, float, str]:
+    """(width, height, mean_intensity, decode_status).
+
+    PNG and baseline JPEG: real pixel decode (dims + true mean
     intensity — stdlib-only decoders, see `decode_png_pixels` and
-    `operators/jpeg.py`). Other recognized containers (GIF,
-    progressive JPEG): real header dims, stub intensity. Unknown
-    payloads: deterministic stub."""
+    `operators/jpeg.py`) → status 'real'. Other recognized containers
+    (GIF, progressive JPEG): real header dims, stub intensity →
+    status 'header'. Unknown payloads: deterministic stub →
+    status 'stub'. Filter on decode_status before trusting
+    mean_intensity downstream."""
     from patientdataintegration_spark.operators.jpeg import decode_jpeg_pixels
 
     px = decode_png_pixels(content)
     if px is None:
         px = decode_jpeg_pixels(content)
     if px is not None:
-        return px
+        return (*px, "real")
     dims = parse_image_header(content)
     fake_w, fake_h, intensity = _fake_decode(content)
     if dims is not None:
-        return dims[0], dims[1], intensity
-    return fake_w, fake_h, intensity
+        return dims[0], dims[1], intensity, "header"
+    return fake_w, fake_h, intensity, "stub"
 
 
 def image_features(df: DataFrame, path_col: str = "path", content_col: str = "content") -> DataFrame:
@@ -268,6 +282,7 @@ def image_features(df: DataFrame, path_col: str = "path", content_col: str = "co
                     "height": [d[1] for d in decoded],
                     "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
                     "mean_intensity": [d[2] for d in decoded],
+                    "decode_status": [d[3] for d in decoded],
                 }
             )
 

@@ -185,7 +185,11 @@ def weighted_sample_per_group(
     u = (pseudo_random(F.col(id_col), seed=seed) + F.lit(1)).cast("double") / F.lit(
         1_000_000_008.0
     )
-    prio = -F.log(u) / F.col(weight_col).cast("double")
+    # rounded to 12 digits before ranking: ln() can differ in the last
+    # ulp between libm implementations (Spark JVM vs an oracle engine),
+    # which could flip the order of two near-equal priorities — the
+    # same fixed-digit normalization every other FP output here uses
+    prio = F.round(-F.log(u) / F.col(weight_col).cast("double"), 12)
     base = df.filter(F.col(weight_col) > 0).select(
         F.col(group_col),
         F.col(id_col),

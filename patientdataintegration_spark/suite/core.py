@@ -952,8 +952,10 @@ def q29_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, us,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             -- CAST: DuckDB's windowed SUM yields HUGEINT, which fetchdf()
+             -- materializes as float64 and the driver hash sees '1.0' != '1'
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM t
     )
     SELECT user_id, session_id, MIN(us) AS start_us, MAX(us) AS end_us,

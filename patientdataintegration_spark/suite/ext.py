@@ -2531,7 +2531,8 @@ def _q127_sql() -> str:
     return f"""
     WITH scored AS (
       SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
-             -ln(({pr} + 1) / 1000000008.0) / CAST(n_chars AS DOUBLE) AS prio
+             ROUND(-ln(({pr} + 1) / 1000000008.0)
+                   / CAST(n_chars AS DOUBLE), 12) AS prio
       FROM documents WHERE n_chars > 0
     ),
     r AS (
@@ -2865,7 +2866,7 @@ def q133_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(st.t AS BIGINT) AS n_tokens,
            ROUND(CAST(SUM(CAST(ROUND(
              (sc.c / st.t) * ln((sc.c / st.t) / (gc.c / gt.t)), 9)
-             AS DECIMAL(28,12))) AS DOUBLE), 9) AS kl_bits
+             AS DECIMAL(28,12))) AS DOUBLE), 9) + 0.0 AS kl_bits
     FROM sc
     JOIN st ON sc.source = st.source
     JOIN gc ON sc.tok = gc.tok
@@ -2899,7 +2900,8 @@ def q134_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(gc, "tok")
         .crossJoin(F.broadcast(gt))
         .groupBy("source", "t")
-        .agg(F.round(F.sum(term).cast("double"), 9).alias("kl_bits"))
+        # + 0.0 normalizes IEEE negative zero after rounding
+        .agg((F.round(F.sum(term).cast("double"), 9) + F.lit(0.0)).alias("kl_bits"))
         .select(
             "source",
             F.col("t").cast("bigint").alias("n_tokens"),
@@ -3151,7 +3153,7 @@ def _q139_sql() -> str:
             db = f"(CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE) / n)"
             pair_rows.append(
                 f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
-                f" ROUND({num} / sqrt({da} * {db}), 6) AS corr FROM agg"
+                f" ROUND({num} / sqrt({da} * {db}), 6) + 0.0 AS corr FROM agg"
             )
     return "WITH agg AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n" + "\nUNION ALL ".join(pair_rows)
 
@@ -3198,7 +3200,10 @@ def q139_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             num = F.col(f"sp_{a}_{b}").cast("double") - sa * sb / n
             da = F.col(f"ss_{a}").cast("double") - sa * sa / n
             db = F.col(f"ss_{b}").cast("double") - sb * sb / n
-            corr_cols.append(F.round(num / F.sqrt(da * db), 6).alias(f"c_{a}_{b}"))
+            # + 0.0 normalizes IEEE negative zero after rounding
+            corr_cols.append(
+                (F.round(num / F.sqrt(da * db), 6) + F.lit(0.0)).alias(f"c_{a}_{b}")
+            )
             stack_args.append(f"'{a}', '{b}', c_{a}_{b}")
     one = agg.select(*corr_cols)
     n_pairs = len(corr_cols)
@@ -3222,7 +3227,7 @@ def q139_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n.t AS BIGINT) AS n_docs,
            ROUND(CAST(SUM(CAST(ROUND(
              (j.c / n.t) * ln((j.c * n.t) / (CAST(ml.cl AS DOUBLE) * ms.cs)), 9)
-             AS DECIMAL(28,12))) AS DOUBLE), 9) AS mi_nats
+             AS DECIMAL(28,12))) AS DOUBLE), 9) + 0.0 AS mi_nats
     FROM joint j
     JOIN ml ON j.lang = ml.lang
     JOIN ms ON j.source = ms.source
@@ -3255,7 +3260,8 @@ def q140_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ms), "source")
         .crossJoin(F.broadcast(n))
         .groupBy("t")
-        .agg(F.round(F.sum(term).cast("double"), 9).alias("mi_nats"))
+        # + 0.0 normalizes IEEE negative zero after rounding
+        .agg((F.round(F.sum(term).cast("double"), 9) + F.lit(0.0)).alias("mi_nats"))
         .select(F.col("t").cast("bigint").alias("n_docs"), "mi_nats")
     )
 
@@ -3281,14 +3287,16 @@ def q140_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(x * value AS DECIMAL(38,6))) AS sxy
       FROM base GROUP BY user_id
     )
+    -- + 0.0 after ROUND: IEEE -0.0 + 0.0 = +0.0, so a rounded
+    -- difference-of-sums can never stringify as '-0.0' on one engine
     SELECT user_id, CAST(n AS BIGINT) AS n_obs,
            ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-                 6) AS slope,
+                 6) + 0.0 AS slope,
            ROUND((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE)
                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                   * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+                   * CAST(sx AS DOUBLE)) / n, 6) + 0.0 AS intercept
     FROM sums
     WHERE n >= 2 AND n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
     """,
@@ -3331,8 +3339,9 @@ def q141_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("n").cast("bigint").alias("n_obs"),
-            F.round(slope, 6).alias("slope"),
-            F.round(intercept, 6).alias("intercept"),
+            # + 0.0 normalizes IEEE negative zero after rounding
+            (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+            (F.round(intercept, 6) + F.lit(0.0)).alias("intercept"),
         )
     )
 
@@ -3392,8 +3401,9 @@ def q142_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
       FROM lineitem
     )
-    SELECT LEAST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - b.lo)
-                             / (b.hi - b.lo) * 16) AS BIGINT), 15) AS bin,
+    SELECT CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+                ELSE LEAST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - b.lo)
+                             / (b.hi - b.lo) * 16) AS BIGINT), 15) END AS bin,
            COUNT(*) AS n,
            ROUND(MIN(CAST(l_extendedprice AS DOUBLE)), 2) AS bin_min,
            ROUND(MAX(CAST(l_extendedprice AS DOUBLE)), 2) AS bin_max
@@ -3411,9 +3421,16 @@ def q143_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_extendedprice").cast("double")
     b = li.agg(F.min(x).alias("lo"), F.max(x).alias("hi"))
-    binc = F.least(
-        F.floor((x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 16).cast("bigint"),
-        F.lit(15),
+    # hi == lo (constant column / empty table) would divide by zero:
+    # Spark yields NULL/NaN while DuckDB yields inf — guard to a
+    # single bin 0 on both engines instead
+    binc = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor((x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 16).cast(
+                "bigint"
+            ),
+            F.lit(15),
+        )
     )
     return (
         li.crossJoin(F.broadcast(b))

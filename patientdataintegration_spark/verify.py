@@ -40,7 +40,21 @@ def canon(df) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
-def values_equal(a, b) -> bool:
+def strfy(x) -> str:
+    """Driver-style stringification of one value. The driver's value
+    hash stringifies normalized python values, so ``1`` vs ``1.0`` and
+    ``0.0`` vs ``-0.0`` are DIFFERENT even though Python ``==`` says
+    equal — this function is the local stand-in for that hash."""
+    x = _norm(x)
+    if isinstance(x, (list, tuple)):
+        return "[" + ", ".join(strfy(v) for v in x) + "]"
+    return str(x)
+
+
+def tolerance_equal(a, b) -> bool:
+    """Looser-than-hash comparison: Python ``==`` with NaN==NaN, plus
+    a 1e-12 relative float tolerance. Used only to CLASSIFY failures
+    (hash-semantics bug vs genuine value divergence), never to pass."""
     if a is None and b is None:
         return True
     if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
@@ -50,19 +64,7 @@ def values_equal(a, b) -> bool:
             or len(a) != len(b)
         ):
             return False
-        # arrays must be EXACT (no float tolerance): a value-hash
-        # stringifies them, so a last-ulp difference fails
-        return all(
-            x == y
-            or (x is None and y is None)
-            or (
-                isinstance(x, float)
-                and isinstance(y, float)
-                and math.isnan(x)
-                and math.isnan(y)
-            )
-            for x, y in zip(a, b)
-        )
+        return all(tolerance_equal(x, y) for x, y in zip(a, b))
     if isinstance(a, float) or isinstance(b, float):
         try:
             af, bf = float(a), float(b)
@@ -73,12 +75,42 @@ def values_equal(a, b) -> bool:
         if af == bf:
             return True
         return abs(af - bf) <= 1e-12 * max(abs(af), abs(bf))
-    return a == b or str(a) == str(b)
+    return a == b
+
+
+def values_equal(a, b) -> bool:
+    """Exact, hash-faithful equality: stringified values must match
+    (NaN stringifies to 'nan' on both engines, so NaN==NaN holds)."""
+    return strfy(a) == strfy(b)
+
+
+def _dtype_kind(dt) -> str:
+    """Collapse a pandas dtype to a comparison kind: 'i' int-like,
+    'f' float, 'b' bool, 'O' everything else (object/str/struct)."""
+    k = getattr(dt, "kind", "O")
+    if k in ("i", "u"):
+        return "i"
+    return k if k in ("f", "b") else "O"
 
 
 def compare_frames(spark_pdf, duck_pdf) -> list[str]:
-    """Problems list; empty = exact match. 'WARN-INEXACT' entry =
-    tolerance-only float match (a hash gate would fail)."""
+    """Problems list; empty = exact (hash-faithful) match.
+
+    Failure classes, mirroring the driver's gate
+    (harden-the-checker fix for the thrice-recurring q74/q42/q141
+    "builder PASS, driver hash FAIL" bug class):
+
+    - ``schema:`` / ``rowcount:`` — structural mismatch.
+    - ``dtype:`` — int column on one engine, float on the other
+      (e.g. DuckDB HUGEINT → float64 via fetchdf): every non-null
+      value stringifies differently, so the hash fails even when
+      Python ``==`` says the values are equal.
+    - ``HASH-FAIL`` — values compare equal under ``==`` but their
+      stringifications differ (``1`` vs ``1.0``, ``-0.0`` vs ``0.0``).
+    - ``WARN-INEXACT`` — values differ but only within 1e-12 relative
+      tolerance (FP-order noise; the hash would differ too).
+    - ``value:`` — genuine value divergence.
+    """
     problems: list[str] = []
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         problems.append(
@@ -88,31 +120,53 @@ def compare_frames(spark_pdf, duck_pdf) -> list[str]:
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount: spark={len(spark_pdf)} duck={len(duck_pdf)}")
         return problems
+    for c in sorted(spark_pdf.columns):
+        ks, kd = _dtype_kind(spark_pdf[c].dtype), _dtype_kind(duck_pdf[c].dtype)
+        if {ks, kd} == {"i", "f"}:
+            problems.append(
+                f"dtype: column {c!r} spark={spark_pdf[c].dtype} "
+                f"duck={duck_pdf[c].dtype} (int vs float stringifies "
+                f"differently -> driver hash fails)"
+            )
     sa, sb = canon(spark_pdf), canon(duck_pdf)
     n_bad = 0
-    exact = True
+    n_hashfail = 0
+    n_inexact = 0
     for ra, rb in zip(sa, sb):
         for va, vb in zip(ra, rb):
-            if not values_equal(va, vb):
+            if values_equal(va, vb):
+                continue
+            if tolerance_equal(va, vb):
+                # == / tolerance says equal, stringification disagrees
+                try:
+                    strict = _norm(va) == _norm(vb) or (va is None and vb is None)
+                except (TypeError, ValueError):
+                    strict = False
+                if strict:
+                    n_hashfail += 1
+                    if n_hashfail <= 3:
+                        problems.append(
+                            f"HASH-FAIL (==-equal, str differs): "
+                            f"spark={strfy(va)!r} duck={strfy(vb)!r} in {ra}"
+                        )
+                else:
+                    n_inexact += 1
+                    if n_inexact <= 3:
+                        problems.append(
+                            f"WARN-INEXACT (tolerance-only match, hash "
+                            f"would differ): spark={strfy(va)!r} duck={strfy(vb)!r}"
+                        )
+            else:
                 n_bad += 1
                 if n_bad <= 3:
                     problems.append(f"value: spark={ra} duck={rb}")
-                break
-            if isinstance(va, (list, tuple)) or isinstance(vb, (list, tuple)):
-                continue  # elementwise equality already established above
-            if va != vb and not (va is None and vb is None):
-                try:
-                    fa, fb = float(va), float(vb)
-                    if fa != fb and not (math.isnan(fa) and math.isnan(fb)):
-                        exact = False
-                except (TypeError, ValueError):
-                    exact = False
+            break
     if n_bad > 3:
         problems.append(f"... {n_bad} mismatched rows total")
-    if not problems and not exact:
-        problems.append(
-            "WARN-INEXACT: values equal only within tolerance (hash would differ!)"
-        )
+    if n_hashfail > 3:
+        problems.append(f"... {n_hashfail} hash-fail rows total")
+    if n_inexact > 3:
+        problems.append(f"... {n_inexact} tolerance-only rows total")
     return problems
 
 

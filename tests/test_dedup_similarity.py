@@ -491,3 +491,50 @@ def test_paragraph_dedup_stats_hand_computed(spark):
         for r in paragraph_dedup_stats(df, para_tokens=2).collect()
     }
     assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (1, 0, 0.0)}
+
+
+def test_pagerank_checkpoint_dir_single_upstream_execution(spark, tmp_path):
+    """checkpoint_dir materializes the pair producer ONCE: an
+    accumulator-instrumented upstream is executed exactly one time
+    (the parquet write), while the unmaterialized path re-executes it
+    per iteration; results are identical either way."""
+    import pandas as pd
+
+    from patientdataintegration_spark.operators.graph import pagerank
+
+    raw = [(i, i + 1) for i in range(20)] + [(0, 10), (5, 15)]
+    base = spark.createDataFrame(raw, "doc_a long, doc_b long")
+
+    def instrumented(acc):
+        def gen(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return base.mapInPandas(gen, "doc_a long, doc_b long")
+
+    acc_ck = spark.sparkContext.accumulator(0)
+    ck = pagerank(
+        instrumented(acc_ck), iterations=3, checkpoint_dir=str(tmp_path / "pairs")
+    ).collect()
+    assert acc_ck.value == len(raw), "producer must run exactly once"
+
+    acc_no = spark.sparkContext.accumulator(0)
+    plain = pagerank(instrumented(acc_no), iterations=3).collect()
+    assert acc_no.value > len(raw), "unmaterialized path re-executes producer"
+
+    assert sorted(map(tuple, ck)) == sorted(map(tuple, plain))
+
+
+def test_kmeans_checkpoint_dir_matches_unmaterialized(spark, tmp_path):
+    from patientdataintegration_spark.operators.clustering import kmeans_assign
+
+    rows = [
+        (i, [float(i % 3) * 10 + 0.1 * i, float((i * 7) % 5)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = kmeans_assign(df, k=3, iterations=2).collect()
+    b = kmeans_assign(
+        df, k=3, iterations=2, checkpoint_dir=str(tmp_path / "emb")
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

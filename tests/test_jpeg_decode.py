@@ -397,3 +397,22 @@ def test_restart_interval_two_of_four_mcus():
     assert set(plane[:, 8:16].flatten()) == {144}
     assert set(plane[:, 16:24].flatten()) == {120}
     assert set(plane[:, 24:32].flatten()) == {112}
+
+
+def test_truncated_entropy_stream_returns_none():
+    """A JPEG cut mid-entropy-stream must decline (None), not decode
+    fabricated zero-padding bits into plausible garbage pixels: the
+    bit reader's exhausted flag is sticky and checked per block."""
+    blocks = []
+    for dc in (8, 16, -8, 24, 4, -16, 12, 20):
+        b = [0] * 64
+        b[1] = 5 * FLAT_Q[1]  # AC content so the stream has real length
+        b[0] = dc * FLAT_Q[0]
+        blocks.append(b)
+    content = encode_jpeg(64, 8, [(1, 1)], FLAT_Q, {0: blocks})
+    assert decode_baseline_jpeg(content) is not None  # intact decodes
+    # cut inside the entropy segment (past headers, before EOI)
+    for cut in (3, 6, 10):
+        truncated = content[: len(content) - 2 - cut]
+        assert decode_baseline_jpeg(truncated) is None
+        assert decode_jpeg_pixels(truncated) is None

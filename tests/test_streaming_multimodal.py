@@ -43,6 +43,7 @@ def test_multimodal_feature_schema_and_determinism(spark, sf_dir):
         "height",
         "n_bytes",
         "mean_intensity",
+        "decode_status",
     ]
     a = sorted(map(tuple, feats.collect()))
     b = sorted(map(tuple, image_features(tiles.repartition(7)).collect()))
@@ -538,3 +539,49 @@ def test_image_features_real_png_pixels(spark):
         r = feats[f"/synthetic/img/{k}.png"]
         assert (r.width, r.height) == (w, h)
         assert abs(r.mean_intensity - expect) < 1e-12
+
+
+def test_decode_status_mixed_corpus(spark):
+    """decode_status separates real pixel decodes from header-only
+    and fully-stubbed fallbacks on a mixed corpus, so consumers can
+    filter fabricated mean_intensity values instead of trusting them."""
+    import zlib
+
+    from patientdataintegration_spark.operators.multimodal import image_features
+
+    def chunk(cid, body):
+        return len(body).to_bytes(4, "big") + cid + body + b"\x00" * 4
+
+    ihdr = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes([0, 128]))) + chunk(b"IEND", b"")
+    )
+    gif = b"GIF89a" + (9).to_bytes(2, "little") + (7).to_bytes(2, "little")
+    # valid IHDR but palette index 1 with a 1-entry PLTE: pixel decode
+    # declines (guarded, no IndexError), header dims still real
+    bad_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0]))
+        + chunk(b"PLTE", bytes([9, 9, 9]))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 1])))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        [
+            ("real.png", bytearray(png)),
+            ("hdr.gif", bytearray(gif)),
+            ("bad_plte.png", bytearray(bad_plte)),
+            ("junk.bin", bytearray(b"not an image")),
+        ],
+        "path string, content binary",
+    )
+    got = {r.path: r for r in image_features(df).collect()}
+    assert got["real.png"].decode_status == "real"
+    assert abs(got["real.png"].mean_intensity - 128 / 255.0) < 1e-12
+    assert got["hdr.gif"].decode_status == "header"
+    assert (got["hdr.gif"].width, got["hdr.gif"].height) == (9, 7)
+    assert got["bad_plte.png"].decode_status == "header"
+    assert got["junk.bin"].decode_status == "stub"
+    statuses = [r.decode_status for r in got.values()]
+    assert statuses.count("real") == 1 and statuses.count("stub") == 1
