@@ -7,8 +7,11 @@ minimal decoder for the sequential baseline process (the profile
 every camera/tile pipeline emits): DQT/DHT/SOF0/SOS marker parse,
 huffman entropy decode with byte-unstuffing and restart markers,
 dequantize + dezigzag, separable float IDCT, chroma upsampling and
-YCbCr→RGB. Progressive (SOF2), arithmetic coding and 12-bit
-precision are out of scope and return None so callers fall back.
+YCbCr→RGB. Progressive (SOF2, huffman) decodes too — spectral
+selection + successive approximation with per-block coefficient
+state across scans (`decode_progressive_jpeg`, bottom of file).
+Arithmetic coding and 12-bit precision are out of scope and return
+None so callers fall back.
 
 This is the slow path by construction (pure Python, ~1 ms per small
 tile): it runs inside the Arrow-batched `mapInPandas` lane where a
@@ -332,7 +335,12 @@ def _decode_baseline(content: bytes):
                         grids[comp_idx][(my * vs + by) * bw + (mx * hs + bx)] = block
             mcu_count += 1
 
-    # assemble full-resolution planes (nearest upsampling)
+    return w, h, len(comps), _assemble_planes(w, h, comps, hmax, vmax, mcus_x, grids)
+
+
+def _assemble_planes(w, h, comps, hmax, vmax, mcus_x, grids):
+    """Full-resolution per-component planes from per-component grids
+    of decoded 8x8 pixel blocks (nearest-neighbour chroma upsampling)."""
     planes = []
     for ci, (_, hs, vs, _) in enumerate(comps):
         bw = mcus_x * hs
@@ -349,15 +357,17 @@ def _decode_baseline(content: bytes):
                 block = grid[brow * bw + (cx >> 3)]
                 plane[row_base + x] = block[py * 8 + (cx & 7)] if block else 0
         planes.append(plane)
-    return w, h, len(comps), planes
+    return planes
 
 
 def decode_jpeg_pixels(content: bytes):
-    """(width, height, mean_intensity∈[0,1]) from a baseline JPEG —
-    mean over RGB channels after YCbCr conversion (grayscale: mean
-    luma), matching `decode_png_pixels` semantics. None if not
-    decodable baseline."""
+    """(width, height, mean_intensity∈[0,1]) from a baseline OR
+    progressive JPEG — mean over RGB channels after YCbCr conversion
+    (grayscale: mean luma), matching `decode_png_pixels` semantics.
+    None if not decodable."""
     decoded = decode_baseline_jpeg(content)
+    if decoded is None:
+        decoded = decode_progressive_jpeg(content)
     if decoded is None:
         return None
     w, h, ncomp, planes = decoded
@@ -381,3 +391,327 @@ def decode_jpeg_pixels(content: bytes):
             + (0.0 if b < 0 else 255.0 if b > 255 else b)
         )
     return w, h, total / (3 * npix) / 255.0
+
+
+# ------------------------------------------------------------ progressive ---
+#
+# Progressive JPEG (SOF2, huffman): the image is sent as a SEQUENCE of
+# scans, each covering one spectral band (Ss..Se) of one-or-all
+# components at one bit of successive approximation (Ah → Al). The
+# decoder therefore keeps per-block COEFFICIENT state across scans and
+# only dequantizes + IDCTs once, after the last scan:
+#
+#   DC first scan    (Ss=Se=0, Ah=0): huffman DIFF decode, value << Al
+#   DC refinement    (Ss=Se=0, Ah>0): one appended bit per block (|= 1<<Al)
+#   AC first scans   (Ss>0, Ah=0):    RS decode within the band, plus
+#                                     EOBn run-length codes (EOBRUN)
+#   AC refinements   (Ss>0, Ah>0):    correction bit per already-nonzero
+#                                     coefficient; new ones enter ±1<<Al
+#
+# AC scans are single-component by spec; DC scans may be interleaved.
+# Algorithm per ITU T.81 G.2 (the widely-documented successive-
+# approximation control flow, e.g. libjpeg's jdphuff notes).
+
+
+def decode_progressive_jpeg(content: bytes):
+    """Decode a progressive (SOF2, huffman) JPEG.
+
+    Same contract as `decode_baseline_jpeg`: (width, height,
+    n_components, planes) or None (baseline payloads, arithmetic
+    coding, 12-bit, truncated, malformed all decline)."""
+    try:
+        return _decode_progressive(content)
+    except (IndexError, ValueError, KeyError, MemoryError, OverflowError):
+        return None
+
+
+def _ac_first_scan(br, ac_tab, coef, ss, se, al, eobrun):
+    """One block of an Ah=0 AC scan; returns the remaining EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(br, ac_tab)
+        if rs is None:
+            raise ValueError("bad AC symbol")
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.read_bits(r)
+            return eobrun - 1  # current block is part of the run
+        k += r
+        if k > se:
+            raise ValueError("AC run past band")
+        coef[ZIGZAG[k]] = _extend(br.read_bits(s), s) * (1 << al)
+        k += 1
+    return 0
+
+
+def _ac_refine_scan(br, ac_tab, coef, ss, se, al, eobrun):
+    """One block of an Ah>0 AC refinement scan; returns EOBRUN.
+
+    Correction bits interleave with the run structure: every already-
+    nonzero coefficient passed over (including during EOB runs and
+    ZRLs) reads one bit that may add ±1<<Al toward larger magnitude."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(br, ac_tab)
+            if rs is None:
+                raise ValueError("bad AC symbol")
+            r, s = rs >> 4, rs & 0x0F
+            s_val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("refinement size must be 1")
+                s_val = p1 if br.read_bit() else -p1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read_bits(r)
+                break  # remaining coefficients handled in EOBRUN sweep
+            # advance over r zero-history coefficients, correcting
+            # nonzero-history ones along the way
+            while k <= se:
+                pos = ZIGZAG[k]
+                if coef[pos] != 0:
+                    if br.read_bit() and not (coef[pos] & p1):
+                        coef[pos] += p1 if coef[pos] >= 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val and k <= se:
+                coef[ZIGZAG[k]] = s_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            pos = ZIGZAG[k]
+            if coef[pos] != 0:
+                if br.read_bit() and not (coef[pos] & p1):
+                    coef[pos] += p1 if coef[pos] >= 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(content: bytes):
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    restart_interval = 0
+    frame = None  # (w, h, [(cid, hs, vs, tq)])
+    grids = None  # per-comp full-grid coefficient lists (natural order)
+    geom = None  # (hmax, vmax, mcus_x, mcus_y)
+    n_scans = 0
+
+    i, n = 2, len(content)
+    while i + 3 < n:
+        if content[i] != 0xFF:
+            i += 1
+            continue
+        marker = content[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
+        seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+        body = content[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT (same syntax as baseline)
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    quant[tq] = list(body[j : j + 64])
+                    j += 64
+                else:
+                    quant[tq] = [
+                        int.from_bytes(body[j + 2 * k : j + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                    j += 128
+        elif marker == 0xC4:  # DHT — tables may be redefined between scans
+            j = 0
+            while j + 17 <= len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                huff[(tc, th)] = _build_huffman(bits, body[j + 17 : j + 17 + nv])
+                j += 17 + nv
+        elif marker == 0xC2:  # SOF2: progressive huffman
+            if body[0] != 8:
+                return None
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            comps = []
+            for c in range(body[5]):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
+            if not w or not h or w * h > (1 << 24):
+                return None
+            frame = (w, h, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            geom = (hmax, vmax, mcus_x, mcus_y)
+            grids = [
+                [[0] * 64 for _ in range(mcus_x * hs * mcus_y * vs)]
+                for _, hs, vs, _ in comps
+            ]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # baseline/other processes: not this decoder
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS — run one scan, continue after it
+            if frame is None:
+                return None
+            n_scans += 1
+            if n_scans > 64:
+                return None  # hostile scan-count bound
+            w, h, comps = frame
+            ns = body[0]
+            sel = []
+            for s in range(ns):
+                cs = body[1 + 2 * s]
+                tt = body[2 + 2 * s]
+                idx = next((k for k, c in enumerate(comps) if c[0] == cs), None)
+                if idx is None:
+                    return None
+                sel.append((idx, tt >> 4, tt & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if ss > se or se > 63 or (ss == 0 and se != 0 and ns > 1):
+                return None
+            end = _run_progressive_scan(
+                content, i + 2 + seg_len, frame, geom, sel,
+                ss, se, ah, al, huff, restart_interval, grids,
+            )
+            i = end
+            continue
+        i += 2 + seg_len
+
+    if frame is None or grids is None or n_scans == 0 or not quant:
+        return None
+    w, h, comps = frame
+    hmax, vmax, mcus_x, _ = geom
+    pixel_grids = []
+    for ci, (_, hs, vs, tq) in enumerate(comps):
+        q = quant.get(tq)
+        if q is None:
+            return None
+        blocks = []
+        for coef in grids[ci]:
+            dq = [0.0] * 64
+            for k in range(64):
+                c = coef[ZIGZAG[k]]
+                if c:
+                    dq[ZIGZAG[k]] = c * q[k]
+            blocks.append(_idct_block(dq))
+        pixel_grids.append(blocks)
+    return w, h, len(comps), _assemble_planes(
+        w, h, comps, hmax, vmax, mcus_x, pixel_grids
+    )
+
+
+def _run_progressive_scan(
+    content, data_start, frame, geom, sel, ss, se, ah, al,
+    huff, restart_interval, grids,
+):
+    """Execute one scan's entropy data; returns the byte offset just
+    past the consumed entropy segment (next marker search resumes
+    there). Raises ValueError on malformed/truncated data."""
+    w, h, comps = frame
+    hmax, vmax, mcus_x, mcus_y = geom
+    br = _BitReader(content, data_start)
+    eobrun = 0
+
+    if len(sel) > 1:
+        # interleaved: DC band only (enforced by caller)
+        pred = [0] * len(comps)
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    if not br.sync_restart():
+                        raise ValueError("missing restart")
+                    pred = [0] * len(comps)
+                    eobrun = 0
+                for comp_idx, dc_id, _ac_id in sel:
+                    _, hs, vs, _ = comps[comp_idx]
+                    bw = mcus_x * hs
+                    tab = huff.get((0, dc_id)) if ah == 0 else None
+                    if ah == 0 and tab is None:
+                        raise ValueError("missing DC table")
+                    for by in range(vs):
+                        for bx in range(hs):
+                            coef = grids[comp_idx][(my * vs + by) * bw + (mx * hs + bx)]
+                            if ah == 0:
+                                t = _decode_symbol(br, tab)
+                                if t is None:
+                                    raise ValueError("bad DC symbol")
+                                diff = _extend(br.read_bits(t), t) if t else 0
+                                pred[comp_idx] += diff
+                                coef[0] = pred[comp_idx] * (1 << al)
+                            elif br.read_bit():
+                                coef[0] |= 1 << al
+                mcu_count += 1
+    else:
+        comp_idx, dc_id, ac_id = sel[0]
+        _, hs, vs, _ = comps[comp_idx]
+        # non-interleaved: the component's OWN block grid (ceil of its
+        # scaled dimensions), stored into the full interleaved-stride grid
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        bw_ni, bh_ni = -(-cw // 8), -(-ch // 8)
+        bw_full = mcus_x * hs
+        grid = grids[comp_idx]
+        if ss == 0:
+            tab = huff.get((0, dc_id)) if ah == 0 else None
+            if ah == 0 and tab is None:
+                raise ValueError("missing DC table")
+        else:
+            tab = huff.get((1, ac_id))
+            if tab is None:
+                raise ValueError("missing AC table")
+        pred0 = 0
+        blk = 0
+        for byi in range(bh_ni):
+            for bxi in range(bw_ni):
+                if restart_interval and blk and blk % restart_interval == 0:
+                    if not br.sync_restart():
+                        raise ValueError("missing restart")
+                    pred0 = 0
+                    eobrun = 0
+                coef = grid[byi * bw_full + bxi]
+                if ss == 0:
+                    if ah == 0:
+                        t = _decode_symbol(br, tab)
+                        if t is None:
+                            raise ValueError("bad DC symbol")
+                        diff = _extend(br.read_bits(t), t) if t else 0
+                        pred0 += diff
+                        coef[0] = pred0 * (1 << al)
+                    elif br.read_bit():
+                        coef[0] |= 1 << al
+                elif ah == 0:
+                    eobrun = _ac_first_scan(br, tab, coef, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_scan(br, tab, coef, ss, se, al, eobrun)
+                blk += 1
+    if br.exhausted:
+        raise ValueError("truncated entropy stream")
+    return max(br.pos, data_start)

@@ -242,13 +242,13 @@ def _fake_decode(content: bytes) -> tuple[int, int, float]:
 def _decode(content: bytes) -> tuple[int, int, float, str]:
     """(width, height, mean_intensity, decode_status).
 
-    PNG and baseline JPEG: real pixel decode (dims + true mean
-    intensity — stdlib-only decoders, see `decode_png_pixels` and
-    `operators/jpeg.py`) → status 'real'. Other recognized containers
-    (GIF, progressive JPEG): real header dims, stub intensity →
-    status 'header'. Unknown payloads: deterministic stub →
-    status 'stub'. Filter on decode_status before trusting
-    mean_intensity downstream."""
+    PNG and JPEG (baseline AND progressive): real pixel decode (dims
+    + true mean intensity — stdlib-only decoders, see
+    `decode_png_pixels` and `operators/jpeg.py`) → status 'real'.
+    Other recognized containers (GIF, arithmetic/12-bit JPEG): real
+    header dims, stub intensity → status 'header'. Unknown payloads:
+    deterministic stub → status 'stub'. Filter on decode_status
+    before trusting mean_intensity downstream."""
     from patientdataintegration_spark.operators.jpeg import decode_jpeg_pixels
 
     px = decode_png_pixels(content)

@@ -105,8 +105,7 @@ def encode_jpeg(width, height, comps, quant, blocks, restart_interval=0):
                     run -= 16
                 ac_syms.add((run << 4) | _category(b[k]))
                 k += 1
-            else:
-                ac_syms.add(0x00)
+            # no EOB when coefficients run through k=63 (spec F.1.2.2)
     dc_bits, dc_vals, dc_codes = _canonical(sorted(dc_syms))
     ac_bits, ac_vals, ac_codes = _canonical(sorted(ac_syms))
 
@@ -172,9 +171,7 @@ def encode_jpeg(width, height, comps, quant, blocks, restart_interval=0):
                         bw.write(code, L)
                         bw.write(_value_bits(b[k], s), s)
                         k += 1
-                    else:
-                        L, code = ac_codes[0x00]
-                        bw.write(code, L)
+                    # no EOB when coefficients run through k=63
             mcu_idx += 1
     body += bw.flush()
     out += body
@@ -416,3 +413,386 @@ def test_truncated_entropy_stream_returns_none():
         truncated = content[: len(content) - 2 - cut]
         assert decode_baseline_jpeg(truncated) is None
         assert decode_jpeg_pixels(truncated) is None
+
+
+# ------------------------------------------- progressive encoder (tests) ---
+# Independent minimal SOF2 encoder: fixed one-length huffman tables,
+# spectral-selection + successive-approximation scan encoding per
+# ITU T.81 G.1.2 (EOB runs, ZRL folding, buffered correction bits).
+
+_P_DC_SYMS = list(range(12))
+_P_AC_SYMS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+def _prog_tables():
+    dc_bits, dc_vals, dc_codes = _canonical(_P_DC_SYMS)
+    ac_bits, ac_vals, ac_codes = _canonical(_P_AC_SYMS)
+    return (dc_bits, dc_vals, dc_codes), (ac_bits, ac_vals, ac_codes)
+
+
+def _enc_ac_first(bw, band_blocks, al, ac_codes):
+    """band_blocks: list of (already point-transformed) coefficient
+    slices for the scan band, zigzag order."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            L, code = ac_codes[r << 4]
+            bw.write(code, L)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for scaled in band_blocks:
+        nz = [i for i, v in enumerate(scaled) if v]
+        if not nz:
+            eobrun += 1
+            continue
+        flush_eob()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = scaled[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                L, code = ac_codes[0xF0]
+                bw.write(code, L)
+                run -= 16
+            s = _category(v)
+            L, code = ac_codes[(run << 4) | s]
+            bw.write(code, L)
+            bw.write(_value_bits(v, s), s)
+            run = 0
+        if nz[-1] < len(scaled) - 1:
+            eobrun = 1
+    flush_eob()
+
+
+def _enc_ac_refine(bw, blocks_band_raw, al, ac_codes):
+    """blocks_band_raw: per block, the RAW (untransformed) coefficient
+    slice for the band; Al is the bit being sent this scan."""
+    eobrun = 0
+    pending = []
+
+    def emit_eobrun():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            L, code = ac_codes[r << 4]
+            bw.write(code, L)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for bit in pending:
+            bw.write(bit, 1)
+        pending = []
+
+    for raw in blocks_band_raw:
+        absvals = [abs(v) >> al for v in raw]
+        eob = -1
+        for i, t in enumerate(absvals):
+            if t == 1:
+                eob = i
+        r = 0
+        block_bits = []
+        for i, t in enumerate(absvals):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                emit_eobrun()
+                L, code = ac_codes[0xF0]
+                bw.write(code, L)
+                r -= 16
+                for bit in block_bits:
+                    bw.write(bit, 1)
+                block_bits = []
+            if t > 1:
+                block_bits.append(t & 1)
+                continue
+            emit_eobrun()
+            L, code = ac_codes[(r << 4) | 1]
+            bw.write(code, L)
+            bw.write(1 if raw[i] > 0 else 0, 1)
+            r = 0
+            for bit in block_bits:
+                bw.write(bit, 1)
+            block_bits = []
+        if r > 0 or block_bits:
+            eobrun += 1
+            pending.extend(block_bits)
+    emit_eobrun()
+
+
+def encode_progressive_jpeg(width, height, comps, quant, blocks, scans):
+    """Progressive twin of `encode_jpeg`. `blocks`: comp_idx → list of
+    64-int unquantized coefficient lists (zigzag) in RASTER order over
+    the component's full block grid (mcus_x*hs × mcus_y*vs). `scans`:
+    list of (comp_indices, Ss, Se, Ah, Al); multi-component scans must
+    be the DC band."""
+    hmax = max(h for h, _ in comps)
+    vmax = max(v for _, v in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    qb = {
+        ci: [[c // q if q else c for c, q in zip(b, quant)] for b in bs]
+        for ci, bs in blocks.items()
+    }
+    (dc_bits, dc_vals, dc_codes), (ac_bits, ac_vals, ac_codes) = _prog_tables()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(quant))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for ci, (hs, vs) in enumerate(comps):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+
+    for comp_sel, ss, se, ah, al in scans:
+        sos = bytes([len(comp_sel)])
+        for ci in comp_sel:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        bw = _BitWriter()
+        if len(comp_sel) > 1:
+            assert ss == 0 and se == 0
+            pred = {ci: 0 for ci in comp_sel}
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in comp_sel:
+                        hs, vs = comps[ci]
+                        gw = mcus_x * hs
+                        for by in range(vs):
+                            for bx in range(hs):
+                                b = qb[ci][(my * vs + by) * gw + (mx * hs + bx)]
+                                if ah == 0:
+                                    v = b[0] >> al
+                                    diff = v - pred[ci]
+                                    pred[ci] = v
+                                    t = _category(diff)
+                                    L, code = dc_codes[t]
+                                    bw.write(code, L)
+                                    if t:
+                                        bw.write(_value_bits(diff, t), t)
+                                else:
+                                    bw.write((b[0] >> al) & 1, 1)
+        else:
+            ci = comp_sel[0]
+            hs, vs = comps[ci]
+            cw = -(-(width * hs) // hmax)
+            ch = -(-(height * vs) // vmax)
+            bw_ni, bh_ni = -(-cw // 8), -(-ch // 8)
+            gw = mcus_x * hs
+            order = [
+                qb[ci][byi * gw + bxi]
+                for byi in range(bh_ni)
+                for bxi in range(bw_ni)
+            ]
+            if ss == 0:
+                pred0 = 0
+                for b in order:
+                    if ah == 0:
+                        v = b[0] >> al
+                        diff = v - pred0
+                        pred0 = v
+                        t = _category(diff)
+                        L, code = dc_codes[t]
+                        bw.write(code, L)
+                        if t:
+                            bw.write(_value_bits(diff, t), t)
+                    else:
+                        bw.write((b[0] >> al) & 1, 1)
+            elif ah == 0:
+                band = [
+                    [
+                        (abs(b[k]) >> al) * (1 if b[k] >= 0 else -1)
+                        for k in range(ss, se + 1)
+                    ]
+                    for b in order
+                ]
+                _enc_ac_first(bw, band, al, ac_codes)
+            else:
+                band_raw = [[b[k] for k in range(ss, se + 1)] for b in order]
+                _enc_ac_refine(bw, band_raw, al, ac_codes)
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive tests ---
+
+
+def _gray_blocks_16x16():
+    """Four 8x8 blocks with DC + scattered AC content (zigzag order,
+    multiples of q=8 so quantization is exact)."""
+    blocks = []
+    specs = [
+        {0: 16, 1: 5, 7: -3, 20: 7},
+        {0: -24, 2: -6, 33: 2, 63: -2},
+        {0: 40, 5: 9, 18: -11},
+        {0: 8, 1: -1, 40: 3, 41: -3},
+    ]
+    for spec in specs:
+        b = [0] * 64
+        for k, v in spec.items():
+            b[k] = v * FLAT_Q[k]
+        blocks.append(b)
+    return blocks
+
+
+def test_progressive_spectral_selection_matches_baseline():
+    """DC scan + two AC band scans (no successive approximation):
+    final coefficients are identical to the baseline encoding, so the
+    decoded planes must match decode_baseline_jpeg exactly."""
+    from patientdataintegration_spark.operators.jpeg import (
+        decode_progressive_jpeg,
+    )
+
+    blocks = _gray_blocks_16x16()
+    base = decode_baseline_jpeg(
+        encode_jpeg(16, 16, [(1, 1)], FLAT_Q, {0: blocks})
+    )
+    assert base is not None
+    prog = encode_progressive_jpeg(
+        16, 16, [(1, 1)], FLAT_Q, {0: blocks},
+        [([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0)],
+    )
+    got = decode_progressive_jpeg(prog)
+    assert got is not None
+    assert got[:3] == base[:3]
+    assert got[3] == base[3]
+    assert decode_baseline_jpeg(prog) is None  # SOF2 declines in baseline
+
+
+def test_progressive_successive_approximation_matches_baseline():
+    """DC first at Al=1 + DC refinement, AC first at Al=1 + AC
+    refinement to Al=0 — the full successive-approximation control
+    flow (correction bits, newly-nonzero insertion, EOB runs)."""
+    from patientdataintegration_spark.operators.jpeg import (
+        decode_progressive_jpeg,
+    )
+
+    blocks = _gray_blocks_16x16()
+    base = decode_baseline_jpeg(
+        encode_jpeg(16, 16, [(1, 1)], FLAT_Q, {0: blocks})
+    )
+    prog = encode_progressive_jpeg(
+        16, 16, [(1, 1)], FLAT_Q, {0: blocks},
+        [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ],
+    )
+    got = decode_progressive_jpeg(prog)
+    assert got is not None
+    assert got[3] == base[3]
+
+
+def test_progressive_color_interleaved_dc():
+    """4:2:0 color: interleaved DC scan over subsampled grids + three
+    single-component AC scans; planes equal the baseline decode."""
+    from patientdataintegration_spark.operators.jpeg import (
+        decode_progressive_jpeg,
+    )
+
+    y_blocks = _gray_blocks_16x16()
+    cb = [0] * 64
+    cb[0] = 6 * FLAT_Q[0]
+    cb[3] = -4 * FLAT_Q[3]
+    cr = [0] * 64
+    cr[0] = -10 * FLAT_Q[0]
+    cr[9] = 2 * FLAT_Q[9]
+    comps = [(2, 2), (1, 1), (1, 1)]
+    base = decode_baseline_jpeg(
+        encode_jpeg(16, 16, comps, FLAT_Q, {0: y_blocks, 1: [cb], 2: [cr]})
+    )
+    assert base is not None and base[2] == 3
+    prog = encode_progressive_jpeg(
+        16, 16, comps, FLAT_Q, {0: y_blocks, 1: [cb], 2: [cr]},
+        [
+            ([0, 1, 2], 0, 0, 0, 0),
+            ([0], 1, 63, 0, 0),
+            ([1], 1, 63, 0, 0),
+            ([2], 1, 63, 0, 0),
+        ],
+    )
+    got = decode_progressive_jpeg(prog)
+    assert got is not None
+    assert got[3] == base[3]
+
+
+def test_progressive_eobrun_accumulation():
+    """A mostly-empty band across many blocks forces EOBRUN > 1 (EOBn
+    with extra bits) in both first and refinement AC scans."""
+    from patientdataintegration_spark.operators.jpeg import (
+        decode_progressive_jpeg,
+    )
+
+    blocks = []
+    for i in range(8):  # 64x8 image, 8 blocks
+        b = [0] * 64
+        b[0] = (4 * i - 10) * FLAT_Q[0]
+        if i == 5:
+            b[11] = 3 * FLAT_Q[11]
+            b[30] = -5 * FLAT_Q[30]
+        blocks.append(b)
+    base = decode_baseline_jpeg(
+        encode_jpeg(64, 8, [(1, 1)], FLAT_Q, {0: blocks})
+    )
+    prog = encode_progressive_jpeg(
+        64, 8, [(1, 1)], FLAT_Q, {0: blocks},
+        [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ],
+    )
+    got = decode_progressive_jpeg(prog)
+    assert got is not None
+    assert got[3] == base[3]
+
+
+def test_progressive_truncated_returns_none():
+    from patientdataintegration_spark.operators.jpeg import (
+        decode_progressive_jpeg,
+    )
+
+    blocks = _gray_blocks_16x16()
+    prog = encode_progressive_jpeg(
+        16, 16, [(1, 1)], FLAT_Q, {0: blocks},
+        [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],
+    )
+    assert decode_progressive_jpeg(prog) is not None
+    for cut in (3, 8):
+        assert decode_progressive_jpeg(prog[: len(prog) - 2 - cut]) is None
+
+
+def test_progressive_through_image_features(spark):
+    """End-to-end: a progressive JPEG rides the mapInPandas lane with
+    decode_status 'real' and the true flat intensity."""
+    from patientdataintegration_spark.operators.multimodal import image_features
+
+    block = [16 * FLAT_Q[0]] + [0] * 63
+    content = encode_progressive_jpeg(
+        8, 8, [(1, 1)], FLAT_Q, {0: [block]},
+        [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],
+    )
+    df = spark.createDataFrame(
+        [("p.jpg", bytearray(content))], "path string, content binary"
+    )
+    r = image_features(df).collect()[0]
+    assert (r.width, r.height) == (8, 8)
+    assert r.decode_status == "real"
+    assert abs(r.mean_intensity - 144 / 255.0) < 1e-12
