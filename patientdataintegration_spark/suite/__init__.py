@@ -44,9 +44,11 @@ from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
 from patientdataintegration_spark.suite.core import QUERIES as CORE_QUERIES
 from patientdataintegration_spark.suite.ext import ORACLES as EXT_ORACLES
 from patientdataintegration_spark.suite.ext import QUERIES as EXT_QUERIES
+from patientdataintegration_spark.suite.ext2 import ORACLES as EXT2_ORACLES
+from patientdataintegration_spark.suite.ext2 import QUERIES as EXT2_QUERIES
 
-_ALL_QUERIES = {**CORE_QUERIES, **EXT_QUERIES}
-_ALL_ORACLES = {**CORE_ORACLES, **EXT_ORACLES}
+_ALL_QUERIES = {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES}
+_ALL_ORACLES = {**CORE_ORACLES, **EXT_ORACLES, **EXT2_ORACLES}
 
 # The driver-checked prefix, by design exactly 50 names (round-3
 # rotation: r2 reds re-proven, then everything never yet checked).
