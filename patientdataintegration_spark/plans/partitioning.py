@@ -26,10 +26,25 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     DataFrame untouched — zero added shuffle. Deterministic operators
     stay deterministic (every draw/hash in this engine derives from
     row keys, never from partition layout — functions/deterministic).
+
+    The guard probes the OPTIMIZER's size estimate (plan stats /
+    ``maxPartitionBytes``), not ``df.rdd.getNumPartitions()`` — the
+    RDD property forces a full lineage materialization on every call,
+    while plan stats are already computed for file sources. Frames
+    with no size estimate (the 8-EB sentinel) are left untouched:
+    unknown-stats inputs are the big-data side, where widening is a
+    no-op anyway.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    jvm = spark.sparkContext._jvm
+    size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    if size >= (1 << 60):  # no estimate — treat as large, don't widen
+        return df
+    conf = spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    max_bytes = int(jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf))
+    est_partitions = max(1, -(-size // max_bytes))
+    if est_partitions >= target:
         return df
     return df.repartition(target)
 

@@ -26,18 +26,21 @@ Registration order is an explicit PRIORITY list: the driver's
 correctness harness checks a bounded prefix of the registry (50
 entries per round), so the prefix is ROTATED each round to extend
 cumulative coverage. Round 1 checked the core §2 operator queries;
-round 2 checked the events lane + the LLM-pipeline lane (text,
-dedup, similarity, tokenization). The round-3 window holds
-(a) the 8 queries that were red in r2 (6 NTZ-timestamp ERRs + the
-q74 oracle-typing and q110 output-typing fixes), to prove the fixes
-green, (b) every SQL-oracle-backed query never yet inside a window
-(q113-q123 were added after the r2 registry freeze; q60-q73 oddments
-were r1 spillover), (c) the rows-only lanes (streaming, ML,
-multimodal — weaker rows-only driver rows, pytest covers their
-semantics) so they get first-ever driver evidence, and (d) events-
-lane re-proof rows, since the NTZ cast rewrote every events scan.
-Previously-green queries stay registered after the priority block;
-their evidence is CORRECTNESS_r01/r02.json.
+round 2 the events + LLM-pipeline lanes; round 3 the r2 reds, the
+post-freeze additions (q113-q144), and first rows-only evidence.
+The round-4 window holds (a) the two r3 hash-fails re-proven after
+their oracle-normalization fixes (q42 HUGEINT cast, q141 -0.0),
+(b) the 10 rows-only lanes that have NEVER had a driver row in any
+round (q86, q88-q91, q94, q95, q97-q99 — no SQL oracle by nature;
+this completes ever-checked = all registered), (c) the 8 new r4
+queries (q145-q152: equi-depth histogram, pivot, retention, transitions,
+percentiles, orphan audit, streaks, WoW), (d) re-proof rows for
+queries whose text or operator changed this round (q127 priority
+rounding, q143 degenerate-bin guard, q134/q139/q140 -0.0 sweep,
+q130/q132 checkpoint_dir refactor), and (e) the flagship plus the
+oldest-evidence r1 block (q01-q26 families, last checked r1) for
+freshness. Previously-green queries stay registered after the
+priority block; their evidence is CORRECTNESS_r01-r03.json.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -50,76 +53,66 @@ from patientdataintegration_spark.suite.ext2 import QUERIES as EXT2_QUERIES
 _ALL_QUERIES = {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES}
 _ALL_ORACLES = {**CORE_ORACLES, **EXT_ORACLES, **EXT2_ORACLES}
 
-# The driver-checked prefix, by design exactly 50 names (round-3
-# rotation: r2 reds re-proven, then everything never yet checked).
+# The driver-checked prefix, by design exactly 50 names (round-4
+# rotation: see module docstring).
 PRIORITY = [
-    # (a) red in r2 — 6 NTZ-timestamp ERRs + q74 oracle typing +
-    # q110 output typing, all fixed this round; prove them green
-    "q28_asof_join",
+    # (a) r3 hash-fails, fixed this round — prove them green
     "q42_sessionize",
-    "q47_interval_join",
-    "q74_funnel",
-    "q101_upsert_merge",
-    "q102_time_weighted_avg",
-    "q110_inverted_index",
-    # (b) SQL-oracle-backed, never inside a window: post-freeze
-    # additions (salted skew join, incremental rollup/dedup, star CC,
-    # bucketed zero-shuffle join, profiler, cross-corpus LSH, mixture
-    # lane, resampling, vocab coverage) + r1 spillover oddments
-    "q113_salted_join",
-    "q114_incremental_rollup",
-    "q115_components_star",
-    "q116_bucketed_join",
-    "q117_incremental_dedup",
-    "q118_profile",
-    "q119_crosscorpus_neardup",
-    "q120_mixture_weights",
-    "q121_resample_interp",
-    "q122_realize_mixture",
-    "q123_vocab_coverage",
-    "q60_explode_vocab",
-    "q62_moving_frame",
-    "q66_nation_volume",
-    "q67_market_share",
-    "q70_multi_distinct",
-    "q71_first_nth_value",
-    "q73_quality_checks",
-    # (c) never driver-checked: q85 (upgraded to a full SQL oracle
-    # this round) + rows-only lanes (no SQL oracle — pytest covers
-    # semantics; a rows-only driver row beats none)
-    "q85_session_window",
-    "q104_audio_metadata",
-    "q96_stream_sessionize",
-    # (d) operators added this round (all SQL-oracle-backed) —
-    # driver-unproven is the gap that bit round 2, so new queries
-    # enter the window immediately, displacing stream lanes whose
-    # batch twins are hash-checked and stream==batch pytest-pinned
-    "q124_asof_forward",
-    "q125_asof_nearest",
-    "q126_sparse_cosine_pairs",
+    "q141_group_trend",
+    # (b) never-driver-checked rows-only lanes (no SQL oracle by
+    # nature; pytest pins semantics, a rows-only driver row beats
+    # none) — completes ever-checked coverage of the registry
+    "q86_dedup_clusters",
+    "q88_stream_static_enrich",
+    "q89_stream_dedup",
+    "q90_stream_tumbling",
+    "q91_multimodal_features",
+    "q94_random_forest",
+    "q95_approx_distinct",
+    "q97_batch_inference",
+    "q98_ivf_cosine_topk",
+    "q99_stream_stream_join",
+    # (c) new round-4 operators (all SQL-oracle-backed)
+    "q145_equidepth_histogram",
+    "q146_pivot_lang",
+    "q147_retention_cohorts",
+    "q148_markov_transitions",
+    "q149_percentiles",
+    "q150_orphan_audit",
+    "q151_activity_streaks",
+    "q152_wow_change",
+    # (d) query text or operator changed this round — re-prove
     "q127_weighted_sample",
-    "q128_scd2_history",
-    "q129_robust_stats",
-    "q130_pagerank",
-    "q131_paragraph_dedup",
-    "q132_kmeans_assign",
-    "q133_ewma",
+    "q143_histogram",
     "q134_source_kl",
-    "q135_session_funnel",
-    "q136_growth_accounting",
-    "q137_fuzzy_join",
-    "q138_reachability",
     "q139_correlation_matrix",
     "q140_mutual_information",
-    "q141_group_trend",
-    "q142_dedup_impact",
-    "q143_histogram",
-    "q144_event_pmi",
-    # (e) the flagship pipeline under the rewritten events scans
-    # (q63/q48 dropped: q101 subsumes the latest-per-key NTZ re-proof
-    # and q48's output is all-scalar since r2, so its struct-canary
-    # role is moot)
+    "q130_pagerank",
+    "q132_kmeans_assign",
+    # (e) flagship + oldest-evidence r1 block (last checked round 1)
     "q45_full_pipeline",
+    "q01_pricing_summary",
+    "q02_group_scores",
+    "q03_balanced_accuracy",
+    "q04_auroc",
+    "q05_mean_std_over_folds",
+    "q06_impute_mean",
+    "q07_impute_mode",
+    "q08_scale01",
+    "q09_onehot",
+    "q10_bucketize",
+    "q11_fold_assignment",
+    "q12_balance_audit",
+    "q13_sample_per_group",
+    "q14_union_cohorts",
+    "q15_topk_per_group",
+    "q16_naive_fusion",
+    "q17_threshold_sweep",
+    "q19_set_ops",
+    "q23_distinct_agg",
+    "q24_shipping_priority",
+    "q25_local_volume",
+    "q26_path_parsing",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

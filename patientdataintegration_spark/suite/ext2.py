@@ -38,34 +38,41 @@ def _register(name: str, sql: str | None = None):
 
 
 @_register(
-    "q145_rollup_pricing",
+    "q145_equidepth_histogram",
     """
-    SELECT l_returnflag, l_linestatus,
-           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    WITH r AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+             ntile(8) OVER (ORDER BY CAST(l_extendedprice AS DOUBLE),
+                            l_orderkey, l_linenumber) AS bin
+      FROM lineitem
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+           ROUND(MIN(x), 2) AS bin_min, ROUND(MAX(x), 2) AS bin_max
+    FROM r GROUP BY bin
     """,
 )
-def q145_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotals via ROLLUP (flag, status) — the OLAP
-    grouping-sets surface: detail rows, per-flag subtotals, and the
-    grand total in ONE pass with `grouping_id` disambiguating the
-    NULL-key levels. Spark plans rollup as a single expand+aggregate
-    (rows replicated once per grouping set map-side, partial-agged
-    before the shuffle) — no per-level rescans."""
+def q145_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (8 quantile bins of extended price) — the
+    sibling of q143's equi-width bins: bin boundaries adapt to the
+    distribution, so each bin holds the same row count ±1. `ntile`
+    is pure row_number arithmetic over a DETERMINISTIC total order
+    (value + the (orderkey, linenumber) key as tiebreak), hence
+    engine-exact. Scale note: exact global ntile is a range-partition
+    total sort — the oracle-pinnable form; at 100 TB compute bin
+    BOUNDARIES with approx_percentile (mergeable sketch, no global
+    sort) and bucket by boundary instead."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.grouping_id().cast("bigint").alias("grp_id"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_qty"),
-        )
-        .select("l_returnflag", "l_linestatus", "grp_id", "n", "sum_qty")
+    w = Window.orderBy(
+        F.col("l_extendedprice").cast("double"), "l_orderkey", "l_linenumber"
+    )
+    r = li.select(
+        F.col("l_extendedprice").cast("double").alias("x"),
+        F.ntile(8).over(w).alias("bin"),
+    )
+    return r.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("x"), 2).alias("bin_min"),
+        F.round(F.max("x"), 2).alias("bin_max"),
     )
 
 
