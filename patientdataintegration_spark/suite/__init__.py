@@ -33,8 +33,10 @@ their oracle-normalization fixes (q42 HUGEINT cast, q141 -0.0),
 (b) the 10 rows-only lanes that have NEVER had a driver row in any
 round (q86, q88-q91, q94, q95, q97-q99 — no SQL oracle by nature;
 this completes ever-checked = all registered), (c) the 8 new r4
-queries (q145-q152: equi-depth histogram, pivot, retention, transitions,
-percentiles, orphan audit, streaks, WoW), (d) re-proof rows for
+queries (q145-q155: equi-depth histogram, pivot, retention,
+transitions, percentiles, orphan audit, streaks, WoW, snapshot
+diff, A/B z-score, column entropy — the last three take the final
+fill slots), (d) re-proof rows for
 queries whose text or operator changed this round (q127 priority
 rounding, q143 degenerate-bin guard, q134/q139/q140 -0.0 sweep,
 q130/q132 checkpoint_dir refactor), and (e) the flagship plus the
@@ -110,9 +112,11 @@ PRIORITY = [
     "q17_threshold_sweep",
     "q19_set_ops",
     "q23_distinct_agg",
-    "q24_shipping_priority",
-    "q25_local_volume",
-    "q26_path_parsing",
+    # batch-2 additions (snapshot diff / A-B z-score / entropy) take
+    # the last three fill slots: zero driver evidence beats r1 re-proof
+    "q153_snapshot_diff",
+    "q154_abtest_zscore",
+    "q155_column_entropy",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -1,7 +1,8 @@
-"""Round-4 extension suite: OLAP surface breadth (rollup/pivot),
-behavioral analytics (retention, transitions, streaks, trend deltas),
-distribution statistics (exact interpolated percentiles) and data-
-quality audits (referential orphans).
+"""Round-4 extension suite: OLAP surface breadth (equi-depth
+histogram, pivot), behavioral analytics (retention, transitions,
+streaks, trend deltas, A/B z-scores), distribution statistics
+(exact interpolated percentiles, column entropy) and data-quality
+audits (referential orphans, snapshot diff/CDC).
 
 Same exactness contract as `suite/ext.py`: integer-valued sums ride
 exact in doubles/decimals, rounded outputs normalize IEEE -0.0 with
@@ -410,4 +411,218 @@ def q152_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("pct_change"),
+    )
+
+
+# --- snapshot diff (CDC between table versions) -----------------------------
+
+
+@_register(
+    "q153_snapshot_diff",
+    """
+    WITH old_s AS (
+      SELECT c_custkey AS key,
+             CAST(c_acctbal AS DOUBLE) AS bal, c_mktsegment AS seg
+      FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    new_s AS (
+      SELECT c_custkey AS key,
+             CAST(c_acctbal AS DOUBLE) + (c_custkey % 3) AS bal,
+             c_mktsegment AS seg
+      FROM customer WHERE c_custkey % 5 <> 0
+    ),
+    d AS (
+      SELECT COALESCE(o.key, n.key) AS key,
+             CASE WHEN o.key IS NULL THEN 'added'
+                  WHEN n.key IS NULL THEN 'removed'
+                  WHEN o.bal = n.bal AND o.seg = n.seg THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM old_s o FULL OUTER JOIN new_s n ON o.key = n.key
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(key) AS BIGINT) AS min_key,
+           CAST(MAX(key) AS BIGINT) AS max_key
+    FROM d GROUP BY status
+    """,
+)
+def q153_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two table versions — the CDC/audit op a
+    pipeline runs before publishing: full outer join on the key, each
+    row classified added / removed / changed / unchanged by payload
+    comparison. (Snapshots here are deterministic filtered/mutated
+    views of `customer` so the oracle sees identical inputs; in
+    production the two sides are different table versions.) One
+    co-partitioned key join + a 4-row aggregate; the payload compare
+    is column equality, so only keys and compared columns shuffle."""
+    cu = load_table(spark, sf_dir, "customer")
+    old_s = cu.filter(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    new_s = cu.filter(F.col("c_custkey") % 5 != 0).select(
+        F.col("c_custkey").alias("key"),
+        (F.col("c_acctbal").cast("double") + (F.col("c_custkey") % 3)).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    o = old_s.alias("o")
+    n = new_s.alias("n")
+    d = o.join(n, F.col("o.key") == F.col("n.key"), "full_outer").select(
+        F.coalesce(F.col("o.key"), F.col("n.key")).alias("key"),
+        F.when(F.col("o.key").isNull(), F.lit("added"))
+        .when(F.col("n.key").isNull(), F.lit("removed"))
+        .when(
+            (F.col("o.bal") == F.col("n.bal")) & (F.col("o.seg") == F.col("n.seg")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("key").cast("bigint").alias("min_key"),
+        F.max("key").cast("bigint").alias("max_key"),
+    )
+
+
+# --- A/B comparison (Welch z-score) -----------------------------------------
+
+
+@_register(
+    "q154_abtest_zscore",
+    """
+    WITH g AS (
+      SELECT event_type,
+             user_id % 2 AS grp,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss
+      FROM events GROUP BY event_type, user_id % 2
+    ),
+    w AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             a.s / a.n AS mean_a, b.s / b.n AS mean_b,
+             (a.ss - a.s * a.s / a.n) / (a.n - 1) AS var_a,
+             (b.ss - b.s * b.s / b.n) / (b.n - 1) AS var_b
+      FROM g a JOIN g b ON a.event_type = b.event_type
+      WHERE a.grp = 0 AND b.grp = 1
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(mean_a, 6) + 0.0 AS mean_a,
+           ROUND(mean_b, 6) + 0.0 AS mean_b,
+           ROUND((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) + 0.0
+             AS z_score
+    FROM w
+    """,
+)
+def q154_abtest_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-score per event type with users split A/B
+    by key parity — the experiment-analysis primitive. ONE scan, one
+    aggregate on (type, group): sums and sums-of-squares accumulate
+    as exact decimals, so means/variances are deterministic doubles;
+    the tiny per-group frame self-joins A×B (25 rows). Rounded
+    outputs normalize -0.0 (subtraction-derived)."""
+    e = load_table(spark, sf_dir, "events")
+    g = (
+        e.groupBy("event_type", (F.col("user_id") % 2).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("s"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("ss"),
+        )
+    )
+    a = g.filter(F.col("grp") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    b = g.filter(F.col("grp") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    j = a.join(b, "event_type")
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    z = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return j.select(
+        "event_type",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (F.round(mean_a, 6) + F.lit(0.0)).alias("mean_a"),
+        (F.round(mean_b, 6) + F.lit(0.0)).alias("mean_b"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
+    )
+
+
+# --- categorical column entropy ---------------------------------------------
+
+
+@_register(
+    "q155_column_entropy",
+    """
+    WITH u AS (
+      SELECT 'lang' AS col, lang AS val FROM documents
+      UNION ALL
+      SELECT 'source' AS col, source AS val FROM documents
+      UNION ALL
+      SELECT 'event_type' AS col, event_type AS val FROM events
+    ),
+    c AS (SELECT col, val, COUNT(*) AS n FROM u GROUP BY col, val),
+    t AS (SELECT col, SUM(n) AS tot FROM c GROUP BY col)
+    SELECT c.col,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           ROUND(CAST(SUM(CAST(ROUND(
+             -(c.n / t.tot) * ln(c.n / t.tot), 9)
+             AS DECIMAL(28,12))) AS DOUBLE), 9) + 0.0 AS entropy_nats
+    FROM c JOIN t ON c.col = t.col
+    GROUP BY c.col
+    """,
+)
+def q155_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of categorical columns across tables — the
+    profiling signal for cardinality skew (a near-zero-entropy
+     'language' column means one value dominates). Unpivoted column
+    values aggregate once per (col, value); each -p·ln(p) term rounds
+    to 9 digits then decimal-sums (the q134/q140 exactness pattern).
+    The unpivot union is column-pruned: each branch scans ONLY its
+    one source column."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        d.select(F.lit("lang").alias("col"), F.col("lang").alias("val"))
+        .unionByName(
+            d.select(F.lit("source").alias("col"), F.col("source").alias("val"))
+        )
+        .unionByName(
+            e.select(
+                F.lit("event_type").alias("col"), F.col("event_type").alias("val")
+            )
+        )
+    )
+    c = u.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("col").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    term = F.round(-p * F.log(p), 9).cast("decimal(28,12)")
+    return (
+        c.join(F.broadcast(t), "col")
+        .groupBy("col")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            (F.round(F.sum(term).cast("double"), 9) + F.lit(0.0)).alias(
+                "entropy_nats"
+            ),
+        )
     )
