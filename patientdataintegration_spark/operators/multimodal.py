@@ -242,18 +242,22 @@ def _fake_decode(content: bytes) -> tuple[int, int, float]:
 def _decode(content: bytes) -> tuple[int, int, float, str]:
     """(width, height, mean_intensity, decode_status).
 
-    PNG and JPEG (baseline AND progressive): real pixel decode (dims
-    + true mean intensity — stdlib-only decoders, see
-    `decode_png_pixels` and `operators/jpeg.py`) → status 'real'.
-    Other recognized containers (GIF, arithmetic/12-bit JPEG): real
+    PNG, JPEG (baseline AND progressive) and GIF (LZW, first frame):
+    real pixel decode (dims + true mean intensity — stdlib-only
+    decoders, see `decode_png_pixels`, `operators/jpeg.py`,
+    `operators/gif.py`) → status 'real'. Other recognized containers
+    (arithmetic/12-bit JPEG, malformed-but-parseable headers): real
     header dims, stub intensity → status 'header'. Unknown payloads:
     deterministic stub → status 'stub'. Filter on decode_status
     before trusting mean_intensity downstream."""
+    from patientdataintegration_spark.operators.gif import decode_gif_pixels
     from patientdataintegration_spark.operators.jpeg import decode_jpeg_pixels
 
     px = decode_png_pixels(content)
     if px is None:
         px = decode_jpeg_pixels(content)
+    if px is None:
+        px = decode_gif_pixels(content)
     if px is not None:
         return (*px, "real")
     dims = parse_image_header(content)
