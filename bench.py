@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "q130_pagerank",            # unrolled iterative graph dataflow
     "q132_kmeans_assign",       # iterative clustering, broadcast centroids
     "q138_reachability",        # recursive-CTE bounded BFS
+    "q145_equidepth_histogram", # global ntile (range-partition sort)
+    "q147_retention_cohorts",   # window-min cohort + distinct count
+    "q151_activity_streaks",    # gaps-and-islands windows
+    "q153_snapshot_diff",       # full-outer CDC diff
 ]
 
 
