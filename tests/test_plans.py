@@ -530,3 +530,57 @@ def test_scd2_single_shuffle(spark, sf_dir):
     plan = explain_str(df)
     assert count_shuffles(df) == 1, plan
     assert "Join" not in plan
+
+
+def test_ext2_plan_shapes(spark, sf_dir):
+    """Round-4 suite: the plan shapes the docstrings promise.
+
+    - q145: ONE global range-sort window (ntile) + one aggregate
+    - q146: pivot is one scan + partial/final aggregate (2 exchanges
+      max), no distinct-values pre-pass job
+    - q147: ONE events scan (window-min cohort, not agg-join-back)
+    - q151: windows and aggregates share the user_id partitioning
+    - q155: the unpivot union column-prunes each branch to its one
+      source column
+    """
+    from patientdataintegration_spark.suite import QUERIES
+
+    def n_scans(df):
+        # formatted plans print each scan twice (tree line + detail
+        # header) — count only the numbered detail headers
+        return len(re.findall(r"\(\d+\) Scan parquet", explain_str(df)))
+
+    q145 = QUERIES["q145_equidepth_histogram"](spark, sf_dir)
+    assert n_scans(q145) == 1
+
+    q146 = QUERIES["q146_pivot_lang"](spark, sf_dir)
+    assert n_scans(q146) == 1
+    assert count_shuffles(q146) <= 2
+
+    q147 = QUERIES["q147_retention_cohorts"](spark, sf_dir)
+    assert n_scans(q147) == 1, "cohort must not re-scan events"
+    assert count_shuffles(q147) <= 2
+
+    q151 = QUERIES["q151_activity_streaks"](spark, sf_dir)
+    assert n_scans(q151) == 1
+    assert count_shuffles(q151) <= 2
+
+    q155 = QUERIES["q155_column_entropy"](spark, sf_dir)
+    schemas = set(scan_read_schema(q155))  # dedup tree/detail repeats
+    # three branches, each reading exactly one source column
+    assert len(schemas) == 3
+    assert all(s.count(":") == 1 for s in schemas), schemas
+
+
+def test_snapshot_diff_single_scan_pair(spark, sf_dir):
+    """q153: the two snapshot views derive from one table — Spark may
+    scan twice (once per side) but each side is column-pruned to the
+    3 compared columns."""
+    from patientdataintegration_spark.suite import QUERIES
+
+    q153 = QUERIES["q153_snapshot_diff"](spark, sf_dir)
+    schemas = scan_read_schema(q153)
+    assert schemas and all(
+        "c_custkey" in s and "c_name" not in s and "c_address" not in s
+        for s in schemas
+    )
