@@ -110,13 +110,13 @@ PRIORITY = [
     "q15_topk_per_group",
     "q16_naive_fusion",
     "q17_threshold_sweep",
-    "q19_set_ops",
-    "q23_distinct_agg",
-    # batch-2 additions (snapshot diff / A-B z-score / entropy) take
-    # the last three fill slots: zero driver evidence beats r1 re-proof
+    # batch-2/3 additions take the last five fill slots: zero driver
+    # evidence beats r1 re-proof (r1 rows stand in CORRECTNESS_r01)
     "q153_snapshot_diff",
     "q154_abtest_zscore",
     "q155_column_entropy",
+    "q156_quality_verdict",
+    "q157_semantic_dedup",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

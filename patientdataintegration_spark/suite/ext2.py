@@ -626,3 +626,98 @@ def q155_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- composite quality-gate verdict -----------------------------------------
+
+
+@_register(
+    "q156_quality_verdict",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             (length(text) - (len(toks) - 1)) / len(toks) AS avg_token_len,
+             len(list_filter(toks, x -> x IN ('the','a','and','of','to','in')))
+               / len(toks) AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens < 20 THEN 'too_short;' ELSE '' END
+           || CASE WHEN stopword_ratio > 0.5 THEN 'stopword_heavy;' ELSE '' END
+           || CASE WHEN avg_token_len < 3 OR avg_token_len > 8
+                   THEN 'token_len;' ELSE '' END AS reasons,
+           n_tokens >= 20 AND stopword_ratio <= 0.5
+             AND avg_token_len >= 3 AND avg_token_len <= 8 AS keep
+    FROM q
+    """,
+)
+def q156_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality VERDICT with machine-readable reasons —
+    what q38's aggregate filter looks like as a production gate: the
+    pipeline keeps the verdict column (auditable, re-filterable)
+    instead of silently dropping rows. Same one-scan zero-shuffle
+    signal computation (`textops.quality_features`); the reasons
+    string concatenates failed rules in a fixed order so it is
+    hash-stable across engines."""
+    from patientdataintegration_spark.operators.textops import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_features(d)
+    r_short = F.when(F.col("n_tokens") < 20, F.lit("too_short;")).otherwise(F.lit(""))
+    r_stop = F.when(F.col("stopword_ratio") > 0.5, F.lit("stopword_heavy;")).otherwise(
+        F.lit("")
+    )
+    r_len = F.when(
+        (F.col("avg_token_len") < 3) | (F.col("avg_token_len") > 8),
+        F.lit("token_len;"),
+    ).otherwise(F.lit(""))
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("stopword_ratio") <= 0.5)
+        & (F.col("avg_token_len") >= 3)
+        & (F.col("avg_token_len") <= 8)
+    )
+    return q.select(
+        "doc_id",
+        "n_tokens",
+        F.concat(r_short, r_stop, r_len).alias("reasons"),
+        keep.alias("keep"),
+    )
+
+
+# --- semantic dedup (cluster -> canonicalize) --------------------------------
+
+
+def _q157_sql() -> str:
+    from patientdataintegration_spark.suite.ext import _q132_sql
+
+    return f"""
+    WITH assign AS (SELECT * FROM ({_q132_sql()}) t)
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS size,
+           CAST(MIN(vec_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removable
+    FROM assign GROUP BY cluster
+    """
+
+
+@_register("q157_semantic_dedup", _q157_sql())
+def q157_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup report: deterministic k-means over the
+    embedding space (q132's operator) → one canonical vector per
+    cluster (min id) + removable counts — the cluster-then-
+    canonicalize stage of embedding-level dedup, composed from the
+    clustering operator plus one tiny aggregate. The oracle nests
+    q132's unrolled-CTE kmeans inside a subquery, so both engines
+    assign identical clusters before the rollup."""
+    from patientdataintegration_spark.operators.clustering import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_assign(e, k=8, iterations=2)
+    return a.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size"),
+        F.min("vec_id").cast("bigint").alias("canonical_id"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_removable"),
+    )
