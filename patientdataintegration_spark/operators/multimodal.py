@@ -113,15 +113,31 @@ def parse_image_header(content: bytes) -> tuple[int, int] | None:
     return None
 
 
+"""Adam7 pass geometry: (x_start, y_start, x_step, y_step). Each
+pass is an independently-filtered sub-image; every pixel belongs to
+exactly ONE pass, so a mean over all passes equals the image mean
+without needing the de-interlaced positions."""
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def decode_png_pixels(content: bytes) -> tuple[int, int, float] | None:
     """REAL (width, height, mean_intensity∈[0,1]) from a PNG payload —
     stdlib-only pixel decode: chunk walk, zlib inflate of the IDAT
     stream, then per-scanline unfiltering (None/Sub/Up/Average/Paeth,
-    the five filters of the PNG spec). Supports non-interlaced 8-bit
-    images of every color type (gray, RGB, palette, gray+alpha,
-    RGBA); intensity is the mean over color channels (alpha and
-    palette indirection handled). Returns None for anything else
-    (interlaced, 16-bit, truncated) so callers can fall back."""
+    the five filters of the PNG spec). Supports 8-bit images of every
+    color type (gray, RGB, palette, gray+alpha, RGBA), interlaced
+    (Adam7 — each pass unfilters as its own sub-image) or not;
+    intensity is the mean over color channels (alpha and palette
+    indirection handled). Returns None for anything else (16-bit,
+    truncated) so callers can fall back."""
     if len(content) < 45 or content[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     import zlib
@@ -155,7 +171,7 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, float] | None:
         or not height
         or channels is None
         or bit_depth != 8
-        or interlace != 0
+        or interlace not in (0, 1)
         or not idat
         or (color_type == 3 and palette is None)
     ):
@@ -164,62 +180,80 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, float] | None:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = width * channels
-    if len(raw) < height * (stride + 1):
-        return None
-    prev = bytearray(stride)
+
     total = 0
     n_vals = 0
     pos = 0
-    for _ in range(height):
-        ftype = raw[pos]
-        line = bytearray(raw[pos + 1 : pos + 1 + stride])
-        pos += 1 + stride
-        if ftype == 1:  # Sub
-            for x in range(channels, stride):
-                line[x] = (line[x] + line[x - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                a = line[x - channels] if x >= channels else 0
-                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                a = line[x - channels] if x >= channels else 0
-                b = prev[x]
-                c = prev[x - channels] if x >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
-        elif ftype != 0:
+
+    def accumulate_subimage(w: int, h: int) -> bool:
+        """Unfilter + accumulate one sub-image (the whole image, or
+        one Adam7 pass) of w×h pixels starting at `pos` in `raw`."""
+        nonlocal total, n_vals, pos
+        stride = w * channels
+        if len(raw) - pos < h * (stride + 1):
+            return False
+        prev = bytearray(stride)
+        for _ in range(h):
+            ftype = raw[pos]
+            line = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            if ftype == 1:  # Sub
+                for x in range(channels, stride):
+                    line[x] = (line[x] + line[x - channels]) & 0xFF
+            elif ftype == 2:  # Up
+                for x in range(stride):
+                    line[x] = (line[x] + prev[x]) & 0xFF
+            elif ftype == 3:  # Average
+                for x in range(stride):
+                    a = line[x - channels] if x >= channels else 0
+                    line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(stride):
+                    a = line[x - channels] if x >= channels else 0
+                    b = prev[x]
+                    c = prev[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[x] = (line[x] + pred) & 0xFF
+            elif ftype != 0:
+                return False
+            # accumulate color channels only (skip alpha; expand palette)
+            if color_type == 3:
+                if line and max(line) * 3 + 2 >= len(palette):
+                    # palette index beyond PLTE: malformed file —
+                    # decline rather than fail the Spark task
+                    return False
+                for v in line:
+                    base = 3 * v
+                    total += palette[base] + palette[base + 1] + palette[base + 2]
+                    n_vals += 3
+            elif color_type in (0, 2):
+                total += sum(line)
+                n_vals += stride
+            elif color_type == 4:  # gray + alpha: even indices are gray
+                total += sum(line[0::2])
+                n_vals += w
+            else:  # 6: RGBA — drop every 4th byte (alpha)
+                for x in range(0, stride, 4):
+                    total += line[x] + line[x + 1] + line[x + 2]
+                n_vals += 3 * w
+            prev = line
+        return True
+
+    if interlace == 0:
+        if not accumulate_subimage(width, height):
             return None
-        # accumulate color channels only (skip alpha; expand palette)
-        if color_type == 3:
-            if max(line) * 3 + 2 >= len(palette):
-                # palette index beyond PLTE: malformed file — decline
-                # rather than fail the Spark task with an IndexError
+    else:
+        # Adam7: each non-empty pass is its own filtered sub-image;
+        # pixel VALUES (all we need for the mean) appear exactly once
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            if not accumulate_subimage(pw, ph):
                 return None
-            for v in line:
-                base = 3 * v
-                total += palette[base] + palette[base + 1] + palette[base + 2]
-                n_vals += 3
-        elif color_type == 0:
-            total += sum(line)
-            n_vals += stride
-        elif color_type == 2:
-            total += sum(line)
-            n_vals += stride
-        elif color_type == 4:  # gray + alpha: even indices are gray
-            total += sum(line[0::2])
-            n_vals += width
-        else:  # 6: RGBA — drop every 4th byte (alpha)
-            for x in range(0, stride, 4):
-                total += line[x] + line[x + 1] + line[x + 2]
-            n_vals += 3 * width
-        prev = line
     if not n_vals:
         return None
     return width, height, total / n_vals / 255.0

@@ -585,3 +585,59 @@ def test_decode_status_mixed_corpus(spark):
     assert got["junk.bin"].decode_status == "stub"
     statuses = [r.decode_status for r in got.values()]
     assert statuses.count("real") == 1 and statuses.count("stub") == 1
+
+
+def test_png_adam7_interlaced_decode():
+    """An Adam7-interlaced grayscale PNG (independently assembled
+    here: pixels split into the 7 passes, each filtered on its own)
+    decodes to the exact full-image mean."""
+    import zlib
+
+    from patientdataintegration_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    w, h = 11, 7  # odd dims exercise empty/ragged passes
+    pixels = [[(x * 13 + y * 31 + 7) % 256 for x in range(w)] for y in range(h)]
+    passes = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    raw = bytearray()
+    for pi, (x0, y0, dx, dy) in enumerate(passes):
+        rows = [
+            [pixels[y][x] for x in range(x0, w, dx)]
+            for y in range(y0, h, dy)
+        ]
+        if not rows or not rows[0]:
+            continue
+        prev = [0] * len(rows[0])
+        for r in rows:
+            if pi % 2:  # alternate filter types across passes
+                raw.append(2)  # Up
+                raw += bytes((v - p) & 0xFF for v, p in zip(r, prev))
+            else:
+                raw.append(0)  # None
+                raw += bytes(r)
+            prev = r
+
+    def chunk(cid, body):
+        return len(body).to_bytes(4, "big") + cid + body + b"\x00" * 4
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 1])
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    got = decode_png_pixels(png)
+    assert got is not None
+    expect = sum(sum(r) for r in pixels) / (w * h) / 255.0
+    assert got[0] == w and got[1] == h
+    assert abs(got[2] - expect) < 1e-12
+    # truncated interlaced stream declines
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw[: len(raw) // 2])))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(bad) is None
