@@ -60,8 +60,9 @@ def q145_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value + the (orderkey, linenumber) key as tiebreak), hence
     engine-exact. Scale note: exact global ntile is a range-partition
     total sort — the oracle-pinnable form; at 100 TB compute bin
-    BOUNDARIES with approx_percentile (mergeable sketch, no global
-    sort) and bucket by boundary instead."""
+    BOUNDARIES instead and bucket by broadcast edges with no global
+    sort — exactly q55_quantile_binning's shape (swap its exact
+    quantiles for approx_percentile's mergeable sketch)."""
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.orderBy(
         F.col("l_extendedprice").cast("double"), "l_orderkey", "l_linenumber"
