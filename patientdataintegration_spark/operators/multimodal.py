@@ -132,11 +132,12 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, float] | None:
     """REAL (width, height, mean_intensity∈[0,1]) from a PNG payload —
     stdlib-only pixel decode: chunk walk, zlib inflate of the IDAT
     stream, then per-scanline unfiltering (None/Sub/Up/Average/Paeth,
-    the five filters of the PNG spec). Supports 8-bit images of every
-    color type (gray, RGB, palette, gray+alpha, RGBA), interlaced
+    the five filters of the PNG spec). Supports 8- and 16-bit images
+    of every color type (gray, RGB, palette, gray+alpha, RGBA;
+    16-bit scaled by 65535 — the microscopy-tile depth), interlaced
     (Adam7 — each pass unfilters as its own sub-image) or not;
     intensity is the mean over color channels (alpha and palette
-    indirection handled). Returns None for anything else (16-bit,
+    indirection handled). Returns None for anything else (1/2/4-bit,
     truncated) so callers can fall back."""
     if len(content) < 45 or content[:8] != b"\x89PNG\r\n\x1a\n":
         return None
@@ -170,7 +171,8 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, float] | None:
         not width
         or not height
         or channels is None
-        or bit_depth != 8
+        or bit_depth not in (8, 16)
+        or (bit_depth == 16 and color_type == 3)  # spec: no 16-bit palette
         or interlace not in (0, 1)
         or not idat
         or (color_type == 3 and palette is None)
@@ -181,15 +183,21 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, float] | None:
     except zlib.error:
         return None
 
+    sample_bytes = bit_depth // 8
+    bpp = channels * sample_bytes  # filter distance, per spec, in BYTES
+    denom = 255.0 if bit_depth == 8 else 65535.0
     total = 0
     n_vals = 0
     pos = 0
 
     def accumulate_subimage(w: int, h: int) -> bool:
         """Unfilter + accumulate one sub-image (the whole image, or
-        one Adam7 pass) of w×h pixels starting at `pos` in `raw`."""
+        one Adam7 pass) of w×h pixels starting at `pos` in `raw`.
+        Filters operate bytewise at distance `bpp` (so the same code
+        serves 8- and 16-bit depths); accumulation reads samples at
+        the declared depth."""
         nonlocal total, n_vals, pos
-        stride = w * channels
+        stride = w * bpp
         if len(raw) - pos < h * (stride + 1):
             return False
         prev = bytearray(stride)
@@ -198,28 +206,40 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, float] | None:
             line = bytearray(raw[pos + 1 : pos + 1 + stride])
             pos += 1 + stride
             if ftype == 1:  # Sub
-                for x in range(channels, stride):
-                    line[x] = (line[x] + line[x - channels]) & 0xFF
+                for x in range(bpp, stride):
+                    line[x] = (line[x] + line[x - bpp]) & 0xFF
             elif ftype == 2:  # Up
                 for x in range(stride):
                     line[x] = (line[x] + prev[x]) & 0xFF
             elif ftype == 3:  # Average
                 for x in range(stride):
-                    a = line[x - channels] if x >= channels else 0
+                    a = line[x - bpp] if x >= bpp else 0
                     line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
             elif ftype == 4:  # Paeth
                 for x in range(stride):
-                    a = line[x - channels] if x >= channels else 0
+                    a = line[x - bpp] if x >= bpp else 0
                     b = prev[x]
-                    c = prev[x - channels] if x >= channels else 0
+                    c = prev[x - bpp] if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                     line[x] = (line[x] + pred) & 0xFF
             elif ftype != 0:
                 return False
-            # accumulate color channels only (skip alpha; expand palette)
-            if color_type == 3:
+            if bit_depth == 16:
+                # big-endian 16-bit samples; channel layout repeats
+                # per pixel, so select color channels by sample index
+                for si in range(0, stride, 2):
+                    ch = (si // 2) % channels
+                    if color_type == 4 and ch == 1:
+                        continue  # alpha
+                    if color_type == 6 and ch == 3:
+                        continue  # alpha
+                    total += (line[si] << 8) | line[si + 1]
+                    n_vals += 1
+            # 8-bit: accumulate color channels only (skip alpha;
+            # expand palette)
+            elif color_type == 3:
                 if line and max(line) * 3 + 2 >= len(palette):
                     # palette index beyond PLTE: malformed file —
                     # decline rather than fail the Spark task
@@ -256,7 +276,7 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, float] | None:
                 return None
     if not n_vals:
         return None
-    return width, height, total / n_vals / 255.0
+    return width, height, total / n_vals / denom
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, float]:

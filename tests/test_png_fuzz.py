@@ -162,3 +162,81 @@ def test_fuzz_truncated_idat_declines(w, h, seed, cut):
     short = body[: max(0, len(body) - cut)]
     bad = sig_ihdr + _chunk(b"IDAT", short) + _chunk(b"IEND", b"")
     assert decode_png_pixels(bad) is None
+
+
+def encode_png16(width, height, color_type, samples16, filters=None, interlace=0):
+    """16-bit variant: samples16 rows hold w*channels 16-bit values;
+    filtering is bytewise at distance channels*2 per the spec."""
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    bpp = channels * 2
+    raw = bytearray()
+
+    def to_bytes_row(r):
+        out = bytearray()
+        for v in r:
+            out += v.to_bytes(2, "big")
+        return bytes(out)
+
+    def emit(rows):
+        if not rows or not rows[0]:
+            return
+        stride = len(rows[0]) * 2
+        prev = bytes(stride)
+        for yi, r in enumerate(rows):
+            ftype = filters[yi % len(filters)] if filters else 0
+            line = to_bytes_row(r)
+            raw.append(ftype)
+            raw.extend(_filter_line(ftype, line, prev, bpp))
+            prev = line
+
+    if interlace == 0:
+        emit(samples16)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            rows = []
+            for y in range(y0, height, dy):
+                r = []
+                for x in range(x0, width, dx):
+                    r.extend(samples16[y][x * channels : (x + 1) * channels])
+                if r:
+                    rows.append(r)
+            emit(rows)
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([16, color_type, 0, 0, interlace])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 14),
+    h=st.integers(1, 14),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    seed=st.integers(0, 100_000),
+    interlace=st.sampled_from([0, 1]),
+)
+def test_fuzz_16bit_roundtrip(w, h, color_type, seed, interlace):
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    samples = [
+        [((seed * 131 + x * 977 + y * 4099 + c * 31 + x * y) % 65536)
+         for x in range(w) for c in range(channels)]
+        for y in range(h)
+    ]
+    filters = [(seed + k) % 5 for k in range(3)]
+    png = encode_png16(w, h, color_type, samples, filters, interlace)
+    got = decode_png_pixels(png)
+    assert got is not None, (w, h, color_type, interlace)
+    assert (got[0], got[1]) == (w, h)
+    total = n = 0
+    for row in samples:
+        for i, v in enumerate(row):
+            ch = i % channels
+            if (color_type == 4 and ch == 1) or (color_type == 6 and ch == 3):
+                continue
+            total += v
+            n += 1
+    assert abs(got[2] - total / n / 65535.0) < 1e-12
