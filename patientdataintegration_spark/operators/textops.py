@@ -412,22 +412,41 @@ def vocab_coverage(
     token occurrences they cover — the curve that sizes a tokenizer
     vocabulary ("how many types cover 95% of tokens?").
 
-    One scan + one explode + one hash agg on token; the ranking
-    windows run over the (small) type table, not the corpus. Ties
-    rank deterministically by token string (binary collation in both
+    One scan + one explode + one hash agg on token. The global
+    ranking window never sees the full type table (at 100 TB the
+    vocabulary is tens of millions of types — a single-partition
+    sort over it is the bottleneck): each partition first keeps its
+    LOCAL top_n (any global top-n row is necessarily in its own
+    partition's top-n, so no winner can be pruned), and the
+    single-reducer window ranks only ≤ partitions×top_n candidate
+    rows. The total-occurrence denominator is a broadcast 1-row
+    aggregate over the UNPRUNED counts, so cum_share is exact. The
+    candidate set varies with partition layout but the ranked output
+    is layout-invariant (q49's global-top-k argument). Ties rank
+    deterministically by token string (binary collation in both
     Spark and the oracle).
     """
     tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.desc("cnt"), F.asc("token")
+    )
+    cand = (
+        counts.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= top_n)
+        .drop("_lr")
+    )
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    total = Window.partitionBy()
-    ranked = counts.select(
+    ranked = cand.crossJoin(F.broadcast(total)).select(
         "token",
         "cnt",
         F.row_number().over(w).alias("rank"),
         (
-            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double")
-            / F.sum("cnt").over(total)
+            F.sum("cnt")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+            / F.col("tot").cast("double")
         ).alias("cum_share"),
     )
     return ranked.filter(F.col("rank") <= top_n)

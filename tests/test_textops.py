@@ -58,6 +58,13 @@ def test_vocab_coverage_hand_computed(spark):
     assert [rows[i].token for i in (1, 2, 3, 4)] == ["a", "b", "c", "d"]
     assert rows[1].cnt == 4 and rows[2].cnt == 2
     assert rows[1].cum_share == 4 / 8 and rows[4].cum_share == 1.0
+    # local-prune + global-rank is partition-layout invariant, and
+    # top_n smaller than the vocab still yields exact cum_share
+    # (denominator counts ALL occurrences, pruned types included)
+    a = sorted(map(tuple, vocab_coverage(df, top_n=2).collect()))
+    b = sorted(map(tuple, vocab_coverage(df.repartition(7), top_n=2).collect()))
+    assert a == b
+    assert [r[3] for r in a] == [4 / 8, 6 / 8]
 
 
 def test_sparse_cosine_pairs_hand_computed(spark):
