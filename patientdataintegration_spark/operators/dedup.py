@@ -249,6 +249,18 @@ def ngram_jaccard_pairs(
         F.explode("shingles").alias("shingle"),
     ).select(id_col, *block, "n_sh", md5_bigint(F.col("shingle")).alias("sh"))
     group_keys = ["sh", *block]
+    if max_docs_per_shingle is not None:
+        # apply the cap BEFORE collect_list (the inverted-index
+        # discipline): a corpus-hot stop-shingle would otherwise
+        # materialize an O(f)-element array inside one aggregation
+        # buffer before any size filter could drop it. The pre-count
+        # reduces to one long per shingle; the semi join back is
+        # co-partitioned on the same keys, so AQE reuses the exchange.
+        freq = sh.groupBy(*group_keys).agg(F.count(F.lit(1)).alias("_f"))
+        keep = freq.filter(
+            (F.col("_f") > 1) & (F.col("_f") <= max_docs_per_shingle)
+        )
+        sh = sh.join(keep.select(*group_keys), group_keys, "left_semi")
     grouped = (
         sh.groupBy(*group_keys)
         .agg(
@@ -258,8 +270,6 @@ def ngram_jaccard_pairs(
         )
         .filter(F.size("docs") > 1)
     )
-    if max_docs_per_shingle is not None:
-        grouped = grouped.filter(F.size("docs") <= max_docs_per_shingle)
     pairs = grouped.select(
         F.explode(
             F.flatten(
