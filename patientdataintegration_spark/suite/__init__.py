@@ -30,9 +30,11 @@ round 2 the events + LLM-pipeline lanes; round 3 the r2 reds, the
 post-freeze additions (q113-q144), and first rows-only evidence.
 The round-4 window holds (a) the two r3 hash-fails re-proven after
 their oracle-normalization fixes (q42 HUGEINT cast, q141 -0.0),
-(b) the 10 rows-only lanes that have NEVER had a driver row in any
-round (q86, q88-q91, q94, q95, q97-q99 — no SQL oracle by nature;
-this completes ever-checked = all registered), (c) the 8 new r4
+(b) the 10 lanes that have NEVER had a driver row in any round
+(q86, q88-q91, q94, q95, q97-q99; q86 gained a recursive-CTE oracle
+in r4 — full hash row; the other nine have no SQL oracle by nature —
+rows-only; this completes ever-checked = all registered), (c) the
+8 new r4
 queries (q145-q155: equi-depth histogram, pivot, retention,
 transitions, percentiles, orphan audit, streaks, WoW, snapshot
 diff, A/B z-score, column entropy — the last three take the final
@@ -61,9 +63,10 @@ PRIORITY = [
     # (a) r3 hash-fails, fixed this round — prove them green
     "q42_sessionize",
     "q141_group_trend",
-    # (b) never-driver-checked rows-only lanes (no SQL oracle by
-    # nature; pytest pins semantics, a rows-only driver row beats
-    # none) — completes ever-checked coverage of the registry
+    # (b) never-driver-checked lanes — completes ever-checked
+    # coverage of the registry. q86 is fully oracle-checked as of r4
+    # (recursive-CTE twin); the rest have no SQL oracle by nature
+    # (rows-only; pytest pins their semantics)
     "q86_dedup_clusters",
     "q88_stream_static_enrich",
     "q89_stream_dedup",

@@ -813,12 +813,48 @@ def q72_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q86_dedup_clusters")  # no oracle: iterative algorithm
+def _q86_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars, COALESCE(c.label, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    r AS (
+      SELECT doc_id, cluster,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n_chars DESC, doc_id ASC)
+               AS rank_in_cluster
+      FROM labeled
+    )
+    SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+           CAST(rank_in_cluster AS INTEGER) AS rank_in_cluster,
+           rank_in_cluster = 1 AS is_canonical
+    FROM r
+    """
+
+
+@_register("q86_dedup_clusters", _q86_sql())
 def q86_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline tail: LSH candidate pairs → connected
     components → canonical selection. Emits one row per document
-    with (cluster, rank_in_cluster, is_canonical); pytest pins the
-    clustering against a driver-side union-find."""
+    with (cluster, rank_in_cluster, is_canonical). ORACLE-CHECKED
+    since r4: min-label propagation runs to convergence, so its
+    labels equal the DuckDB twin's recursive transitive closure over
+    the same md5-derived LSH pairs (the q115 argument), and the
+    canonical ranking is a deterministic window on (n_chars DESC,
+    doc_id). pytest additionally pins the clustering against a
+    driver-side union-find."""
     from patientdataintegration_spark.operators.dedup import (
         canonicalize_clusters,
         connected_components,
