@@ -49,22 +49,19 @@ def _assign(emb: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def kmeans_centroids(
     df: DataFrame,
     k: int = 8,
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_digits: int = 6,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run `iterations` rounds of deterministic Lloyd's k-means and
-    return the final assignment (id, cluster, squared distance).
-
-    Ties in the argmin break on the cluster index; empty clusters
-    simply stop receiving updates (their centroid row disappears —
-    acceptable for the deterministic-analytics use; a trainer would
-    re-seed them).
+    return the FINAL CENTROIDS (c, cv) — the reusable quantizer
+    frame (IVF coarse quantizers, curriculum buckets) behind
+    `kmeans_assign`. Seeds are the k lowest-id vectors; ties and
+    means are deterministic as documented on `kmeans_assign`.
 
     ``checkpoint_dir``: when set, the (id, vector) projection is
     materialized to parquet there ONCE and every (assign + update)
@@ -109,6 +106,34 @@ def kmeans_assign(
                 lambda s: s["m"],
             ).alias("cv")
         )
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Run `iterations` rounds of deterministic Lloyd's k-means and
+    return the final assignment (id, cluster, squared distance).
+
+    Ties in the argmin break on the cluster index; empty clusters
+    simply stop receiving updates (their centroid row disappears —
+    acceptable for the deterministic-analytics use; a trainer would
+    re-seed them). See `kmeans_centroids` for the quantizer frame
+    and the ``checkpoint_dir`` scale path."""
+    emb = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    centroids = kmeans_centroids(
+        df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col,
+        checkpoint_dir=checkpoint_dir,
+    )
     final = _assign(emb, centroids, id_col)
     return final.select(
         id_col,

@@ -220,43 +220,80 @@ def ivf_cosine_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "ml",
+    quantizer_iterations: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer
     partitions candidates into cells; each query probes its `n_probe`
     nearest cells and exact-reranks only those candidates.
 
     The alternative scale path to `lsh_cosine_topk` (FAISS-style IVF
-    vs random hyperplanes): the quantizer is `pyspark.ml` KMeans (a
-    distributed fit), cell assignment is a plan-native transform, and
-    the probe set per query comes from a broadcast of the tiny
-    centroid table. Shuffle key is the cell id; candidate vectors are
-    read once. Recall grows with n_probe — pytest pins it against the
-    brute-force baseline."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.feature import VectorAssembler  # noqa: F401 (doc pointer)
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    vs random hyperplanes): cell assignment is a plan-native
+    transform, and the probe set per query comes from a broadcast of
+    the tiny centroid table. Shuffle key is the cell id; candidate
+    vectors are read once. Recall grows with n_probe — pytest pins
+    it against the brute-force baseline.
 
-    cand_vec = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        array_to_vector(_as_double(F.col(vec_col))).alias("features"),
-    )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(cand_vec)
-    assigned = model.transform(cand_vec).select(
-        "neighbor_id",
-        "c_vec",
-        F.sqrt(sq_norm(F.col("c_vec"))).alias("c_norm"),
-        "cell",
-    )
+    ``quantizer``: 'ml' fits `pyspark.ml` KMeans (k-means||, fast,
+    engine-specific); 'exact' uses the DETERMINISTIC Lloyd's kmeans
+    (`clustering.kmeans_centroids` — decimal-exact means, lowest-id
+    seeds), which makes the WHOLE query bit-reproducible across
+    engines and partitionings, so a SQL oracle can check it
+    end-to-end (q98)."""
+    if quantizer == "exact":
+        from patientdataintegration_spark.operators.clustering import (
+            _assign,
+            kmeans_centroids,
+        )
 
-    centers = [
-        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    spark = queries.sparkSession
-    centroids = spark.createDataFrame(
-        centers, "cell int, centroid array<double>"
-    )
+        cent = kmeans_centroids(
+            candidates,
+            k=n_cells,
+            iterations=quantizer_iterations,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        emb = candidates.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+        )
+        assigned = _assign(emb, cent, id_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("v").alias("c_vec"),
+            F.sqrt(sq_norm(F.col("v"))).alias("c_norm"),
+            F.col("c").alias("cell"),
+        )
+        centroids = cent.select(
+            F.col("c").alias("cell"), F.col("cv").alias("centroid")
+        )
+    elif quantizer == "ml":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.feature import VectorAssembler  # noqa: F401 (doc pointer)
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        cand_vec = candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            array_to_vector(_as_double(F.col(vec_col))).alias("features"),
+        )
+        km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+        model = km.fit(cand_vec)
+        assigned = model.transform(cand_vec).select(
+            "neighbor_id",
+            "c_vec",
+            F.sqrt(sq_norm(F.col("c_vec"))).alias("c_norm"),
+            "cell",
+        )
+
+        centers = [
+            (int(i), [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
+        spark = queries.sparkSession
+        centroids = spark.createDataFrame(
+            centers, "cell int, centroid array<double>"
+        )
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r} (use 'ml' or 'exact')")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

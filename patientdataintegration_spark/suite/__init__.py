@@ -32,9 +32,9 @@ The round-4 window holds (a) the two r3 hash-fails re-proven after
 their oracle-normalization fixes (q42 HUGEINT cast, q141 -0.0),
 (b) the 10 lanes that have NEVER had a driver row in any round
 (q86, q88-q91, q94, q95, q97-q99; q86 gained a recursive-CTE oracle
-in r4 — full hash row; the other nine have no SQL oracle by nature —
-rows-only; this completes ever-checked = all registered), (c) the
-8 new r4
+and q98 a deterministic-quantizer oracle in r4 — full hash rows; the
+other eight have no SQL oracle by nature — rows-only; this completes
+ever-checked = all registered), (c) the 8 new r4
 queries (q145-q155: equi-depth histogram, pivot, retention,
 transitions, percentiles, orphan audit, streaks, WoW, snapshot
 diff, A/B z-score, column entropy — the last three take the final
@@ -64,9 +64,10 @@ PRIORITY = [
     "q42_sessionize",
     "q141_group_trend",
     # (b) never-driver-checked lanes — completes ever-checked
-    # coverage of the registry. q86 is fully oracle-checked as of r4
-    # (recursive-CTE twin); the rest have no SQL oracle by nature
-    # (rows-only; pytest pins their semantics)
+    # coverage of the registry. q86 (recursive-CTE twin) and q98
+    # (deterministic-quantizer IVF) are fully oracle-checked as of
+    # r4; the rest have no SQL oracle by nature (rows-only; pytest
+    # pins their semantics)
     "q86_dedup_clusters",
     "q88_stream_static_enrich",
     "q89_stream_dedup",

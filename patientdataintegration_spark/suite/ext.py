@@ -238,6 +238,47 @@ COSINE_REDUCE = (
 )
 
 
+_SQDIST_REDUCE = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i])), "
+    "(x, y) -> x + y)"
+)
+
+
+def _kmeans_cte_sql(k: int, iterations: int, dim: int) -> tuple[str, str]:
+    """(CTE chain, final-centroid CTE name) for the deterministic
+    Lloyd's kmeans — shared by the q132 assignment oracle and the
+    q98 IVF oracle (the coarse quantizer is the same computation)."""
+    dist = _SQDIST_REDUCE.format(a="e.embedding", b="c.cv")
+    sql = f"""c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    prev = "c0"
+    for it in range(iterations):
+        sql += f""",
+    a{it} AS (
+      SELECT e.vec_id, e.embedding, c.c,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist} ASC, c.c ASC) AS rn
+      FROM embeddings e CROSS JOIN {prev} c
+    ),
+    m{it} AS (
+      SELECT a.c, r.i AS dim,
+             CAST(SUM(CAST(CAST(a.embedding[r.i] AS DOUBLE)
+                           AS DECIMAL(38,15))) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM (SELECT * FROM a{it} WHERE rn = 1) a
+      CROSS JOIN range(1, {dim + 1}) r(i)
+      GROUP BY a.c, r.i
+    ),
+    c{it + 1} AS (SELECT c, list(m ORDER BY dim) AS cv FROM m{it} GROUP BY c)"""
+        prev = f"c{it + 1}"
+    return sql, prev
+
+
+
 def _rh_sig_sql(vec: str, dim: int, n_planes: int, seed: int) -> str:
     """Random-hyperplane signature as DuckDB SQL, the planes baked in
     as full-precision double literals (repr round-trips exactly, and
@@ -631,15 +672,70 @@ def q97_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_inference(tiles)
 
 
-@_register("q98_ivf_cosine_topk")  # no oracle: approx ANN, recall in pytest
+def _q98_sql(k: int = 3, n_cells: int = 16, n_probe: int = 4,
+             iterations: int = 2, dim: int = 64) -> str:
+    ctes, cent = _kmeans_cte_sql(n_cells, iterations, dim)
+    adist = _SQDIST_REDUCE.format(a="e.embedding", b="c.cv")
+    qdist = _SQDIST_REDUCE.format(a="q.qv", b="c.cv")
+    dotqc = COSINE_REDUCE.format(a="p.qv", b="a.c_vec")
+    dotqq = COSINE_REDUCE.format(a="p.qv", b="p.qv")
+    dotcc = COSINE_REDUCE.format(a="a.c_vec", b="a.c_vec")
+    return f"""
+    WITH {ctes},
+    asg AS (
+      SELECT e.vec_id AS neighbor_id,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c_vec,
+             c.c AS cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {adist} ASC, c.c ASC) AS rn
+      FROM embeddings e CROSS JOIN {cent} c
+    ),
+    a AS (SELECT neighbor_id, c_vec, cell FROM asg WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    qp AS (
+      SELECT q.query_id, q.qv, c.c AS cell,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {qdist} ASC, c.c ASC) AS pr
+      FROM q CROSS JOIN {cent} c
+    ),
+    p AS (SELECT query_id, qv, cell FROM qp WHERE pr <= {n_probe}),
+    pairs AS (
+      SELECT p.query_id, a.neighbor_id,
+             round({dotqc} / (sqrt({dotqq}) * sqrt({dotcc})), 4) AS cos_sim
+      FROM a JOIN p USING (cell)
+      WHERE p.query_id <> a.neighbor_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= {k}
+    """
+
+
+@_register("q98_ivf_cosine_topk", _q98_sql())
 def q98_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FAISS-style IVF ANN: KMeans coarse quantizer + n_probe cells
-    + exact rerank (the sibling scale path to q93's hyperplane LSH)."""
+    """FAISS-style IVF ANN: kmeans coarse quantizer + n_probe cells
+    + exact rerank (the sibling scale path to q93's hyperplane LSH).
+    ORACLE-CHECKED since r4: the quantizer is the DETERMINISTIC
+    Lloyd's kmeans (`clustering.kmeans_centroids`, decimal-exact
+    means), so cells, probe sets, and the reranked top-k are
+    bit-reproducible and the DuckDB twin unrolls the same
+    centroids → assign → probe → rerank pipeline (pyspark.ml KMeans
+    remains available via `quantizer='ml'` for k-means|| speed when
+    cross-engine reproducibility isn't required)."""
     from patientdataintegration_spark.operators.similarity import ivf_cosine_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
-    return ivf_cosine_topk(q, e, k=3, n_cells=16, n_probe=4, seed=42)
+    return ivf_cosine_topk(
+        q, e, k=3, n_cells=16, n_probe=4, seed=42, quantizer="exact"
+    ).withColumnRenamed("rank", "rnk")
 
 
 @_register(
@@ -2767,42 +2863,11 @@ def q131_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- deterministic k-means clustering ---------------------------------------
 
 
-_SQDIST_REDUCE = (
-    "list_reduce(list_transform(range(1, len({a}) + 1), "
-    "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i])), "
-    "(x, y) -> x + y)"
-)
-
-
 def _q132_sql(k: int = 8, iterations: int = 2, dim: int = 64) -> str:
     dist = _SQDIST_REDUCE.format(a="e.embedding", b="c.cv")
-    sql = f"""
-    WITH c0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
-    )"""
-    prev = "c0"
-    for it in range(iterations):
-        sql += f""",
-    a{it} AS (
-      SELECT e.vec_id, e.embedding, c.c,
-             row_number() OVER (PARTITION BY e.vec_id
-                                ORDER BY {dist} ASC, c.c ASC) AS rn
-      FROM embeddings e CROSS JOIN {prev} c
-    ),
-    m{it} AS (
-      SELECT a.c, r.i AS dim,
-             CAST(SUM(CAST(CAST(a.embedding[r.i] AS DOUBLE)
-                           AS DECIMAL(38,15))) AS DOUBLE)
-               / COUNT(*) AS m
-      FROM (SELECT * FROM a{it} WHERE rn = 1) a
-      CROSS JOIN range(1, {dim + 1}) r(i)
-      GROUP BY a.c, r.i
-    ),
-    c{it + 1} AS (SELECT c, list(m ORDER BY dim) AS cv FROM m{it} GROUP BY c)"""
-        prev = f"c{it + 1}"
-    return sql + f""",
+    ctes, prev = _kmeans_cte_sql(k, iterations, dim)
+    return f"""
+    WITH {ctes},
     fin AS (
       SELECT e.vec_id, c.c,
              {dist} AS dist,

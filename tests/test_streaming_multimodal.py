@@ -249,6 +249,24 @@ def test_ivf_ann_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # the deterministic (oracle-checkable) quantizer holds the same
+    # recall bar and is partition-layout invariant
+    det = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(
+            q, e, k=3, n_cells=16, n_probe=4, quantizer="exact"
+        ).collect()
+    }
+    det_recall = len(exact & det) / len(exact)
+    assert det_recall >= 0.4, f"exact-quantizer recall too low: {det_recall}"
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(
+            q.repartition(7), e.repartition(5), k=3, n_cells=16, n_probe=4,
+            quantizer="exact",
+        ).collect()
+    }
+    assert det == again
 
 
 def test_stream_stream_join_matches_batch(spark, sf_dir):
