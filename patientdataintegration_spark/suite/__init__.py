@@ -113,14 +113,14 @@ PRIORITY = [
     "q14_union_cohorts",
     "q15_topk_per_group",
     "q16_naive_fusion",
-    "q17_threshold_sweep",
-    # batch-2/3 additions take the last five fill slots: zero driver
+    # batch-2/3 additions take the last six fill slots: zero driver
     # evidence beats r1 re-proof (r1 rows stand in CORRECTNESS_r01)
     "q153_snapshot_diff",
     "q154_abtest_zscore",
     "q155_column_entropy",
     "q156_quality_verdict",
     "q157_semantic_dedup",
+    "q158_best_split",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -722,3 +722,136 @@ def q157_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").cast("bigint").alias("canonical_id"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_removable"),
     )
+
+
+# --- univariate split screening (decision-stump search) ---------------------
+
+_Q158_FEATURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_Q158_CUTS = 7  # equi-width candidate thresholds per feature
+
+
+def _q158_sql() -> str:
+    unpivot = "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS feature, CAST({c} AS DOUBLE) AS x,"
+        f" CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem"
+        for c in _Q158_FEATURES
+    )
+    ent = (
+        "CASE WHEN {p} <= 0 OR {p} >= 1 THEN 0.0 "
+        "ELSE -({p}) * ln({p}) - (1 - ({p})) * ln(1 - ({p})) END"
+    )
+    p_all = "CAST(pos_le + pos_gt AS DOUBLE) / (n_le + n_gt)"
+    p_le = "CAST(pos_le AS DOUBLE) / n_le"
+    p_gt = "CAST(pos_gt AS DOUBLE) / n_gt"
+    return f"""
+    WITH u AS ({unpivot}),
+    b AS (SELECT feature, MIN(x) AS lo, MAX(x) AS hi FROM u GROUP BY feature),
+    t AS (
+      SELECT b.feature, b.lo + k.i * (b.hi - b.lo) / {_Q158_CUTS + 1} AS thr
+      FROM b CROSS JOIN range(1, {_Q158_CUTS + 1}) k(i)
+    ),
+    agg AS (
+      SELECT u.feature, t.thr,
+             COUNT(*) FILTER (WHERE u.x <= t.thr) AS n_le,
+             SUM(u.y) FILTER (WHERE u.x <= t.thr) AS pos_le,
+             COUNT(*) FILTER (WHERE u.x > t.thr) AS n_gt,
+             SUM(u.y) FILTER (WHERE u.x > t.thr) AS pos_gt
+      FROM u JOIN t ON u.feature = t.feature
+      GROUP BY u.feature, t.thr
+    ),
+    g AS (
+      SELECT feature, thr, n_le, n_gt,
+             ROUND({ent.format(p=p_all)}
+                   - (CAST(n_le AS DOUBLE) / (n_le + n_gt)) * {ent.format(p=p_le)}
+                   - (CAST(n_gt AS DOUBLE) / (n_le + n_gt)) * {ent.format(p=p_gt)},
+                   9) + 0.0 AS gain
+      FROM agg WHERE n_le > 0 AND n_gt > 0
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY feature
+                                   ORDER BY gain DESC, thr ASC) AS rn
+      FROM g
+    )
+    SELECT feature, ROUND(thr, 6) + 0.0 AS threshold,
+           CAST(n_le AS BIGINT) AS n_le, CAST(n_gt AS BIGINT) AS n_gt, gain
+    FROM r WHERE rn = 1
+    """
+
+
+@_register("q158_best_split", _q158_sql())
+def q158_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best univariate split per feature by information gain — the
+    decision-stump search (feature screening, the deterministic
+    SQL-native cousin of the q94 random-forest lane; reference
+    analogue: the notebook's feature-importance analysis). Candidate
+    thresholds are 7 equi-width cuts from each feature's
+    broadcast min/max (IEEE-exact arithmetic), labels are the binary
+    return flag; ONE unpivot scan per feature feeds a (feature, thr)
+    conditional aggregation (28 cells, map-side partialed), and
+    entropies are deterministic doubles from identical integer
+    counts, so gains hash-match cross-engine after rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = None
+    for c in _Q158_FEATURES:
+        part = li.select(
+            F.lit(c).alias("feature"),
+            F.col(c).cast("double").alias("x"),
+            F.when(F.col("l_returnflag") == "R", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("y"),
+        )
+        u = part if u is None else u.unionByName(part)
+    b = u.groupBy("feature").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    ks = spark.range(1, _Q158_CUTS + 1).select(F.col("id").alias("i"))
+    t = b.crossJoin(F.broadcast(ks)).select(
+        "feature",
+        (
+            F.col("lo")
+            + F.col("i") * (F.col("hi") - F.col("lo")) / F.lit(_Q158_CUTS + 1)
+        ).alias("thr"),
+    )
+    agg = (
+        u.join(F.broadcast(t), "feature")
+        .groupBy("feature", "thr")
+        .agg(
+            F.count(F.when(F.col("x") <= F.col("thr"), 1)).alias("n_le"),
+            F.sum(F.when(F.col("x") <= F.col("thr"), F.col("y"))).alias("pos_le"),
+            F.count(F.when(F.col("x") > F.col("thr"), 1)).alias("n_gt"),
+            F.sum(F.when(F.col("x") > F.col("thr"), F.col("y"))).alias("pos_gt"),
+        )
+        .filter((F.col("n_le") > 0) & (F.col("n_gt") > 0))
+    )
+
+    def ent(p):
+        return F.when((p <= 0) | (p >= 1), F.lit(0.0)).otherwise(
+            -p * F.log(p) - (1 - p) * F.log(1 - p)
+        )
+
+    n = (F.col("n_le") + F.col("n_gt")).cast("double")
+    p_all = (F.col("pos_le") + F.col("pos_gt")).cast("double") / n
+    p_le = F.col("pos_le").cast("double") / F.col("n_le").cast("double")
+    p_gt = F.col("pos_gt").cast("double") / F.col("n_gt").cast("double")
+    gain = (
+        ent(p_all)
+        - (F.col("n_le").cast("double") / n) * ent(p_le)
+        - (F.col("n_gt").cast("double") / n) * ent(p_gt)
+    )
+    g = agg.select(
+        "feature",
+        "thr",
+        "n_le",
+        "n_gt",
+        (F.round(gain, 9) + F.lit(0.0)).alias("gain"),
+    )
+    w = Window.partitionBy("feature").orderBy(F.col("gain").desc(), F.col("thr").asc())
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "feature",
+            (F.round(F.col("thr"), 6) + F.lit(0.0)).alias("threshold"),
+            F.col("n_le").cast("bigint").alias("n_le"),
+            F.col("n_gt").cast("bigint").alias("n_gt"),
+            "gain",
+        )
+    )
