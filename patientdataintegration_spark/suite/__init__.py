@@ -34,11 +34,12 @@ their oracle-normalization fixes (q42 HUGEINT cast, q141 -0.0),
 (q86, q88-q91, q94, q95, q97-q99; q86 gained a recursive-CTE oracle
 and q98 a deterministic-quantizer oracle in r4 — full hash rows; the
 other eight have no SQL oracle by nature — rows-only; this completes
-ever-checked = all registered), (c) the 8 new r4
-queries (q145-q155: equi-depth histogram, pivot, retention,
+ever-checked = all registered), (c) the 14 new r4
+queries (q145-q158: equi-depth histogram, pivot, retention,
 transitions, percentiles, orphan audit, streaks, WoW, snapshot
-diff, A/B z-score, column entropy — the last three take the final
-fill slots), (d) re-proof rows for
+diff, A/B z-score, column entropy, quality verdict, semantic dedup,
+best-split screening — the last six take the final fill slots),
+(d) re-proof rows for
 queries whose text or operator changed this round (q127 priority
 rounding, q143 degenerate-bin guard, q134/q139/q140 -0.0 sweep,
 q130/q132 checkpoint_dir refactor), and (e) the flagship plus the
