@@ -1,0 +1,56 @@
+"""Per-query bench regression report from BENCH_HISTORY.jsonl.
+
+Compares the LAST entry against a baseline entry (default: the
+fastest prior run per query, which filters machine-load noise — the
+r3 lesson: a loaded box shows uniform +30-50% that looks like a
+regression). Prints queries above the threshold ratio.
+
+Usage: python tools/bench_diff.py [threshold=1.25]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def main() -> int:
+    threshold = float(sys.argv[1]) if len(sys.argv) > 1 else 1.25
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "BENCH_HISTORY.jsonl")
+    entries = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            if d.get("queries"):
+                entries.append(d)
+    if len(entries) < 2:
+        print("need at least two bench entries with per-query timings")
+        return 0
+    last = entries[-1]
+    best_prior: dict[str, float] = {}
+    for e in entries[:-1]:
+        for q, v in e["queries"].items():
+            if q not in best_prior or v < best_prior[q]:
+                best_prior[q] = v
+    flagged = []
+    for q, v in sorted(last["queries"].items()):
+        base = best_prior.get(q)
+        if base and v / base >= threshold:
+            flagged.append((q, base, v, v / base))
+    print(f"last total={last['value']}s warm={last.get('value_warm')}s "
+          f"({len(last['queries'])} queries); threshold={threshold}x vs best prior")
+    if not flagged:
+        print("no per-query regressions above threshold")
+        return 0
+    for q, base, v, r in flagged:
+        print(f"  {q}: best-prior {base}s -> {v}s ({r:.2f}x)")
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
