@@ -49,6 +49,21 @@ def _assign(emb: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _emb_frame(
+    df: DataFrame, id_col: str, vec_col: str, checkpoint_dir: str | None
+) -> DataFrame:
+    """(id, double-vector) projection, optionally parquet-materialized
+    so iterative consumers re-scan instead of re-executing upstream."""
+    emb = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    if checkpoint_dir is not None:
+        emb.write.mode("overwrite").parquet(checkpoint_dir)
+        emb = df.sparkSession.read.parquet(checkpoint_dir)
+    return emb
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int = 8,
@@ -69,17 +84,17 @@ def kmeans_centroids(
     plan — the 100-TB path when the embedding producer is expensive.
     Parquet severs the lineage without the `.persist()` trap
     (persist blocks AQE runtime stats; see graph.pagerank)."""
+    emb = _emb_frame(df, id_col, vec_col, checkpoint_dir)
+    return _centroids_from_emb(emb, k, iterations, id_col)
+
+
+def _centroids_from_emb(
+    emb: DataFrame, k: int, iterations: int, id_col: str
+) -> DataFrame:
     # Deliberately NOT persisted although it is consumed once per
     # assignment round: measured SLOWER with persist at sf0.1 — the
     # cache boundary hides runtime stats from AQE on every downstream
     # join, which costs more than re-running the cheap scan+cast.
-    emb = df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    if checkpoint_dir is not None:
-        emb.write.mode("overwrite").parquet(checkpoint_dir)
-        emb = df.sparkSession.read.parquet(checkpoint_dir)
     w_seed = Window.orderBy(id_col)
     centroids = (
         emb.orderBy(id_col)
@@ -125,15 +140,12 @@ def kmeans_assign(
     simply stop receiving updates (their centroid row disappears —
     acceptable for the deterministic-analytics use; a trainer would
     re-seed them). See `kmeans_centroids` for the quantizer frame
-    and the ``checkpoint_dir`` scale path."""
-    emb = df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    centroids = kmeans_centroids(
-        df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col,
-        checkpoint_dir=checkpoint_dir,
-    )
+    and the ``checkpoint_dir`` scale path — the final assignment
+    reads the SAME (possibly checkpointed) frame as the iterations,
+    so with checkpoint_dir set the upstream producer executes once
+    total."""
+    emb = _emb_frame(df, id_col, vec_col, checkpoint_dir)
+    centroids = _centroids_from_emb(emb, k, iterations, id_col)
     final = _assign(emb, centroids, id_col)
     return final.select(
         id_col,

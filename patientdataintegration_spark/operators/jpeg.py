@@ -228,6 +228,8 @@ def _decode_baseline(content: bytes):
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
+            if ncomp > 4:
+                return None  # hostile-header allocation bound (see SOF2)
             comps = []
             for c in range(ncomp):
                 cid = body[6 + 3 * c]
@@ -554,6 +556,11 @@ def _decode_progressive(content: bytes):
                 return None
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            if body[5] > 4:
+                # JFIF/EXIF images carry <= 4 components; a hostile
+                # header declaring up to 255 would multiply the
+                # coefficient-grid allocation below past any w*h bound
+                return None
             comps = []
             for c in range(body[5]):
                 cid = body[6 + 3 * c]
@@ -594,7 +601,13 @@ def _decode_progressive(content: bytes):
                 sel.append((idx, tt >> 4, tt & 0x0F))
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
-            if ss > se or se > 63 or (ss == 0 and se != 0 and ns > 1):
+            # band validity (T.81 G.1.1.1.1): DC scans are exactly
+            # Ss=Se=0; AC scans (Ss>=1) are single-component only —
+            # anything else would misparse the entropy stream with
+            # the wrong table and return garbage as a 'real' decode
+            if se > 63 or ss > se or (ss == 0 and se != 0):
+                return None
+            if ns > 1 and (ss != 0 or se != 0):
                 return None
             end = _run_progressive_scan(
                 content, i + 2 + seg_len, frame, geom, sel,

@@ -56,9 +56,11 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("mean_intensity", DoubleType()),
         # provenance of the decoded values, so stub fallbacks are
         # filterable instead of silently plausible:
-        #   'real'   — true pixel decode (PNG or baseline JPEG)
-        #   'header' — real dims from the container header, STUB intensity
-        #              (GIF / progressive JPEG: no pixel decoder)
+        #   'real'   — true pixel decode (PNG 8/16-bit incl. Adam7,
+        #              JPEG baseline AND progressive, GIF LZW)
+        #   'header' — real dims from the container header, STUB
+        #              intensity (arithmetic/12-bit JPEG, malformed-
+        #              but-parseable payloads)
         #   'stub'   — unknown container, dims AND intensity are fake
         StructField("decode_status", StringType()),
     ]

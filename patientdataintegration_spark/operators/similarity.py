@@ -85,9 +85,13 @@ def cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(
-            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
-            round_digits,
+        (
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_digits,
+            )
+            + F.lit(0.0)  # normalize IEEE -0.0 (the q141 lesson)
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -135,9 +139,12 @@ def neardup_pairs(
             "block",
             "vec_a",
             "vec_b",
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-                round_digits,
+            (
+                F.round(
+                    dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                    round_digits,
+                )
+                + F.lit(0.0)  # normalize IEEE -0.0 (the q141 lesson)
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -196,9 +203,13 @@ def lsh_cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(
-            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
-            4,
+        (
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                4,
+            )
+            + F.lit(0.0)  # normalize IEEE -0.0 (the q141 lesson)
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -319,9 +330,13 @@ def ivf_cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(
-            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
-            4,
+        (
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                4,
+            )
+            + F.lit(0.0)  # normalize IEEE -0.0 (the q141 lesson)
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -27,24 +27,30 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     stay deterministic (every draw/hash in this engine derives from
     row keys, never from partition layout — functions/deterministic).
 
-    The guard probes the OPTIMIZER's size estimate (plan stats /
-    ``maxPartitionBytes``), not ``df.rdd.getNumPartitions()`` — the
-    RDD property forces a full lineage materialization on every call,
-    while plan stats are already computed for file sources. Frames
-    with no size estimate (the 8-EB sentinel) are left untouched:
-    unknown-stats inputs are the big-data side, where widening is a
-    no-op anyway.
+    The guard probes the OPTIMIZER's size estimate first (plan stats
+    / ``maxPartitionBytes``): for the at-scale case — a big file scan
+    — the estimate alone says "already wide" and the function returns
+    with NO work (the old ``df.rdd.getNumPartitions()`` probe forced
+    a full lineage materialization on every call). Only when the
+    estimate says the input is small (or is the 8-EB unknown-stats
+    sentinel, e.g. some join products) does it fall back to the
+    accurate RDD partition count to decide — at that point the frame
+    is small or we are about to pay a shuffle anyway, so the probe is
+    noise, and the accurate count also prevents a redundant
+    repartition of an already-wide small frame.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     jvm = spark.sparkContext._jvm
     size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-    if size >= (1 << 60):  # no estimate — treat as large, don't widen
-        return df
-    conf = spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
-    max_bytes = int(jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf))
-    est_partitions = max(1, -(-size // max_bytes))
-    if est_partitions >= target:
+    if size < (1 << 60):  # a real estimate
+        conf = spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        max_bytes = int(
+            jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf)
+        )
+        if max(1, -(-size // max_bytes)) >= target:
+            return df  # the 100-TB fast path: no probe, no shuffle
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 

@@ -312,7 +312,7 @@ _Q36_PLANES = 4
              round(
                {COSINE_REDUCE.format(a='qv', b='cv')}
                / (sqrt({COSINE_REDUCE.format(a='qv', b='qv')})
-                  * sqrt({COSINE_REDUCE.format(a='cv', b='cv')})), 4) AS cos_sim
+                  * sqrt({COSINE_REDUCE.format(a='cv', b='cv')})), 4) + 0.0 AS cos_sim
       FROM c JOIN q USING (sig) WHERE query_id <> neighbor_id
     ),
     r AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -472,7 +472,7 @@ def _q93_sql() -> str:
              round(
                {COSINE_REDUCE.format(a='qv', b='cv')}
                / (sqrt({COSINE_REDUCE.format(a='qv', b='qv')})
-                  * sqrt({COSINE_REDUCE.format(a='cv', b='cv')})), 4) AS cos_sim
+                  * sqrt({COSINE_REDUCE.format(a='cv', b='cv')})), 4) + 0.0 AS cos_sim
       FROM c JOIN q USING (sig) WHERE query_id <> neighbor_id
     ),
     r AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -551,7 +551,7 @@ def _q40_sql() -> str:
              round(
                {COSINE_REDUCE.format(a='a.embedding', b='b.embedding')}
                / (sqrt({COSINE_REDUCE.format(a='a.embedding', b='a.embedding')})
-                  * sqrt({COSINE_REDUCE.format(a='b.embedding', b='b.embedding')})), 4) AS cos_sim
+                  * sqrt({COSINE_REDUCE.format(a='b.embedding', b='b.embedding')})), 4) + 0.0 AS cos_sim
       FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
     )
     SELECT block, vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
@@ -705,7 +705,7 @@ def _q98_sql(k: int = 3, n_cells: int = 16, n_probe: int = 4,
     p AS (SELECT query_id, qv, cell FROM qp WHERE pr <= {n_probe}),
     pairs AS (
       SELECT p.query_id, a.neighbor_id,
-             round({dotqc} / (sqrt({dotqq}) * sqrt({dotcc})), 4) AS cos_sim
+             round({dotqc} / (sqrt({dotqq}) * sqrt({dotcc})), 4) + 0.0 AS cos_sim
       FROM a JOIN p USING (cell)
       WHERE p.query_id <> a.neighbor_id
     ),

@@ -507,7 +507,9 @@ def q153_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
              (a.ss - a.s * a.s / a.n) / (a.n - 1) AS var_a,
              (b.ss - b.s * b.s / b.n) / (b.n - 1) AS var_b
       FROM g a JOIN g b ON a.event_type = b.event_type
-      WHERE a.grp = 0 AND b.grp = 1
+      -- n > 1 guard: a single-row group's (n-1) denominator is 0,
+      -- where Spark yields NULL but DuckDB yields IEEE inf/nan
+      WHERE a.grp = 0 AND b.grp = 1 AND a.n > 1 AND b.n > 1
     )
     SELECT event_type,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
@@ -548,7 +550,9 @@ def q154_abtest_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("s_b"),
         F.col("ss").alias("ss_b"),
     )
-    j = a.join(b, "event_type")
+    # n > 1 guard: Spark returns NULL for the zero (n-1) divisor,
+    # DuckDB returns IEEE inf/nan — exclude degenerate groups on both
+    j = a.join(b, "event_type").filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
     mean_a = F.col("s_a") / F.col("n_a")
     mean_b = F.col("s_b") / F.col("n_b")
     var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (

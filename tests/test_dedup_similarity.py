@@ -532,9 +532,22 @@ def test_kmeans_checkpoint_dir_matches_unmaterialized(spark, tmp_path):
     rows = [
         (i, [float(i % 3) * 10 + 0.1 * i, float((i * 7) % 5)]) for i in range(30)
     ]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    a = kmeans_assign(df, k=3, iterations=2).collect()
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = kmeans_assign(base, k=3, iterations=2).collect()
+
+    # accumulator-instrumented upstream: with checkpoint_dir the
+    # producer must execute exactly once (the parquet write),
+    # including the FINAL assignment pass
+    acc = spark.sparkContext.accumulator(0)
+
+    def gen(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    instrumented = base.mapInPandas(gen, "vec_id long, embedding array<double>")
     b = kmeans_assign(
-        df, k=3, iterations=2, checkpoint_dir=str(tmp_path / "emb")
+        instrumented, k=3, iterations=2, checkpoint_dir=str(tmp_path / "emb")
     ).collect()
+    assert acc.value == len(rows), "producer must run exactly once"
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -796,3 +796,73 @@ def test_progressive_through_image_features(spark):
     assert (r.width, r.height) == (8, 8)
     assert r.decode_status == "real"
     assert abs(r.mean_intensity - 144 / 255.0) < 1e-12
+
+
+def test_progressive_malformed_scan_headers_decline():
+    """Scan headers that would misparse the entropy stream are
+    rejected: interleaved AC scans (ns>1, band != DC), DC bands with
+    Se>0, and >4-component frames (allocation bound)."""
+    from patientdataintegration_spark.operators.jpeg import (
+        decode_progressive_jpeg,
+    )
+
+    blocks = _gray_blocks_16x16()
+    good = encode_progressive_jpeg(
+        16, 16, [(1, 1)], FLAT_Q, {0: blocks},
+        [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],
+    )
+    assert decode_progressive_jpeg(good) is not None
+
+    def patch_sos(content, idx, ss, se):
+        """Rewrite the (ss, se) bytes of the idx-th SOS header."""
+        out = bytearray(content)
+        i, found = 2, 0
+        while i + 3 < len(out):
+            if out[i] == 0xFF and out[i + 1] == 0xDA:
+                if found == idx:
+                    ln = int.from_bytes(out[i + 2 : i + 4], "big")
+                    ns = out[i + 4]
+                    out[i + 5 + 2 * ns] = ss
+                    out[i + 6 + 2 * ns] = se
+                    return bytes(out)
+                found += 1
+                i += 2 + int.from_bytes(out[i + 2 : i + 4], "big")
+                continue
+            i += 1
+        raise AssertionError("SOS not found")
+
+    # DC scan rewritten to claim band 0..5 (ss=0, se>0): reject
+    assert decode_progressive_jpeg(patch_sos(good, 0, 0, 5)) is None
+    # AC scan rewritten to an inverted band: reject
+    assert decode_progressive_jpeg(patch_sos(good, 1, 10, 5)) is None
+
+    # interleaved AC scan (ns=3 with ss>0): reject
+    y = _gray_blocks_16x16()
+    cb = [0] * 64
+    cb[0] = 4 * FLAT_Q[0]
+    cr = [0] * 64
+    cr[0] = -4 * FLAT_Q[0]
+    color = encode_progressive_jpeg(
+        16, 16, [(2, 2), (1, 1), (1, 1)], FLAT_Q, {0: y, 1: [cb], 2: [cr]},
+        [([0, 1, 2], 0, 0, 0, 0), ([0], 1, 63, 0, 0),
+         ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)],
+    )
+    assert decode_progressive_jpeg(color) is not None
+    bad = bytearray(color)
+    # rewrite the FIRST SOS (ns=3) band from (0,0) to (1,63)
+    i = 2
+    while not (bad[i] == 0xFF and bad[i + 1] == 0xDA):
+        i += 1
+    ns = bad[i + 4]
+    assert ns == 3
+    bad[i + 5 + 2 * ns] = 1
+    bad[i + 6 + 2 * ns] = 63
+    assert decode_progressive_jpeg(bytes(bad)) is None
+
+    # 5-component SOF2: allocation bound declines
+    five = bytearray(good)
+    j = 2
+    while not (five[j] == 0xFF and five[j + 1] == 0xC2):
+        j += 1
+    five[j + 9] = 5  # ncomp byte of SOF2 (len(2)+prec(1)+h(2)+w(2))
+    assert decode_progressive_jpeg(bytes(five)) is None
