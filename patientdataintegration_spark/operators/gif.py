@@ -132,7 +132,9 @@ def _decode_gif(content: bytes):
             return None
         min_code_size = content[i]
         i += 1
-        if not 2 <= min_code_size <= 11:
+        # spec cap is 8 (palette bits); 9+ would also overflow the
+        # byte-string base table in _lzw_decode
+        if not 2 <= min_code_size <= 8:
             return None
         # concatenate data sub-blocks
         data = bytearray()

@@ -105,15 +105,19 @@ PRIORITY = [
     "q05_mean_std_over_folds",
     "q06_impute_mean",
     "q07_impute_mode",
-    "q08_scale01",
-    "q09_onehot",
-    "q10_bucketize",
     "q11_fold_assignment",
     "q12_balance_audit",
     "q13_sample_per_group",
-    "q14_union_cohorts",
-    "q15_topk_per_group",
     "q16_naive_fusion",
+    # operators/oracles changed late in r4 (cos_sim -0.0 sweep, the
+    # vocab-coverage local-prune, the shingle pre-cap) — re-prove
+    # under the driver hash rather than only the local gate; displaces
+    # five r1-era re-proof fills (q08-q10, q14, q15 stay green in r01)
+    "q33_ngram_jaccard",
+    "q36_cosine_topk",
+    "q40_embedding_neardup",
+    "q93_lsh_cosine_topk",
+    "q123_vocab_coverage",
     # batch-2/3 additions take the last six fill slots: zero driver
     # evidence beats r1 re-proof (r1 rows stand in CORRECTNESS_r01)
     "q153_snapshot_diff",

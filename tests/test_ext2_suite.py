@@ -22,9 +22,8 @@ def _events(spark, rows):
 
 def test_streak_islands_hand_computed(spark, tmp_path):
     """User 1: days 0,1,2 then 5,6 → streaks [3,2]; user 2: days
-    0 and 7 → streaks [1,1]."""
-    from patientdataintegration_spark.sources.catalog import load_table  # noqa: F401
-    from patientdataintegration_spark.suite.ext2 import QUERIES
+    0 and 7 → streaks [1,1] — through the REGISTERED query itself."""
+    from patientdataintegration_spark.suite.ext2 import q151_activity_streaks
 
     day = 86400
     rows = [
@@ -37,28 +36,12 @@ def test_streak_islands_hand_computed(spark, tmp_path):
         (2, 0 * day + 1, "click"),
         (2, 7 * day + 1, "click"),
     ]
-    src = str(tmp_path / "events.parquet")
-    _events(spark, rows).write.parquet(src)
-    # run the operator logic directly on the written frame
-    e = spark.read.parquet(src)
-    from pyspark.sql import Window
-
-    d = e.select(
-        "user_id",
-        F.floor(F.unix_timestamp("ts") / F.lit(day)).cast("bigint").alias("day"),
-    ).distinct()
-    w = Window.partitionBy("user_id").orderBy("day")
-    r = d.select("user_id", "day", (F.col("day") - F.row_number().over(w)).alias("g"))
-    runs = r.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("len"))
+    src_dir = tmp_path / "sf"
+    src_dir.mkdir()
+    _events(spark, rows).write.parquet(str(src_dir / "events.parquet"))
     got = {
-        row.user_id: (row.n_active_days, row.n_streaks, row.max_streak)
-        for row in runs.groupBy("user_id")
-        .agg(
-            F.sum("len").alias("n_active_days"),
-            F.count(F.lit(1)).alias("n_streaks"),
-            F.max("len").alias("max_streak"),
-        )
-        .collect()
+        r.user_id: (r.n_active_days, r.n_streaks, r.max_streak)
+        for r in q151_activity_streaks(spark, str(src_dir)).collect()
     }
     assert got == {1: (5, 2, 3), 2: (2, 2, 1)}
 

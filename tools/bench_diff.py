@@ -32,8 +32,14 @@ def main() -> int:
         print("need at least two bench entries with per-query timings")
         return 0
     last = entries[-1]
+    # compare like with like: only prior entries at the SAME scale
+    # factor (history may mix sf0.01 iteration runs with sf0.1)
+    prior = [e for e in entries[:-1] if e.get("sf") == last.get("sf")]
+    if not prior:
+        print(f"no prior entries at sf={last.get('sf')}; nothing to compare")
+        return 0
     best_prior: dict[str, float] = {}
-    for e in entries[:-1]:
+    for e in prior:
         for q, v in e["queries"].items():
             if q not in best_prior or v < best_prior[q]:
                 best_prior[q] = v
