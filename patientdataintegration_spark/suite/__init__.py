@@ -107,8 +107,8 @@ PRIORITY = [
     "q07_impute_mode",
     "q11_fold_assignment",
     "q12_balance_audit",
-    "q13_sample_per_group",
     "q16_naive_fusion",
+    "q159_xml_roundtrip",
     # operators/oracles changed late in r4 (cos_sim -0.0 sweep, the
     # vocab-coverage local-prune, the shingle pre-cap) — re-prove
     # under the driver hash rather than only the local gate; displaces

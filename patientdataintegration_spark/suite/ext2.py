@@ -859,3 +859,47 @@ def q158_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gain",
         )
     )
+
+
+# --- XML interchange roundtrip ----------------------------------------------
+
+
+@_register(
+    "q159_xml_roundtrip",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_text_len,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents GROUP BY source
+    """,
+)
+def q159_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → XML shards (Spark 4 native `xml` source) →
+    schema-enforced quarantine read-back → per-source audit aggregate.
+    The oracle computes the SAME aggregate straight from the parquet,
+    so a green row proves the XML emit+ingest is lossless — including
+    text payloads through entity escaping (total_text_len rides the
+    read-back text, not the stored n_chars). The q107 JSONL pattern
+    applied to the enterprise-interchange format."""
+    import tempfile
+
+    from patientdataintegration_spark.sources.xml_io import (
+        healthy,
+        read_xml,
+        write_xml,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="pdi_q159_xml_") + "/docs"
+    write_xml(d, path, n_files=4)
+    back = healthy(read_xml(spark, path, schema=d.schema))
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_len"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )

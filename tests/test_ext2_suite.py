@@ -134,3 +134,40 @@ def test_semantic_dedup_sizes_sum_to_corpus(spark, sf_dir):
     assert sum(r.size for r in rows) == total
     assert all(r.n_removable == r.size - 1 for r in rows)
     assert len({r.canonical_id for r in rows}) == len(rows)
+
+
+def test_xml_quarantine_lane(spark, tmp_path):
+    """Malformed XML rows land in _corrupt_record with the raw text;
+    healthy rows parse into the declared schema."""
+    from patientdataintegration_spark.sources.xml_io import (
+        healthy,
+        quarantined,
+        read_xml,
+        write_xml,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha <&> beta"), (2, "ok")], "id long, body string"
+    )
+    path = str(tmp_path / "x")
+    write_xml(df, path, n_files=1)
+    # append a well-formed but type-malformed row to the written
+    # shard (document-level malformation fails the whole file read;
+    # the quarantine lane is per-RECORD typing)
+    import glob
+
+    shard = glob.glob(path + "/*.xml")[0]
+    text = open(shard).read()
+    text = text.replace(
+        "</rows>", "<row><id>not_a_long</id><body>x</body></row></rows>"
+    )
+    open(shard, "w").write(text)
+    import os
+
+    for crc in glob.glob(path + "/.*.crc"):
+        os.remove(crc)  # hand-edited shard invalidates Hadoop's CRC sidecar
+    back = read_xml(spark, path, schema=df.schema)
+    ok = {(r.id, r.body) for r in healthy(back).collect()}
+    assert ok == {(1, "alpha <&> beta"), (2, "ok")}
+    bad = quarantined(back).collect()
+    assert len(bad) == 1 and bad[0].id is None
