@@ -2909,7 +2909,7 @@ def q132_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, event_id, ts_us,
-           ROUND(list_reduce(vals, (acc, x) -> (x + 2.0 * acc) / 3.0), 6) AS ewma
+           ROUND(list_reduce(vals, (acc, x) -> (x + 2.0 * acc) / 3.0), 6) + 0.0 AS ewma
     FROM w
     """,
 )
@@ -2948,7 +2948,9 @@ def q133_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.unix_micros("ts").alias("ts_us"),
-        F.round(ewma, 6).alias("ewma"),
+        # + 0.0 normalizes IEEE -0.0 (inputs are non-negative here,
+        # but the fold is reusable on signed series)
+        (F.round(ewma, 6) + F.lit(0.0)).alias("ewma"),
     )
 
 
