@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     "q147_retention_cohorts",   # window-min cohort + distinct count
     "q151_activity_streaks",    # gaps-and-islands windows
     "q153_snapshot_diff",       # full-outer CDC diff
+    "q160_min_cost_supplier",   # correlated-MIN decorrelated (TPC-H Q2)
+    "q162_product_profit",      # 5-way profit rollup (TPC-H Q9)
+    "q170_lonely_returner",     # double-EXISTS as one agg (TPC-H Q21)
+    "q172_triangle_count",      # support-thresholded triangle join
+    "q175_grid_radius_join",    # grid-bucketed spatial radius join
 ]
 
 

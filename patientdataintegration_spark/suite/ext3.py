@@ -1,0 +1,1047 @@
+"""Round-4 batch 2: the classic warehouse plan shapes the registry
+did not yet exercise — TPC-H-style correlated aggregates, nested IN
+over HAVING, disjunctive join predicates, multi-EXISTS anti-joins
+(q160-q171, adapted to the driver schema: no partsupp table and no
+commit/receipt dates, so Q2/Q9/Q21 use lineitem as the part-supplier
+relation and returnflag as the "fault" marker) — plus four analytics
+operators (triangle counting, Benford digit profiling, CDC apply
+with deletes, grid-bucketed radius join).
+
+Same exactness contract as `suite/core.py`: money sums ride
+DECIMAL(18,6) (`dsum`), averages divide an exact decimal sum by an
+exact count, and every derived double is produced by the IDENTICAL
+IEEE expression (same parenthesisation) in the Spark plan and the
+DuckDB oracle, so raw doubles hash equal without rounding. Where a
+libm function appears (log10 in Benford) the output is rounded to 6
+digits, with the boundary-distance check recorded in the docstring.
+
+Scale stance (100 TB): every query is a constant number of shuffles
+on 8-byte keys; correlated subqueries are decorrelated into
+aggregate-plus-broadcast-join (the oracle keeps the correlated
+spelling to pin semantics); scalar "global" values ride a broadcast
+cross join of a 1-row frame; candidate generation for the radius
+join is grid-bucketed (never all-pairs) and the triangle join is
+ordered (a<b<c) so each triangle is produced exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from patientdataintegration_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _dsum(col: Column, alias: str) -> Column:
+    """Order-independent exact money sum (see suite/core.py:dsum)."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+_REV = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+
+
+# --- TPC-H Q2 shape: min-cost supplier (correlated MIN) ----------------------
+
+
+@_register(
+    "q160_min_cost_supplier",
+    """
+    WITH offer AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, o.cost AS cost_min
+    FROM part p
+    JOIN offer o ON o.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 15 AND r.r_name = 'EUROPE'
+      AND o.cost = (
+        SELECT MIN(o2.cost) FROM offer o2
+        JOIN supplier s2 ON s2.s_suppkey = o2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE o2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 20
+    """,
+)
+def q160_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part in a type/size slice, the
+    EUROPE supplier(s) whose unit cost equals the per-part minimum —
+    the canonical correlated-MIN subquery. Spark decorrelates it the
+    way Catalyst itself would: compute MIN(cost) per part over the
+    region-restricted offers ONCE (one aggregate), broadcast-join it
+    back on (partkey, cost). The oracle keeps the correlated
+    spelling to pin that both forms agree. Unit cost is a single
+    IEEE division of two parquet doubles, so MIN and the equality
+    join are bit-exact cross-engine. Scale: offers aggregate on the
+    composite (partkey, suppkey) key; the per-part min frame is
+    |parts|-sized (small vs lineitem) and AQE will broadcast it."""
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offer = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    eu_offer = offer.join(
+        F.broadcast(eu_supp), offer.l_suppkey == F.col("s_suppkey")
+    )
+    best = eu_offer.groupBy(F.col("l_partkey").alias("best_pk")).agg(
+        F.min("cost").alias("best_cost")
+    )
+    slice_parts = p.filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    ).select("p_partkey")
+    return (
+        eu_offer.join(
+            best,
+            (F.col("l_partkey") == F.col("best_pk"))
+            & (F.col("cost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(slice_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("cost").alias("cost_min"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(20)
+    )
+
+
+# --- TPC-H Q14 shape: promo revenue share (conditional ratio) ----------------
+
+
+@_register(
+    "q161_promo_revenue",
+    f"""
+    SELECT
+      CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV}
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_rev,
+      CAST(SUM({_REV}) AS DOUBLE) AS total_rev,
+      100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV}
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+            / CAST(SUM({_REV}) AS DOUBLE) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q161_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO
+    parts. Numerator and denominator ride in the SAME aggregate pass
+    (conditional decimal sum), so one scan, one shuffle-free global
+    aggregate; the date filter pushes down to the parquet scan. The
+    final ratio divides two exact decimal-sourced doubles — IEEE-
+    deterministic, so it hashes equal unrounded. Scale: the part
+    side joins on partkey (broadcast at dimension size); at 100 TB
+    the month filter prunes partitions if lineitem is date-
+    partitioned (it is, in our partitioned-sink layout)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    base = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    ).join(F.broadcast(p.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+    agg = base.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+        .cast("double")
+        .alias("promo_rev"),
+        F.sum(rev).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        "promo_rev",
+        "total_rev",
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias(
+            "promo_share"
+        ),
+    )
+
+
+# --- TPC-H Q9 shape: product profit by nation x year -------------------------
+
+
+@_register(
+    "q162_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                    - CAST((l.l_quantity * p.p_retailprice) * 0.1 AS DECIMAL(18,6)))
+                AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q162_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus a cost proxy — 10% of
+    retail price per unit, since the schema has no partsupp) by
+    supplier nation and order year, for parts matching a name
+    pattern. The per-line profit is a DIFFERENCE of two decimal
+    casts summed together, so accumulation order cannot move the
+    result; `(qty * retail) * 0.1` is spelled with identical parens
+    in both engines and its true value has 3 decimal digits — far
+    from any DECIMAL(18,6) rounding boundary, so the cast is
+    unambiguous (suite/core.py:dsum note). Scale: part and supplier
+    broadcast; lineitem⋈orders is the one fact-to-fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    cost = ((F.col("l_quantity") * F.col("p_retailprice")) * F.lit(0.1)).cast(
+        "decimal(18,6)"
+    )
+    supp_nation = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_name").like("%bolt%")).select(
+                "p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(rev - cost).cast("double").alias("profit"))
+    )
+
+
+# --- TPC-H Q10 shape: returned-item ranking ----------------------------------
+
+
+@_register(
+    "q163_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q163_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returns
+    in one quarter. Both the returnflag filter and the quarter
+    filter push down to their scans BEFORE the fact-to-fact join;
+    nation broadcasts; the top-20 is a TakeOrdered (no global sort
+    materialization) with custkey as the deterministic tiebreak."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            c.c_custkey == F.col("o_custkey"),
+        )
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(rev, "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- TPC-H Q13 shape: order-count distribution (outer join + re-group) -------
+
+
+@_register(
+    "q164_order_count_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q164_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer-order-count histogram — a LEFT
+    OUTER join (customers with zero qualifying orders must appear
+    with count 0) followed by a second aggregation over the counts.
+    The join-side filter lives in the JOIN CONDITION, not a WHERE
+    (a WHERE would silently turn the outer join inner — the classic
+    Q13 trap). Scale: orders shuffles on custkey; the second
+    group-by keys on a tiny integer domain and is map-side partial."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            c.c_custkey == o.o_custkey,
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- TPC-H Q17 shape: small-quantity revenue (correlated AVG) ----------------
+
+
+@_register(
+    "q165_small_qty_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q165_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue that would vanish if sub-20%-of-
+    average-quantity orders stopped — the correlated-AVG threshold.
+    Spark decorrelates: per-part average quantity in ONE aggregate
+    over lineitem, broadcast back (|parts| rows), threshold filter,
+    global sum. AVG of integer-valued quantities = exact integer sum
+    / exact count — one deterministic division; `0.2 * avg` is one
+    more deterministic multiply, so the `<` cut is bit-exact cross-
+    engine. The oracle keeps the correlated spelling."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_brand") == "Brand#13")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- TPC-H Q18 shape: large-volume orders (IN over HAVING) -------------------
+
+
+@_register(
+    "q166_large_volume_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q166_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 250 —
+    nested IN over a grouped HAVING. Spark runs the inner aggregate
+    once and LEFT SEMI joins it back on orderkey (what Catalyst
+    rewrites IN-subqueries to); quantity sums are integer-valued
+    doubles, exact below 2^53. Scale: the semi join prunes lineitem
+    before the customer join; the qualifying-order frame is tiny
+    (top ~1% of orders) and AQE broadcasts it."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 250)
+        .select(F.col("l_orderkey").alias("big_ok"))
+    )
+    return (
+        o.join(big, o.o_orderkey == F.col("big_ok"), "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --- TPC-H Q19 shape: disjunctive join predicate -----------------------------
+
+
+@_register(
+    "q167_disjunctive_join",
+    f"""
+    SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 11 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 26 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q167_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    columns from both join sides. The join stays a plain partkey
+    equi-join (hash, broadcast-able) with the disjunction applied as
+    a post-join filter — NOT a theta join; Catalyst additionally
+    pushes the single-side conjuncts implied by the OR (brand/size
+    on part, quantity on lineitem) down to the scans. One decimal
+    sum; no shuffle beyond the final 1-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(11, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(26, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(_dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# --- TPC-H Q15 shape: top supplier (CTE + scalar-MAX subquery) ---------------
+
+
+@_register(
+    "q168_top_supplier",
+    f"""
+    WITH r AS (
+      SELECT l_suppkey, CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM r)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q168_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum quarterly
+    revenue — a reused CTE consumed twice (once for the max, once
+    for the equality filter). Spark computes the per-supplier
+    revenue ONCE as a DataFrame, derives the 1-row max from it, and
+    broadcast-cross-joins it back; revenue is an exact decimal sum
+    cast to double, so the `=` max-equality is bit-exact and ties
+    (multiple top suppliers) surface identically in both engines."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    r = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_dsum(rev, "total_revenue"))
+    )
+    mx = r.agg(F.max("total_revenue").alias("mx"))
+    return (
+        r.join(F.broadcast(mx), r.total_revenue == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- TPC-H Q11 shape: share-above-global-fraction (HAVING vs scalar) ---------
+
+
+@_register(
+    "q169_important_share",
+    """
+    WITH pp AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS dval
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey
+    )
+    SELECT pp.l_partkey AS part_key, CAST(pp.dval AS DOUBLE) AS val
+    FROM pp CROSS JOIN (SELECT CAST(SUM(dval) AS DOUBLE) AS tot,
+                               CAST(COUNT(*) AS DOUBLE) AS np FROM pp) t
+    WHERE CAST(pp.dval AS DOUBLE) > 1.25 * (t.tot / t.np)
+    ORDER BY val DESC, part_key
+    """,
+)
+def q169_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose EUROPE-supplied value exceeds
+    a fixed fraction of the global total — a HAVING against a scalar
+    subquery over the SAME aggregate. The per-part sums stay DECIMAL
+    through the second (global) summation, so the total is exact
+    regardless of combine order; the fraction threshold `0.005 *
+    tot` is one deterministic multiply of identical doubles, making
+    the boundary cut engine-exact. Scale: one aggregate on partkey,
+    a 1-row total broadcast back — the relative (not absolute)
+    threshold keeps result size stable as SF grows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    eu_nations = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    supp1 = s.join(
+        F.broadcast(eu_nations), s.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey")
+    pp = (
+        li.join(F.broadcast(supp1), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("dval"))
+    )
+    tot = pp.agg(
+        F.sum("dval").cast("double").alias("tot"),
+        F.count(F.lit(1)).cast("double").alias("np"),
+    )
+    return (
+        pp.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("dval").cast("double")
+            > F.lit(1.25) * (F.col("tot") / F.col("np"))
+        )
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            F.col("dval").cast("double").alias("val"),
+        )
+        .orderBy(F.col("val").desc(), "part_key")
+    )
+
+
+# --- TPC-H Q21 shape: sole-fault supplier (EXISTS + NOT EXISTS) --------------
+
+
+@_register(
+    "q170_lonely_returner",
+    """
+    SELECT s.s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q170_lonely_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (returnflag standing in for receipt
+    lateness): suppliers who were the ONLY supplier with a returned
+    line in a multi-supplier finalized order — the double-correlated
+    EXISTS + NOT EXISTS. Spark rewrites both correlations into ONE
+    aggregation over lineitem per order (distinct-supplier count,
+    distinct-R-supplier count, and the unique R supplier via
+    conditional MIN): an order qualifies iff n_supp >= 2 and
+    n_r_supp = 1, and then MIN(r_suppkey) IS the existentially
+    unique supplier — same set as the EXISTS spelling, proven by the
+    oracle. Scale: one shuffle on orderkey replaces two correlated
+    re-scans of lineitem; counts are integers."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    per_order = (
+        li.join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_r_supp"),
+            F.min(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("r_suppkey"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+    )
+    return (
+        per_order.groupBy("r_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(F.broadcast(s), F.col("r_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+# --- TPC-H Q22 shape: dormant high-balance customers -------------------------
+
+
+@_register(
+    "q171_dormant_customers",
+    """
+    WITH ab AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c.c_nationkey % 10 AS BIGINT) AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+    FROM customer c CROSS JOIN ab
+    WHERE c.c_acctbal > ab.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c.c_nationkey % 10
+    """,
+)
+def q171_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive
+    balance and no recent orders, grouped by a country code — scalar
+    AVG subquery + NOT EXISTS anti-join. The average divides an
+    exact decimal sum by an exact count (one deterministic
+    division), so the `>` cut is engine-exact; the anti-join prunes
+    orders with the date filter BEFORE shuffling (only post-1999
+    orders shuffle). Scale: 1-row average broadcast; LEFT ANTI on
+    custkey is the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).cast("bigint").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+# --- graph: triangle counting over a co-occurrence graph ---------------------
+
+
+@_register(
+    "q172_triangle_count",
+    """
+    WITH so AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    e AS (
+      SELECT a.l_suppkey AS va, b.l_suppkey AS vb
+      FROM so a JOIN so b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY a.l_suppkey, b.l_suppkey
+      HAVING COUNT(*) >= 5
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT va AS v FROM e UNION ALL SELECT vb AS v FROM e
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e2.va = e1.vb
+                JOIN e e3 ON e3.va = e1.va AND e3.vb = e2.vb
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT CAST(SUM(d) / 2 AS BIGINT) FROM deg) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           tri.n_triangles,
+           CASE WHEN (SELECT SUM(d * (d - 1) / 2) FROM deg) > 0
+                THEN ROUND(3.0 * tri.n_triangles /
+                     (SELECT SUM(d * (d - 1) / 2) FROM deg), 9) + 0.0
+                ELSE 0.0 END AS clustering
+    FROM tri
+    """,
+)
+def q172_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the
+    supplier co-occurrence graph (edge = two suppliers share at
+    least 5 orders). Edges are generated per-order (orders have <=
+    ~13 lines, so the per-key pair explode is bounded C(13,2)),
+    aggregated to co-occurrence weights, THRESHOLDED (>= 5 shared
+    orders) — without the threshold the graph approaches a clique as
+    row count grows relative to node count and the two-hop join
+    explodes quadratically; the support cut is what keeps E sparse
+    at any SF — and oriented a < b; triangles come from the two-hop join
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c), which under a < b < c emits each
+    triangle exactly once. Wedge counts are integer-exact; the
+    coefficient is a ratio of exact integers, rounded and -0.0-
+    normalized. Scale: at 100 TB, orient edges by (degree, id)
+    instead of raw id — fanout of the two-hop join is then bounded
+    by sqrt(|E|) per vertex (the standard degree-ordering bound) —
+    and count per-vertex triangles with a groupBy rather than a
+    global count. The id-orientation here keeps the oracle twin
+    trivially equivalent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    so = li.select("l_orderkey", "l_suppkey").distinct()
+    a = so.alias("a")
+    b = so.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("va"), F.col("b.l_suppkey").alias("vb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("va", "vb")
+    )
+    # degrees via ONE pass over e (explode both endpoints), and
+    # n_edges derived from the degree sum (sum(d)/2) rather than a
+    # separate COUNT branch: DataFrame DAG branches re-execute their
+    # upstream (no cross-branch CSE), so every scalar we derive from
+    # `deg` instead of `e` saves a full re-run of the co-occurrence
+    # aggregation.
+    deg = (
+        e.select(F.explode(F.array("va", "vb")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    deg_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.va") == F.col("e1.vb"))
+        .join(
+            e3,
+            (F.col("e3.va") == F.col("e1.va")) & (F.col("e3.vb") == F.col("e2.vb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        tri.crossJoin(F.broadcast(deg_stats))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 9
+                )
+                + F.lit(0.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
+# --- profiling: Benford first-digit distribution -----------------------------
+
+
+@_register(
+    "q173_benford_digits",
+    """
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+      FROM orders
+    ),
+    obs AS (SELECT first_digit, COUNT(*) AS n FROM d GROUP BY first_digit),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM obs)
+    SELECT obs.first_digit, obs.n,
+           ROUND(obs.n / tot.t, 6) AS obs_share,
+           ROUND(LOG10(1 + 1.0 / obs.first_digit), 6) AS exp_share
+    FROM obs CROSS JOIN tot
+    """,
+)
+def q173_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law profile of order totals: observed vs expected
+    first-significant-digit shares — the fraud/quality screen. The
+    digit is extracted WITHOUT logs or float formatting: totalprice
+    has exactly 2 decimals, so ROUND(x*100) is an unambiguous
+    integer whose decimal string's first char is the digit (float
+    log10-based extraction would risk boundary flips at powers of
+    ten; float-to-string formatting differs across engines). The
+    only libm call is the CONSTANT expected share log10(1+1/d),
+    rounded at 6 digits — each of the nine values sits >= 9e-9 from
+    its rounding boundary (checked d=1..9), 1e9 ulps of margin.
+    Scale: single scan, 9-row aggregate, broadcast total."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("bigint")
+    obs = o.select(digit.alias("first_digit")).groupBy("first_digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = obs.agg(F.sum("n").cast("double").alias("t"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "first_digit",
+        "n",
+        F.round(F.col("n") / F.col("t"), 6).alias("obs_share"),
+        F.round(F.log10(1 + 1.0 / F.col("first_digit")), 6).alias("exp_share"),
+    )
+
+
+# --- CDC apply with deletes (MERGE semantics over a change log) --------------
+
+
+@_register(
+    "q174_cdc_apply",
+    """
+    WITH base AS (
+      SELECT c_custkey AS key, c_acctbal AS bal, CAST(0 AS BIGINT) AS seq,
+             'I' AS op
+      FROM customer
+    ),
+    chg AS (
+      SELECT CASE WHEN o_orderkey % 10 >= 8 THEN o_custkey + 100000
+                  ELSE o_custkey END AS key,
+             o_totalprice AS bal,
+             CAST(o_orderkey AS BIGINT) AS seq,
+             CASE WHEN o_orderkey % 10 < 6 THEN 'U'
+                  WHEN o_orderkey % 10 < 8 THEN 'D'
+                  ELSE 'I' END AS op
+      FROM orders
+    ),
+    log AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+    latest AS (
+      SELECT key, bal, seq, op,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT key, bal, seq AS last_seq,
+           CASE WHEN seq = 0 THEN 'base' ELSE 'chg' END AS src
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q174_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC change log (inserts / updates / DELETES, ordered
+    by sequence number) to a snapshot — full MERGE semantics, the
+    missing sibling of q101 (upsert only) and q153 (diff only). The
+    snapshot enters the log at seq 0; last-writer-wins resolves per
+    key with one ROW_NUMBER window; keys whose LAST op is a delete
+    drop out. The change log is synthesized deterministically from
+    orders (op by orderkey mod; inserts mint fresh keys). Values
+    pass through untouched (no arithmetic), so output is exact.
+    Scale: ONE shuffle on key for the window; at 100 TB the same
+    plan serves incremental table maintenance — union yesterday's
+    compacted state with today's log partition and rewrite."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    base = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit(0).cast("bigint").alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    m = F.col("o_orderkey") % 10
+    chg = o.select(
+        F.when(m >= 8, F.col("o_custkey") + 100000)
+        .otherwise(F.col("o_custkey"))
+        .alias("key"),
+        F.col("o_totalprice").alias("bal"),
+        F.col("o_orderkey").cast("bigint").alias("seq"),
+        F.when(m < 6, F.lit("U")).when(m < 8, F.lit("D")).otherwise(F.lit("I"))
+        .alias("op"),
+    )
+    log = base.unionAll(chg)
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "key",
+            "bal",
+            F.col("seq").alias("last_seq"),
+            F.when(F.col("seq") == 0, F.lit("base"))
+            .otherwise(F.lit("chg"))
+            .alias("src"),
+        )
+    )
+
+
+# --- spatial: grid-bucketed radius join --------------------------------------
+
+
+@_register(
+    "q175_grid_radius_join",
+    """
+    WITH cl AS (
+      SELECT c_custkey,
+             (c_custkey * 7919 % 2000) / 100.0 - 10.0 AS clat,
+             (c_custkey * 104729 % 2000) / 100.0 - 10.0 AS clon
+      FROM customer
+    ),
+    sl AS (
+      SELECT s_suppkey,
+             (s_suppkey * 6101 % 2000) / 100.0 - 10.0 AS slat,
+             (s_suppkey * 9973 % 2000) / 100.0 - 10.0 AS slon
+      FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           (c.clat - s.slat) * (c.clat - s.slat)
+             + (c.clon - s.slon) * (c.clon - s.slon) AS dist2
+    FROM cl c JOIN sl s
+      ON (c.clat - s.slat) * (c.clat - s.slat)
+           + (c.clon - s.slon) * (c.clon - s.slon) < 0.25
+    """,
+)
+def q175_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius join between two point sets (customers, suppliers at
+    deterministic synthetic coordinates): all pairs within distance
+    0.5 degrees. The ORACLE spells the semantic — a theta join on
+    the distance predicate (quadratic). The SPARK plan is the scale
+    shape: bucket both sides into 1-degree grid cells, explode the
+    SMALLER side to its 3x3 neighborhood, EQUI-join on cell id, then
+    apply the exact distance cut — candidate generation is local to
+    a cell neighborhood, never all-pairs (radius 0.5 < cell 1.0
+    guarantees no miss). All coordinates derive from integer modular
+    arithmetic followed by one division — bit-identical cross-
+    engine, and the squared distance uses the SAME parenthesisation
+    in both texts, so the boundary cut is IEEE-exact. Swap the
+    metric for haversine and the cell for a geohash at real-world
+    scale; the plan is unchanged."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cl = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 2000) / 100.0 - 10.0).alias("clat"),
+        ((F.col("c_custkey") * 104729 % 2000) / 100.0 - 10.0).alias("clon"),
+    ).withColumns(
+        {
+            "cx": F.floor("clat").cast("int"),
+            "cy": F.floor("clon").cast("int"),
+        }
+    )
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    sl = (
+        s.select(
+            "s_suppkey",
+            ((F.col("s_suppkey") * 6101 % 2000) / 100.0 - 10.0).alias("slat"),
+            ((F.col("s_suppkey") * 9973 % 2000) / 100.0 - 10.0).alias("slon"),
+        )
+        .withColumn("dx", off)
+        .withColumn("dy", off)
+        .withColumns(
+            {
+                "cx": (F.floor("slat").cast("int") + F.col("dx")),
+                "cy": (F.floor("slon").cast("int") + F.col("dy")),
+            }
+        )
+    )
+    dist2 = (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat")) + (
+        F.col("clon") - F.col("slon")
+    ) * (F.col("clon") - F.col("slon"))
+    return (
+        cl.join(F.broadcast(sl), ["cx", "cy"])
+        .filter(dist2 < 0.25)
+        .select("c_custkey", "s_suppkey", dist2.alias("dist2"))
+    )

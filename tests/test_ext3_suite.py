@@ -1,0 +1,218 @@
+"""Hand-computed semantics + plan shapes for the round-4 batch-4
+suite (suite/ext3.py) — independent of the DuckDB oracle, which
+re-checks the same queries at three scale factors: tiny inputs where
+the expected output is derivable on paper, through the REGISTERED
+query functions themselves."""
+
+from __future__ import annotations
+
+from patientdataintegration_spark.plans.inspect import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+)
+
+
+def _write(df, tmp, name):
+    df.write.parquet(str(tmp / f"{name}.parquet"))
+
+
+def test_triangle_count_hand_computed(spark, tmp_path):
+    """Orders 101-105 each shared by suppliers {1,2,3} (5 shared
+    orders -> all three pair edges pass the support threshold);
+    order 106 shared by {3,4} only once -> that edge is pruned.
+    Edges {12,13,23}; degrees 2,2,2 -> wedges 3; triangles 1;
+    cc = 3*1/3 = 1.0."""
+    from patientdataintegration_spark.suite.ext3 import q172_triangle_count
+
+    rows = [(o, s) for o in (101, 102, 103, 104, 105) for s in (1, 2, 3)]
+    rows += [(106, 3), (106, 4)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
+    _write(li, tmp_path, "lineitem")
+    r = q172_triangle_count(spark, str(tmp_path)).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (3, 3, 3, 1)
+    assert r.clustering == 1.0
+
+
+def test_cdc_apply_hand_computed(spark, tmp_path):
+    """Key 1 deleted (orderkey 16: 16%10=6 -> D), key 2 updated to
+    99.0 (orderkey 25 -> U), key 100003 inserted (orderkey 8 ->
+    I, minted from custkey 3)."""
+    from patientdataintegration_spark.suite.ext3 import q174_cdc_apply
+
+    c = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "c_custkey long, c_acctbal double"
+    )
+    o = spark.createDataFrame(
+        [(16, 1, 5.0), (25, 2, 99.0), (8, 3, 50.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    _write(c, tmp_path, "customer")
+    _write(o, tmp_path, "orders")
+    got = {
+        r.key: (r.bal, r.last_seq, r.src)
+        for r in q174_cdc_apply(spark, str(tmp_path)).collect()
+    }
+    assert got == {2: (99.0, 25, "chg"), 100003: (50.0, 8, "chg")}
+
+
+def test_benford_digit_extraction(spark, tmp_path):
+    """First significant digits of 123.45, 987.00, 0.07 are 1, 9, 7 —
+    extracted via the integer-string path (ROUND(x*100) -> BIGINT),
+    never float formatting."""
+    from patientdataintegration_spark.suite.ext3 import q173_benford_digits
+
+    o = spark.createDataFrame(
+        [(1, 123.45), (2, 987.00), (3, 0.07)],
+        "o_orderkey long, o_totalprice double",
+    )
+    _write(o, tmp_path, "orders")
+    got = {
+        r.first_digit: (r.n, r.obs_share)
+        for r in q173_benford_digits(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (1, round(1 / 3, 6)), 9: (1, round(1 / 3, 6)),
+                   7: (1, round(1 / 3, 6))}
+
+
+def test_grid_radius_join_matches_brute_force(spark, tmp_path):
+    """The 3x3 neighbor-cell candidate generation loses NO pair:
+    compare against a brute-force quadratic scan in Python over the
+    same synthetic coordinates (radius 0.5 < cell size 1.0)."""
+    from patientdataintegration_spark.suite.ext3 import q175_grid_radius_join
+
+    ckeys = list(range(1, 60))
+    skeys = list(range(1, 15))
+    c = spark.createDataFrame([(k,) for k in ckeys], "c_custkey long")
+    s = spark.createDataFrame([(k,) for k in skeys], "s_suppkey long")
+    _write(c, tmp_path, "customer")
+    _write(s, tmp_path, "supplier")
+
+    def cust_pt(k):
+        return ((k * 7919 % 2000) / 100.0 - 10.0, (k * 104729 % 2000) / 100.0 - 10.0)
+
+    def supp_pt(k):
+        return ((k * 6101 % 2000) / 100.0 - 10.0, (k * 9973 % 2000) / 100.0 - 10.0)
+
+    expected = set()
+    for ck in ckeys:
+        clat, clon = cust_pt(ck)
+        for sk in skeys:
+            slat, slon = supp_pt(sk)
+            d2 = (clat - slat) * (clat - slat) + (clon - slon) * (clon - slon)
+            if d2 < 0.25:
+                expected.add((ck, sk))
+    got = {
+        (r.c_custkey, r.s_suppkey)
+        for r in q175_grid_radius_join(spark, str(tmp_path)).collect()
+    }
+    assert got == expected and expected  # non-vacuous
+
+
+def test_lonely_returner_hand_computed(spark, tmp_path):
+    """Order 1 (status F): supplier 1 returned, supplier 2 did not ->
+    supplier 1 counted. Order 2 (F): both returned -> nobody. Order
+    3 (F): single-supplier -> nobody. Order 4 (status O) -> nobody."""
+    from patientdataintegration_spark.suite.ext3 import q170_lonely_returner
+
+    li = spark.createDataFrame(
+        [
+            (1, 1, "R"), (1, 2, "N"),
+            (2, 1, "R"), (2, 2, "R"),
+            (3, 1, "R"),
+            (4, 1, "R"), (4, 2, "N"),
+        ],
+        "l_orderkey long, l_suppkey long, l_returnflag string",
+    )
+    o = spark.createDataFrame(
+        [(1, "F"), (2, "F"), (3, "F"), (4, "O")],
+        "o_orderkey long, o_orderstatus string",
+    )
+    s = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "s_suppkey long, s_name string"
+    )
+    for name, df in [("lineitem", li), ("orders", o), ("supplier", s)]:
+        _write(df, tmp_path, name)
+    got = [(r.s_name, r.numwait)
+           for r in q170_lonely_returner(spark, str(tmp_path)).collect()]
+    assert got == [("alpha", 1)]
+
+
+def test_order_count_distribution_keeps_zero_customers(spark, tmp_path):
+    """Customer 1 has 2 qualifying orders, customer 2 has only a
+    '4-NOT SPECIFIED' order (filtered IN THE JOIN CONDITION, so the
+    customer still appears with count 0): histogram {2:1, 0:1}."""
+    from patientdataintegration_spark.suite.ext3 import (
+        q164_order_count_distribution,
+    )
+
+    c = spark.createDataFrame([(1,), (2,)], "c_custkey long")
+    o = spark.createDataFrame(
+        [(11, 1, "1-URGENT"), (12, 1, "5-LOW"), (13, 2, "4-NOT SPECIFIED")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    _write(c, tmp_path, "customer")
+    _write(o, tmp_path, "orders")
+    got = {
+        r.c_count: r.custdist
+        for r in q164_order_count_distribution(spark, str(tmp_path)).collect()
+    }
+    assert got == {2: 1, 0: 1}
+
+
+def test_small_qty_revenue_hand_computed(spark, tmp_path):
+    """Part 1 (Brand#13) quantities [1,10,10,10]: avg 7.75, cut
+    1.55 -> only the qty-1 line (price 7.0) qualifies ->
+    avg_yearly 1.0, n_lines 1."""
+    from patientdataintegration_spark.suite.ext3 import q165_small_qty_revenue
+
+    p = spark.createDataFrame([(1, "Brand#13")], "p_partkey long, p_brand string")
+    li = spark.createDataFrame(
+        [(1, 1.0, 7.0), (1, 10.0, 70.0), (1, 10.0, 70.0), (1, 10.0, 70.0)],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    _write(p, tmp_path, "part")
+    _write(li, tmp_path, "lineitem")
+    r = q165_small_qty_revenue(spark, str(tmp_path)).collect()[0]
+    assert (r.avg_yearly, r.n_lines) == (1.0, 1)
+
+
+# --- plan shapes -------------------------------------------------------------
+
+
+def test_disjunctive_join_stays_equi_join(spark, sf_dir):
+    """q167's OR-of-ANDs must NOT degrade the partkey equi-join to a
+    nested-loop / cartesian plan."""
+    from patientdataintegration_spark.suite.ext3 import q167_disjunctive_join
+
+    plan = explain_str(q167_disjunctive_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_broadcast_join(q167_disjunctive_join(spark, sf_dir))
+
+
+def test_returned_items_pushes_returnflag(spark, sf_dir):
+    """q163's returnflag filter reaches the lineitem parquet scan."""
+    from patientdataintegration_spark.suite.ext3 import q163_returned_items
+
+    pushed = pushed_filters(q163_returned_items(spark, sf_dir))
+    assert any("l_returnflag" in p for p in pushed)
+
+
+def test_large_volume_uses_semi_join(spark, sf_dir):
+    """q166's IN-subquery runs as a LEFT SEMI join, not a distinct +
+    inner join."""
+    from patientdataintegration_spark.suite.ext3 import q166_large_volume_orders
+
+    plan = explain_str(q166_large_volume_orders(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_grid_join_is_equi_join_on_cells(spark, sf_dir):
+    """q175 joins on cell ids (hash/broadcast equi-join) — the plan
+    must not contain a cartesian candidate generator."""
+    from patientdataintegration_spark.suite.ext3 import q175_grid_radius_join
+
+    plan = explain_str(q175_grid_radius_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
