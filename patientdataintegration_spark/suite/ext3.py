@@ -1045,3 +1045,285 @@ def q175_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist2 < 0.25)
         .select("c_custkey", "s_suppkey", dist2.alias("dist2"))
     )
+
+
+# --- marketing attribution: last-touch within lookback -----------------------
+
+
+@_register(
+    "q176_last_touch_attribution",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN epoch(ts) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_sec
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           COUNT(CASE WHEN last_click_sec IS NOT NULL
+                      AND epoch(ts) - last_click_sec <= 604800
+                      THEN 1 END) AS n_attributed,
+           CAST(SUM(CASE WHEN last_click_sec IS NOT NULL
+                         AND epoch(ts) - last_click_sec <= 604800
+                         THEN CAST(value AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             AS attributed_rev
+    FROM ev WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def q176_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent PRECEDING click, provided it happened within a 7-day
+    lookback — the marketing-analytics staple. One pass: an
+    ignore-nulls LAST_VALUE window carries the latest click
+    timestamp forward over the (ts, event_id)-ordered per-user
+    stream (event_id breaks same-timestamp ties identically in both
+    engines), then a per-user aggregate sums the attributed revenue
+    (2-decimal values through the DECIMAL cast). A purchase whose
+    own row precedes any click stays unattributed (NULL carry).
+    Scale: one shuffle on user_id shared by the window AND the
+    aggregate (same key, partitioning reused); no self-join of
+    purchases against click history."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = base.withColumn(
+        "last_click_sec",
+        F.last(
+            F.when(F.col("event_type") == "click", F.unix_timestamp("ts")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    attributed = F.col("last_click_sec").isNotNull() & (
+        F.unix_timestamp("ts") - F.col("last_click_sec") <= 604800
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count(F.when(attributed, F.lit(1))).alias("n_attributed"),
+            F.sum(
+                F.when(attributed, F.col("value").cast("decimal(18,6)")).otherwise(
+                    zero
+                )
+            )
+            .cast("double")
+            .alias("attributed_rev"),
+        )
+    )
+
+
+# --- rolling correlation of two event series ---------------------------------
+
+
+@_register(
+    "q177_rolling_correlation",
+    """
+    WITH daily AS (
+      SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS nc,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS nv
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT day, nc, nv,
+             COUNT(*)    OVER w AS n,
+             SUM(nc)     OVER w AS sx,
+             SUM(nv)     OVER w AS sy,
+             SUM(nc*nv)  OVER w AS sxy,
+             SUM(nc*nc)  OVER w AS sxx,
+             SUM(nv*nv)  OVER w AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, nc, nv, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                THEN ROUND((n*sxy - sx*sy) /
+                     SQRT(CAST((n*sxx - sx*sx) AS DOUBLE)
+                          * CAST((n*syy - sy*sy) AS DOUBLE)), 9) + 0.0
+                ELSE CAST(NULL AS DOUBLE) END AS roll_corr
+    FROM s
+    """,
+)
+def q177_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between the daily click and
+    view counts. Rather than a windowed corr() (whose internal
+    accumulation order is engine-specific), the five sufficient
+    statistics ride as INTEGER window sums (counts and products of
+    counts — exact below 2^53), and the correlation assembles from
+    them in one deterministic sqrt + divide, rounded and -0.0-
+    normalized; degenerate frames (zero variance) yield NULL in both
+    engines. Scale: the daily rollup reduces the stream to one row
+    per day BEFORE the window, so the window input is tiny; a keyed
+    variant would partition by entity with the same frame."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day")
+        )
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", F.lit(1))).alias("nc"),
+            F.count(F.when(F.col("event_type") == "view", F.lit(1))).alias("nv"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    s = daily.select(
+        "day",
+        "nc",
+        "nv",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("nc").over(w).alias("sx"),
+        F.sum("nv").over(w).alias("sy"),
+        F.sum(F.col("nc") * F.col("nv")).over(w).alias("sxy"),
+        F.sum(F.col("nc") * F.col("nc")).over(w).alias("sxx"),
+        F.sum(F.col("nv") * F.col("nv")).over(w).alias("syy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "day",
+        "nc",
+        "nv",
+        F.col("n").cast("bigint").alias("n"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                num / F.sqrt(dx.cast("double") * dy.cast("double")), 9
+            )
+            + F.lit(0.0),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("roll_corr"),
+    )
+
+
+# --- Pareto frontier (skyline) -----------------------------------------------
+
+
+@_register(
+    "q178_pareto_frontier",
+    """
+    WITH pts AS (
+      SELECT p_partkey, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    )
+    SELECT p.p_partkey, p.price_c, p.size
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price_c <= p.price_c AND q.size <= p.size
+        AND (q.price_c < p.price_c OR q.size < p.size)
+    )
+    ORDER BY p.price_c, p.size, p.p_partkey
+    """,
+)
+def q178_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier: parts not dominated on (price,
+    size) — q is better-or-equal on both axes and strictly better on
+    one. The ORACLE is the textbook quadratic NOT EXISTS; the SPARK
+    plan is the O(n log n) window form: over price-cents order,
+    dominated(a) = MIN(size) among STRICTLY cheaper rows <= my size
+    (RANGE .. 1 PRECEDING), dominated(b) = MIN(size) among
+    price-<=-rows < my size (RANGE .. CURRENT ROW); frontier =
+    neither. Prices are compared as integer CENTS (ROUND(x*100) —
+    exact for 2-decimal money), because a RANGE frame offset on raw
+    doubles would put epsilon-boundary rows in different frames
+    across engines. Scale: a global range-ordered window (range-
+    partitioned total sort); for massive n, pre-prune per partition
+    (a point dominated within its partition is dominated globally)
+    then run the window on survivors."""
+    p = load_table(spark, sf_dir, "part")
+    pts = p.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("price_c"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w_strict = Window.orderBy("price_c").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_incl = Window.orderBy("price_c").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = pts.select(
+        "p_partkey",
+        "price_c",
+        "size",
+        F.min("size").over(w_strict).alias("m_strict"),
+        F.min("size").over(w_incl).alias("m_incl"),
+    )
+    dominated = (
+        F.col("m_strict").isNotNull() & (F.col("m_strict") <= F.col("size"))
+    ) | (F.col("m_incl") < F.col("size"))
+    return (
+        flagged.filter(~dominated)
+        .select("p_partkey", "price_c", "size")
+        .orderBy("price_c", "size", "p_partkey")
+    )
+
+
+# --- ordered string aggregation ----------------------------------------------
+
+
+@_register(
+    "q179_ordered_stringagg",
+    """
+    WITH ranked AS (
+      SELECT c_nationkey, c_name,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    )
+    SELECT n.n_name, string_agg(r.c_name, ',' ORDER BY r.rn) AS top_names,
+           COUNT(*) AS n_top
+    FROM ranked r JOIN nation n ON n.n_nationkey = r.c_nationkey
+    WHERE r.rn <= 5
+    GROUP BY n.n_name
+    """,
+)
+def q179_ordered_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-sensitive string aggregation (LISTAGG/string_agg): the
+    top-5 customers per nation by balance, comma-joined in rank
+    order. Spark has no ordered collect across partitions, so the
+    deterministic spelling is collect_list of (rank, name) STRUCTS
+    -> array_sort (struct order = field order, rank first) ->
+    transform to names -> array_join — same string regardless of
+    partitioning. Rank ties break on custkey, so the oracle's
+    string_agg(ORDER BY rn) emits the identical sequence. Scale:
+    the rank window and the group-by share the nationkey shuffle;
+    collect_list is bounded at 5 elements per group by the rank
+    filter BEFORE aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    wr = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    ranked = c.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") <= 5)
+    return (
+        ranked.join(F.broadcast(n), ranked.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "c_name"))),
+                    lambda x: x.c_name,
+                ),
+                ",",
+            ).alias("top_names"),
+            F.count(F.lit(1)).alias("n_top"),
+        )
+    )

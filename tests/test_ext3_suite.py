@@ -216,3 +216,100 @@ def test_grid_join_is_equi_join_on_cells(spark, sf_dir):
     plan = explain_str(q175_grid_radius_join(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_last_touch_attribution_hand_computed(spark, tmp_path):
+    """User 1: click@100 -> purchase@200 (attributed, 5.0);
+    purchase@50 precedes any click (unattributed); a purchase 8 days
+    after the last click falls outside the 7-day lookback."""
+    import pyspark.sql.functions as F
+    from patientdataintegration_spark.suite.ext3 import (
+        q176_last_touch_attribution,
+    )
+
+    rows = [
+        (1, 1, 50, "purchase", 3.0),
+        (2, 1, 100, "click", 0.0),
+        (3, 1, 200, "purchase", 5.0),
+        (4, 1, 100 + 8 * 86400, "purchase", 7.0),
+        (5, 2, 10, "view", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, event_type string, value double"
+    ).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"), "user_id",
+        "event_type", "value",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.user_id: (r.n_purchases, r.n_attributed, r.attributed_rev)
+        for r in q176_last_touch_attribution(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (3, 1, 5.0)}
+
+
+def test_pareto_frontier_hand_computed(spark, tmp_path):
+    """Points (price_c, size): (100,5) and (200,3) are mutually
+    non-dominating -> frontier; (200,5) is dominated by (100,5)
+    (cheaper, same size); (300,3) is dominated by (200,3); a
+    DUPLICATE of (100,5) stays on the frontier (neither strictly
+    dominates the other)."""
+    from patientdataintegration_spark.suite.ext3 import q178_pareto_frontier
+
+    p = spark.createDataFrame(
+        [
+            (1, 1.00, 5), (2, 2.00, 3), (3, 2.00, 5), (4, 3.00, 3),
+            (5, 1.00, 5),
+        ],
+        "p_partkey long, p_retailprice double, p_size int",
+    )
+    p.write.parquet(str(tmp_path / "part.parquet"))
+    got = [
+        (r.p_partkey, r.price_c, r.size)
+        for r in q178_pareto_frontier(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 100, 5), (5, 100, 5), (2, 200, 3)]
+
+
+def test_rolling_correlation_perfect(spark, tmp_path):
+    """Three days with (clicks, views) = (1,2), (2,4), (3,6) —
+    perfectly linear -> the day-3 frame (all three days) has
+    roll_corr exactly 1.0; day-1 frame (single point) is NULL."""
+    import pyspark.sql.functions as F
+    from patientdataintegration_spark.suite.ext3 import q177_rolling_correlation
+
+    rows = []
+    eid = 0
+    for day, (nc, nv) in enumerate([(1, 2), (2, 4), (3, 6)]):
+        for _ in range(nc):
+            eid += 1
+            rows.append((eid, day * 86400 + 10, "click"))
+        for _ in range(nv):
+            eid += 1
+            rows.append((eid, day * 86400 + 20, "view"))
+    df = spark.createDataFrame(
+        rows, "event_id long, sec long, event_type string"
+    ).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"), "event_type",
+        F.lit(1).alias("user_id"), F.lit(0.0).alias("value"),
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.day: r.roll_corr
+           for r in q177_rolling_correlation(spark, str(tmp_path)).collect()}
+    assert got[0] is None and got[1] == 1.0 and got[2] == 1.0
+
+
+def test_ordered_stringagg_rank_order(spark, tmp_path):
+    """Nation 7: balances 30 > 20 > 10 -> 'c,b,a' in that exact
+    order regardless of input partitioning."""
+    from patientdataintegration_spark.suite.ext3 import q179_ordered_stringagg
+
+    c = spark.createDataFrame(
+        [(1, "a", 7, 10.0), (2, "b", 7, 20.0), (3, "c", 7, 30.0)],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double",
+    ).repartition(4)
+    n = spark.createDataFrame([(7, "X")], "n_nationkey long, n_name string")
+    c.write.parquet(str(tmp_path / "customer.parquet"))
+    n.write.parquet(str(tmp_path / "nation.parquet"))
+    r = q179_ordered_stringagg(spark, str(tmp_path)).collect()[0]
+    assert (r.n_name, r.top_names, r.n_top) == ("X", "c,b,a", 3)
