@@ -369,14 +369,21 @@ def q165_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine. The oracle keeps the correlated spelling."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    brand_keys = p.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    # per-part averages only for the brand's parts (semi-join first):
+    # the threshold is never consulted for other parts, and the
+    # broadcast frame shrinks by the brand selectivity (~1/20)
+    per_part = (
+        li.join(
+            F.broadcast(brand_keys),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut"))
     )
     return (
-        li.join(
-            F.broadcast(p.filter(F.col("p_brand") == "Brand#13")),
-            li.l_partkey == F.col("p_partkey"),
-        )
+        li.join(F.broadcast(brand_keys), li.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
@@ -905,7 +912,7 @@ def q173_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CASE WHEN o_orderkey % 10 >= 8 THEN o_custkey + 100000
                   ELSE o_custkey END AS key,
              o_totalprice AS bal,
-             CAST(o_orderkey AS BIGINT) AS seq,
+             CAST(o_orderkey + 1 AS BIGINT) AS seq,
              CASE WHEN o_orderkey % 10 < 6 THEN 'U'
                   WHEN o_orderkey % 10 < 8 THEN 'D'
                   ELSE 'I' END AS op
@@ -926,8 +933,11 @@ def q174_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a CDC change log (inserts / updates / DELETES, ordered
     by sequence number) to a snapshot — full MERGE semantics, the
     missing sibling of q101 (upsert only) and q153 (diff only). The
-    snapshot enters the log at seq 0; last-writer-wins resolves per
-    key with one ROW_NUMBER window; keys whose LAST op is a delete
+    snapshot enters the log at seq 0; change rows at seq = orderkey
+    + 1 (orderkeys START AT 0 in this corpus, so the +1 keeps every
+    change seq strictly above the base's 0 — a seq tie would make
+    the ROW_NUMBER pick nondeterministic); last-writer-wins resolves
+    per key with one ROW_NUMBER window; keys whose LAST op is a delete
     drop out. The change log is synthesized deterministically from
     orders (op by orderkey mod; inserts mint fresh keys). Values
     pass through untouched (no arithmetic), so output is exact.
@@ -948,7 +958,7 @@ def q174_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_custkey"))
         .alias("key"),
         F.col("o_totalprice").alias("bal"),
-        F.col("o_orderkey").cast("bigint").alias("seq"),
+        (F.col("o_orderkey") + 1).cast("bigint").alias("seq"),
         F.when(m < 6, F.lit("U")).when(m < 8, F.lit("D")).otherwise(F.lit("I"))
         .alias("op"),
     )
@@ -1096,15 +1106,21 @@ def q176_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # full-precision epoch seconds (us/1e6, bit-identical to the
+    # oracle's epoch()): unix_timestamp() TRUNCATES sub-second
+    # fractions, and every driver event timestamp has them, so a
+    # truncated lookback diff could flip the 7-day boundary vs the
+    # oracle's fractional one.
+    epoch_s = F.col("ts").cast("double")
     ev = base.withColumn(
         "last_click_sec",
         F.last(
-            F.when(F.col("event_type") == "click", F.unix_timestamp("ts")),
+            F.when(F.col("event_type") == "click", epoch_s),
             ignorenulls=True,
         ).over(w),
     )
     attributed = F.col("last_click_sec").isNotNull() & (
-        F.unix_timestamp("ts") - F.col("last_click_sec") <= 604800
+        epoch_s - F.col("last_click_sec") <= 604800
     )
     zero = F.lit(0).cast("decimal(18,6)")
     return (
@@ -1172,6 +1188,10 @@ def q177_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.filter(F.col("event_type").isin("click", "view"))
         .groupBy(
+            # truncation-safe: floor(floor(x)/n) == floor(x/n) for
+            # positive x and integer n, so unix_timestamp's dropped
+            # sub-second fraction cannot move the day bucket vs the
+            # oracle's fractional epoch()
             F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day")
         )
         .agg(

@@ -37,7 +37,8 @@ def test_triangle_count_hand_computed(spark, tmp_path):
 def test_cdc_apply_hand_computed(spark, tmp_path):
     """Key 1 deleted (orderkey 16: 16%10=6 -> D), key 2 updated to
     99.0 (orderkey 25 -> U), key 100003 inserted (orderkey 8 ->
-    I, minted from custkey 3)."""
+    I, minted from custkey 3). Change seqs are orderkey+1 so a
+    change from orderkey 0 can never tie the base rows at seq 0."""
     from patientdataintegration_spark.suite.ext3 import q174_cdc_apply
 
     c = spark.createDataFrame(
@@ -53,7 +54,7 @@ def test_cdc_apply_hand_computed(spark, tmp_path):
         r.key: (r.bal, r.last_seq, r.src)
         for r in q174_cdc_apply(spark, str(tmp_path)).collect()
     }
-    assert got == {2: (99.0, 25, "chg"), 100003: (50.0, 8, "chg")}
+    assert got == {2: (99.0, 26, "chg"), 100003: (50.0, 9, "chg")}
 
 
 def test_benford_digit_extraction(spark, tmp_path):
@@ -228,14 +229,20 @@ def test_last_touch_attribution_hand_computed(spark, tmp_path):
     )
 
     rows = [
-        (1, 1, 50, "purchase", 3.0),
-        (2, 1, 100, "click", 0.0),
-        (3, 1, 200, "purchase", 5.0),
-        (4, 1, 100 + 8 * 86400, "purchase", 7.0),
-        (5, 2, 10, "view", 1.0),
+        (1, 1, 50.0, "purchase", 3.0),
+        (2, 1, 100.0, "click", 0.0),
+        (3, 1, 200.0, "purchase", 5.0),
+        (4, 1, 100.0 + 8 * 86400, "purchase", 7.0),
+        (5, 2, 10.0, "view", 1.0),
+        # fractional-second boundary: click at 1000.7, purchase
+        # 604800.4s later — OUTSIDE the 7-day lookback. A truncated
+        # (unix_timestamp) diff would be exactly 604800 and wrongly
+        # attribute it; the full-precision epoch must not.
+        (6, 3, 1000.7, "click", 0.0),
+        (7, 3, 1000.7 + 604800.4, "purchase", 11.0),
     ]
     df = spark.createDataFrame(
-        rows, "event_id long, user_id long, sec long, event_type string, value double"
+        rows, "event_id long, user_id long, sec double, event_type string, value double"
     ).select(
         "event_id", F.timestamp_seconds("sec").alias("ts"), "user_id",
         "event_type", "value",
@@ -245,7 +252,7 @@ def test_last_touch_attribution_hand_computed(spark, tmp_path):
         r.user_id: (r.n_purchases, r.n_attributed, r.attributed_rev)
         for r in q176_last_touch_attribution(spark, str(tmp_path)).collect()
     }
-    assert got == {1: (3, 1, 5.0)}
+    assert got == {1: (3, 1, 5.0), 3: (1, 0, 0.0)}
 
 
 def test_pareto_frontier_hand_computed(spark, tmp_path):
