@@ -47,3 +47,113 @@ def stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _latest_cdc_version(spark: SparkSession, table_path: str, below: int):
+    """Newest committed snapshot version STRICTLY below `below`, or
+    None. Driver-side directory listing (metadata only, never data):
+    the version directories are the table's commit log."""
+    import os
+    import re
+
+    if not os.path.isdir(table_path):
+        return None, None
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(table_path)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    )
+    versions = [v for v in versions if v < below]
+    if not versions:
+        return None, None
+    v = versions[-1]
+    return v, spark.read.parquet(f"{table_path}/v={v}")
+
+
+def current_cdc_state(spark: SparkSession, table_path: str) -> DataFrame:
+    """The table a reader queries: the newest committed snapshot."""
+    import sys
+
+    _, df = _latest_cdc_version(spark, table_path, sys.maxsize)
+    if df is None:
+        raise FileNotFoundError(f"no committed snapshot under {table_path}")
+    return df
+
+
+def stream_cdc_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    table_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Streaming CDC apply: the event feed is a change log (error →
+    delete, every other type → upsert of `value`, which inserts when
+    the key is absent), folded
+    into a maintained table with last-writer-wins MERGE semantics —
+    the streaming twin of the batch q174_cdc_apply operator.
+
+    Design (poor-man's Delta, honest about it): each micro-batch
+    merges the incoming changes into the newest snapshot version
+    STRICTLY BELOW its batch_id and writes the result as
+    `v=<batch_id>` — snapshots are immutable, readers always see a
+    complete committed version (`current_cdc_state`), and the
+    exactly-once story needs no table-format transaction log:
+
+    - crash BEFORE the snapshot write: the checkpoint has not
+      committed either; the batch replays identically.
+    - crash AFTER the write but BEFORE the checkpoint commit: the
+      replayed batch re-reads the version BELOW batch_id (not its
+      own half-committed output) and overwrites `v=<batch_id>` with
+      the identical merge — idempotent by construction.
+
+    Ordering: last-writer-wins resolves on the FULL-precision event
+    timestamp with event_id as the total-order tiebreak (same
+    contract as the batch operator). A delete drops the key; a later
+    change re-inserts it (no tombstone retention — at real scale,
+    retain tombstones for the out-of-order window the source can
+    produce, i.e. its watermark).
+
+    Scale: one shuffle on key per micro-batch; the rewrite cost is
+    O(|table|) per batch, which is the known trade of the
+    versioned-snapshot design — partition `v=<id>` by key-bucket and
+    rewrite only buckets containing changes to make it O(|delta|).
+    Cites the reference's append-style results store
+    (ExperimentSetup_v2.py results CSV append) as the semantic
+    ancestor: this is that lane upgraded to keyed mutation.
+    """
+    from pyspark.sql import Window
+
+    from patientdataintegration_spark.streaming.events import _events_stream
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        changes = batch_df.select(
+            F.col("user_id").alias("key"),
+            F.col("value").alias("bal"),
+            F.col("ts").cast("double").alias("seq_ts"),
+            F.col("event_id").alias("seq_id"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        _, cur = _latest_cdc_version(changes.sparkSession, table_path, batch_id)
+        log = changes
+        if cur is not None:
+            base = cur.select("key", "bal", "seq_ts", "seq_id", F.lit("U").alias("op"))
+            log = base.unionByName(changes)
+        w = Window.partitionBy("key").orderBy(
+            F.col("seq_ts").desc(), F.col("seq_id").desc()
+        )
+        merged = (
+            log.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+            .select("key", "bal", "seq_ts", "seq_id")
+        )
+        merged.write.mode("overwrite").parquet(f"{table_path}/v={batch_id}")
+
+    return (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1347,3 +1347,31 @@ def q179_ordered_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_top"),
         )
     )
+
+
+# --- streaming CDC upsert (rows-only: streaming execution lane) --------------
+
+
+@_register("q180_stream_cdc_upsert")
+def q180_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q174: the event feed consumed as a CDC
+    change log (error → delete, other types → upsert) through a
+    checkpointed foreachBatch into versioned table snapshots;
+    returns the final committed state. Rows-only by nature (the
+    subject under test IS the streaming execution — checkpointed
+    exactly-once micro-batch merge); the merge SEMANTICS are
+    hash-checked through the batch twin q174_cdc_apply, and the
+    restart/replay guarantees are pinned in tests/test_stream_cdc.py
+    (same-checkpoint restart adds no version; a replayed batch is
+    bit-identical)."""
+    import tempfile
+
+    from patientdataintegration_spark.streaming.sinks import (
+        current_cdc_state,
+        stream_cdc_upsert,
+    )
+
+    base = tempfile.mkdtemp(prefix="cdc_stream_")
+    q = stream_cdc_upsert(spark, sf_dir, f"{base}/table", f"{base}/ckpt")
+    q.awaitTermination()
+    return current_cdc_state(spark, f"{base}/table")
