@@ -46,6 +46,13 @@ q130/q132 checkpoint_dir refactor), and (e) the flagship plus the
 oldest-evidence r1 block (q01-q26 families, last checked r1) for
 freshness. Previously-green queries stay registered after the
 priority block; their evidence is CORRECTNESS_r01-r03.json.
+
+Registered after the window froze at 50 (driver evidence deferred to
+the r5 rotation; all verified by the driver-hash-exact local gate at
+three SFs this round): q176-q179 (attribution, rolling correlation,
+Pareto frontier, ordered string_agg) and q180 (streaming CDC upsert,
+rows-only streaming lane with its batch twin q174 hash-checked
+inside the window).
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES

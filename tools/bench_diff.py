@@ -1,9 +1,11 @@
 """Per-query bench regression report from BENCH_HISTORY.jsonl.
 
-Compares the LAST entry against a baseline entry (default: the
-fastest prior run per query, which filters machine-load noise — the
-r3 lesson: a loaded box shows uniform +30-50% that looks like a
-regression). Prints queries above the threshold ratio.
+Compares the LAST entry against the MEDIAN prior run per query
+(robust both to machine-load noise — the r3 lesson: a loaded box
+shows uniform +30-50% that looks like a regression — and to the
+min-of-N bias that flags every noisy sub-second query once history
+grows). The best prior is shown alongside for context. Prints
+queries above the threshold ratio.
 
 Usage: python tools/bench_diff.py [threshold=1.25]
 """
@@ -38,23 +40,27 @@ def main() -> int:
     if not prior:
         print(f"no prior entries at sf={last.get('sf')}; nothing to compare")
         return 0
-    best_prior: dict[str, float] = {}
+    import statistics
+
+    samples: dict[str, list[float]] = {}
     for e in prior:
         for q, v in e["queries"].items():
-            if q not in best_prior or v < best_prior[q]:
-                best_prior[q] = v
+            samples.setdefault(q, []).append(v)
     flagged = []
     for q, v in sorted(last["queries"].items()):
-        base = best_prior.get(q)
-        if base and v / base >= threshold:
-            flagged.append((q, base, v, v / base))
+        s = samples.get(q)
+        if not s:
+            continue
+        med = statistics.median(s)
+        if med and v / med >= threshold:
+            flagged.append((q, med, min(s), v, v / med))
     print(f"last total={last['value']}s warm={last.get('value_warm')}s "
-          f"({len(last['queries'])} queries); threshold={threshold}x vs best prior")
+          f"({len(last['queries'])} queries); threshold={threshold}x vs median prior")
     if not flagged:
         print("no per-query regressions above threshold")
         return 0
-    for q, base, v, r in flagged:
-        print(f"  {q}: best-prior {base}s -> {v}s ({r:.2f}x)")
+    for q, med, best, v, r in flagged:
+        print(f"  {q}: median-prior {med}s (best {best}s) -> {v}s ({r:.2f}x)")
     return 1
 
 
