@@ -17,6 +17,8 @@ makes the replay harmless — the same data lands in the same place.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -80,6 +82,43 @@ def current_cdc_state(spark: SparkSession, table_path: str) -> DataFrame:
     return df
 
 
+def _lineage_offset(table_path: str, checkpoint_path: str) -> int:
+    """Version offset for this checkpoint lineage, pinned by a
+    first-writer-wins marker file in the table directory.
+
+    Why: versions are named `v=<offset + batch_id>`, and batch ids
+    RESTART at 0 whenever a new checkpoint is used against an
+    existing table (re-pointed pipeline, lost checkpoint). Without
+    the offset, the new lineage's v=0 would land BELOW the old
+    lineage's newest version and every new write would be
+    permanently shadowed. The marker records `1 + max existing
+    version` at the moment the lineage first touches the table;
+    crash-replayed batches re-read the SAME marker (it is written
+    atomically before any snapshot write), keeping replay
+    deterministic."""
+    import hashlib
+    import json
+    import re
+
+    h = hashlib.md5(os.path.abspath(checkpoint_path).encode()).hexdigest()[:12]
+    marker = os.path.join(table_path, f"_lineage_{h}.json")
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            return json.load(f)["offset"]
+    os.makedirs(table_path, exist_ok=True)
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(table_path)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    ]
+    offset = (max(versions) + 1) if versions else 0
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"offset": offset}, f)
+    os.replace(tmp, marker)
+    return offset
+
+
 def stream_cdc_upsert(
     spark: SparkSession,
     sf_dir: str,
@@ -94,17 +133,22 @@ def stream_cdc_upsert(
 
     Design (poor-man's Delta, honest about it): each micro-batch
     merges the incoming changes into the newest snapshot version
-    STRICTLY BELOW its batch_id and writes the result as
-    `v=<batch_id>` — snapshots are immutable, readers always see a
+    STRICTLY BELOW its version id and writes the result as
+    `v=<lineage offset + batch_id>` (the offset — see
+    `_lineage_offset` — pins each checkpoint lineage ABOVE any
+    versions already in the table, so re-pointing a fresh checkpoint
+    at an existing table RESUMES from its state instead of being
+    shadowed by it) — snapshots are immutable, readers always see a
     complete committed version (`current_cdc_state`), and the
     exactly-once story needs no table-format transaction log:
 
     - crash BEFORE the snapshot write: the checkpoint has not
       committed either; the batch replays identically.
     - crash AFTER the write but BEFORE the checkpoint commit: the
-      replayed batch re-reads the version BELOW batch_id (not its
-      own half-committed output) and overwrites `v=<batch_id>` with
-      the identical merge — idempotent by construction.
+      replayed batch re-reads the same marker and the version BELOW
+      its own (never its half-committed output) and overwrites
+      `v=<version>` with the identical merge — idempotent by
+      construction.
 
     Ordering: last-writer-wins resolves on the FULL-precision event
     timestamp with event_id as the total-order tiebreak (same
@@ -135,7 +179,8 @@ def stream_cdc_upsert(
             .otherwise(F.lit("U"))
             .alias("op"),
         )
-        _, cur = _latest_cdc_version(changes.sparkSession, table_path, batch_id)
+        version = _lineage_offset(table_path, checkpoint_path) + batch_id
+        _, cur = _latest_cdc_version(changes.sparkSession, table_path, version)
         log = changes
         if cur is not None:
             base = cur.select("key", "bal", "seq_ts", "seq_id", F.lit("U").alias("op"))
@@ -148,7 +193,7 @@ def stream_cdc_upsert(
             .filter((F.col("rn") == 1) & (F.col("op") != "D"))
             .select("key", "bal", "seq_ts", "seq_id")
         )
-        merged.write.mode("overwrite").parquet(f"{table_path}/v={batch_id}")
+        merged.write.mode("overwrite").parquet(f"{table_path}/v={version}")
 
     return (
         _events_stream(spark, sf_dir)

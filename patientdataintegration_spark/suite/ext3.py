@@ -44,9 +44,9 @@ def _register(name: str, sql: str | None = None):
     return deco
 
 
-def _dsum(col: Column, alias: str) -> Column:
-    """Order-independent exact money sum (see suite/core.py:dsum)."""
-    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+from patientdataintegration_spark.suite.core import dsum as _dsum  # noqa: E402
+# (one shared copy of the exactness-critical money-sum helper; its
+# decimal-scale rationale lives on core.dsum)
 
 
 _REV = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
@@ -565,14 +565,17 @@ def q168_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q169_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose EUROPE-supplied value exceeds
-    a fixed fraction of the global total — a HAVING against a scalar
+    1.25x the MEAN per-part value — a HAVING against a scalar
     subquery over the SAME aggregate. The per-part sums stay DECIMAL
     through the second (global) summation, so the total is exact
-    regardless of combine order; the fraction threshold `0.005 *
-    tot` is one deterministic multiply of identical doubles, making
-    the boundary cut engine-exact. Scale: one aggregate on partkey,
-    a 1-row total broadcast back — the relative (not absolute)
-    threshold keeps result size stable as SF grows."""
+    regardless of combine order; the threshold `1.25 * (tot / np)`
+    is one deterministic divide-then-multiply of identical doubles,
+    making the boundary cut engine-exact. (TPC-H's own Q11 scales
+    its FRACTION-of-total threshold by 1/SF because per-part shares
+    shrink as the part count grows — a mean-relative threshold is
+    the SF-invariant spelling, selecting a stable ~top-quartile
+    tail at every SF.) Scale: one aggregate on partkey, a 1-row
+    total broadcast back."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -613,7 +616,8 @@ def q169_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q170_lonely_returner",
     """
-    SELECT s.s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
     FROM supplier s
     JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
     JOIN orders o ON o.o_orderkey = l1.l_orderkey
@@ -625,8 +629,8 @@ def q169_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 1 FROM lineitem l3
         WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
           AND l3.l_returnflag = 'R')
-    GROUP BY s.s_name
-    ORDER BY numwait DESC, s.s_name
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s.s_suppkey
     LIMIT 20
     """,
 )
@@ -667,8 +671,11 @@ def q170_lonely_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_order.groupBy("r_suppkey")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .join(F.broadcast(s), F.col("r_suppkey") == s.s_suppkey)
-        .select("s_name", "numwait")
-        .orderBy(F.col("numwait").desc(), "s_name")
+        .select("s_suppkey", "s_name", "numwait")
+        # grouped and ORDERED on the KEY, not the name: names are not
+        # guaranteed unique, and a name-grouped oracle would merge
+        # same-named suppliers while Spark kept them apart
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(20)
     )
 
@@ -909,7 +916,7 @@ def q173_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     ),
     chg AS (
-      SELECT CASE WHEN o_orderkey % 10 >= 8 THEN o_custkey + 100000
+      SELECT CASE WHEN o_orderkey % 10 >= 8 THEN -(o_custkey + 1)
                   ELSE o_custkey END AS key,
              o_totalprice AS bal,
              CAST(o_orderkey + 1 AS BIGINT) AS seq,
@@ -939,7 +946,10 @@ def q174_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROW_NUMBER pick nondeterministic); last-writer-wins resolves
     per key with one ROW_NUMBER window; keys whose LAST op is a delete
     drop out. The change log is synthesized deterministically from
-    orders (op by orderkey mod; inserts mint fresh keys). Values
+    orders (op by orderkey mod; inserts mint fresh keys in the
+    NEGATIVE range, -(custkey+1), which is disjoint from the base
+    key space at EVERY scale factor — an additive offset would
+    collide with real custkeys once the table outgrew it). Values
     pass through untouched (no arithmetic), so output is exact.
     Scale: ONE shuffle on key for the window; at 100 TB the same
     plan serves incremental table maintenance — union yesterday's
@@ -954,7 +964,7 @@ def q174_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = F.col("o_orderkey") % 10
     chg = o.select(
-        F.when(m >= 8, F.col("o_custkey") + 100000)
+        F.when(m >= 8, -(F.col("o_custkey") + 1))
         .otherwise(F.col("o_custkey"))
         .alias("key"),
         F.col("o_totalprice").alias("bal"),
@@ -1364,6 +1374,9 @@ def q180_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     restart/replay guarantees are pinned in tests/test_stream_cdc.py
     (same-checkpoint restart adds no version; a replayed batch is
     bit-identical)."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from patientdataintegration_spark.streaming.sinks import (
@@ -1371,7 +1384,12 @@ def q180_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_cdc_upsert,
     )
 
-    base = tempfile.mkdtemp(prefix="cdc_stream_")
+    # fixed per-corpus work dir, WIPED each invocation: the query
+    # re-runs the stream from scratch by design, and a per-call
+    # mkdtemp would accumulate a directory per gate/bench run
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"pdi_q180_cdc_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
     q = stream_cdc_upsert(spark, sf_dir, f"{base}/table", f"{base}/ckpt")
     q.awaitTermination()
     return current_cdc_state(spark, f"{base}/table")

@@ -36,8 +36,9 @@ def test_triangle_count_hand_computed(spark, tmp_path):
 
 def test_cdc_apply_hand_computed(spark, tmp_path):
     """Key 1 deleted (orderkey 16: 16%10=6 -> D), key 2 updated to
-    99.0 (orderkey 25 -> U), key 100003 inserted (orderkey 8 ->
-    I, minted from custkey 3). Change seqs are orderkey+1 so a
+    99.0 (orderkey 25 -> U), key -4 inserted (orderkey 8 -> I,
+    minted from custkey 3 into the negative key range, disjoint
+    from base custkeys at any SF). Change seqs are orderkey+1 so a
     change from orderkey 0 can never tie the base rows at seq 0."""
     from patientdataintegration_spark.suite.ext3 import q174_cdc_apply
 
@@ -54,7 +55,7 @@ def test_cdc_apply_hand_computed(spark, tmp_path):
         r.key: (r.bal, r.last_seq, r.src)
         for r in q174_cdc_apply(spark, str(tmp_path)).collect()
     }
-    assert got == {2: (99.0, 26, "chg"), 100003: (50.0, 9, "chg")}
+    assert got == {2: (99.0, 26, "chg"), -4: (50.0, 9, "chg")}
 
 
 def test_benford_digit_extraction(spark, tmp_path):
@@ -134,9 +135,9 @@ def test_lonely_returner_hand_computed(spark, tmp_path):
     )
     for name, df in [("lineitem", li), ("orders", o), ("supplier", s)]:
         _write(df, tmp_path, name)
-    got = [(r.s_name, r.numwait)
+    got = [(r.s_suppkey, r.s_name, r.numwait)
            for r in q170_lonely_returner(spark, str(tmp_path)).collect()]
-    assert got == [("alpha", 1)]
+    assert got == [(1, "alpha", 1)]
 
 
 def test_order_count_distribution_keeps_zero_customers(spark, tmp_path):

@@ -584,3 +584,27 @@ def test_snapshot_diff_single_scan_pair(spark, sf_dir):
         "c_custkey" in s and "c_name" not in s and "c_address" not in s
         for s in schemas
     )
+
+
+def test_plan_audit_flags_real_cartesians_only(spark, sf_dir):
+    """The plan-audit nested-loop checker (tools/plan_audit.py) must
+    flag a genuine quadratic join between two real relations and
+    must NOT flag the sanctioned crossJoin-of-a-global-aggregate
+    pattern this suite uses for scalar thresholds."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import _unsanctioned_nested_loops
+
+    from patientdataintegration_spark.plans.inspect import explain_str
+
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+
+    bad = c.crossJoin(s)  # two real relations -> quadratic
+    assert _unsanctioned_nested_loops(explain_str(bad, "simple"))
+
+    good = c.crossJoin(
+        F.broadcast(s.agg(F.max("s_acctbal").alias("mx")))
+    ).filter(F.col("c_acctbal") > F.col("mx"))
+    assert _unsanctioned_nested_loops(explain_str(good, "simple")) == []

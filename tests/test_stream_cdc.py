@@ -85,12 +85,13 @@ def test_stream_cdc_upsert_restart_is_exactly_once(spark, tmp_path):
     assert got == EXPECT
 
 
-def test_stream_cdc_replayed_batch_is_idempotent(spark, tmp_path):
-    """Simulate the crash-after-write-before-checkpoint-commit window:
-    re-running batch 0's merge against the pre-batch state (nothing
-    below batch 0) over an EXISTING v=0 output must reproduce it
-    bit-for-bit — the merge never reads its own half-committed
-    version."""
+def test_stream_cdc_fresh_checkpoint_resumes_not_shadowed(spark, tmp_path):
+    """Re-pointing a FRESH checkpoint at an existing table must
+    RESUME from its newest version, not be shadowed by it: the new
+    lineage's batch 0 gets a version offset above every existing
+    version (the `_lineage_*` marker), merges the prior state with
+    the re-read changes (idempotent — same data), and
+    current_cdc_state moves to the new version."""
     src = tmp_path / "src"
     src.mkdir()
     _write_events_file(spark, ROWS, src)
@@ -100,10 +101,14 @@ def test_stream_cdc_replayed_batch_is_idempotent(spark, tmp_path):
         spark, str(src), table, str(tmp_path / "ckpt1")
     ).awaitTermination()
     first = {r.key: r.bal for r in current_cdc_state(spark, table).collect()}
+    v_first = sorted(d for d in os.listdir(table) if d.startswith("v="))
 
-    # fresh checkpoint -> batch 0 replays over the existing v=0
+    # fresh checkpoint over the SAME table: a NEW version appears
+    # ABOVE the old one (not v=0 shadowed below it), state unchanged
     stream_cdc_upsert(
         spark, str(src), table, str(tmp_path / "ckpt2")
     ).awaitTermination()
+    v_second = sorted(d for d in os.listdir(table) if d.startswith("v="))
+    assert v_first == ["v=0"] and v_second == ["v=0", "v=1"]
     again = {r.key: r.bal for r in current_cdc_state(spark, table).collect()}
     assert first == again == EXPECT
