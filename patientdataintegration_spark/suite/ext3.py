@@ -764,8 +764,9 @@ def q171_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 JOIN e e3 ON e3.va = e1.va AND e3.vb = e2.vb
     )
     SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
-           (SELECT CAST(SUM(d) / 2 AS BIGINT) FROM deg) AS n_edges,
-           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT COALESCE(CAST(SUM(d) / 2 AS BIGINT), 0) FROM deg) AS n_edges,
+           (SELECT COALESCE(CAST(SUM(d * (d - 1) / 2) AS BIGINT), 0) FROM deg)
+             AS n_wedges,
            tri.n_triangles,
            CASE WHEN (SELECT SUM(d * (d - 1) / 2) FROM deg) > 0
                 THEN ROUND(3.0 * tri.n_triangles /
@@ -821,10 +822,15 @@ def q172_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # COALESCE to 0: SUM over an empty degree table (graph with no
+    # surviving edges) is NULL in both engines, but the honest count
+    # is zero (caught by the brute-force property test)
     deg_stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+        F.coalesce((F.sum("d") / 2).cast("bigint"), F.lit(0)).alias("n_edges"),
+        F.coalesce(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint"), F.lit(0)
+        ).alias("n_wedges"),
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (

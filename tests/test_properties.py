@@ -156,3 +156,99 @@ def test_asof_backward_matches_pandas_merge_asof(spark, data):
         for r in merged.itertuples()
     }
     assert got == expect
+
+
+# --- skyline & triangle equivalence vs brute force ---------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 8)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pareto_window_matches_brute_force(spark, tmp_path_factory, pts):
+    """q178's O(n log n) two-window skyline == the quadratic
+    dominance definition, on arbitrary point sets (duplicates
+    included)."""
+    from patientdataintegration_spark.suite.ext3 import q178_pareto_frontier
+
+    rows = [(i + 1, float(pc) / 100.0, sz) for i, (pc, sz) in enumerate(pts)]
+    tmp = tmp_path_factory.mktemp("pareto")
+    spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    ).write.parquet(str(tmp / "part.parquet"))
+
+    def dominated(p, others):
+        return any(
+            q[0] <= p[0] and q[1] <= p[1] and (q[0] < p[0] or q[1] < p[1])
+            for q in others
+        )
+
+    cents = [(pc, sz) for pc, sz in pts]
+    expected = {
+        i + 1
+        for i, p in enumerate(cents)
+        if not dominated(p, cents)
+    }
+    got = {
+        r.p_partkey
+        for r in q178_pareto_frontier(spark, str(tmp)).collect()
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    mem=st.lists(
+        st.tuples(st.integers(1, 6), st.integers(1, 6)),  # (order, supplier)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_triangle_count_matches_brute_force(spark, tmp_path_factory, mem):
+    """q172's a<b<c two-hop join == brute-force triangle enumeration
+    over the support-thresholded co-occurrence graph, on arbitrary
+    order-supplier memberships."""
+    from itertools import combinations
+
+    from patientdataintegration_spark.suite.ext3 import q172_triangle_count
+
+    tmp = tmp_path_factory.mktemp("tri")
+    spark.createDataFrame(
+        [(o, s) for o, s in mem], "l_orderkey long, l_suppkey long"
+    ).write.parquet(str(tmp / "lineitem.parquet"))
+
+    per_order: dict[int, set[int]] = {}
+    for o, s in mem:
+        per_order.setdefault(o, set()).add(s)
+    support: dict[tuple[int, int], int] = {}
+    for supps in per_order.values():
+        for a, b in combinations(sorted(supps), 2):
+            support[(a, b)] = support.get((a, b), 0) + 1
+    edges = {e for e, n in support.items() if n >= 5}
+    nodes = {v for e in edges for v in e}
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tris = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    r = q172_triangle_count(spark, str(tmp)).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (
+        len(nodes), len(edges), wedges, tris,
+    )
