@@ -510,7 +510,8 @@ def batch_inference(df: DataFrame, path_col: str = "path", content_col: str = "c
 
 
 AUDIO_FEATURES_SCHEMA = StructType(
-    [
+    [  # header metadata + REAL PCM sample statistics (null when the
+       # payload is not decodable PCM)
         StructField("path", StringType()),
         StructField("sample_rate", IntegerType()),
         StructField("channels", IntegerType()),
@@ -518,6 +519,9 @@ AUDIO_FEATURES_SCHEMA = StructType(
         StructField("n_samples", LongType()),
         StructField("duration_s", DoubleType()),
         StructField("n_bytes", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("zero_cross_rate", DoubleType()),
     ]
 )
 
@@ -550,13 +554,71 @@ def parse_wav_header(content: bytes) -> tuple[int, int, int, int] | None:
     return sample_rate, channels, bits, n_samples
 
 
+def decode_wav_samples(content: bytes):
+    """REAL PCM sample decode from a RIFF/WAVE payload: returns a
+    float64 numpy array shaped (n_frames, channels), normalized to
+    [-1, 1) — the audio twin of `decode_png_pixels` (header-only
+    metadata was the r4 gap this closes). Pure stdlib + numpy:
+    supports PCM (format 1) at 8 (unsigned), 16 and 32 (signed LE)
+    bits; returns None for non-WAV, compressed, or malformed
+    payloads so callers fall back to header-only rows. A data chunk
+    whose declared size overruns the payload is decoded to the last
+    WHOLE frame actually present (truncation declines gracefully
+    per-frame, not per-file)."""
+    import numpy as np
+
+    if len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    audio_format = sample_rate = channels = bits = block_align = None
+    data = None
+    i, n = 12, len(content)
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        size = int.from_bytes(content[i + 4 : i + 8], "little")
+        body = content[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_format = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if (
+        audio_format != 1
+        or not (sample_rate and channels and bits and block_align)
+        or data is None
+    ):
+        return None
+    try:
+        if bits == 16:
+            dt, scale, offset = "<i2", 32768.0, 0.0
+        elif bits == 32:
+            dt, scale, offset = "<i4", 2147483648.0, 0.0
+        elif bits == 8:
+            dt, scale, offset = "u1", 128.0, 128.0
+        else:
+            return None
+        usable = (len(data) // block_align) * block_align
+        if usable == 0:
+            return None
+        arr = np.frombuffer(bytes(data[:usable]), dtype=dt).astype(np.float64)
+        arr = (arr - offset) / scale
+        return arr.reshape(-1, channels)
+    except (ValueError, ZeroDivisionError):
+        return None
+
+
 def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "content") -> DataFrame:
     """Decode + featurize a binary audio column via mapInPandas: real
     RIFF/WAVE header metadata (rate, channels, bit depth, sample
-    count, duration); unknown containers surface as nulls rather than
-    fakes (audio has no meaningful deterministic stub — the row is
-    still emitted so joins don't drop media). Same iterator-batch
-    contract as `image_features`."""
+    count, duration) AND real PCM sample statistics (RMS, peak,
+    zero-crossing rate over the first channel — `decode_wav_samples`);
+    unknown containers surface as nulls rather than fakes (audio has
+    no meaningful deterministic stub — the row is still emitted so
+    joins don't drop media). Same iterator-batch contract as
+    `image_features`."""
     cols = df.select(F.col(path_col).alias("path"), F.col(content_col).alias("content"))
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -566,9 +628,26 @@ def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "co
                 payload = bytes(content) if content is not None else b""
                 parsed = parse_wav_header(payload)
                 if parsed is None:
-                    rows.append((path, None, None, None, None, None, len(payload)))
+                    rows.append(
+                        (path, None, None, None, None, None, len(payload),
+                         None, None, None)
+                    )
                 else:
                     rate, ch, bits, n_samp = parsed
+                    rms = peak = zcr = None
+                    samples = decode_wav_samples(payload)
+                    if samples is not None and len(samples):
+                        import numpy as np
+
+                        first = samples[:, 0]
+                        rms = float(np.sqrt(np.mean(first * first)))
+                        peak = float(np.max(np.abs(first)))
+                        if len(first) > 1:
+                            zcr = float(
+                                np.count_nonzero(
+                                    np.signbit(first[1:]) != np.signbit(first[:-1])
+                                )
+                            ) / (len(first) - 1)
                     rows.append(
                         (
                             path,
@@ -578,6 +657,9 @@ def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "co
                             n_samp,
                             n_samp / rate if rate else None,
                             len(payload),
+                            rms,
+                            peak,
+                            zcr,
                         )
                     )
             yield pd.DataFrame(
@@ -590,6 +672,9 @@ def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "co
                     "n_samples",
                     "duration_s",
                     "n_bytes",
+                    "rms",
+                    "peak",
+                    "zero_cross_rate",
                 ],
             )
 

@@ -1634,8 +1634,11 @@ def q103_variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q104_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality lane end-to-end: deterministic RIFF/WAVE
     payloads (synthetic_wavs over the part table) through the REAL
-    header parser (`audio_features`), aggregated per channel layout.
-    Rows-only check; pytest pins the header-parse values."""
+    header parser AND the REAL PCM sample decode (`audio_features`:
+    RMS / peak / zero-crossing rate from the actual int16 frames),
+    aggregated per channel layout. Rows-only check; pytest pins both
+    the header-parse and the PCM statistics (square-wave /
+    silence / truncation fixtures)."""
     from patientdataintegration_spark.operators.multimodal import (
         audio_features,
         synthetic_wavs,
@@ -1650,6 +1653,8 @@ def q104_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_files"),
             F.sum("n_samples").alias("total_samples"),
             F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("rms"), 6).alias("avg_rms"),
+            F.round(F.max("peak"), 6).alias("max_peak"),
         )
     )
 

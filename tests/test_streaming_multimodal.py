@@ -659,3 +659,61 @@ def test_png_adam7_interlaced_decode():
         + chunk(b"IEND", b"")
     )
     assert decode_png_pixels(bad) is None
+
+
+def test_audio_pcm_real_sample_statistics(spark):
+    """REAL PCM decode: a 16-bit square wave at +/-16384 has RMS and
+    peak exactly 0.5 and alternates sign every sample (zcr 1.0); an
+    8-bit unsigned constant 128 decodes to silence (rms/peak/zcr 0);
+    a non-PCM format code declines to header-only nulls."""
+    import struct
+
+    from patientdataintegration_spark.operators.multimodal import audio_features
+
+    def wav(fmt_code, channels, bits, frames):
+        block = channels * bits // 8
+        data = b"".join(frames)
+        fmt = struct.pack(
+            "<HHIIHH", fmt_code, channels, 8000, 8000 * block, block, bits
+        )
+        body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    square = [struct.pack("<h", 16384 if i % 2 == 0 else -16384) for i in range(100)]
+    silent8 = [bytes([128]) for _ in range(50)]
+    rows = [
+        ("sq.wav", bytearray(wav(1, 1, 16, square))),
+        ("silent.wav", bytearray(wav(1, 1, 8, silent8))),
+        ("ulaw.wav", bytearray(wav(7, 1, 8, silent8))),  # non-PCM format
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r.path: r for r in audio_features(df).collect()}
+
+    sq = got["sq.wav"]
+    assert sq.rms == 0.5 and sq.peak == 0.5 and sq.zero_cross_rate == 1.0
+    sil = got["silent.wav"]
+    assert sil.rms == 0.0 and sil.peak == 0.0 and sil.zero_cross_rate == 0.0
+    # non-PCM: header metadata parses, sample stats decline to null
+    ul = got["ulaw.wav"]
+    assert ul.sample_rate == 8000 and ul.rms is None and ul.peak is None
+
+
+def test_audio_pcm_truncated_data_decodes_whole_frames(spark):
+    """A data chunk whose declared size overruns the payload decodes
+    to the last complete frame instead of failing the task."""
+    import struct
+
+    from patientdataintegration_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    block = 2
+    data = b"".join(struct.pack("<h", 1000) for _ in range(10))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * block, block, 16)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    # declare 100 frames but only append 10 and then one EXTRA odd byte
+    body += b"data" + struct.pack("<I", 200) + data + b"\x7f"
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    samples = decode_wav_samples(payload)
+    assert samples is not None and samples.shape == (10, 1)
