@@ -50,9 +50,10 @@ priority block; their evidence is CORRECTNESS_r01-r03.json.
 Registered after the window froze at 50 (driver evidence deferred to
 the r5 rotation; all verified by the driver-hash-exact local gate at
 three SFs this round): q176-q179 (attribution, rolling correlation,
-Pareto frontier, ordered string_agg) and q180 (streaming CDC upsert,
+Pareto frontier, ordered string_agg) q180 (streaming CDC upsert,
 rows-only streaming lane with its batch twin q174 hash-checked
-inside the window).
+inside the window), and q181 (video AVI real-decode lane,
+rows-only binary pandas-UDF lane pinned by roundtrip pytests).
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES

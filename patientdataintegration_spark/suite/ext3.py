@@ -1399,3 +1399,34 @@ def q180_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_cdc_upsert(spark, sf_dir, f"{base}/table", f"{base}/ckpt")
     q.awaitTermination()
     return current_cdc_state(spark, f"{base}/table")
+
+
+# --- video modality lane (rows-only: pandas-UDF binary lane) -----------------
+
+
+@_register("q181_video_frames")
+def q181_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality end-to-end with REAL decode: deterministic
+    uncompressed AVI containers (synthetic_avis over the part table)
+    through the REAL RIFF/AVI chunk-walk parser and REAL 24-bit DIB
+    pixel decode (`video_frame_features` — every-2nd frame sampled
+    BELOW the decode, the reference's tile-sampling pushdown
+    (`dataset_classes_v1.py` sampling-before-load) applied to the
+    temporal axis), aggregated per video: frame count, mean of the
+    per-frame REAL pixel intensities. Rows-only by nature (binary
+    pandas-UDF lane); pytest pins the hand-computed per-frame means
+    and the metadata roundtrip."""
+    from patientdataintegration_spark.operators.multimodal import (
+        synthetic_avis,
+        video_frame_features,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    avis = synthetic_avis(p, "p_partkey")
+    frames = video_frame_features(avis, every_n=2, max_frames=4)
+    return frames.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sampled_frames"),
+        F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+        F.max("width").alias("width"),
+        F.max("height").alias("height"),
+    )
