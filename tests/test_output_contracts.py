@@ -144,3 +144,39 @@ def test_complex_operators_survive_empty_input(spark):
     assert pagerank(empty_pairs).count() == 0
     assert fuzzy_name_pairs(empty_names, name_col="p_name").count() == 0
     assert kmeans_assign(empty_vecs, k=2, iterations=1).count() == 0
+
+
+def test_every_query_is_oracle_backed_or_documented_rows_only():
+    """Registry invariant: a query either carries a DuckDB oracle
+    (value-hashed by the driver) or is on the EXPLICIT rows-only
+    list below with a reason-class. A new query silently missing its
+    oracle fails here instead of silently downgrading to the weaker
+    rows-only driver check."""
+    from patientdataintegration_spark.suite import ORACLES, QUERIES
+
+    ROWS_ONLY = {
+        # streaming execution lanes (the subject IS the stream run;
+        # batch twins are hash-checked)
+        "q88_stream_static_enrich",
+        "q89_stream_dedup",
+        "q90_stream_tumbling",
+        "q96_stream_sessionize",
+        "q99_stream_stream_join",
+        "q180_stream_cdc_upsert",
+        # binary pandas-UDF decode lanes (pixels/PCM/frames pinned by
+        # roundtrip pytests; DuckDB cannot express the decode)
+        "q91_multimodal_features",
+        "q97_batch_inference",
+        "q104_audio_metadata",
+        "q181_video_frames",
+        # ML-ensemble / sketch lanes (nondeterministic-model or
+        # estimator internals; bounds pinned in pytest)
+        "q94_random_forest",
+        "q95_approx_distinct",
+    }
+    missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY
+    stale = ROWS_ONLY - set(QUERIES)
+    over = ROWS_ONLY & set(ORACLES)
+    assert not missing, f"queries with neither oracle nor rows-only entry: {sorted(missing)}"
+    assert not stale, f"rows-only entries for unregistered queries: {sorted(stale)}"
+    assert not over, f"rows-only entries that HAVE oracles (remove): {sorted(over)}"
