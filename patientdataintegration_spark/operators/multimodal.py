@@ -738,10 +738,12 @@ def synthetic_wavs(df: DataFrame, key_col: str, rate: int = 8000) -> DataFrame:
 VIDEO_META_SCHEMA = StructType(
     [
         StructField("path", StringType()),
+        StructField("container", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_frames", LongType()),
         StructField("fps", DoubleType()),
+        StructField("duration_s", DoubleType()),
         StructField("codec", StringType()),
         StructField("n_bytes", LongType()),
     ]
@@ -892,8 +894,10 @@ def video_frame_features(
 
 def video_metadata(df: DataFrame, path_col: str = "path", content_col: str = "content") -> DataFrame:
     """Container-level REAL metadata for binary video payloads (the
-    video twin of `audio_features`' header half); non-AVI rows
-    survive with nulls so joins don't drop media."""
+    video twin of `audio_features`' header half): AVI via the RIFF
+    chunk walk, MP4/ISO-BMFF via the box walk (`parse_mp4_header`);
+    unrecognized rows survive with nulls so joins don't drop
+    media."""
     cols = df.select(F.col(path_col).alias("path"), F.col(content_col).alias("content"))
 
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -902,16 +906,28 @@ def video_metadata(df: DataFrame, path_col: str = "path", content_col: str = "co
             for path, content in zip(pdf["path"], pdf["content"]):
                 payload = bytes(content) if content is not None else b""
                 hdr = parse_avi_header(payload)
-                if hdr is None:
-                    rows.append((path, None, None, None, None, None, len(payload)))
-                else:
+                if hdr is not None:
                     w, h, nf, fps, codec = hdr
-                    rows.append((path, w, h, nf, fps, codec, len(payload)))
+                    dur = (nf / fps) if (fps and nf) else None
+                    rows.append(
+                        (path, "avi", w, h, nf, fps, dur, codec, len(payload))
+                    )
+                    continue
+                mp4 = parse_mp4_header(payload)
+                if mp4 is not None:
+                    dur, w, h, brand, _ = mp4
+                    rows.append(
+                        (path, "mp4", w, h, None, None, dur, brand, len(payload))
+                    )
+                    continue
+                rows.append(
+                    (path, None, None, None, None, None, None, None, len(payload))
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "path", "width", "height", "n_frames", "fps", "codec",
-                    "n_bytes",
+                    "path", "container", "width", "height", "n_frames",
+                    "fps", "duration_s", "codec", "n_bytes",
                 ],
             )
 
@@ -997,3 +1013,63 @@ def synthetic_avis(df: DataFrame, key_col: str, width: int = 8, height: int = 6)
         [StructField("path", StringType()), StructField("content", BinaryType())]
     )
     return keys.mapInPandas(gen_batches, schema)
+
+
+def parse_mp4_header(content: bytes):
+    """REAL (duration_s, width, height, major_brand, n_tracks) from an
+    ISO-BMFF / MP4 container — a pure box walk (ftyp, moov/mvhd for
+    timescale+duration, trak/tkhd for track count and visual
+    dimensions), no codec work. The second container format of the
+    video lane (AVI being the first); returns None for non-MP4
+    payloads. Box sizes: 32-bit, with 64-bit `size==1` largesize
+    supported; mvhd/tkhd version 0 and 1 both handled."""
+
+    def boxes(buf, start, end):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            btype = buf[i + 4 : i + 8]
+            hdr = 8
+            if size == 1 and i + 16 <= end:
+                size = int.from_bytes(buf[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = end - i
+            if size < hdr:
+                return
+            yield btype, i + hdr, min(i + size, end)
+            i += size
+
+    n = len(content)
+    if n < 12:
+        return None
+    first = list(boxes(content, 0, n))
+    if not first or first[0][0] != b"ftyp":
+        return None
+    major = content[first[0][1] : first[0][1] + 4].decode("ascii", "replace")
+    duration_s = width = height = None
+    n_tracks = 0
+    for btype, s, e in first:
+        if btype != b"moov":
+            continue
+        for b2, s2, e2 in boxes(content, s, e):
+            if b2 == b"mvhd" and e2 - s2 >= 20:
+                ver = content[s2]
+                if ver == 1 and e2 - s2 >= 28:
+                    timescale = int.from_bytes(content[s2 + 20 : s2 + 24], "big")
+                    duration = int.from_bytes(content[s2 + 24 : s2 + 32], "big")
+                else:
+                    timescale = int.from_bytes(content[s2 + 12 : s2 + 16], "big")
+                    duration = int.from_bytes(content[s2 + 16 : s2 + 20], "big")
+                if timescale:
+                    duration_s = duration / timescale
+            elif b2 == b"trak":
+                n_tracks += 1
+                for b3, s3, e3 in boxes(content, s2, e2):
+                    if b3 == b"tkhd" and e3 - s3 >= 84:
+                        # width/height: 16.16 fixed point at the tail
+                        w = int.from_bytes(content[e3 - 8 : e3 - 4], "big") >> 16
+                        h = int.from_bytes(content[e3 - 4 : e3], "big") >> 16
+                        if w and h:
+                            width, height = w, h
+    return duration_s, width, height, major, n_tracks

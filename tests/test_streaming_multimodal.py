@@ -790,3 +790,40 @@ def test_avi_frame_sampling_and_decline(spark):
     # metadata still parses, pixel decode declines
     payload = bytes(avis.collect()[0].content).replace(b"00db", b"00dc")
     assert list(decode_avi_frames(payload)) == []
+
+
+def test_mp4_box_walk_real_metadata(spark):
+    """A hand-built minimal ISO-BMFF payload (ftyp + moov/mvhd +
+    trak/tkhd) parses to its real duration, dimensions, brand and
+    track count through the video_metadata lane."""
+    import struct
+
+    from patientdataintegration_spark.operators.multimodal import video_metadata
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    # mvhd v0: ver/flags, ctime, mtime, timescale=1000, duration=2500ms
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, 2500) + b"\x00" * 80,
+    )
+    # tkhd v0: 84-byte body; width/height 16.16 fixed at the tail
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 72
+        + struct.pack(">II", 640 << 16, 360 << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    payload = ftyp + moov
+
+    df = spark.createDataFrame(
+        [("clip.mp4", bytearray(payload))], "path string, content binary"
+    )
+    m = video_metadata(df).collect()[0]
+    assert m.container == "mp4"
+    assert m.duration_s == 2.5
+    assert (m.width, m.height) == (640, 360)
+    assert m.codec == "isom"
