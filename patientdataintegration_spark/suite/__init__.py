@@ -52,8 +52,10 @@ the r5 rotation; all verified by the driver-hash-exact local gate at
 three SFs this round): q176-q179 (attribution, rolling correlation,
 Pareto frontier, ordered string_agg) q180 (streaming CDC upsert,
 rows-only streaming lane with its batch twin q174 hash-checked
-inside the window), and q181 (video AVI real-decode lane,
-rows-only binary pandas-UDF lane pinned by roundtrip pytests).
+inside the window), q181 (video AVI real-decode lane,
+rows-only binary pandas-UDF lane pinned by roundtrip pytests), and
+q182 (Python UDTF + LATERAL chunking, hash-exact against q81's
+oracle at 3 SFs).
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES

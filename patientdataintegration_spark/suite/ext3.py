@@ -1430,3 +1430,48 @@ def q181_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("width").alias("width"),
         F.max("height").alias("height"),
     )
+
+
+# --- Python UDTF + LATERAL join lane -----------------------------------------
+
+
+@_register(
+    "q182_udtf_chunking",
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+    c AS (
+      SELECT doc_id, tk,
+             unnest(range(0,
+               CAST(FLOOR((GREATEST(len(tk) - 16, 1) - 1) / 48) AS BIGINT) + 1)) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT)
+             AS n_chunk_tokens
+    FROM c
+    """,
+)
+def q182_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python-UDTF surface: per-row TABLE function
+    consumed via a LATERAL join — one document row fans out to its
+    chunk relation inside the UDTF (`functions/udtfs.ChunkTextUDTF`),
+    the reference's `__getitem__` one-row-to-many micro-pipeline
+    shape (`dataset_classes_v1.py`). Semantics are bit-compatible
+    with the native-Column q81 chunker, so this lane shares q81's
+    hash-exact oracle — proving the UDTF path computes EXACTLY what
+    the codegen path computes. Scale stance: UDTFs are the Python
+    row path (Arrow-batched transport, per-row Python execution) —
+    registered as API-surface proof; q81 remains the production
+    chunker."""
+    from patientdataintegration_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_docs_src"
+    )
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_id, c.chunk_text, c.n_chunk_tokens "
+        "FROM udtf_docs_src, LATERAL chunk_text(doc_id, text) c"
+    )

@@ -321,3 +321,24 @@ def test_ordered_stringagg_rank_order(spark, tmp_path):
     n.write.parquet(str(tmp_path / "nation.parquet"))
     r = q179_ordered_stringagg(spark, str(tmp_path)).collect()[0]
     assert (r.n_name, r.top_names, r.n_top) == ("X", "c,b,a", 3)
+
+
+def test_udtf_chunking_matches_native_chunker(spark, sf_dir):
+    """The Python-UDTF chunker (q182) and the native-Column chunker
+    (q81) must be row-identical — the slow-path API surface computes
+    exactly what the codegen path computes — and the plans must show
+    the expected nodes: a Python UDTF evaluation in q182, none in
+    q81."""
+    from patientdataintegration_spark.suite.ext import q81_chunking
+    from patientdataintegration_spark.suite.ext3 import q182_udtf_chunking
+
+    native = q81_chunking(spark, sf_dir)
+    via_udtf = q182_udtf_chunking(spark, sf_dir)
+    cols = sorted(native.columns)
+    assert cols == sorted(via_udtf.columns)
+    a = sorted(tuple(repr(r[c]) for c in cols) for r in native.collect())
+    b = sorted(tuple(repr(r[c]) for c in cols) for r in via_udtf.collect())
+    assert a == b and a
+
+    assert "PythonUDTF" in explain_str(via_udtf)
+    assert "PythonUDTF" not in explain_str(native)
