@@ -528,18 +528,18 @@ AUDIO_FEATURES_SCHEMA = StructType(
 
 def parse_wav_header(content: bytes) -> tuple[int, int, int, int] | None:
     """REAL (sample_rate, channels, bits_per_sample, n_samples) from a
-    RIFF/WAVE container header — pure Python chunk walk, no audio
-    libraries. Returns None for non-WAV payloads so callers can fall
-    back (the audio twin of `parse_image_header`)."""
+    RIFF/WAVE container header — pure Python chunk walk (the shared
+    `_riff_chunks` iterator, defined with the video lane below), no
+    audio libraries. Returns None for non-WAV payloads so callers can
+    fall back (the audio twin of `parse_image_header`). n_samples
+    reflects the data chunk's DECLARED size (the header-level claim);
+    sample-level truncation handling lives in `decode_wav_samples`."""
     if len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         return None
     sample_rate = channels = bits = block_align = None
     n_samples = 0
-    i, n = 12, len(content)
-    while i + 8 <= n:
-        cid = content[i : i + 4]
-        size = int.from_bytes(content[i + 4 : i + 8], "little")
-        body = content[i + 8 : i + 8 + size]
+    for cid, off, size in _riff_chunks(content, 12, len(content)):
+        body = content[off : off + size]
         if cid == b"fmt " and len(body) >= 16:
             channels = int.from_bytes(body[2:4], "little")
             sample_rate = int.from_bytes(body[4:8], "little")
@@ -547,8 +547,6 @@ def parse_wav_header(content: bytes) -> tuple[int, int, int, int] | None:
             bits = int.from_bytes(body[14:16], "little")
         elif cid == b"data" and block_align:
             n_samples = size // block_align
-        # chunks are word-aligned: odd sizes carry a pad byte
-        i += 8 + size + (size & 1)
     if not (sample_rate and channels and bits):
         return None
     return sample_rate, channels, bits, n_samples
@@ -571,11 +569,8 @@ def decode_wav_samples(content: bytes):
         return None
     audio_format = sample_rate = channels = bits = block_align = None
     data = None
-    i, n = 12, len(content)
-    while i + 8 <= n:
-        cid = content[i : i + 4]
-        size = int.from_bytes(content[i + 4 : i + 8], "little")
-        body = content[i + 8 : i + 8 + size]
+    for cid, off, size in _riff_chunks(content, 12, len(content)):
+        body = content[off : off + size]
         if cid == b"fmt " and len(body) >= 16:
             audio_format = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
@@ -584,7 +579,6 @@ def decode_wav_samples(content: bytes):
             bits = int.from_bytes(body[14:16], "little")
         elif cid == b"data":
             data = body
-        i += 8 + size + (size & 1)
     if (
         audio_format != 1
         or not (sample_rate and channels and bits and block_align)
@@ -751,7 +745,12 @@ VIDEO_META_SCHEMA = StructType(
 
 
 def _riff_chunks(buf: bytes, start: int, end: int):
-    """Yield (fourcc, body_start, body_size) over a RIFF chunk run."""
+    """Yield (fourcc, body_start, body_size) over a RIFF chunk run.
+    `end` is clamped to the REAL buffer length: nested walks pass
+    the container's DECLARED size as the bound, and a corrupt size
+    field (e.g. 0xFFFFFFF0) would otherwise spin this loop hundreds
+    of millions of iterations past the data."""
+    end = min(end, len(buf))
     i = start
     while i + 8 <= end:
         cid = buf[i : i + 4]
@@ -822,8 +821,11 @@ def decode_avi_frames(content: bytes, every_n: int = 1, max_frames: int = 64):
                 continue
             if emitted >= max_frames:
                 return
-            if c2[2:4] != b"db" or s2 < need:
-                continue  # compressed or short frame: no pixels
+            if c2[2:4] != b"db" or s2 < need or o2 + need > len(content):
+                # compressed, short, or TRUNCATED frame (declared
+                # size beyond the actual payload): no pixels —
+                # skip the frame, never fail the task
+                continue
             raw = np.frombuffer(
                 bytes(content[o2 : o2 + need]), dtype=np.uint8
             ).reshape(height, row_bytes)
@@ -977,12 +979,17 @@ def synthetic_avis(df: DataFrame, key_col: str, width: int = 8, height: int = 6)
             + b"\x00" * 16
         )
         strh = (
-            b"vids" + b"DIB " + b"\x00" * 20
-            + (1).to_bytes(4, "little")            # scale
-            + (25).to_bytes(4, "little")           # rate -> 25 fps
-            + (0).to_bytes(4, "little")
-            + n_frames.to_bytes(4, "little")
-            + b"\x00" * 16
+            # AVISTREAMHEADER: fccType(0) fccHandler(4) dwFlags(8)
+            # wPriority(12) wLanguage(14) dwInitialFrames(16)
+            # dwScale(20) dwRate(24) dwStart(28) dwLength(32)
+            # dwSuggestedBufferSize(36) dwQuality(40)
+            # dwSampleSize(44) rcFrame(48..56)
+            b"vids" + b"DIB " + b"\x00" * 12
+            + (1).to_bytes(4, "little")            # dwScale
+            + (25).to_bytes(4, "little")           # dwRate -> 25 fps
+            + (0).to_bytes(4, "little")            # dwStart
+            + n_frames.to_bytes(4, "little")       # dwLength
+            + b"\x00" * 20                         # sugbuf/quality/smpsize/rcFrame
         )
         strf = (
             (40).to_bytes(4, "little")
@@ -1055,9 +1062,20 @@ def parse_mp4_header(content: bytes):
         for b2, s2, e2 in boxes(content, s, e):
             if b2 == b"mvhd" and e2 - s2 >= 20:
                 ver = content[s2]
-                if ver == 1 and e2 - s2 >= 28:
-                    timescale = int.from_bytes(content[s2 + 20 : s2 + 24], "big")
-                    duration = int.from_bytes(content[s2 + 24 : s2 + 32], "big")
+                # v1 needs 32 body bytes for its 64-bit duration; a
+                # SHORT v1 box must decline, never fall into the v0
+                # layout (whose offsets would read v1 mtime bytes as
+                # timescale/duration garbage)
+                if ver == 1:
+                    if e2 - s2 >= 32:
+                        timescale = int.from_bytes(
+                            content[s2 + 20 : s2 + 24], "big"
+                        )
+                        duration = int.from_bytes(
+                            content[s2 + 24 : s2 + 32], "big"
+                        )
+                    else:
+                        timescale = duration = 0
                 else:
                     timescale = int.from_bytes(content[s2 + 12 : s2 + 16], "big")
                     duration = int.from_bytes(content[s2 + 16 : s2 + 20], "big")

@@ -1216,9 +1216,10 @@ def q80_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- LLM-pipeline additions: chunking / rarity / contamination / quantize ---
 
 
-@_register(
-    "q81_chunking",
-    """
+# shared by q81 (native-Column chunker) and ext3's q182 (Python-UDTF
+# chunker): ONE oracle text so the two lanes can never silently
+# diverge on window/stride/tokenization
+CHUNKING_ORACLE_SQL = """
     WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
     c AS (
       SELECT doc_id, tk,
@@ -1232,8 +1233,10 @@ def q80_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT)
              AS n_chunk_tokens
     FROM c
-    """,
-)
+    """
+
+
+@_register("q81_chunking", CHUNKING_ORACLE_SQL)
 def q81_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (64-token windows, 16-token overlap) —
     the LLM context-window prep step as pure array expressions."""

@@ -1435,24 +1435,12 @@ def q181_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Python UDTF + LATERAL join lane -----------------------------------------
 
 
-@_register(
-    "q182_udtf_chunking",
-    """
-    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
-    c AS (
-      SELECT doc_id, tk,
-             unnest(range(0,
-               CAST(FLOOR((GREATEST(len(tk) - 16, 1) - 1) / 48) AS BIGINT) + 1)) AS chunk_id
-      FROM t
-    )
-    SELECT doc_id, chunk_id,
-           array_to_string(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
-             AS chunk_text,
-           CAST(len(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT)
-             AS n_chunk_tokens
-    FROM c
-    """,
+from patientdataintegration_spark.suite.ext import (  # noqa: E402
+    CHUNKING_ORACLE_SQL as _CHUNKING_ORACLE_SQL,
 )
+
+
+@_register("q182_udtf_chunking", _CHUNKING_ORACLE_SQL)
 def q182_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark 4 Python-UDTF surface: per-row TABLE function
     consumed via a LATERAL join — one document row fans out to its

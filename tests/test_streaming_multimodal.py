@@ -827,3 +827,66 @@ def test_mp4_box_walk_real_metadata(spark):
     assert m.duration_s == 2.5
     assert (m.width, m.height) == (640, 360)
     assert m.codec == "isom"
+
+
+def test_avi_corruption_resilience(spark):
+    """Corrupt containers must decline per-frame, never fail the
+    task or spin: (a) a frame chunk whose declared size overruns the
+    payload is skipped; (b) a LIST declaring a ~4GB size terminates
+    immediately (the chunk walk clamps to the real buffer); (c) a
+    version-1 mvhd too short for its 64-bit duration declines
+    instead of misreading v0 offsets."""
+    import struct
+    import time
+
+    from patientdataintegration_spark.operators.multimodal import (
+        decode_avi_frames,
+        parse_mp4_header,
+        synthetic_avis,
+    )
+
+    keys = spark.createDataFrame([(1,)], "k long")
+    good = bytes(synthetic_avis(keys, "k").collect()[0].content)
+
+    # (a) truncate mid-frame: remaining whole frames decode, the cut
+    # one is skipped, no exception
+    cut = good[: len(good) - 50]
+    frames = list(decode_avi_frames(cut))
+    assert 0 < len(frames) < len(list(decode_avi_frames(good)))
+
+    # (b) hostile LIST size: must return (not spin) in well under a
+    # second
+    evil = (
+        b"RIFF" + struct.pack("<I", 0xFFFFFFF0)
+        + b"AVI LIST" + struct.pack("<I", 0xFFFFFFF0) + b"movi"
+    )
+    t0 = time.time()
+    assert list(decode_avi_frames(evil)) == []
+    assert time.time() - t0 < 1.0
+
+    # (c) short mvhd v1 declines to no duration
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    short_v1 = box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 24)  # 28 < 32
+    payload = box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", short_v1)
+    hdr = parse_mp4_header(payload)
+    assert hdr is not None and hdr[0] is None  # parses, no duration
+
+
+def test_synthetic_avi_strh_field_offsets(spark):
+    """The generator's AVISTREAMHEADER is spec-conformant: dwScale at
+    body offset 20, dwRate at 24 (25 fps), dwLength at 32 — so
+    EXTERNAL parsers that derive fps from strh (not avih) read the
+    same 25 fps our parser reads."""
+    from patientdataintegration_spark.operators.multimodal import synthetic_avis
+
+    keys = spark.createDataFrame([(3,)], "k long")  # 5 frames
+    payload = bytes(synthetic_avis(keys, "k").collect()[0].content)
+    i = payload.find(b"strh")
+    body = payload[i + 8 :]
+    assert body[:4] == b"vids" and body[4:8] == b"DIB "
+    assert int.from_bytes(body[20:24], "little") == 1     # dwScale
+    assert int.from_bytes(body[24:28], "little") == 25    # dwRate
+    assert int.from_bytes(body[28:32], "little") == 0     # dwStart
+    assert int.from_bytes(body[32:36], "little") == 5     # dwLength
