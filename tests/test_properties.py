@@ -252,3 +252,126 @@ def test_triangle_count_matches_brute_force(spark, tmp_path_factory, mem):
     assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (
         len(nodes), len(edges), wedges, tris,
     )
+
+
+# --- CDC apply & attribution vs independent Python references ----------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    custs=st.lists(
+        st.tuples(st.integers(1, 8), st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    orders=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(1, 10),
+                  st.floats(0, 100, allow_nan=False)),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_cdc_apply_matches_python_fold(spark, tmp_path_factory, custs, orders):
+    """q174's windowed last-writer-wins == a sequential Python fold
+    of the same change log, on arbitrary snapshots and order
+    streams."""
+    from patientdataintegration_spark.suite.ext3 import q174_cdc_apply
+
+    tmp = tmp_path_factory.mktemp("cdc")
+    spark.createDataFrame(
+        [(k, round(b, 2)) for k, b in custs], "c_custkey long, c_acctbal double"
+    ).write.parquet(str(tmp / "customer.parquet"))
+    spark.createDataFrame(
+        [(ok, ck, round(p, 2)) for ok, ck, p in orders],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.parquet(str(tmp / "orders.parquet"))
+
+    state = {k: (round(b, 2), 0) for k, b in custs}
+    for ok, ck, p in sorted(orders):  # orderkey order == seq order
+        m, seq = ok % 10, ok + 1
+        if m < 6:
+            state[ck] = (round(p, 2), seq)
+        elif m < 8:
+            state.pop(ck, None)
+        else:
+            state[-(ck + 1)] = (round(p, 2), seq)
+    expected = {k: v for k, v in state.items()}
+
+    got = {
+        r.key: (r.bal, r.last_seq)
+        for r in q174_cdc_apply(spark, str(tmp)).collect()
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),                      # user
+            st.floats(0, 1_300_000, allow_nan=False),  # seconds
+            st.sampled_from(["click", "purchase", "view"]),
+            st.floats(0, 50, allow_nan=False),      # value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_attribution_matches_python_replay(spark, tmp_path_factory, events):
+    """q176's carry-forward window == a per-user chronological Python
+    replay (last click within 604800s attributes the purchase)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from patientdataintegration_spark.suite.ext3 import (
+        q176_last_touch_attribution,
+    )
+
+    rows = [
+        (i + 1, u, round(sec, 3), t, round(v, 2))
+        for i, (u, sec, t, v) in enumerate(events)
+    ]
+    tmp = tmp_path_factory.mktemp("attr")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, sec double, event_type string, value double",
+    ).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"), "user_id",
+        "event_type", "value",
+    ).write.parquet(str(tmp / "events.parquet"))
+
+    expected = {}
+    by_user = {}
+    for eid, u, sec, t, v in rows:
+        if t in ("click", "purchase"):
+            by_user.setdefault(u, []).append((sec, eid, t, v))
+    for u, evs in by_user.items():
+        last_click = None
+        n_p = n_a = 0
+        rev = 0.0
+        for sec, eid, t, v in sorted(evs):
+            if t == "click":
+                last_click = sec
+            else:
+                n_p += 1
+                if last_click is not None and sec - last_click <= 604800:
+                    n_a += 1
+                    rev += v
+        if n_p:
+            expected[u] = (n_p, n_a, round(rev, 2))
+
+    got = {
+        r.user_id: (r.n_purchases, r.n_attributed, round(r.attributed_rev, 2))
+        for r in q176_last_touch_attribution(spark, str(tmp)).collect()
+    }
+    assert got == expected
