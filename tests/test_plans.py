@@ -608,3 +608,39 @@ def test_plan_audit_flags_real_cartesians_only(spark, sf_dir):
         F.broadcast(s.agg(F.max("s_acctbal").alias("mx")))
     ).filter(F.col("c_acctbal") > F.col("mx"))
     assert _unsanctioned_nested_loops(explain_str(good, "simple")) == []
+
+
+def test_observed_metrics_match_direct_aggregates(spark, sf_dir):
+    """`observe` gauges ride the job itself (no second scan) and
+    must equal an independently computed aggregate over the same
+    frame — row count, null count, and the decimal-exact sum."""
+    from pyspark.sql import Observation
+
+    from patientdataintegration_spark.plans.observability import (
+        quality_metric_exprs,
+        run_observed,
+        with_quality_metrics,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 10)
+    metrics = run_observed(
+        li, quality_metric_exprs(["l_returnflag"], ["l_extendedprice"])
+    )
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("l_returnflag").isNull(), 1)).alias("nn"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s"),
+    ).collect()[0]
+    assert metrics["n_rows"] == direct.n
+    assert metrics["n_null_l_returnflag"] == direct.nn
+    assert metrics["sum_l_extendedprice"] == direct.s
+
+    # mid-pipeline form: gauges observed at an intermediate stage of
+    # a larger job, read after the caller's own action
+    obs = Observation("mid")
+    staged = with_quality_metrics(li, obs, sum_cols=["l_quantity"])
+    out = staged.groupBy("l_returnflag").count()
+    out.write.format("noop").mode("overwrite").save()
+    assert obs.get["n_rows"] == direct.n
