@@ -55,7 +55,8 @@ rows-only streaming lane with its batch twin q174 hash-checked
 inside the window), q181 (video AVI real-decode lane,
 rows-only binary pandas-UDF lane pinned by roundtrip pytests), and
 q182 (Python UDTF + LATERAL chunking, hash-exact against q81's
-oracle at 3 SFs).
+oracle at 3 SFs), and q183-q184 (hierarchical percent-of-parent
+shares; top session paths — both hash-exact at 3 SFs).
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES

@@ -1463,3 +1463,158 @@ def q182_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.doc_id, c.chunk_id, c.chunk_text, c.n_chunk_tokens "
         "FROM udtf_docs_src, LATERAL chunk_text(doc_id, text) c"
     )
+
+
+# --- hierarchical percent-of-parent shares -----------------------------------
+
+
+@_register(
+    "q183_hierarchical_shares",
+    """
+    WITH base AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS dval
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    ),
+    lv AS (
+      SELECT region, nation, CAST(dval AS DOUBLE) AS val,
+             CAST(SUM(dval) OVER (PARTITION BY region) AS DOUBLE) AS region_val,
+             CAST(SUM(dval) OVER () AS DOUBLE) AS total_val
+      FROM base
+    )
+    SELECT region, nation, val,
+           ROUND(val / region_val, 9) + 0.0 AS share_of_region,
+           ROUND(region_val / total_val, 9) + 0.0 AS region_share_of_total
+    FROM lv
+    """,
+)
+def q183_hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels (nation within
+    region, region within grand total) from ONE aggregation: the
+    leaf-level decimal sums stay DECIMAL through both window
+    re-aggregations (region partition and global frame), so every
+    numerator/denominator is exact and the two share ratios are one
+    deterministic division each, rounded and -0.0-normalized. Scale:
+    one shuffle for the leaf group-by; the window re-aggregations
+    run over the TINY leaf table (|nations| rows), not the fact
+    table — the classic 'aggregate once, window the aggregate'
+    discipline (never window the fact table for subtotals)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    base = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("dval"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    lv = base.select(
+        "region",
+        "nation",
+        F.col("dval").cast("double").alias("val"),
+        F.sum("dval").over(w_region).cast("double").alias("region_val"),
+        F.sum("dval").over(w_all).cast("double").alias("total_val"),
+    )
+    return lv.select(
+        "region",
+        "nation",
+        "val",
+        (F.round(F.col("val") / F.col("region_val"), 9) + F.lit(0.0)).alias(
+            "share_of_region"
+        ),
+        (
+            F.round(F.col("region_val") / F.col("total_val"), 9) + F.lit(0.0)
+        ).alias("region_share_of_total"),
+    )
+
+
+# --- top session paths -------------------------------------------------------
+
+
+@_register(
+    "q184_top_session_paths",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch(ts) AS sec
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, event_type, sec,
+             CASE WHEN sec - LAG(sec) OVER w > 1800 OR
+                       LAG(sec) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, sec,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM s
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY sec, event_id) AS path
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def q184_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 full session journeys: 30-minute-gap sessionization
+    (the q42 discipline — integer-cast windowed SUM for session ids)
+    -> each session's ORDERED event-type path as one string (the
+    q179 ordered-aggregation discipline: collect (order-key, value)
+    structs, array_sort, join) -> path frequency ranking. Epoch
+    seconds ride FULL-precision (`ts AS DOUBLE`, the oracle's
+    epoch()): the gap comparison must not truncate sub-second
+    fractions (q176 lesson). Scale: both windows and the path
+    aggregation share ONE user_id shuffle; the path table is
+    |sessions|-sized; top-20 is a TakeOrdered with the path string
+    as deterministic tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    ev = e.select("user_id", "event_id", "event_type", sec.alias("sec"))
+    s = ev.withColumn(
+        "new_s",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w) > 1800)
+            | F.lag("sec").over(w).isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = s.withColumn(
+        "session_id",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sec", "event_id", "event_type"))
+                ),
+                lambda x: x.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )

@@ -342,3 +342,57 @@ def test_udtf_chunking_matches_native_chunker(spark, sf_dir):
 
     assert "PythonUDTF" in explain_str(via_udtf)
     assert "PythonUDTF" not in explain_str(native)
+
+
+def test_hierarchical_shares_hand_computed(spark, tmp_path):
+    """Two regions: R1 holds nations A (30) and B (10), R2 holds C
+    (60): A's share of R1 = 0.75, R1's share of total = 0.4."""
+    from patientdataintegration_spark.suite.ext3 import q183_hierarchical_shares
+
+    r = spark.createDataFrame([(1, "R1"), (2, "R2")], "r_regionkey long, r_name string")
+    n = spark.createDataFrame(
+        [(1, "A", 1), (2, "B", 1), (3, "C", 2)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    c = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "c_custkey long, c_nationkey long"
+    )
+    o = spark.createDataFrame(
+        [(1, 10, 30.0), (2, 20, 10.0), (3, 30, 60.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    for name, df in [("region", r), ("nation", n), ("customer", c), ("orders", o)]:
+        _write(df, tmp_path, name)
+    got = {
+        row.nation: (row.val, row.share_of_region, row.region_share_of_total)
+        for row in q183_hierarchical_shares(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "A": (30.0, 0.75, 0.4),
+        "B": (10.0, 0.25, 0.4),
+        "C": (60.0, 1.0, 0.6),
+    }
+
+
+def test_top_session_paths_hand_computed(spark, tmp_path):
+    """User 1: click,view within one session then a purchase 31 min
+    later (new session). User 2: click,view. Paths: 'click>view' x2,
+    'purchase' x1 — ordered by count then path."""
+    import pyspark.sql.functions as F
+    from patientdataintegration_spark.suite.ext3 import q184_top_session_paths
+
+    rows = [
+        (1, 1, 0.0, "click"), (2, 1, 60.0, "view"),
+        (3, 1, 60.0 + 31 * 60, "purchase"),
+        (4, 2, 0.0, "click"), (5, 2, 10.0, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec double, event_type string"
+    ).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"), "user_id",
+        "event_type", F.lit(0.0).alias("value"),
+    )
+    _write(df, tmp_path, "events")
+    got = [(r.path, r.n_sessions)
+           for r in q184_top_session_paths(spark, str(tmp_path)).collect()]
+    assert got == [("click>view", 2), ("purchase", 1)]
