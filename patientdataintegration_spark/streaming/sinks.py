@@ -202,3 +202,41 @@ def stream_cdc_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_with_observed_metrics(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_path: str,
+    table_name: str = "stream_observed",
+):
+    """Streaming twin of `plans/observability.run_observed`: the SAME
+    `observe` gauges (row count + decimal-exact value sum) attached
+    to the event stream, surfaced per micro-batch through
+    `StreamingQueryProgress.observedMetrics` — ingest-job row
+    accounting with no second pass over the stream. Returns
+    (result_df, observed) where `observed` is the list of per-batch
+    metric rows in batch order."""
+    from patientdataintegration_spark.streaming.events import _events_stream
+
+    stream = _events_stream(spark, sf_dir).observe(
+        "gauges",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    observed = [
+        p["observedMetrics"]["gauges"]
+        for p in query.recentProgress
+        if p.get("observedMetrics", {}).get("gauges") is not None
+    ]
+    return spark.table(table_name), observed

@@ -112,3 +112,31 @@ def test_stream_cdc_fresh_checkpoint_resumes_not_shadowed(spark, tmp_path):
     assert v_first == ["v=0"] and v_second == ["v=0", "v=1"]
     again = {r.key: r.bal for r in current_cdc_state(spark, table).collect()}
     assert first == again == EXPECT
+
+
+def test_stream_observed_metrics_match_batch(spark, tmp_path):
+    """Per-batch observedMetrics summed across the run must equal the
+    batch-side aggregates over the same file — ingest accounting
+    without a second scan."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.streaming.sinks import (
+        stream_with_observed_metrics,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_events_file(spark, ROWS, src)
+
+    result, observed = stream_with_observed_metrics(
+        spark, str(src), str(tmp_path / "ckpt"), table_name="t_obs_metrics"
+    )
+    assert observed  # at least one batch reported gauges
+
+    batch = spark.read.parquet(str(src / "events.parquet")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+    ).collect()[0]
+    assert sum(m["n_rows"] for m in observed) == batch.n
+    assert sum(m["sum_value"] for m in observed) == batch.s
+    assert sum(r.n for r in result.collect()) == batch.n
