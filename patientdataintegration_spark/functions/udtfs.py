@@ -30,7 +30,13 @@ class ChunkTextUDTF:
     chunk count = floor((max(n-16,1)-1)/48)+1."""
 
     def eval(self, doc_id: int, text: str):  # noqa: D102
-        tokens = (text or "").strip(" ").lower().split(" ")  # strip SPACES only: SQL TRIM parity
+        if text is None:
+            # split(NULL) propagates NULL in SQL: the native q81
+            # chunker and the DuckDB oracle emit ZERO rows for a NULL
+            # document — matching that here keeps the q182 lane
+            # hash-stable on corpora with NULL texts.
+            return
+        tokens = text.strip(" ").lower().split(" ")  # strip SPACES only: SQL TRIM parity
         n = len(tokens)
         n_chunks = (max(n - 16, 1) - 1) // 48 + 1
         for cid in range(n_chunks):

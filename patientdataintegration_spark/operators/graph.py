@@ -60,20 +60,27 @@ def pagerank(
     at sf0.1); each iteration still gets a fresh AQE-planned scan.
     """
     if checkpoint_dir is not None:
-        import os
+        from patientdataintegration_spark.plans.materialize import (
+            ensure_materialized,
+        )
 
         # checkpoint_reuse: skip the write when a COMPLETED prior
-        # materialization exists (parquet's _SUCCESS marker) — for
+        # materialization exists — the marker is resolved through the
+        # session's Hadoop FileSystem so hdfs://, s3a:// and file://
+        # checkpoint locations all detect completion correctly, and
+        # the write publishes via tmp-dir + atomic rename so racing
+        # writers cannot interleave (plans/materialize.py). For
         # callers whose pair relation is a pure function of their
-        # inputs, this makes repeated invocations (plan audits,
-        # gates, benches) eager exactly once per corpus. A partial
-        # dir without _SUCCESS is rewritten.
-        done = os.path.isfile(os.path.join(checkpoint_dir, "_SUCCESS"))
-        if not (checkpoint_reuse and done):
-            pairs.select(F.col(src_col), F.col(dst_col)).write.mode(
-                "overwrite"
-            ).parquet(checkpoint_dir)
-        pairs = pairs.sparkSession.read.parquet(checkpoint_dir)
+        # inputs this makes repeated invocations (plan audits, gates,
+        # benches) eager exactly once per corpus; a partial dir
+        # without the marker is replaced.
+        spark = pairs.sparkSession
+        sel = pairs.select(F.col(src_col), F.col(dst_col))
+        if checkpoint_reuse:
+            ensure_materialized(spark, checkpoint_dir, lambda: sel)
+        else:
+            sel.write.mode("overwrite").parquet(checkpoint_dir)
+        pairs = spark.read.parquet(checkpoint_dir)
     fwd = pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
     rev = pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("t"))
     # Deliberately NOT persisted: caching here looks attractive (the

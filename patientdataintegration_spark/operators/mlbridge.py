@@ -19,6 +19,27 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from patientdataintegration_spark.sources.catalog import load_table
 
 
+def strip_training_summary(model):
+    """Drop a fitted model's `trainingSummary` before using it for
+    scoring. The summary holds a SparkSession reference; when the
+    model ships to executors inside the prediction ScalaUDF's closure,
+    Java serialization walks into the session — and fails with
+    `NotSerializableException: ObservationManager` on any session
+    whose (non-transient) observationManager lazy val has been
+    initialized by a `Dataset.observe(Observation, ...)` call
+    (PySpark 4.1 classic; see `plans/observability.py`). Stripping the
+    summary also keeps the task closure small — the summary's metric
+    frames have no business on executors. No-op when the model has no
+    summary or the py4j internals differ (Connect)."""
+    try:
+        if getattr(model, "hasSummary", False):
+            jvm = SparkSession.getActiveSession()._jvm
+            model._java_obj.setSummary(jvm.scala.Option.empty())
+    except Exception:
+        pass
+    return model
+
+
 def random_forest_scores(
     spark: SparkSession,
     sf_dir: str,
@@ -62,7 +83,7 @@ def random_forest_scores(
     )
     indexed = seg_idx.fit(base).transform(base)
     feats = assembler.transform(indexed)
-    model = rf.fit(feats)
+    model = strip_training_summary(rf.fit(feats))
     scored = model.transform(feats)
     from pyspark.ml.functions import vector_to_array
 

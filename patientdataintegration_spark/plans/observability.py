@@ -18,11 +18,48 @@ Streaming: the same `observe` call works on streaming DataFrames,
 surfaced per micro-batch through `StreamingQueryProgress.observedMetrics`
 (left to the streaming lane's listeners; this module covers batch
 Observation, whose `get` blocks until the action completes).
+
+Session-poisoning hazard (PySpark 4.1 classic): the first use of the
+`Observation` object API initializes the session's non-transient,
+non-serializable `observationManager` lazy val. From then on the
+SparkSession object itself fails Java serialization, which breaks any
+later task closure that (transitively) captures the session — the
+canonical victim being an MLlib model whose `trainingSummary` holds a
+session reference and whose prediction ScalaUDF ships the model to
+executors. Serialization stack:
+
+    WholeStageCodegen references -> ScalaUDF(probability)
+      -> RandomForestClassificationModel.trainingSummary
+      -> SparkSession.observationManager  (NotSerializableException)
+
+Mitigation here: the helpers below transplant the observed plan onto a
+throwaway `spark.newSession()` (same SparkContext, fresh session
+object) so the CALLER's session manager is never initialized. The
+victim side is independently hardened in `operators/mlbridge.py`
+(`strip_training_summary`). Regression coverage:
+`tests/test_observe_mllib_regression.py`.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, functions as F
+
+
+def _transplant_to_fresh_session(df: DataFrame) -> DataFrame:
+    """Re-bind `df`'s analyzed logical plan to a fresh child session
+    (shared SparkContext, separate session state) so that attaching
+    an `Observation` initializes the CHILD's observationManager, not
+    the caller's. Falls back to the original frame when the classic
+    py4j internals are unavailable (e.g. Spark Connect)."""
+    try:
+        spark = df.sparkSession
+        child = spark.newSession()
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            child._jsparkSession, df._jdf.logicalPlan()
+        )
+        return DataFrame(jdf, child)
+    except Exception:
+        return df
 
 
 def quality_metric_exprs(
@@ -53,9 +90,13 @@ def run_observed(
     """Attach `metric_exprs` to the frame, run it through the noop
     action (full computation, nothing materialized on the driver),
     and return the observed metrics dict. One job; the metrics are
-    NOT a second query."""
+    NOT a second query.
+
+    The observed action runs on a throwaway child session (see module
+    docstring) so the caller's session stays Java-serializable and
+    MLlib lanes on the same long-lived session keep working."""
     obs = Observation(name)
-    observed = df.observe(obs, *metric_exprs)
+    observed = _transplant_to_fresh_session(df).observe(obs, *metric_exprs)
     observed.write.format("noop").mode("overwrite").save()
     return obs.get
 
@@ -65,9 +106,20 @@ def with_quality_metrics(
     obs: Observation,
     count_col_nulls: list[str] | None = None,
     sum_cols: list[str] | None = None,
+    isolate: bool = True,
 ) -> DataFrame:
     """Attach the standard gauges to a frame inside a larger
-    pipeline; the caller reads `obs.get` after its OWN action."""
-    return df.observe(
+    pipeline; the caller reads `obs.get` after its OWN action.
+
+    With ``isolate=True`` (default) the returned frame is re-bound to
+    a fresh child session first, so attaching the Observation does not
+    initialize the caller session's observationManager (the 4.1
+    session-poisoning hazard — module docstring). Downstream
+    transforms and actions on the returned frame behave identically
+    (same SparkContext, same data); pass ``isolate=False`` only if the
+    frame must stay on the caller's session object and no MLlib
+    model-closure job will ever run on that session."""
+    base = _transplant_to_fresh_session(df) if isolate else df
+    return base.observe(
         obs, *quality_metric_exprs(count_col_nulls, sum_cols)
     )

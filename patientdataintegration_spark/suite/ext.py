@@ -2830,22 +2830,18 @@ def q130_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_table,
     )
     from patientdataintegration_spark.operators.graph import pagerank
-
-    import hashlib
-    import os
-    import tempfile
+    from patientdataintegration_spark.plans.materialize import cache_path
 
     d = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
     pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
-    # Deterministic, REUSED checkpoint location per input dir: the
-    # edge content is a pure function of sf_dir, so a completed
-    # materialization (marked by parquet's _SUCCESS) is reused by
-    # later invocations — building this query's plan is eager about
-    # the edge write ONCE per corpus, not once per call, and temp
-    # space stays bounded (one dir per sf_dir, not one per call).
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    ck = os.path.join(tempfile.gettempdir(), f"pdi_q130_edges_{tag}")
+    # Content-keyed, REUSED checkpoint location: the edge content is a
+    # pure function of the documents table, so a completed
+    # materialization is reused by later invocations — the edge write
+    # is eager ONCE per corpus CONTENT (regenerating the corpus in
+    # place invalidates the key), under a per-user cache root with
+    # atomic tmp-then-rename publication (plans/materialize.py).
+    ck = cache_path("q130_edges", f"{sf_dir}/documents.parquet")
     return pagerank(
         pairs,
         iterations=3,
@@ -3258,25 +3254,21 @@ def q138_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     warm; materialized ~9.1 s on the run that PAYS the one-time
     edge write, then ~1.3 s every run after (3x warm win); values
     identical (parquet round-trips the id/sim columns exactly)."""
-    import hashlib
-    import os
-    import tempfile
-
     from patientdataintegration_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
         shingle_table,
     )
+    from patientdataintegration_spark.plans.materialize import cached_parquet
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    ck = os.path.join(tempfile.gettempdir(), f"pdi_q138_pairs_{tag}")
-    if not os.path.isfile(os.path.join(ck, "_SUCCESS")):
+    def _pairs() -> DataFrame:
         d = load_table(spark, sf_dir, "documents")
         sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
-        lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).write.mode(
-            "overwrite"
-        ).parquet(ck)
-    spark.read.parquet(ck).createOrReplaceTempView("q138_pairs")
+        return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+
+    cached_parquet(
+        spark, "q138_pairs", [f"{sf_dir}/documents.parquet"], _pairs
+    ).createOrReplaceTempView("q138_pairs")
     return spark.sql(
         f"WITH RECURSIVE {_q138_reach_ctes('q138_pairs')}{_Q138_SELECT}"
     )

@@ -344,6 +344,36 @@ def test_udtf_chunking_matches_native_chunker(spark, sf_dir):
     assert "PythonUDTF" not in explain_str(native)
 
 
+def test_udtf_chunker_null_text_emits_no_rows(spark):
+    """NULL-document parity (round-4 ADVICE): split(NULL) propagates
+    NULL in SQL, so the native chunker and the DuckDB oracle emit
+    ZERO chunks for a NULL text — the UDTF must match, not coerce
+    NULL to '' and emit one empty chunk."""
+    from patientdataintegration_spark.functions.udtfs import (
+        ChunkTextUDTF,
+        register_udtfs,
+    )
+
+    impl = ChunkTextUDTF.func()  # the underlying class behind @udtf
+    assert list(impl.eval(7, None)) == []
+    # non-NULL empty string still yields its one empty chunk
+    # (string_split('') -> [''] in both engines)
+    rows = list(impl.eval(8, ""))
+    assert len(rows) == 1 and rows[0][0] == 8
+
+    # and through the real SQL surface: a NULL-text doc contributes
+    # zero rows to the LATERAL expansion
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, None)], "doc_id bigint, text string"
+    ).createOrReplaceTempView("null_docs")
+    out = spark.sql(
+        "SELECT c.* FROM null_docs, LATERAL chunk_text(doc_id, text) c"
+    )
+    ids = [r.doc_id for r in out.collect()]
+    assert 2 not in ids and 1 in ids
+
+
 def test_hierarchical_shares_hand_computed(spark, tmp_path):
     """Two regions: R1 holds nations A (30) and B (10), R2 holds C
     (60): A's share of R1 = 0.75, R1's share of total = 0.4."""
