@@ -66,8 +66,11 @@ BENCH_QUERIES = [
     "q160_min_cost_supplier",   # correlated-MIN decorrelated (TPC-H Q2)
     "q162_product_profit",      # 5-way profit rollup (TPC-H Q9)
     "q170_lonely_returner",     # double-EXISTS as one agg (TPC-H Q21)
-    "q172_triangle_count",      # support-thresholded triangle join
+    "q172_triangle_count",      # degree-oriented triangle join
     "q175_grid_radius_join",    # grid-bucketed spatial radius join
+    "q186_market_basket",       # support/confidence/lift rules
+    "q189_kcore",               # unrolled k-core peeling
+    "q190_minhash_error",       # sketch-vs-exact jaccard audit
 ]
 
 

@@ -28,35 +28,24 @@ entries per round), so the prefix is ROTATED each round to extend
 cumulative coverage. Round 1 checked the core §2 operator queries;
 round 2 the events + LLM-pipeline lanes; round 3 the r2 reds, the
 post-freeze additions (q113-q144), and first rows-only evidence.
-The round-4 window holds (a) the two r3 hash-fails re-proven after
-their oracle-normalization fixes (q42 HUGEINT cast, q141 -0.0),
-(b) the 10 lanes that have NEVER had a driver row in any round
-(q86, q88-q91, q94, q95, q97-q99; q86 gained a recursive-CTE oracle
-and q98 a deterministic-quantizer oracle in r4 — full hash rows; the
-other eight have no SQL oracle by nature — rows-only; this completes
-ever-checked = all registered), (c) the 14 new r4
-queries (q145-q158: equi-depth histogram, pivot, retention,
-transitions, percentiles, orphan audit, streaks, WoW, snapshot
-diff, A/B z-score, column entropy, quality verdict, semantic dedup,
-best-split screening — the last six take the final fill slots),
-(d) re-proof rows for
-queries whose text or operator changed this round (q127 priority
-rounding, q143 degenerate-bin guard, q134/q139/q140 -0.0 sweep,
-q130/q132 checkpoint_dir refactor), and (e) the flagship plus the
-oldest-evidence r1 block (q01-q26 families, last checked r1) for
-freshness. Previously-green queries stay registered after the
-priority block; their evidence is CORRECTNESS_r01-r03.json.
+Round 4 rotated in the two r3 hash-fails (re-proven green), the 10
+never-checked rows-only lanes (completing ever-checked coverage of
+the then-registry), the q145-q158 additions, and the r4 re-proof
+set — see CORRECTNESS_r04.json.
 
-Registered after the window froze at 50 (driver evidence deferred to
-the r5 rotation; all verified by the driver-hash-exact local gate at
-three SFs this round): q176-q179 (attribution, rolling correlation,
-Pareto frontier, ordered string_agg) q180 (streaming CDC upsert,
-rows-only streaming lane with its batch twin q174 hash-checked
-inside the window), q181 (video AVI real-decode lane,
-rows-only binary pandas-UDF lane pinned by roundtrip pytests), and
-q182 (Python UDTF + LATERAL chunking, hash-exact against q81's
-oracle at 3 SFs), and q183-q184 (hierarchical percent-of-parent
-shares; top session paths — both hash-exact at 3 SFs).
+The round-5 window holds (a) q176-q184, which postdate the frozen r4
+window and have never had a driver row (the r4 verdict's item 3 —
+this restores ever-checked = all registered), (b) the seven new r5
+queries q185-q191 (per-vertex triangle clustering, market-basket
+association rules, k-anonymity audit, BPE adjacent-pair counts,
+k-core peeling, MinHash estimation error, bigram-LM surprisal),
+(c) re-proof rows for every query whose text or operator changed in
+r5 (q33 cap-strategy default, q94 summary strip, q130/q138
+content-keyed edge cache, q160 unique tiebreak, q172 degree
+orientation), and (d) a longest-unchecked rotation of r1/r2-era
+rows. Previously-green queries stay registered after the priority
+block; their evidence is CORRECTNESS_r01-r04.json plus the committed
+full-registry ORACLE_RUN logs.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -67,82 +56,91 @@ from patientdataintegration_spark.suite.ext2 import ORACLES as EXT2_ORACLES
 from patientdataintegration_spark.suite.ext2 import QUERIES as EXT2_QUERIES
 from patientdataintegration_spark.suite.ext3 import ORACLES as EXT3_ORACLES
 from patientdataintegration_spark.suite.ext3 import QUERIES as EXT3_QUERIES
+from patientdataintegration_spark.suite.ext4 import ORACLES as EXT4_ORACLES
+from patientdataintegration_spark.suite.ext4 import QUERIES as EXT4_QUERIES
 
-_ALL_QUERIES = {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES}
-_ALL_ORACLES = {**CORE_ORACLES, **EXT_ORACLES, **EXT2_ORACLES, **EXT3_ORACLES}
+_ALL_QUERIES = {
+    **CORE_QUERIES,
+    **EXT_QUERIES,
+    **EXT2_QUERIES,
+    **EXT3_QUERIES,
+    **EXT4_QUERIES,
+}
+_ALL_ORACLES = {
+    **CORE_ORACLES,
+    **EXT_ORACLES,
+    **EXT2_ORACLES,
+    **EXT3_ORACLES,
+    **EXT4_ORACLES,
+}
 
 # The driver-checked prefix, by design exactly 50 names (round-4
 # rotation: see module docstring).
 PRIORITY = [
-    # (a) r3 hash-fails, fixed this round — prove them green
-    "q42_sessionize",
-    "q141_group_trend",
-    # (b) never-driver-checked lanes — completes ever-checked
-    # coverage of the registry. q86 (recursive-CTE twin) and q98
-    # (deterministic-quantizer IVF) are fully oracle-checked as of
-    # r4; the rest have no SQL oracle by nature (rows-only; pytest
-    # pins their semantics)
-    "q86_dedup_clusters",
-    "q88_stream_static_enrich",
-    "q89_stream_dedup",
-    "q90_stream_tumbling",
-    "q91_multimodal_features",
+    # (a) never driver-checked: q176-q184 postdate the fixed r4
+    # window (r4 verdict item 3) — rotating them in completes
+    # ever-checked coverage of the registry. q180 (streaming CDC
+    # sink) and q181 (video) are rows-only by nature.
+    "q176_last_touch_attribution",
+    "q177_rolling_correlation",
+    "q178_pareto_frontier",
+    "q179_ordered_stringagg",
+    "q180_stream_cdc_upsert",
+    "q181_video_frames",
+    "q182_udtf_chunking",
+    "q183_hierarchical_shares",
+    "q184_top_session_paths",
+    # (b) new round-5 queries (q185-q191: per-vertex clustering,
+    # market-basket rules, k-anonymity, BPE pair counts, k-core,
+    # minhash error, bigram surprisal) — all SQL-oracle-backed
+    "q185_local_clustering",
+    "q186_market_basket",
+    "q187_k_anonymity",
+    "q188_bpe_pair_counts",
+    "q189_kcore",
+    "q190_minhash_error",
+    "q191_bigram_surprisal",
+    # (c) operator or query text changed in round 5 — re-prove:
+    # q33 (cap strategy default), q94 (summary strip), q130/q138
+    # (content-keyed edge cache), q160 (unique tiebreak), q172
+    # (degree orientation + localCheckpoint), q182 (UDTF NULL fix,
+    # also in block a)
+    "q33_ngram_jaccard",
     "q94_random_forest",
-    "q95_approx_distinct",
-    "q97_batch_inference",
-    "q98_ivf_cosine_topk",
-    "q99_stream_stream_join",
-    # (c) new round-4 operators (all SQL-oracle-backed)
-    "q145_equidepth_histogram",
-    "q146_pivot_lang",
-    "q147_retention_cohorts",
-    "q148_markov_transitions",
-    "q149_percentiles",
-    "q150_orphan_audit",
-    "q151_activity_streaks",
-    "q152_wow_change",
-    # (d) query text or operator changed this round — re-prove
-    "q127_weighted_sample",
-    "q143_histogram",
-    "q134_source_kl",
-    "q139_correlation_matrix",
-    "q140_mutual_information",
     "q130_pagerank",
-    "q132_kmeans_assign",
-    # (c cont.) batch-2/3 additions — zero driver evidence beats any
-    # re-proof (prior rows stand in CORRECTNESS_r01-r03)
-    "q153_snapshot_diff",
-    "q154_abtest_zscore",
-    "q155_column_entropy",
-    "q156_quality_verdict",
-    "q157_semantic_dedup",
-    "q158_best_split",
-    "q159_xml_roundtrip",
-    # (e) round-4 batch 4 (suite/ext3.py): TPC-H classic plan shapes
-    # q160-q171 + triangle counting, Benford profiling, CDC apply
-    # with deletes, grid radius join. These 16 take the final fill
-    # slots, displacing the r1-freshness block (q01-q16 families:
-    # r1-green, texts unchanged since) and the five late-r4 re-proof
-    # entries (q33/q36/q40/q93/q123: r2-green, and their changed
-    # texts pass the DRIVER-HASH-EXACT local gate at two SFs —
-    # ORACLE_RUN_r04_*.log — which mimics the driver compare
-    # bit-for-bit since the r4 verify.py hardening).
+    "q138_reachability",
     "q160_min_cost_supplier",
-    "q161_promo_revenue",
-    "q162_product_profit",
-    "q163_returned_items",
-    "q164_order_count_distribution",
-    "q165_small_qty_revenue",
-    "q166_large_volume_orders",
-    "q167_disjunctive_join",
-    "q168_top_supplier",
-    "q169_important_share",
-    "q170_lonely_returner",
-    "q171_dormant_customers",
     "q172_triangle_count",
-    "q173_benford_digits",
-    "q174_cdc_apply",
-    "q175_grid_radius_join",
+    # (d) longest-unchecked rotation: r1/r2-era rows whose last
+    # driver evidence predates every later window
+    "q01_pricing_summary",
+    "q02_group_scores",
+    "q04_auroc",
+    "q05_mean_std_over_folds",
+    "q06_impute_mean",
+    "q11_fold_assignment",
+    "q12_balance_audit",
+    "q13_sample_per_group",
+    "q16_naive_fusion",
+    "q17_threshold_sweep",
+    "q24_shipping_priority",
+    "q25_local_volume",
+    "q28_asof_join",
+    "q36_cosine_topk",
+    "q37_events_tumbling",
+    "q40_embedding_neardup",
+    "q41_winnowing_fp",
+    "q44_cube",
+    "q45_full_pipeline",
+    "q47_interval_join",
+    "q54_spend_deciles",
+    "q63_latest_per_key",
+    "q74_funnel",
+    "q81_chunking",
+    "q84_quantize_embeddings",
+    "q92_minhash_lsh_pairs",
+    "q115_components_star",
+    "q123_vocab_coverage",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -1,0 +1,527 @@
+"""Round-5 batch: training-data-pipeline analytics the registry did
+not yet exercise — market-basket association rules, k-anonymity
+auditing, BPE-style adjacent-pair counting, k-core peeling, MinHash
+estimation-error measurement, and a bigram-LM surprisal gate
+(q186-q191).
+
+Same exactness contract as `suite/core.py`: every derived double is
+either a single IEEE operation on exact integers (one division, one
+multiply-divide with identical parenthesisation in both engines) or
+a libm value rounded at 6 digits and summed as DECIMAL (the q82
+discipline); counts are exact bigints; LIMIT prefixes carry a
+provably unique ORDER BY.
+
+Scale stance (100 TB): pair generation is always per-key bounded
+(per-order line counts, per-document adjacency) and support-
+thresholded before any wide shuffle; iterative peeling unrolls a
+fixed round count as pure dataflow (the q130 discipline); nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from patientdataintegration_spark.sources.catalog import load_table
+from patientdataintegration_spark.suite.ext import (
+    HEX_HASH_SQL,
+    NGRAM_SH_SQL,
+    _lsh_pairs_sql,
+    _minhash_sql,
+)
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# --- market-basket association rules -----------------------------------------
+
+
+@_register(
+    "q186_market_basket",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_ord AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    supp AS (
+      SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.n_ab,
+           sa.n_item AS n_a, sb.n_item AS n_b,
+           CAST(p.n_ab AS DOUBLE) / CAST(sa.n_item AS DOUBLE) AS confidence,
+           CAST(p.n_ab * n_ord.n_orders AS DOUBLE)
+             / CAST(sa.n_item * sb.n_item AS DOUBLE) AS lift
+    FROM pair p
+    JOIN supp sa ON sa.l_partkey = p.part_a
+    JOIN supp sb ON sb.l_partkey = p.part_b
+    CROSS JOIN n_ord
+    """,
+)
+def q186_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over parts co-purchased in one order —
+    support / confidence / lift, the market-basket signal a corpus
+    curation pipeline uses for co-occurrence mining. Pair generation
+    is per-order bounded (TPC-H orders carry <= 7 lines, so the
+    explode is C(7,2) per key, never corpus-quadratic) and support-
+    thresholded (n_ab >= 3) BEFORE the metric joins; item supports
+    join back on single part keys; the 1-row order count broadcasts.
+    confidence = n_ab/n_a and lift = (n_ab*N)/(n_a*n_b) are each one
+    IEEE division of exact bigint products — identical
+    parenthesisation in both engines, so raw doubles hash equal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_ord = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = items.alias("a"), items.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    sa = supp.select(
+        F.col("l_partkey").alias("_ka"), F.col("n_item").alias("n_a")
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("_kb"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair.join(sa, F.col("part_a") == F.col("_ka"))
+        .join(sb, F.col("part_b") == F.col("_kb"))
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+# --- k-anonymity audit -------------------------------------------------------
+
+
+@_register(
+    "q187_k_anonymity",
+    """
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS group_size
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band, group_size
+    FROM qi WHERE group_size < 5
+    """,
+)
+def q187_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier triple
+    (nation, market segment, $1000 balance band): every group a
+    release would have to suppress or generalize. The governance
+    gate a patient-data or training-data export pipeline runs before
+    publishing — the reference's cohort tables face exactly this
+    class of re-identification review. One scan, one groupBy on the
+    QI key, a post-aggregation filter; at 100 TB the QI cardinality
+    (25 x 5 x ~20 bands) keeps the reduce side trivial. bal_band
+    floors a DOUBLE/1000 — exact for the 2-decimal balances, same
+    expression both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )
+
+
+# --- BPE-style adjacent-pair counting ----------------------------------------
+
+def _adjacent_pairs(tk):
+    """Space-joined adjacent token pairs WITH multiplicity. The
+    single-token guard matters: Spark's `sequence(1, 0)` generates a
+    DESCENDING [1, 0] (not an empty sequence like DuckDB's
+    `range(1, 1)`), which would index past the array — caught by the
+    hand-computed multiplicity test. The token array is bound as a
+    lambda variable first (the `word_shingles` trick) so the split
+    runs once per document, not once per pair."""
+
+    def pairs_of(t):
+        idx = F.sequence(F.lit(1), F.size(t) - 1)
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i.cast("int")),
+                    F.element_at(t, (i + 1).cast("int")),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tk), pairs_of), 1)
+
+
+
+
+@_register(
+    "q188_bpe_pair_counts",
+    """
+    WITH t AS (
+      SELECT string_split(lower(trim(text)), ' ') AS tk FROM documents
+    ),
+    p AS (
+      SELECT unnest(list_transform(range(1, len(tk)),
+                    i -> concat_ws(' ', tk[i], tk[i+1]))) AS pair
+      FROM t WHERE len(tk) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+)
+def q188_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round over the corpus: adjacent token-pair
+    frequencies WITH multiplicity (unlike the shingle lanes, which
+    dedup within document — a byte-pair-encoding trainer counts
+    every occurrence), top-50 merge candidates. Tokens contain no
+    spaces by construction (they are split on space), so the pair is
+    a collision-free space-joined string — one column for both
+    engines, no struct plumbing. ORDER BY (n DESC, pair) is a unique
+    ordering because pair is the group key. Scale: the explode is
+    per-document bounded (len-1 pairs), the count map-side combines,
+    and the top-50 is a TakeOrdered — no global sort materializes."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), " ")
+    pairs_of = _adjacent_pairs(tk)
+    return (
+        d.select(pairs_of.alias("prs"))
+        .filter(F.size("prs") >= 1)
+        .select(F.explode("prs").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(50)
+    )
+
+
+# --- k-core peeling ----------------------------------------------------------
+
+_KCORE_EDGE_SQL = """
+    so AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    e0 AS (
+      SELECT a.l_suppkey AS va, b.l_suppkey AS vb
+      FROM so a JOIN so b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY a.l_suppkey, b.l_suppkey
+      HAVING COUNT(*) >= 3
+    )
+"""
+
+
+def _kcore_round_sql(i: int, k: int) -> str:
+    return f"""
+    d{i} AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT va AS v FROM e{i} UNION ALL SELECT vb AS v FROM e{i}
+      ) GROUP BY v
+    ),
+    keep{i} AS (SELECT v FROM d{i} WHERE d >= {k}),
+    e{i + 1} AS (
+      SELECT va, vb FROM e{i}
+      WHERE va IN (SELECT v FROM keep{i})
+        AND vb IN (SELECT v FROM keep{i})
+    )"""
+
+
+@_register(
+    "q189_kcore",
+    "WITH "
+    + _KCORE_EDGE_SQL
+    + ","
+    + ",".join(_kcore_round_sql(i, 3) for i in range(3))
+    + """
+    SELECT v AS node, d AS degree FROM (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT va AS v FROM e3 UNION ALL SELECT vb AS v FROM e3
+      ) GROUP BY v
+    )
+    """,
+)
+def q189_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k-core peel (k=3) of the supplier co-occurrence graph
+    (edge = >= 3 shared orders): repeatedly drop vertices of degree
+    < k and the edges they carry — the community-core extraction
+    step of a dedup/influence pipeline. Fixed-round unrolled
+    dataflow, the q130 discipline: each round is one degree
+    aggregation + two semi joins back onto the shrinking edge set
+    (strictly monotone, so round r's edge relation is never larger
+    than round r-1's), and each round's edge set is localCheckpoint-
+    materialized (the q115 large/small-star discipline) — without it
+    the edge lineage re-executes ~3x per round and the unrolled plan
+    carries 100+ static shuffle boundaries; with it, each round is a
+    constant ~3 shuffles over an already-materialized relation.
+    Convergence detection at 100 TB would wrap the same body in the
+    q115 loop pattern with a count-delta stop. Output: surviving
+    vertices with their degree inside the 3-times-peeled subgraph —
+    exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    so = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = so.alias("a"), so.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("va"), F.col("b.l_suppkey").alias("vb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 3)
+        .select("va", "vb")
+    )
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.explode(F.array("va", "vb")).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    e = e.localCheckpoint()
+    for _ in range(3):
+        keep = degrees(e).filter(F.col("d") >= 3).select("v")
+        e = e.join(
+            keep.withColumnRenamed("v", "va"), "va", "left_semi"
+        ).join(
+            keep.withColumnRenamed("v", "vb"), "vb", "left_semi"
+        ).localCheckpoint()
+    return degrees(e).select(F.col("v").alias("node"), F.col("d").alias("degree"))
+
+
+# --- MinHash estimation error ------------------------------------------------
+
+_MH_EQ_SQL = " + ".join(
+    f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+
+@_register(
+    "q190_minhash_error",
+    f"""
+    WITH pairs AS ({_lsh_pairs_sql()}),
+    sig AS ({_minhash_sql()}),
+    {NGRAM_SH_SQL.strip().lstrip()},
+    hashed AS (
+      SELECT doc_id, {HEX_HASH_SQL.format(col="shingle")} AS h FROM sh
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hashed GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN hashed x ON x.doc_id = p.doc_a
+      JOIN hashed y ON y.doc_id = p.doc_b AND y.h = x.h
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST({_MH_EQ_SQL} AS DOUBLE) / 8.0 AS est_jaccard,
+           CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+             / CAST(za.n_sh + zb.n_sh - COALESCE(i.n_common, 0) AS DOUBLE)
+             AS exact_jaccard,
+           ABS(CAST({_MH_EQ_SQL} AS DOUBLE) / 8.0
+               - CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                 / CAST(za.n_sh + zb.n_sh - COALESCE(i.n_common, 0) AS DOUBLE))
+             AS abs_err
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    """,
+)
+def q190_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality measurement: for every LSH candidate pair, the
+    MinHash-estimated Jaccard (matching components / 8) against the
+    EXACT shingle-set Jaccard, with the absolute error — the query a
+    pipeline owner runs before trusting a sketch parameterization at
+    corpus scale. Everything is md5-derived integer arithmetic (q34's
+    signatures, q33's shingle hashes), so the estimate, the exact
+    value (one IEEE division of bigints) and their difference are
+    bit-identical cross-engine with NO rounding. Scale: intersections
+    are computed only for candidate pairs (pairs ⋈ shingles fans out
+    by per-doc shingle count, bounded by document length), never
+    all-pairs; signature and size lookups are single-key joins."""
+    from patientdataintegration_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(d)
+    # sigs feed three consumers (banding plus both per-side lookups):
+    # localCheckpoint the per-doc signature table (tiny — 8 longs per
+    # doc) so the shingle explode + minhash aggregation runs once,
+    # not three times
+    sigs = minhash_signatures(sh).localCheckpoint()
+    pairs = lsh_candidate_pairs(sigs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    xa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hash").alias("ha"))
+    xb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hash").alias("hb"))
+    inter = (
+        pairs.join(xa, "doc_a")
+        .join(xb, ["doc_b"])
+        .filter(F.col("ha") == F.col("hb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(8)],
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+
+    n_eq = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    est = n_eq.cast("double") / F.lit(8.0)
+    exact = n_common.cast("double") / (
+        (F.col("na") + F.col("nb") - n_common).cast("double")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )
+
+
+# --- bigram-LM surprisal -----------------------------------------------------
+
+
+@_register(
+    "q191_bigram_surprisal",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                    i -> concat_ws(' ', tk[i], tk[i+1]))) AS bigram
+      FROM t WHERE len(tk) >= 2
+    ),
+    c2 AS (SELECT bigram, COUNT(*) AS n2 FROM bg GROUP BY bigram),
+    c1 AS (
+      SELECT string_split(bigram, ' ')[1] AS w1, SUM(n2) AS n1
+      FROM c2 GROUP BY string_split(bigram, ' ')[1]
+    )
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           round(CAST(SUM(CAST(round(ln(n2 / n1), 6) AS DECIMAL(28,12)))
+                 AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM bg
+    JOIN c2 USING (bigram)
+    JOIN c1 ON c1.w1 = string_split(bigram, ' ')[1]
+    GROUP BY bg.doc_id
+    """,
+)
+def q191_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal per document: mean corpus log-probability
+    of each document's adjacent-token bigrams under the maximum-
+    likelihood bigram model P(w2|w1) = c(w1 w2)/c(w1 ·) — the
+    stronger form of the q82 unigram quality gate (catches shuffled
+    or templated text a unigram model scores as fluent). Exactness is
+    the q82 discipline verbatim: per-bigram ln is rounded at 6 digits
+    THEN summed as DECIMAL(28,12) (order-independent across
+    partitionings and engines), divided by an exact count, rounded.
+    Scale: two map-combined counting passes over the bigram explode
+    plus two key joins back; the model tables are vocabulary-sized,
+    not corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), " ")
+    bigrams_of = _adjacent_pairs(tk)
+    bg = (
+        d.select("doc_id", bigrams_of.alias("bgs"))
+        .filter(F.size("bgs") >= 1)
+        .select("doc_id", F.explode("bgs").alias("bigram"))
+    )
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    w1_of = F.element_at(F.split(F.col("bigram"), " "), 1)
+    c1 = c2.groupBy(w1_of.alias("w1")).agg(F.sum("n2").alias("n1"))
+    logp = F.round(
+        F.log(F.col("n2").cast("double") / F.col("n1").cast("double")), 6
+    ).cast("decimal(28,12)")
+    return (
+        bg.join(c2, "bigram")
+        .join(c1, w1_of == F.col("w1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )

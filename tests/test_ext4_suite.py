@@ -1,0 +1,176 @@
+"""Hand-computed and property tests for the round-5 batch
+(`suite/ext4.py`, q186-q191) plus the q185 per-vertex triangle
+sibling — small synthetic parquet corpora with independently
+derivable expected values (the oracle gate pins full-corpus values;
+these pin the SEMANTICS on inputs a human can check)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _write(df, tmp_path, name):
+    df.write.mode("overwrite").parquet(str(tmp_path / f"{name}.parquet"))
+
+
+def test_market_basket_hand_computed(spark, tmp_path):
+    """Orders: {p1,p2} x3, {p1,p3} x1. Pair (p1,p2) has n_ab=3,
+    n_a=4 (p1 in all four orders), n_b=3, N=4 ->
+    confidence 3/4, lift (3*4)/(4*3)=1.0. Pair (p1,p3) has support
+    1 < 3 and must be cut."""
+    from patientdataintegration_spark.suite.ext4 import q186_market_basket
+
+    rows = []
+    for o in (1, 2, 3):
+        rows += [(o, 1), (o, 2)]
+    rows += [(4, 1), (4, 3)]
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    _write(li, tmp_path, "lineitem")
+    out = q186_market_basket(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.part_a, r.part_b, r.n_ab, r.n_a, r.n_b) == (1, 2, 3, 4, 3)
+    assert r.confidence == 3 / 4
+    assert r.lift == (3 * 4) / (4 * 3)
+
+
+def test_k_anonymity_hand_computed(spark, tmp_path):
+    """6 customers in band (0, 'A', 1); 2 in (0, 'A', 2). Only the
+    2-person group violates k=5."""
+    from patientdataintegration_spark.suite.ext4 import q187_k_anonymity
+
+    rows = [(i, 0, "A", 1500.0) for i in range(6)]
+    rows += [(10, 0, "A", 2500.0), (11, 0, "A", 2600.0)]
+    c = spark.createDataFrame(
+        rows,
+        "c_custkey bigint, c_nationkey bigint, c_mktsegment string, c_acctbal double",
+    )
+    _write(c, tmp_path, "customer")
+    out = q187_k_anonymity(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert (out[0].bal_band, out[0].group_size) == (2, 2)
+
+
+def test_bpe_pair_counts_multiplicity(spark, tmp_path):
+    """'a b a b' contributes pairs (a b), (b a), (a b) — WITH
+    multiplicity, unlike the deduped shingle lanes."""
+    from patientdataintegration_spark.suite.ext4 import q188_bpe_pair_counts
+
+    d = spark.createDataFrame(
+        [(1, "a b a b", "s"), (2, "c", "s")],
+        "doc_id bigint, text string, source string",
+    )
+    _write(d, tmp_path, "documents")
+    out = {r.pair: r.n for r in q188_bpe_pair_counts(spark, str(tmp_path)).collect()}
+    assert out == {"a b": 2, "b a": 1}  # doc 2 has no pairs
+
+
+def test_kcore_peels_tail_keeps_clique(spark, tmp_path):
+    """K4 on suppliers 1-4 (3 shared orders per pair via 3 orders
+    containing all four) + a pendant supplier 5 tied to supplier 1.
+    k=3 peeling drops the pendant; the 4-clique survives with every
+    degree exactly 3."""
+    from patientdataintegration_spark.suite.ext4 import q189_kcore
+
+    rows = []
+    for o in (1, 2, 3):
+        rows += [(o, s) for s in (1, 2, 3, 4)]
+    for o in (4, 5, 6):
+        rows += [(o, 1), (o, 5)]
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_suppkey bigint")
+    _write(li, tmp_path, "lineitem")
+    out = {r.node: r.degree for r in q189_kcore(spark, str(tmp_path)).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_minhash_error_identical_docs_zero(spark, tmp_path):
+    """Two identical documents: the LSH must surface the pair, the
+    exact Jaccard is 1.0, every minhash component matches (est 1.0),
+    so abs_err == 0.0 exactly."""
+    from patientdataintegration_spark.suite.ext4 import q190_minhash_error
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    d = spark.createDataFrame(
+        [(1, text, "s"), (2, text, "s"), (3, "совсем другой текст без общих слов вообще ни одного", "s")],
+        "doc_id bigint, text string, source string",
+    )
+    _write(d, tmp_path, "documents")
+    out = q190_minhash_error(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.est_jaccard == 1.0 and r.exact_jaccard == 1.0 and r.abs_err == 0.0
+    for r in out:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert r.abs_err == abs(r.est_jaccard - r.exact_jaccard)
+
+
+def test_bigram_surprisal_hand_computed(spark, tmp_path):
+    """Corpus: 'a b', 'a b', 'a c'. Bigram counts: (a b)=2, (a c)=1;
+    leading count c1(a)=3. Doc 1/2 score round(ln(2/3),6); doc 3
+    scores round(ln(1/3),6)."""
+    from patientdataintegration_spark.suite.ext4 import q191_bigram_surprisal
+
+    d = spark.createDataFrame(
+        [(1, "a b", "s"), (2, "a b", "s"), (3, "a c", "s")],
+        "doc_id bigint, text string, source string",
+    )
+    _write(d, tmp_path, "documents")
+    out = {r.doc_id: r for r in q191_bigram_surprisal(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    exp_ab = round(round(math.log(2 / 3), 6) / 1, 6)
+    exp_ac = round(round(math.log(1 / 3), 6) / 1, 6)
+    for doc in (1, 2):
+        assert out[doc].n_bigrams == 1
+        assert out[doc].avg_logprob == exp_ab
+    assert out[3].n_bigrams == 1
+    assert out[3].avg_logprob == exp_ac
+
+
+def test_local_clustering_triangle_plus_tail(spark, tmp_path):
+    """Suppliers 1-3 form a triangle (5 shared orders pairwise via 5
+    orders holding all three); supplier 4 hangs off supplier 1. Nodes
+    1-3 each close their one wedge... node 1 has degree 3 (two
+    triangle edges + the pendant) so its local coefficient is
+    2*1/(3*2) = 1/3; nodes 2,3 have degree 2 and coefficient 1.0;
+    the pendant has degree 1 -> 0.0."""
+    from patientdataintegration_spark.suite.ext3 import q185_local_clustering
+
+    rows = []
+    for o in range(1, 6):
+        rows += [(o, s) for s in (1, 2, 3)]
+    for o in range(6, 11):
+        rows += [(o, 1), (o, 4)]
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_suppkey bigint")
+    _write(li, tmp_path, "lineitem")
+    out = {
+        r.node: r for r in q185_local_clustering(spark, str(tmp_path)).collect()
+    }
+    assert out[1].degree == 3 and out[1].n_triangles == 1
+    assert out[1].local_clustering == round(2 * 1 / (3 * 2), 9)
+    for n in (2, 3):
+        assert out[n].degree == 2 and out[n].n_triangles == 1
+        assert out[n].local_clustering == 1.0
+    assert out[4].degree == 1 and out[4].n_triangles == 0
+    assert out[4].local_clustering == 0.0
+
+
+def test_degree_orientation_preserves_triangle_count(spark, tmp_path):
+    """The degree-oriented two-hop join must count exactly what the
+    id-oriented join counts — same clique fixture, known 4 triangles
+    in K4."""
+    from patientdataintegration_spark.suite.ext3 import q172_triangle_count
+
+    rows = []
+    for o in range(1, 6):
+        rows += [(o, s) for s in (1, 2, 3, 4)]
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_suppkey bigint")
+    _write(li, tmp_path, "lineitem")
+    r = q172_triangle_count(spark, str(tmp_path)).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    # K4: every vertex has degree 3 -> 3 wedges each, 12 total;
+    # global clustering = 3*4/12 = 1.0
+    assert r.n_wedges == 12 and r.clustering == 1.0

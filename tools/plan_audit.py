@@ -59,6 +59,11 @@ SHUFFLE_BUDGETS = {
     "q126_sparse_cosine_pairs": 30,
     "q94_random_forest": 40,
     "q97_batch_inference": 40,
+    # pairs/signatures/sizes are separate keyed consumers of the one
+    # shingle explode by design (sketch-vs-exact comparison needs
+    # both paths); sigs are localCheckpoint-materialized, the rest
+    # are single-key joins
+    "q190_minhash_error": 24,
 }
 DEFAULT_SHUFFLE_BUDGET = 12
 
