@@ -349,6 +349,252 @@ def image_features(df: DataFrame, path_col: str = "path", content_col: str = "co
     return cols.mapInPandas(decode_batches, IMAGE_FEATURES_SCHEMA)
 
 
+IMAGE_DHASH_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("dhash", StringType()),  # 16 hex chars = 64 bits
+        # 'real' — hash over true decoded pixels; 'unsupported' — the
+        # payload is not a decodable non-interlaced 8-bit PNG: dhash
+        # is NULL, never a plausible fake (a fake perceptual hash
+        # would silently create false dedup matches)
+        StructField("dhash_status", StringType()),
+    ]
+)
+
+
+def decode_png_gray_grid(
+    content: bytes, gw: int = 9, gh: int = 8
+) -> tuple[int, int, list[list[float]]] | None:
+    """(width, height, gh x gw box-binned mean-intensity grid) from a
+    non-interlaced 8-bit PNG — the downsample step of perceptual
+    hashing, stdlib-only like `decode_png_pixels` (chunk walk, zlib
+    inflate, scanline unfiltering for filters 0-4, palette/alpha
+    handled; intensity = mean over COLOR channels). Images smaller
+    than the grid, 16-bit depth, and Adam7 return None — callers
+    surface an explicit unsupported status instead of a fake hash."""
+    if len(content) < 45 or content[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    import zlib
+
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette: bytes | None = None
+    idat = bytearray()
+    i, n = 8, len(content)
+    while i + 8 <= n:
+        size = int.from_bytes(content[i : i + 4], "big")
+        cid = content[i + 4 : i + 8]
+        body = content[i + 8 : i + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"IHDR" and size >= 13:
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type = body[8], body[9]
+            interlace = body[12]
+        elif cid == b"PLTE":
+            palette = bytes(body)
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        i += 12 + size
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if (
+        not width
+        or not height
+        or width < gw
+        or height < gh
+        or channels is None
+        or bit_depth != 8
+        or interlace != 0
+        or not idat
+        or (color_type == 3 and palette is None)
+    ):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        return None
+
+    sums = [[0.0] * gw for _ in range(gh)]
+    counts = [[0] * gw for _ in range(gh)]
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        prev = line
+        gy = y * gh // height
+        for x in range(width):
+            base = x * channels
+            if color_type == 0:
+                v = line[base] / 255.0
+            elif color_type == 2:
+                v = (line[base] + line[base + 1] + line[base + 2]) / (3 * 255.0)
+            elif color_type == 3:
+                pi = line[base] * 3
+                if pi + 3 > len(palette):
+                    return None
+                v = (palette[pi] + palette[pi + 1] + palette[pi + 2]) / (3 * 255.0)
+            elif color_type == 4:
+                v = line[base] / 255.0
+            else:  # RGBA
+                v = (line[base] + line[base + 1] + line[base + 2]) / (3 * 255.0)
+            gx = x * gw // width
+            sums[gy][gx] += v
+            counts[gy][gx] += 1
+    grid = [
+        [sums[r][c] / counts[r][c] if counts[r][c] else 0.0 for c in range(gw)]
+        for r in range(gh)
+    ]
+    return width, height, grid
+
+
+def dhash64(grid: list[list[float]]) -> str:
+    """Classic difference hash over a gh x (gw=9) grid: bit (r, c) =
+    1 iff cell (r, c+1) is brighter than (r, c) — 8 rows x 8
+    comparisons = 64 bits, rendered as 16 hex chars (string form
+    sidesteps int64 sign wraparound and groups/joins fine: equality
+    and banding are what dedup needs, not arithmetic)."""
+    bits = 0
+    for r in range(len(grid)):
+        for c in range(len(grid[r]) - 1):
+            bits = (bits << 1) | (1 if grid[r][c + 1] > grid[r][c] else 0)
+    return f"{bits:016x}"
+
+
+def image_dhash(
+    df: DataFrame, path_col: str = "path", content_col: str = "content"
+) -> DataFrame:
+    """Perceptual difference-hash of a binary image column — the
+    image-dedup primitive (near-identical images produce hamming-
+    close hashes; exact re-encodes of the same pixels produce EQUAL
+    hashes). Arrow-batched mapInPandas like `image_features`; decode
+    failures surface as dhash_status='unsupported' with a NULL hash
+    rather than a fake (a fabricated perceptual hash would create
+    false dedup matches downstream). Scale: project away `content`
+    immediately after this operator; group/band on the 16-char hash."""
+    cols = df.select(
+        F.col(path_col).alias("path"), F.col(content_col).alias("content")
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"path": [], "width": [], "height": [], "dhash": [], "dhash_status": []}
+            for path, c in zip(pdf["path"], pdf["content"]):
+                c = c if c is not None else b""
+                decoded = decode_png_gray_grid(c)
+                out["path"].append(path)
+                if decoded is None:
+                    dims = parse_image_header(c)
+                    out["width"].append(dims[0] if dims else 0)
+                    out["height"].append(dims[1] if dims else 0)
+                    out["dhash"].append(None)
+                    out["dhash_status"].append("unsupported")
+                else:
+                    w, h, grid = decoded
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["dhash"].append(dhash64(grid))
+                    out["dhash_status"].append("real")
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(hash_batches, IMAGE_DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    path_col: str = "path",
+    hash_col: str = "dhash",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash hamming distance, banded:
+    the 16-hex hash splits into 4 bands of 4 hex chars; two hashes
+    within hamming distance <= 12 MUST share at least one exact band
+    (pigeonhole over 16-bit bands), so candidates come from 4 cheap
+    equi-joins on (band_idx, band_value) — never all-pairs — and the
+    exact hamming popcount over the 64-bit values prunes to the
+    threshold. Same blocking shape as the SimHash lane
+    (`dedup.simhash_hamming_pairs`)."""
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(path_col).alias("p"), F.col(hash_col).alias("hh")
+    )
+    banded = h.select(
+        "p",
+        "hh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(F.col("hh"), b * 4 + 1, 4).alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("p", "hh", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.p") < F.col("b.p")),
+        )
+        .select(
+            F.col("a.p").alias("path_a"),
+            F.col("a.hh").alias("ha"),
+            F.col("b.p").alias("path_b"),
+            F.col("b.hh").alias("hb"),
+        )
+        .distinct()
+    )
+    def _half(col: str, start: int):
+        # conv() of a full 16-hex value is unsigned-64 and overflows
+        # a BIGINT cast when the top bit is set; 8-hex halves are
+        # always < 2^32 and cast safely
+        return F.conv(F.substring(F.col(col), start, 8), 16, 10).cast("bigint")
+
+    hamming = F.bit_count(
+        _half("ha", 1).bitwiseXOR(_half("hb", 1))
+    ) + F.bit_count(_half("ha", 9).bitwiseXOR(_half("hb", 9)))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("path_a", "path_b", "hamming")
+    )
+
+
 def synthetic_tiles(df: DataFrame, key_col: str, name_col: str) -> DataFrame:
     """Build a (path, content) tile relation from any table — gives the
     multimodal lane a deterministic test input without real files:
@@ -367,7 +613,9 @@ def synthetic_tiles(df: DataFrame, key_col: str, name_col: str) -> DataFrame:
     return df.select(path.alias("path"), F.encode(F.col(name_col), "utf-8").alias("content"))
 
 
-def synthetic_pngs(df: DataFrame, key_col: str) -> DataFrame:
+def synthetic_pngs(
+    df: DataFrame, key_col: str, base_w: int = 4, base_h: int = 4
+) -> DataFrame:
     """Deterministic (path, content) relation of REAL grayscale PNGs
     built from any table — the image twin of `synthetic_wavs`: each
     row's key seeds the dimensions and a gradient pixel pattern, the
@@ -379,7 +627,7 @@ def synthetic_pngs(df: DataFrame, key_col: str) -> DataFrame:
     keys = df.select(F.col(key_col).cast("bigint").alias("k"))
 
     def png_of(k: int) -> bytes:
-        w, h = 4 + (k % 13), 4 + (k % 7)
+        w, h = base_w + (k % 13), base_h + (k % 7)
         rows = bytearray()
         for y in range(h):
             rows.append(0)  # filter: None

@@ -137,8 +137,8 @@ PRIORITY = [
     "q63_latest_per_key",
     "q74_funnel",
     "q81_chunking",
-    "q84_quantize_embeddings",
     "q92_minhash_lsh_pairs",
+    "q192_random_projection",
     "q115_components_star",
     "q123_vocab_coverage",
 ]

@@ -525,3 +525,141 @@ def q191_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --- signed random projection (SRP / dense-vector SimHash) -------------------
+
+_SRP_K = 8
+_SRP_DIMS = 64
+
+
+def _srp_signs(k: int = _SRP_K, dims: int = _SRP_DIMS) -> list[list[int]]:
+    """The k x dims +/-1 hyperplane matrix, derived from md5 parity of
+    f"{j}_{d}" — no RNG state, so the driver generates IDENTICAL
+    literals into the Spark expression and the DuckDB oracle (the
+    minhash_params precedent)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:14], 16) % 2
+            == 0
+            else -1
+            for d in range(dims)
+        ]
+        for j in range(k)
+    ]
+
+
+def _srp_sql() -> str:
+    signs = _srp_signs()
+    projs = []
+    for j in range(_SRP_K):
+        lit = "[" + ", ".join(str(v) for v in signs[j]) + "]"
+        projs.append(
+            f"list_reduce(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]), "
+            f"(x, y) -> x + y) AS p{j}"
+        )
+    sig = " + ".join(
+        f"(CASE WHEN p{j} >= 0 THEN CAST(POW(2, {j}) AS BIGINT) ELSE 0 END)"
+        for j in range(_SRP_K)
+    )
+    cols = ", ".join(f"p{j}" for j in range(_SRP_K))
+    projs_sql = ",\n             ".join(projs)
+    return f"""
+    WITH proj AS (
+      SELECT vec_id,
+             {projs_sql}
+      FROM embeddings
+    )
+    SELECT vec_id, {cols}, CAST({sig} AS BIGINT) AS srp_sig
+    FROM proj
+    """
+
+
+@_register("q192_random_projection", _srp_sql())
+def q192_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection — the SimHash of dense embeddings:
+    project each vector onto k=8 deterministic +/-1 hyperplanes
+    (sign(j,d) = md5-parity of f"{j}_{d}", generated as identical
+    literals into both engines) and pack the projection signs into an
+    LSH signature. A signature bit collides with probability
+    1 - theta/pi — the standard cosine-LSH bound — making this the
+    bucketing primitive for similarity search at 100 TB. Exactness is
+    the q36 discipline: each projection is a SEQUENTIAL left-to-right
+    fold over the array in index order (`aggregate` / `list_reduce`
+    evaluate identically), so the raw doubles are bit-identical
+    cross-engine with no rounding and no decimal detour. Scale shape:
+    the entire operator is per-row codegen on one scan — ZERO
+    shuffles, no joins, no explode; the 64 x 8 sign matrix lives in
+    the expression tree."""
+    e = load_table(spark, sf_dir, "embeddings")
+    signs = _srp_signs()
+    out_cols = [F.col("vec_id")]
+    for j in range(_SRP_K):
+        sgn = F.array(*[F.lit(float(v)) for v in signs[j]])
+        p = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                sgn,
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out_cols.append(p.alias(f"p{j}"))
+    proj = e.select(*out_cols)
+    sig = None
+    for j in range(_SRP_K):
+        bit = F.when(F.col(f"p{j}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return proj.select(
+        "vec_id",
+        *[f"p{j}" for j in range(_SRP_K)],
+        sig.cast("bigint").alias("srp_sig"),
+    )
+
+
+# --- perceptual image hashing ------------------------------------------------
+
+
+@_register("q193_image_dhash")  # no oracle: binary pandas-UDF lane
+def q193_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash over a synthetic REAL-PNG corpus
+    (`multimodal.image_dhash`): per-image 64-bit dHash with explicit
+    dhash_status provenance — the image-dedup signature a multimodal
+    training pipeline computes at ingest. Rows-only lane (pixel
+    decode is not SQL-expressible); hand-computed fixtures in
+    tests/test_ext4_suite.py pin the hash semantics (identical
+    pixels -> equal hash, brightness-ramp flip -> known bits)."""
+    from patientdataintegration_spark.operators.multimodal import (
+        image_dhash,
+        synthetic_pngs,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    # base 12x10 keeps every generated image >= the 9x8 dHash grid
+    tiles = synthetic_pngs(p, key_col="p_partkey", base_w=12, base_h=10)
+    return image_dhash(tiles)
+
+
+@_register("q194_dhash_neardup")  # no oracle: binary pandas-UDF lane
+def q194_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by banded dHash hamming distance
+    (`multimodal.dhash_neardup_pairs`): 16-bit pigeonhole bands ->
+    equi-join candidates -> exact popcount prune, the image twin of
+    the SimHash text lane (q35). Never all-pairs; the banding bound
+    (hamming <= 12 implies a shared band) is the same argument as
+    simhash_hamming_pairs'. Rows-only lane; the constructed-duplicate
+    test pins that re-encoded identical pixels pair at hamming 0."""
+    from patientdataintegration_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+        image_dhash,
+        synthetic_pngs,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    tiles = synthetic_pngs(p, key_col="p_partkey", base_w=12, base_h=10)
+    return dhash_neardup_pairs(image_dhash(tiles))

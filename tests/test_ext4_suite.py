@@ -174,3 +174,137 @@ def test_degree_orientation_preserves_triangle_count(spark, tmp_path):
     # K4: every vertex has degree 3 -> 3 wedges each, 12 total;
     # global clustering = 3*4/12 = 1.0
     assert r.n_wedges == 12 and r.clustering == 1.0
+
+
+def test_random_projection_sign_symmetry(spark, tmp_path):
+    """SRP invariants on constructed vectors: negating a vector flips
+    every projection's sign (complementary signature bits when no
+    projection is exactly zero); scaling by 2 doubles every
+    projection exactly and preserves the signature."""
+    from patientdataintegration_spark.suite.ext4 import (
+        _SRP_K,
+        q192_random_projection,
+    )
+
+    base = [((-1) ** i) * (0.25 + 0.015625 * i) for i in range(64)]
+    rows = [
+        (1, [float(v) for v in base], 0),
+        (2, [float(-v) for v in base], 0),
+        (3, [float(2 * v) for v in base], 0),
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    e.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r.vec_id: r
+        for r in q192_random_projection(spark, str(tmp_path)).collect()
+    }
+    full = (1 << _SRP_K) - 1
+    for j in range(_SRP_K):
+        p = out[1][f"p{j}"]
+        assert p != 0.0
+        assert out[2][f"p{j}"] == -p
+        assert out[3][f"p{j}"] == 2 * p
+    assert out[1].srp_sig == out[3].srp_sig
+    assert out[1].srp_sig + out[2].srp_sig == full
+    assert 0 <= out[1].srp_sig <= full
+
+
+def _png_gray(w, h, pixel):
+    """Minimal valid non-interlaced 8-bit grayscale PNG with
+    pixel[y][x] values."""
+    import zlib
+
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += bytes(pixel(x, y) for x in range(w))
+
+    def chunk(cid, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + cid
+            + body
+            + zlib.crc32(cid + body).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_dhash_known_gradient():
+    """9x8 image exactly the grid size: each cell is one pixel, a
+    strict left-to-right brightness ramp sets every bit -> all-ones
+    hash; the reversed ramp clears every bit."""
+    from patientdataintegration_spark.operators.multimodal import (
+        decode_png_gray_grid,
+        dhash64,
+    )
+
+    inc = _png_gray(9, 8, lambda x, y: x * 20)
+    w, h, grid = decode_png_gray_grid(inc)
+    assert (w, h) == (9, 8)
+    assert dhash64(grid) == "f" * 16
+    dec = _png_gray(9, 8, lambda x, y: (8 - x) * 20)
+    assert dhash64(decode_png_gray_grid(dec)[2]) == "0" * 16
+
+
+def test_dhash_scale_invariance():
+    """The same ramp rendered at 2x resolution box-bins to the same
+    grid ordering -> identical dHash (the point of a perceptual
+    hash)."""
+    from patientdataintegration_spark.operators.multimodal import (
+        decode_png_gray_grid,
+        dhash64,
+    )
+
+    small = _png_gray(9, 8, lambda x, y: x * 20)
+    big = _png_gray(18, 16, lambda x, y: (x // 2) * 20)
+    assert (
+        dhash64(decode_png_gray_grid(small)[2])
+        == dhash64(decode_png_gray_grid(big)[2])
+    )
+
+
+def test_dhash_unsupported_payloads():
+    from patientdataintegration_spark.operators.multimodal import (
+        decode_png_gray_grid,
+    )
+
+    assert decode_png_gray_grid(b"not a png") is None
+    assert decode_png_gray_grid(_png_gray(4, 4, lambda x, y: 0)) is None  # < grid
+
+
+def test_image_dhash_operator_and_neardup(spark):
+    """End-to-end through mapInPandas: two paths carrying identical
+    pixels hash equal and pair at hamming 0; a garbage payload
+    surfaces as unsupported with NULL hash; the near-dup join never
+    pairs the unsupported row."""
+    from patientdataintegration_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+        image_dhash,
+    )
+
+    png = _png_gray(12, 10, lambda x, y: (x * 7 + y * 3) % 256)
+    other = _png_gray(12, 10, lambda x, y: (255 - x * 11) % 256)
+    df = spark.createDataFrame(
+        [("a.png", bytearray(png)), ("b.png", bytearray(png)),
+         ("c.png", bytearray(other)), ("junk", bytearray(b"\x00\x01"))],
+        "path string, content binary",
+    )
+    hashes = image_dhash(df)
+    rows = {r.path: r for r in hashes.collect()}
+    assert rows["a.png"].dhash_status == "real"
+    assert rows["a.png"].dhash == rows["b.png"].dhash
+    assert len(rows["a.png"].dhash) == 16
+    assert rows["junk"].dhash is None
+    assert rows["junk"].dhash_status == "unsupported"
+    pairs = {(r.path_a, r.path_b): r.hamming for r in dhash_neardup_pairs(hashes).collect()}
+    assert pairs.get(("a.png", "b.png")) == 0
+    assert all("junk" not in k for pair in pairs for k in pair)
