@@ -48,6 +48,10 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (sources/pysource.py
+        # consumes doc_id range predicates and prunes partitions);
+        # no-op unless a Python source implements pushFilters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # driver parquet writes TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and normalize in the catalog

@@ -663,3 +663,104 @@ def q194_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     tiles = synthetic_pngs(p, key_col="p_partkey", base_w=12, base_h=10)
     return dhash_neardup_pairs(image_dhash(tiles))
+
+
+# --- custom Python DataSource scan -------------------------------------------
+
+
+def _q195_sql() -> str:
+    from patientdataintegration_spark.sources.pysource import (
+        SYNTH_DOCS_ORACLE_SQL,
+    )
+
+    return f"""
+    WITH src AS ({SYNTH_DOCS_ORACLE_SQL.format(n=2000)}),
+    f AS (SELECT * FROM src WHERE doc_id >= 250 AND doc_id < 1750)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT text) AS n_distinct_texts
+    FROM f GROUP BY lang
+    """
+
+
+@_register("q195_python_datasource", _q195_sql())
+def q195_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over the custom Python DataSource
+    (`sources/pysource.SynthDocsDataSource`) — the Spark 4 DataSource
+    API surface, end to end: partition planning (8 parallel range
+    partitions), FILTER PUSHDOWN (the doc_id range predicate is
+    consumed by `pushFilters` and prunes whole partitions before any
+    row crosses the Python->JVM boundary — the Python twin of parquet
+    row-group pruning), and Arrow RecordBatch emission. The source
+    generates rows as a pure function of doc_id, so a DuckDB
+    `range()` twin replays the identical relation and this lane is
+    FULLY hash-checked despite reading from a source DuckDB has
+    never heard of. sf_dir is unused: the corpus is generated, which
+    is the point."""
+    from patientdataintegration_spark.sources.pysource import (
+        register_synth_docs,
+    )
+
+    register_synth_docs(spark)
+    src = (
+        spark.read.format("synth_docs")
+        .option("n", 2000)
+        .option("parts", 8)
+        .load()
+    )
+    return (
+        src.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 1750))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.count_distinct("text").alias("n_distinct_texts"),
+        )
+    )
+
+
+@_register("q196_python_stream_source")  # no oracle: streaming lane
+def q196_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregation over the custom Python
+    DataSourceStreamReader (`sources/pysource.SynthEventsDataSource`):
+    checkpointable {"pos"} offsets, driver-side prefetch, and
+    deterministic replay via readBetweenOffsets (exactly-once under
+    restart by construction — proven by the restart test, which
+    resumes the SAME checkpoint and receives exactly the next offset
+    window). Rows-only lane like the other streaming-execution
+    queries; the batch-side synth relation is hash-checked by q195.
+    sf_dir seeds only the checkpoint location."""
+    import os
+    import tempfile
+    import uuid
+
+    from patientdataintegration_spark.sources.pysource import (
+        register_synth_events,
+    )
+
+    register_synth_events(spark)
+    ckpt = os.path.join(
+        tempfile.mkdtemp(prefix="pdi_q196_"), uuid.uuid4().hex[:8]
+    )
+    stream = (
+        spark.readStream.format("synth_events")
+        .option("n", 300)
+        .option("per_batch", 300)
+        .load()
+    )
+    agg = stream.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+    name = f"q196_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

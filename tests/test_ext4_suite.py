@@ -308,3 +308,104 @@ def test_image_dhash_operator_and_neardup(spark):
     pairs = {(r.path_a, r.path_b): r.hamming for r in dhash_neardup_pairs(hashes).collect()}
     assert pairs.get(("a.png", "b.png")) == 0
     assert all("junk" not in k for pair in pairs for k in pair)
+
+
+def test_python_datasource_pushdown_prunes_partitions():
+    """Unit-level: range filters on doc_id are CONSUMED (nothing
+    yielded back to Spark) and the planned partitions cover exactly
+    the pruned range."""
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan,
+    )
+
+    from patientdataintegration_spark.sources.pysource import SynthDocsReader
+
+    r = SynthDocsReader({"n": "1000", "parts": "4"})
+    rest = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("doc_id",), 100),
+                LessThan(("doc_id",), 200),
+                IsNotNull(("text",)),  # unsupported -> handed back
+            ]
+        )
+    )
+    assert len(rest) == 1 and isinstance(rest[0], IsNotNull)
+    parts = r.partitions()
+    assert parts[0].start == 100 and parts[-1].end == 200
+    covered = sum(p.end - p.start for p in parts)
+    assert covered == 100
+
+
+def test_python_datasource_matches_plain_generation(spark):
+    """E2E: the source with a pushed filter returns exactly the rows
+    the pure generator produces for that range."""
+    from patientdataintegration_spark.sources.pysource import (
+        register_synth_docs,
+        synth_tokens,
+    )
+
+    register_synth_docs(spark)
+    out = (
+        spark.read.format("synth_docs")
+        .option("n", 500)
+        .option("parts", 4)
+        .load()
+        .filter((F.col("doc_id") >= 17) & (F.col("doc_id") < 42))
+        .collect()
+    )
+    assert len(out) == 25
+    for r in sorted(out, key=lambda r: r.doc_id):
+        toks = synth_tokens(r.doc_id)
+        assert r.text == " ".join(toks)
+        assert r.n_tokens == len(toks)
+
+
+def test_python_stream_source_restart_resumes_offset(spark, tmp_path):
+    """Two availableNow runs on the SAME checkpoint: the first
+    consumes the first prefetch window (ids 0..99), the restart
+    consumes exactly the next (100..199) — checkpointed offsets +
+    deterministic replay, the exactly-once contract."""
+    from patientdataintegration_spark.sources.pysource import (
+        register_synth_events,
+    )
+
+    register_synth_events(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")  # file sink: memory sink cannot recover
+
+    def run_once():
+        stream = (
+            spark.readStream.format("synth_events")
+            .option("n", 1000)
+            .option("per_batch", 100)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    first = run_once()
+    ids1 = sorted(r.event_id for r in first)
+    assert ids1 == list(range(0, 100))
+    second = run_once()
+    ids2 = sorted(r.event_id for r in second)
+    assert ids2 == list(range(0, 200))  # cumulative: first window + the next
+
+
+def test_q196_streaming_totals(spark, sf_dir):
+    from patientdataintegration_spark.suite.ext4 import (
+        q196_python_stream_source,
+    )
+
+    out = q196_python_stream_source(spark, sf_dir)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 300
