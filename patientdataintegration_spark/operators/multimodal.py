@@ -538,13 +538,20 @@ def dhash_neardup_pairs(
     max_hamming: int = 6,
 ) -> DataFrame:
     """Near-duplicate image pairs by dHash hamming distance, banded:
-    the 16-hex hash splits into 4 bands of 4 hex chars; two hashes
-    within hamming distance <= 12 MUST share at least one exact band
-    (pigeonhole over 16-bit bands), so candidates come from 4 cheap
-    equi-joins on (band_idx, band_value) — never all-pairs — and the
-    exact hamming popcount over the 64-bit values prunes to the
-    threshold. Same blocking shape as the SimHash lane
-    (`dedup.simhash_hamming_pairs`)."""
+    the 16-hex hash splits into 8 bands of 2 hex chars (8 bits each).
+    Pigeonhole: hamming distance h can make at most h bands differ,
+    so any pair within h <= 7 — which COVERS the default threshold
+    of 6 — shares at least one exact band and is found by the 8
+    cheap equi-joins on (band_idx, band_value); never all-pairs. (4
+    wider bands would only guarantee h <= 3: differing bits can land
+    one-per-band.) The exact hamming popcount over the 64-bit values
+    then prunes candidates to the threshold. Same blocking shape as
+    the SimHash lane (`dedup.simhash_hamming_pairs`)."""
+    n_bands = 8
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding guarantees recall only for max_hamming <= {n_bands - 1}"
+        )
     h = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(path_col).alias("p"), F.col(hash_col).alias("hh")
     )
@@ -556,9 +563,9 @@ def dhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.substring(F.col("hh"), b * 4 + 1, 4).alias("bv"),
+                        F.substring(F.col("hh"), b * 2 + 1, 2).alias("bv"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bk"),

@@ -409,3 +409,30 @@ def test_q196_streaming_totals(spark, sf_dir):
     out = q196_python_stream_source(spark, sf_dir)
     total = out.agg(F.sum("n_events")).collect()[0][0]
     assert total == 300
+
+
+def test_dhash_banding_recall_at_threshold(spark):
+    """Adversarial banding check: a pair at exactly hamming 6 with
+    the differing bits SPREAD ACROSS SIX DIFFERENT former-4-band
+    regions (which 4-wide banding would miss) must still be found by
+    the 8-band pigeonhole."""
+    from patientdataintegration_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+    )
+
+    base = int("a5a5a5a5a5a5a5a5", 16)
+    # flip one bit in 6 of the 8 bytes -> hamming 6, at most 2 bands equal
+    flipped = base
+    for byte in (0, 1, 2, 3, 4, 5):
+        flipped ^= 1 << (byte * 8)
+    hashes = spark.createDataFrame(
+        [("x", f"{base:016x}", "real"), ("y", f"{flipped:016x}", "real")],
+        "path string, dhash string, dhash_status string",
+    )
+    out = dhash_neardup_pairs(hashes, max_hamming=6).collect()
+    assert len(out) == 1 and out[0].hamming == 6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dhash_neardup_pairs(hashes, max_hamming=8)
