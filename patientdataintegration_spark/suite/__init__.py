@@ -111,6 +111,18 @@ PRIORITY = [
     "q138_reachability",
     "q160_min_cost_supplier",
     "q172_triangle_count",
+    # (b cont.) late-r5 additions: SRP signatures, image dHash +
+    # banded near-dup (rows-only binary lanes), the custom Python
+    # DataSource batch + streaming lanes, and the three sanctioned
+    # pandas-UDF API surfaces (scalar / grouped-agg / applyInPandas)
+    "q192_random_projection",
+    "q193_image_dhash",
+    "q194_dhash_neardup",
+    "q195_python_datasource",
+    "q196_python_stream_source",
+    "q197_pandas_udf_scalar",
+    "q198_grouped_agg_pandas",
+    "q199_apply_in_pandas",
     # (d) longest-unchecked rotation: r1/r2-era rows whose last
     # driver evidence predates every later window
     "q01_pricing_summary",
@@ -127,18 +139,10 @@ PRIORITY = [
     "q25_local_volume",
     "q28_asof_join",
     "q36_cosine_topk",
-    "q37_events_tumbling",
     "q40_embedding_neardup",
     "q41_winnowing_fp",
-    "q44_cube",
     "q45_full_pipeline",
-    "q47_interval_join",
-    "q54_spend_deciles",
-    "q63_latest_per_key",
-    "q74_funnel",
-    "q81_chunking",
     "q92_minhash_lsh_pairs",
-    "q192_random_projection",
     "q115_components_star",
     "q123_vocab_coverage",
 ]

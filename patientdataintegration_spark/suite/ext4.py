@@ -764,3 +764,132 @@ def q196_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- sanctioned Python-UDF API surfaces (vectorized, oracle-checked) ---------
+
+
+@_register(
+    "q197_pandas_udf_scalar",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(1.0 / (1.0 + exp(-((l_extendedprice / 1000.0) - 30.0))), 6)
+             AS purchase_score
+    FROM lineitem WHERE l_quantity >= 45
+    """,
+)
+def q197_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar `@pandas_udf` lane — the sanctioned form of
+    custom Python math (Arrow column batches + numpy, never
+    row-at-a-time): a logistic purchase score over a filtered scan.
+    Like the q182 UDTF lane this exists to prove the API surface
+    end-to-end against the SQL oracle, not because the expression
+    needs Python (the JVM twin is `F.expr` of the same formula; the
+    pytest asserts both lanes are row-identical). Exactness: numpy's
+    exp and libm's agree to the ulp on this range and the output is
+    rounded at 6 digits (the q82 discipline). Scale: the UDF rides
+    the scan stage (no shuffle); the filter is pushed below it."""
+    from patientdataintegration_spark.functions.pandas_udfs import (
+        purchase_score,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") >= 45).select(
+        "l_orderkey",
+        "l_linenumber",
+        purchase_score(F.col("l_extendedprice")).alias("purchase_score"),
+    )
+
+
+@_register(
+    "q198_grouped_agg_pandas",
+    """
+    SELECT c_nationkey,
+           round(median(c_acctbal), 4) AS median_bal,
+           round(quantile_cont(c_acctbal, 0.75) - quantile_cont(c_acctbal, 0.25), 4)
+             AS iqr_bal,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q198_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG `@pandas_udf` lane: per-nation median and
+    interquartile range computed by numpy inside a grouped-aggregate
+    pandas UDF. Selection statistics (not accumulations) are the
+    right fit for a Python aggregate — the result depends only on the
+    sorted values, so numpy's linear-interpolation quantiles equal
+    DuckDB's quantile_cont bit-for-bit (each is one lerp of two
+    doubles) with no ordering hazard. Scale: partial aggregation does
+    NOT apply to grouped-agg UDFs (whole groups ship to Python), so
+    this lane is for group counts that fit an Arrow batch — the
+    docstringed contract; unbounded-cardinality aggregations stay
+    JVM-side (q149's exact percentile_cont spine)."""
+    from patientdataintegration_spark.functions.pandas_udfs import (
+        group_count,
+        group_iqr,
+        group_median,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    # all three aggregates are pandas UDFs: Spark rejects mixing
+    # grouped-agg pandas UDFs with JVM aggregates in one agg()
+    return c.groupBy("c_nationkey").agg(
+        group_median(F.col("c_acctbal")).alias("median_bal"),
+        group_iqr(F.col("c_acctbal")).alias("iqr_bal"),
+        group_count(F.col("c_acctbal")).alias("n"),
+    )
+
+
+@_register(
+    "q199_apply_in_pandas",
+    """
+    WITH s AS (
+      SELECT o_custkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           CAST(n AS BIGINT) AS n_orders,
+           round(o_totalprice - first_price, 2) AS price_drift
+    FROM (
+      SELECT s.o_custkey, s.n, s.o_totalprice,
+             FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY rn) AS first_price,
+             rn
+      FROM s
+    ) WHERE rn = n
+    """,
+)
+def q199_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch `groupBy().applyInPandas` lane: per-customer order
+    history shipped to Python as one pandas frame, which sorts it by
+    (orderdate, orderkey) and emits the drift between the customer's
+    first and last order price — the per-entity imperative-logic
+    shape (custom curve fits, per-patient trajectories) that
+    genuinely wants a dataframe in hand rather than window algebra.
+    The oracle spells the identical computation with window
+    functions, pinning that the Python lane reproduces the relational
+    semantics exactly (drift = one double subtraction, rounded 2).
+    Scale: one shuffle on the group key; each group must fit in
+    memory — the applyInPandas contract; per-key explode stays
+    bounded by orders-per-customer."""
+    import pandas as pd
+
+    def drift(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+        first = pdf["o_totalprice"].iloc[0]
+        last = pdf["o_totalprice"].iloc[-1]
+        return pd.DataFrame(
+            {
+                "custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "price_drift": [round(last - first, 2)],
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return o.groupBy("o_custkey").applyInPandas(
+        drift, "custkey bigint, n_orders bigint, price_drift double"
+    )

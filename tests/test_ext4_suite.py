@@ -436,3 +436,69 @@ def test_dhash_banding_recall_at_threshold(spark):
 
     with _pytest.raises(ValueError):
         dhash_neardup_pairs(hashes, max_hamming=8)
+
+
+def test_pandas_udf_scalar_matches_native_twin(spark, sf_dir):
+    """q197's pandas-UDF logistic score must be row-identical to the
+    JVM-native Column expression of the same formula, and the plan
+    must actually contain an ArrowEvalPython node (proving the lane
+    exercises the vectorized Python path, not a constant-folded
+    shortcut)."""
+    from patientdataintegration_spark.suite.ext4 import q197_pandas_udf_scalar
+
+    via_udf = q197_pandas_udf_scalar(spark, sf_dir)
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") >= 45)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                1.0 / (1.0 + F.exp(-((F.col("l_extendedprice") / 1000.0) - 30.0))),
+                6,
+            ).alias("purchase_score"),
+        )
+    )
+    a = sorted(map(tuple, via_udf.collect()))
+    b = sorted(map(tuple, li.collect()))
+    assert a == b and a
+    plan = via_udf._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+
+
+def test_grouped_agg_pandas_hand_computed(spark, tmp_path):
+    """One nation, balances [1, 2, 3, 4]: median 2.5, IQR (3.25 -
+    1.75) = 1.5, n = 4."""
+    from patientdataintegration_spark.suite.ext4 import q198_grouped_agg_pandas
+
+    c = spark.createDataFrame(
+        [(i, 7, float(i)) for i in (1, 2, 3, 4)],
+        "c_custkey bigint, c_nationkey bigint, c_acctbal double",
+    )
+    _write(c, tmp_path, "customer")
+    out = q198_grouped_agg_pandas(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.median_bal, r.iqr_bal, r.n) == (2.5, 1.5, 4)
+
+
+def test_apply_in_pandas_hand_computed(spark, tmp_path):
+    """Customer 1: orders priced 100 then 150 (by date) -> drift 50;
+    customer 2: single order -> drift 0."""
+    import datetime
+
+    from patientdataintegration_spark.suite.ext4 import q199_apply_in_pandas
+
+    d = datetime.datetime
+    o = spark.createDataFrame(
+        [
+            (10, 1, d(2024, 1, 1), 100.0),
+            (11, 1, d(2024, 2, 1), 150.0),
+            (12, 2, d(2024, 1, 15), 70.0),
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp, o_totalprice double",
+    )
+    _write(o, tmp_path, "orders")
+    out = {r.custkey: r for r in q199_apply_in_pandas(spark, str(tmp_path)).collect()}
+    assert out[1].n_orders == 2 and out[1].price_drift == 50.0
+    assert out[2].n_orders == 1 and out[2].price_drift == 0.0
