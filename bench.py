@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "q186_market_basket",       # support/confidence/lift rules
     "q189_kcore",               # unrolled k-core peeling
     "q190_minhash_error",       # sketch-vs-exact jaccard audit
+    "q200_corpus_curation",     # five-stage curation composite
 ]
 
 

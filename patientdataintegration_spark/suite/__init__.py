@@ -142,9 +142,12 @@ PRIORITY = [
     "q40_embedding_neardup",
     "q41_winnowing_fp",
     "q45_full_pipeline",
-    "q92_minhash_lsh_pairs",
     "q115_components_star",
     "q123_vocab_coverage",
+    # (b cont.) the r5 flagship composite — quality gate, exact
+    # dedup, LSH near-dup removal, token-budget sampling as ONE
+    # hash-checked DAG (its LSH machinery re-proves q92's)
+    "q200_corpus_curation",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

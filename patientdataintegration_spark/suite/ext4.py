@@ -893,3 +893,199 @@ def q199_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_custkey").applyInPandas(
         drift, "custkey bigint, n_orders bigint, price_drift double"
     )
+
+
+# --- flagship: end-to-end corpus curation ------------------------------------
+
+
+def _q200_sql() -> str:
+    from patientdataintegration_spark.functions.deterministic import (
+        MODULUS,
+        pseudo_random_sql,
+    )
+    from patientdataintegration_spark.operators.dedup import minhash_params
+
+    h = HEX_HASH_SQL.format(col="shingle")
+    mins = ",\n             ".join(
+        f"MIN((sh_mod * {a} + {b}) % {MODULUS}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(8, 42))
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat(mh_{i}, '_', mh_{j}) AS key FROM sig".format(
+            b=b, i=b * 2, j=b * 2 + 1
+        )
+        for b in range(4)
+    )
+    pr = pseudo_random_sql("doc_id")
+    return f"""
+    WITH qf AS (
+      SELECT doc_id, source, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             (length(text) - (len(string_split(text, ' ')) - 1))
+               / len(string_split(text, ' ')) AS avg_token_len,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','and','of','to','in')))
+               / len(string_split(text, ' ')) AS stopword_ratio
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id, source, text, n_tokens FROM qf
+      WHERE n_tokens >= 20 AND stopword_ratio <= 0.5
+        AND avg_token_len >= 3 AND avg_token_len <= 8
+    ),
+    fp AS (
+      SELECT doc_id, source, text, n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM s1
+    ),
+    keep2 AS (SELECT fingerprint, MIN(doc_id) AS kid FROM fp GROUP BY fingerprint),
+    s2 AS (
+      SELECT fp.doc_id, fp.source, fp.text, fp.n_tokens
+      FROM fp JOIN keep2 ON keep2.fingerprint = fp.fingerprint
+      WHERE fp.doc_id = keep2.kid
+    ),
+    toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM s2),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                    ELSE [] END) AS shingle
+      FROM toks
+    ),
+    hashed AS (SELECT doc_id, {h} % {MODULUS} AS sh_mod FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+      {band_selects}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    s3 AS (
+      SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY {pr} ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM s3
+    ),
+    sel AS (SELECT * FROM cum WHERE cum_tokens <= 3000 OR cum_tokens = n_tokens)
+    SELECT raw.source,
+           raw.n_raw,
+           COALESCE(a.n_quality, 0) AS n_quality,
+           COALESCE(b.n_exact, 0) AS n_exact,
+           COALESCE(c.n_neardup, 0) AS n_neardup,
+           COALESCE(d.n_selected, 0) AS n_selected,
+           COALESCE(d.tokens_selected, 0) AS tokens_selected
+    FROM (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY source) raw
+    LEFT JOIN (SELECT source, COUNT(*) AS n_quality FROM s1 GROUP BY source) a
+      ON a.source = raw.source
+    LEFT JOIN (SELECT source, COUNT(*) AS n_exact FROM s2 GROUP BY source) b
+      ON b.source = raw.source
+    LEFT JOIN (SELECT source, COUNT(*) AS n_neardup FROM s3 GROUP BY source) c
+      ON c.source = raw.source
+    LEFT JOIN (SELECT source, COUNT(*) AS n_selected,
+                      CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected
+               FROM sel GROUP BY source) d
+      ON d.source = raw.source
+    """
+
+
+@_register("q200_corpus_curation", _q200_sql())
+def q200_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composite: a COMPLETE training-corpus curation
+    pipeline as ONE lazy DAG, with per-source survivor accounting at
+    every stage — the end-to-end shape this engine exists for:
+
+      raw --quality gate--> s1 --exact dedup (keep min id per
+      fingerprint)--> s2 --near-dup removal (MinHash-LSH candidate
+      pairs among survivors; the higher id of each pair drops)-->
+      s3 --per-source token-budget sample (3000 tokens, seeded
+      hash order)--> selected
+
+    Every stage reuses the independently proven operator (q38 quality gate,
+    q32 fingerprints, q92 LSH, q106 budget sampling) and the oracle
+    replays the identical five-stage dataflow in one SQL statement,
+    so the composition — not just the parts — is hash-checked.
+    Near-dup removal here is the one-pass pair heuristic (drop the
+    higher id of every candidate pair); full transitive clustering
+    is q86's connected components, swappable when recall matters
+    more than a single extra shuffle. Scale: each stage is the same
+    bounded shape as its standalone query; stage accounting adds
+    five source-keyed COUNT aggregations (tiny) joined at the end.
+    """
+    from patientdataintegration_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+    from patientdataintegration_spark.operators.sampling import (
+        token_budget_sample,
+    )
+    from patientdataintegration_spark.operators.textops import (
+        fingerprint,
+        quality_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    s1 = (
+        quality_features(d)
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("stopword_ratio") <= 0.5)
+            & (F.col("avg_token_len") >= 3)
+            & (F.col("avg_token_len") <= 8)
+        )
+        .select("doc_id", "source", "text", "n_tokens")
+    )
+    fp = fingerprint(s1)
+    keep2 = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("kid"))
+    s2 = (
+        fp.join(keep2, "fingerprint")
+        .filter(F.col("doc_id") == F.col("kid"))
+        .select("doc_id", "source", "text", "n_tokens")
+    )
+    sigs = minhash_signatures(shingle_table(s2))
+    pairs = lsh_candidate_pairs(sigs)
+    s3 = s2.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    sel = token_budget_sample(s3, budget_tokens=3000)
+
+    def per_source(df: DataFrame, name: str, tokens: bool = False) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias(name)]
+        if tokens:
+            aggs.append(F.sum("n_tokens").alias("tokens_selected"))
+        return df.groupBy("source").agg(*aggs)
+
+    raw = per_source(d, "n_raw")
+    out = (
+        raw.join(per_source(s1, "n_quality"), "source", "left")
+        .join(per_source(s2, "n_exact"), "source", "left")
+        .join(per_source(s3, "n_neardup"), "source", "left")
+        .join(per_source(sel, "n_selected", tokens=True), "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_neardup", F.lit(0)).alias("n_neardup"),
+            F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+            F.coalesce("tokens_selected", F.lit(0)).alias("tokens_selected"),
+        )
+    )
+    return out

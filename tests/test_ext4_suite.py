@@ -502,3 +502,34 @@ def test_apply_in_pandas_hand_computed(spark, tmp_path):
     out = {r.custkey: r for r in q199_apply_in_pandas(spark, str(tmp_path)).collect()}
     assert out[1].n_orders == 2 and out[1].price_drift == 50.0
     assert out[2].n_orders == 1 and out[2].price_drift == 0.0
+
+
+def test_corpus_curation_stage_accounting(spark, tmp_path):
+    """Constructed corpus where each stage drops a known document:
+    - doc 1: good (20+ tokens, sane lengths)         -> survives all
+    - doc 2: exact duplicate of doc 1 (same text)    -> dropped at exact-dedup
+    - doc 3: near-duplicate of doc 1 (one token off) -> dropped at LSH stage
+    - doc 4: too short (5 tokens)                    -> dropped at quality gate
+    Final: 1 selected doc; accounting 4 -> 3 -> 2 -> 1 -> 1."""
+    from patientdataintegration_spark.suite.ext4 import q200_corpus_curation
+
+    base_tokens = [f"tok{i:02d}" for i in range(24)]
+    good = " ".join(base_tokens)
+    near = " ".join(base_tokens[:-1] + ["tok99"])
+    d = spark.createDataFrame(
+        [
+            (1, good, "s"),
+            (2, good, "s"),
+            (3, near, "s"),
+            (4, "only five tokens right here", "s"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    _write(d, tmp_path, "documents")
+    out = q200_corpus_curation(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_raw, r.n_quality, r.n_exact, r.n_neardup, r.n_selected) == (
+        4, 3, 2, 1, 1,
+    )
+    assert r.tokens_selected == 24
