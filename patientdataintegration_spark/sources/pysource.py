@@ -25,6 +25,12 @@ example exercising the full surface:
 
 Rows are yielded as pyarrow RecordBatches (the fast path — tuple
 yield is row-at-a-time pickling).
+
+The STREAMING half of the DataSource API lives in the sibling
+`sources/pydatasource.py` (`synthetic_events`: checkpointed
+{"next_id"} offsets + deterministic readBetweenOffsets replay);
+q196 runs that source through a streaming aggregation and the
+restart pytest proves offset resumption.
 """
 
 from __future__ import annotations
@@ -39,7 +45,6 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
-    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -152,67 +157,3 @@ class SynthDocsDataSource(DataSource):
 def register_synth_docs(spark) -> None:
     """Idempotent registration of the custom source."""
     spark.dataSource.register(SynthDocsDataSource)
-
-
-# --- streaming variant -------------------------------------------------------
-
-EVENTS_PER_BATCH = 100
-_STREAM_SCHEMA_DDL = "event_id bigint, user_id bigint, event_type string, value double"
-
-
-def synth_event(event_id: int) -> tuple[int, int, str, float]:
-    """Pure function of event_id — replayable, so failure recovery
-    (readBetweenOffsets) is trivially deterministic."""
-    return (
-        event_id,
-        event_id % 53,
-        ("view", "click", "purchase")[event_id % 3],
-        float((event_id * 37) % 1000) / 10.0,
-    )
-
-
-class SynthEventsStreamReader(SimpleDataSourceStreamReader):
-    """Bounded deterministic event stream: each micro-batch advances
-    the offset by EVENTS_PER_BATCH ids until n_total, then returns
-    empty batches. Offsets are {"pos": int} dicts — exactly the
-    checkpointable-offset contract; `readBetweenOffsets` replays any
-    historical window from the pure generator (exactly-once under
-    restart by construction)."""
-
-    def __init__(self, options: dict) -> None:
-        self.n_total = int(options.get("n", 500))
-        self.per_batch = int(options.get("per_batch", EVENTS_PER_BATCH))
-
-    def initialOffset(self) -> dict:  # noqa: D102
-        return {"pos": 0}
-
-    def read(self, start: dict):  # noqa: D102
-        lo = int(start["pos"])
-        hi = min(lo + self.per_batch, self.n_total)
-        # a LIST, not a generator: the simple-reader contract prefetches
-        # on the driver and PICKLES the records to executors
-        return [synth_event(i) for i in range(lo, hi)], {"pos": hi}
-
-    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: D102
-        return [
-            synth_event(i) for i in range(int(start["pos"]), int(end["pos"]))
-        ]
-
-
-class SynthEventsDataSource(DataSource):
-    """`spark.readStream.format("synth_events")` — the streaming twin
-    of `synth_docs` (DataSource API: streamReader)."""
-
-    @classmethod
-    def name(cls) -> str:  # noqa: D102
-        return "synth_events"
-
-    def schema(self) -> str:  # noqa: D102
-        return _STREAM_SCHEMA_DDL
-
-    def simpleStreamReader(self, schema: StructType):  # noqa: D102
-        return SynthEventsStreamReader(self.options)
-
-
-def register_synth_events(spark) -> None:
-    spark.dataSource.register(SynthEventsDataSource)

@@ -723,8 +723,9 @@ def q195_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("q196_python_stream_source")  # no oracle: streaming lane
 def q196_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming aggregation over the custom Python
-    DataSourceStreamReader (`sources/pysource.SynthEventsDataSource`):
-    checkpointable {"pos"} offsets, driver-side prefetch, and
+    DataSourceStreamReader (`sources/pydatasource`, format
+    `synthetic_events`):
+    checkpointable {"next_id"} offsets, driver-side prefetch, and
     deterministic replay via readBetweenOffsets (exactly-once under
     restart by construction — proven by the restart test, which
     resumes the SAME checkpoint and receives exactly the next offset
@@ -735,18 +736,16 @@ def q196_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from patientdataintegration_spark.sources.pysource import (
-        register_synth_events,
-    )
+    from patientdataintegration_spark.sources.pydatasource import register
 
-    register_synth_events(spark)
+    register(spark)
     ckpt = os.path.join(
         tempfile.mkdtemp(prefix="pdi_q196_"), uuid.uuid4().hex[:8]
     )
     stream = (
-        spark.readStream.format("synth_events")
-        .option("n", 300)
-        .option("per_batch", 300)
+        spark.readStream.format("synthetic_events")
+        .option("rows", 300)
+        .option("batch_rows", 300)
         .load()
     )
     agg = stream.groupBy("event_type", "user_id").agg(

@@ -368,19 +368,17 @@ def test_python_stream_source_restart_resumes_offset(spark, tmp_path):
     consumes the first prefetch window (ids 0..99), the restart
     consumes exactly the next (100..199) — checkpointed offsets +
     deterministic replay, the exactly-once contract."""
-    from patientdataintegration_spark.sources.pysource import (
-        register_synth_events,
-    )
+    from patientdataintegration_spark.sources.pydatasource import register
 
-    register_synth_events(spark)
+    register(spark)
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")  # file sink: memory sink cannot recover
 
     def run_once():
         stream = (
-            spark.readStream.format("synth_events")
-            .option("n", 1000)
-            .option("per_batch", 100)
+            spark.readStream.format("synthetic_events")
+            .option("rows", 1000)
+            .option("batch_rows", 100)
             .load()
         )
         q = (

@@ -64,6 +64,10 @@ SHUFFLE_BUDGETS = {
     # both paths); sigs are localCheckpoint-materialized, the rest
     # are single-key joins
     "q190_minhash_error": 24,
+    # five chained stages + five per-stage accounting aggregations
+    # joined on source — each stage is its standalone query's shape;
+    # the composite's shuffle count is the SUM of the parts by design
+    "q200_corpus_curation": 30,
 }
 DEFAULT_SHUFFLE_BUDGET = 12
 
