@@ -143,8 +143,9 @@ def interval_join_stream(
     sf_dir: str,
     window_hours: int = 24,
     table_name: str = "stream_interval_join",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join (the streaming twin of the
+    """Watermarked stream-stream join (the streaming twin of the
     batch interval join q47): errors joined to same-user clicks within
     the preceding `window_hours`.
 
@@ -152,7 +153,15 @@ def interval_join_stream(
     state: clicks older than (watermark - window) are evicted — this
     is THE mechanism that makes a 100 TB/day stream-stream join
     feasible. availableNow over the static parquet makes the result
-    comparable to the batch twin."""
+    comparable to the batch twin.
+
+    ``how="left_outer"`` emits errors with NO qualifying click as
+    null-click rows — but only once the watermark passes the end of
+    their join window (state-cleanup = outer-emission time, the
+    stream-stream outer contract). With availableNow over a bounded
+    source, errors at the stream's maximum timestamp can legitimately
+    remain withheld (the watermark never advances past them); the
+    batch-twin test accounts for exactly that frontier."""
     enable_nanos_read(spark)  # vanilla sessions reject TIMESTAMP(NANOS) otherwise
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -186,6 +195,7 @@ def interval_join_stream(
         (F.col("user_id") == F.col("c_user"))
         & (F.col("c_ts") <= F.col("e_ts"))
         & (F.col("c_ts") > F.col("e_ts") - F.expr(f"INTERVAL {window_hours} HOURS")),
+        how,
     ).select(
         "error_id",
         "click_id",

@@ -143,11 +143,13 @@ PRIORITY = [
     "q41_winnowing_fp",
     "q45_full_pipeline",
     "q115_components_star",
-    "q123_vocab_coverage",
-    # (b cont.) the r5 flagship composite — quality gate, exact
+    # (b cont.) the r5 stream-stream LEFT OUTER lane (rows-only;
+    # its batch-twin parity is pinned in pytest) and the flagship
+    # composite — quality gate, exact
     # dedup, LSH near-dup removal, token-budget sampling as ONE
     # hash-checked DAG (its LSH machinery re-proves q92's)
     "q200_corpus_curation",
+    "q201_stream_outer_join",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -1088,3 +1088,26 @@ def q200_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@_register("q201_stream_outer_join")  # no oracle: streaming execution
+def q201_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the
+    missing outer half of q99: errors with no same-user click in the
+    preceding 24 h surface as null-click rows once the watermark
+    passes their join window (outer emission = state-cleanup time,
+    the semantics that distinguish streaming outer joins from batch).
+    Rows-only lane; pytest pins set-parity with the batch LEFT JOIN
+    twin up to the watermark frontier (rows at the stream's max
+    timestamp may be legitimately withheld)."""
+    from patientdataintegration_spark.streaming.sessions import (
+        interval_join_stream,
+    )
+
+    return interval_join_stream(
+        spark,
+        sf_dir,
+        window_hours=24,
+        table_name="stream_interval_join_outer",
+        how="left_outer",
+    )

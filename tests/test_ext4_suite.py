@@ -531,3 +531,61 @@ def test_corpus_curation_stage_accounting(spark, tmp_path):
         4, 3, 2, 1, 1,
     )
     assert r.tokens_selected == 24
+
+
+def test_stream_outer_join_matches_batch_twin(spark, sf_dir):
+    """q201 vs the batch LEFT JOIN twin: every streamed row appears in
+    the batch result, and every batch row is streamed EXCEPT outer
+    (null-click) rows at the watermark frontier (errors at the
+    stream's max timestamp are legitimately withheld — outer emission
+    requires the watermark to pass their window)."""
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.suite.ext4 import q201_stream_outer_join
+
+    streamed = q201_stream_outer_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("e_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("e_ts"))
+        & (F.col("c_ts") > F.col("e_ts") - F.expr("INTERVAL 24 HOURS")),
+        "left_outer",
+    ).select(
+        "error_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("e_ts") - F.unix_micros("c_ts")).alias("micros_between"),
+        "e_ts",
+    )
+    # the query watermark is the MIN across both inputs' frontiers
+    # (each = its max event time at 0s delay); outer rows flush only
+    # once the watermark passes their window end (e_ts)
+    wm = min(
+        errors.agg(F.max("e_ts")).collect()[0][0],
+        clicks.agg(F.max("c_ts")).collect()[0][0],
+    )
+    s_rows = {tuple(r) for r in streamed.collect()}
+    b_all = batch.collect()
+    b_rows = {
+        (r.error_id, r.click_id, r.user_id, r.micros_between) for r in b_all
+    }
+    assert s_rows and s_rows <= b_rows
+    missing = b_rows - s_rows
+    frontier = {
+        (r.error_id, r.click_id, r.user_id, r.micros_between)
+        for r in b_all
+        if r.click_id is None and r.e_ts >= wm
+    }
+    assert missing <= frontier, f"non-frontier rows withheld: {list(missing)[:3]}"
+    # the outer lane genuinely emitted null-click rows
+    assert any(r[1] is None for r in s_rows)
