@@ -375,3 +375,106 @@ def test_attribution_matches_python_replay(spark, tmp_path_factory, events):
         for r in q176_last_touch_attribution(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+# --- round-5 additions: dHash grid + SRP signatures --------------------------
+
+
+def _encode_simple_png(pixels: list[list[int]]) -> bytes:
+    h, w = len(pixels), len(pixels[0])
+    raw = bytearray()
+    for row in pixels:
+        raw.append(0)  # filter: None
+        raw += bytes(row)
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _grid_strategy(max_val: int):
+    """Rectangular pixel grids: draw the width first, then rows of
+    exactly that width (a post-hoc equal-length filter rejects nearly
+    everything hypothesis generates)."""
+    return st.integers(9, 16).flatmap(
+        lambda w: st.lists(
+            st.lists(st.integers(0, max_val), min_size=w, max_size=w),
+            min_size=8,
+            max_size=14,
+        )
+    )
+
+
+@given(_grid_strategy(200))
+@settings(max_examples=60, deadline=None)
+def test_dhash_brightness_shift_invariant(pixels):
+    """dHash compares ADJACENT grid cells, so adding a constant
+    brightness (without clipping: inputs capped at 200, shift +55)
+    must not change a single bit — the invariance that makes it a
+    perceptual hash rather than a checksum."""
+    from patientdataintegration_spark.operators.multimodal import (
+        decode_png_gray_grid,
+        dhash64,
+    )
+
+    base = _encode_simple_png(pixels)
+    shifted = _encode_simple_png([[v + 55 for v in row] for row in pixels])
+    g1 = decode_png_gray_grid(base)
+    g2 = decode_png_gray_grid(shifted)
+    assert g1 is not None and g2 is not None
+    assert dhash64(g1[2]) == dhash64(g2[2])
+
+
+@given(_grid_strategy(255))
+@settings(max_examples=60, deadline=None)
+def test_dhash_grid_matches_naive_box_binning(pixels):
+    """The streaming single-pass box-binning in decode_png_gray_grid
+    must equal the naive two-pass reference (collect each cell's
+    pixels, then average)."""
+    from patientdataintegration_spark.operators.multimodal import (
+        decode_png_gray_grid,
+    )
+
+    h, w = len(pixels), len(pixels[0])
+    out = decode_png_gray_grid(_encode_simple_png(pixels))
+    assert out is not None
+    gw, gh = 9, 8
+    sums = [[0.0] * gw for _ in range(gh)]
+    counts = [[0] * gw for _ in range(gh)]
+    for y in range(h):
+        for x in range(w):
+            gy, gx = y * gh // h, x * gw // w
+            sums[gy][gx] += pixels[y][x] / 255.0
+            counts[gy][gx] += 1
+    ref = [
+        [sums[r][c] / counts[r][c] for c in range(gw)] for r in range(gh)
+    ]
+    got = out[2]
+    for r in range(gh):
+        for c in range(gw):
+            assert abs(got[r][c] - ref[r][c]) < 1e-12
+
+
+@given(st.lists(st.floats(-10, 10, allow_nan=False), min_size=64, max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_srp_projection_linearity(vec):
+    """Pure-Python replay of the q192 sign matrix: p(-v) == -p(v) and
+    p(2v) == 2*p(v) exactly for every hyperplane (the fold is a fixed
+    left-to-right double sum, so scaling by powers of two is exact)."""
+    from patientdataintegration_spark.suite.ext4 import _srp_signs
+
+    signs = _srp_signs()
+
+    def proj(v, j):
+        acc = 0.0
+        for x, s in zip(v, signs[j]):
+            acc = acc + x * s
+        return acc
+
+    for j in range(len(signs)):
+        p = proj(vec, j)
+        assert proj([-x for x in vec], j) == -p
+        assert proj([2 * x for x in vec], j) == 2 * p
