@@ -309,22 +309,9 @@ def q189_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     q115 loop pattern with a count-delta stop. Output: surviving
     vertices with their degree inside the 3-times-peeled subgraph —
     exact integers."""
-    li = load_table(spark, sf_dir, "lineitem")
-    so = li.select("l_orderkey", "l_suppkey").distinct()
-    a, b = so.alias("a"), so.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("va"), F.col("b.l_suppkey").alias("vb")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 3)
-        .select("va", "vb")
-    )
+    from patientdataintegration_spark.suite.ext3 import _cooccurrence_edges
+
+    e = _cooccurrence_edges(spark, sf_dir, min_weight=3)
 
     def degrees(edges: DataFrame) -> DataFrame:
         return (
@@ -333,7 +320,6 @@ def q189_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
 
-    e = e.localCheckpoint()
     for _ in range(3):
         keep = degrees(e).filter(F.col("d") >= 3).select("v")
         e = e.join(
