@@ -443,16 +443,34 @@ def _lsh_pairs_sql(bands: int = 4, rows_per_band: int = 2, seed: int = 42) -> st
     """
 
 
+def cached_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-standard MinHash-LSH candidate-pair relation
+    (k=8, bands=4, rows=2, seed=42) over the documents table — a pure
+    function of the corpus, materialized once per documents CONTENT
+    through the content-keyed cache and shared by every consumer
+    (q92 outputs it; q130's PageRank and q138's recursive BFS iterate
+    over it; q190 scores it). One producer run, N cheap parquet scans
+    — previously q130 and q138 each kept a private copy of the same
+    relation under a different cache key."""
+    from patientdataintegration_spark.operators.dedup import lsh_candidate_pairs
+    from patientdataintegration_spark.plans.materialize import cached_parquet
+
+    def produce() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
+        return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+
+    return cached_parquet(
+        spark, "lsh_pairs_b4r2", [f"{sf_dir}/documents.parquet"], produce
+    )
+
+
 @_register("q92_minhash_lsh_pairs", _lsh_pairs_sql())
 def q92_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate near-dup pairs (bands=4, rows=2).
     Oracle-checkable end-to-end because every stage (shingle hash,
     permutations, band keys) is md5-derived integer arithmetic."""
-    from patientdataintegration_spark.operators.dedup import lsh_candidate_pairs
-
-    d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
-    return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return cached_lsh_pairs(spark, sf_dir)
 
 
 _Q93_PLANES = 6
@@ -2813,41 +2831,23 @@ def q130_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is one edges-ranks join + one destination aggregation —
     the iterative-algorithm-as-dataflow shape, K shuffles for K
     rounds. The edge relation (the expensive shingle→minhash→LSH
-    upstream) is MATERIALIZED once via checkpoint_dir and each
-    iteration re-scans the parquet — without it every iteration
-    re-executes the whole upstream (measured 4.7 s vs 2.4 s warm at
-    sf0.1, 133 vs ~20 shuffle boundaries; at 100 TB the upstream
-    dominates and K re-runs of it is the scale-killer — the r3
-    verdict's one perf-weak flag, closed by registering the
-    checkpointed form). Values are bit-identical either way (parquet
-    round-trips doubles exactly; pinned by the operator's
-    accumulator test). The oracle unrolls the same three iterations
-    as CTEs; decimal contribution sums make ranks bit-identical
-    across engines."""
-    from patientdataintegration_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_signatures,
-        shingle_table,
-    )
+    upstream) comes from `cached_lsh_pairs` — parquet-materialized
+    once per documents CONTENT and shared with q92/q138/q190 — so
+    each iteration re-scans cheap parquet; without that, every
+    iteration re-executes the whole upstream (measured 4.7 s vs
+    2.4 s warm at sf0.1, 133 vs ~20 shuffle boundaries; at 100 TB
+    the upstream dominates and K re-runs of it is the scale-killer —
+    the r3 verdict's perf-weak flag). Values are bit-identical
+    either way (parquet round-trips doubles exactly; pinned by the
+    operator's accumulator test). The oracle unrolls the same three
+    iterations as CTEs; decimal contribution sums make ranks
+    bit-identical across engines."""
     from patientdataintegration_spark.operators.graph import pagerank
-    from patientdataintegration_spark.plans.materialize import cache_path
 
-    d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
-    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
-    # Content-keyed, REUSED checkpoint location: the edge content is a
-    # pure function of the documents table, so a completed
-    # materialization is reused by later invocations — the edge write
-    # is eager ONCE per corpus CONTENT (regenerating the corpus in
-    # place invalidates the key), under a per-user cache root with
-    # atomic tmp-then-rename publication (plans/materialize.py).
-    ck = cache_path("q130_edges", f"{sf_dir}/documents.parquet")
     return pagerank(
-        pairs,
+        cached_lsh_pairs(spark, sf_dir),
         iterations=3,
         damping=0.85,
-        checkpoint_dir=ck,
-        checkpoint_reuse=True,
     )
 
 
@@ -3254,21 +3254,7 @@ def q138_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     warm; materialized ~9.1 s on the run that PAYS the one-time
     edge write, then ~1.3 s every run after (3x warm win); values
     identical (parquet round-trips the id/sim columns exactly)."""
-    from patientdataintegration_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_signatures,
-        shingle_table,
-    )
-    from patientdataintegration_spark.plans.materialize import cached_parquet
-
-    def _pairs() -> DataFrame:
-        d = load_table(spark, sf_dir, "documents")
-        sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
-        return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
-
-    cached_parquet(
-        spark, "q138_pairs", [f"{sf_dir}/documents.parquet"], _pairs
-    ).createOrReplaceTempView("q138_pairs")
+    cached_lsh_pairs(spark, sf_dir).createOrReplaceTempView("q138_pairs")
     return spark.sql(
         f"WITH RECURSIVE {_q138_reach_ctes('q138_pairs')}{_Q138_SELECT}"
     )

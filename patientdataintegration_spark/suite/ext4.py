@@ -384,19 +384,20 @@ def q190_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     by per-doc shingle count, bounded by document length), never
     all-pairs; signature and size lookups are single-key joins."""
     from patientdataintegration_spark.operators.dedup import (
-        lsh_candidate_pairs,
         minhash_signatures,
         shingle_table,
     )
+    from patientdataintegration_spark.suite.ext import cached_lsh_pairs
 
     d = load_table(spark, sf_dir, "documents")
     sh = shingle_table(d)
-    # sigs feed three consumers (banding plus both per-side lookups):
-    # localCheckpoint the per-doc signature table (tiny — 8 longs per
-    # doc) so the shingle explode + minhash aggregation runs once,
-    # not three times
+    # pairs come from the shared content-keyed cache (one LSH
+    # producer run per corpus, shared with q92/q130/q138); sigs feed
+    # both per-side lookups, so localCheckpoint the per-doc signature
+    # table (tiny — 8 longs per doc) so the shingle explode + minhash
+    # aggregation runs once, not twice
     sigs = minhash_signatures(sh).localCheckpoint()
-    pairs = lsh_candidate_pairs(sigs)
+    pairs = cached_lsh_pairs(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     xa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hash").alias("ha"))

@@ -109,8 +109,11 @@ def main() -> int:
     for sf in sfs:
         sf_dir = f"/root/testdata/sf{sf}"
         if args.round is not None:
+            # match the r1-r4 log-name convention: the digits after
+            # the decimal point (0.001 -> sf001, 0.01 -> sf01, 0.1 -> sf1)
+            tag_sf = sf.split(".")[-1]
             log = os.path.join(
-                REPO, f"ORACLE_RUN_r{args.round:02d}_sf{sf.replace('.', '')}.log"
+                REPO, f"ORACLE_RUN_r{args.round:02d}_sf{tag_sf}.log"
             )
         else:
             log = os.path.join(REPO, f"GATE_oracle_sf{sf}.log")
