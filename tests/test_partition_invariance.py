@@ -23,6 +23,14 @@ QUERIES_UNDER_TEST = [
     "q169_important_share",     # mean-relative threshold cut
     "q172_triangle_count",      # integer graph statistics
     "q177_rolling_correlation", # integer window sufficient stats
+    # round-5 additions, one per new exactness mechanism
+    "q185_local_clustering",    # per-vertex ratio of exact integers
+    "q188_bpe_pair_counts",     # TakeOrdered prefix with unique tiebreak
+    "q190_minhash_error",       # md5 sketch vs exact-set division
+    "q191_bigram_surprisal",    # round-ln-then-decimal-sum (bigram LM)
+    "q192_random_projection",   # sequential array fold, raw doubles
+    "q198_grouped_agg_pandas",  # numpy quantiles in grouped-agg UDFs
+    "q200_corpus_curation",     # the five-stage composite end to end
 ]
 
 
