@@ -139,8 +139,6 @@ PRIORITY = [
     "q25_local_volume",
     "q28_asof_join",
     "q36_cosine_topk",
-    "q40_embedding_neardup",
-    "q41_winnowing_fp",
     "q45_full_pipeline",
     "q115_components_star",
     # (b cont.) the r5 stream-stream LEFT OUTER lane (rows-only;
@@ -150,6 +148,9 @@ PRIORITY = [
     # hash-checked DAG (its LSH machinery re-proves q92's)
     "q200_corpus_curation",
     "q201_stream_outer_join",
+    # (b cont.) ANN ground-truth baseline + recall audit
+    "q202_bruteforce_topk",
+    "q203_ann_recall",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -1098,3 +1098,122 @@ def q201_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_name="stream_interval_join_outer",
         how="left_outer",
     )
+
+
+# --- ANN baseline + recall audit ---------------------------------------------
+
+
+def _q202_sql(k: int = 3) -> str:
+    from patientdataintegration_spark.suite.ext import COSINE_REDUCE
+
+    dotqc = COSINE_REDUCE.format(a="q.qv", b="c.cv")
+    dotqq = COSINE_REDUCE.format(a="q.qv", b="q.qv")
+    dotcc = COSINE_REDUCE.format(a="c.cv", b="c.cv")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.query_id, c.neighbor_id,
+             round({dotqc} / (sqrt({dotqq}) * sqrt({dotcc})), 4) + 0.0 AS cos_sim
+      FROM q CROSS JOIN c
+      WHERE q.query_id <> c.neighbor_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= {k}
+    """
+
+
+@_register("q202_bruteforce_topk", _q202_sql())
+def q202_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXHAUSTIVE cosine top-k — the ground-truth baseline of the ANN
+    family (`similarity.cosine_topk`): every query scored against
+    every candidate, no bucketing. The scale contract is explicit:
+    the QUERY side is small by construction (1% of ids) and
+    broadcast, so cost is |Q| x |N| streaming over one candidate
+    scan — the right tool for evaluating sketch quality (q203) and
+    for small probe sets, while q93 (hyperplane LSH) and q98 (IVF)
+    are the production paths when |Q| grows with the corpus. Same
+    rounding/tiebreak discipline as q36/q98, so results are
+    hash-exact cross-engine."""
+    from patientdataintegration_spark.operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    out = cosine_topk(q, e, k=3)
+    rank_col = "rank" if "rank" in out.columns else "rnk"
+    return out.withColumnRenamed(rank_col, "rnk")
+
+
+def _q203_sql() -> str:
+    from patientdataintegration_spark.suite.ext import _q98_sql
+
+    ivf = _q98_sql().strip()
+    exact = _q202_sql().strip()
+    return f"""
+    WITH ivf AS ({ivf}),
+    exact AS ({exact}),
+    hits AS (
+      SELECT e.query_id,
+             CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_overlap
+      FROM exact e
+      LEFT JOIN ivf i
+        ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, n_overlap,
+           round(n_overlap / 3.0, 6) AS recall_at_3
+    FROM hits
+    """
+
+
+@_register("q203_ann_recall", _q203_sql())
+def q203_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF ANN (q98) against the exhaustive baseline
+    (q202), per query — the measurement a pipeline owner runs before
+    trusting an approximate index at corpus scale (the audit twin of
+    q190's MinHash-error lane, for the vector side). Both inputs are
+    deterministic, so recall itself is hash-exact: the oracle
+    composes the two queries' SQL verbatim and replays the same
+    overlap join. Scale: the per-query top-k sets are k-row
+    relations; the overlap join is trivially small next to either
+    index build."""
+    from patientdataintegration_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(q, e, k=3).select("query_id", "neighbor_id")
+    ivf = ivf_cosine_topk(
+        q, e, k=3, n_cells=16, n_probe=4, seed=42, quantizer="exact"
+    ).select(
+        F.col("query_id").alias("i_q"), F.col("neighbor_id").alias("i_n")
+    )
+    hits = (
+        exact.join(
+            ivf,
+            (F.col("query_id") == F.col("i_q"))
+            & (F.col("neighbor_id") == F.col("i_n")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("i_n").alias("n_overlap"))
+    )
+    return hits.select(
+        "query_id",
+        "n_overlap",
+        F.round(F.col("n_overlap") / 3.0, 6).alias("recall_at_3"),
+    )
