@@ -136,7 +136,6 @@ PRIORITY = [
     "q16_naive_fusion",
     "q17_threshold_sweep",
     "q24_shipping_priority",
-    "q25_local_volume",
     "q28_asof_join",
     "q36_cosine_topk",
     "q45_full_pipeline",
@@ -151,6 +150,7 @@ PRIORITY = [
     # (b cont.) ANN ground-truth baseline + recall audit
     "q202_bruteforce_topk",
     "q203_ann_recall",
+    "q204_ks_drift",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

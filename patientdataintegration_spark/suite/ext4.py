@@ -1217,3 +1217,97 @@ def q203_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.round(F.col("n_overlap") / 3.0, 6).alias("recall_at_3"),
     )
+
+
+# --- distribution drift: two-sample Kolmogorov-Smirnov ------------------------
+
+
+@_register(
+    "q204_ks_drift",
+    """
+    WITH ref AS (
+      SELECT o_totalprice AS v FROM orders WHERE year(o_orderdate) = 1997
+    ),
+    cur AS (
+      SELECT o_totalprice AS v FROM orders WHERE year(o_orderdate) = 1998
+    ),
+    n AS (
+      SELECT (SELECT COUNT(*) FROM ref) AS n_ref,
+             (SELECT COUNT(*) FROM cur) AS n_cur
+    ),
+    per_v AS (
+      SELECT v,
+             SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS r,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c
+      FROM (
+        SELECT v, 0 AS side FROM ref
+        UNION ALL SELECT v, 1 AS side FROM cur
+      ) GROUP BY v
+    ),
+    cdf AS (
+      SELECT v,
+             CAST(SUM(r) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_ref,
+             CAST(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cur
+      FROM per_v
+    )
+    SELECT cdf.v AS at_value, cum_ref, cum_cur,
+           ABS(CAST(cum_ref AS DOUBLE) / n.n_ref
+               - CAST(cum_cur AS DOUBLE) / n.n_cur) AS ks_stat
+    FROM cdf CROSS JOIN n
+    ORDER BY ks_stat DESC, at_value ASC
+    LIMIT 1
+    """,
+)
+def q204_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the 1997
+    and 1998 order-total distributions: KS = max over values of
+    |CDF_ref - CDF_cur|, with the value where the gap peaks — the
+    nonparametric drift test a pipeline runs between snapshots
+    (complementing q134's per-source KL and q154's mean-shift
+    z-score). ENTIRELY libm-free: cumulative counts are exact
+    integers, each CDF is one IEEE division by a constant total, the
+    gap is one subtraction — so the statistic is hash-exact with no
+    rounding at all, and the (gap DESC, value ASC) tiebreak makes the
+    LIMIT 1 prefix unique. Scale: one tagged-union scan, one groupBy
+    per distinct value, then a single ordered cumulative window over
+    the DISTINCT values (not the rows) — at 100 TB pre-bucket values
+    (the q145 equi-depth spine) to bound that window's input."""
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_totalprice").alias("v"), F.lit(0).alias("side")
+    )
+    cur = o.filter(F.year("o_orderdate") == 1998).select(
+        F.col("o_totalprice").alias("v"), F.lit(1).alias("side")
+    )
+    tagged = ref.unionByName(cur)
+    # 1-row totals frame, broadcast — no driver-side count() action
+    n = tagged.agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("r"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = per_v.select(
+        "v",
+        F.sum("r").over(w).cast("bigint").alias("cum_ref"),
+        F.sum("c").over(w).cast("bigint").alias("cum_cur"),
+    )
+    ks = cdf.crossJoin(F.broadcast(n)).select(
+        F.col("v").alias("at_value"),
+        "cum_ref",
+        "cum_cur",
+        F.abs(
+            F.col("cum_ref").cast("double") / F.col("n_ref").cast("double")
+            - F.col("cum_cur").cast("double") / F.col("n_cur").cast("double")
+        ).alias("ks_stat"),
+    )
+    return ks.orderBy(F.col("ks_stat").desc(), F.col("at_value").asc()).limit(1)
