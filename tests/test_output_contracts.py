@@ -173,6 +173,16 @@ def test_every_query_is_oracle_backed_or_documented_rows_only():
         # estimator internals; bounds pinned in pytest)
         "q94_random_forest",
         "q95_approx_distinct",
+        # r5 streaming-execution lanes (q196: custom Python stream
+        # source, restart test pins offsets; q201: stream-stream
+        # LEFT OUTER, batch-twin parity pinned up to the watermark
+        # frontier)
+        "q196_python_stream_source",
+        "q201_stream_outer_join",
+        # r5 binary pandas-UDF lanes (perceptual hashing over decoded
+        # pixels; hand-computed ramp/scale/banding fixtures in pytest)
+        "q193_image_dhash",
+        "q194_dhash_neardup",
     }
     missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY
     stale = ROWS_ONLY - set(QUERIES)
