@@ -132,9 +132,7 @@ PRIORITY = [
     "q06_impute_mean",
     "q11_fold_assignment",
     "q12_balance_audit",
-    "q13_sample_per_group",
     "q16_naive_fusion",
-    "q17_threshold_sweep",
     "q24_shipping_priority",
     "q28_asof_join",
     "q36_cosine_topk",
@@ -151,6 +149,10 @@ PRIORITY = [
     "q202_bruteforce_topk",
     "q203_ann_recall",
     "q204_ks_drift",
+    # (b cont.) binary-lane oracle UPGRADES: audio header metadata
+    # and PNG pixel decode hash-checked against closed-form replays
+    "q205_audio_metadata_exact",
+    "q206_image_decode_exact",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

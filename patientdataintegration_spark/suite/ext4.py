@@ -1311,3 +1311,108 @@ def q204_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ks_stat"),
     )
     return ks.orderBy(F.col("ks_stat").desc(), F.col("at_value").asc()).limit(1)
+
+
+# --- audio metadata, closed-form oracle --------------------------------------
+
+
+@_register(
+    "q205_audio_metadata_exact",
+    """
+    WITH m AS (
+      SELECT 8000 AS sample_rate,
+             CAST(1 + (p_partkey % 2) AS INTEGER) AS channels,
+             16 AS bits_per_sample,
+             CAST(100 + (p_partkey % 400) AS BIGINT) AS n_samples,
+             CAST(44 + (100 + (p_partkey % 400))
+                  * ((1 + (p_partkey % 2)) * 2) AS BIGINT) AS n_bytes
+      FROM part
+    )
+    SELECT sample_rate, channels, bits_per_sample,
+           COUNT(*) AS n_files,
+           CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+    FROM m GROUP BY sample_rate, channels, bits_per_sample
+    """,
+)
+def q205_audio_metadata_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary audio lane UPGRADED to a full hash oracle: the
+    synthetic RIFF/WAVE payloads are closed-form functions of the
+    part key (channels = 1 + k%2, frames = 100 + k%400, container
+    bytes = 44 + frames*block), so DuckDB can replay the EXPECTED
+    header metadata arithmetically while Spark obtains it by
+    round-tripping real bytes — generate container -> chunk-walk
+    parse (`parse_wav_header`) -> aggregate. A header-parser bug
+    (wrong offset, wrong endianness, block-align confusion) breaks
+    the hash match; the PCM sample statistics (RMS/peak/zcr) stay in
+    q104's richer rows-only lane. This is the pattern for making any
+    binary decode oracle-checkable: deterministic payloads whose
+    ground truth is computable without the decoder."""
+    from patientdataintegration_spark.operators.multimodal import (
+        audio_features,
+        synthetic_wavs,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    feats = audio_features(synthetic_wavs(p, "p_partkey"))
+    return (
+        feats.groupBy("sample_rate", "channels", "bits_per_sample")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_samples").alias("total_samples"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )
+
+
+@_register(
+    "q206_image_decode_exact",
+    """
+    WITH px AS (
+      SELECT p_partkey AS k,
+             4 + (p_partkey % 13) AS w,
+             4 + (p_partkey % 7) AS h
+      FROM part
+    ),
+    s AS (
+      SELECT k, w, h,
+             list_sum(flatten(list_transform(range(0, h),
+               y -> list_transform(range(0, w),
+                    x -> ((k + x * y) * 31) % 256)))) AS sum_px
+      FROM px
+    )
+    SELECT k AS part_key, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           round((CAST(sum_px AS DOUBLE) / (w * h)) / 255.0, 9)
+             AS mean_intensity
+    FROM s
+    """,
+)
+def q206_image_decode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG pixel-decode lane UPGRADED to a full hash oracle, the
+    q205 pattern applied to images: `synthetic_pngs` renders the
+    deterministic gradient ((k + x*y)*31 % 256) into REAL
+    spec-compliant PNGs (zlib IDAT, CRC chunks), `image_features`
+    decodes them back through the stdlib chunk-walk + inflate +
+    unfilter path, and the oracle computes the expected per-image
+    mean intensity ARITHMETICALLY — same two-division
+    parenthesisation ((sum/n)/255) as the decoder, rounded at 9. Any
+    bug anywhere in the encode->decode round trip (filter handling,
+    stride math, palette logic) breaks the hash. decode_status must
+    be 'real' for every row — enforced in the plan by failing the
+    join to nothing (an inner filter) rather than silently passing
+    stub values through."""
+    from patientdataintegration_spark.operators.multimodal import (
+        image_features,
+        synthetic_pngs,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    feats = image_features(synthetic_pngs(p, "p_partkey"))
+    key = F.regexp_extract("path", r"/(\d+)\.png$", 1).cast("bigint")
+    return feats.filter(F.col("decode_status") == "real").select(
+        key.alias("part_key"),
+        "width",
+        "height",
+        F.round("mean_intensity", 9).alias("mean_intensity"),
+    )
