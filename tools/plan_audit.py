@@ -68,6 +68,9 @@ SHUFFLE_BUDGETS = {
     # joined on source — each stage is its standalone query's shape;
     # the composite's shuffle count is the SUM of the parts by design
     "q200_corpus_curation": 30,
+    # composes the q98 IVF pipeline (budget 30) with the exhaustive
+    # baseline and the overlap join
+    "q203_ann_recall": 40,
 }
 DEFAULT_SHUFFLE_BUDGET = 12
 
@@ -81,6 +84,13 @@ NESTED_LOOP_ALLOW = {
     "q98_ivf_cosine_topk",
     "q132_kmeans_assign",
     "q157_semantic_dedup",
+    # the EXHAUSTIVE ANN baseline and its recall audit: the broadcast
+    # side is the query set, small BY CONTRACT (1% modulus filter;
+    # cosine_topk's documented contract) — the nested loop IS the
+    # operator here, the ground truth the bucketed paths (q93/q98)
+    # are measured against
+    "q202_bruteforce_topk",
+    "q203_ann_recall",
 }
 
 # Streaming-execution lanes: the query function RUNS a stream when
