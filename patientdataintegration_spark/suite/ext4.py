@@ -612,15 +612,69 @@ def q192_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- perceptual image hashing ------------------------------------------------
 
 
-@_register("q193_image_dhash")  # no oracle: binary pandas-UDF lane
+def _q193_sql() -> str:
+    """Closed-form dHash oracle: the synthetic PNG pixels are
+    ((k + x*y)*31) % 256, so DuckDB can rebuild the 9x8 box-binned
+    grid and the 64 comparisons WITHOUT any image decode. The cell
+    means deliberately EMULATE the decoder's float arithmetic (each
+    pixel contributes v/255.0, summed left-to-right in (y, x) order,
+    one division by the cell count) rather than idealizing to exact
+    rationals — two cells with equal rational means but different
+    pixel sets can differ by one ulp under float accumulation, and
+    the strict > must see exactly what the decoder saw."""
+    cell = (
+        "list_sum(flatten(list_transform("
+        "range(CAST(CEIL(r * h / 8.0) AS BIGINT), CAST(CEIL((r + 1) * h / 8.0) AS BIGINT)), "
+        "y -> list_transform("
+        "range(CAST(CEIL(c * w / 9.0) AS BIGINT), CAST(CEIL((c + 1) * w / 9.0) AS BIGINT)), "
+        "x -> CAST(((k + x * y) * 31) % 256 AS DOUBLE) / 255.0)))) "
+        "/ ((CAST(CEIL((r + 1) * h / 8.0) AS BIGINT) - CAST(CEIL(r * h / 8.0) AS BIGINT)) "
+        "* (CAST(CEIL((c + 1) * w / 9.0) AS BIGINT) - CAST(CEIL(c * w / 9.0) AS BIGINT)))"
+    )
+    byte = " + ".join(
+        f"(CASE WHEN cm[r + 1][{c} + 2] > cm[r + 1][{c} + 1]"
+        f" THEN {1 << (7 - c)} ELSE 0 END)"
+        for c in range(8)
+    )
+    return f"""
+    WITH px AS (
+      SELECT p_partkey AS k,
+             12 + (p_partkey % 13) AS w,
+             10 + (p_partkey % 7) AS h
+      FROM part
+    ),
+    cells AS (
+      SELECT k, w, h,
+             list_transform(range(0, 8), r ->
+               list_transform(range(0, 9), c -> {cell})) AS cm
+      FROM px
+    ),
+    bits AS (
+      SELECT k, w, h,
+             list_transform(range(0, 8), r -> printf('%02x', {byte})) AS bh
+      FROM cells
+    )
+    SELECT concat('/synthetic/img/', k, '.png') AS path,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           array_to_string(bh, '') AS dhash,
+           'real' AS dhash_status
+    FROM bits
+    """
+
+
+@_register("q193_image_dhash", _q193_sql())
 def q193_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual difference-hash over a synthetic REAL-PNG corpus
     (`multimodal.image_dhash`): per-image 64-bit dHash with explicit
     dhash_status provenance — the image-dedup signature a multimodal
-    training pipeline computes at ingest. Rows-only lane (pixel
-    decode is not SQL-expressible); hand-computed fixtures in
-    tests/test_ext4_suite.py pin the hash semantics (identical
-    pixels -> equal hash, brightness-ramp flip -> known bits)."""
+    training pipeline computes at ingest. FULLY hash-checked (the
+    q205/q206 closed-form-oracle pattern pushed to its limit): the
+    oracle rebuilds the box-binned grid and all 64 brightness
+    comparisons arithmetically from the pixel formula, so any bug in
+    PNG encode, chunk walk, inflate, unfilter, binning, or bit
+    packing flips hex characters and breaks the hash. Hand-computed
+    fixtures additionally pin ramp/scale/banding semantics in
+    tests/test_ext4_suite.py."""
     from patientdataintegration_spark.operators.multimodal import (
         image_dhash,
         synthetic_pngs,
