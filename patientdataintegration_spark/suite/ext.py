@@ -410,10 +410,37 @@ def q90_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_counts_stream(spark, sf_dir)
 
 
-@_register("q91_multimodal_features")  # no oracle: pandas-UDF lane
+_Q91_SQL = """
+    WITH t AS (
+      SELECT concat('/synthetic/', p_name, '/t_', p_partkey % 16, '_',
+                    p_partkey % 23, '.jpg') AS path,
+             p_name AS s
+      FROM part
+    )
+    SELECT path,
+           CAST(64 + CAST(('0x' || substr(md5(s), 1, 2)) AS INTEGER) % 192
+                AS INTEGER) AS width,
+           CAST(64 + CAST(('0x' || substr(md5(s), 3, 2)) AS INTEGER) % 192
+                AS INTEGER) AS height,
+           CAST(length(s) AS BIGINT) AS n_bytes,
+           CAST(('0x' || substr(md5(s), 5, 2)) AS INTEGER) / 255.0
+             AS mean_intensity,
+           'stub' AS decode_status
+    FROM t
+    """
+
+
+@_register("q91_multimodal_features", _Q91_SQL)
 def q91_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode lane: synthetic binary tiles from `part` →
-    Arrow-batched mapInPandas feature extraction (stubbed decode)."""
+    Arrow-batched mapInPandas feature extraction. The tile payloads
+    are NOT images (utf-8 name bytes), so the lane exercises the
+    STUB path end-to-end including its provenance marker — and since
+    the stub derives its pseudo-dimensions/intensity from md5 of the
+    payload, DuckDB replays the identical values from the name
+    string: a FULL hash oracle over the Python decode plumbing
+    (schema, batching, fallback provenance). The REAL pixel-decode
+    paths are hash-checked by q206 (PNG) and q193 (dHash)."""
     from patientdataintegration_spark.operators.multimodal import (
         image_features,
         synthetic_tiles,
@@ -675,11 +702,39 @@ def q96_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(spark, sf_dir, gap_seconds=43200, watermark="0 seconds")
 
 
-@_register("q97_batch_inference")  # no oracle: pandas-UDF model lane
+_Q97_SQL = """
+    WITH t AS (
+      SELECT concat('/synthetic/', p_name, '/t_', p_partkey % 16, '_',
+                    p_partkey % 23, '.jpg') AS path,
+             p_name AS s
+      FROM part
+    ),
+    sc AS (
+      SELECT path,
+             CASE WHEN length(s) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(
+                         range(1, LEAST(length(s), 1024) + 1),
+                         i -> CAST(((ord(substr(s, CAST(i AS INTEGER), 1))
+                                     * 2654435761) % 1000) AS DOUBLE)
+                              / 1000.0 - 0.5))
+                       / LEAST(length(s), 1024)
+             END AS score
+      FROM t
+    )
+    SELECT path, score FROM sc
+    """
+
+
+@_register("q97_batch_inference", _Q97_SQL)
 def q97_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 analogue: load-once model scoring over binary tiles via
     mapInPandas (stub model; the Spark-side amortization shape is
-    what's under test)."""
+    what's under test). UPGRADED to a full hash oracle (the q205/q206
+    closed-form pattern): the tile payload is the utf-8 bytes of
+    p_name and the stub model is a fixed per-byte weight fold, so
+    DuckDB replays the identical left-to-right float accumulation
+    from the characters — the Python lane's scores are value-hashed,
+    raw doubles, no rounding."""
     from patientdataintegration_spark.operators.multimodal import (
         batch_inference,
         synthetic_tiles,
