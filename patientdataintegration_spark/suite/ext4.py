@@ -686,15 +686,47 @@ def q193_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(tiles)
 
 
-@_register("q194_dhash_neardup")  # no oracle: binary pandas-UDF lane
+def _q194_sql() -> str:
+    """Composes q193's closed-form hash replay with the same 8-band
+    pigeonhole blocking and per-byte XOR popcount the operator
+    uses."""
+    hamming = " + ".join(
+        f"bit_count(xor(CAST(('0x' || substr(ha, {b * 2 + 1}, 2)) AS BIGINT), "
+        f"CAST(('0x' || substr(hb, {b * 2 + 1}, 2)) AS BIGINT)))"
+        for b in range(8)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT path, dhash, {b} AS band, substr(dhash, {b * 2 + 1}, 2) AS bv FROM h"
+        for b in range(8)
+    )
+    return f"""
+    WITH h AS ({_q193_sql().strip()}),
+    banded AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.path AS path_a, a.dhash AS ha,
+                      b.path AS path_b, b.dhash AS hb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bv = b.bv AND a.path < b.path
+    )
+    SELECT path_a, path_b, CAST({hamming} AS INTEGER) AS hamming
+    FROM cand
+    WHERE {hamming} <= 6
+    """
+
+
+@_register("q194_dhash_neardup", _q194_sql())
 def q194_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate image pairs by banded dHash hamming distance
-    (`multimodal.dhash_neardup_pairs`): 16-bit pigeonhole bands ->
+    (`multimodal.dhash_neardup_pairs`): 8-bit pigeonhole bands ->
     equi-join candidates -> exact popcount prune, the image twin of
-    the SimHash text lane (q35). Never all-pairs; the banding bound
-    (hamming <= 12 implies a shared band) is the same argument as
-    simhash_hamming_pairs'. Rows-only lane; the constructed-duplicate
-    test pins that re-encoded identical pixels pair at hamming 0."""
+    the SimHash text lane (q35); never all-pairs. FULLY hash-checked:
+    the oracle composes q193's closed-form hash replay with the same
+    banding and per-byte XOR popcount, so blocking recall AND the
+    hamming arithmetic are value-pinned; the constructed-duplicate
+    test additionally pins that re-encoded identical pixels pair at
+    hamming 0."""
     from patientdataintegration_spark.operators.multimodal import (
         dhash_neardup_pairs,
         image_dhash,

@@ -178,10 +178,6 @@ def test_every_query_is_oracle_backed_or_documented_rows_only():
         # frontier)
         "q196_python_stream_source",
         "q201_stream_outer_join",
-        # r5 binary pandas-UDF lane (banded hamming pairs over the
-        # q193 hashes, which are themselves fully oracle-checked;
-        # hand-computed banding fixtures in pytest)
-        "q194_dhash_neardup",
     }
     missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY
     stale = ROWS_ONLY - set(QUERIES)
