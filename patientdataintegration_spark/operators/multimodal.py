@@ -366,14 +366,23 @@ IMAGE_DHASH_SCHEMA = StructType(
 
 def decode_png_gray_grid(
     content: bytes, gw: int = 9, gh: int = 8
-) -> tuple[int, int, list[list[float]]] | None:
-    """(width, height, gh x gw box-binned mean-intensity grid) from a
-    non-interlaced 8-bit PNG — the downsample step of perceptual
-    hashing, stdlib-only like `decode_png_pixels` (chunk walk, zlib
-    inflate, scanline unfiltering for filters 0-4, palette/alpha
-    handled; intensity = mean over COLOR channels). Images smaller
-    than the grid, 16-bit depth, and Adam7 return None — callers
-    surface an explicit unsupported status instead of a fake hash."""
+) -> tuple[int, int, list[list[int]], list[list[int]]] | None:
+    """(width, height, gh x gw integer channel-sum grid, matching
+    pixel-count grid) from a non-interlaced 8-bit PNG — the
+    downsample step of perceptual hashing, stdlib-only like
+    `decode_png_pixels` (chunk walk, zlib inflate, scanline
+    unfiltering for filters 0-4, palette/alpha handled; intensity =
+    mean over COLOR channels). Cell means are represented EXACTLY as
+    (integer sum, count) pairs instead of accumulated floats: float
+    accumulation can differ by 1 ulp between cells whose true means
+    are equal, and `dhash64`'s strict comparison would turn that ulp
+    into a hash bit — a perceptual hash must never differ on
+    identical content (falsified by the r5 brightness-shift property
+    before this fix). The per-pixel denominator (255 for gray, 765
+    for RGB) is constant per image, so it cancels in every
+    cross-multiplied cell comparison. Images smaller than the grid,
+    16-bit depth, and Adam7 return None — callers surface an explicit
+    unsupported status instead of a fake hash."""
     if len(content) < 45 or content[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     import zlib
@@ -422,7 +431,7 @@ def decode_png_gray_grid(
     if len(raw) < height * (stride + 1):
         return None
 
-    sums = [[0.0] * gw for _ in range(gh)]
+    sums = [[0] * gw for _ in range(gh)]
     counts = [[0] * gw for _ in range(gh)]
     prev = bytearray(stride)
     pos = 0
@@ -457,38 +466,42 @@ def decode_png_gray_grid(
         for x in range(width):
             base = x * channels
             if color_type == 0:
-                v = line[base] / 255.0
+                v = line[base]
             elif color_type == 2:
-                v = (line[base] + line[base + 1] + line[base + 2]) / (3 * 255.0)
+                v = line[base] + line[base + 1] + line[base + 2]
             elif color_type == 3:
                 pi = line[base] * 3
                 if pi + 3 > len(palette):
                     return None
-                v = (palette[pi] + palette[pi + 1] + palette[pi + 2]) / (3 * 255.0)
+                v = palette[pi] + palette[pi + 1] + palette[pi + 2]
             elif color_type == 4:
-                v = line[base] / 255.0
+                v = line[base]
             else:  # RGBA
-                v = (line[base] + line[base + 1] + line[base + 2]) / (3 * 255.0)
+                v = line[base] + line[base + 1] + line[base + 2]
             gx = x * gw // width
             sums[gy][gx] += v
             counts[gy][gx] += 1
-    grid = [
-        [sums[r][c] / counts[r][c] if counts[r][c] else 0.0 for c in range(gw)]
-        for r in range(gh)
-    ]
-    return width, height, grid
+    return width, height, sums, counts
 
 
-def dhash64(grid: list[list[float]]) -> str:
-    """Classic difference hash over a gh x (gw=9) grid: bit (r, c) =
-    1 iff cell (r, c+1) is brighter than (r, c) — 8 rows x 8
-    comparisons = 64 bits, rendered as 16 hex chars (string form
-    sidesteps int64 sign wraparound and groups/joins fine: equality
-    and banding are what dedup needs, not arithmetic)."""
+def dhash64(sums: list[list[int]], counts: list[list[int]]) -> str:
+    """Classic difference hash over a gh x (gw=9) grid of exact cell
+    means, each represented as (integer channel sum, pixel count):
+    bit (r, c) = 1 iff cell (r, c+1) is brighter than (r, c), decided
+    by the cross-multiplied INTEGER comparison sum[r][c+1]*cnt[r][c]
+    > sum[r][c]*cnt[r][c+1] — mathematically identical to comparing
+    the rational means, with no float rounding to flip bits on ties.
+    8 rows x 8 comparisons = 64 bits, rendered as 16 hex chars
+    (string form sidesteps int64 sign wraparound and groups/joins
+    fine: equality and banding are what dedup needs, not
+    arithmetic)."""
     bits = 0
-    for r in range(len(grid)):
-        for c in range(len(grid[r]) - 1):
-            bits = (bits << 1) | (1 if grid[r][c + 1] > grid[r][c] else 0)
+    for r in range(len(sums)):
+        for c in range(len(sums[r]) - 1):
+            brighter = (
+                sums[r][c + 1] * counts[r][c] > sums[r][c] * counts[r][c + 1]
+            )
+            bits = (bits << 1) | (1 if brighter else 0)
     return f"{bits:016x}"
 
 
@@ -521,10 +534,10 @@ def image_dhash(
                     out["dhash"].append(None)
                     out["dhash_status"].append("unsupported")
                 else:
-                    w, h, grid = decoded
+                    w, h, gsums, gcounts = decoded
                     out["width"].append(w)
                     out["height"].append(h)
-                    out["dhash"].append(dhash64(grid))
+                    out["dhash"].append(dhash64(gsums, gcounts))
                     out["dhash_status"].append("real")
             yield pd.DataFrame(out)
 

@@ -615,24 +615,24 @@ def q192_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q193_sql() -> str:
     """Closed-form dHash oracle: the synthetic PNG pixels are
     ((k + x*y)*31) % 256, so DuckDB can rebuild the 9x8 box-binned
-    grid and the 64 comparisons WITHOUT any image decode. The cell
-    means deliberately EMULATE the decoder's float arithmetic (each
-    pixel contributes v/255.0, summed left-to-right in (y, x) order,
-    one division by the cell count) rather than idealizing to exact
-    rationals — two cells with equal rational means but different
-    pixel sets can differ by one ulp under float accumulation, and
-    the strict > must see exactly what the decoder saw."""
+    grid and the 64 comparisons WITHOUT any image decode. Cell means
+    are replayed EXACTLY as the decoder now computes them — integer
+    channel sums compared cross-multiplied (the r6 ulp fix) — and
+    because a dHash bit compares two cells in the SAME grid row, the
+    shared row-height factor in the pixel counts cancels: the
+    comparison needs only the per-column widths cw[c] =
+    ceil((c+1)*w/9) - ceil(c*w/9). Pure integer arithmetic end to
+    end, fully portable."""
     cell = (
         "list_sum(flatten(list_transform("
         "range(CAST(CEIL(r * h / 8.0) AS BIGINT), CAST(CEIL((r + 1) * h / 8.0) AS BIGINT)), "
         "y -> list_transform("
         "range(CAST(CEIL(c * w / 9.0) AS BIGINT), CAST(CEIL((c + 1) * w / 9.0) AS BIGINT)), "
-        "x -> CAST(((k + x * y) * 31) % 256 AS DOUBLE) / 255.0)))) "
-        "/ ((CAST(CEIL((r + 1) * h / 8.0) AS BIGINT) - CAST(CEIL(r * h / 8.0) AS BIGINT)) "
-        "* (CAST(CEIL((c + 1) * w / 9.0) AS BIGINT) - CAST(CEIL(c * w / 9.0) AS BIGINT)))"
+        "x -> ((k + x * y) * 31) % 256))))"
     )
     byte = " + ".join(
-        f"(CASE WHEN cm[r + 1][{c} + 2] > cm[r + 1][{c} + 1]"
+        f"(CASE WHEN cm[r + 1][{c} + 2] * cw[{c} + 1]"
+        f" > cm[r + 1][{c} + 1] * cw[{c} + 2]"
         f" THEN {1 << (7 - c)} ELSE 0 END)"
         for c in range(8)
     )
@@ -646,7 +646,10 @@ def _q193_sql() -> str:
     cells AS (
       SELECT k, w, h,
              list_transform(range(0, 8), r ->
-               list_transform(range(0, 9), c -> {cell})) AS cm
+               list_transform(range(0, 9), c -> {cell})) AS cm,
+             list_transform(range(0, 9), c ->
+               CAST(CEIL((c + 1) * w / 9.0) AS BIGINT)
+               - CAST(CEIL(c * w / 9.0) AS BIGINT)) AS cw
       FROM px
     ),
     bits AS (

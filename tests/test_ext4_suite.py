@@ -248,11 +248,11 @@ def test_dhash_known_gradient():
     )
 
     inc = _png_gray(9, 8, lambda x, y: x * 20)
-    w, h, grid = decode_png_gray_grid(inc)
+    w, h, sums, counts = decode_png_gray_grid(inc)
     assert (w, h) == (9, 8)
-    assert dhash64(grid) == "f" * 16
+    assert dhash64(sums, counts) == "f" * 16
     dec = _png_gray(9, 8, lambda x, y: (8 - x) * 20)
-    assert dhash64(decode_png_gray_grid(dec)[2]) == "0" * 16
+    assert dhash64(*decode_png_gray_grid(dec)[2:]) == "0" * 16
 
 
 def test_dhash_scale_invariance():
@@ -267,8 +267,8 @@ def test_dhash_scale_invariance():
     small = _png_gray(9, 8, lambda x, y: x * 20)
     big = _png_gray(18, 16, lambda x, y: (x // 2) * 20)
     assert (
-        dhash64(decode_png_gray_grid(small)[2])
-        == dhash64(decode_png_gray_grid(big)[2])
+        dhash64(*decode_png_gray_grid(small)[2:])
+        == dhash64(*decode_png_gray_grid(big)[2:])
     )
 
 

@@ -409,12 +409,17 @@ def _grid_strategy(max_val: int):
 
 
 @given(_grid_strategy(200))
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=100, deadline=None)
 def test_dhash_brightness_shift_invariant(pixels):
     """dHash compares ADJACENT grid cells, so adding a constant
     brightness (without clipping: inputs capped at 200, shift +55)
     must not change a single bit — the invariance that makes it a
-    perceptual hash rather than a checksum."""
+    perceptual hash rather than a checksum. With the r6 integer
+    representation the invariance is EXACT: shifting every pixel by
+    k changes cell sums to sum + k*cnt, and (sum_a + k*cnt_a)*cnt_b
+    - (sum_b + k*cnt_b)*cnt_a == sum_a*cnt_b - sum_b*cnt_a, so every
+    cross-multiplied comparison (ties included) is unchanged. The r5
+    float-accumulated grid FAILED this on 1-ulp cell-mean ties."""
     from patientdataintegration_spark.operators.multimodal import (
         decode_png_gray_grid,
         dhash64,
@@ -425,7 +430,28 @@ def test_dhash_brightness_shift_invariant(pixels):
     g1 = decode_png_gray_grid(base)
     g2 = decode_png_gray_grid(shifted)
     assert g1 is not None and g2 is not None
-    assert dhash64(g1[2]) == dhash64(g2[2])
+    assert dhash64(g1[2], g1[3]) == dhash64(g2[2], g2[3])
+
+
+@given(_grid_strategy(85), st.integers(2, 3))
+@settings(max_examples=100, deadline=None)
+def test_dhash_contrast_scale_invariant(pixels, k):
+    """Multiplying every pixel by k (no clipping: inputs capped at
+    85, k <= 3) scales every cell sum by exactly k, which cancels in
+    the cross-multiplied comparison — dHash must be contrast-scale
+    invariant bit for bit, ties included (ulp-hardening property
+    from the r5 verdict's stretch list)."""
+    from patientdataintegration_spark.operators.multimodal import (
+        decode_png_gray_grid,
+        dhash64,
+    )
+
+    base = _encode_simple_png(pixels)
+    scaled = _encode_simple_png([[v * k for v in row] for row in pixels])
+    g1 = decode_png_gray_grid(base)
+    g2 = decode_png_gray_grid(scaled)
+    assert g1 is not None and g2 is not None
+    assert dhash64(g1[2], g1[3]) == dhash64(g2[2], g2[3])
 
 
 @given(_grid_strategy(255))
@@ -433,7 +459,8 @@ def test_dhash_brightness_shift_invariant(pixels):
 def test_dhash_grid_matches_naive_box_binning(pixels):
     """The streaming single-pass box-binning in decode_png_gray_grid
     must equal the naive two-pass reference (collect each cell's
-    pixels, then average)."""
+    integer pixel sums and counts) — exactly, no tolerance: the
+    representation is integers now."""
     from patientdataintegration_spark.operators.multimodal import (
         decode_png_gray_grid,
     )
@@ -442,20 +469,40 @@ def test_dhash_grid_matches_naive_box_binning(pixels):
     out = decode_png_gray_grid(_encode_simple_png(pixels))
     assert out is not None
     gw, gh = 9, 8
-    sums = [[0.0] * gw for _ in range(gh)]
+    sums = [[0] * gw for _ in range(gh)]
     counts = [[0] * gw for _ in range(gh)]
     for y in range(h):
         for x in range(w):
             gy, gx = y * gh // h, x * gw // w
-            sums[gy][gx] += pixels[y][x] / 255.0
+            sums[gy][gx] += pixels[y][x]
             counts[gy][gx] += 1
-    ref = [
-        [sums[r][c] / counts[r][c] for c in range(gw)] for r in range(gh)
-    ]
-    got = out[2]
-    for r in range(gh):
-        for c in range(gw):
-            assert abs(got[r][c] - ref[r][c]) < 1e-12
+    assert out[2] == sums
+    assert out[3] == counts
+
+
+@given(_grid_strategy(255))
+@settings(max_examples=60, deadline=None)
+def test_dhash_matches_rational_mean_reference(pixels):
+    """Cross-check dhash64's cross-multiplied integer comparisons
+    against a Fraction-exact mean comparison — the two must agree on
+    every grid (pins that the cross-multiplication direction and
+    strictness implement 'mean(c+1) > mean(c)' with no sign slips)."""
+    from fractions import Fraction
+
+    from patientdataintegration_spark.operators.multimodal import (
+        decode_png_gray_grid,
+        dhash64,
+    )
+
+    out = decode_png_gray_grid(_encode_simple_png(pixels))
+    assert out is not None
+    _, _, sums, counts = out
+    bits = 0
+    for r in range(8):
+        means = [Fraction(sums[r][c], counts[r][c]) for c in range(9)]
+        for c in range(8):
+            bits = (bits << 1) | (1 if means[c + 1] > means[c] else 0)
+    assert dhash64(sums, counts) == f"{bits:016x}"
 
 
 @given(st.lists(st.floats(-10, 10, allow_nan=False), min_size=64, max_size=64))
