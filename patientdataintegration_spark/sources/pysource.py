@@ -155,5 +155,14 @@ class SynthDocsDataSource(DataSource):
 
 
 def register_synth_docs(spark) -> None:
-    """Idempotent registration of the custom source."""
+    """Idempotent registration of the custom source.
+
+    Also enables `spark.sql.python.filterPushdown.enabled` on THIS
+    session: it is a runtime SQL conf, and a session built without
+    `session.py`'s conf block (the round-5 driver session) fails any
+    scan of a pushFilters-implementing source with
+    DATA_SOURCE_PUSHDOWN_DISABLED. Registration is the chokepoint
+    every consumer goes through, so the source carries its own
+    prerequisite instead of trusting the session factory."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthDocsDataSource)

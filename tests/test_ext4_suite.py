@@ -363,6 +363,34 @@ def test_python_datasource_matches_plain_generation(spark):
         assert r.n_tokens == len(toks)
 
 
+def test_python_datasource_survives_pushdown_disabled_session(spark):
+    """r5 driver regression: the driver builds its own SparkSession
+    WITHOUT session.py's conf block, and q195 died with
+    DATA_SOURCE_PUSHDOWN_DISABLED because
+    spark.sql.python.filterPushdown.enabled is a runtime SQL conf
+    that defaults to false. register_synth_docs must now set it on
+    whatever session it is handed — simulated here by forcing the
+    conf off first."""
+    from patientdataintegration_spark.sources.pysource import (
+        register_synth_docs,
+    )
+    from patientdataintegration_spark.suite.ext4 import (
+        q195_python_datasource,
+    )
+
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    spark.conf.set(conf_key, "false")
+    try:
+        register_synth_docs(spark)
+        assert spark.conf.get(conf_key) == "true"
+        out = q195_python_datasource(spark, "/root/testdata/sf0.001")
+        rows = {r.lang: r for r in out.collect()}
+        assert set(rows) == {"en", "de", "fr"}
+        assert sum(r.n_docs for r in rows.values()) == 1500
+    finally:
+        spark.conf.set(conf_key, "true")
+
+
 def test_python_stream_source_restart_resumes_offset(spark, tmp_path):
     """Two availableNow runs on the SAME checkpoint: the first
     consumes the first prefetch window (ids 0..99), the restart
