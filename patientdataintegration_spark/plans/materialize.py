@@ -30,6 +30,7 @@ hardened per the round-4 ADVICE findings:
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 import tempfile
 import uuid
@@ -62,8 +63,16 @@ def corpus_fingerprint(*paths: str) -> str:
                         )
                 for rel, size, mt in sorted(entries):
                     h.update(f"|{rel}|{size}|{mt}".encode())
-        except OSError:
-            pass
+        except OSError as e:
+            # Degrading to a path-only key mid-walk weakens cache
+            # invalidation (an in-place corpus regen may be missed) —
+            # that must leave a signal, not happen silently.
+            logging.getLogger(__name__).warning(
+                "corpus_fingerprint: stat walk of %s failed (%s); "
+                "cache key for this input degrades to path-only",
+                ap,
+                e,
+            )
     return h.hexdigest()[:16]
 
 
@@ -137,6 +146,15 @@ def ensure_materialized(
         # onto an existing directory would nest tmp INSIDE it.
         if fs.exists(jfinal) and not is_materialized(spark, final_dir):
             fs.delete(jfinal, True)
+        # Last-instant re-check: a twin may have COMPLETED final_dir
+        # between the guard above and the rename — renaming onto a
+        # completed dir would nest tmp inside it (and still return
+        # true on HDFS move-into semantics), corrupting the cache for
+        # every subsequent reader. Losing the race means our tmp is
+        # garbage, full stop.
+        if is_materialized(spark, final_dir):
+            fs.delete(jtmp, True)
+            return final_dir
         renamed = fs.rename(jtmp, jfinal)
         if not renamed:
             if is_materialized(spark, final_dir):
@@ -146,6 +164,17 @@ def ensure_materialized(
                     f"rename {tmp} -> {final_dir} failed with no "
                     "completed materialization present"
                 )
+        else:
+            # The re-check window cannot be closed entirely (HDFS has
+            # no atomic rename-if-absent): if a twin still slipped in,
+            # our rename landed tmp INSIDE the completed dir. Detect
+            # and remove the nested orphan so readers never see a
+            # doubled corpus.
+            nested = jvm.org.apache.hadoop.fs.Path(
+                final_dir + "/" + os.path.basename(tmp)
+            )
+            if fs.exists(nested):
+                fs.delete(nested, True)
     except Exception:
         if is_materialized(spark, final_dir):
             pass  # a concurrent writer completed; our tmp is garbage

@@ -103,6 +103,33 @@ def test_cached_parquet_invalidates_on_corpus_change(spark, tmp_path):
     assert len(runs) == 2  # stale edges NOT silently reused
 
 
+def test_ensure_materialized_loses_race_to_completed_twin(spark, tmp_path):
+    """r5 ADVICE race: a twin completes final_dir DURING our
+    producer's write. The pre-delete guard must not fire (the twin is
+    complete), the last-instant re-check must discard our tmp, and
+    final_dir must end up containing the TWIN's data with no nested
+    tmp directory inside it (HDFS rename-onto-existing-dir nests)."""
+    final = str(tmp_path / "raced")
+
+    def producer():
+        # Simulate the concurrent winner finishing while we compute:
+        # by the time our tmp write starts, final_dir is complete.
+        spark.range(7).select(F.col("id").alias("a")).write.mode(
+            "overwrite"
+        ).parquet(final)
+        return spark.range(99).select(F.col("id").alias("a"))
+
+    out = ensure_materialized(spark, final, producer)
+    assert out == final
+    assert is_materialized(spark, final)
+    # the twin's 7 rows survive — not our 99, not 7+99 via nesting
+    assert spark.read.parquet(final).count() == 7
+    nested = [d for d in os.listdir(final) if ".tmp-" in d]
+    assert nested == []
+    leftovers = [d for d in os.listdir(tmp_path) if ".tmp-" in d]
+    assert leftovers == []
+
+
 def test_q130_q138_share_green_cache_discipline(spark, sf_dir):
     """End-to-end: the two iterative graph queries still produce rows
     through the new cache layer (their oracle gate pins values)."""
