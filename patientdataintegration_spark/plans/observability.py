@@ -42,18 +42,45 @@ victim side is independently hardened in `operators/mlbridge.py`
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, Observation, functions as F
+
+# One dedicated observation child session per root session, keyed
+# weakly so a stopped/collected root releases its child. Creating a
+# child per call (the r5 shape) accumulated sessions — and their
+# listener/state registries — without bound on a long-lived driver.
+_OBS_CHILD_SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _observation_child_session(spark):
+    """The caller session's single cached observation child (shared
+    SparkContext, separate session state). All observed plans from
+    one root session share it: its observationManager is initialized
+    once, the root's never is, and no per-call session leak."""
+    child = _OBS_CHILD_SESSIONS.get(spark)
+    if child is None:
+        child = spark.newSession()
+        _OBS_CHILD_SESSIONS[spark] = child
+    return child
 
 
 def _transplant_to_fresh_session(df: DataFrame) -> DataFrame:
-    """Re-bind `df`'s analyzed logical plan to a fresh child session
-    (shared SparkContext, separate session state) so that attaching
-    an `Observation` initializes the CHILD's observationManager, not
-    the caller's. Falls back to the original frame when the classic
-    py4j internals are unavailable (e.g. Spark Connect)."""
+    """Re-bind `df`'s analyzed logical plan to the caller session's
+    cached observation child (see `_observation_child_session`) so
+    that attaching an `Observation` initializes the CHILD's
+    observationManager, not the caller's.
+
+    Contract note for callers: the returned frame is bound to a
+    DIFFERENT session object — the caller's temp views and
+    session-level SQL confs do not apply to transforms chained onto
+    it. Resolve views / read confs BEFORE calling, or pass
+    ``isolate=False`` where that matters. Falls back to the original
+    frame when the classic py4j internals are unavailable (e.g.
+    Spark Connect)."""
     try:
         spark = df.sparkSession
-        child = spark.newSession()
+        child = _observation_child_session(spark)
         jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
             child._jsparkSession, df._jdf.logicalPlan()
         )

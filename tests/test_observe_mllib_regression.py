@@ -144,3 +144,20 @@ def test_streaming_observe_then_mllib_same_session(spark, sf_dir, tmp_path):
     assert all(m["n_rows"] > 0 for m in observed)
     acc = _rf_accuracy(spark, sf_dir)
     assert acc > 0.5
+
+
+def test_observation_child_session_is_cached_per_root(spark):
+    """r5 ADVICE leak: each run_observed call created a fresh child
+    session that lived forever. One root session must reuse ONE
+    cached observation child across calls."""
+    from patientdataintegration_spark.plans import observability as obs_mod
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    m1 = obs_mod.run_observed(df, obs_mod.quality_metric_exprs(sum_cols=["v"]))
+    m2 = obs_mod.run_observed(df, obs_mod.quality_metric_exprs(sum_cols=["v"]))
+    assert m1["n_rows"] == m2["n_rows"] == 10
+    child1 = obs_mod._observation_child_session(spark)
+    child2 = obs_mod._observation_child_session(spark)
+    assert child1 is child2
+    assert child1 is not spark
+    assert len(obs_mod._OBS_CHILD_SESSIONS) == 1

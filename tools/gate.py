@@ -77,9 +77,38 @@ def main() -> int:
         action="store_true",
         help="treat bench regressions as gate failures (default: advisory)",
     )
+    ap.add_argument(
+        "--commit",
+        action="store_true",
+        help=(
+            "require a clean working tree, run all stages, and on "
+            "green commit the gate record itself (logs + GATE json) "
+            "so the snapshot commit IS the gate-record commit — its "
+            "parent is the gated code commit and its diff is "
+            "logs-only, closing the r2-r5 post-gate-change loophole. "
+            "Requires --round."
+        ),
+    )
     args = ap.parse_args()
     sfs = args.sf or ["0.001", "0.01"]
     tag = f"_r{args.round:02d}" if args.round is not None else ""
+
+    if args.commit:
+        if args.round is None:
+            print("[gate] --commit requires --round")
+            return 2
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        if dirty:
+            print(
+                "[gate] --commit refused: working tree not clean — the "
+                "gate must run on exactly the committed code:\n" + dirty
+            )
+            return 2
 
     stages: dict[str, dict] = {}
     red = False
@@ -109,9 +138,11 @@ def main() -> int:
     for sf in sfs:
         sf_dir = f"/root/testdata/sf{sf}"
         if args.round is not None:
-            # match the r1-r4 log-name convention: the digits after
-            # the decimal point (0.001 -> sf001, 0.01 -> sf01, 0.1 -> sf1)
-            tag_sf = sf.split(".")[-1]
+            # unambiguous tag from the FULL sf string (r5 ADVICE: the
+            # old digits-after-the-dot scheme collided for '0.1' and
+            # an integer '1'): 0.001 -> sf0001, 0.01 -> sf001,
+            # 0.1 -> sf01, 1 -> sf1
+            tag_sf = sf.replace(".", "")
             log = os.path.join(
                 REPO, f"ORACLE_RUN_r{args.round:02d}_sf{tag_sf}.log"
             )
@@ -142,6 +173,26 @@ def main() -> int:
         with open(os.path.join(REPO, f"GATE_r{args.round:02d}.json"), "w") as f:
             json.dump(summary, f, indent=2)
     print(json.dumps({"green": summary["green"], "head": summary["head_commit"]}))
+
+    if args.commit and not red:
+        # Logs-only commit: the parent is the gated code commit
+        # (summary["head_commit"]); anyone can verify no source
+        # changed between gate and snapshot with a one-line diff.
+        record_paths = [stage["log"] for stage in stages.values()]
+        record_paths.append(f"GATE_r{args.round:02d}.json")
+        subprocess.run(["git", "add", "--"] + record_paths, cwd=REPO, check=True)
+        subprocess.run(
+            [
+                "git",
+                "commit",
+                "-m",
+                f"round {args.round}: gate record "
+                f"(green on {summary['head_commit'][:9]})",
+            ],
+            cwd=REPO,
+            check=True,
+        )
+        print("[gate] gate record committed")
     return 1 if red else 0
 
 
