@@ -801,7 +801,32 @@ def q98_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible and the DuckDB twin unrolls the same
     centroids → assign → probe → rerank pipeline (pyspark.ml KMeans
     remains available via `quantizer='ml'` for k-means|| speed when
-    cross-engine reproducibility isn't required)."""
+    cross-engine reproducibility isn't required).
+
+    Recall/cost curve (r6, `tools/ivf_recall_sweep.py` at sf0.1,
+    recall@3 vs the q202 exhaustive baseline, measured by the q203
+    audit machinery):
+
+        n_cells  n_probe  ~scan fraction  recall@3
+           16       2         0.125         0.42
+           16       4         0.25          0.60   <- registered default
+           16       6         0.375         0.73
+           16       8         0.5           0.80
+           64       4         0.06          0.30
+           64       8         0.125         0.35
+           64      16         0.25          0.52
+
+    Interpretation: the synthetic embeddings are ISOTROPIC (i.i.d.
+    uniform dims), the worst case for a coarse quantizer — recall
+    tracks the scanned fraction with only a small bonus from the
+    query's own cell, and no setting reaches 0.9 short of scanning
+    most of the corpus (more cells is strictly worse: same scan
+    fraction split across less coherent regions). The (16, 4)
+    default is kept as a cost-representative setting, NOT a recall
+    promise; on a real embedding corpus (which clusters — that is
+    why IVF exists) the same index amortizes far better, and q203 is
+    exactly the per-corpus audit to run before trusting any chosen
+    (n_cells, n_probe) at 100 TB."""
     from patientdataintegration_spark.operators.similarity import ivf_cosine_topk
 
     e = load_table(spark, sf_dir, "embeddings")
