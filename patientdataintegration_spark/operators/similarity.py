@@ -385,3 +385,96 @@ def quantize_embeddings(
             F.aggregate(err_terms, F.lit(0.0), lambda a, e: a + e), round_digits
         ).alias("recon_err"),
     )
+
+
+def srp_banded_neardup_pairs(
+    df: DataFrame,
+    signs: list[list[int]],
+    n_bands: int = 2,
+    min_cosine: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: signed random
+    projections (the dense-vector SimHash) banded LSH-style, then an
+    exact cosine check on the candidates only — never all pairs.
+
+    `signs` is a k x dim +/-1 hyperplane matrix (deterministically
+    derived by the caller so a SQL oracle can replay it). The k sign
+    bits split into `n_bands` bands of k/n_bands bits; two vectors
+    are CANDIDATES iff they agree on every bit of at least one band
+    (one equi-join per band on the band key, unioned and
+    deduplicated — the minhash-LSH join shape). With b bands of r
+    bits, a pair at angle theta collides with prob
+    1-(1-(1-theta/pi)^r)^b: at the default 2x8 over 16 planes,
+    ~0.99 for cosine 0.999 (true near-dups) vs ~0.008 for cosine 0
+    (background) — the candidate set is ~1% of the quadratic pair
+    space, and band keys are balanced because the bits are
+    independent, so no hot buckets. Candidates then get the exact
+    sequential-fold cosine (bit-identical cross-engine, the q36/q192
+    discipline) rounded at 4, kept at >= min_cosine.
+
+    Scale: two shuffles per band (self-join on an 8-bit-key... the
+    key space grows with r, widen r for bigger corpora), vectors
+    re-joined by id only for surviving candidates. The banding can
+    MISS a true near-dup with prob ~1% at the defaults —
+    deterministically (no RNG), so results are still reproducible
+    and oracle-checkable; raise n_bands for recall, raise r for
+    precision/balance."""
+    k = len(signs)
+    if k % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide k={k}")
+    r = k // n_bands
+
+    vecs = df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    proj_cols = []
+    for j in range(k):
+        sgn = F.array(*[F.lit(float(s)) for s in signs[j]])
+        p = F.aggregate(
+            F.zip_with(F.col("v"), sgn, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        proj_cols.append((p >= 0).cast("int").alias(f"bit{j}"))
+    bits = vecs.select("vid", "v", *proj_cols)
+    band_cols = []
+    for b in range(n_bands):
+        key = None
+        for i in range(r):
+            term = F.col(f"bit{b * r + i}") * F.lit(1 << i)
+            key = term if key is None else key + term
+        band_cols.append(key.alias(f"band{b}"))
+    banded = bits.select("vid", *band_cols)
+
+    cand = None
+    for b in range(n_bands):
+        a, c = banded.alias("a"), banded.alias("c")
+        pairs_b = a.join(
+            c,
+            (F.col(f"a.band{b}") == F.col(f"c.band{b}"))
+            & (F.col("a.vid") < F.col("c.vid")),
+        ).select(
+            F.col("a.vid").alias("vec_a"), F.col("c.vid").alias("vec_b")
+        )
+        cand = pairs_b if cand is None else cand.union(pairs_b)
+    cand = cand.distinct()
+
+    va = vecs.select(F.col("vid").alias("vec_a"), F.col("v").alias("v_a"))
+    vb = vecs.select(F.col("vid").alias("vec_b"), F.col("v").alias("v_b"))
+    scored = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                F.round(
+                    dot(F.col("v_a"), F.col("v_b"))
+                    / (F.sqrt(sq_norm(F.col("v_a"))) * F.sqrt(sq_norm(F.col("v_b")))),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= F.lit(min_cosine))

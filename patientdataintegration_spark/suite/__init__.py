@@ -58,6 +58,8 @@ from patientdataintegration_spark.suite.ext3 import ORACLES as EXT3_ORACLES
 from patientdataintegration_spark.suite.ext3 import QUERIES as EXT3_QUERIES
 from patientdataintegration_spark.suite.ext4 import ORACLES as EXT4_ORACLES
 from patientdataintegration_spark.suite.ext4 import QUERIES as EXT4_QUERIES
+from patientdataintegration_spark.suite.ext5 import ORACLES as EXT5_ORACLES
+from patientdataintegration_spark.suite.ext5 import QUERIES as EXT5_QUERIES
 
 _ALL_QUERIES = {
     **CORE_QUERIES,
@@ -65,6 +67,7 @@ _ALL_QUERIES = {
     **EXT2_QUERIES,
     **EXT3_QUERIES,
     **EXT4_QUERIES,
+    **EXT5_QUERIES,
 }
 _ALL_ORACLES = {
     **CORE_ORACLES,
@@ -72,6 +75,7 @@ _ALL_ORACLES = {
     **EXT2_ORACLES,
     **EXT3_ORACLES,
     **EXT4_ORACLES,
+    **EXT5_ORACLES,
 }
 
 # The driver-checked prefix, by design exactly 50 names (round-4

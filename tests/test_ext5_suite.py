@@ -1,0 +1,158 @@
+"""Semantics tests for the round-6 suite batch (ext5): the embedding
+near-dup pipeline (planted-duplicate recovery, banding recall,
+cluster invariants) and spot invariants for the classic plan shapes
+q208-q213 (each is also value-pinned by its DuckDB oracle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_srp_neardup_finds_planted_duplicate(spark):
+    from patientdataintegration_spark.operators.similarity import (
+        srp_banded_neardup_pairs,
+    )
+    from patientdataintegration_spark.suite.ext4 import _srp_signs
+
+    base = [0.5] * 32 + [-0.5] * 32
+    near = list(base)
+    near[0] += 0.01  # cosine ~0.9999
+    far = [(-1.0) ** i * (0.1 + 0.01 * i) for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id bigint, v array<double>"
+    )
+    pairs = srp_banded_neardup_pairs(
+        df, signs=_srp_signs(k=16), n_bands=2, min_cosine=0.98, vec_col="v"
+    ).collect()
+    assert {(r.vec_a, r.vec_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].cos_sim >= 0.999
+
+
+def test_srp_neardup_rejects_bad_banding(spark):
+    from patientdataintegration_spark.operators.similarity import (
+        srp_banded_neardup_pairs,
+    )
+    from patientdataintegration_spark.suite.ext4 import _srp_signs
+
+    df = spark.createDataFrame([(1, [1.0] * 64)], "vec_id bigint, v array<double>")
+    with pytest.raises(ValueError):
+        srp_banded_neardup_pairs(df, signs=_srp_signs(k=16), n_bands=3, vec_col="v")
+
+
+def test_q207_planted_clusters(spark):
+    """Every cluster is either a singleton or a (vec, planted twin)
+    pair: the twin of vec_id k is k + 10_000_000, no false merges
+    at cosine >= 0.98, and each non-singleton cluster has exactly
+    one canonical member — the smallest id."""
+    from patientdataintegration_spark.suite.ext5 import (
+        _PLANT_OFFSET,
+        q207_embedding_neardup_clusters,
+    )
+
+    rows = q207_embedding_neardup_clusters(spark, SF_DIR).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    n_pairs = 0
+    for cl, members in by_cluster.items():
+        ids = sorted(m.vec_id for m in members)
+        assert sum(m.is_canonical for m in members) == 1
+        assert min(ids) == cl
+        if len(ids) == 2:
+            assert ids[1] == ids[0] + _PLANT_OFFSET, f"false merge: {ids}"
+            n_pairs += 1
+        else:
+            assert len(ids) == 1, f"unexpected cluster {ids}"
+    n_planted = sum(1 for r in rows if r.vec_id >= _PLANT_OFFSET)
+    # banding may deterministically miss ~1% of planted pairs; it
+    # must find the overwhelming majority
+    assert n_pairs >= 0.9 * n_planted
+    assert n_planted > 0
+
+
+def test_q208_sole_late_supplier_semantics(spark):
+    """Recompute one reported supplier's numwait naively."""
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.suite.ext5 import q208_sole_late_supplier
+
+    top = q208_sole_late_supplier(spark, SF_DIR).collect()
+    assert top and top[0].numwait >= top[-1].numwait
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    s = load_table(spark, SF_DIR, "supplier")
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("late")
+        )
+    ).collect()
+    orders: dict = {}
+    for r in per:
+        orders.setdefault(r.l_orderkey, []).append((r.l_suppkey, r.late))
+    name_to_key = {r.s_name: r.s_suppkey for r in s.collect()}
+    target = top[0]
+    expect = sum(
+        1
+        for members in orders.values()
+        if len(members) > 1
+        and sum(late for _, late in members) == 1
+        and any(
+            sk == name_to_key[target.s_name] and late == 1
+            for sk, late in members
+        )
+    )
+    assert expect == target.numwait
+
+
+def test_q210_median_matches_python(spark):
+    import statistics
+
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.suite.ext5 import q210_token_count_median
+
+    got = {
+        r.lang: r.median_tokens
+        for r in q210_token_count_median(spark, SF_DIR).collect()
+    }
+    d = load_table(spark, SF_DIR, "documents").select("lang", "text").collect()
+    by_lang: dict = {}
+    for r in d:
+        by_lang.setdefault(r.lang, []).append(len(r.text.split(" ")))
+    for lang, toks in by_lang.items():
+        assert got[lang] == pytest.approx(statistics.median(toks))
+
+
+def test_q211_skew_audit_invariants(spark):
+    from patientdataintegration_spark.suite.ext5 import q211_join_key_skew
+
+    rows = q211_join_key_skew(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(rows[i].cnt >= rows[i + 1].cnt for i in range(9))
+    assert all(0 < r.share < 1 for r in rows)
+    assert len({round(r.skew_ratio, 12) for r in rows}) == 1
+    assert rows[0].skew_ratio >= 1.0
+
+
+def test_q212_pivot_row_sums(spark):
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.suite.ext5 import q212_status_pivot
+
+    rows = q212_status_pivot(spark, SF_DIR).collect()
+    o = load_table(spark, SF_DIR, "orders")
+    per_prio = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_f + r.n_o + r.n_p == per_prio[r.o_orderpriority]
