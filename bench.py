@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "q189_kcore",               # unrolled k-core peeling
     "q190_minhash_error",       # sketch-vs-exact jaccard audit
     "q200_corpus_curation",     # five-stage curation composite
+    "q207_embedding_neardup_clusters",  # banded-SRP vector dedup + components
+    "q208_sole_late_supplier",  # decorrelated EXISTS/NOT-EXISTS (TPC-H Q21)
 ]
 
 

@@ -444,7 +444,13 @@ def srp_banded_neardup_pairs(
             term = F.col(f"bit{b * r + i}") * F.lit(1 << i)
             key = term if key is None else key + term
         band_cols.append(key.alias(f"band{b}"))
-    banded = bits.select("vid", *band_cols)
+    # The band-key relation has 2*n_bands plan consumers (both sides
+    # of every band self-join); without truncation each one re-runs
+    # the k-projection scan (DataFrame DAG branches re-execute their
+    # upstream — no cross-branch CSE). It is tiny (id + n_bands
+    # small ints — the vectors are NOT carried), so localCheckpoint
+    # it once; the same discipline as connected_components' edges.
+    banded = bits.select("vid", *band_cols).localCheckpoint()
 
     cand = None
     for b in range(n_bands):
