@@ -33,19 +33,22 @@ never-checked rows-only lanes (completing ever-checked coverage of
 the then-registry), the q145-q158 additions, and the r4 re-proof
 set — see CORRECTNESS_r04.json.
 
-The round-5 window holds (a) q176-q184, which postdate the frozen r4
-window and have never had a driver row (the r4 verdict's item 3 —
-this restores ever-checked = all registered), (b) the seven new r5
-queries q185-q191 (per-vertex triangle clustering, market-basket
-association rules, k-anonymity audit, BPE adjacent-pair counts,
-k-core peeling, MinHash estimation error, bigram-LM surprisal),
-(c) re-proof rows for every query whose text or operator changed in
-r5 (q33 cap-strategy default, q94 summary strip, q130/q138
-content-keyed edge cache, q160 unique tiebreak, q172 degree
-orientation), and (d) a longest-unchecked rotation of r1/r2-era
-rows. Previously-green queries stay registered after the priority
-block; their evidence is CORRECTNESS_r01-r04.json plus the committed
-full-registry ORACLE_RUN logs.
+Round 5 rotated in q176-q191 (restoring ever-checked = all
+registered), the r5 re-proof set, and late-r5 additions q192-q206 —
+see CORRECTNESS_r05.json.
+
+The round-6 window holds (a) the seven new r6 queries q207-q213
+(embedding near-dup dedup pipeline, TPC-H Q21/Q22/Q17 shapes, exact
+grouped median, join-key skew audit, native pivot), (b) re-proof
+rows for everything the r6 fixes touched (q193/q194: integer dHash
+grid + cross-multiplied oracle; q195: pushdown conf now set at
+source registration; q206: same PNG decode family), (c) q63 per the
+r5 verdict (last driver evidence was an r2 err), and (d) the ENTIRE
+r1-era residue — after this window no query's latest driver
+evidence predates round 2. Previously-green queries stay registered
+after the priority block; their evidence is
+CORRECTNESS_r01-r05.json plus the committed full-registry
+ORACLE_RUN logs.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -81,82 +84,68 @@ _ALL_ORACLES = {
 # The driver-checked prefix, by design exactly 50 names (round-4
 # rotation: see module docstring).
 PRIORITY = [
-    # (a) never driver-checked: q176-q184 postdate the fixed r4
-    # window (r4 verdict item 3) — rotating them in completes
-    # ever-checked coverage of the registry. q180 (streaming CDC
-    # sink) and q181 (video) are rows-only by nature.
-    "q176_last_touch_attribution",
-    "q177_rolling_correlation",
-    "q178_pareto_frontier",
-    "q179_ordered_stringagg",
-    "q180_stream_cdc_upsert",
-    "q181_video_frames",
-    "q182_udtf_chunking",
-    "q183_hierarchical_shares",
-    "q184_top_session_paths",
-    # (b) new round-5 queries (q185-q191: per-vertex clustering,
-    # market-basket rules, k-anonymity, BPE pair counts, k-core,
-    # minhash error, bigram surprisal) — all SQL-oracle-backed
-    "q185_local_clustering",
-    "q186_market_basket",
-    "q187_k_anonymity",
-    "q188_bpe_pair_counts",
-    "q189_kcore",
-    "q190_minhash_error",
-    "q191_bigram_surprisal",
-    # (c) operator or query text changed in round 5 — re-prove:
-    # q33 (cap strategy default), q94 (summary strip), q130/q138
-    # (content-keyed edge cache), q160 (unique tiebreak), q172
-    # (degree orientation + localCheckpoint), q182 (UDTF NULL fix,
-    # also in block a)
-    "q33_ngram_jaccard",
-    "q94_random_forest",
-    "q130_pagerank",
-    "q138_reachability",
-    "q160_min_cost_supplier",
-    "q172_triangle_count",
-    # (b cont.) late-r5 additions: SRP signatures, image dHash +
-    # banded near-dup (rows-only binary lanes), the custom Python
-    # DataSource batch + streaming lanes, and the three sanctioned
-    # pandas-UDF API surfaces (scalar / grouped-agg / applyInPandas)
-    "q192_random_projection",
+    # (a) never driver-checked: the round-6 batch (embedding
+    # near-dup pipeline q207 + classic plan shapes q208-q213), all
+    # SQL-oracle-backed
+    "q207_embedding_neardup_clusters",
+    "q208_sole_late_supplier",
+    "q209_rich_idle_customers",
+    "q210_token_count_median",
+    "q211_join_key_skew",
+    "q212_status_pivot",
+    "q213_small_qty_revenue",
+    # (b) operator or oracle changed in round 6 — re-prove: q193/
+    # q194 (integer dHash + cross-multiplied oracle), q195 (runtime
+    # pushdown conf now set in register_synth_docs), q206 (shares
+    # the PNG decode family the dHash fix touched)
     "q193_image_dhash",
     "q194_dhash_neardup",
     "q195_python_datasource",
-    "q196_python_stream_source",
-    "q197_pandas_udf_scalar",
-    "q198_grouped_agg_pandas",
-    "q199_apply_in_pandas",
-    # (d) longest-unchecked rotation: r1/r2-era rows whose last
-    # driver evidence predates every later window
-    "q01_pricing_summary",
-    "q02_group_scores",
-    "q04_auroc",
-    "q05_mean_std_over_folds",
-    "q06_impute_mean",
-    "q11_fold_assignment",
-    "q12_balance_audit",
-    "q16_naive_fusion",
-    "q24_shipping_priority",
-    "q28_asof_join",
-    "q36_cosine_topk",
-    "q45_full_pipeline",
-    "q115_components_star",
-    # (b cont.) the r5 stream-stream LEFT OUTER lane (rows-only;
-    # its batch-twin parity is pinned in pytest) and the flagship
-    # composite — quality gate, exact
-    # dedup, LSH near-dup removal, token-budget sampling as ONE
-    # hash-checked DAG (its LSH machinery re-proves q92's)
-    "q200_corpus_curation",
-    "q201_stream_outer_join",
-    # (b cont.) ANN ground-truth baseline + recall audit
-    "q202_bruteforce_topk",
-    "q203_ann_recall",
-    "q204_ks_drift",
-    # (b cont.) binary-lane oracle UPGRADES: audio header metadata
-    # and PNG pixel decode hash-checked against closed-form replays
-    "q205_audio_metadata_exact",
     "q206_image_decode_exact",
+    # (c) r5 verdict item 3: last driver evidence r2-err, green in
+    # every builder run since
+    "q63_latest_per_key",
+    # (d) longest-unchecked rotation: the full r1-era residue (32
+    # rows, last driver evidence CORRECTNESS_r01) then the oldest
+    # r2-era rows
+    "q03_balanced_accuracy",
+    "q07_impute_mode",
+    "q08_scale01",
+    "q09_onehot",
+    "q10_bucketize",
+    "q13_sample_per_group",
+    "q14_union_cohorts",
+    "q15_topk_per_group",
+    "q17_threshold_sweep",
+    "q18_semi_anti_join",
+    "q19_set_ops",
+    "q20_rollup",
+    "q23_distinct_agg",
+    "q25_local_volume",
+    "q26_path_parsing",
+    "q27_status_matrix",
+    "q43_percentiles",
+    "q44_cube",
+    "q49_global_topk",
+    "q50_exists_correlated",
+    "q51_scalar_subquery",
+    "q52_unpivot",
+    "q53_having_join_back",
+    "q54_spend_deciles",
+    "q55_quantile_binning",
+    "q56_pivot_status",
+    "q57_not_exists_anti",
+    "q58_full_outer",
+    "q59_grouping_sets",
+    "q61_date_battery",
+    "q64_string_battery",
+    "q65_label_centroids",
+    "q21_window_lag",
+    "q22_running_best",
+    "q29_json_props",
+    "q48_metric_map",
+    "q68_array_battery",
+    "q69_forward_fill",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]
