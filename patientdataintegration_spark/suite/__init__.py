@@ -37,15 +37,18 @@ Round 5 rotated in q176-q191 (restoring ever-checked = all
 registered), the r5 re-proof set, and late-r5 additions q192-q206 —
 see CORRECTNESS_r05.json.
 
-The round-6 window holds (a) the seven new r6 queries q207-q213
-(embedding near-dup dedup pipeline, TPC-H Q21/Q22/Q17 shapes, exact
-grouped median, join-key skew audit, native pivot), (b) re-proof
+The round-6 window holds (a) the thirteen new r6 queries
+q207-q219 (embedding near-dup dedup pipeline, TPC-H
+Q21/Q22/Q17/Q7/Q8 shapes, exact grouped median, join-key skew
+audit, native pivot, SCD2 history, sweep-line max-concurrency,
+blocked fuzzy string join, time-weighted averages), (b) re-proof
 rows for everything the r6 fixes touched (q193/q194: integer dHash
 grid + cross-multiplied oracle; q195: pushdown conf now set at
 source registration; q206: same PNG decode family), (c) q63 per the
 r5 verdict (last driver evidence was an r2 err), and (d) the ENTIRE
 r1-era residue — after this window no query's latest driver
-evidence predates round 2. Previously-green queries stay registered
+evidence predates round 2 (the six oldest r2-era rows queue for
+r7). Previously-green queries stay registered
 after the priority block; their evidence is
 CORRECTNESS_r01-r05.json plus the committed full-registry
 ORACLE_RUN logs.
@@ -84,9 +87,11 @@ _ALL_ORACLES = {
 # The driver-checked prefix, by design exactly 50 names (round-4
 # rotation: see module docstring).
 PRIORITY = [
-    # (a) never driver-checked: the round-6 batch (embedding
-    # near-dup pipeline q207 + classic plan shapes q208-q213), all
-    # SQL-oracle-backed
+    # (a) never driver-checked: the round-6 batch, all
+    # SQL-oracle-backed — embedding near-dup pipeline q207, classic
+    # plan shapes q208-q213, and the warehouse/time-series set
+    # q214-q219 (SCD2, sweep-line concurrency, blocked fuzzy join,
+    # TPC-H Q7/Q8, TWAP)
     "q207_embedding_neardup_clusters",
     "q208_sole_late_supplier",
     "q209_rich_idle_customers",
@@ -94,6 +99,12 @@ PRIORITY = [
     "q211_join_key_skew",
     "q212_status_pivot",
     "q213_small_qty_revenue",
+    "q214_scd2_history",
+    "q215_max_concurrency",
+    "q216_fuzzy_name_match",
+    "q217_nation_trade_matrix",
+    "q218_market_share",
+    "q219_time_weighted_avg",
     # (b) operator or oracle changed in round 6 — re-prove: q193/
     # q194 (integer dHash + cross-multiplied oracle), q195 (runtime
     # pushdown conf now set in register_synth_docs), q206 (shares
@@ -106,8 +117,8 @@ PRIORITY = [
     # every builder run since
     "q63_latest_per_key",
     # (d) longest-unchecked rotation: the full r1-era residue (32
-    # rows, last driver evidence CORRECTNESS_r01) then the oldest
-    # r2-era rows
+    # rows, last driver evidence CORRECTNESS_r01); the oldest r2-era
+    # rows queue for the r7 window
     "q03_balanced_accuracy",
     "q07_impute_mode",
     "q08_scale01",
@@ -140,12 +151,6 @@ PRIORITY = [
     "q61_date_battery",
     "q64_string_battery",
     "q65_label_centroids",
-    "q21_window_lag",
-    "q22_running_best",
-    "q29_json_props",
-    "q48_metric_map",
-    "q68_array_battery",
-    "q69_forward_fill",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -586,3 +586,439 @@ def q213_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly"),
         )
     )
+
+
+# --- SCD Type-2 dimension history from an event log -------------------------
+
+
+@_register(
+    "q214_scd2_history",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE user_id % 10 = 0
+    ),
+    marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM marked
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w2 AS BIGINT) AS version,
+           event_type AS state,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w2) AS valid_to_us,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q214_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 built from a raw event log —
+    the warehouse dimension-history op: collapse each user's event
+    stream to its STATE CHANGES (event_type != previous), then turn
+    each change into a validity interval [valid_from, valid_to) via
+    lead(), open-ended (is_current) on the last. Two window passes
+    over the SAME (user_id; ts, event_id) sort order, so Spark plans
+    ONE shuffle + one sort and both windows ride it. Validity bounds
+    are epoch MICROSECONDS (exact integers — cross-engine-safe where
+    raw timestamp hashing is not); the (ts, event_id) tiebreak makes
+    version numbering total. Scale: windows partition by user —
+    millions of independent partitions, no global sort; the change
+    filter drops ~nothing here (synthetic types alternate) but on
+    real dimensions it is the 100x compression that makes SCD2
+    storable."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = marked.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.row_number().over(w2).cast("bigint").alias("version"),
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w2)).alias("valid_to_us"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+# --- sweep-line maximum concurrency ------------------------------------------
+
+
+@_register(
+    "q215_max_concurrency",
+    """
+    WITH iv AS (
+      SELECT event_type, ts AS s, ts + INTERVAL 30 MINUTE AS e
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS delta FROM iv
+    ),
+    run AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS live
+      FROM pts
+    )
+    SELECT event_type, CAST(MAX(live) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q215_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line maximum concurrency — each event opens a 30-minute
+    interval; how many are live at the busiest instant, per type?
+    The classic interval-overlap aggregation without an interval
+    join: explode each interval to a +1 start / -1 end point, one
+    running sum per type in (time, delta) order (delta ascending so
+    an interval closing at t frees its slot before one opening at t
+    takes it — half-open [s, e) semantics), then MAX. Rows tying on
+    BOTH t and delta can run in any order without affecting the max
+    (the partial-sum multiset across such a run is order-invariant),
+    so the result is deterministic without a unique tiebreak. Scale:
+    2 rows per event, ONE shuffle on event_type for the window sort,
+    a 5-group rollup — compare an interval self-join's quadratic
+    blowup on hot windows."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("event_type", F.sum("delta").over(w).alias("live"))
+    return (
+        run.groupBy("event_type")
+        .agg(F.max("live").cast("bigint").alias("max_concurrent"))
+        .orderBy("event_type")
+    )
+
+
+# --- blocked fuzzy string join (edit distance) -------------------------------
+
+
+@_register(
+    "q216_fuzzy_name_match",
+    """
+    WITH names AS (
+      SELECT DISTINCT p_name FROM part
+    ),
+    typos AS (
+      SELECT p_partkey AS typo_id,
+             substr(p_name, 1, 2) || substr(p_name, 4) AS typo_name,
+             substr(p_name, 1, 2) AS blk
+      FROM part WHERE p_partkey % 7 = 0 AND length(p_name) >= 4
+    ),
+    cand AS (
+      SELECT t.typo_id, t.typo_name, n.p_name,
+             levenshtein(t.typo_name, n.p_name) AS lev
+      FROM typos t JOIN names n ON substr(n.p_name, 1, 2) = t.blk
+      WHERE levenshtein(t.typo_name, n.p_name) <= 1
+    ),
+    best AS (
+      SELECT typo_id, typo_name, p_name AS matched_name,
+             CAST(lev AS INTEGER) AS lev,
+             row_number() OVER (PARTITION BY typo_id
+                                ORDER BY lev, p_name) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY typo_id) AS BIGINT)
+               AS n_candidates
+      FROM cand
+    )
+    SELECT typo_id, typo_name, matched_name, lev, n_candidates
+    FROM best WHERE rn = 1
+    """,
+)
+def q216_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string join — entity resolution's workhorse,
+    with the constructed-duplicate discipline: every 7th part name
+    gets a deterministic typo (3rd character deleted), and the match
+    pipeline must link it back to the clean catalog blind. Blocking
+    on the 2-char prefix (provably preserved by the planted edit,
+    and the reason fuzzy joins scale at all: candidates per typo =
+    one prefix bucket, never the full catalog), then exact
+    levenshtein <= 1 on candidates only — the same edit-distance
+    definition in both engines, integer-exact — and a deterministic
+    best-match window (lowest distance, then name). Scale: the
+    distance UDF-free JVM levenshtein runs only on the blocked
+    candidate set; prefix buckets over real name distributions are
+    the classic blocking-key choice; n_candidates in the output is
+    the block-quality audit (a huge value says the blocking key is
+    too coarse)."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    typos = p.filter(
+        (F.col("p_partkey") % 7 == 0) & (F.length("p_name") >= 4)
+    ).select(
+        F.col("p_partkey").alias("typo_id"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.expr("substr(p_name, 4)")
+        ).alias("typo_name"),
+        F.substring("p_name", 1, 2).alias("blk"),
+    )
+    cand = (
+        typos.join(
+            names, F.substring(F.col("p_name"), 1, 2) == F.col("blk")
+        )
+        .withColumn("lev", F.levenshtein("typo_name", "p_name"))
+        .filter(F.col("lev") <= 1)
+    )
+    wb = Window.partitionBy("typo_id").orderBy("lev", "p_name")
+    wc = Window.partitionBy("typo_id")
+    return (
+        cand.select(
+            "typo_id",
+            "typo_name",
+            F.col("p_name").alias("matched_name"),
+            F.col("lev").cast("int").alias("lev"),
+            F.row_number().over(wb).alias("rn"),
+            F.count(F.lit(1)).over(wc).cast("bigint").alias("n_candidates"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --- TPC-H Q7 shape: bilateral trade volume ----------------------------------
+
+
+@_register(
+    "q217_nation_trade_matrix",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q217_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral revenue between
+    two nations per ship year, across the full 6-table star. The
+    nation filter applies to BOTH endpoints symmetrically, pruning
+    customer and supplier to ~1/25 each BEFORE the fact joins (the
+    selective-dimension-first plan Catalyst picks with broadcast
+    dims). Revenue rides the _REV decimal discipline; the year
+    extraction is exact integer calendar math. Scale: lineitem
+    shuffles once on orderkey for the orders join; supplier/nation
+    sides broadcast; the rollup is a handful of groups. The
+    symmetric OR predicate stays ONE plan (no union-of-two-joins
+    blowup)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --- TPC-H Q8 shape: market share -------------------------------------------
+
+
+@_register(
+    "q218_market_share",
+    """
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,6)) AS rev,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q218_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the share of EUROPE-
+    customer revenue supplied by one nation, per order year. The
+    numerator/denominator ride the SAME aggregate pass as a
+    conditional decimal sum (q161's one-scan discipline — no second
+    pass, no self-join), and the share is ONE division of two
+    decimal-exact doubles, identical parenthesisation both engines,
+    so it hashes equal unrounded. Scale: region prunes the customer
+    side to 1/5 before the fact join; both nation dims broadcast;
+    the per-year output is tiny."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_reg")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n2_reg") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --- time-weighted average ---------------------------------------------------
+
+
+@_register(
+    "q219_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt_us
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(CAST(dt_us AS BIGINT)) AS BIGINT) AS total_us,
+           round(CAST(SUM(v * dt_us) AS DOUBLE)
+                 / CAST(SUM(dt_us) AS DOUBLE), 6) + 0.0 AS twap
+    FROM seq WHERE dt_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q219_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type — the time-series
+    aggregate a plain AVG gets wrong whenever observations are
+    unevenly spaced (a value that held for an hour must weigh 3600x
+    one that held a second). Each value holds until the next event
+    of its type (lead), weight = the exact MICROSECOND span; TWAP =
+    sum(value*dt)/sum(dt). Exactness: value is cast to DECIMAL
+    FIRST, so value*dt is an exact decimal-by-integer product and
+    both sums are order-independent; the final division is IEEE and
+    its DECIMAL(38,6)->DOUBLE inputs can differ by 1 ulp across
+    engines (DuckDB divides int128/10^scale in FP; Spark's
+    BigDecimal cast is correctly rounded), so the quotient rounds at
+    6 with -0.0 normalization. Scale: one window shuffle on
+    event_type (same sort the SCD2/streak lanes ride), then a
+    5-group rollup; no interval join, no resampling grid."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum(F.col("dt_us").cast("bigint")).cast("bigint").alias("total_us"),
+            (
+                F.round(
+                    F.sum(F.col("v") * F.col("dt_us")).cast("double")
+                    / F.sum("dt_us").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("twap"),
+        )
+        .orderBy("event_type")
+    )

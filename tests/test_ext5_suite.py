@@ -156,3 +156,91 @@ def test_q212_pivot_row_sums(spark):
     }
     for r in rows:
         assert r.n_f + r.n_o + r.n_p == per_prio[r.o_orderpriority]
+
+
+def test_q214_scd2_interval_invariants(spark):
+    """Validity intervals per user: contiguous in sequence order,
+    state actually changes between versions, exactly one open
+    (is_current) row per user."""
+    from patientdataintegration_spark.suite.ext5 import q214_scd2_history
+
+    rows = q214_scd2_history(spark, SF_DIR).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for _u, hist in by_user.items():
+        hist.sort(key=lambda r: r.version)
+        assert [r.version for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(r.is_current for r in hist) == 1
+        assert hist[-1].is_current and hist[-1].valid_to_us is None
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.state != b.state
+
+
+def test_q215_max_concurrency_matches_naive(spark):
+    """Naive per-type sweep in Python equals the windowed sweep."""
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.suite.ext5 import q215_max_concurrency
+
+    got = {
+        r.event_type: r.max_concurrent
+        for r in q215_max_concurrency(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "ts").collect()
+    from datetime import timedelta
+
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.ts)
+    for t, starts in by_type.items():
+        pts = [(s, 1) for s in starts] + [
+            (s + timedelta(minutes=30), -1) for s in starts
+        ]
+        pts.sort()
+        live = best = 0
+        for _ts, d in pts:
+            live += d
+            best = max(best, live)
+        assert got[t] == best
+
+
+def test_q216_every_typo_recovers_its_source(spark):
+    """The planted 1-deletion typo must match its own clean name at
+    distance exactly 1 (names repeat, so matched_name == any name
+    equal to the source's) and blocking must never miss it."""
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.suite.ext5 import q216_fuzzy_name_match
+
+    p = {
+        r.p_partkey: r.p_name
+        for r in load_table(spark, SF_DIR, "part").collect()
+    }
+    out = {r.typo_id: r for r in q216_fuzzy_name_match(spark, SF_DIR).collect()}
+    planted = {
+        k: v for k, v in p.items() if k % 7 == 0 and len(v) >= 4
+    }
+    assert set(out) == set(planted)
+    for k, clean in planted.items():
+        r = out[k]
+        assert r.lev <= 1
+        assert r.typo_name == clean[:2] + clean[3:]
+        assert r.n_candidates >= 1
+
+
+def test_q219_twap_bounds(spark):
+    """TWAP lies within [min, max] of the type's values and differs
+    from the unweighted mean only by weighting (sanity, not value —
+    the oracle pins values)."""
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.suite.ext5 import q219_time_weighted_avg
+
+    got = {r.event_type: r for r in q219_time_weighted_avg(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value").collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for t, vals in by_type.items():
+        assert min(vals) <= got[t].twap <= max(vals)
+        assert got[t].n_intervals == len(vals) - 1
