@@ -127,3 +127,51 @@ def zorder_by(df: DataFrame, x: str, y: str, bits: int = 10) -> DataFrame:
         .sortWithinPartitions("_z")
         .drop("_xmin", "_xmax", "_ymin", "_ymax", "_z")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating equi-join: replicate the (small) dim side
+    `n_salts` times and scatter each fact row to one replica, so a
+    hot join key's rows spread over `n_salts` reducers instead of
+    one straggler task.
+
+    The classic manual treatment for the case AQE's skew-join split
+    cannot handle: skewOnJoin only splits SHUFFLE partitions of
+    sort-merge joins after stats arrive; a persistent hot key inside
+    one partition of a pre-shuffled/bucketed layout, or a streaming
+    micro-batch join, still needs salting. The fact-side salt is
+    `pmod(hash(fact_key), n_salts)` — any per-row value works
+    because every salt has a full dim replica; using the key itself
+    keeps the operator deterministic and engine-replayable. Result
+    is EXACTLY the plain join (each fact row meets each matching dim
+    row exactly once — in the replica its salt selects), which is
+    what the q221 oracle pins. Cost: dim inflates n_salts x (keep it
+    broadcast-small or drop n_salts); the shuffle key becomes
+    (key, salt) with n_salts x the cardinality.
+
+    `how` supports inner/left joins (semantics preserved per row:
+    an unmatched fact row is unmatched in exactly its one replica)."""
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.hash(F.col(fact_key)), F.lit(n_salts))
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_fact.join(
+        replicated_dim,
+        (salted_fact[fact_key] == replicated_dim[dim_key])
+        & (salted_fact["_salt"] == replicated_dim["_salt"]),
+        how,
+    )
+    return out.drop("_salt")

@@ -1022,3 +1022,115 @@ def q219_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- native session_window batch aggregation ---------------------------------
+
+
+@_register(
+    "q220_native_session_window",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, ts, v,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM tagged
+    GROUP BY user_id, sid
+    """,
+)
+def q220_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch aggregation over Spark's NATIVE `session_window` — the
+    gap-merging window the engine also uses on streams (q96 is the
+    stateful streaming form; q42 builds sessions manually with
+    lag+cumsum). `session_window(ts, '30 minutes')` merges events
+    within the gap into one window whose end extends 30 minutes past
+    the last event — the oracle replays exactly that definition with
+    the portable lag/cumsum formulation, pinning that the native
+    operator and the manual one agree (window_end = max(ts) + gap).
+    Bounds are epoch MICROSECONDS; the value sum rides DECIMAL.
+    Scale: session_window plans one shuffle on user_id + one sort —
+    identical cost to the manual form, but the merging runs inside
+    the aggregate operator in a single pass (no second window)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --- salted skew join equivalence --------------------------------------------
+
+
+@_register(
+    "q221_salted_join",
+    """
+    SELECT c.c_mktsegment,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    ORDER BY c.c_mktsegment, e.event_type
+    """,
+)
+def q221_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (`plans/partitioning.salted_join`): the fact
+    side scatters each row to one of 8 salt lanes, the dim side
+    replicates once per lane, and the join key becomes (key, salt) —
+    a persistent hot key's rows spread over 8 reducers instead of
+    one straggler. The ORACLE IS THE PLAIN JOIN: salting must be a
+    pure physical rewrite with identical results (each fact row
+    meets each matching dim row in exactly its one replica), and the
+    hash gate proves exactly that, aggregate-for-aggregate. Use
+    when AQE's skew split can't help: pre-bucketed layouts, stream-
+    static joins, persistent hot entities known in advance. Cost
+    story in the operator docstring; here the dim replica (customer
+    x8) still broadcasts at dimension scale."""
+    from patientdataintegration_spark.plans.partitioning import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(e, c, "user_id", "c_custkey", n_salts=8)
+    return (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )

@@ -244,3 +244,68 @@ def test_q219_twap_bounds(spark):
     for t, vals in by_type.items():
         assert min(vals) <= got[t].twap <= max(vals)
         assert got[t].n_intervals == len(vals) - 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be a pure physical rewrite: inner and left
+    results equal the plain joins row-for-row, including unmatched
+    left rows, and no _salt column leaks."""
+    from patientdataintegration_spark.plans.partitioning import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "d")], "k bigint, payload string"
+    )
+    dim = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, "z")], "dk bigint, attr string"
+    )
+    for how in ("inner", "left"):
+        plain = fact.join(dim, fact.k == dim.dk, how)
+        salted = salted_join(fact, dim, "k", "dk", n_salts=4, how=how)
+        assert salted.columns == plain.columns
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, "k", "dk", n_salts=0)
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, "k", "dk", how="full")
+
+
+def test_q220_session_window_matches_manual_sessions(spark):
+    """The native session_window agrees with the manual lag+cumsum
+    construction (same gap) for every (user, session)."""
+    from datetime import timedelta
+
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.suite.ext5 import (
+        q220_native_session_window,
+    )
+
+    got = {
+        (r.user_id, r.session_start_us): r
+        for r in q220_native_session_window(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts").collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r.ts)
+    n_sessions = 0
+    for u, tss in by_user.items():
+        tss.sort()
+        start = prev = tss[0]
+        n = 1
+        for t in tss[1:]:
+            if t - prev <= timedelta(minutes=30):
+                prev = t
+                n += 1
+            else:
+                key = (u, int(start.timestamp() * 1_000_000))
+                assert key in got and got[key].n_events == n
+                n_sessions += 1
+                start = prev = t
+                n = 1
+        key = (u, int(start.timestamp() * 1_000_000))
+        assert key in got and got[key].n_events == n
+        n_sessions += 1
+    assert n_sessions == len(got)
