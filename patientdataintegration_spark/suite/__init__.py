@@ -37,17 +37,17 @@ Round 5 rotated in q176-q191 (restoring ever-checked = all
 registered), the r5 re-proof set, and late-r5 additions q192-q206 —
 see CORRECTNESS_r05.json.
 
-The round-6 window holds (a) the fifteen new r6 queries
-q207-q221 (embedding near-dup dedup pipeline, TPC-H
+The round-6 window holds (a) the sixteen new r6 queries
+q207-q222 (embedding near-dup dedup pipeline, TPC-H
 Q21/Q22/Q17/Q7/Q8 shapes, exact grouped median, join-key skew
 audit, native pivot, SCD2 history, sweep-line max-concurrency,
 blocked fuzzy string join, time-weighted averages, native
-session_window, salted skew join), (b) re-proof
+session_window, salted skew join, mapInArrow byte stats), (b) re-proof
 rows for everything the r6 fixes touched (q193/q194: integer dHash
 grid + cross-multiplied oracle; q195: pushdown conf now set at
 source registration; q206: same PNG decode family), (c) q63 per the
 r5 verdict (last driver evidence was an r2 err), and (d) the r1-era residue
-minus its two youngest rows (q64/q65 — they queue for r7 with the
+minus its three youngest rows (q61/q64/q65 — they queue for r7 with the
 oldest r2-era rows; never-checked new queries outrank
 longest-unchecked fill). Previously-green queries stay registered
 after the priority block; their evidence is
@@ -91,7 +91,7 @@ PRIORITY = [
     # (a) never driver-checked: the round-6 batch, all
     # SQL-oracle-backed — embedding near-dup pipeline q207, classic
     # plan shapes q208-q213, and the warehouse/time-series set
-    # q214-q221 (SCD2, sweep-line concurrency, blocked fuzzy join,
+    # q214-q222 (SCD2, sweep-line concurrency, blocked fuzzy join,
     # TPC-H Q7/Q8, TWAP, native session_window, salted skew join)
     "q207_embedding_neardup_clusters",
     "q208_sole_late_supplier",
@@ -108,6 +108,7 @@ PRIORITY = [
     "q219_time_weighted_avg",
     "q220_native_session_window",
     "q221_salted_join",
+    "q222_arrow_byte_stats",
     # (b) operator or oracle changed in round 6 — re-prove: q193/
     # q194 (integer dHash + cross-multiplied oracle), q195 (runtime
     # pushdown conf now set in register_synth_docs), q206 (shares
@@ -119,8 +120,8 @@ PRIORITY = [
     # (c) r5 verdict item 3: last driver evidence r2-err, green in
     # every builder run since
     "q63_latest_per_key",
-    # (d) longest-unchecked rotation: the r1-era residue (30 of 32
-    # rows, last driver evidence CORRECTNESS_r01); q64/q65 + the
+    # (d) longest-unchecked rotation: the r1-era residue (29 of 32
+    # rows, last driver evidence CORRECTNESS_r01); q61/q64/q65 + the
     # oldest r2-era rows queue for the r7 window
     "q03_balanced_accuracy",
     "q07_impute_mode",
@@ -151,7 +152,6 @@ PRIORITY = [
     "q57_not_exists_anti",
     "q58_full_outer",
     "q59_grouping_sets",
-    "q61_date_battery",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

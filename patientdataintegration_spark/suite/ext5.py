@@ -1134,3 +1134,68 @@ def q221_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "event_type")
     )
+
+
+# --- mapInArrow lane ----------------------------------------------------------
+
+
+@_register(
+    "q222_arrow_byte_stats",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes,
+           CAST(SUM(CASE WHEN strlen(text) > length(text)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_multibyte_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q222_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` — the fourth and last Python batch API surface
+    (q197 scalar pandas UDF, q198 grouped-agg, q199 applyInPandas,
+    this one raw Arrow): per-batch pyarrow compute with ZERO
+    pandas materialization, the path for byte-level work where even
+    a pandas round-trip is waste. The UDF computes each document's
+    UTF-8 byte length and a multibyte flag with pyarrow.compute
+    kernels (vectorized C++, no per-row Python); the aggregate runs
+    JVM-side after. Hash-checked: UTF-8 is canonical, so DuckDB's
+    strlen (byte length) replays pyarrow's binary_length exactly. The per-batch
+    contract (yield RecordBatches, schema declared up front) is what
+    a 100 TB scan hands every task; nothing here touches the
+    driver. Storage-planning use: byte (not char) budgets are what
+    shard packing and tokenizer throughput estimates need."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+
+    def byte_stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            nbytes = pc.binary_length(pc.cast(text, pa.binary()))
+            nchars = pc.utf8_length(text)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("lang"),
+                    pc.cast(nbytes, pa.int64()),
+                    pc.cast(pc.greater(nbytes, nchars), pa.bool_()),
+                ],
+                names=["lang", "n_bytes", "is_multibyte"],
+            )
+
+    stats = d.mapInArrow(
+        byte_stats, "lang string, n_bytes bigint, is_multibyte boolean"
+    )
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.max("n_bytes").cast("bigint").alias("max_bytes"),
+            F.sum(F.col("is_multibyte").cast("int"))
+            .cast("bigint")
+            .alias("n_multibyte_docs"),
+        )
+        .orderBy("lang")
+    )
