@@ -181,3 +181,52 @@ def dedup_stream(
     )
     query.awaitTermination()
     return spark.table(table_name)
+
+
+def session_window_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "stream_session_windows",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Streaming session windows with the NATIVE `session_window`
+    aggregate — the engine-managed merging-window state (vs q96's
+    hand-rolled applyInPandasWithState sessionizer): per (user,
+    session) event counts + decimal-exact value sums, sessions
+    finalized and emitted once the watermark passes their close.
+
+    availableNow over the static parquet drains the backlog, so the
+    COMPLETE session set must equal the batch `session_window`
+    aggregation (q220) — which is hash-checked against the portable
+    lag+cumsum SQL construction; pytest pins the stream==batch
+    parity. State story at 100 TB: session state is bounded by the
+    watermark horizon (open sessions per active user), merged
+    in-place by the operator; output mode append emits each session
+    exactly once."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+    query: StreamingQuery = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(table_name)

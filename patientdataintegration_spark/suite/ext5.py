@@ -1199,3 +1199,17 @@ def q222_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@_register("q223_stream_session_window")  # no oracle: streaming execution
+def q223_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming native session_window (q220's streaming twin — see
+    `streaming/events.session_window_stream`). Rows-only lane like
+    the other streaming-execution queries; its session semantics are
+    hash-checked through the batch twin q220 and pytest pins
+    stream==batch parity up to the watermark frontier."""
+    from patientdataintegration_spark.streaming.events import (
+        session_window_stream,
+    )
+
+    return session_window_stream(spark, sf_dir)

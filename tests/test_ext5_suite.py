@@ -309,3 +309,34 @@ def test_q220_session_window_matches_manual_sessions(spark):
         assert key in got and got[key].n_events == n
         n_sessions += 1
     assert n_sessions == len(got)
+
+
+def test_q223_stream_sessions_match_batch_up_to_frontier(spark):
+    """The streaming native session_window (append mode) must emit a
+    SUBSET of the batch sessions (q220), bit-identical per emitted
+    row, and every withheld session must close within the watermark
+    horizon (1h) + gap of the stream's max timestamp — the only
+    sessions availableNow's final watermark legitimately cannot
+    finalize."""
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.suite.ext5 import (
+        q220_native_session_window,
+        q223_stream_session_window,
+    )
+
+    stream = q223_stream_session_window(spark, SF_DIR)
+    batch = q220_native_session_window(spark, SF_DIR)
+    assert stream.count() > 0
+    assert stream.exceptAll(batch).count() == 0
+    withheld = batch.exceptAll(stream).collect()
+    max_us = (
+        load_table(spark, SF_DIR, "events")
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    horizon_us = (3600 + 1800) * 1_000_000  # watermark 1h + gap 30m
+    for r in withheld:
+        assert r.session_end_us > max_us - horizon_us, (
+            f"session ending {r.session_end_us} withheld but outside "
+            "the watermark frontier"
+        )

@@ -30,6 +30,7 @@ STREAMING_LANES = [
     "q180_stream_cdc_upsert",
     "q196_python_stream_source",
     "q201_stream_outer_join",
+    "q223_stream_session_window",
 ]
 
 
