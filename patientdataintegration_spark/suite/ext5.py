@@ -241,12 +241,14 @@ def q208_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     would: ONE (orderkey, suppkey) aggregate computes per-supplier
     lateness, ONE orderkey rollup computes the order's supplier/late
     counts, and the two correlated quantifiers become plain filter
-    predicates (n_supp > 1, n_late_supp = 1) — no repeated
-    subquery scans of lineitem. Counts are exact integers; s_name is
-    unique per supplier (generated as 'Supplier#<key>'), so the
-    LIMIT-20 prefix is deterministic. Scale: both aggregates shuffle
-    on orderkey (the second reuses the first's output), then one
-    broadcast of the supplier dim."""
+    predicates (n_supp > 1, n_late_supp = 1) over ONE window pass —
+    no repeated subquery scans of lineitem and no join-back (which
+    would give per_supp two plan consumers and re-execute the
+    lineitem join). Counts are exact integers; s_name is unique per
+    supplier (generated as 'Supplier#<key>'), so the LIMIT-20 prefix
+    is deterministic. Scale: one (orderkey, suppkey) aggregate
+    shuffle, one orderkey window exchange over the aggregated rows,
+    one broadcast of the supplier dim."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
@@ -264,14 +266,27 @@ def q208_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late")
         )
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("late").alias("n_late_supp"),
+    # the per-order rollup as a WINDOW over per_supp, not a second
+    # aggregate joined back: per_supp has two consumers in the
+    # join-back formulation and DataFrame DAG branches re-execute
+    # their upstream (the lineitem scan + join ran TWICE — visible as
+    # 2x "Scan parquet lineitem" in the r6 plan), while the window
+    # rides one extra orderkey exchange on the already-aggregated
+    # (order, supplier) rows
+    wo = Window.partitionBy("l_orderkey")
+    stats = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(wo).alias("n_supp"),
+        F.sum("late").over(wo).alias("n_late_supp"),
     )
     return (
-        per_supp.filter(F.col("late") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        stats.filter(
+            (F.col("late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
