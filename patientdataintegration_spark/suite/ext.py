@@ -1731,7 +1731,55 @@ def q103_variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q104_audio_metadata")  # no oracle: pandas-UDF binary lane
+def _q104_sql() -> str:
+    """Closed-form PCM replay: data byte i of file k is
+    md5(str(k)+str(i)).digest()[0] (bytes >= 64 are zero padding);
+    channel-0 int16 frames are (lo + 256*hi) sign-folded; every
+    per-file statistic is exact float arithmetic replayed with the
+    decoder's parenthesisation ((ssq/2^30)/n, |s|/32768)."""
+    u = (
+        "CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || "
+        "CAST(j * blk AS VARCHAR)), 1, 2)) AS BIGINT) "
+        "+ 256 * CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || "
+        "CAST(j * blk + 1 AS VARCHAR)), 1, 2)) AS BIGINT)"
+    )
+    return f"""
+    WITH f AS (
+      SELECT p_partkey AS k,
+             CAST(1 + (p_partkey % 2) AS INTEGER) AS channels,
+             CAST(2 * (1 + (p_partkey % 2)) AS BIGINT) AS blk,
+             CAST(100 + (p_partkey % 400) AS BIGINT) AS n_frames
+      FROM part
+    ),
+    pcm AS (
+      SELECT k, channels, blk, n_frames,
+             list_transform(
+               list_transform(range(0, 64 // blk), j -> {u}),
+               u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS s
+      FROM f
+    ),
+    per_file AS (
+      SELECT channels, n_frames,
+             44 + n_frames * blk AS n_bytes,
+             sqrt((CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE)
+                   / 1073741824.0) / n_frames) AS rms,
+             CAST(list_max(list_transform(s, x -> abs(x))) AS DOUBLE)
+               / 32768.0 AS peak
+      FROM pcm
+    )
+    SELECT 8000 AS sample_rate, channels, 16 AS bits_per_sample,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_frames) AS BIGINT) AS total_samples,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           round(CAST(SUM(CAST(round(rms, 9) AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_rms,
+           MAX(peak) AS max_peak
+    FROM per_file
+    GROUP BY channels
+    """
+
+
+@_register("q104_audio_metadata", _q104_sql())
 def q104_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality lane end-to-end: deterministic RIFF/WAVE
     payloads (synthetic_wavs over the part table) through the REAL
@@ -1751,11 +1799,23 @@ def q104_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         feats.groupBy("sample_rate", "channels", "bits_per_sample")
         .agg(
-            F.count(F.lit(1)).alias("n_files"),
-            F.sum("n_samples").alias("total_samples"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg("rms"), 6).alias("avg_rms"),
-            F.round(F.max("peak"), 6).alias("max_peak"),
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_samples").cast("bigint").alias("total_samples"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            # per-file rms rounds at 9 (sqrt output — boundary-safe)
+            # then sums as DECIMAL so the file order never matters
+            # (q82 discipline); one exact division, one final round
+            F.round(
+                F.sum(
+                    F.round(F.col("rms"), 9).cast("decimal(28,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_rms"),
+            # per-file peaks are EXACT doubles (|s|/32768, a binary
+            # rational) — the max needs no rounding and rounding
+            # could land on a half-decimal boundary, so keep it raw
+            F.max("peak").alias("max_peak"),
         )
     )
 

@@ -635,11 +635,14 @@ def q213_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q214_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slowly-changing-dimension Type 2 built from a raw event log —
-    the warehouse dimension-history op: collapse each user's event
-    stream to its STATE CHANGES (event_type != previous), then turn
-    each change into a validity interval [valid_from, valid_to) via
-    lead(), open-ended (is_current) on the last. Two window passes
+    """Slowly-changing-dimension Type 2 with CHANGE COMPRESSION —
+    the half of the warehouse op q128 (`temporal.scd2_intervals`,
+    every observation = a version) deliberately leaves out: collapse
+    each user's event stream to its STATE CHANGES (event_type !=
+    previous) FIRST, then turn each change into a validity interval
+    [valid_from, valid_to) via lead(), open-ended + is_current on
+    the last — the compression that makes SCD2 storable when most
+    observations repeat the current state. Two window passes
     over the SAME (user_id; ts, event_id) sort order, so Spark plans
     ONE shuffle + one sort and both windows ride it. Validity bounds
     are epoch MICROSECONDS (exact integers — cross-engine-safe where

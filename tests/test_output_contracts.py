@@ -163,10 +163,10 @@ def test_every_query_is_oracle_backed_or_documented_rows_only():
         "q96_stream_sessionize",
         "q99_stream_stream_join",
         "q180_stream_cdc_upsert",
-        # binary pandas-UDF decode lanes (PCM sample stats / video
-        # frame pixels pinned by roundtrip pytests; their closed-form-
-        # checkable projections live in q205/q206/q193/q97/q91)
-        "q104_audio_metadata",
+        # binary pandas-UDF decode lane (video frame pixels pinned
+        # by roundtrip pytests; closed-form-checkable projections
+        # live in q205/q206/q193/q97/q91, and q104 graduated to a
+        # full PCM-replay oracle in r6)
         "q181_video_frames",
         # ML-ensemble / sketch lanes (nondeterministic-model or
         # estimator internals; bounds pinned in pytest)
