@@ -1577,7 +1577,42 @@ def q180_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- video modality lane (rows-only: pandas-UDF binary lane) -----------------
 
 
-@_register("q181_video_frames")
+def _q181_sql() -> str:
+    """Closed-form frame replay: sampled frame indices are
+    {0, 2, 4} below n_frames = 2 + k%4 (every_n=2, max_frames=4);
+    each frame's gray 24-bit pixels are (k*31 + f*17 + y*5 + x*3)
+    % 256 over the 8x6 plane, so mean_intensity = 3*pixel_sum/144
+    with ONE division — replayed with the decoder's arithmetic; the
+    per-video average rides per-frame round(9) + DECIMAL sums (the
+    q104 discipline)."""
+    psum = (
+        "list_sum(flatten(list_transform(range(0, 6), y -> "
+        "list_transform(range(0, 8), x -> "
+        "(k * 31 + fi * 17 + y * 5 + x * 3) % 256))))"
+    )
+    return f"""
+    WITH f AS (
+      SELECT p_partkey AS k, 2 + (p_partkey % 4) AS nf FROM part
+    ),
+    fr AS (
+      SELECT k, unnest(list_filter([0, 2, 4], v -> v < nf)) AS fi
+      FROM f
+    ),
+    m AS (
+      SELECT k, fi,
+             CAST(3 * {psum} AS DOUBLE) / 144.0 AS mi
+      FROM fr
+    )
+    SELECT concat('/synthetic/video/', k, '.avi') AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled_frames,
+           round(CAST(SUM(CAST(round(mi, 9) AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_intensity,
+           CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height
+    FROM m GROUP BY k
+    """
+
+
+@_register("q181_video_frames", _q181_sql())
 def q181_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video modality end-to-end with REAL decode: deterministic
     uncompressed AVI containers (synthetic_avis over the part table)
@@ -1586,9 +1621,15 @@ def q181_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     BELOW the decode, the reference's tile-sampling pushdown
     (`dataset_classes_v1.py` sampling-before-load) applied to the
     temporal axis), aggregated per video: frame count, mean of the
-    per-frame REAL pixel intensities. Rows-only by nature (binary
-    pandas-UDF lane); pytest pins the hand-computed per-frame means
-    and the metadata roundtrip."""
+    per-frame REAL pixel intensities. UPGRADED r6 to a full hash
+    oracle (the q104/q205/q206 closed-form pattern): pixels are a
+    pure function of (key, frame, y, x) and every per-frame mean is
+    one exact integer sum + one division, so DuckDB replays the
+    sampled-frame statistics arithmetically while Spark round-trips
+    real AVI containers through the real RIFF walk + DIB decode —
+    chunk offsets, bottom-up row flips, BGR ordering, and the
+    sampling predicate are all value-pinned. pytest additionally
+    pins hand-computed per-frame means and the metadata roundtrip."""
     from patientdataintegration_spark.operators.multimodal import (
         synthetic_avis,
         video_frame_features,
@@ -1598,8 +1639,17 @@ def q181_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     avis = synthetic_avis(p, "p_partkey")
     frames = video_frame_features(avis, every_n=2, max_frames=4)
     return frames.groupBy("path").agg(
-        F.count(F.lit(1)).alias("n_sampled_frames"),
-        F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled_frames"),
+        # per-frame means round at 9 then sum as DECIMAL (the q104
+        # discipline) so the <=3-frame accumulation order never
+        # reaches the hash
+        F.round(
+            F.sum(
+                F.round(F.col("mean_intensity"), 9).cast("decimal(28,12)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_intensity"),
         F.max("width").alias("width"),
         F.max("height").alias("height"),
     )

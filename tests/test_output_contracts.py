@@ -163,11 +163,9 @@ def test_every_query_is_oracle_backed_or_documented_rows_only():
         "q96_stream_sessionize",
         "q99_stream_stream_join",
         "q180_stream_cdc_upsert",
-        # binary pandas-UDF decode lane (video frame pixels pinned
-        # by roundtrip pytests; closed-form-checkable projections
-        # live in q205/q206/q193/q97/q91, and q104 graduated to a
-        # full PCM-replay oracle in r6)
-        "q181_video_frames",
+        # (the binary decode lanes all graduated to closed-form
+        # hash oracles: q91/q97 r5, q104 PCM + q181 video frames r6;
+        # q205/q206/q193/q194 were born checked)
         # ML-ensemble / sketch lanes (nondeterministic-model or
         # estimator internals; bounds pinned in pytest)
         "q94_random_forest",
