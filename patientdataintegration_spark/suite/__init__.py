@@ -47,7 +47,7 @@ rows for everything the r6 fixes touched (q193/q194: integer dHash
 grid + cross-multiplied oracle; q195: pushdown conf now set at
 source registration; q206: same PNG decode family), (c) q63 per the
 r5 verdict (last driver evidence was an r2 err), and (d) the r1-era residue
-minus its five youngest rows (q58/q59/q61/q64/q65 — they queue for r7 with the
+minus its six youngest rows (q57/q58/q59/q61/q64/q65 — they queue for r7 with the
 oldest r2-era rows; never-checked new queries outrank
 longest-unchecked fill). Previously-green queries stay registered
 after the priority block; their evidence is
@@ -114,18 +114,20 @@ PRIORITY = [
     # pushdown conf now set in register_synth_docs), q206 (shares
     # the PNG decode family the dHash fix touched), q104/q181 (the
     # two binary lanes upgraded r6 from rows-only to closed-form
-    # PCM/video-frame hash oracles)
+    # PCM/video-frame hash oracles), q95 (partial oracle: exact
+    # counts + error-bound verdict)
     "q193_image_dhash",
     "q194_dhash_neardup",
     "q195_python_datasource",
     "q206_image_decode_exact",
     "q104_audio_metadata",
     "q181_video_frames",
+    "q95_approx_distinct",
     # (c) r5 verdict item 3: last driver evidence r2-err, green in
     # every builder run since
     "q63_latest_per_key",
-    # (d) longest-unchecked rotation: the r1-era residue (27 of 32
-    # rows, last driver evidence CORRECTNESS_r01); q58-q65 + the
+    # (d) longest-unchecked rotation: the r1-era residue (26 of 32
+    # rows, last driver evidence CORRECTNESS_r01); q57-q65 + the
     # oldest r2-era rows queue for the r7 window
     "q03_balanced_accuracy",
     "q07_impute_mode",
@@ -153,7 +155,6 @@ PRIORITY = [
     "q54_spend_deciles",
     "q55_quantile_binning",
     "q56_pivot_status",
-    "q57_not_exists_anti",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -676,15 +676,39 @@ def q94_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- approximate distinct sketch (rows-only) --------------------------------
 
 
-@_register("q95_approx_distinct")  # no oracle: HLL sketches differ per engine
+@_register(
+    "q95_approx_distinct",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def q95_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) next to the exact count —
-    the 100 TB path for distinct-user metrics; pytest asserts the
-    relative error bound."""
+    """approx_count_distinct (HyperLogLog++) audited against the
+    exact count — the 100 TB path for distinct-user metrics.
+    UPGRADED r6 from rows-only to a PARTIAL hash oracle: the raw HLL
+    estimate is engine-internal (DuckDB cannot replay Spark's
+    sketch), so the output carries the exact count (hash-checked)
+    plus the AUDIT VERDICT |approx - exact| <= 5% as a boolean the
+    oracle pins to TRUE — if Spark's sketch ever drifts past the
+    bound (rsd is set to 2%), the hash gate goes red instead of a
+    pytest-only assertion. The estimate itself stays visible to
+    pytest (test_ml_sketches), which asserts the tighter live
+    bound."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
     )
 
 

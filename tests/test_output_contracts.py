@@ -166,10 +166,11 @@ def test_every_query_is_oracle_backed_or_documented_rows_only():
         # (the binary decode lanes all graduated to closed-form
         # hash oracles: q91/q97 r5, q104 PCM + q181 video frames r6;
         # q205/q206/q193/q194 were born checked)
-        # ML-ensemble / sketch lanes (nondeterministic-model or
-        # estimator internals; bounds pinned in pytest)
+        # ML-ensemble lane (model internals; bounds pinned in
+        # pytest; q95's sketch lane graduated r6 to a partial oracle
+        # — exact counts hash-checked + the error-bound verdict
+        # pinned TRUE)
         "q94_random_forest",
-        "q95_approx_distinct",
         # r5 streaming-execution lanes (q196: custom Python stream
         # source, restart test pins offsets; q201: stream-stream
         # LEFT OUTER, batch-twin parity pinned up to the watermark

@@ -105,13 +105,22 @@ def test_random_forest_better_than_chance(spark, sf_dir):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
+    """Live HLL estimate within 5% of exact (the raw estimate no
+    longer reaches q95's output — its oracle pins the verdict — so
+    recompute it here for the tighter live assertion)."""
+    from patientdataintegration_spark.sources.catalog import load_table
     from patientdataintegration_spark.suite.ext import q95_approx_distinct
 
-    rows = q95_approx_distinct(spark, sf_dir).collect()
-    assert rows
-    for r in rows:
+    e = load_table(spark, sf_dir, "events")
+    raw = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    ).collect()
+    assert raw
+    for r in raw:
         rel = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert rel < 0.05, f"{r['event_type']}: rel err {rel}"
+    assert all(r.within_5pct for r in q95_approx_distinct(spark, sf_dir).collect())
 
 
 def test_sliding_windows_cover_tumbling(spark, sf_dir):
