@@ -525,3 +525,108 @@ def test_srp_projection_linearity(vec):
         p = proj(vec, j)
         assert proj([-x for x in vec], j) == -p
         assert proj([2 * x for x in vec], j) == 2 * p
+
+
+# --- round-6 operator properties ---------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 99)),
+        min_size=0,
+        max_size=25,
+    ),
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 99)), max_size=10),
+    st.integers(1, 5),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_salted_join_equivalence_property(spark, fact_rows, dim_rows, n_salts):
+    """salted_join == plain join for ANY key/payload multiset and any
+    salt count, inner and left — the physical-rewrite contract the
+    q221 oracle pins on one dataset, generalized."""
+    from patientdataintegration_spark.plans.partitioning import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, p) for k, p in fact_rows] or [(None, None)],
+        "k bigint, payload bigint",
+    )
+    dim = spark.createDataFrame(
+        [(k, p) for k, p in dim_rows] or [(None, None)],
+        "dk bigint, attr bigint",
+    )
+    for how in ("inner", "left"):
+        plain = fact.join(dim, fact.k == dim.dk, how)
+        salted = salted_join(fact, dim, "k", "dk", n_salts=n_salts, how=how)
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+
+
+@given(
+    st.lists(st.integers(0, 3_000), min_size=1, max_size=40),
+    st.integers(10, 500),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sweepline_max_concurrency_property(spark, starts, dur):
+    """The windowed +1/-1 sweep equals the brute-force maximum over
+    all interval starts (the max concurrency is always attained at
+    some interval's opening instant) for arbitrary integer-second
+    interval sets, including exact touching ends (half-open)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(seconds=s),) for s in starts]
+    iv = spark.createDataFrame(rows, "s timestamp").select(
+        F.col("s"), (F.col("s") + F.expr(f"INTERVAL {dur} SECONDS")).alias("e")
+    )
+    pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = (
+        pts.select(F.sum("d").over(w).alias("live"))
+        .agg(F.max("live"))
+        .collect()[0][0]
+    )
+    naive = max(
+        sum(1 for s2 in starts if s2 <= s < s2 + dur) for s in starts
+    )
+    assert got == naive
+
+
+@given(st.text(alphabet="abcdefg hi", min_size=4, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_fuzzy_blocking_never_misses_a_mid_deletion(name):
+    """The q216 blocking invariant as a pure property: deleting
+    character 3 of any name preserves the 2-char prefix block AND
+    yields levenshtein exactly 1 — so the blocked join provably has
+    full recall on the planted corruption."""
+    typo = name[:2] + name[3:]
+    assert typo[:2] == name[:2]
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    assert lev(typo, name) <= 1  # == 1 unless the deleted char repeats
+    assert lev(typo, name) == (0 if typo == name else 1)
