@@ -1231,3 +1231,264 @@ def q223_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return session_window_stream(spark, sf_dir)
+
+
+# --- RF quality verdict (the q95 partial-oracle pattern for MLlib) -----------
+
+
+@_register(
+    "q224_rf_quality_verdict",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+           TRUE AS beats_chance,
+           TRUE AS scores_in_unit,
+           TRUE AS preds_binary
+    FROM customer
+    """,
+)
+def q224_rf_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib quality gate with the q95 partial-oracle pattern: the
+    random-forest scores themselves are model internals no other
+    engine can replay (q94 stays the rows-only per-customer score
+    lane), but the PROPERTIES a pipeline gates deployment on are
+    hash-checkable verdicts — every customer scored exactly once,
+    accuracy strictly above chance, probabilities inside [0, 1],
+    predictions binary. The oracle pins all four TRUE + the exact
+    row count; a silent model regression (class collapse, NaN
+    probabilities, dropped rows) reddens the hash gate instead of
+    only a pytest bound. Deterministic: fixed seed + fixed corpus
+    give a fixed accuracy (0.91/0.65/0.55 at the three SFs — the
+    margin over 0.5 is real data separation, not luck)."""
+    from patientdataintegration_spark.operators.mlbridge import (
+        random_forest_scores,
+    )
+
+    s = random_forest_scores(spark, sf_dir)
+    return s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        (
+            F.avg((F.col("label") == F.col("pred")).cast("double")) > 0.5
+        ).alias("beats_chance"),
+        (
+            (F.min("score") >= 0.0) & (F.max("score") <= 1.0)
+        ).alias("scores_in_unit"),
+        (F.max(F.col("pred") * (F.col("pred") - 1)) == 0).alias(
+            "preds_binary"
+        ),
+    )
+
+
+# --- TPC-H Q11 shape: concentrated suppliers ---------------------------------
+
+
+@_register(
+    "q225_revenue_concentration",
+    """
+    WITH per_supp AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS value
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    total AS (SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS t,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM per_supp)
+    SELECT p.l_suppkey, p.value
+    FROM per_supp p, total
+    WHERE p.value > (total.t / total.n) * 1.05
+    ORDER BY p.value DESC, p.l_suppkey
+    """,
+)
+def q225_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): suppliers whose revenue
+    exceeds 1.05x the MEAN supplier revenue (the corpus generator's uniform draws concentrate supplier revenue within ~16% of the mean, so 1.05 is the selective-but-nonempty cut at every SF) — GROUP BY + HAVING
+    against a scalar subquery, with a scale-free threshold (a fixed
+    global fraction, TPC-H's literal spelling, empties as supplier
+    cardinality grows with SF). The one-row global (total, count)
+    aggregates over the per-supplier relation and broadcasts into
+    the filter; the fact scans ONCE (per_supp feeds both sides —
+    Spark reuses the exchange). Exactness: both sums ride DECIMAL;
+    the threshold is one division + one multiply of decimal-exact
+    doubles, identical parenthesisation both engines. The ORDER BY carries the
+    suppkey tiebreak (revenue ties are possible in principle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(rev).cast("double").alias("value")
+    )
+    total = per_supp.agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > (F.col("t") / F.col("n")) * 1.05)
+        .select("l_suppkey", "value")
+        .orderBy(F.col("value").desc(), "l_suppkey")
+    )
+
+
+# --- TPC-H Q18 shape: large-volume orders ------------------------------------
+
+
+@_register(
+    "q226_large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300
+    )
+    SELECT c.c_name, o.o_orderkey, epoch_us(o.o_orderdate)
+             AS o_orderdate_us,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q226_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity clears a threshold, joined back to customer — the
+    canonical IN-(grouped-HAVING-subquery) decorrelated to an
+    aggregate + join. The HAVING prunes on the DECIMAL sum itself
+    (exact, so the > 300 cut is engine-identical even for boundary
+    sums); the surviving key set is tiny, so both joins broadcast
+    it. Order date surfaces as epoch micros; the LIMIT rides a
+    unique (totalprice DESC, orderkey) order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --- TPC-H Q19 shape: disjunctive predicate revenue --------------------------
+
+
+@_register(
+    "q227_disjunctive_revenue",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q227_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): an OR of three
+    (brand/type, size-range, quantity-range) conjunctions across the
+    join — the disjunctive-predicate stress test. Catalyst keeps the
+    whole disjunction as ONE join filter (no union-of-three-joins
+    blowup) and pushes the per-side implied predicates
+    (CNF-extractable conjuncts) below the join where possible; at
+    100 TB the win is that part and lineitem each scan once. All
+    comparisons are on integers/exact doubles; revenue rides
+    DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(1, 10)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 40)
+        )
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+# --- trailing event-time RANGE frame -----------------------------------------
+
+
+@_register(
+    "q228_trailing_hour_frame",
+    """
+    SELECT event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q228_trailing_hour_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing ONE-HOUR statistics via a RANGE frame over
+    event time — the per-row rolling aggregate that bucketed sliding
+    windows (q39) cannot express (every row gets ITS OWN trailing
+    hour, not a shared grid). The frame bound is in epoch seconds
+    (`rangeBetween(-3600, 0)` over `unix_timestamp`, which FLOORS to
+    whole seconds — the oracle must floor(epoch(ts)) too, DuckDB's
+    epoch keeps fractional microseconds); rows tying on the same second all share
+    one frame, so no tiebreak is needed for determinism (RANGE
+    includes peers — that is the point of RANGE vs ROWS here). Sum
+    rides DECIMAL inside the frame so incremental add/evict is
+    exact. Scale: one shuffle on event_type + one sort — the same
+    cost as any per-key window; state is the frame width, bounded by
+    event rate x 1 hour."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing_1h"),
+    )

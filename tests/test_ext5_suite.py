@@ -340,3 +340,56 @@ def test_q223_stream_sessions_match_batch_up_to_frontier(spark):
             f"session ending {r.session_end_us} withheld but outside "
             "the watermark frontier"
         )
+
+
+def test_q228_trailing_frame_matches_naive(spark):
+    """Per-event trailing-hour stats equal a brute-force recompute
+    (floored epoch seconds, inclusive [t-3600, t], ties share one
+    frame) for one event type."""
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.suite.ext5 import q228_trailing_hour_frame
+
+    got = {
+        r.event_id: (r.n_trailing_1h, r.sum_trailing_1h)
+        for r in q228_trailing_hour_frame(spark, SF_DIR).collect()
+    }
+    ev = [
+        (r.event_id, int(r.ts.timestamp()), r.value)
+        for r in load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "click")
+        .collect()
+    ]
+    for eid, t, _v in ev:
+        frame = [(e, s, v) for e, s, v in ev if t - 3600 <= s <= t]
+        n, sm = got[eid]
+        assert n == len(frame)
+        from decimal import Decimal
+
+        exact = sum(Decimal(str(round(v, 6))) for _, _, v in frame)
+        assert sm == pytest.approx(float(exact), abs=1e-6)
+
+
+def test_q226_every_reported_order_clears_threshold(spark):
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.suite.ext5 import q226_large_volume_orders
+
+    rows = q226_large_volume_orders(spark, SF_DIR).collect()
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem")
+    qty = {
+        r.l_orderkey: r.q
+        for r in li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    for r in rows:
+        assert qty[r.o_orderkey] > 300
+        assert r.total_qty == pytest.approx(qty[r.o_orderkey])
+
+
+def test_q224_verdicts_are_true(spark):
+    from patientdataintegration_spark.suite.ext5 import q224_rf_quality_verdict
+
+    r = q224_rf_quality_verdict(spark, SF_DIR).collect()[0]
+    assert r.beats_chance and r.scores_in_unit and r.preds_binary
+    assert r.n_scored == 150
