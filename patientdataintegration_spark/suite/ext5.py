@@ -1492,3 +1492,98 @@ def q228_trailing_hour_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_trailing_1h"),
     )
+
+
+# --- SQL UDFs (CREATE FUNCTION ... RETURN) ------------------------------------
+
+
+@_register(
+    "q229_sql_udf_macros",
+    """
+    SELECT CASE WHEN p.p_size <= 10 THEN 'small'
+                WHEN p.p_size <= 30 THEN 'mid'
+                ELSE 'large' END AS size_band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY size_band
+    ORDER BY size_band
+    """,
+)
+def q229_sql_udf_macros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDFs (Spark 4 `CREATE FUNCTION ... RETURN <expr>`) — the
+    reusable-business-logic surface that, unlike a Python UDF, is a
+    MACRO: Catalyst inlines the body into the plan, so whole-stage
+    codegen, predicate pushdown, and constant folding all still
+    apply (the oracle literally IS the inlined expansion, proving
+    the equivalence). `line_revenue` packages the suite's decimal
+    revenue discipline; `size_band` packages a CASE banding — the
+    two idioms ETL teams copy-paste and drift on. Scale: identical
+    plan to writing the expressions inline — one broadcast join, one
+    partial-aggregated shuffle on the 3 band keys."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION line_revenue("
+        "p DOUBLE, d DOUBLE) RETURNS DECIMAL(18,6) "
+        "RETURN CAST(p * (1 - d) AS DECIMAL(18,6))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION size_band(s INT) "
+        "RETURNS STRING RETURN CASE WHEN s <= 10 THEN 'small' "
+        "WHEN s <= 30 THEN 'mid' ELSE 'large' END"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q229_lineitem"
+    )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q229_part")
+    return spark.sql(
+        """
+        SELECT size_band(p.p_size) AS size_band,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(line_revenue(l.l_extendedprice, l.l_discount))
+                    AS DOUBLE) AS revenue
+        FROM q229_lineitem l JOIN q229_part p
+          ON p.p_partkey = l.l_partkey
+        GROUP BY size_band(p.p_size)
+        ORDER BY size_band
+        """
+    )
+
+
+# --- correlated LATERAL subquery (per-row top-k) ------------------------------
+
+_Q230_SQL = """
+    SELECT n.n_name, t.s_name, t.s_acctbal
+    FROM nation n, LATERAL (
+      SELECT s.s_name, s.s_acctbal
+      FROM supplier s
+      WHERE s.s_nationkey = n.n_nationkey
+      ORDER BY s.s_acctbal DESC, s.s_suppkey
+      LIMIT 2
+    ) t
+    ORDER BY n.n_name, t.s_acctbal DESC, t.s_name
+"""
+
+
+@_register("q230_lateral_topk", _Q230_SQL)
+def q230_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation
+    top-2 suppliers by balance, spelled the way an analyst writes it
+    ("for each row, run this parameterized query"). Spark
+    decorrelates the lateral into a DomainJoin and the per-group
+    LIMIT into rank machinery — a different planner path from the
+    window-function spelling (q15) and from the UDTF LATERAL (q182),
+    which is exactly why it earns its own lane; BOTH engines run the
+    identical SQL text. The inner ORDER BY carries the suppkey
+    tiebreak so the per-group prefix is deterministic. Scale: the
+    decorrelated plan is one shuffle on nationkey + per-key rank —
+    same cost as the window form; nothing is per-row re-executed."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("q230_nation")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "q230_supplier"
+    )
+    return spark.sql(
+        _Q230_SQL.replace("nation n", "q230_nation n").replace(
+            "supplier s", "q230_supplier s"
+        )
+    )

@@ -393,3 +393,51 @@ def test_q224_verdicts_are_true(spark):
     r = q224_rf_quality_verdict(spark, SF_DIR).collect()[0]
     assert r.beats_chance and r.scores_in_unit and r.preds_binary
     assert r.n_scored == 150
+
+
+def test_q229_sql_udfs_inline_into_codegen(spark):
+    """SQL UDFs must be macros, not black boxes: the physical plan
+    contains no Python evaluation node and the aggregation stays in
+    whole-stage codegen."""
+    from patientdataintegration_spark.suite.ext5 import q229_sql_udf_macros
+
+    df = q229_sql_udf_macros(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # inlining keeps pushdown/pruning alive: the part scan reads only
+    # the two referenced columns (AQE's unexecuted plan hides the
+    # WholeStageCodegen markers, so assert on the scan instead)
+    assert "ReadSchema: struct<p_partkey:bigint,p_size:int>" in plan
+    rows = {r.size_band: r for r in df.collect()}
+    assert set(rows) == {"small", "mid", "large"}
+
+
+def test_q230_lateral_matches_window_formulation(spark):
+    """The decorrelated LATERAL top-2 equals the row_number window
+    spelling row-for-row."""
+    from pyspark.sql.window import Window
+
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.suite.ext5 import q230_lateral_topk
+
+    got = {
+        (r.n_name, r.s_name): r.s_acctbal
+        for r in q230_lateral_topk(spark, SF_DIR).collect()
+    }
+    n = load_table(spark, SF_DIR, "nation")
+    s = load_table(spark, SF_DIR, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), "s_suppkey"
+    )
+    expect = {
+        (r.n_name, r.s_name): r.s_acctbal
+        for r in s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .collect()
+    }
+    assert got == expect
