@@ -37,19 +37,20 @@ Round 5 rotated in q176-q191 (restoring ever-checked = all
 registered), the r5 re-proof set, and late-r5 additions q192-q206 —
 see CORRECTNESS_r05.json.
 
-The round-6 window holds (a) the twenty-three new r6 queries
-q207-q230 (embedding near-dup dedup pipeline, TPC-H
+The round-6 window holds (a) the twenty-four new r6 queries
+q207-q231 (embedding near-dup dedup pipeline, TPC-H
 Q21/Q22/Q17/Q7/Q8 shapes, exact grouped median, join-key skew
 audit, native pivot, SCD2 history, sweep-line max-concurrency,
 blocked fuzzy string join, time-weighted averages, native
 session_window, salted skew join, mapInArrow byte stats, RF
 quality verdict, TPC-H Q11/Q18/Q19 shapes, trailing interval
-RANGE frame, SQL-UDF macros, correlated LATERAL top-k), (b) re-proof
+RANGE frame, SQL-UDF macros, correlated LATERAL top-k, FULL
+OUTER stream-stream join), (b) re-proof
 rows for everything the r6 fixes touched (q193/q194: integer dHash
 grid + cross-multiplied oracle; q195: pushdown conf now set at
 source registration; q206: same PNG decode family), (c) q63 per the
 r5 verdict (last driver evidence was an r2 err), and (d) the r1-era residue
-minus its thirteen youngest rows (q50-q59/q61/q64/q65 — they queue for r7 with the
+minus its fourteen youngest rows (q49-q59/q61/q64/q65 — they queue for r7 with the
 oldest r2-era rows; never-checked new queries outrank
 longest-unchecked fill). Previously-green queries stay registered
 after the priority block; their evidence is
@@ -93,7 +94,7 @@ PRIORITY = [
     # (a) never driver-checked: the round-6 batch, all
     # SQL-oracle-backed — embedding near-dup pipeline q207, classic
     # plan shapes q208-q213, and the warehouse/time-series set
-    # q214-q230 (SCD2, sweep-line concurrency, blocked fuzzy join,
+    # q214-q231 (SCD2, sweep-line concurrency, blocked fuzzy join,
     # TPC-H Q7/Q8, TWAP, native session_window, salted skew join)
     "q207_embedding_neardup_clusters",
     "q208_sole_late_supplier",
@@ -118,6 +119,7 @@ PRIORITY = [
     "q228_trailing_hour_frame",
     "q229_sql_udf_macros",
     "q230_lateral_topk",
+    "q231_stream_full_outer_join",
     # (b) operator or oracle changed in round 6 — re-prove: q193/
     # q194 (integer dHash + cross-multiplied oracle), q195 (runtime
     # pushdown conf now set in register_synth_docs), q206 (shares
@@ -135,8 +137,8 @@ PRIORITY = [
     # (c) r5 verdict item 3: last driver evidence r2-err, green in
     # every builder run since
     "q63_latest_per_key",
-    # (d) longest-unchecked rotation: the r1-era residue (19 of 32
-    # rows, last driver evidence CORRECTNESS_r01); q50-q65 + the
+    # (d) longest-unchecked rotation: the r1-era residue (18 of 32
+    # rows, last driver evidence CORRECTNESS_r01); q49-q65 + the
     # oldest r2-era rows queue for the r7 window
     "q03_balanced_accuracy",
     "q07_impute_mode",
@@ -156,7 +158,6 @@ PRIORITY = [
     "q27_status_matrix",
     "q43_percentiles",
     "q44_cube",
-    "q49_global_topk",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

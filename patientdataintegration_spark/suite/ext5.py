@@ -1587,3 +1587,29 @@ def q230_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supplier s", "q230_supplier s"
         )
     )
+
+
+@_register("q231_stream_full_outer_join")  # no oracle: streaming execution
+def q231_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join — the last
+    member of the join-mode family (q99 inner, q201 left outer):
+    errors with no same-user click in the window AND clicks that
+    never matched any error both surface as half-null rows once
+    the watermark passes their join window. Outer emission on BOTH
+    sides is the hardest state-cleanup contract the engine offers —
+    a row may only be emitted null-extended when state eviction
+    PROVES no future match can arrive. Rows-only lane; pytest pins
+    set-parity with the batch FULL OUTER join up to the watermark
+    frontier on both sides, and the deterministic-replay matrix
+    covers run-to-run stability."""
+    from patientdataintegration_spark.streaming.sessions import (
+        interval_join_stream,
+    )
+
+    return interval_join_stream(
+        spark,
+        sf_dir,
+        window_hours=24,
+        table_name="stream_interval_join_full",
+        how="full_outer",
+    )

@@ -441,3 +441,69 @@ def test_q230_lateral_matches_window_formulation(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_stream_full_outer_join_matches_batch_twin(spark):
+    """q231 vs the batch FULL OUTER twin: every streamed row appears
+    in the batch result; withheld rows are exclusively outer rows at
+    the watermark frontier on EITHER side (an unmatched error whose
+    window end the watermark never passed, or an unmatched click
+    whose state could not be proven final). Both null-extension
+    directions must actually occur."""
+    from patientdataintegration_spark.sources.catalog import load_table
+    from patientdataintegration_spark.suite.ext5 import (
+        q231_stream_full_outer_join,
+    )
+
+    streamed = q231_stream_full_outer_join(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("e_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("e_ts"))
+        & (F.col("c_ts") > F.col("e_ts") - F.expr("INTERVAL 24 HOURS")),
+        "full_outer",
+    ).select(
+        "error_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("e_ts") - F.unix_micros("c_ts")).alias(
+            "micros_between"
+        ),
+        "e_ts",
+        "c_ts",
+    )
+    wm = min(
+        errors.agg(F.max("e_ts")).collect()[0][0],
+        clicks.agg(F.max("c_ts")).collect()[0][0],
+    )
+    s_rows = {tuple(r) for r in streamed.collect()}
+    b_all = batch.collect()
+    b_rows = {
+        (r.error_id, r.click_id, r.user_id, r.micros_between) for r in b_all
+    }
+    assert s_rows and s_rows <= b_rows
+    missing = b_rows - s_rows
+    import datetime as dt
+
+    frontier = set()
+    for r in b_all:
+        if r.click_id is None and r.e_ts >= wm:
+            frontier.add((r.error_id, None, r.user_id, None))
+        # an unmatched click's state is final once the watermark
+        # passes c_ts + window (no future error can still reach it)
+        if r.error_id is None and r.c_ts + dt.timedelta(hours=24) >= wm:
+            frontier.add((None, r.click_id, None, None))
+    assert missing <= frontier, f"non-frontier rows withheld: {list(missing)[:3]}"
+    assert any(r[1] is None and r[0] is not None for r in s_rows)
+    assert any(r[0] is None and r[1] is not None for r in s_rows)

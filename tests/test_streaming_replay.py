@@ -31,6 +31,7 @@ STREAMING_LANES = [
     "q196_python_stream_source",
     "q201_stream_outer_join",
     "q223_stream_session_window",
+    "q231_stream_full_outer_join",
 ]
 
 
