@@ -42,6 +42,7 @@ victim side is independently hardened in `operators/mlbridge.py`
 
 from __future__ import annotations
 
+import uuid
 import weakref
 
 from pyspark.sql import DataFrame, Observation, functions as F
@@ -121,8 +122,12 @@ def run_observed(
 
     The observed action runs on a throwaway child session (see module
     docstring) so the caller's session stays Java-serializable and
-    MLlib lanes on the same long-lived session keep working."""
-    obs = Observation(name)
+    MLlib lanes on the same long-lived session keep working. The
+    child session is CACHED per root session, so the observation name
+    is uniquified per call — concurrent `run_observed` calls on one
+    root session would otherwise collide in the shared child's
+    observationManager (or cross-match metrics by name)."""
+    obs = Observation(f"{name}_{uuid.uuid4().hex}")
     observed = _transplant_to_fresh_session(df).observe(obs, *metric_exprs)
     observed.write.format("noop").mode("overwrite").save()
     return obs.get

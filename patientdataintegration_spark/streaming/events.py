@@ -195,11 +195,14 @@ def session_window_stream(
     session) event counts + decimal-exact value sums, sessions
     finalized and emitted once the watermark passes their close.
 
-    availableNow over the static parquet drains the backlog, so the
-    COMPLETE session set must equal the batch `session_window`
-    aggregation (q220) — which is hash-checked against the portable
-    lag+cumsum SQL construction; pytest pins the stream==batch
-    parity. State story at 100 TB: session state is bounded by the
+    availableNow over the static parquet drains the backlog, but with
+    outputMode append the final watermark never passes sessions that
+    close within watermark (1 hour) + gap of the stream's max
+    timestamp — those stay in state and are never emitted. The actual
+    contract (what test_q223 pins): the streamed sessions are a
+    bit-identical SUBSET of the batch `session_window` aggregation
+    (q220), complete up to the watermark frontier. State story at
+    100 TB: session state is bounded by the
     watermark horizon (open sessions per active user), merged
     in-place by the operator; output mode append emits each session
     exactly once."""

@@ -1049,7 +1049,7 @@ def q219_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q220_native_session_window",
     """
     WITH seq AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CAST(value AS DECIMAL(18,6)) AS v,
              CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
                   THEN 0 ELSE 1 END AS new_sess
@@ -1058,7 +1058,7 @@ def q219_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tagged AS (
       SELECT user_id, ts, v,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM seq
     )
@@ -1219,13 +1219,59 @@ def q222_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q223_stream_session_window")  # no oracle: streaming execution
+@_register(
+    "q223_stream_session_window",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, ts, v,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    sessions AS (
+      SELECT user_id,
+             epoch_us(MIN(ts)) AS session_start_us,
+             epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(v) AS DOUBLE) AS total_value
+      FROM tagged
+      GROUP BY user_id, sid
+    ),
+    wm AS (
+      SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) * 1000 AS wm_us
+      FROM events
+    )
+    SELECT s.user_id, s.session_start_us, s.session_end_us,
+           s.n_events, s.total_value
+    FROM sessions s, wm
+    WHERE s.session_end_us <= wm.wm_us
+    """,
+)
 def q223_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming native session_window (q220's streaming twin — see
-    `streaming/events.session_window_stream`). Rows-only lane like
-    the other streaming-execution queries; its session semantics are
-    hash-checked through the batch twin q220 and pytest pins
-    stream==batch parity up to the watermark frontier."""
+    `streaming/events.session_window_stream`), upgraded in r7 from a
+    rows-only lane to a FULL hash oracle: the set of sessions an
+    append-mode availableNow drain emits is deterministic — exactly
+    the batch sessions whose end has passed the final watermark. The
+    oracle replays both halves in portable SQL: q220's lag+cumsum
+    session construction, then Spark's eviction rule. Eviction
+    semantics pinned (verified empirically at sf0.001/0.01/0.1,
+    full-row equality): the watermark is tracked in MILLISECONDS
+    (max event time truncated to ms, minus the 1 h delay) and a
+    session window is emitted when `session_end <= watermark` —
+    hence `(epoch_us // 1000 - 3600000) * 1000` in the oracle, which
+    matters because the event timestamps carry sub-millisecond
+    precision. Sessions closing inside the horizon stay in state and
+    are withheld (frontier membership pinned by
+    test_q223_stream_sessions_match_batch_up_to_frontier)."""
     from patientdataintegration_spark.streaming.events import (
         session_window_stream,
     )
@@ -1272,7 +1318,7 @@ def q224_rf_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.min("score") >= 0.0) & (F.max("score") <= 1.0)
         ).alias("scores_in_unit"),
-        (F.max(F.col("pred") * (F.col("pred") - 1)) == 0).alias(
+        (F.max(F.abs(F.col("pred") * (F.col("pred") - 1))) == 0).alias(
             "preds_binary"
         ),
     )

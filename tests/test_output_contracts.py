@@ -177,12 +177,12 @@ def test_every_query_is_oracle_backed_or_documented_rows_only():
         # frontier)
         "q196_python_stream_source",
         "q201_stream_outer_join",
-        # r6 streaming-execution lanes (native session_window with
-        # hash-checked batch twin q220; FULL OUTER stream-stream
-        # join completing the q99/q201 family — both with
-        # stream==batch parity up to the watermark frontier pinned
-        # in test_ext5_suite)
-        "q223_stream_session_window",
+        # r6 streaming-execution lane (FULL OUTER stream-stream join
+        # completing the q99/q201 family, stream==batch parity up to
+        # the watermark frontier pinned in test_ext5_suite). q223
+        # left this list in r7: its emitted session set is
+        # deterministic and now carries a full frontier-replay hash
+        # oracle.
         "q231_stream_full_outer_join",
     }
     missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY
