@@ -37,25 +37,28 @@ Round 5 rotated in q176-q191 (restoring ever-checked = all
 registered), the r5 re-proof set, and late-r5 additions q192-q206 —
 see CORRECTNESS_r05.json.
 
-The round-6 window holds (a) the twenty-four new r6 queries
-q207-q231 (embedding near-dup dedup pipeline, TPC-H
-Q21/Q22/Q17/Q7/Q8 shapes, exact grouped median, join-key skew
-audit, native pivot, SCD2 history, sweep-line max-concurrency,
-blocked fuzzy string join, time-weighted averages, native
-session_window, salted skew join, mapInArrow byte stats, RF
-quality verdict, TPC-H Q11/Q18/Q19 shapes, trailing interval
-RANGE frame, SQL-UDF macros, correlated LATERAL top-k, FULL
-OUTER stream-stream join), (b) re-proof
-rows for everything the r6 fixes touched (q193/q194: integer dHash
-grid + cross-multiplied oracle; q195: pushdown conf now set at
-source registration; q206: same PNG decode family), (c) q63 per the
-r5 verdict (last driver evidence was an r2 err), and (d) the r1-era residue
-minus its fourteen youngest rows (q49-q59/q61/q64/q65 — they queue for r7 with the
-oldest r2-era rows; never-checked new queries outrank
-longest-unchecked fill). Previously-green queries stay registered
-after the priority block; their evidence is
-CORRECTNESS_r01-r05.json plus the committed full-registry
-ORACLE_RUN logs.
+The round-7 window is the r6 verdict's evidence-refresh plan: (a)
+the never-driver-checked entries — the two new r7 sketch-path
+queries q232/q233 (approx-percentile bucket edges with
+bounded-error verdict oracles) and q223 (upgraded r7 from a
+rows-only streaming lane to a FULL hash oracle replaying the
+append-mode watermark-eviction rule, so its first driver row
+compares something); (b) re-proof rows for everything r7 changed —
+q220 (cumsum window now tie-deterministic on event_id), q224
+(preds_binary verdict hardened per ADVICE), q54/q145 (exact
+NTILE/PERCENT_RANK rollups rewritten onto the distributed
+global_row_number operator, bit-identical output, no unpartitioned
+WindowExec); (c) the complete r1-era evidence residue
+(q49-q59/q61/q64/q65, latest driver rows CORRECTNESS_r01); and (d)
+the thirty oldest r2-era rows (q21-q92). The ten youngest r2-era
+rows (q93/q100/q103/q105-q109/q111/q112) queue for r8, which
+clears the backlog: after r8 no registry query's latest driver
+evidence predates r3. Per the r6 verdict, no-oracle streaming
+lanes stay OUT of the window (q231 burned an r6 slot on
+err:no_oracle; the lanes are pinned by batch twins + the replay
+matrix). Previously-green queries stay registered after the
+priority block; their evidence is CORRECTNESS_r01-r06.json plus
+the committed full-registry ORACLE_RUN logs.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -88,76 +91,68 @@ _ALL_ORACLES = {
     **EXT5_ORACLES,
 }
 
-# The driver-checked prefix, by design exactly 50 names (round-4
+# The driver-checked prefix, by design exactly 50 names (round-7
 # rotation: see module docstring).
 PRIORITY = [
-    # (a) never driver-checked: the round-6 batch, all
-    # SQL-oracle-backed — embedding near-dup pipeline q207, classic
-    # plan shapes q208-q213, and the warehouse/time-series set
-    # q214-q231 (SCD2, sweep-line concurrency, blocked fuzzy join,
-    # TPC-H Q7/Q8, TWAP, native session_window, salted skew join)
-    "q207_embedding_neardup_clusters",
-    "q208_sole_late_supplier",
-    "q209_rich_idle_customers",
-    "q210_token_count_median",
-    "q211_join_key_skew",
-    "q212_status_pivot",
-    "q213_small_qty_revenue",
-    "q214_scd2_history",
-    "q215_max_concurrency",
-    "q216_fuzzy_name_match",
-    "q217_nation_trade_matrix",
-    "q218_market_share",
-    "q219_time_weighted_avg",
+    # (a) never driver-checked: the r7 sketch-path pair + q223 (now
+    # carrying a full watermark-frontier hash oracle)
+    "q232_decile_edges_approx",
+    "q233_equidepth_approx",
+    "q223_stream_session_window",
+    # (b) changed in round 7 — re-prove: q220 (tie-deterministic
+    # cumsum oracle), q224 (hardened preds_binary verdict), q54/q145
+    # (distributed global_row_number rewrite, same oracles)
     "q220_native_session_window",
-    "q221_salted_join",
-    "q222_arrow_byte_stats",
     "q224_rf_quality_verdict",
-    "q225_revenue_concentration",
-    "q226_large_volume_orders",
-    "q227_disjunctive_revenue",
-    "q228_trailing_hour_frame",
-    "q229_sql_udf_macros",
-    "q230_lateral_topk",
-    "q231_stream_full_outer_join",
-    # (b) operator or oracle changed in round 6 — re-prove: q193/
-    # q194 (integer dHash + cross-multiplied oracle), q195 (runtime
-    # pushdown conf now set in register_synth_docs), q206 (shares
-    # the PNG decode family the dHash fix touched), q104/q181 (the
-    # two binary lanes upgraded r6 from rows-only to closed-form
-    # PCM/video-frame hash oracles), q95 (partial oracle: exact
-    # counts + error-bound verdict)
-    "q193_image_dhash",
-    "q194_dhash_neardup",
-    "q195_python_datasource",
-    "q206_image_decode_exact",
-    "q104_audio_metadata",
-    "q181_video_frames",
-    "q95_approx_distinct",
-    # (c) r5 verdict item 3: last driver evidence r2-err, green in
-    # every builder run since
-    "q63_latest_per_key",
-    # (d) longest-unchecked rotation: the r1-era residue (18 of 32
-    # rows, last driver evidence CORRECTNESS_r01); q49-q65 + the
-    # oldest r2-era rows queue for the r7 window
-    "q03_balanced_accuracy",
-    "q07_impute_mode",
-    "q08_scale01",
-    "q09_onehot",
-    "q10_bucketize",
-    "q13_sample_per_group",
-    "q14_union_cohorts",
-    "q15_topk_per_group",
-    "q17_threshold_sweep",
-    "q18_semi_anti_join",
-    "q19_set_ops",
-    "q20_rollup",
-    "q23_distinct_agg",
-    "q25_local_volume",
-    "q26_path_parsing",
-    "q27_status_matrix",
-    "q43_percentiles",
-    "q44_cube",
+    "q54_spend_deciles",
+    "q145_equidepth_histogram",
+    # (c) the r1-era evidence residue (latest driver rows
+    # CORRECTNESS_r01)
+    "q49_global_topk",
+    "q50_exists_correlated",
+    "q51_scalar_subquery",
+    "q52_unpivot",
+    "q53_having_join_back",
+    "q55_quantile_binning",
+    "q56_pivot_status",
+    "q57_not_exists_anti",
+    "q58_full_outer",
+    "q59_grouping_sets",
+    "q61_date_battery",
+    "q64_string_battery",
+    "q65_label_centroids",
+    # (d) the thirty oldest r2-era rows (latest driver rows
+    # CORRECTNESS_r02); q93/q100/q103/q105-q112 close out in r8
+    "q21_window_lag",
+    "q22_running_best",
+    "q29_json_props",
+    "q30_token_stats",
+    "q31_lang_id",
+    "q32_exact_dedup",
+    "q34_minhash_signatures",
+    "q35_simhash",
+    "q37_events_tumbling",
+    "q38_quality_filter",
+    "q39_events_sliding",
+    "q40_embedding_neardup",
+    "q41_winnowing_fp",
+    "q46_tfidf_top_terms",
+    "q48_metric_map",
+    "q68_array_battery",
+    "q69_forward_fill",
+    "q72_regex_tokens",
+    "q75_retention_cohorts",
+    "q76_stratified_sample",
+    "q77_fusion_battery",
+    "q78_grouping_battery",
+    "q79_subquery_battery",
+    "q80_window_battery",
+    "q81_chunking",
+    "q82_token_rarity",
+    "q83_contamination",
+    "q84_quantize_embeddings",
+    "q87_multires_rollup",
+    "q92_minhash_lsh_pairs",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

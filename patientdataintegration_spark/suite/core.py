@@ -1476,18 +1476,32 @@ def q53_having_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q54_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE + PERCENT_RANK over a global ordering, rolled up per
-    decile. The unpartitioned window is single-reducer by nature —
-    acceptable here because the rollup output is 10 rows; the 100 TB
-    spelling replaces NTILE with approx_percentile bucket edges
-    (mergeable sketch, no global sort). percent_rank's
-    (rank-1)/(n-1) is exact IEEE division, portable across engines.
-    Deterministic tiebreak on c_custkey."""
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    c = load_table(spark, sf_dir, "customer")
-    ranked = c.select(
+    decile — since r7 computed with `operators/ranking.
+    global_row_number` (range partition + local sort + broadcast
+    prefix offsets) instead of an unpartitioned window: bit-identical
+    output (the oracle still spells NTILE/PERCENT_RANK), but the plan
+    has NO single-reducer WindowExec — every stage is parallel, so
+    the same shape runs at 100 TB. The ordering (c_acctbal DESC,
+    c_custkey ASC) is a unique total order, so rank == row_number and
+    percent_rank = (rn-1)/(n-1) exactly (exact IEEE division,
+    portable). For the sketch-based variant with bounded error
+    instead of exact ranks, see q232_decile_edges_approx."""
+    from patientdataintegration_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+        percent_rank_from_rank,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    ranked = global_row_number(
+        c,
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        rn_col="rn",
+        total_col="n_total",
+    ).select(
         "c_acctbal",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).alias("pr"),
+        ntile_from_rank(F.col("rn"), F.col("n_total"), 10).alias("decile"),
+        percent_rank_from_rank(F.col("rn"), F.col("n_total")).alias("pr"),
     )
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),

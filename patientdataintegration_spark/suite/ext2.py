@@ -58,18 +58,29 @@ def q145_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution, so each bin holds the same row count ±1. `ntile`
     is pure row_number arithmetic over a DETERMINISTIC total order
     (value + the (orderkey, linenumber) key as tiebreak), hence
-    engine-exact. Scale note: exact global ntile is a range-partition
-    total sort — the oracle-pinnable form; at 100 TB compute bin
-    BOUNDARIES instead and bucket by broadcast edges with no global
-    sort — exactly q55_quantile_binning's shape (swap its exact
-    quantiles for approx_percentile's mergeable sketch)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy(
-        F.col("l_extendedprice").cast("double"), "l_orderkey", "l_linenumber"
+    engine-exact. Since r7 the ranks come from `operators/ranking.
+    global_row_number` — an actual range-partition parallel sort
+    with broadcast prefix offsets — so the plan carries no
+    unpartitioned WindowExec and the exact form itself scales; the
+    sketch-based bounded-error variant is q233_equidepth_approx."""
+    from patientdataintegration_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
     )
-    r = li.select(
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
         F.col("l_extendedprice").cast("double").alias("x"),
-        F.ntile(8).over(w).alias("bin"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    r = global_row_number(
+        base,
+        [F.col("x").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        rn_col="rn",
+        total_col="n_total",
+    ).select(
+        "x", ntile_from_rank(F.col("rn"), F.col("n_total"), 8).alias("bin")
     )
     return r.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),

@@ -1659,3 +1659,139 @@ def q231_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_name="stream_interval_join_full",
         how="full_outer",
     )
+
+
+# --- approx-percentile bucket edges (the sketch path for q54/q145) ----------
+
+
+@_register(
+    "q232_decile_edges_approx",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal,
+           TRUE AS edges_monotone,
+           TRUE AS balanced
+    FROM customer
+    """,
+)
+def q232_decile_edges_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile rollup by `percentile_approx` bucket EDGES — the
+    100 TB sketch path next to q54's exact-rank form (which r7 made
+    scale-safe too, via distributed ranking): one pass computes the
+    nine decile edges as a mergeable sketch (Greenwald-Khanna,
+    accuracy 10000 => rank error <= n/10000), the edges broadcast,
+    and bucketing is a map-side array scan — no global sort, no
+    second shuffle of the fact table, the exact shape you run when
+    even a parallel total sort is too expensive.
+
+    Oracle pattern (q95's bounded-error contract): the sketch's edge
+    VALUES are not portable across engines — merge order moves them
+    within the rank-error band — so the hash pins what IS invariant:
+    exact row conservation (every row lands in exactly one bucket),
+    the exact decimal total riding through the per-bucket sums, edge
+    monotonicity, and per-bucket counts within a tolerance (n/10 ±
+    (0.02 n + 10)) that is ~200x the sketch's guaranteed rank error —
+    a broken sketch or bucketing expression reddens the gate, honest
+    approximation noise cannot."""
+    c = load_table(spark, sf_dir, "customer").select("c_acctbal")
+    edges = c.agg(
+        F.percentile_approx(
+            "c_acctbal", [i / 10.0 for i in range(1, 10)], 10000
+        ).alias("edges")
+    )
+    bucketed = c.crossJoin(F.broadcast(edges)).select(
+        "c_acctbal",
+        (
+            F.size(
+                F.filter("edges", lambda e: F.col("c_acctbal") > e)
+            )
+            + 1
+        ).alias("bucket"),
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("sb"),
+    )
+    agg = per_bucket.agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.sum("sb").cast("double").alias("sum_bal"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+    )
+    mono = edges.select(
+        (F.array_sort("edges") == F.col("edges")).alias("edges_monotone")
+    )
+    tol = F.col("n_total") * 0.02 + 10
+    return agg.crossJoin(F.broadcast(mono)).select(
+        "n_total",
+        "sum_bal",
+        "edges_monotone",
+        (
+            (F.col("n_buckets") == 10)
+            & (F.col("max_cnt") <= F.col("n_total") / 10 + tol)
+            & (F.col("min_cnt") >= F.col("n_total") / 10 - tol)
+        ).alias("balanced"),
+    )
+
+
+@_register(
+    "q233_equidepth_approx",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS edges_monotone,
+           TRUE AS balanced
+    FROM lineitem
+    """,
+)
+def q233_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (8 bins of extended price) by
+    `percentile_approx` edges — q145's sketch sibling, same
+    bounded-error oracle contract as q232 but over the FACT table:
+    the one-pass sketch aggregate is the only full-data operator;
+    everything after it touches 8-element arrays and 8-row
+    relations. Tolerance n/8 ± (0.02 n + 10) vs a guaranteed rank
+    error of n/10000; l_extendedprice tie groups (qty x retailprice
+    collisions) shift a boundary by at most the tie size, far
+    inside the band."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    edges = li.agg(
+        F.percentile_approx("x", [i / 8.0 for i in range(1, 8)], 10000).alias(
+            "edges"
+        )
+    )
+    bucketed = li.crossJoin(F.broadcast(edges)).select(
+        "x",
+        (F.size(F.filter("edges", lambda e: F.col("x") > e)) + 1).alias(
+            "bucket"
+        ),
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("x").cast("decimal(18,6)")).alias("sp"),
+    )
+    agg = per_bucket.agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.sum("sp").cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+    )
+    mono = edges.select(
+        (F.array_sort("edges") == F.col("edges")).alias("edges_monotone")
+    )
+    tol = F.col("n_total") * 0.02 + 10
+    return agg.crossJoin(F.broadcast(mono)).select(
+        "n_total",
+        "sum_price",
+        "edges_monotone",
+        (
+            (F.col("n_buckets") == 8)
+            & (F.col("max_cnt") <= F.col("n_total") / 8 + tol)
+            & (F.col("min_cnt") >= F.col("n_total") / 8 - tol)
+        ).alias("balanced"),
+    )

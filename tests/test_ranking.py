@@ -1,0 +1,100 @@
+"""`operators/ranking` — distributed global row numbers must be
+bit-identical to the single-reducer unpartitioned window they
+replace (q54/q145's r7 rewrite), including the NTILE bucket-size
+arithmetic's remainder edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _window_reference(df, order_cols):
+    w = Window.orderBy(*order_cols)
+    return df.withColumn("rn_ref", F.row_number().over(w))
+
+
+def test_global_row_number_matches_window(spark):
+    """On the real customer table, under both ASC and DESC unique
+    orders, every row's distributed rank equals the window rank."""
+    from patientdataintegration_spark.operators.ranking import (
+        global_row_number,
+    )
+    from patientdataintegration_spark.sources.catalog import load_table
+
+    c = load_table(spark, SF_DIR, "customer").select("c_acctbal", "c_custkey")
+    for order in (
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        [F.col("c_acctbal").asc(), F.col("c_custkey").desc()],
+    ):
+        got = global_row_number(c, order, rn_col="rn", total_col="n_total")
+        joined = got.join(_window_reference(c, order), ["c_acctbal", "c_custkey"])
+        n = c.count()
+        assert joined.filter(F.col("rn") != F.col("rn_ref")).count() == 0
+        assert joined.count() == n
+        assert got.agg(F.min("n_total"), F.max("n_total")).collect()[0] == (n, n)
+        # ranks are a permutation of 1..n
+        assert got.agg(
+            F.min("rn"), F.max("rn"), F.count_distinct("rn")
+        ).collect()[0] == (1, n, n)
+
+
+def test_global_row_number_more_partitions_than_rows(spark):
+    """Range partitioning with (far) more partitions than rows must
+    still produce consecutive ranks — empty partitions contribute
+    zero to the prefix offsets."""
+    from patientdataintegration_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    df = spark.createDataFrame([(v,) for v in (5, 3, 9, 1)], "k int")
+    rows = (
+        global_row_number(df, [F.col("k").asc()], num_partitions=16)
+        .orderBy("rn")
+        .collect()
+    )
+    assert [(r.k, r.rn) for r in rows] == [(1, 1), (3, 2), (5, 3), (9, 4)]
+
+
+def test_ntile_from_rank_matches_window_ntile(spark):
+    """NTILE arithmetic vs the window function for every
+    (total, buckets) shape in a grid that covers rem == 0,
+    rem != 0, and total < buckets."""
+    from patientdataintegration_spark.operators.ranking import (
+        ntile_from_rank,
+    )
+
+    for total in (1, 3, 7, 8, 16, 23):
+        for buckets in (2, 4, 8, 10):
+            df = spark.createDataFrame([(i,) for i in range(1, total + 1)], "k int")
+            w = Window.orderBy("k")
+            ref = df.select(
+                "k", F.ntile(buckets).over(w).alias("ref_bucket")
+            )
+            got = df.select(
+                "k",
+                ntile_from_rank(
+                    F.col("k").cast("bigint"), F.lit(total).cast("bigint"), buckets
+                ).alias("bucket"),
+            )
+            bad = (
+                got.join(ref, "k")
+                .filter(F.col("bucket") != F.col("ref_bucket"))
+                .count()
+            )
+            assert bad == 0, f"ntile mismatch at total={total} buckets={buckets}"
+
+
+def test_q54_q145_plans_have_no_window(spark):
+    """The r7 point: the exact NTILE/PERCENT_RANK rollups contain NO
+    window operator at all — no unpartitioned WindowExec single
+    reducer, so the exact form itself survives scale-out."""
+    from patientdataintegration_spark.suite.core import q54_spend_deciles
+    from patientdataintegration_spark.suite.ext2 import (
+        q145_equidepth_histogram,
+    )
+
+    for q in (q54_spend_deciles, q145_equidepth_histogram):
+        plan = q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, f"{q.__name__} still plans a Window"
