@@ -162,11 +162,25 @@ def resample_linear(
     ts_col: str = "ts",
     value_col: str = "value",
     step_us: int = 3_600_000_000,
+    checkpoint_obs: bool = False,
 ) -> DataFrame:
     """Resample an irregular per-key series onto a fixed time grid
     with LINEAR interpolation between the nearest observations —
     the standard time-series regularization step before windowed
     feature extraction.
+
+    The deduplicated observation relation has TWO plan consumers
+    (the per-key bounds that build the grid, and the tagged union),
+    so Spark executes its scan + dedup shuffle twice;
+    ``checkpoint_obs=True`` materializes it once instead (the
+    q130/q138/q208 multi-consumer discipline). Measured r7
+    (tools/ab_q121.py, sf0.1, 9 interleaved reps): two-consumer
+    median 1.825 s vs checkpointed 1.932 s — at this scale the
+    checkpoint write costs MORE than re-running the cheap dedup
+    aggregate, so the registered q121 keeps the default False. At
+    100 TB the balance flips (the events scan dominates both
+    consumers): checkpoint or parquet-materialize the obs relation
+    there. Both variants are bit-identical in output.
 
     Scale shape: same tagged-union + window discipline as
     `asof_join` — grid points and observations are unioned and each
@@ -192,6 +206,8 @@ def resample_linear(
         .groupBy("k", "us")
         .agg(F.min("v").alias("v"))
     )
+    if checkpoint_obs:
+        obs = obs.localCheckpoint(eager=False)
     step = F.lit(int(step_us))
     bounds = obs.groupBy("k").agg(F.min("us").alias("lo_us"), F.max("us").alias("hi_us"))
     grid = (

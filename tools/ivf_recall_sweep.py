@@ -10,7 +10,19 @@ warm wall time of the IVF query and the fraction of the corpus the
 probe set scans (the honest cost proxy — at fixed n_cells, recall
 and scanned fraction BOTH grow with n_probe).
 
-Usage: python tools/ivf_recall_sweep.py [sf_dir=/root/testdata/sf0.1] [reps=3]
+Round-7 addition (r6 verdict item 5): a CLUSTERED corpus mode. The
+r6 sweep proved the driver's isotropic synthetic embeddings give IVF
+nothing to exploit — nearest neighbors are spread uniformly over
+cells, so recall ~= scan fraction, which is an artifact of the test
+data, not of IVF. `--corpus clustered` derives a mixture-of-32
+corpus deterministically from the same table (cluster id = vec_id %
+32; centers are md5-derived uniforms per (cluster, dim); the
+original vector, scaled down, becomes the within-cluster noise) —
+the geometry real embedding corpora have, where a query's true
+neighbors share its cluster and IVF's probe set captures them at a
+small scan fraction.
+
+Usage: python tools/ivf_recall_sweep.py [sf_dir=/root/testdata/sf0.1] [reps=3] [corpus=isotropic|clustered]
 """
 
 from __future__ import annotations
@@ -34,9 +46,51 @@ COMBOS = [
 ]
 
 
+N_TRUE_CLUSTERS = 32
+_NOISE_SCALE = 0.3
+_CENTER_HALF_RANGE = 0.25
+
+
+def _clustered_corpus(e):
+    """Mixture-of-Gaussians-shaped corpus derived deterministically
+    from the isotropic embeddings table: vec' = center(vec_id % 32)
+    + 0.3 * vec. Centers are md5-derived uniforms in [-0.25, 0.25]
+    per (cluster, dim) — center norms ~1.1 vs noise norms ~0.3, so
+    within-cluster cosines are high and cross-cluster cosines are
+    ~0: the separable geometry IVF exists for."""
+    from pyspark.sql import functions as F
+
+    cl = (F.col("vec_id") % N_TRUE_CLUSTERS).cast("int").cast("string")
+    dims = F.sequence(F.lit(1), F.size("embedding"))
+    centers = F.transform(
+        dims,
+        lambda j: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.lit("ivfc"), cl, j.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(2**32))
+            - 0.5
+        )
+        * F.lit(2.0 * _CENTER_HALF_RANGE),
+    )
+    mixed = F.zip_with(
+        centers,
+        F.col("embedding"),
+        lambda c, x: c + x.cast("double") * F.lit(_NOISE_SCALE),
+    )
+    return e.select("vec_id", mixed.alias("embedding"))
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    corpus = sys.argv[3] if len(sys.argv) > 3 else "isotropic"
 
     from pyspark.sql import functions as F
 
@@ -49,7 +103,12 @@ def main() -> int:
 
     spark = build_session("ivf-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    e = load_table(spark, sf_dir, "embeddings").localCheckpoint()
+    e = load_table(spark, sf_dir, "embeddings")
+    if corpus == "clustered":
+        e = _clustered_corpus(e)
+    elif corpus != "isotropic":
+        raise SystemExit(f"unknown corpus {corpus!r}")
+    e = e.localCheckpoint()
     q = e.filter(F.col("vec_id") % 100 == 0)
     n_queries = q.count()
     exact = (
