@@ -40,9 +40,21 @@ only decide WHERE a row is ranked, not its rank.
 
 Reference parity: the reference's notebook ranks cohorts with pandas
 `rank()`/`qcut` on a single node (PatientDataIntegration
-`functions.ipynb`); this module is the distributed equivalent used
-by q54/q145 (NTILE/PERCENT_RANK rollups) after r7 removed their
-unpartitioned windows.
+`patient_data_integration.ipynb`); this module is the distributed
+equivalent used by q54/q145 (NTILE/PERCENT_RANK rollups) after r7
+removed their unpartitioned windows.
+
+Partition-count safety: the local row index lives in the LOW 33 bits
+of `monotonically_increasing_id`, so a range partition may hold at
+most 2^33 rows — beyond that the index bleeds into the partition-id
+bits and ranks would corrupt SILENTLY. The counts aggregate (already
+computed for the prefix offsets) therefore asserts the bound at
+runtime and fails the job with an explicit message instead. With the
+r8 adaptive default (`num_partitions=None` sizes partitions off the
+optimizer's byte estimate, ~_TARGET_BYTES each, capped at
+`spark.sql.shuffle.partitions`) a partition approaches 2^33 rows only
+if the shuffle-partition cap is badly undersized for the input — the
+exact misconfiguration the guard is for.
 """
 
 from __future__ import annotations
@@ -53,6 +65,41 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 _MASK33 = (1 << 33) - 1
 
+# Hard per-partition row bound: local indices occupy the low 33 bits
+# of monotonically_increasing_id. Module-level so the overflow test
+# can shrink it and exercise the runtime guard without 2^33 rows.
+_MAX_PART_ROWS = 1 << 33
+
+# Adaptive range-partition sizing target. 64 MiB of (pruned,
+# optimizer-estimated) input per sort partition keeps the local sorts
+# in-memory-ish at any scale; the count is capped by
+# spark.sql.shuffle.partitions, which a 1000-executor deployment
+# sizes in the tens of thousands — so at 100 TB the cap governs, and
+# at bench scale a handful of partitions avoids paying 32 task
+# launches + a 32x32 prefix sum to rank half a million rows (the r7
+# q145 regression: fixed 32 partitions cost +135% at sf0.1).
+_TARGET_BYTES = 64 << 20
+
+
+def _adaptive_num_partitions(df: DataFrame) -> int:
+    """Range-partition count from the Catalyst size estimate:
+    ceil(sizeInBytes / 64 MiB), clamped to [1, shuffle.partitions].
+    Falls back to the shuffle-partition conf when the estimate is
+    unavailable (e.g. no stats through this plan shape)."""
+    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        size = int(
+            df._jdf.queryExecution()  # type: ignore[attr-defined]
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+    except Exception:
+        return cap
+    if size <= 0:
+        return cap
+    return max(1, min(cap, -(-size // _TARGET_BYTES)))
+
 
 def global_row_number(
     df: DataFrame,
@@ -60,6 +107,7 @@ def global_row_number(
     rn_col: str = "rn",
     total_col: str | None = None,
     num_partitions: int | None = None,
+    checkpoint: bool | None = None,
 ) -> DataFrame:
     """All input columns plus `rn_col` = the exact 1-based global
     row number under `order_cols` (which must be a unique total
@@ -67,11 +115,30 @@ def global_row_number(
     offsets — never an unpartitioned window. With `total_col`, also
     attaches the total row count to every row (it rides the same
     broadcast offsets relation for free, saving callers a second
-    scalar-aggregate pass for NTILE/PERCENT_RANK denominators)."""
+    scalar-aggregate pass for NTILE/PERCENT_RANK denominators).
+
+    `num_partitions=None` (the default) sizes the range partitioning
+    adaptively from the optimizer's byte estimate (see module
+    docstring); pass an explicit count to override.
+
+    `checkpoint=None` reads conf `spark.pdi.ranking.checkpoint`
+    (default true). False skips the localCheckpoint: both plan
+    consumers then recompute from the shared range exchange (Spark
+    reuses the exchange, and the local sort is deterministic, so the
+    ids still agree) — used by plan-shape tests that need to see
+    through to the scan, and safe anywhere task retries are not a
+    concern (single-JVM local mode). Leave it on for clusters: a
+    retried task may otherwise re-draw range-boundary samples
+    between the two consumers."""
     spark = df.sparkSession
-    n_parts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    n_parts = num_partitions or _adaptive_num_partitions(df)
+    if checkpoint is None:
+        checkpoint = (
+            str(
+                spark.conf.get("spark.pdi.ranking.checkpoint", "true")
+            ).lower()
+            == "true"
+        )
     cols = list(order_cols)
     numbered = (
         df.repartitionByRange(n_parts, *cols)
@@ -86,10 +153,29 @@ def global_row_number(
         .drop("_gr_mid")
     )
     # Two consumers below (counts + join-back): materialize once.
-    numbered = numbered.localCheckpoint(eager=False)
+    if checkpoint:
+        numbered = numbered.localCheckpoint(eager=False)
 
     counts = numbered.groupBy("_gr_pid").agg(
         F.count(F.lit(1)).alias("_gr_cnt")
+    )
+    # 2^33 row-per-partition bound (see module docstring): fail loud
+    # instead of silently corrupting ranks. The check rides the
+    # already-computed counts relation — zero extra passes.
+    counts = counts.withColumn(
+        "_gr_cnt",
+        F.when(
+            F.col("_gr_cnt") <= F.lit(_MAX_PART_ROWS), F.col("_gr_cnt")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "global_row_number: a range partition holds more than"
+                    " 2^33 rows — the local index would overflow into the"
+                    " partition-id bits; raise num_partitions (or"
+                    " spark.sql.shuffle.partitions)"
+                )
+            ).cast("bigint")
+        ),
     )
     a = counts.select(
         F.col("_gr_pid").alias("_gr_pid_a"), F.col("_gr_cnt").alias("_gr_cnt_a")
@@ -121,6 +207,84 @@ def global_row_number(
     if total_col is not None:
         out = out.withColumn(total_col, F.col("_gr_total").cast("bigint"))
     return out.drop("_gr_pid", "_gr_lrn", "_gr_off", "_gr_total")
+
+
+def approx_equidepth_verdict(
+    df: DataFrame,
+    value_col: str,
+    buckets: int,
+    sum_alias: str,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The sketch tier of equi-depth bucketing (q232/q233's shared
+    body): one `percentile_approx` pass computes the bucket edges as
+    a mergeable Greenwald-Khanna sketch, the edges broadcast, and
+    bucketing is a map-side array scan — no global sort, no second
+    shuffle of the fact table. Returns ONE row of cross-engine-stable
+    invariants instead of the engine-specific edge values:
+
+    - `n_total` (BIGINT): exact row conservation — every row lands in
+      exactly one bucket; hash-compared to the oracle's COUNT(*), so
+      dropped/duplicated rows redden the gate unconditionally;
+    - `<sum_alias>` (DOUBLE): the exact DECIMAL(18,6) total riding
+      through the per-bucket sums (order-independent);
+    - `edges_monotone`: the raw sketch output is sorted;
+    - `balanced`: bucketing runs against the DEDUPLICATED edge array
+      (duplicate edges on a heavily tied column would otherwise
+      create a structurally empty bucket and redden the gate on
+      honest sketch output — the r7 ADVICE case). Non-empty bucket
+      count is bounded by n_distinct_edges + 1 (the last bucket may
+      be legitimately empty when the top edge IS the max), and the
+      per-bucket count band (n/buckets ± (0.02 n + 10), ~200x the
+      sketch's guaranteed rank error of n/accuracy) applies only in
+      the duplicate-free case where n/buckets is the right
+      expectation — so a broken sketch or bucketing expression goes
+      red, tie-degenerate distributions degrade gracefully to the
+      conservation + monotonicity invariants.
+    """
+    qs = [i / buckets for i in range(1, buckets)]
+    edges = df.agg(
+        F.percentile_approx(value_col, qs, accuracy).alias("edges_raw")
+    ).select("edges_raw", F.array_distinct("edges_raw").alias("edges"))
+    bucketed = df.crossJoin(F.broadcast(edges.select("edges"))).select(
+        F.col(value_col),
+        (
+            F.size(F.filter("edges", lambda e: F.col(value_col) > e)) + 1
+        ).alias("bucket"),
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sv"),
+    )
+    agg = per_bucket.agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.sum("sv").cast("double").alias(sum_alias),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+    )
+    mono = edges.select(
+        (F.array_sort("edges_raw") == F.col("edges_raw")).alias(
+            "edges_monotone"
+        ),
+        F.size("edges").alias("n_edges_d"),
+    )
+    tol = F.col("n_total") * 0.02 + 10
+    return agg.crossJoin(F.broadcast(mono)).select(
+        "n_total",
+        sum_alias,
+        "edges_monotone",
+        (
+            (F.col("n_buckets") <= F.col("n_edges_d") + 1)
+            & (
+                (F.col("n_edges_d") < buckets - 1)
+                | (
+                    (F.col("max_cnt") <= F.col("n_total") / buckets + tol)
+                    & (F.col("min_cnt") >= F.col("n_total") / buckets - tol)
+                )
+            )
+        ).alias("balanced"),
+    )
 
 
 def ntile_from_rank(rn: Column, total: Column, buckets: int) -> Column:

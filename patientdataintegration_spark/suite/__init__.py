@@ -122,7 +122,7 @@ PRIORITY = [
     "q64_string_battery",
     "q65_label_centroids",
     # (d) the thirty oldest r2-era rows (latest driver rows
-    # CORRECTNESS_r02); q93/q100/q103/q105-q112 close out in r8
+    # CORRECTNESS_r02); q93/q100/q103/q105-q109/q111/q112 close out in r8 (q110's latest evidence is r3)
     "q21_window_lag",
     "q22_running_best",
     "q29_json_props",

@@ -1687,52 +1687,29 @@ def q232_decile_edges_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle pattern (q95's bounded-error contract): the sketch's edge
     VALUES are not portable across engines — merge order moves them
     within the rank-error band — so the hash pins what IS invariant:
-    exact row conservation (every row lands in exactly one bucket),
-    the exact decimal total riding through the per-bucket sums, edge
-    monotonicity, and per-bucket counts within a tolerance (n/10 ±
-    (0.02 n + 10)) that is ~200x the sketch's guaranteed rank error —
-    a broken sketch or bucketing expression reddens the gate, honest
-    approximation noise cannot."""
+    exact row conservation (every row lands in exactly one bucket —
+    n_total is hash-compared to the true COUNT(*)), the exact decimal
+    total riding through the per-bucket sums, edge monotonicity, and
+    per-bucket counts within a tolerance (n/10 ± (0.02 n + 10)) that
+    is ~200x the sketch's guaranteed rank error — a broken sketch or
+    bucketing expression reddens the gate, honest approximation noise
+    cannot.
+
+    Tie robustness (r7 ADVICE): the shared body
+    `operators/ranking.approx_equidepth_verdict` buckets against the
+    DEDUPLICATED edge array — duplicate edges on a heavily tied
+    column would otherwise create a structurally empty bucket and
+    redden the gate on honest sketch output; the per-bucket count
+    band applies only in the duplicate-free case (acctbal is
+    effectively tie-free, so the band is live here) and row
+    conservation stays unconditionally hard. See the helper's
+    docstring and tests/test_ranking.py's tie-degenerate cases."""
+    from patientdataintegration_spark.operators.ranking import (
+        approx_equidepth_verdict,
+    )
+
     c = load_table(spark, sf_dir, "customer").select("c_acctbal")
-    edges = c.agg(
-        F.percentile_approx(
-            "c_acctbal", [i / 10.0 for i in range(1, 10)], 10000
-        ).alias("edges")
-    )
-    bucketed = c.crossJoin(F.broadcast(edges)).select(
-        "c_acctbal",
-        (
-            F.size(
-                F.filter("edges", lambda e: F.col("c_acctbal") > e)
-            )
-            + 1
-        ).alias("bucket"),
-    )
-    per_bucket = bucketed.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("sb"),
-    )
-    agg = per_bucket.agg(
-        F.sum("cnt").cast("bigint").alias("n_total"),
-        F.sum("sb").cast("double").alias("sum_bal"),
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.max("cnt").alias("max_cnt"),
-        F.min("cnt").alias("min_cnt"),
-    )
-    mono = edges.select(
-        (F.array_sort("edges") == F.col("edges")).alias("edges_monotone")
-    )
-    tol = F.col("n_total") * 0.02 + 10
-    return agg.crossJoin(F.broadcast(mono)).select(
-        "n_total",
-        "sum_bal",
-        "edges_monotone",
-        (
-            (F.col("n_buckets") == 10)
-            & (F.col("max_cnt") <= F.col("n_total") / 10 + tol)
-            & (F.col("min_cnt") >= F.col("n_total") / 10 - tol)
-        ).alias("balanced"),
-    )
+    return approx_equidepth_verdict(c, "c_acctbal", 10, "sum_bal")
 
 
 @_register(
@@ -1755,43 +1732,15 @@ def q233_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     relations. Tolerance n/8 ± (0.02 n + 10) vs a guaranteed rank
     error of n/10000; l_extendedprice tie groups (qty x retailprice
     collisions) shift a boundary by at most the tie size, far
-    inside the band."""
+    inside the band. Tie robustness mirrors q232 (shared body:
+    `operators/ranking.approx_equidepth_verdict` — dedup edges,
+    count band live only when all 7 edges are distinct, row
+    conservation hard)."""
+    from patientdataintegration_spark.operators.ranking import (
+        approx_equidepth_verdict,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").cast("double").alias("x")
     )
-    edges = li.agg(
-        F.percentile_approx("x", [i / 8.0 for i in range(1, 8)], 10000).alias(
-            "edges"
-        )
-    )
-    bucketed = li.crossJoin(F.broadcast(edges)).select(
-        "x",
-        (F.size(F.filter("edges", lambda e: F.col("x") > e)) + 1).alias(
-            "bucket"
-        ),
-    )
-    per_bucket = bucketed.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("x").cast("decimal(18,6)")).alias("sp"),
-    )
-    agg = per_bucket.agg(
-        F.sum("cnt").cast("bigint").alias("n_total"),
-        F.sum("sp").cast("double").alias("sum_price"),
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.max("cnt").alias("max_cnt"),
-        F.min("cnt").alias("min_cnt"),
-    )
-    mono = edges.select(
-        (F.array_sort("edges") == F.col("edges")).alias("edges_monotone")
-    )
-    tol = F.col("n_total") * 0.02 + 10
-    return agg.crossJoin(F.broadcast(mono)).select(
-        "n_total",
-        "sum_price",
-        "edges_monotone",
-        (
-            (F.col("n_buckets") == 8)
-            & (F.col("max_cnt") <= F.col("n_total") / 8 + tol)
-            & (F.col("min_cnt") >= F.col("n_total") / 8 - tol)
-        ).alias("balanced"),
-    )
+    return approx_equidepth_verdict(li, "x", 8, "sum_price")

@@ -535,7 +535,15 @@ def test_scd2_single_shuffle(spark, sf_dir):
 def test_ext2_plan_shapes(spark, sf_dir):
     """Round-4 suite: the plan shapes the docstrings promise.
 
-    - q145: ONE global range-sort window (ntile) + one aggregate
+    - q145: NO window operator anywhere (the r7 rewrite onto
+      `ranking.global_row_number` — range partition + local sort +
+      broadcast prefix offsets); the checkpointed default hides the
+      upstream, so scan shape is asserted on the un-checkpointed
+      variant (conf `spark.pdi.ranking.checkpoint=false`): three
+      statically-planned scans (one per DAG consumer of the ranged
+      relation — AQE's ReuseExchange collapses them to one executed
+      shuffle at runtime), each column-pruned to exactly the three
+      ranked columns
     - q146: pivot is one scan + partial/final aggregate (2 exchanges
       max), no distinct-values pre-pass job
     - q147: ONE events scan (window-min cohort, not agg-join-back)
@@ -551,7 +559,19 @@ def test_ext2_plan_shapes(spark, sf_dir):
         return len(re.findall(r"\(\d+\) Scan parquet", explain_str(df)))
 
     q145 = QUERIES["q145_equidepth_histogram"](spark, sf_dir)
-    assert n_scans(q145) == 1
+    assert "Window" not in explain_str(q145), "q145 must not plan a Window"
+    spark.conf.set("spark.pdi.ranking.checkpoint", "false")
+    try:
+        q145_open = QUERIES["q145_equidepth_histogram"](spark, sf_dir)
+    finally:
+        spark.conf.unset("spark.pdi.ranking.checkpoint")
+    open_plan = explain_str(q145_open)
+    assert "Window" not in open_plan
+    assert n_scans(q145_open) == 3, open_plan
+    open_schemas = set(scan_read_schema(q145_open))
+    assert len(open_schemas) == 1 and all(
+        s.count(":") == 3 and "l_extendedprice" in s for s in open_schemas
+    ), open_schemas
 
     q146 = QUERIES["q146_pivot_lang"](spark, sf_dir)
     assert n_scans(q146) == 1

@@ -98,3 +98,69 @@ def test_q54_q145_plans_have_no_window(spark):
     for q in (q54_spend_deciles, q145_equidepth_histogram):
         plan = q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan, f"{q.__name__} still plans a Window"
+
+
+def test_global_row_number_partition_overflow_guard(spark, monkeypatch):
+    """The 2^33-rows-per-partition bound (local index bits of
+    monotonically_increasing_id) must fail LOUD, not corrupt ranks
+    silently: shrink the module bound and force everything into one
+    partition — the counts aggregate's guard raises."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from patientdataintegration_spark.operators import ranking
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    monkeypatch.setattr(ranking, "_MAX_PART_ROWS", 4)
+    out = ranking.global_row_number(df, [F.col("k").asc()], num_partitions=1)
+    with pytest.raises(SparkRuntimeException, match="2\\^33"):
+        out.collect()
+
+
+def test_adaptive_partitions_scale_with_input(spark):
+    """num_partitions=None sizes range partitions off the Catalyst
+    byte estimate: tiny inputs get few partitions (the r7 q145
+    constant-factor lesson), and the count is capped by
+    spark.sql.shuffle.partitions — the knob a 100 TB deployment
+    sizes — so huge estimates cannot explode the partitioning."""
+    from patientdataintegration_spark.operators.ranking import (
+        _TARGET_BYTES,
+        _adaptive_num_partitions,
+    )
+    from patientdataintegration_spark.sources.catalog import load_table
+
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    c = load_table(spark, SF_DIR, "customer").select("c_acctbal", "c_custkey")
+    n_small = _adaptive_num_partitions(c)
+    assert 1 <= n_small <= cap
+    size = int(c._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert n_small == max(1, min(cap, -(-size // _TARGET_BYTES)))
+
+
+def test_approx_equidepth_verdict_tie_degenerate(spark):
+    """The r7 ADVICE case: heavily tied columns make percentile_approx
+    return duplicate edges — the verdict must degrade gracefully
+    (conservation + monotonicity stay hard, the count band is waived)
+    instead of reddening on honest sketch output."""
+    from patientdataintegration_spark.operators.ranking import (
+        approx_equidepth_verdict,
+    )
+
+    # all-equal column: every decile edge is the same value
+    const = spark.range(500).select(F.lit(7.25).alias("v"))
+    r = approx_equidepth_verdict(const, "v", 10, "sum_v").collect()[0]
+    assert r.n_total == 500 and r.edges_monotone and r.balanced
+    assert r.sum_v == 500 * 7.25
+
+    # two-value 80/20 split: edges collapse to two distinct values,
+    # the upper one equal to the max (legitimately empty last bucket)
+    two = spark.range(1000).select(
+        F.when(F.col("id") % 5 == 0, 9.0).otherwise(1.0).alias("v")
+    )
+    r = approx_equidepth_verdict(two, "v", 10, "sum_v").collect()[0]
+    assert r.n_total == 1000 and r.edges_monotone and r.balanced
+
+    # tie-free uniform data: the strict count band applies and holds
+    uni = spark.range(10000).select((F.col("id") * 1.0).alias("v"))
+    r = approx_equidepth_verdict(uni, "v", 10, "sum_v").collect()[0]
+    assert r.n_total == 10000 and r.edges_monotone and r.balanced

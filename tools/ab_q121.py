@@ -52,9 +52,9 @@ def main() -> int:
     times: dict[str, list[float]] = {v: [] for v in variants}
     for _ in range(reps):
         for v, q in variants.items():
-            t0 = time.time()
+            t0 = time.perf_counter()
             q().write.format("noop").mode("overwrite").save()
-            times[v].append(round(time.time() - t0, 3))
+            times[v].append(round(time.perf_counter() - t0, 3))
 
     out = {
         v: {
