@@ -1744,3 +1744,110 @@ def q233_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("double").alias("x")
     )
     return approx_equidepth_verdict(li, "x", 8, "sum_price")
+
+
+# --- round 8: table integrity fingerprints + WindowGroupLimit top-k ---------
+
+_Q234_NULLTOK = "chr(0) || 'null' || chr(0)"
+_Q234_ROW = f"""concat_ws(chr(31),
+           coalesce(CAST(o_orderkey AS VARCHAR), {_Q234_NULLTOK}),
+           coalesce(CAST(o_custkey AS VARCHAR), {_Q234_NULLTOK}),
+           coalesce(o_orderstatus, {_Q234_NULLTOK}),
+           coalesce(o_orderpriority, {_Q234_NULLTOK}),
+           coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), {_Q234_NULLTOK}),
+           coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), {_Q234_NULLTOK}))"""
+
+
+@_register(
+    "q234_table_checksum",
+    f"""
+    SELECT CAST(o_orderkey % 16 AS INT) AS shard,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(('0x' || substr(md5({_Q234_ROW}), 1, 16))
+                              AS UBIGINT) AS DECIMAL(38,0))) AS VARCHAR)
+             AS checksum
+    FROM orders
+    GROUP BY shard
+    """,
+)
+def q234_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed table integrity fingerprint (`operators/
+    integrity.shard_checksum`): per-shard (row count, order-
+    independent content checksum) pairs that two clusters compute
+    independently to validate a 100 TB copy/migration WITHOUT moving
+    data — kilobytes of output localize any mismatch to one
+    re-checkable shard. Exactness is the module's design: 64-bit MD5
+    prefixes (engine-portable, unlike xxhash64) summed as
+    DECIMAL(38,0) (exact, order-independent, mergeable to coarser
+    rollups with no re-scan), over a canonical row serialization
+    (NUL-framed null token, unit-separator joins, floats quantized
+    through DECIMAL(18,4), timestamps through DATE). The DuckDB twin
+    rebuilds the identical bytes — the hash match IS the cross-engine
+    proof the fingerprint is portable. One scan, one map-side-
+    combined aggregate, 16 output rows."""
+    from patientdataintegration_spark.operators.integrity import (
+        shard_checksum,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    out = shard_checksum(
+        o,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date"),
+            F.col("o_totalprice").cast("decimal(18,4)"),
+        ],
+        F.col("o_orderkey") % 16,
+        shard_col="shard",
+    )
+    return out.select(
+        "shard", "n_rows", F.col("checksum").cast("string").alias("checksum")
+    )
+
+
+@_register(
+    "q235_topk_per_group",
+    """
+    SELECT o_orderpriority, rnk,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC)
+               AS rnk
+      FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+)
+def q235_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per priority class — registered for the
+    PHYSICAL shape, not the (easy) semantics: a `row_number() <= k`
+    filter over a partitioned window triggers Spark's
+    WindowGroupLimit pushdown, which keeps only k rows PER GROUP PER
+    MAP TASK before the shuffle — at 100 TB the exchange moves
+    O(groups x k x tasks) rows instead of the whole table, the
+    difference between a top-k that works and one that doesn't.
+    tests/test_plans.py asserts the WindowGroupLimit(Partial) node
+    sits below the exchange. Unique total order (value DESC, key ASC)
+    keeps row_number engine-exact; no arithmetic on the double, so
+    values hash bit-identically."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            "rnk",
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )

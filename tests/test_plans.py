@@ -664,3 +664,30 @@ def test_observed_metrics_match_direct_aggregates(spark, sf_dir):
     out = staged.groupBy("l_returnflag").count()
     out.write.format("noop").mode("overwrite").save()
     assert obs.get["n_rows"] == direct.n
+
+
+def test_q235_window_group_limit_below_exchange(spark, sf_dir):
+    """q235's reason to exist: the row_number()<=k filter must compile
+    to WindowGroupLimit in Partial mode BELOW the shuffle — each map
+    task keeps only k rows per group, so the exchange moves
+    O(groups x k x tasks) rows, not the table."""
+    from patientdataintegration_spark.suite import QUERIES
+
+    plan = explain_str(QUERIES["q235_topk_per_group"](spark, sf_dir))
+    detail = re.findall(r"\((\d+)\) (WindowGroupLimit|Exchange)\b", plan)
+    kinds = [k for _, k in detail]
+    # partial group-limit, then the shuffle, then the final group-limit
+    assert kinds == ["WindowGroupLimit", "Exchange", "WindowGroupLimit"], plan
+    assert "Partial" in plan
+
+
+def test_q234_single_scan_single_aggregate(spark, sf_dir):
+    """q234 is one pruned scan + one map-side-combined aggregate —
+    the only plan a 100 TB integrity sweep can afford."""
+    from patientdataintegration_spark.suite import QUERIES
+
+    df = QUERIES["q234_table_checksum"](spark, sf_dir)
+    plan = explain_str(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial+final
