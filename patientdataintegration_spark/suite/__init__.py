@@ -37,28 +37,27 @@ Round 5 rotated in q176-q191 (restoring ever-checked = all
 registered), the r5 re-proof set, and late-r5 additions q192-q206 —
 see CORRECTNESS_r05.json.
 
-The round-7 window is the r6 verdict's evidence-refresh plan: (a)
-the never-driver-checked entries — the two new r7 sketch-path
-queries q232/q233 (approx-percentile bucket edges with
-bounded-error verdict oracles) and q223 (upgraded r7 from a
-rows-only streaming lane to a FULL hash oracle replaying the
-append-mode watermark-eviction rule, so its first driver row
-compares something); (b) re-proof rows for everything r7 changed —
-q220 (cumsum window now tie-deterministic on event_id), q224
-(preds_binary verdict hardened per ADVICE), q54/q145 (exact
-NTILE/PERCENT_RANK rollups rewritten onto the distributed
-global_row_number operator, bit-identical output, no unpartitioned
-WindowExec); (c) the complete r1-era evidence residue
-(q49-q59/q61/q64/q65, latest driver rows CORRECTNESS_r01); and (d)
-the thirty oldest r2-era rows (q21-q92). The ten youngest r2-era
-rows (q93/q100/q103/q105-q109/q111/q112) queue for r8, which
-clears the backlog: after r8 no registry query's latest driver
-evidence predates r3. Per the r6 verdict, no-oracle streaming
-lanes stay OUT of the window (q231 burned an r6 slot on
-err:no_oracle; the lanes are pinned by batch twins + the replay
-matrix). Previously-green queries stay registered after the
-priority block; their evidence is CORRECTNESS_r01-r06.json plus
-the committed full-registry ORACLE_RUN logs.
+The round-8 window closes the evidence backlog: (a) the two r8
+additions, never driver-checked — q234 (cross-engine table
+checksum: the DuckDB twin rebuilds the identical canonical bytes,
+so the hash match proves the fingerprint is engine-portable) and
+q235 (WindowGroupLimit top-k per group); (b) re-proof rows for
+everything r8 changed — q54/q145 (global_row_number gained adaptive
+range-partition sizing + the 2^33 overflow guard; same oracles,
+bit-identical output expected) and q232/q233 (tie-robust
+dedup-edge verdict via the shared approx_equidepth_verdict helper);
+(c) the complete r2-era evidence residue
+(q93/q100/q103/q105-q109/q111/q112, latest driver rows
+CORRECTNESS_r02) — the r7 verdict's queued backlog item; and (d)
+the 34 oldest r3-era hash lanes. After this window no registry
+query's latest driver evidence predates r3, and only
+q144_event_pmi (queued for r9) plus the rows-only-by-design lanes
+still carry r3 rows. Per the r6 verdict, no-oracle streaming lanes
+stay OUT of the window (q96_stream_sessionize is pinned by its
+batch twin + the replay matrix; a slot would compare nothing).
+Previously-green queries stay registered after the priority block;
+their evidence is CORRECTNESS_r01-r07.json plus the committed
+full-registry ORACLE_RUN logs.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -91,68 +90,74 @@ _ALL_ORACLES = {
     **EXT5_ORACLES,
 }
 
-# The driver-checked prefix, by design exactly 50 names (round-7
+# The driver-checked prefix, by design exactly 50 names (round-8
 # rotation: see module docstring).
 PRIORITY = [
-    # (a) never driver-checked: the r7 sketch-path pair + q223 (now
-    # carrying a full watermark-frontier hash oracle)
-    "q232_decile_edges_approx",
-    "q233_equidepth_approx",
-    "q223_stream_session_window",
-    # (b) changed in round 7 — re-prove: q220 (tie-deterministic
-    # cumsum oracle), q224 (hardened preds_binary verdict), q54/q145
-    # (distributed global_row_number rewrite, same oracles)
-    "q220_native_session_window",
-    "q224_rf_quality_verdict",
+    # (a) never driver-checked: the r8 additions (cross-engine table
+    # checksum; WindowGroupLimit top-k)
+    "q234_table_checksum",
+    "q235_topk_per_group",
+    # (b) changed in round 8 — re-prove: q54/q145 (adaptive range-
+    # partition sizing + overflow guard in global_row_number),
+    # q232/q233 (tie-robust dedup-edge verdict via the shared
+    # approx_equidepth_verdict helper)
     "q54_spend_deciles",
     "q145_equidepth_histogram",
-    # (c) the r1-era evidence residue (latest driver rows
-    # CORRECTNESS_r01)
-    "q49_global_topk",
-    "q50_exists_correlated",
-    "q51_scalar_subquery",
-    "q52_unpivot",
-    "q53_having_join_back",
-    "q55_quantile_binning",
-    "q56_pivot_status",
-    "q57_not_exists_anti",
-    "q58_full_outer",
-    "q59_grouping_sets",
-    "q61_date_battery",
-    "q64_string_battery",
-    "q65_label_centroids",
-    # (d) the thirty oldest r2-era rows (latest driver rows
-    # CORRECTNESS_r02); q93/q100/q103/q105-q109/q111/q112 close out in r8 (q110's latest evidence is r3)
-    "q21_window_lag",
-    "q22_running_best",
-    "q29_json_props",
-    "q30_token_stats",
-    "q31_lang_id",
-    "q32_exact_dedup",
-    "q34_minhash_signatures",
-    "q35_simhash",
-    "q37_events_tumbling",
-    "q38_quality_filter",
-    "q39_events_sliding",
-    "q40_embedding_neardup",
-    "q41_winnowing_fp",
-    "q46_tfidf_top_terms",
-    "q48_metric_map",
-    "q68_array_battery",
-    "q69_forward_fill",
-    "q72_regex_tokens",
-    "q75_retention_cohorts",
-    "q76_stratified_sample",
-    "q77_fusion_battery",
-    "q78_grouping_battery",
-    "q79_subquery_battery",
-    "q80_window_battery",
-    "q81_chunking",
-    "q82_token_rarity",
-    "q83_contamination",
-    "q84_quantize_embeddings",
-    "q87_multires_rollup",
-    "q92_minhash_lsh_pairs",
+    "q232_decile_edges_approx",
+    "q233_equidepth_approx",
+    # (c) the complete r2-era evidence residue (latest driver rows
+    # CORRECTNESS_r02) — closing the r7 verdict's backlog item: after
+    # this window no registry query's latest evidence predates r3
+    "q93_lsh_cosine_topk",
+    "q100_redaction",
+    "q103_variant_battery",
+    "q105_repetition_signals",
+    "q106_token_budget_sample",
+    "q107_jsonl_roundtrip",
+    "q108_sequence_packing",
+    "q109_shard_manifest",
+    "q111_zorder_layout",
+    "q112_winsorize",
+    # (d) the oldest r3-era rows (latest driver rows CORRECTNESS_r03),
+    # oldest-first fill; q96_stream_sessionize stays out (rows-only by
+    # driver design — pinned by batch twin + replay matrix, a window
+    # slot would compare nothing); one r3-era hash lane
+    # (q144_event_pmi) does not fit the 50 and queues for r9 with the
+    # r4-era rows
+    "q101_upsert_merge",
+    "q102_time_weighted_avg",
+    "q110_inverted_index",
+    "q113_salted_join",
+    "q114_incremental_rollup",
+    "q116_bucketed_join",
+    "q117_incremental_dedup",
+    "q118_profile",
+    "q119_crosscorpus_neardup",
+    "q120_mixture_weights",
+    "q121_resample_interp",
+    "q122_realize_mixture",
+    "q123_vocab_coverage",
+    "q124_asof_forward",
+    "q125_asof_nearest",
+    "q126_sparse_cosine_pairs",
+    "q128_scd2_history",
+    "q129_robust_stats",
+    "q131_paragraph_dedup",
+    "q133_ewma",
+    "q135_session_funnel",
+    "q136_growth_accounting",
+    "q137_fuzzy_join",
+    "q142_dedup_impact",
+    "q47_interval_join",
+    "q60_explode_vocab",
+    "q62_moving_frame",
+    "q66_nation_volume",
+    "q67_market_share",
+    "q70_multi_distinct",
+    "q71_first_nth_value",
+    "q73_quality_checks",
+    "q74_funnel",
+    "q85_session_window",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]
