@@ -122,14 +122,20 @@ def global_row_number(
     docstring); pass an explicit count to override.
 
     `checkpoint=None` reads conf `spark.pdi.ranking.checkpoint`
-    (default true). False skips the localCheckpoint: both plan
-    consumers then recompute from the shared range exchange (Spark
-    reuses the exchange, and the local sort is deterministic, so the
-    ids still agree) — used by plan-shape tests that need to see
-    through to the scan, and safe anywhere task retries are not a
-    concern (single-JVM local mode). Leave it on for clusters: a
-    retried task may otherwise re-draw range-boundary samples
-    between the two consumers."""
+    (default true). False skips the localCheckpoint, used by
+    plan-shape tests that need to see through to the scan.
+    WARNING — with the checkpoint off, correctness RIDES ON
+    exchange reuse: the counts branch and the join-back branch each
+    plan their own range exchange, and if Spark did NOT deduplicate
+    them (ReuseExchange/AQE stage caching), the two exchanges would
+    sample range boundaries independently (the sample seed includes
+    the RDD id), the per-partition counts would describe a different
+    partitioning than the one the final ranks use, and ranks would
+    corrupt SILENTLY. Reuse does fire for this shape (identical
+    canonicalized subtrees — both consumers read the full `numbered`
+    relation), but the default keeps the checkpoint because
+    "correct unless a physical-planning rule declines" is not a
+    production contract."""
     spark = df.sparkSession
     n_parts = num_partitions or _adaptive_num_partitions(df)
     if checkpoint is None:

@@ -850,7 +850,16 @@ def q98_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     promise; on a real embedding corpus (which clusters — that is
     why IVF exists) the same index amortizes far better, and q203 is
     exactly the per-corpus audit to run before trusting any chosen
-    (n_cells, n_probe) at 100 TB."""
+    (n_cells, n_probe) at 100 TB.
+
+    MEASURED on clustered geometry (r8, `tools/ivf_recall_sweep.py
+    ... clustered` — a deterministic mixture-of-32 corpus derived
+    from the same table): recall@3 = 1.0 at EVERY swept setting,
+    including 64 cells / 4 probes at a 0.062 scan fraction — a 16x
+    cheaper scan than the isotropic corpus needs for 0.80. The pair
+    of sweeps (full tables in PERF_NOTES.md) is the evidence that
+    IVF's cost/recall trade is a property of corpus geometry, not of
+    this implementation."""
     from patientdataintegration_spark.operators.similarity import ivf_cosine_topk
 
     e = load_table(spark, sf_dir, "embeddings")
