@@ -400,11 +400,29 @@ def q38_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only lanes (not SQL-expressible; pytest covers semantics) ---------
 
 
-@_register("q90_stream_tumbling")  # no oracle: Structured Streaming execution
+@_register(
+    "q90_stream_tumbling",
+    """
+    SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) * 300 AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY bucket, event_type
+    """,
+)
 def q90_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real streaming run (file source → watermark+window agg →
-    availableNow → memory sink); equals q37's batch buckets, which
-    pytest asserts."""
+    availableNow → memory sink). UPGRADED r8 from rows-only to a
+    FULL hash oracle (the q223 pattern): the sink runs in COMPLETE
+    output mode, so after availableNow drains the one-file backlog
+    the memory table holds the final state of EVERY window —
+    no watermark-eviction subset to reason about — and that final
+    state is exactly the batch aggregate, deterministically (counts
+    and decimal-exact sums are merge-order-independent). The oracle
+    is q37's batch SQL verbatim; the driver row therefore
+    hash-checks the streaming ENGINE path (state store, incremental
+    planner, watermark bookkeeping) against DuckDB."""
     from patientdataintegration_spark.streaming.events import run_tumbling_counts_stream
 
     return run_tumbling_counts_stream(spark, sf_dir)
@@ -978,23 +996,60 @@ def q62_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q88_stream_static_enrich")  # no oracle: streaming execution
+@_register(
+    "q88_stream_static_enrich",
+    """
+    SELECT c_mktsegment, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
 def q88_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static broadcast join (events × customer dim) with a
-    downstream count aggregate; pytest asserts equality with the
-    batch join."""
+    """Stream-static join (events × customer dim) with a downstream
+    count aggregate. UPGRADED r8 from rows-only to a FULL hash
+    oracle: COMPLETE output mode means the post-availableNow memory
+    table is the final aggregate over the whole feed — the
+    stream-static join is stateless per micro-batch and the
+    aggregate's counts/decimal sums are merge-order-independent, so
+    the emitted values are a pure function of the data. The oracle
+    is the plain batch join+group SQL; the driver row hash-checks
+    the per-micro-batch join planning path against DuckDB."""
     from patientdataintegration_spark.streaming.events import enrich_stream_static
 
     return enrich_stream_static(spark, sf_dir)
 
 
-@_register("q89_stream_dedup")  # no oracle: streaming execution
+@_register(
+    "q89_stream_dedup",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    """,
+)
 def q89_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark-bounded streaming dedup of a doubled feed; pytest
-    asserts each event_id survives exactly once."""
+    """Watermark-bounded streaming dedup of a doubled feed
+    (`dropDuplicatesWithinWatermark`). UPGRADED r8 from rows-only to
+    a FULL hash oracle: the emitted set is deterministic because
+    (a) the one-file backlog is one micro-batch, so no row is ever
+    late against the batch-start watermark of 0 and every first-seen
+    key emits, and (b) the two union branches carry byte-identical
+    payloads, so WHICH copy survives cannot affect the output — and
+    event_id is unique in the source (asserted at all SFs), making
+    the surviving set exactly the events table. The oracle is
+    `SELECT ... FROM events` with ts as epoch micros (the suite's
+    engine-portable timestamp spelling); a dedup bug (dropped key,
+    double emission, payload mixup) breaks the hash."""
     from patientdataintegration_spark.streaming.events import dedup_stream
 
-    return dedup_stream(spark, sf_dir)
+    return dedup_stream(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
 
 
 # --- BPE-ish regex tokenizer (subword-style token counting) -----------------

@@ -156,10 +156,10 @@ def test_every_query_is_oracle_backed_or_documented_rows_only():
 
     ROWS_ONLY = {
         # streaming execution lanes (the subject IS the stream run;
-        # batch twins are hash-checked)
-        "q88_stream_static_enrich",
-        "q89_stream_dedup",
-        "q90_stream_tumbling",
+        # batch twins are hash-checked). q88/q89/q90 left this list
+        # in r8: complete-mode finals (q88/q90) and the unique-key
+        # single-batch dedup set (q89) are deterministic, so they now
+        # carry full hash oracles (the q223 pattern).
         "q96_stream_sessionize",
         "q99_stream_stream_join",
         "q180_stream_cdc_upsert",
