@@ -37,32 +37,36 @@ Round 5 rotated in q176-q191 (restoring ever-checked = all
 registered), the r5 re-proof set, and late-r5 additions q192-q206 —
 see CORRECTNESS_r05.json.
 
-The round-8 window closes the evidence backlog: (a) five lanes
+The round-8 window closes the evidence backlog: (a) seven lanes
 whose first HASH row this is — the two r8 additions, q234
 (cross-engine table checksum: the DuckDB twin rebuilds the
 identical canonical bytes, so the hash match proves the fingerprint
 is engine-portable) and q235 (WindowGroupLimit top-k per group),
-plus the three streaming lanes upgraded r8 from rows-only to full
+plus the FIVE streaming lanes upgraded r8 from rows-only to full
 hash oracles (q88/q90: complete-mode finals equal the batch
 aggregate deterministically; q89: unique-key single-batch dedup of
-byte-identical duplicates — the q223 pattern); (b) re-proof rows
-for everything else r8 changed — q54/q145 (global_row_number gained
-adaptive range-partition sizing + the 2^33 overflow guard; same
-oracles, bit-identical output expected) and q232/q233 (tie-robust
+byte-identical duplicates; q99: INNER stream-stream joins emit
+eagerly, so the single-batch emitted set is the batch join; q96:
+the custom sessionizer's timeout-eviction frontier replayed in SQL
+— all the q223 pattern); (b) re-proof rows for everything else r8
+changed — q54/q145 (global_row_number gained adaptive
+range-partition sizing + the 2^33 overflow guard; same oracles,
+bit-identical output expected) and q232/q233 (tie-robust
 dedup-edge verdict via the shared approx_equidepth_verdict helper);
 (c) the complete r2-era evidence residue
 (q93/q100/q103/q105-q109/q111/q112, latest driver rows
 CORRECTNESS_r02) — the r7 verdict's queued backlog item; and (d)
-the 31 oldest r3-era hash lanes. After this window no registry
-query's latest driver evidence predates r3; the four r3-era hash
-lanes the upgrades displaced (q73/q74/q85/q144) queue for r9, and
-the rows-only-by-design lanes keep their r3+ rows-only rows. Per
-the r6 verdict, no-oracle streaming lanes stay OUT of the window
-(q96_stream_sessionize is pinned by its batch twin + the replay
-matrix; a slot would compare nothing). Previously-green queries
-stay registered after the priority block; their evidence is
-CORRECTNESS_r01-r07.json plus the committed full-registry
-ORACLE_RUN logs.
+the 29 oldest r3-era hash lanes. After this window no registry
+query's latest driver evidence predates r3; the six r3-era hash
+lanes the upgrades displaced (q70/q71/q73/q74/q85/q144) queue for
+r9, and the rows-only-by-design lanes keep their r3+ rows-only
+rows. Per the r6 verdict, lanes with NO oracle stay OUT of the
+window (now only 7: q94 + 6 streaming-execution lanes whose
+emission is genuinely watermark-frontier-dependent or
+model-internal; each is pinned by a batch twin, the replay matrix,
+or pytest bounds). Previously-green queries stay registered after
+the priority block; their evidence is CORRECTNESS_r01-r07.json plus
+the committed full-registry ORACLE_RUN logs.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -100,14 +104,17 @@ _ALL_ORACLES = {
 PRIORITY = [
     # (a) never driver-checked as hash lanes: the r8 additions
     # (cross-engine table checksum; WindowGroupLimit top-k) and the
-    # three streaming lanes upgraded r8 from rows-only to FULL hash
+    # five streaming lanes upgraded r8 from rows-only to FULL hash
     # oracles (complete-mode finals q88/q90; unique-key single-batch
-    # dedup q89 — the q223 pattern)
+    # dedup q89; eager-emission INNER join q99; custom-sessionizer
+    # timeout-frontier replay q96 — the q223 pattern)
     "q234_table_checksum",
     "q235_topk_per_group",
     "q88_stream_static_enrich",
     "q89_stream_dedup",
     "q90_stream_tumbling",
+    "q96_stream_sessionize",
+    "q99_stream_stream_join",
     # (b) changed in round 8 — re-prove: q54/q145 (adaptive range-
     # partition sizing + overflow guard in global_row_number),
     # q232/q233 (tie-robust dedup-edge verdict via the shared
@@ -130,12 +137,11 @@ PRIORITY = [
     "q111_zorder_layout",
     "q112_winsorize",
     # (d) the oldest r3-era rows (latest driver rows CORRECTNESS_r03),
-    # oldest-first fill; q96_stream_sessionize stays out (rows-only by
-    # driver design — pinned by batch twin + replay matrix, a window
-    # slot would compare nothing); four r3-era hash lanes displaced
-    # by the streaming-oracle upgrades (q73_quality_checks,
-    # q74_funnel, q85_session_window, q144_event_pmi) queue for r9
-    # with the r4-era rows
+    # oldest-first fill; the six r3-era hash lanes displaced by the
+    # streaming-oracle upgrades (q70_multi_distinct,
+    # q71_first_nth_value, q73_quality_checks, q74_funnel,
+    # q85_session_window, q144_event_pmi) queue for r9 with the
+    # r4-era rows
     "q101_upsert_merge",
     "q102_time_weighted_avg",
     "q110_inverted_index",
@@ -165,8 +171,6 @@ PRIORITY = [
     "q62_moving_frame",
     "q66_nation_volume",
     "q67_market_share",
-    "q70_multi_distinct",
-    "q71_first_nth_value",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

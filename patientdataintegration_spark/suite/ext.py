@@ -733,12 +733,62 @@ def q95_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- stateful streaming sessionization (rows-only) --------------------------
 
 
-@_register("q96_stream_sessionize")  # no oracle: custom stateful streaming
+@_register(
+    "q96_stream_sessionize",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    l AS (
+      SELECT user_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+      FROM e
+    ),
+    t AS (
+      SELECT user_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000 THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t
+    ),
+    g AS (
+      SELECT user_id, MIN(us) AS session_start_us,
+             MAX(us) AS session_end_us, COUNT(*) AS n_events
+      FROM s GROUP BY user_id, session_id
+    ),
+    wm AS (
+      SELECT CAST(FLOOR(MAX(epoch_us(ts)) / 1000) AS BIGINT) AS wm_ms
+      FROM events
+    ),
+    lastf AS (
+      SELECT user_id, MAX(session_end_us) AS last_end FROM g GROUP BY user_id
+    )
+    SELECT g.user_id, g.session_start_us, g.session_end_us, g.n_events
+    FROM g JOIN lastf USING (user_id), wm
+    WHERE g.session_end_us < lastf.last_end
+       OR (CAST(FLOOR((g.session_end_us + 43200000000) / 1000) AS BIGINT) + 1)
+          < wm.wm_ms
+    """,
+)
 def q96_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions computed incrementally with
-    applyInPandasWithState (event-time timeouts flush open sessions);
-    pytest asserts the emitted sessions equal the batch operator's
-    output up to the trailing still-open session per user."""
+    applyInPandasWithState (event-time timeouts flush open sessions).
+    UPGRADED r8 from rows-only to a FULL hash oracle — the q223
+    frontier-replay pattern applied to the CUSTOM stateful operator:
+    with the one-file backlog everything arrives in micro-batch 1,
+    so every gap-CLOSED session emits unconditionally, and each
+    user's trailing open session emits in the availableNow
+    finalization batch iff its event-time timeout fired — the
+    sessionizer sets the timeout to floor((end_us + gap_us)/1000)+1
+    ms (sessions.py:95) and Spark fires timeouts when the watermark
+    advances strictly beyond that timestamp, with the final
+    watermark at floor(max_us/1000) ms (delay 0s). The oracle
+    replays the batch gap-split AND that exact ms-arithmetic
+    eviction rule, so the hash pins the emission contract itself —
+    which sessions a restart-safe consumer has actually seen — not
+    just their values."""
     from patientdataintegration_spark.streaming.sessions import sessionize_stream
 
     return sessionize_stream(spark, sf_dir, gap_seconds=43200, watermark="0 seconds")
@@ -919,10 +969,28 @@ def q46_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(d, k=3)
 
 
-@_register("q99_stream_stream_join")  # no oracle: streaming execution
+@_register(
+    "q99_stream_stream_join",
+    """
+    SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS micros_between
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts <= e.ts AND c.ts > e.ts - INTERVAL 24 HOUR
+    """,
+)
 def q99_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream interval join; pytest asserts set
-    equality with the batch twin q47."""
+    """Watermarked stream-stream interval join. UPGRADED r8 from
+    rows-only to a FULL hash oracle: INNER stream-stream joins emit
+    a match as soon as both sides are in state — emission never
+    waits for watermark eviction (that is an OUTER-emission concern:
+    q201/q231 stay rows-only for exactly that reason) — and with the
+    one-file backlog both sides arrive in micro-batch 1 before any
+    state is evicted, so the emitted set is exactly the batch
+    interval join. The oracle is q47's SQL verbatim; the driver row
+    hash-checks the stream-stream state-matching path against
+    DuckDB."""
     from patientdataintegration_spark.streaming.sessions import interval_join_stream
 
     return interval_join_stream(spark, sf_dir, window_hours=24)

@@ -157,11 +157,12 @@ def test_every_query_is_oracle_backed_or_documented_rows_only():
     ROWS_ONLY = {
         # streaming execution lanes (the subject IS the stream run;
         # batch twins are hash-checked). q88/q89/q90 left this list
-        # in r8: complete-mode finals (q88/q90) and the unique-key
-        # single-batch dedup set (q89) are deterministic, so they now
-        # carry full hash oracles (the q223 pattern).
-        "q96_stream_sessionize",
-        "q99_stream_stream_join",
+        # in r8: complete-mode finals (q88/q90), the unique-key
+        # single-batch dedup set (q89), the eagerly-emitting INNER
+        # stream-stream join (q99), and the custom sessionizer (q96,
+        # timeout-eviction frontier replayed in SQL) are
+        # deterministic, so they now carry full hash oracles (the
+        # q223 pattern).
         "q180_stream_cdc_upsert",
         # (the binary decode lanes all graduated to closed-form
         # hash oracles: q91/q97 r5, q104 PCM + q181 video frames r6;
