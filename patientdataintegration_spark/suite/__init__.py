@@ -61,10 +61,10 @@ query's latest driver evidence predates r3; the six r3-era hash
 lanes the upgrades displaced (q70/q71/q73/q74/q85/q144) queue for
 r9, and the rows-only-by-design lanes keep their r3+ rows-only
 rows. Per the r6 verdict, lanes with NO oracle stay OUT of the
-window (now only 7: q94 + 6 streaming-execution lanes whose
-emission is genuinely watermark-frontier-dependent or
-model-internal; each is pinned by a batch twin, the replay matrix,
-or pytest bounds). Previously-green queries stay registered after
+window (now only 5: q94 + four streaming-execution lanes whose
+emission is genuinely watermark-frontier-dependent, restart-
+focused, or model-internal; each is pinned by a batch twin, the
+replay matrix, or pytest bounds). Previously-green queries stay registered after
 the priority block; their evidence is CORRECTNESS_r01-r07.json plus
 the committed full-registry ORACLE_RUN logs.
 """

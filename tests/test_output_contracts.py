@@ -156,7 +156,7 @@ def test_every_query_is_oracle_backed_or_documented_rows_only():
 
     ROWS_ONLY = {
         # streaming execution lanes (the subject IS the stream run;
-        # batch twins are hash-checked). q88/q89/q90 left this list
+        # batch twins are hash-checked). q88/q89/q90/q96/q99 left this list
         # in r8: complete-mode finals (q88/q90), the unique-key
         # single-batch dedup set (q89), the eagerly-emitting INNER
         # stream-stream join (q99), and the custom sessionizer (q96,
