@@ -37,18 +37,19 @@ Round 5 rotated in q176-q191 (restoring ever-checked = all
 registered), the r5 re-proof set, and late-r5 additions q192-q206 —
 see CORRECTNESS_r05.json.
 
-The round-8 window closes the evidence backlog: (a) seven lanes
+The round-8 window closes the evidence backlog: (a) eight lanes
 whose first HASH row this is — the two r8 additions, q234
 (cross-engine table checksum: the DuckDB twin rebuilds the
 identical canonical bytes, so the hash match proves the fingerprint
 is engine-portable) and q235 (WindowGroupLimit top-k per group),
-plus the FIVE streaming lanes upgraded r8 from rows-only to full
+plus the SIX streaming lanes upgraded r8 from rows-only to full
 hash oracles (q88/q90: complete-mode finals equal the batch
 aggregate deterministically; q89: unique-key single-batch dedup of
 byte-identical duplicates; q99: INNER stream-stream joins emit
 eagerly, so the single-batch emitted set is the batch join; q96:
-the custom sessionizer's timeout-eviction frontier replayed in SQL
-— all the q223 pattern); (b) re-proof rows for everything else r8
+the custom sessionizer's timeout-eviction frontier replayed in SQL;
+q180: the CDC merge fold is associative, so the final snapshot is
+the global last-writer-wins — all the q223 pattern); (b) re-proof rows for everything else r8
 changed — q54/q145 (global_row_number gained adaptive
 range-partition sizing + the 2^33 overflow guard; same oracles,
 bit-identical output expected) and q232/q233 (tie-robust
@@ -56,15 +57,15 @@ dedup-edge verdict via the shared approx_equidepth_verdict helper);
 (c) the complete r2-era evidence residue
 (q93/q100/q103/q105-q109/q111/q112, latest driver rows
 CORRECTNESS_r02) — the r7 verdict's queued backlog item; and (d)
-the 29 oldest r3-era hash lanes. After this window no registry
-query's latest driver evidence predates r3; the six r3-era hash
-lanes the upgrades displaced (q70/q71/q73/q74/q85/q144) queue for
-r9, and the rows-only-by-design lanes keep their r3+ rows-only
+the 28 oldest r3-era hash lanes. After this window no registry
+query's latest driver evidence predates r3; the seven r3-era hash
+lanes the upgrades displaced (q67/q70/q71/q73/q74/q85/q144) queue
+for r9, and the rows-only-by-design lanes keep their r3+ rows-only
 rows. Per the r6 verdict, lanes with NO oracle stay OUT of the
-window (now only 5: q94 + four streaming-execution lanes whose
-emission is genuinely watermark-frontier-dependent, restart-
-focused, or model-internal; each is pinned by a batch twin, the
-replay matrix, or pytest bounds). Previously-green queries stay registered after
+window (now only 4: q94 — model internals — plus q196/q201/q231,
+whose emission is genuinely restart-focused or watermark-frontier-
+NONdeterministic; each is pinned by a batch twin, the replay
+matrix, or pytest bounds). Previously-green queries stay registered after
 the priority block; their evidence is CORRECTNESS_r01-r07.json plus
 the committed full-registry ORACLE_RUN logs.
 """
@@ -104,10 +105,11 @@ _ALL_ORACLES = {
 PRIORITY = [
     # (a) never driver-checked as hash lanes: the r8 additions
     # (cross-engine table checksum; WindowGroupLimit top-k) and the
-    # five streaming lanes upgraded r8 from rows-only to FULL hash
+    # six streaming lanes upgraded r8 from rows-only to FULL hash
     # oracles (complete-mode finals q88/q90; unique-key single-batch
     # dedup q89; eager-emission INNER join q99; custom-sessionizer
-    # timeout-frontier replay q96 — the q223 pattern)
+    # timeout-frontier replay q96; associative CDC merge fold q180 —
+    # the q223 pattern)
     "q234_table_checksum",
     "q235_topk_per_group",
     "q88_stream_static_enrich",
@@ -115,6 +117,7 @@ PRIORITY = [
     "q90_stream_tumbling",
     "q96_stream_sessionize",
     "q99_stream_stream_join",
+    "q180_stream_cdc_upsert",
     # (b) changed in round 8 — re-prove: q54/q145 (adaptive range-
     # partition sizing + overflow guard in global_row_number),
     # q232/q233 (tie-robust dedup-edge verdict via the shared
@@ -137,8 +140,8 @@ PRIORITY = [
     "q111_zorder_layout",
     "q112_winsorize",
     # (d) the oldest r3-era rows (latest driver rows CORRECTNESS_r03),
-    # oldest-first fill; the six r3-era hash lanes displaced by the
-    # streaming-oracle upgrades (q70_multi_distinct,
+    # oldest-first fill; the seven r3-era hash lanes displaced by the
+    # streaming-oracle upgrades (q67_market_share, q70_multi_distinct,
     # q71_first_nth_value, q73_quality_checks, q74_funnel,
     # q85_session_window, q144_event_pmi) queue for r9 with the
     # r4-era rows
@@ -170,7 +173,6 @@ PRIORITY = [
     "q60_explode_vocab",
     "q62_moving_frame",
     "q66_nation_volume",
-    "q67_market_share",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -1541,16 +1541,37 @@ def q179_ordered_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- streaming CDC upsert (rows-only: streaming execution lane) --------------
 
 
-@_register("q180_stream_cdc_upsert")
+@_register(
+    "q180_stream_cdc_upsert",
+    """
+    WITH ranked AS (
+      SELECT user_id AS key, value AS bal,
+             epoch_us(ts) / 1000000.0 AS seq_ts,
+             event_id AS seq_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn
+      FROM events
+    )
+    SELECT key, bal, seq_ts, seq_id FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
 def q180_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q174: the event feed consumed as a CDC
     change log (error → delete, other types → upsert) through a
     checkpointed foreachBatch into versioned table snapshots;
-    returns the final committed state. Rows-only by nature (the
-    subject under test IS the streaming execution — checkpointed
-    exactly-once micro-batch merge); the merge SEMANTICS are
-    hash-checked through the batch twin q174_cdc_apply, and the
-    restart/replay guarantees are pinned in tests/test_stream_cdc.py
+    returns the final committed state. UPGRADED r8 from rows-only to
+    a FULL hash oracle: per-batch last-writer-wins MERGE composes
+    associatively, so the final snapshot over any batching of the
+    feed equals ONE global last-writer-wins fold — a key survives
+    iff its latest change (full-precision ts, event_id tiebreak) is
+    not a delete, carrying that change's value. The oracle replays
+    that fold, including Spark's timestamp→double conversion
+    (epoch MICROsecond truncation, then one IEEE division by 1e6 —
+    ordering in the oracle uses the truncated integer so sub-µs
+    raw-parquet digits can't split a tie Spark sees). The
+    restart/replay guarantees stay pinned in tests/test_stream_cdc.py
     (same-checkpoint restart adds no version; a replayed batch is
     bit-identical)."""
     import hashlib

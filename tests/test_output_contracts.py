@@ -162,8 +162,9 @@ def test_every_query_is_oracle_backed_or_documented_rows_only():
         # stream-stream join (q99), and the custom sessionizer (q96,
         # timeout-eviction frontier replayed in SQL) are
         # deterministic, so they now carry full hash oracles (the
-        # q223 pattern).
-        "q180_stream_cdc_upsert",
+        # q223 pattern). q180 followed in r8: per-batch
+        # last-writer-wins merges compose associatively, so the
+        # final snapshot is the global fold — replayed in SQL.
         # (the binary decode lanes all graduated to closed-form
         # hash oracles: q91/q97 r5, q104 PCM + q181 video frames r6;
         # q205/q206/q193/q194 were born checked)
