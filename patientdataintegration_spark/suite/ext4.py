@@ -1166,16 +1166,48 @@ def q200_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@_register("q201_stream_outer_join")  # no oracle: streaming execution
+@_register(
+    "q201_stream_outer_join",
+    """
+    WITH e AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS e_us
+               FROM events WHERE event_type = 'error'),
+    c AS (SELECT event_id AS click_id, user_id AS c_user, epoch_us(ts) AS c_us
+          FROM events WHERE event_type = 'click'),
+    m AS (
+      SELECT e.error_id, c.click_id, e.user_id, e.e_us - c.c_us AS micros_between
+      FROM e JOIN c ON e.user_id = c.c_user
+        AND c.c_us <= e.e_us AND c.c_us > e.e_us - 86400000000
+    ),
+    wm AS (
+      SELECT LEAST((SELECT CAST(FLOOR(MAX(e_us) / 1000) AS BIGINT) FROM e),
+                   (SELECT CAST(FLOOR(MAX(c_us) / 1000) AS BIGINT) FROM c))
+               AS wm_ms
+    )
+    SELECT error_id, click_id, user_id, micros_between FROM m
+    UNION ALL
+    SELECT e.error_id, CAST(NULL AS BIGINT) AS click_id, e.user_id,
+           CAST(NULL AS BIGINT) AS micros_between
+    FROM e, wm
+    WHERE CAST(FLOOR(e.e_us / 1000) AS BIGINT) < wm.wm_ms
+      AND NOT EXISTS (SELECT 1 FROM m WHERE m.error_id = e.error_id)
+    """,
+)
 def q201_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream LEFT OUTER interval join — the
     missing outer half of q99: errors with no same-user click in the
     preceding 24 h surface as null-click rows once the watermark
     passes their join window (outer emission = state-cleanup time,
     the semantics that distinguish streaming outer joins from batch).
-    Rows-only lane; pytest pins set-parity with the batch LEFT JOIN
-    twin up to the watermark frontier (rows at the stream's max
-    timestamp may be legitimately withheld)."""
+    UPGRADED r8 from rows-only to a FULL hash oracle replaying the
+    eviction rule itself, calibrated to the millisecond against the
+    engine (tests/test_stream_eviction_frontier.py): the global
+    watermark is the MIN over both sides' per-type max event time,
+    floored to ms, and an unmatched error null-emits iff its ms-
+    floored event time is STRICTLY below that watermark. Matched
+    pairs emit eagerly (the q99 argument), so emitted = batch join ∪
+    {unmatched e : e_ms < wm_ms} exactly — the driver row now hash-
+    checks WHICH outer rows the engine has proven final, not just
+    their values."""
     from patientdataintegration_spark.streaming.sessions import (
         interval_join_stream,
     )

@@ -1635,7 +1635,39 @@ def q230_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q231_stream_full_outer_join")  # no oracle: streaming execution
+@_register(
+    "q231_stream_full_outer_join",
+    """
+    WITH e AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS e_us
+               FROM events WHERE event_type = 'error'),
+    c AS (SELECT event_id AS click_id, user_id AS c_user, epoch_us(ts) AS c_us
+          FROM events WHERE event_type = 'click'),
+    m AS (
+      SELECT e.error_id, c.click_id, e.user_id, e.e_us - c.c_us AS micros_between
+      FROM e JOIN c ON e.user_id = c.c_user
+        AND c.c_us <= e.e_us AND c.c_us > e.e_us - 86400000000
+    ),
+    wm AS (
+      SELECT LEAST((SELECT CAST(FLOOR(MAX(e_us) / 1000) AS BIGINT) FROM e),
+                   (SELECT CAST(FLOOR(MAX(c_us) / 1000) AS BIGINT) FROM c))
+               AS wm_ms
+    )
+    SELECT error_id, click_id, user_id, micros_between FROM m
+    UNION ALL
+    SELECT e.error_id, CAST(NULL AS BIGINT) AS click_id, e.user_id,
+           CAST(NULL AS BIGINT) AS micros_between
+    FROM e, wm
+    WHERE CAST(FLOOR(e.e_us / 1000) AS BIGINT) < wm.wm_ms
+      AND NOT EXISTS (SELECT 1 FROM m WHERE m.error_id = e.error_id)
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT) AS error_id, c.click_id,
+           CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS BIGINT) AS micros_between
+    FROM c, wm
+    WHERE CAST(FLOOR(c.c_us / 1000) AS BIGINT) + 86400000 <= wm.wm_ms
+      AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+    """,
+)
 def q231_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream FULL OUTER interval join — the last
     member of the join-mode family (q99 inner, q201 left outer):
@@ -1644,10 +1676,17 @@ def q231_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark passes their join window. Outer emission on BOTH
     sides is the hardest state-cleanup contract the engine offers —
     a row may only be emitted null-extended when state eviction
-    PROVES no future match can arrive. Rows-only lane; pytest pins
-    set-parity with the batch FULL OUTER join up to the watermark
-    frontier on both sides, and the deterministic-replay matrix
-    covers run-to-run stability."""
+    PROVES no future match can arrive. UPGRADED r8 from rows-only to
+    a FULL hash oracle replaying both eviction rules, calibrated to
+    the millisecond against the engine
+    (tests/test_stream_eviction_frontier.py): with wm_ms = the min
+    over both sides' ms-floored max event time, an unmatched error
+    null-emits iff e_ms < wm_ms (STRICT — it can match any future
+    click at or above the watermark), and an unmatched click
+    null-emits iff c_ms + 24h <= wm_ms (NON-strict — its last
+    matchable error is strictly below c+24h). The asymmetry is the
+    join condition's (closed, open] interval made visible; the hash
+    pins it exactly."""
     from patientdataintegration_spark.streaming.sessions import (
         interval_join_stream,
     )

@@ -173,19 +173,15 @@ def test_every_query_is_oracle_backed_or_documented_rows_only():
         # — exact counts hash-checked + the error-bound verdict
         # pinned TRUE)
         "q94_random_forest",
-        # r5 streaming-execution lanes (q196: custom Python stream
-        # source, restart test pins offsets; q201: stream-stream
-        # LEFT OUTER, batch-twin parity pinned up to the watermark
-        # frontier)
+        # r5 streaming-execution lane (q196: custom Python stream
+        # source — the subject is offset/restart bookkeeping, pinned
+        # by the restart test; q195 hash-checks the generator's
+        # values). q201/q231 left this list in r8: their outer-
+        # emission frontier is deterministic and replayed exactly
+        # (ms-calibrated eviction rules,
+        # tests/test_stream_eviction_frontier.py), completing the
+        # q223 pattern across the whole join-mode family.
         "q196_python_stream_source",
-        "q201_stream_outer_join",
-        # r6 streaming-execution lane (FULL OUTER stream-stream join
-        # completing the q99/q201 family, stream==batch parity up to
-        # the watermark frontier pinned in test_ext5_suite). q223
-        # left this list in r7: its emitted session set is
-        # deterministic and now carries a full frontier-replay hash
-        # oracle.
-        "q231_stream_full_outer_join",
     }
     missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY
     stale = ROWS_ONLY - set(QUERIES)
