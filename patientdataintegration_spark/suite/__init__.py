@@ -37,12 +37,12 @@ Round 5 rotated in q176-q191 (restoring ever-checked = all
 registered), the r5 re-proof set, and late-r5 additions q192-q206 —
 see CORRECTNESS_r05.json.
 
-The round-8 window closes the evidence backlog: (a) ten lanes
+The round-8 window closes the evidence backlog: (a) eleven lanes
 whose first HASH row this is — the two r8 additions, q234
 (cross-engine table checksum: the DuckDB twin rebuilds the
 identical canonical bytes, so the hash match proves the fingerprint
 is engine-portable) and q235 (WindowGroupLimit top-k per group),
-plus the EIGHT streaming lanes upgraded r8 from rows-only to full
+plus the NINE streaming lanes upgraded r8 from rows-only to full
 hash oracles (q88/q90: complete-mode finals equal the batch
 aggregate deterministically; q89: unique-key single-batch dedup of
 byte-identical duplicates; q99: INNER stream-stream joins emit
@@ -50,7 +50,8 @@ eagerly, so the single-batch emitted set is the batch join; q96:
 the custom sessionizer's timeout-eviction frontier replayed in SQL;
 q180: the CDC merge fold is associative, so the final snapshot is
 the global last-writer-wins; q201/q231: the outer-join eviction
-frontier replayed with ms-calibrated rules — all the q223
+frontier replayed with ms-calibrated rules; q196: the q195
+generator-replay oracle lifted to the stream path — all the q223
 pattern); (b) re-proof rows for everything else r8
 changed — q54/q145 (global_row_number gained adaptive
 range-partition sizing + the 2^33 overflow guard; same oracles,
@@ -59,14 +60,15 @@ dedup-edge verdict via the shared approx_equidepth_verdict helper);
 (c) the complete r2-era evidence residue
 (q93/q100/q103/q105-q109/q111/q112, latest driver rows
 CORRECTNESS_r02) — the r7 verdict's queued backlog item; and (d)
-the 26 oldest r3-era hash lanes. After this window no registry
-query's latest driver evidence predates r3; the nine r3-era hash
-lanes the upgrades displaced (q62/q66/q67/q70/q71/q73/q74/q85/q144)
-queue for r9, and the rows-only-by-design lanes keep their r3+
-rows-only rows. Per the r6 verdict, lanes with NO oracle stay OUT
-of the window — after the r8 upgrades only TWO remain: q94 (model
-internals, pytest-bounded) and q196 (custom-source offset/restart
-bookkeeping; its VALUES are hash-checked through q195). Previously-green queries stay registered after
+the 25 oldest r3-era hash lanes. After this window no registry
+query's latest driver evidence predates r3; the ten r3-era hash
+lanes the upgrades displaced
+(q60/q62/q66/q67/q70/q71/q73/q74/q85/q144) queue for r9, and the
+one rows-only-by-design lane keeps its rows-only row. Per the r6
+verdict, lanes with NO oracle stay OUT of the window — after the
+r8 upgrades exactly ONE remains: q94 (MLlib model internals,
+pytest-bounded, with the q224 hash-checked verdict oracle as its
+companion). Previously-green queries stay registered after
 the priority block; their evidence is CORRECTNESS_r01-r07.json plus
 the committed full-registry ORACLE_RUN logs.
 """
@@ -106,12 +108,12 @@ _ALL_ORACLES = {
 PRIORITY = [
     # (a) never driver-checked as hash lanes: the r8 additions
     # (cross-engine table checksum; WindowGroupLimit top-k) and the
-    # eight streaming lanes upgraded r8 from rows-only to FULL hash
+    # nine streaming lanes upgraded r8 from rows-only to FULL hash
     # oracles (complete-mode finals q88/q90; unique-key single-batch
     # dedup q89; eager-emission INNER join q99; custom-sessionizer
     # timeout-frontier replay q96; associative CDC merge fold q180;
-    # ms-calibrated outer-eviction frontier replays q201/q231 —
-    # the q223 pattern)
+    # ms-calibrated outer-eviction frontier replays q201/q231;
+    # generator-replay over the stream path q196 — the q223 pattern)
     "q234_table_checksum",
     "q235_topk_per_group",
     "q88_stream_static_enrich",
@@ -122,6 +124,7 @@ PRIORITY = [
     "q180_stream_cdc_upsert",
     "q201_stream_outer_join",
     "q231_stream_full_outer_join",
+    "q196_python_stream_source",
     # (b) changed in round 8 — re-prove: q54/q145 (adaptive range-
     # partition sizing + overflow guard in global_row_number),
     # q232/q233 (tie-robust dedup-edge verdict via the shared
@@ -144,11 +147,12 @@ PRIORITY = [
     "q111_zorder_layout",
     "q112_winsorize",
     # (d) the oldest r3-era rows (latest driver rows CORRECTNESS_r03),
-    # oldest-first fill; the nine r3-era hash lanes displaced by the
-    # streaming-oracle upgrades (q62_moving_frame, q66_nation_volume,
-    # q67_market_share, q70_multi_distinct, q71_first_nth_value,
-    # q73_quality_checks, q74_funnel, q85_session_window,
-    # q144_event_pmi) queue for r9 with the r4-era rows
+    # oldest-first fill; the ten r3-era hash lanes displaced by the
+    # streaming-oracle upgrades (q60_explode_vocab, q62_moving_frame,
+    # q66_nation_volume, q67_market_share, q70_multi_distinct,
+    # q71_first_nth_value, q73_quality_checks, q74_funnel,
+    # q85_session_window, q144_event_pmi) queue for r9 with the
+    # r4-era rows
     "q101_upsert_merge",
     "q102_time_weighted_avg",
     "q110_inverted_index",
@@ -174,7 +178,6 @@ PRIORITY = [
     "q137_fuzzy_join",
     "q142_dedup_impact",
     "q47_interval_join",
-    "q60_explode_vocab",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -796,7 +796,27 @@ def q195_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q196_python_stream_source")  # no oracle: streaming lane
+@_register(
+    "q196_python_stream_source",
+    """
+    WITH ids AS (SELECT unnest(range(0, 300)) AS i),
+    h AS (SELECT i, md5(CAST(i AS VARCHAR)) AS d FROM ids),
+    r AS (
+      SELECT CAST(CAST(('0x' || substr(d, 1, 8)) AS UBIGINT) % 100 AS BIGINT)
+               AS user_id,
+             ['click','view','purchase','refund']
+               [CAST(CAST(('0x' || substr(d, 9, 2)) AS UBIGINT) % 4 AS INT) + 1]
+               AS event_type,
+             (CAST(('0x' || substr(d, 11, 6)) AS UBIGINT) % 100000) / 100.0
+               AS value
+      FROM h
+    )
+    SELECT event_type, user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM r GROUP BY event_type, user_id
+    """,
+)
 def q196_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming aggregation over the custom Python
     DataSourceStreamReader (`sources/pydatasource`, format
@@ -805,8 +825,14 @@ def q196_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic replay via readBetweenOffsets (exactly-once under
     restart by construction — proven by the restart test, which
     resumes the SAME checkpoint and receives exactly the next offset
-    window). Rows-only lane like the other streaming-execution
-    queries; the batch-side synth relation is hash-checked by q195.
+    window). UPGRADED r8 from rows-only to a FULL hash oracle (the
+    q195 generator-replay pattern lifted to the STREAM lane): every
+    generated row is a pure md5 function of its event_id, and the
+    complete-mode availableNow final table aggregates ids 0..299
+    regardless of micro-batching, so a DuckDB range() twin replays
+    the byte-exact generator (big-endian digest slices as hex-parsed
+    ints, value = 3-byte int % 1e5 / 100 — one shared IEEE division)
+    and the hash checks the whole offset-advance/ingest path.
     sf_dir seeds only the checkpoint location."""
     import os
     import tempfile

@@ -173,15 +173,13 @@ def test_every_query_is_oracle_backed_or_documented_rows_only():
         # — exact counts hash-checked + the error-bound verdict
         # pinned TRUE)
         "q94_random_forest",
-        # r5 streaming-execution lane (q196: custom Python stream
-        # source — the subject is offset/restart bookkeeping, pinned
-        # by the restart test; q195 hash-checks the generator's
-        # values). q201/q231 left this list in r8: their outer-
-        # emission frontier is deterministic and replayed exactly
-        # (ms-calibrated eviction rules,
-        # tests/test_stream_eviction_frontier.py), completing the
-        # q223 pattern across the whole join-mode family.
-        "q196_python_stream_source",
+        # q201/q231 left this list in r8 (outer-emission frontier
+        # replayed exactly — ms-calibrated eviction rules,
+        # tests/test_stream_eviction_frontier.py), as did q196 (the
+        # q195 generator-replay oracle lifted to the stream lane),
+        # completing the q223 pattern across every streaming lane:
+        # the ONLY remaining rows-only entry is the ML-ensemble lane
+        # above.
     }
     missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY
     stale = ROWS_ONLY - set(QUERIES)
