@@ -143,7 +143,10 @@ def test_engine_facade(spark, sf_dir):
     assert "q45_full_pipeline" in eng.names()
     assert eng.run("q03_balanced_accuracy").count() > 0
     assert eng.oracle_sql("q03_balanced_accuracy") is not None
-    assert eng.oracle_sql("q90_stream_tumbling") is None
+    # r8 upgraded every streaming lane to a hash oracle; the one
+    # rows-only lane left is the ML-ensemble internals
+    assert eng.oracle_sql("q90_stream_tumbling") is not None
+    assert eng.oracle_sql("q94_random_forest") is None
     assert "Exchange" in eng.explain("q02_group_scores") or "Scan" in eng.explain(
         "q02_group_scores"
     )
@@ -336,7 +339,9 @@ def test_engine_verify_against_oracle(spark, sf_dir):
     eng = Engine(data_dir=sf_dir, spark=spark)
     res = eng.verify("q03_balanced_accuracy")
     assert res["match"] is True and res["rows"] > 0 and not res["problems"]
-    ro = eng.verify("q90_stream_tumbling")
+    st = eng.verify("q90_stream_tumbling")  # hash-oracled since r8
+    assert st["match"] is True and st["rows"] > 0 and not st["problems"]
+    ro = eng.verify("q94_random_forest")
     assert ro["rows_only"] is True and ro["match"] is None
 
 
