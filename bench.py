@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "q200_corpus_curation",     # five-stage curation composite
     "q207_embedding_neardup_clusters",  # banded-SRP vector dedup + components
     "q208_sole_late_supplier",  # decorrelated EXISTS/NOT-EXISTS (TPC-H Q21)
+    "q234_table_checksum",      # md5-prefix decimal shard fingerprints (r8)
+    "q235_topk_per_group",      # WindowGroupLimit partial top-k (r8)
 ]
 
 

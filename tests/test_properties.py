@@ -630,3 +630,43 @@ def test_fuzzy_blocking_never_misses_a_mid_deletion(name):
 
     assert lev(typo, name) <= 1  # == 1 unless the deleted char repeats
     assert lev(typo, name) == (0 if typo == name else 1)
+
+
+@given(data=st.data())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_global_row_number_matches_window_on_random_data(spark, data):
+    """Distributed exact ranking == the single-reducer window on
+    randomized (value, key) sets — heavy ties, random direction,
+    random partition count — exercising the range-partition + prefix-
+    offset path far from the tidy TPC-H distributions."""
+    from pyspark.sql import Window, functions as F
+
+    from patientdataintegration_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    n = data.draw(st.integers(1, 60))
+    # small value domain forces tie groups that straddle partitions
+    vals = data.draw(
+        st.lists(st.integers(0, 5), min_size=n, max_size=n)
+    )
+    rows = [(float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v double, k long")
+    desc = data.draw(st.booleans())
+    n_parts = data.draw(st.integers(1, 7))
+    order = [
+        F.col("v").desc() if desc else F.col("v").asc(),
+        F.col("k").asc(),
+    ]
+    got = global_row_number(
+        df, order, rn_col="rn", total_col="nt", num_partitions=n_parts
+    )
+    ref = df.withColumn("rn_ref", F.row_number().over(Window.orderBy(*order)))
+    j = got.join(ref, ["v", "k"]).collect()
+    assert len(j) == n
+    assert all(r.rn == r.rn_ref for r in j)
+    assert all(r.nt == n for r in j)
