@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "q208_sole_late_supplier",  # decorrelated EXISTS/NOT-EXISTS (TPC-H Q21)
     "q234_table_checksum",      # md5-prefix decimal shard fingerprints (r8)
     "q235_topk_per_group",      # WindowGroupLimit partial top-k (r8)
+    "q237_hll_distinct_rollup", # mergeable HLL sketches + union rollup (r8b)
+    "q240_bloom_incremental_dedup",  # bloom-prefiltered anti-join dedup (r8b)
 ]
 
 

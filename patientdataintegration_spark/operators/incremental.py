@@ -69,3 +69,44 @@ def rollup_readout(state: DataFrame, keys: Sequence[str]) -> DataFrame:
         "min_v",
         "max_v",
     )
+
+
+# --- incremental DISTINCT maintenance (HLL sketch state) --------------------
+#
+# (count, sum, min, max) merge trivially; COUNT DISTINCT is the one
+# everyday aggregate that does NOT — its exact state is the value set
+# itself. The mergeable substitute is an HLL sketch column: per-key
+# sketch state persists next to the rollup table (a binary column,
+# kilobytes per key), today's delta contributes its own sketch, and
+# `hll_union_agg` merges them with NO history re-scan. Spark's
+# DataSketches HLL union over a partition of the data is IDENTICAL
+# (same registers, same estimate) to one sketch over the whole — so
+# incremental maintenance costs nothing in accuracy vs a full rebuild
+# (pinned by tests/test_sketches.py::test_hll_union_agg_matches_flat_
+# sketch and the q241 oracle lane).
+
+
+def distinct_sketch_state(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Aggregate one slice into per-key HLL distinct state
+    (keys…, sk binary) — one map-side-combined hash-agg over the
+    slice, same shape discipline as `partial_rollup`."""
+    return df.groupBy(*keys).agg(F.hll_sketch_agg(value_col).alias("sk"))
+
+
+def merge_distinct_states(
+    states: Sequence[DataFrame], keys: Sequence[str]
+) -> DataFrame:
+    """Monoid fold of HLL states: union any number of per-slice state
+    tables and re-union per key. Shuffle is O(#keys × #slices) binary
+    sketches, independent of the underlying data volume."""
+    u = reduce(DataFrame.unionByName, states)
+    return u.groupBy(*keys).agg(F.hll_union_agg("sk").alias("sk"))
+
+
+def distinct_readout(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Read-time distinct estimate per key from merged state."""
+    return state.select(
+        *keys, F.hll_sketch_estimate("sk").alias("n_distinct_est")
+    )

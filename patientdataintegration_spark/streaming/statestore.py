@@ -1,0 +1,113 @@
+"""State-store introspection: read a streaming aggregation's
+checkpoint back as a DataFrame and reconcile it against the sink.
+
+The reference has no streaming (SURVEY.md §2.12 — extension lane);
+this module completes the auditable-state story the registry's
+streaming lanes argue: an append-mode windowed aggregation emits a
+window only once its end passes the watermark, so at any instant the
+TRUTH is split between the sink (finalized windows) and the state
+store (still-open windows). Spark 4 exposes the latter as a batch
+source — ``spark.read.format("statestore").load(checkpoint)`` — whose
+rows are the live (key, aggregation-buffer) pairs. Stitching the two
+halves back together and checking they equal the batch aggregate is
+exactly the audit a 100 TB pipeline runs before trusting a streaming
+rollup enough to decommission its batch twin.
+
+Scale stance: the state source reads the checkpoint's per-partition
+store files in parallel (one task per state partition — the same
+parallelism the stream ran with); nothing is collected. State volume
+is bounded by the watermark horizon (windows per horizon x keys), so
+the audit's cost is sink + horizon, independent of history length.
+
+Eviction semantics (calibrated empirically, the q223 discipline —
+see tests/test_statestore_audit.py): the watermark is tracked in
+MILLISECONDS (max event time floored to ms, minus the delay) and an
+append-mode window is emitted/evicted when ``window.end <=
+watermark``; everything later stays in state.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from patientdataintegration_spark.streaming.events import (
+    _events_stream,
+    tumbling_counts,
+)
+
+
+def run_tumbling_with_state(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "ss_audit_emitted",
+    window_duration: str = "5 minutes",
+    watermark: str = "60 minutes",
+) -> tuple[DataFrame, str]:
+    """Drain the tumbling-count aggregation in APPEND mode (so the
+    watermark actually evicts) against a fresh checkpoint; return
+    (emitted sink table, checkpoint path).
+
+    The checkpoint is a mkdtemp under the OS temp root and is left
+    in place — the returned state DataFrame reads it lazily, so it
+    must outlive this call (a per-run horizon-bounded directory of
+    kilobytes; the OS reaps it).
+    """
+    ckpt = tempfile.mkdtemp(prefix="pdi_statestore_")
+    stream = _events_stream(spark, sf_dir)
+    agg = tumbling_counts(
+        stream, window_duration=window_duration, watermark=watermark, streaming=True
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(table_name), ckpt
+
+
+def read_window_state(spark: SparkSession, checkpoint: str) -> DataFrame:
+    """The live aggregation state of a tumbling-count checkpoint,
+    projected to the SINK's schema (bucket, event_type, n,
+    sum_value) so state rows and emitted rows union directly.
+
+    The buffer's running sum is the exact DECIMAL accumulator the
+    final cast would have been applied to, so projecting it through
+    the same ``cast(double)`` yields bit-identical values to what the
+    window WILL emit once evicted — the reconciliation is exact, not
+    approximate. Buffers flagged ``isEmpty`` (pre-aggregation
+    placeholders) are excluded; a non-empty window always carries a
+    materialized buffer.
+    """
+    state = spark.read.format("statestore").load(checkpoint)
+    return state.filter(~F.col("value.isEmpty")).select(
+        F.unix_timestamp("key.window.start").alias("bucket"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+        F.col("value.sum").cast("double").alias("sum_value"),
+    )
+
+
+def statestore_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "ss_audit_emitted",
+) -> DataFrame:
+    """Emitted ∪ state with an ``origin`` provenance column — the
+    full reconstruction of the batch aggregate from a half-drained
+    streaming checkpoint. Deterministic end to end: the final
+    watermark is a pure function of the data (max event time − 60
+    min), so which side of the frontier each window lands on is
+    replayable in SQL (the q223 pattern) and the whole relation
+    carries a FULL hash oracle.
+    """
+    emitted, ckpt = run_tumbling_with_state(spark, sf_dir, table_name=table_name)
+    state = read_window_state(spark, ckpt)
+    return emitted.withColumn("origin", F.lit("emitted")).unionByName(
+        state.withColumn("origin", F.lit("state"))
+    )

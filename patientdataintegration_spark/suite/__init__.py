@@ -59,12 +59,23 @@ bit-identical output expected) and q232/q233 (tie-robust
 dedup-edge verdict via the shared approx_equidepth_verdict helper);
 (c) the complete r2-era evidence residue
 (q93/q100/q103/q105-q109/q111/q112, latest driver rows
-CORRECTNESS_r02) — the r7 verdict's queued backlog item; and (d)
-the 25 oldest r3-era hash lanes. After this window no registry
-query's latest driver evidence predates r3; the ten r3-era hash
-lanes the upgrades displaced
-(q60/q62/q66/q67/q70/q71/q73/q74/q85/q144) queue for r9, and the
-one rows-only-by-design lane keeps its rows-only row. Per the r6
+CORRECTNESS_r02) — the r7 verdict's queued backlog item; (d) the
+oldest r3-era hash lanes; and (e) the round-8b additions, all
+full hash lanes — q236 (state-store introspection: the append-mode
+sink plus the checkpoint's live aggregation buffers read back via
+the statestore source reconstruct the batch aggregate, origins
+split by the ms-calibrated eviction frontier), q237/q238/q239
+(mergeable sketches — HLL rollup, Theta set algebra, distributed
+approx_top_k — verdict oracles in pure integer arithmetic), q240
+(Bloom-prefiltered incremental dedup, bit-identical to q117's
+NOT EXISTS), and q241 (incremental COUNT DISTINCT via persisted
+HLL sketch state — merge of per-slice sketches has registers
+identical to a flat sketch, so maintenance is re-scan-free). After
+this window no registry query's latest driver evidence predates
+r3; the sixteen r3-era hash lanes displaced by the upgrades and
+the r8b additions (q60/q62/q66/q67/q70/q71/q73/q74/q85/q144 and
+q133/q135/q136/q137/q142/q47) queue for r9, and the one
+rows-only-by-design lane keeps its rows-only row. Per the r6
 verdict, lanes with NO oracle stay OUT of the window — after the
 r8 upgrades exactly ONE remains: q94 (MLlib model internals,
 pytest-bounded, with the q224 hash-checked verdict oracle as its
@@ -85,6 +96,8 @@ from patientdataintegration_spark.suite.ext4 import ORACLES as EXT4_ORACLES
 from patientdataintegration_spark.suite.ext4 import QUERIES as EXT4_QUERIES
 from patientdataintegration_spark.suite.ext5 import ORACLES as EXT5_ORACLES
 from patientdataintegration_spark.suite.ext5 import QUERIES as EXT5_QUERIES
+from patientdataintegration_spark.suite.ext6 import ORACLES as EXT6_ORACLES
+from patientdataintegration_spark.suite.ext6 import QUERIES as EXT6_QUERIES
 
 _ALL_QUERIES = {
     **CORE_QUERIES,
@@ -93,6 +106,7 @@ _ALL_QUERIES = {
     **EXT3_QUERIES,
     **EXT4_QUERIES,
     **EXT5_QUERIES,
+    **EXT6_QUERIES,
 }
 _ALL_ORACLES = {
     **CORE_ORACLES,
@@ -101,6 +115,19 @@ _ALL_ORACLES = {
     **EXT3_ORACLES,
     **EXT4_ORACLES,
     **EXT5_ORACLES,
+    **EXT6_ORACLES,
+}
+
+# Queries registered WITHOUT a SQL oracle, each with its reason —
+# the enumerated exception list the registry-hygiene contract test
+# (tests/test_registry_hygiene.py) checks against. Adding a query
+# here requires a reason AND a pytest lane covering its semantics.
+ROWS_ONLY_REASONS = {
+    "q94_random_forest": (
+        "per-row MLlib model scores are model internals no other engine "
+        "can replay; bounded by pytest (test_observe_mllib_regression) "
+        "plus the q224 hash-checked verdict oracle over the same scores"
+    ),
 }
 
 # The driver-checked prefix, by design exactly 50 names (round-8
@@ -172,12 +199,17 @@ PRIORITY = [
     "q128_scd2_history",
     "q129_robust_stats",
     "q131_paragraph_dedup",
-    "q133_ewma",
-    "q135_session_funnel",
-    "q136_growth_accounting",
-    "q137_fuzzy_join",
-    "q142_dedup_impact",
-    "q47_interval_join",
+    # (e) the round-8b additions — never driver-checked, take the
+    # window's tail per rotation policy (new hash lanes first); the
+    # six r3-era rows they displace (q133_ewma, q135_session_funnel,
+    # q136_growth_accounting, q137_fuzzy_join, q142_dedup_impact,
+    # q47_interval_join) queue for r9 with the rest of the r3/r4 fill
+    "q236_statestore_audit",
+    "q237_hll_distinct_rollup",
+    "q238_theta_set_algebra",
+    "q239_sharded_topk_brands",
+    "q240_bloom_incremental_dedup",
+    "q241_incremental_distinct",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -141,6 +141,11 @@ def grouped_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUPED_SQL + "SELECT group_id, group_score, label, cohort, fold, n_items, pred FROM gp",
 )
 def q02_group_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group score aggregation (A5 — the reference's
+    slide-level mean over tile scores, `functions.py` evaluate): mean
+    tile score + argmax prediction per group via `operators/scoring.
+    group_scores`. Scale: one shuffle on the high-cardinality group
+    key with partial aggregation; no windows, no collect."""
     return grouped_scores(spark, sf_dir)
 
 
@@ -165,6 +170,11 @@ def q02_group_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the A5/A12/A13 grouped-
+    aggregate battery (sums, discounted/charged money math, averages)
+    over the lineitem fact. Scale: one scan, partial (map-side)
+    aggregation into 6 groups — the canonical shuffle-light shape;
+    money sums ride DECIMAL(18,6) for order-independent exactness."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -200,6 +210,11 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q03_balanced_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced accuracy per cohort (A9 — macro-averaged
+    recall, the reference's primary metric): per-(cohort,label) recall
+    then unweighted mean over labels (`functions/metrics.
+    balanced_accuracy`). Scale: two cascaded tiny aggregations after
+    the grouped-score shuffle; output is cohort-cardinality rows."""
     g = grouped_scores(spark, sf_dir)
     return balanced_accuracy(g, "label", "pred", ["cohort"])
 
@@ -225,6 +240,11 @@ def q03_balanced_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q04_auroc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUROC per cohort via the Mann-Whitney rank statistic
+    (A10): average ties-adjusted rank of positives (`functions/
+    metrics.auroc`). The rank window partitions BY COHORT — at 100 TB
+    the per-cohort sort distributes across reducers; exactness rides
+    integer/half-integer rank sums below 2^53."""
     g = grouped_scores(spark, sf_dir)
     return auroc(g, "label", "group_score", ["cohort"])
 
@@ -248,6 +268,11 @@ def q04_auroc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q05_mean_std_over_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation summary (A11): balanced accuracy
+    per fold, then mean ± stddev_pop over the fold axis — the
+    reference's reported-metric spelling. Scale: fold cardinality is
+    tiny; all heavy lifting is the per-fold partial aggregation;
+    rounded at 9/6 digits per the libm exactness contract."""
     from patientdataintegration_spark.functions.metrics import mean_std_over
 
     g = grouped_scores(spark, sf_dir)
@@ -290,6 +315,11 @@ def _impute_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q06_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean imputation (A1): NULL balances filled with the
+    global mean (`operators/imputation.impute_mean`), was_null
+    provenance kept. Scale: the mean is a one-row aggregate broadcast
+    back over the scan (sanctioned crossJoin(broadcast) pattern) —
+    no second shuffle of the fact."""
     base = _impute_base(spark, sf_dir).withColumn(
         "was_null", F.col("bal").isNull().cast("int")
     )
@@ -309,6 +339,11 @@ def q06_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q07_impute_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode imputation (A2): NULL categories filled with the
+    most frequent value, ties broken deterministically (count DESC,
+    value ASC) — `operators/imputation.impute_mode`. Scale: the mode
+    is computed by a value-cardinality-sized aggregate and broadcast
+    back; the fact scans once."""
     base = _impute_base(spark, sf_dir)
     return impute_mode(base, "nk").select("c_custkey", "nk")
 
@@ -328,6 +363,11 @@ def q07_impute_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q08_scale01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max scaling to [0,1] (W4/E1 — the reference's
+    normalization step): global (min,max) as a one-row broadcast
+    aggregate, then a map-side affine transform (`operators/
+    encodings.scale01`), constant-column guard included. Scale: one
+    scan + one metadata-sized broadcast; no shuffle of the fact."""
     base = _impute_base(spark, sf_dir).select(
         "c_custkey", F.coalesce("bal", F.lit(0.0)).alias("bal")
     )
@@ -348,6 +388,11 @@ def q08_scale01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q09_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encoding of a categorical over an EXPLICIT
+    vocabulary (E2 — the reference's pd.get_dummies analogue, made
+    deterministic by pinning category order): pure map-side projection
+    (`operators/encodings.onehot_columns`). Scale: no shuffle at all;
+    vocabulary is declared, not inferred, so no dictionary pass."""
     li = load_table(spark, sf_dir, "lineitem")
     return onehot_columns(li, "l_returnflag", ["A", "N", "R"], prefix="rf").select(
         "l_orderkey", "l_linenumber", "rf_A", "rf_N", "rf_R"
@@ -368,6 +413,10 @@ def q09_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold bucketing (E3 — the reference's age-group
+    binning, `functions.py` age buckets): 2- and 3-way CASE ladders
+    as map-side expressions (`operators/encodings.bucketize_age*`).
+    Scale: zero-shuffle narrow transform; codegen-friendly CASE."""
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -401,6 +450,12 @@ FOLDS_SQL = f"""
     """,
 )
 def q11_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fold assignment + fold→set mapping (W2/W3
+    — the reference's CV-split builder): deterministic md5-derived
+    pseudo-random ordering within strata (`operators/splits.
+    assign_folds`), folds mapped to train/val/test. Scale: one
+    shuffle on the stratum key; the ordering hash is data-derived so
+    re-runs are reproducible across cluster sizes."""
     c = load_table(spark, sf_dir, "customer")
     f = assign_folds(c, ["c_mktsegment"], ["c_custkey"], n_folds=13, seed=42)
     return f.select("c_custkey", "fold", fold_to_set(F.col("fold")).alias("set_name"))
@@ -421,6 +476,11 @@ def q11_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q12_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold balance audit (A4 — the reference's check that
+    CV folds have comparable size and label/feature means): per-fold
+    count + mean balance after the stratified assignment. Scale:
+    fold-cardinality output; one aggregation over the fold key
+    reusing the split's shuffle; FLOOR keeps the mean integer-exact."""
     c = load_table(spark, sf_dir, "customer")
     f = assign_folds(c, ["c_mktsegment"], ["c_custkey"], n_folds=13, seed=42)
     b = f.withColumn("bal", F.floor(F.col("c_acctbal")).cast("double"))
@@ -446,6 +506,13 @@ def q12_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q13_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-group sampling (W1 — the reference's
+    deterministic per-slide tile subsample): top-2 rows per order by a
+    data-derived md5 pseudo-random key (`operators/sampling.
+    sample_per_group`, `functions/deterministic.pseudo_random`).
+    Scale: rank-window partitioned by the high-cardinality group key;
+    WindowGroupLimit keeps k rows per group map-side (cf. q235), and
+    determinism never depends on partitioning."""
     li = load_table(spark, sf_dir, "lineitem")
     s = sample_per_group(li, ["l_orderkey"], 2, ["l_orderkey", "l_linenumber"], seed=7)
     return s.select("l_orderkey", "l_linenumber")
@@ -468,6 +535,11 @@ def q13_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_union_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort union with label provenance (U1/P1 — the
+    reference's multi-CSV cohort concat): two filtered scans union
+    into one labeled relation, then a per-label audit aggregate.
+    Scale: unionAll is plan-level (no data movement); the audit is a
+    2-group partial aggregation."""
     c = load_table(spark, sf_dir, "customer").withColumn(
         "bal", F.floor(F.col("c_acctbal")).cast("double")
     )
@@ -498,6 +570,12 @@ def q14_union_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 row per group by value (O1 — the reference's
+    per-slide argmax tile): row_number over (group, value DESC,
+    unique tiebreak) filtered to 1. Scale: the rn<=1 filter compiles
+    to WindowGroupLimit — each map task keeps one row per group
+    before the exchange (the q235-verified pushdown), so shuffle
+    volume is O(groups), not O(rows)."""
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_orderkey").orderBy(
         F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
@@ -553,6 +631,11 @@ def _fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     FUSION_SQL + "SELECT group_id, cnn_score, cnn_pred, rf_pred, label, fused_pred FROM fused",
 )
 def q16_naive_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-model naive fusion (C1/J5 — the reference's
+    CNN+RF ensemble rule): zip-join of per-group predictions, fused
+    verdict = secure-model override (`operators/fusion.
+    naive_fusion`). Scale: one equi-join on the group key between two
+    aggregates sharing the grouped-score shuffle."""
     return _fused(spark, sf_dir).select(
         "group_id", "cnn_score", "cnn_pred", "rf_pred", "label", "fused_pred"
     )
@@ -576,6 +659,13 @@ def q16_naive_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q17_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certainty-threshold sweep (C2 — the reference's
+    secure/unsecure operating-point scan): the grouped scores cross a
+    5-row literal threshold grid, aggregating secure/unsecure counts
+    and secure-subset accuracy per threshold (`operators/fusion.
+    threshold_sweep`). Scale: the grid is a literal broadcast (the
+    sanctioned nested-loop); one aggregation pass computes ALL
+    thresholds — no per-threshold re-scan."""
     g = grouped_scores(spark, sf_dir)
     tagged = threshold_sweep(
         g, [50.0, 60.0, 70.0, 80.0, 90.0], score_col="group_score"
@@ -602,6 +692,12 @@ def q17_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT-EXISTS customer selection (F6/J-family):
+    customers with finished orders and no open ones — LEFT SEMI and
+    LEFT ANTI joins on the customer key. Scale: semi/anti joins never
+    replicate rows (at most one probe hit per build row), shuffling
+    keys only; AQE picks broadcast sides when the filtered orders
+    relation is small."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     has_f = o.filter(F.col("o_orderstatus") == "F")
@@ -627,6 +723,10 @@ def q18_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q19_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed set algebra (U-family): INTERSECT then EXCEPT over
+    customer-key sets from differently-filtered scans of the same
+    fact. Scale: set ops hash-aggregate on the 8-byte key; the three
+    branches share one orders scan via exchange reuse."""
     o = load_table(spark, sf_dir, "orders")
     k = lambda s: o.filter(F.col("o_orderstatus") == s).select("o_custkey")  # noqa: E731
     return k("O").intersect(k("F")).subtract(k("P"))
@@ -645,6 +745,11 @@ def q19_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q20_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (A-family hierarchy totals): (flag,
+    status) → flag → grand-total grains in one pass. Scale: Spark
+    expands rollup grouping sets inside the partial aggregate — one
+    shuffle carries all three grains; DECIMAL sums stay exact across
+    the re-aggregation."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity"), "sum_qty")
@@ -663,6 +768,11 @@ def q20_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event delta (W5 — lag window): value minus
+    previous value in (ts, event_id) order per user. Scale: the
+    window partitions by the high-cardinality user key — per-user
+    sorts distribute; the unique event_id tiebreak makes the order
+    (and the driver hash) deterministic."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
@@ -683,6 +793,10 @@ def q21_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q22_running_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running maximum (W5 — cumulative frame):
+    max(value) over rows-unbounded-preceding per user in event order.
+    Scale: same distributed-window discipline as q21 (partition by
+    user, unique tiebreak); the rows-frame max is O(1) per row."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -705,6 +819,11 @@ def q22_running_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q23_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column DISTINCT aggregation (A7): distinct part
+    and supplier counts per return flag. Scale: Spark expands
+    multi-distinct into an expand + two-phase aggregate — the
+    exact-answer shape; the sketch alternative for 100 TB frequency
+    ceilings is q95/q237 (approx/HLL)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
@@ -735,6 +854,11 @@ def q23_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q24_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (priority revenue scan): segment-
+    filtered customers ⋈ orders ⋈ lineitem with date windows, revenue
+    per undelivered order. Scale: dimension filters push into the
+    scans; orders⋈lineitem shuffles on the orderkey (fact-to-fact,
+    never broadcast); the segment scalar is a one-row broadcast."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -775,6 +899,11 @@ def q24_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q25_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (regional volume): the five-way
+    customer/orders/lineitem/supplier/nation join with a same-bucket
+    residual predicate, revenue per nation. Scale: nation/region are
+    broadcast dims; the two fact joins shuffle on their keys; the
+    modular predicate is a residual filter, not a join explosion."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -814,6 +943,11 @@ def q25_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q26_path_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path metadata extraction (P2/P3 — the reference's
+    filename→slide/tile-coordinate parser, `functions.py` path
+    handling): synthesized tile paths split and regex-parsed back
+    into (slide, col, row). Scale: pure map-side string work, no
+    shuffle; regexes compile once per task inside codegen."""
     p = load_table(spark, sf_dir, "part")
     path = F.concat(
         F.lit("/data/"),
@@ -850,6 +984,12 @@ def q26_path_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q27_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status matrix per segment (F-family conditional
+    counts — the reference's per-cohort status tally): pivot-style
+    conditional sums over a customer⋈orders join. Scale: the join
+    shuffles on custkey (both sides SF-scaled); the conditional-sum
+    pivot is computed inside the partial aggregate, not as separate
+    per-status passes."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     flag = lambda s: F.sum(  # noqa: E731

@@ -8,6 +8,16 @@ suite/__init__). Queries that are NOT SQL-expressible (structured
 streaming, pandas-UDF multimodal lane) are registered without an
 oracle — the driver then applies its weaker rows-only check, and
 pytest covers their semantics instead.
+
+Scale stance (100 TB): the dedup/similarity lanes never enumerate
+the quadratic pair space (banded LSH bucket joins, blocked jaccard
+— see operators/dedup.py and operators/similarity.py for the
+per-operator rationale); the text battery is single-scan with
+map-side aggregation (operators/textops.py); streaming lanes keep
+watermark-bounded state (streaming/events.py); the multimodal lanes
+move bytes through Arrow-batched iterators with sampling pushed
+below decode (operators/multimodal.py). Broadcasts are reserved for
+dimension tables and one-row aggregates.
 """
 
 from __future__ import annotations
@@ -64,6 +74,11 @@ HEX_HASH_SQL = "CAST(('0x' || substr(md5({col}), 1, 14)) AS BIGINT)"
     """,
 )
 def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics per document (the LLM-pipeline
+    quality-feature base): token count, average token length,
+    stopword ratio from ONE split() per document (`operators/
+    textops.quality_features`). Scale: map-side only — no shuffle,
+    no UDF; arithmetic is integer-ratio exact for the oracle."""
     d = load_table(spark, sf_dir, "documents")
     return quality_features(d).select(
         "doc_id", "n_tokens", "avg_token_len", "stopword_ratio"
@@ -98,6 +113,11 @@ def _lang_sql() -> str:
 
 @_register("q31_lang_id", _lang_sql())
 def q31_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID (the fasttext-free lane):
+    per-language stopword/marker scores from one tokenization, argmax
+    with deterministic ties (`operators/textops.lang_scores`). Scale:
+    map-side scoring over a literal marker table; no shuffle, no
+    dictionary join."""
     d = load_table(spark, sf_dir, "documents")
     return lang_scores(d).select(
         "doc_id", "lang", "score_en", "score_de", "score_fr", "score_es", "lang_pred"
@@ -120,6 +140,11 @@ def q31_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q32_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate grouping (the dedup lane's baseline):
+    md5 fingerprint of normalized text → (canonical id, multiplicity)
+    per group (`operators/dedup.exact_dedup`). Scale: ONE shuffle on
+    the 32-byte fingerprint with map-side combine; document bytes
+    never move — only fingerprints do."""
     d = load_table(spark, sf_dir, "documents")
     return exact_dedup(d)
 
@@ -194,6 +219,12 @@ def _minhash_sql(k: int = 8, seed: int = 42) -> str:
 
 @_register("q34_minhash_signatures", _minhash_sql())
 def q34_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8) over word-shingle sets —
+    stage 1 of the LSH near-dup pipeline (`operators/dedup.
+    minhash_signatures`): per-doc min over affine-permuted shingle
+    hashes. Scale: explode-to-shingles then min-aggregate back to one
+    row per doc (map-side combinable); md5-derived hashes keep the
+    signature engine-portable (oracle-checkable)."""
     d = load_table(spark, sf_dir, "documents")
     sh = shingle_table(d)
     return minhash_signatures(sh, k=8, seed=42)
@@ -225,6 +256,11 @@ def _simhash_sql(bits: int = 16) -> str:
 
 @_register("q35_simhash", _simhash_sql())
 def q35_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (`operators/dedup.simhash`):
+    sign-aggregated per-bit votes over token hashes. Scale: computed
+    entirely inside one aggregation over exploded tokens (no UDF, no
+    per-doc loop); banded hamming blocking for pair search lives in
+    q35's consumer (dedup.simhash_near_pairs, q92-style)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash(d, bits=16)
 
@@ -353,6 +389,12 @@ def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q37_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window aggregation (the streaming
+    lane's batch twin — q90 runs the SAME `streaming/events.
+    tumbling_counts` transformation through the streaming engine):
+    5-minute buckets × event type with count + decimal-exact sum.
+    Scale: epoch-floor bucketing is map-side; one shuffle on
+    (bucket, type) with partial aggregation."""
     e = load_table(spark, sf_dir, "events")
     bucket = (F.floor(F.unix_timestamp("ts") / F.lit(300)) * 300).alias("bucket")
     return e.groupBy(bucket, F.col("event_type")).agg(
@@ -383,6 +425,11 @@ def q37_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q38_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate filter + survivor census (the
+    LLM-pipeline's document triage): thresholds over q30's features,
+    kept-docs per language. Scale: the filter is map-side on the
+    single-split features, so the only shuffle is the tiny per-lang
+    census; the full feature relation never materializes."""
     d = load_table(spark, sf_dir, "documents")
     q = quality_features(d)
     return (
@@ -671,7 +718,12 @@ def q40_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q41_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (k=3-gram hashes, window w=4)."""
+    """Winnowing fingerprints (k=3-gram hashes, window w=4): rolling
+    min over trigram-hash windows, distinct mins per doc
+    (`operators/textops.winnow_fingerprints`). Scale: higher-order
+    array functions keep the rolling min inside codegen per row — no
+    explode of the window space, no UDF; output is the small
+    fingerprint set per doc."""
     from patientdataintegration_spark.operators.textops import winnow_fingerprints
 
     d = load_table(spark, sf_dir, "documents")
@@ -962,7 +1014,11 @@ def q98_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q46_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf terms per document (SURVEY §7 phase-6 text
-    analysis)."""
+    analysis): tf × ln(N/df) with the q82 ln-rounding discipline,
+    rank window per doc with deterministic ties. Scale: two shuffles
+    (term document-frequency, per-doc rank); the df relation is
+    vocabulary-sized, and the rank window partitions by doc_id — no
+    global sort anywhere."""
     from patientdataintegration_spark.operators.textops import tfidf_top_terms
 
     d = load_table(spark, sf_dir, "documents")

@@ -1,0 +1,99 @@
+"""State-store introspection lane (q236): eviction-frontier
+calibration (including the exact boundary tie) and the
+emitted ∪ state == batch reconciliation.
+"""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from patientdataintegration_spark.sources.catalog import load_table
+from patientdataintegration_spark.streaming.statestore import statestore_audit
+
+
+def _write_events(spark, rows) -> str:
+    """Stage a minimal events.parquet (single file, driver layout)
+    from (event_id, epoch_us, user_id, event_type, value) rows."""
+    d = tempfile.mkdtemp(prefix="pdi_test_events_")
+    df = (
+        spark.createDataFrame(
+            [(*r, "{}") for r in rows],
+            "event_id bigint, us bigint, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+        .select(
+            "event_id",
+            F.timestamp_micros("us").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/_stage")
+    part = glob.glob(d + "/_stage/part-*.parquet")[0]
+    shutil.move(part, d + "/events.parquet")
+    shutil.rmtree(d + "/_stage")
+    return d
+
+
+def test_eviction_frontier_boundary_tie(spark):
+    """Pin the eviction rule the q236 oracle replays: a window whose
+    end lands EXACTLY on the final watermark (end == max_ts − 60 min,
+    at ms precision) is EMITTED (`end <= watermark`), not retained —
+    the `<=` vs `<` distinction the organic data can't discriminate.
+    """
+    w1_start = 1_000_000_500  # divisible by 300 → its own bucket
+    w1_end = w1_start + 300
+    max_ts = w1_end + 3600  # watermark = max_ts − 1h == w1_end exactly
+    d = _write_events(
+        spark,
+        [
+            (1, w1_start * 1_000_000, 10, "click", 1.0),
+            (2, max_ts * 1_000_000, 11, "click", 2.0),
+        ],
+    )
+    try:
+        out = {
+            (r["bucket"], r["origin"])
+            for r in statestore_audit(spark, d, table_name="tie_emitted").collect()
+        }
+        assert (w1_start, "emitted") in out  # end == wm → emitted
+        assert (max_ts, "state") in out  # the max-ts window stays open
+        assert len(out) == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_statestore_union_reconstructs_batch(spark, sf_dir):
+    """The audit's core claim: sink rows plus live state buffers are
+    EXACTLY the batch aggregate — same keys, same counts, same
+    decimal-exact sums — and both origins are non-empty (the lane
+    actually exercises the state source, not just the sink)."""
+    out = statestore_audit(spark, sf_dir, table_name="recon_emitted").cache()
+    try:
+        n_emitted = out.filter("origin = 'emitted'").count()
+        n_state = out.filter("origin = 'state'").count()
+        assert n_emitted > 0 and n_state > 0
+
+        ev = load_table(spark, sf_dir, "events")
+        batch = ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 300) * 300)
+            .cast("bigint")
+            .alias("bucket"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        stitched = out.drop("origin")
+        assert stitched.exceptAll(batch).count() == 0
+        assert batch.exceptAll(stitched).count() == 0
+    finally:
+        out.unpersist()

@@ -102,6 +102,7 @@ SKIP = {
     "q96_stream_sessionize",
     "q99_stream_stream_join",
     "q180_stream_cdc_upsert",
+    "q236_statestore_audit",
 }
 
 
@@ -188,6 +189,15 @@ def main() -> int:
         if only and name not in only:
             continue
         if name in SKIP:
+            # recorded, not silently dropped — the registry-hygiene
+            # contract test checks every query has a report entry
+            report[name] = {
+                "skipped": (
+                    "streaming-execution lane (invoking it runs a stream, "
+                    "not a lazy plan); shape covered by its batch twin "
+                    "and pytest"
+                )
+            }
             continue
         try:
             df = QUERIES[name](spark, sf_dir)
