@@ -70,11 +70,20 @@ approx_top_k — verdict oracles in pure integer arithmetic), q240
 (Bloom-prefiltered incremental dedup, bit-identical to q117's
 NOT EXISTS), and q241 (incremental COUNT DISTINCT via persisted
 HLL sketch state — merge of per-slice sketches has registers
-identical to a flat sketch, so maintenance is re-scan-free). After
+identical to a flat sketch, so maintenance is re-scan-free); and
+(f) the round-8c additions — q242 (incremental JOIN-view
+maintenance: the delta algebra ΔJ = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB proven
+bit-identical to the full re-join by the oracle hash), q243 (EXACT
+incremental COUNT DISTINCT via mergeable 32768-bit bitmap buckets —
+OR-merge is associative AND idempotent, readout bit-exact, plain
+hash oracle), and q244 (Count-Min sketch re-expressed as a d×w
+counter RELATION — built/merged/queried with built-in aggregates;
+verdict oracle pins no-underestimate + bounded excess). After
 this window no registry query's latest driver evidence predates
-r3; the sixteen r3-era hash lanes displaced by the upgrades and
-the r8b additions (q60/q62/q66/q67/q70/q71/q73/q74/q85/q144 and
-q133/q135/q136/q137/q142/q47) queue for r9, and the one
+r3; the nineteen r3-era hash lanes displaced by the upgrades and
+the r8b/r8c additions (q60/q62/q66/q67/q70/q71/q73/q74/q85/q144,
+q133/q135/q136/q137/q142/q47, and q128/q129/q131) queue for r9,
+and the one
 rows-only-by-design lane keeps its rows-only row. Per the r6
 verdict, lanes with NO oracle stay OUT of the window — after the
 r8 upgrades exactly ONE remains: q94 (MLlib model internals,
@@ -196,20 +205,22 @@ PRIORITY = [
     "q124_asof_forward",
     "q125_asof_nearest",
     "q126_sparse_cosine_pairs",
-    "q128_scd2_history",
-    "q129_robust_stats",
-    "q131_paragraph_dedup",
-    # (e) the round-8b additions — never driver-checked, take the
+    # (e) the round-8b/8c additions — never driver-checked, take the
     # window's tail per rotation policy (new hash lanes first); the
-    # six r3-era rows they displace (q133_ewma, q135_session_funnel,
+    # nine r3-era rows they displace (q133_ewma, q135_session_funnel,
     # q136_growth_accounting, q137_fuzzy_join, q142_dedup_impact,
-    # q47_interval_join) queue for r9 with the rest of the r3/r4 fill
+    # q47_interval_join, q128_scd2_history, q129_robust_stats,
+    # q131_paragraph_dedup) queue for r9 with the rest of the r3/r4
+    # fill
     "q236_statestore_audit",
     "q237_hll_distinct_rollup",
     "q238_theta_set_algebra",
     "q239_sharded_topk_brands",
     "q240_bloom_incremental_dedup",
     "q241_incremental_distinct",
+    "q242_join_view_maintenance",
+    "q243_bitmap_exact_distinct",
+    "q244_cms_brand_frequencies",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -1,0 +1,108 @@
+"""Round-8 incremental-maintenance additions (operators/incremental):
+bitmap exact-distinct state and delta join-view maintenance — each
+merge identity proven bit-exact against the flat recompute, plus the
+properties the lanes lean on (idempotent OR-merge, disjoint delta
+branches, broadcast delta plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from patientdataintegration_spark.operators.incremental import (
+    bitmap_distinct_readout,
+    delta_join_rows,
+    distinct_bitmap_state,
+    maintain_join_view,
+    merge_bitmap_states,
+)
+
+
+def _vals_df(spark):
+    # two keys; k1 sees {1..40} twice (dups must not count), k2 sees
+    # a sparse range spanning multiple 32768-bit bitmap buckets
+    rows = [("k1", v) for v in range(1, 41)] * 2
+    rows += [("k2", v) for v in (5, 70000, 70001, 200000)]
+    return spark.createDataFrame(rows, "k string, v bigint")
+
+
+def test_bitmap_state_merge_matches_flat(spark):
+    df = _vals_df(spark)
+    # split into 3 arbitrary slices, state each, merge
+    slices = [df.filter(F.col("v") % 3 == i) for i in range(3)]
+    merged = merge_bitmap_states(
+        [distinct_bitmap_state(s, ["k"], "v") for s in slices], ["k"]
+    )
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in bitmap_distinct_readout(merged, ["k"]).collect()
+    }
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k")
+        .agg(F.count_distinct("v").alias("n"))
+        .collect()
+    }
+    assert got == exact == {"k1": 40, "k2": 4}
+
+
+def test_bitmap_merge_is_idempotent(spark):
+    # replaying a slice into the merge must not change the count —
+    # the property additive states (sum, HLL register max is also
+    # idempotent; exact count rollups are NOT) give up
+    df = _vals_df(spark)
+    st = distinct_bitmap_state(df, ["k"], "v")
+    twice = merge_bitmap_states([st, st], ["k"])
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in bitmap_distinct_readout(twice, ["k"]).collect()
+    }
+    assert got == {"k1": 40, "k2": 4}
+
+
+def _ab(spark):
+    a = spark.createDataFrame(
+        [(i, i % 5, 10.0 + i) for i in range(100)], "id bigint, k bigint, x double"
+    )
+    b = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(5)], "k bigint, label string"
+    )
+    return a, b
+
+
+def test_delta_join_view_matches_full_recompute(spark):
+    a, b = _ab(spark)
+    a_old, delta_a = a.filter("id % 10 != 0"), a.filter("id % 10 = 0")
+    b_old, delta_b = b.filter("k != 3"), b.filter("k = 3")
+    view_old = a_old.join(b_old, ["k"])
+    maintained = maintain_join_view(
+        view_old, a_old, delta_a, b_old, delta_b, ["k"]
+    )
+    full = a.join(b, ["k"])
+    # bit-identical contents: symmetric difference empty, counts equal
+    assert maintained.count() == full.count() == 100
+    assert maintained.exceptAll(full).count() == 0
+    assert full.exceptAll(maintained).count() == 0
+
+
+def test_delta_join_branches_are_disjoint(spark):
+    # every joined pair appears in EXACTLY one branch — the reason a
+    # plain append (no dedup) is exact
+    a, b = _ab(spark)
+    a_old, delta_a = a.filter("id % 10 != 0"), a.filter("id % 10 = 0")
+    b_old, delta_b = b.filter("k != 3"), b.filter("k = 3")
+    dj = delta_join_rows(a_old, delta_a, b_old, delta_b, ["k"])
+    assert dj.count() == dj.dropDuplicates(["id", "k"]).count()
+
+
+def test_delta_join_broadcasts_deltas(spark):
+    # the scale contract: the delta sides reach the join as broadcast
+    # relations (map-side joins over the stored tables — no large
+    # shuffle). Assert on the optimized physical plan.
+    a, b = _ab(spark)
+    a_old, delta_a = a.filter("id % 10 != 0"), a.filter("id % 10 = 0")
+    b_old, delta_b = b.filter("k != 3"), b.filter("k = 3")
+    dj = delta_join_rows(a_old, delta_a, b_old, delta_b, ["k"])
+    plan = dj._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
