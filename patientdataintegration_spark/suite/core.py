@@ -1156,7 +1156,8 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q44_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE with grouping-id disambiguation (rollup's sibling, A4
-    family extension — both engines share the MSB-first bit order)."""
+    family extension — both engines share the MSB-first bit order).
+    Scale: one Expand (4 grouping sets) feeds a single partial aggregate — one scan, one shuffle sized by the tiny key domains, never the fact volume."""
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderpriority", "o_orderstatus").agg(
         F.grouping_id().cast("bigint").alias("gid"),
@@ -1405,7 +1406,8 @@ def q48_metric_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     393-399`) as a map column — built with map_from_entries over a
     grouped collect_list, then exploded back to relational rows so
     the oracle can hash it. The map stays a first-class column for
-    users (`eng.run(...).select(map_keys(...))`)."""
+    users (`eng.run(...).select(map_keys(...))`).
+    Scale: two key-partitioned shuffles (user x type, then user); the map payload is bounded by the per-user event-TYPE domain, not the event count."""
     e = load_table(spark, sf_dir, "events")
     per = e.groupBy("user_id", "event_type").agg(
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_v")
@@ -1512,7 +1514,8 @@ def q51_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregate lineitem once per row. l_quantity is integer-valued
     so AVG is a sum of exact integers over a count: both engines get
     bit-identical doubles, and the 0.2* threshold compare is
-    deterministic."""
+    deterministic.
+    Scale: after decorrelation the heavy step is one per-partkey shuffle of the brand-pruned fact plus a key join — no per-row re-aggregation survives in the plan."""
     _as_views(spark, sf_dir, "lineitem", "part")
     return spark.sql(
         """
@@ -1757,7 +1760,8 @@ def q57_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter pushes to the orders scan, then a LEFT ANTI join ships
     only the surviving key column, and the per-nation rollup runs on
     the non-matching customers. Complement of q50's EXISTS/semi
-    lane."""
+    lane.
+    Scale: the anti-join shuffles only the date-pruned key column of orders; the per-nation rollup partial-aggregates map-side."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
@@ -1827,7 +1831,8 @@ def q59_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     q44's CUBE specialize. One Expand node replicates each input row
     once per set, so it is a single-pass aggregate, not three scans.
     grouping_id bit order (MSB = first listed column) matches across
-    engines."""
+    engines.
+    Scale: Expand triples map-side rows but the shuffle carries only partial aggregates over three small key domains — output-sized, not fact-sized."""
     _as_views(spark, sf_dir, "orders")
     return spark.sql(
         """
@@ -1865,7 +1870,8 @@ def q61_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     experiment-id date handling (`ExperimentSetup_v2.py:34-40`)
     widened to the full date-function family. All pure JVM
     expressions inside whole-stage codegen; dates emitted as ISO
-    strings so both engines hash identically."""
+    strings so both engines hash identically.
+    Scale: one scan with map-side partial aggregation down to year x quarter cardinality; the shuffle is output-sized."""
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
     return o.groupBy(
@@ -1940,7 +1946,8 @@ def q64_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the P2/P3/P5 path-and-id string manipulation family
     (`dataset_classes_v1.py:62-71`) widened to the full built-in
     string surface. All JVM codegen expressions; levenshtein is the
-    only quadratic one and runs on clamped 10-char prefixes."""
+    only quadratic one and runs on clamped 10-char prefixes.
+    Scale: one scan, brand-cardinality shuffle via partial aggregation; the quadratic edit distance is bounded by the 10-char clamp so per-row cost is constant."""
     p = load_table(spark, sf_dir, "part")
     return p.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2097,7 +2104,8 @@ def q67_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator (no second scan, no join of two aggregates). The
     region filter prunes the customer side before the fact join; the
     final ratio divides two exact decimal sums, so it is IEEE-exact
-    and engine-portable."""
+    and engine-portable.
+    Scale: nation/region/supplier/customer sides broadcast or prune early; the only large shuffles are the lineitem-orders key joins, and the share needs no second pass over the fact."""
     sf_ = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
@@ -2602,7 +2610,8 @@ def q79_subquery_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     one conformed result (q50/q51/q57 consolidated). Composes the
     proven standalone queries — Catalyst decorrelates each arm to its
     semi/anti/aggregate-join-back plan; the union is plan-level, not
-    a materialization."""
+    a materialization.
+    Scale: a union of three independently-proven plans — each branch keeps its pushed-down filters and decorrelated join shape, adding no shuffle beyond its standalone form."""
     ex = q50_exists_correlated(spark, sf_dir).select(
         F.lit("exists").alias("battery"),
         F.col("o_orderpriority").alias("key"),
