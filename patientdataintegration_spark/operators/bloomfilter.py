@@ -77,6 +77,19 @@ def bloom_maybe_contains(
     table; false means definitely-absent (exact), true means
     probably-present (false positives at the configured rate).
     """
+    temps = [
+        name
+        for i in range(k)
+        for name in (f"_bf_w{i}", f"_bf_p{i}", f"_bf_bits{i}")
+    ]
+    clash = [c for c in df.columns if c in temps or c == out_col]
+    if clash:
+        # dropping by prefix would silently delete caller data; the
+        # probe names are reserved for the duration of this call
+        raise ValueError(
+            f"bloom_maybe_contains: input columns collide with reserved "
+            f"probe/output names {clash}; rename them before tagging"
+        )
     out = df
     hit_cols = []
     for i, pos in enumerate(_probe_positions(F.col(key_col), m_bits, k)):
@@ -100,8 +113,7 @@ def bloom_maybe_contains(
     for h in hit_cols[1:]:
         maybe = maybe & h
     out = out.withColumn(out_col, maybe)
-    drop = [c for c in out.columns if c.startswith("_bf_")]
-    return out.drop(*drop)
+    return out.drop(*temps)
 
 
 def bloom_prefiltered_antijoin(

@@ -94,16 +94,32 @@ def cms_query(
     columns pass through). The d·w-row state broadcasts under the
     item side; absent counters read as 0 (an item the sketch never
     saw estimates 0 only if ALL its rows are empty — still >= true)."""
+    temps = ("_cms_d", "_cms_w", "_cms_c")
+    clash = [c for c in items.columns if c in temps or c == "cms_est"]
+    if clash:
+        # withColumn over a caller column named 'd'/'w' would silently
+        # clobber it; probe through reserved names instead and refuse
+        # the (unlikely) reserved-name collision loudly
+        raise ValueError(
+            f"cms_query: item columns collide with reserved probe/output "
+            f"names {clash}; rename them before querying"
+        )
     probes = items.withColumn(
-        "d", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+        "_cms_d", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
     ).withColumn(
-        "w", _bucket(F.col(item_col).cast("string"), F.col("d"), width, seed)
+        "_cms_w",
+        _bucket(F.col(item_col).cast("string"), F.col("_cms_d"), width, seed),
     )
-    hit = probes.join(F.broadcast(state), ["d", "w"], "left")
+    st = state.select(
+        F.col("d").alias("_cms_d"),
+        F.col("w").alias("_cms_w"),
+        F.col("c").alias("_cms_c"),
+    )
+    hit = probes.join(F.broadcast(st), ["_cms_d", "_cms_w"], "left")
     return (
         hit.groupBy(*items.columns)
         .agg(
-            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            F.min(F.coalesce(F.col("_cms_c"), F.lit(0)))
             .cast("bigint")
             .alias("cms_est")
         )

@@ -212,7 +212,7 @@ def maintain_join_view(
 ) -> DataFrame:
     """Append ΔJ to the stored view: bit-identical to the full
     re-join of the post-delta tables (pinned by
-    tests/test_incremental_join.py and the q242 oracle)."""
+    tests/test_incremental_state.py and the q242 oracle)."""
     return view_old.unionByName(
         delta_join_rows(a_old, delta_a, b_old, delta_b, on)
     )

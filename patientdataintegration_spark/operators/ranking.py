@@ -86,7 +86,15 @@ def _adaptive_num_partitions(df: DataFrame) -> int:
     ceil(sizeInBytes / 64 MiB), clamped to [1, shuffle.partitions].
     Falls back to the shuffle-partition conf when the estimate is
     unavailable (e.g. no stats through this plan shape)."""
-    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        cap = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    except Exception:
+        # a non-integer conf value (e.g. "auto" under some resource
+        # managers) or a conf-access error must degrade to a sane
+        # fixed count, not fail the query
+        cap = 32
     try:
         size = int(
             df._jdf.queryExecution()  # type: ignore[attr-defined]

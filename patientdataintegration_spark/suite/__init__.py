@@ -22,6 +22,17 @@ engines and partitionings):
   and Spark/DuckDB round such doubles in different directions (the
   q133 EWMA lesson — its alpha is 1/3 for this reason).
 
+Spark-version coupling (r8 ADVICE): the streaming hash oracles
+(q88/q89/q90/q96/q99/q180/q196/q201/q231/q236/q245) replay
+engine-specific micro-batch behavior in SQL — a single-file backlog
+processed as ONE batch under availableNow, ms-floored watermark
+arithmetic, and the strict-vs-nonstrict eviction/timeout boundaries
+calibrated in tests/test_stream_eviction_frontier.py and
+tests/test_statestore_audit.py. A Spark upgrade or a multi-file
+events source can flip emitted sets with the engine still CORRECT;
+after any Spark bump, run those two calibration test files first
+and re-derive the frontier rules before trusting a red gate.
+
 Registration order is an explicit PRIORITY list: the driver's
 correctness harness checks a bounded prefix of the registry (50
 entries per round), so the prefix is ROTATED each round to extend

@@ -96,3 +96,18 @@ def test_q240_matches_q117_semantics(spark, sf_dir):
     )
     assert bloom.exceptAll(plain).count() == 0
     assert plain.exceptAll(bloom).count() == 0
+
+
+def test_bloom_reserved_column_collision_raises(spark):
+    """A caller column named like a probe temp (or the output column)
+    must fail loudly, not be silently dropped (r8 ADVICE)."""
+    import pytest
+
+    store, _ = _store_delta(spark)
+    bm = bloom_bitmap(store, "k", M_SMALL, 2)
+    clashing = store.withColumn("_bf_w0", F.lit(1))
+    with pytest.raises(ValueError, match="_bf_w0"):
+        bloom_maybe_contains(clashing, "k", bm, M_SMALL, 2)
+    out_clash = store.withColumn("bloom_maybe", F.lit(True))
+    with pytest.raises(ValueError, match="bloom_maybe"):
+        bloom_maybe_contains(out_clash, "k", bm, M_SMALL, 2)

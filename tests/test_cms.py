@@ -85,3 +85,21 @@ def test_cms_unseen_item_estimates_bounded_by_collisions(spark):
     probe = spark.createDataFrame([("never-seen",)], "item string")
     out = cms_query(cms_build(df, "v"), probe, "item").collect()
     assert out[0]["cms_est"] == 0
+
+
+def test_cms_query_reserved_column_collision_raises(spark):
+    """Caller item columns named 'd'/'w' used to be clobbered by the
+    probe withColumns (r8 ADVICE); probes now ride reserved temp
+    names and a genuine reserved-name collision raises."""
+    import pytest
+
+    from patientdataintegration_spark.operators.cms import cms_build, cms_query
+
+    items = spark.createDataFrame([("a", 7), ("b", 9)], "item string, d bigint")
+    state = cms_build(items, "item")
+    # 'd' passes through untouched now
+    out = cms_query(state, items, "item").orderBy("item").collect()
+    assert [r["d"] for r in out] == [7, 9]
+    clash = items.withColumnRenamed("d", "_cms_d")
+    with pytest.raises(ValueError, match="_cms_d"):
+        cms_query(state, clash, "item")
