@@ -103,10 +103,16 @@ def sessionize_stream(
     gap_seconds: int = 1800,
     watermark: str = "1 hour",
     table_name: str = "stream_sessions",
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Run stateful sessionization over the events parquet as a real
     stream (file source → applyInPandasWithState → availableNow →
-    memory sink) and return the emitted sessions."""
+    memory sink) and return the emitted sessions.
+
+    `checkpoint` pins the checkpoint location so callers can read the
+    keyed state back afterwards (`streaming/statestore.
+    read_session_state` — the q245 audit); None lets Spark use a
+    throwaway temp checkpoint."""
     enable_nanos_read(spark)  # vanilla sessions reject TIMESTAMP(NANOS) otherwise
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
@@ -127,13 +133,15 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    query = (
+    writer = (
         sessions.writeStream.format("memory")
         .queryName(table_name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.start()
     query.awaitTermination()
     return spark.table(table_name)
 

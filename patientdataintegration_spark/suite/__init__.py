@@ -118,6 +118,8 @@ from patientdataintegration_spark.suite.ext5 import ORACLES as EXT5_ORACLES
 from patientdataintegration_spark.suite.ext5 import QUERIES as EXT5_QUERIES
 from patientdataintegration_spark.suite.ext6 import ORACLES as EXT6_ORACLES
 from patientdataintegration_spark.suite.ext6 import QUERIES as EXT6_QUERIES
+from patientdataintegration_spark.suite.ext7 import ORACLES as EXT7_ORACLES
+from patientdataintegration_spark.suite.ext7 import QUERIES as EXT7_QUERIES
 
 _ALL_QUERIES = {
     **CORE_QUERIES,
@@ -127,6 +129,7 @@ _ALL_QUERIES = {
     **EXT4_QUERIES,
     **EXT5_QUERIES,
     **EXT6_QUERIES,
+    **EXT7_QUERIES,
 }
 _ALL_ORACLES = {
     **CORE_ORACLES,
@@ -136,6 +139,7 @@ _ALL_ORACLES = {
     **EXT4_ORACLES,
     **EXT5_ORACLES,
     **EXT6_ORACLES,
+    **EXT7_ORACLES,
 }
 
 # Queries registered WITHOUT a SQL oracle, each with its reason —

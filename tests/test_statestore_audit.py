@@ -97,3 +97,42 @@ def test_statestore_union_reconstructs_batch(spark, sf_dir):
         assert batch.exceptAll(stitched).count() == 0
     finally:
         out.unpersist()
+
+
+def test_sessionizer_state_union_reconstructs_batch(spark, sf_dir):
+    """q245's core claim (the q236 audit extended to the CUSTOM
+    stateful operator): emitted sessions plus the checkpoint's live
+    open sessions are EXACTLY the batch sessionization — and both
+    origins are non-empty, so the lane exercises the
+    applyInPandasWithState state projection, not just the sink."""
+    from patientdataintegration_spark.operators.sessionize import sessionize
+    from patientdataintegration_spark.streaming.statestore import (
+        sessionize_statestore_audit,
+    )
+
+    out = sessionize_statestore_audit(
+        spark,
+        sf_dir,
+        gap_seconds=43200,
+        watermark="0 seconds",
+        table_name="recon_sess_emitted",
+    ).cache()
+    try:
+        n_emitted = out.filter("origin = 'emitted'").count()
+        n_state = out.filter("origin = 'state'").count()
+        assert n_emitted > 0 and n_state > 0
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id"
+        )
+        batch = sessionize(ev, gap_seconds=43200).select(
+            "user_id",
+            F.col("start_us").alias("session_start_us"),
+            F.col("end_us").alias("session_end_us"),
+            "n_events",
+        )
+        stitched = out.drop("origin")
+        assert stitched.exceptAll(batch).count() == 0
+        assert batch.exceptAll(stitched).count() == 0
+    finally:
+        out.unpersist()
