@@ -116,12 +116,43 @@ def bloom_maybe_contains(
     return out.drop(*temps)
 
 
+def merge_bloom_bitmaps(bitmaps: "list[DataFrame]") -> DataFrame:
+    """OR-fold any number of (word, bits) bitmaps built with the SAME
+    (m_bits, k): union the word tables and bit_or per word. Because a
+    Bloom bitmap is the OR of its keys' bit positions, the merge of
+    per-slice bitmaps is BIT-IDENTICAL to one bitmap over the union
+    of the slices — associative AND idempotent (re-adding a slice, or
+    a key present in both slices, is harmless). This is what makes
+    the store maintainable: yesterday's persisted bitmap plus a
+    bitmap of today's new keys replaces a full history re-scan with
+    an OR over at most m_bits/64 word rows."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, bitmaps)
+    return u.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def save_bloom_bitmap(bitmap: DataFrame, path: str) -> None:
+    """Persist a (word, bits) bitmap as parquet next to its key store
+    (the module-docstring promise): at most m_bits/8 bytes of payload,
+    one file, so the write is a metadata-sized job."""
+    bitmap.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bloom_bitmap(spark, path: str) -> DataFrame:
+    """Read a persisted bitmap back for the next delta's prefilter —
+    no history re-scan; pair with `merge_bloom_bitmaps` to fold in
+    the keys that delta adds before persisting the next generation."""
+    return spark.read.parquet(path).select("word", "bits")
+
+
 def bloom_prefiltered_antijoin(
     delta: DataFrame,
     store: DataFrame,
     key_col: str,
     m_bits: int = 1 << 20,
     k: int = 2,
+    bitmap: DataFrame | None = None,
 ) -> DataFrame:
     """`delta LEFT ANTI JOIN store ON key` with the Bloom fast path:
     rows the bitmap rules out bypass the shuffle entirely; only
@@ -129,13 +160,20 @@ def bloom_prefiltered_antijoin(
     to the plain anti-join (no false negatives), verified by the
     q240 oracle which states the plain NOT EXISTS.
 
+    Pass `bitmap` (a persisted generation loaded via
+    `load_bloom_bitmap`) to skip rebuilding it from the store — the
+    store itself is then touched only by the exact anti-join's
+    surviving sliver.
+
     Size m_bits for the store's key cardinality: fp_rate ≈
     (1 − e^(−k·n/m))^k; the defaults (m=2^20, k=2) give ~1% at
     n≈50k keys — at larger stores, grow m (the bitmap stays
     broadcastable: 2^30 bits = 128 MiB covers ~5·10^8 keys at 1%;
     beyond that, partition the store and bloom per partition).
     """
-    tagged = bloom_maybe_contains(delta, key_col, bloom_bitmap(store, key_col, m_bits, k), m_bits, k)
+    if bitmap is None:
+        bitmap = bloom_bitmap(store, key_col, m_bits, k)
+    tagged = bloom_maybe_contains(delta, key_col, bitmap, m_bits, k)
     definite_new = tagged.filter(~F.col("bloom_maybe")).drop("bloom_maybe")
     survivors = (
         tagged.filter(F.col("bloom_maybe"))

@@ -111,3 +111,73 @@ def test_bloom_reserved_column_collision_raises(spark):
     out_clash = store.withColumn("bloom_maybe", F.lit(True))
     with pytest.raises(ValueError, match="bloom_maybe"):
         bloom_maybe_contains(out_clash, "k", bm, M_SMALL, 2)
+
+
+def test_bloom_merge_equals_scratch_rebuild(spark):
+    """OR-merging per-slice bitmaps is BIT-IDENTICAL to one bitmap
+    over the union of the slices — the property that makes the
+    persisted store maintainable without history re-scans."""
+    from patientdataintegration_spark.operators.bloomfilter import (
+        merge_bloom_bitmaps,
+    )
+
+    a = spark.createDataFrame([(f"key{i}",) for i in range(0, 500)], "k string")
+    b = spark.createDataFrame([(f"key{i}",) for i in range(400, 900)], "k string")
+    merged = merge_bloom_bitmaps(
+        [bloom_bitmap(a, "k", M_SMALL, 2), bloom_bitmap(b, "k", M_SMALL, 2)]
+    )
+    scratch = bloom_bitmap(a.union(b), "k", M_SMALL, 2)
+    assert merged.exceptAll(scratch).count() == 0
+    assert scratch.exceptAll(merged).count() == 0
+
+
+def test_bloom_persisted_store_generations(spark, tmp_path):
+    """The store lifecycle across two delta days: build gen0 from
+    history, persist; day1 dedups against the LOADED bitmap (no
+    history scan on the prefilter path), folds its new keys in,
+    persists gen1; day2 dedups against gen1. Each day's result is
+    bit-identical to the plain anti-join, and gen1 equals the
+    from-scratch rebuild over history + day1 survivors."""
+    from patientdataintegration_spark.operators.bloomfilter import (
+        load_bloom_bitmap,
+        merge_bloom_bitmaps,
+        save_bloom_bitmap,
+    )
+
+    hist = spark.createDataFrame(
+        [(f"key{i}",) for i in range(0, 2000, 2)], "k string"
+    )
+    day1 = spark.createDataFrame(
+        [(f"key{i}",) for i in range(500, 1500)], "k string"
+    )
+    day2 = spark.createDataFrame(
+        [(f"key{i}",) for i in range(1200, 2500)], "k string"
+    )
+    p0, p1 = str(tmp_path / "gen0"), str(tmp_path / "gen1")
+    save_bloom_bitmap(bloom_bitmap(hist, "k", M_SMALL, 2), p0)
+
+    gen0 = load_bloom_bitmap(spark, p0)
+    fresh1 = bloom_prefiltered_antijoin(
+        day1, hist, "k", M_SMALL, 2, bitmap=gen0
+    )
+    plain1 = day1.join(hist.withColumnRenamed("k", "k2"),
+                       F.col("k") == F.col("k2"), "left_anti")
+    assert fresh1.exceptAll(plain1).count() == 0
+    assert plain1.exceptAll(fresh1).count() == 0
+
+    save_bloom_bitmap(
+        merge_bloom_bitmaps([gen0, bloom_bitmap(fresh1, "k", M_SMALL, 2)]), p1
+    )
+    store1 = hist.union(fresh1).distinct()
+    scratch1 = bloom_bitmap(store1, "k", M_SMALL, 2)
+    gen1 = load_bloom_bitmap(spark, p1)
+    assert gen1.exceptAll(scratch1).count() == 0
+    assert scratch1.exceptAll(gen1).count() == 0
+
+    fresh2 = bloom_prefiltered_antijoin(
+        day2, store1, "k", M_SMALL, 2, bitmap=gen1
+    )
+    plain2 = day2.join(store1.withColumnRenamed("k", "k2"),
+                       F.col("k") == F.col("k2"), "left_anti")
+    assert fresh2.exceptAll(plain2).count() == 0
+    assert plain2.exceptAll(fresh2).count() == 0
