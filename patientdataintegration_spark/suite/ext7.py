@@ -115,3 +115,236 @@ def q245_sessionizer_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="0 seconds",
         table_name="q245_emitted",
     )
+
+
+# --- nightly-maintenance flagship --------------------------------------------
+
+
+@_register(
+    "q246_nightly_maintenance",
+    r"""
+    WITH m AS (
+      SELECT COUNT(DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m')) AS n
+      FROM orders
+    ),
+    v AS (
+      SELECT COUNT(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    s AS (
+      SELECT COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n
+      FROM documents
+    )
+    SELECT 'rollup' AS artifact, CAST(m.n AS BIGINT) AS n_rows, TRUE AS matches FROM m
+    UNION ALL SELECT 'hll_distinct', CAST(m.n AS BIGINT), TRUE FROM m
+    UNION ALL SELECT 'bitmap_distinct', CAST(m.n AS BIGINT), TRUE FROM m
+    UNION ALL SELECT 'join_view', CAST(v.n AS BIGINT), TRUE FROM v
+    UNION ALL SELECT 'bloom_store', CAST(s.n AS BIGINT), TRUE FROM s
+    """,
+)
+def q246_nightly_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly-maintenance flagship (r8 verdict item 7): ONE DAG
+    takes a day's deltas (orders >= 1998-06-01; every-25th customer;
+    every doc_id%10>=7 document) and updates all five maintained
+    artifacts of the incremental family, then emits one certification
+    relation — (artifact, n_rows, matches) — proving each maintained
+    output equals its full-recompute twin:
+
+    - rollup (q114): monoid (n, decimal-sum, min, max) state per
+      order-month, hist+delta merged; twin = one aggregation of all
+      orders (decimal merge is bit-identical to recompute).
+    - hll_distinct (q241): per-month HLL sketch states merged via
+      hll_union_agg; twin = one flat sketch over all orders — merged
+      registers are IDENTICAL to flat, so even the estimates match
+      bit-for-bit.
+    - bitmap_distinct (q243): per-(month, bucket) bitmap states
+      OR-merged; twin = plain COUNT(DISTINCT) — exact.
+    - join_view (q242): ΔJ = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB appended to the
+      stored view; twin = the full re-join.
+    - bloom_store (q240/q247): the fingerprint store's bitmap
+      OR-merged with the day's fresh-key bitmap; twin = from-scratch
+      rebuild over the updated store — (word, bits) bit-identical.
+
+    EVERY comparison goes through the q234 checksum (row count +
+    order-independent DECIMAL(38,0) MD5-prefix sum, crossJoined 1-row
+    relations) — never a row-level diff: that is the certificate's own
+    scale shape, since at 100 TB "maintained == recomputed" must
+    itself reduce through mergeable state, not re-shuffle two
+    view-sized relations through exceptAll. Within-engine double
+    rendering is deterministic, so checksumming the readouts' doubles
+    is sound here (both sides are Spark; the cross-ENGINE oracle only
+    sees counts and booleans).
+
+    The oracle states the certificate a DBA could write down a
+    priori: every `matches` TRUE, every n_rows the full-recompute
+    cardinality — so the driver hash proves all five maintenance
+    algebras simultaneously. Scale: the delta path touches history
+    only through state tables (O(#keys) rollup/sketch/bitmap rows,
+    m/64 bitmap words) and broadcast delta joins; the recompute twins
+    exist only IN the certificate (run once to certify, then
+    decommissioned — the q45/q200-style capstone argument)."""
+    from patientdataintegration_spark.operators.bloomfilter import (
+        bloom_bitmap,
+        bloom_prefiltered_antijoin,
+        merge_bloom_bitmaps,
+    )
+    from patientdataintegration_spark.operators.incremental import (
+        bitmap_distinct_readout,
+        distinct_bitmap_state,
+        distinct_readout,
+        distinct_sketch_state,
+        maintain_join_view,
+        merge_bitmap_states,
+        merge_distinct_states,
+        merge_rollups,
+        partial_rollup,
+        rollup_readout,
+    )
+    from patientdataintegration_spark.operators.integrity import shard_checksum
+    from patientdataintegration_spark.operators.textops import fingerprint
+
+    def cert(
+        name: str,
+        maint: DataFrame,
+        twin: DataFrame,
+        cols,
+        n_df: DataFrame | None = None,
+    ) -> DataFrame:
+        """(artifact, n_rows, matches): checksum both relations down
+        to one (n_rows, checksum) row each and compare via a
+        single-row broadcast crossJoin — the sanctioned scalar shape,
+        zero row-level diffs. n_rows reports the maintained side's
+        cardinality unless `n_df` overrides it (bloom: the STORE's
+        key count, not the bitmap's word count)."""
+        cm = shard_checksum(maint, cols, F.lit(0)).select(
+            F.col("n_rows").alias("_n_m"), F.col("checksum").alias("_c_m")
+        )
+        ct = shard_checksum(twin, cols, F.lit(0)).select(
+            F.col("n_rows").alias("_n_t"), F.col("checksum").alias("_c_t")
+        )
+        row = cm.crossJoin(F.broadcast(ct))
+        if n_df is not None:
+            row = row.crossJoin(F.broadcast(n_df))
+            n_out = F.col("n_override")
+        else:
+            n_out = F.col("_n_m")
+        return row.select(
+            F.lit(name).alias("artifact"),
+            n_out.cast("bigint").alias("n_rows"),
+            (
+                (F.col("_n_m") == F.col("_n_t"))
+                & (F.col("_c_m") == F.col("_c_t"))
+            ).alias("matches"),
+        )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("m"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+    o_hist = o.filter(F.col("o_orderdate") < "1998-06-01")
+    o_delta = o.filter(F.col("o_orderdate") >= "1998-06-01")
+
+    # 1. monoid rollup
+    roll_maint = rollup_readout(
+        merge_rollups(
+            [
+                partial_rollup(o_hist, ["m"], "o_totalprice"),
+                partial_rollup(o_delta, ["m"], "o_totalprice"),
+            ],
+            ["m"],
+        ),
+        ["m"],
+    )
+    roll_twin = rollup_readout(partial_rollup(o, ["m"], "o_totalprice"), ["m"])
+    roll_cols = ["m", "n", "sum_v", "avg_v", "min_v", "max_v"]
+    rollup_row = cert("rollup", roll_maint, roll_twin, roll_cols)
+
+    # 2. HLL distinct state
+    hll_maint = distinct_readout(
+        merge_distinct_states(
+            [
+                distinct_sketch_state(o_hist, ["m"], "o_custkey"),
+                distinct_sketch_state(o_delta, ["m"], "o_custkey"),
+            ],
+            ["m"],
+        ),
+        ["m"],
+    )
+    hll_twin = distinct_readout(
+        distinct_sketch_state(o, ["m"], "o_custkey"), ["m"]
+    )
+    hll_row = cert("hll_distinct", hll_maint, hll_twin, ["m", "n_distinct_est"])
+
+    # 3. exact bitmap distinct
+    bmp_maint = bitmap_distinct_readout(
+        merge_bitmap_states(
+            [
+                distinct_bitmap_state(o_hist, ["m"], "o_custkey"),
+                distinct_bitmap_state(o_delta, ["m"], "o_custkey"),
+            ],
+            ["m"],
+        ),
+        ["m"],
+    )
+    bmp_twin = o.groupBy("m").agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_distinct")
+    )
+    bitmap_row = cert("bitmap_distinct", bmp_maint, bmp_twin, ["m", "n_distinct"])
+
+    # 4. join view (checksum-certified, the scale-shaped comparison)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    c_hist = c.filter(F.col("o_custkey") % 25 != 0)
+    c_delta = c.filter(F.col("o_custkey") % 25 == 0)
+    oj = o.select("o_orderkey", "o_custkey", "m", "o_totalprice")
+    a_old = o_hist.select("o_orderkey", "o_custkey", "m", "o_totalprice")
+    a_delta = o_delta.select("o_orderkey", "o_custkey", "m", "o_totalprice")
+    view_old = a_old.join(c_hist, ["o_custkey"])
+    view_maint = maintain_join_view(
+        view_old, a_old, a_delta, c_hist, c_delta, ["o_custkey"]
+    )
+    view_full = oj.join(c, ["o_custkey"])
+    cs_cols = [
+        "o_orderkey",
+        "o_custkey",
+        "m",
+        F.col("o_totalprice").cast("decimal(18,4)"),
+        "c_mktsegment",
+    ]
+    view_row = cert("join_view", view_maint, view_full, cs_cols)
+
+    # 5. bloom store generation update
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(d)
+    hist_fp = (
+        fp.filter(F.col("doc_id") % 10 < 7).select("fingerprint").distinct()
+    )
+    delta_fp = (
+        fp.filter(F.col("doc_id") % 10 >= 7).select("fingerprint").distinct()
+    )
+    fresh = bloom_prefiltered_antijoin(delta_fp, hist_fp, "fingerprint")
+    store_new = hist_fp.unionByName(fresh)  # disjoint by construction
+    bm_merged = merge_bloom_bitmaps(
+        [
+            bloom_bitmap(hist_fp, "fingerprint"),
+            bloom_bitmap(fresh, "fingerprint"),
+        ]
+    )
+    bm_scratch = bloom_bitmap(store_new, "fingerprint")
+    bloom_row = cert(
+        "bloom_store",
+        bm_merged,
+        bm_scratch,
+        ["word", "bits"],
+        n_df=store_new.agg(F.count(F.lit(1)).alias("n_override")),
+    )
+
+    return (
+        rollup_row.unionByName(hll_row)
+        .unionByName(bitmap_row)
+        .unionByName(view_row)
+        .unionByName(bloom_row)
+    )

@@ -106,3 +106,25 @@ def test_delta_join_broadcasts_deltas(spark):
     plan = dj._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_nightly_maintenance_certifies_all_artifacts(spark, sf_dir):
+    """The q246 flagship: one DAG certifies all five maintained
+    artifacts against their full-recompute twins — every matches
+    flag TRUE, all five artifact rows present."""
+    from patientdataintegration_spark.suite.ext7 import (
+        q246_nightly_maintenance,
+    )
+
+    rows = {
+        r["artifact"]: r for r in q246_nightly_maintenance(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [
+        "bitmap_distinct",
+        "bloom_store",
+        "hll_distinct",
+        "join_view",
+        "rollup",
+    ]
+    assert all(r["matches"] for r in rows.values())
+    assert all(r["n_rows"] > 0 for r in rows.values())

@@ -71,6 +71,15 @@ SHUFFLE_BUDGETS = {
     # composes the q98 IVF pipeline (budget 30) with the exhaustive
     # baseline and the overlap join
     "q203_ann_recall": 40,
+    # the nightly-maintenance certificate: FIVE maintained artifacts
+    # (monoid rollup, HLL state, bitmap state, join view, bloom
+    # bitmap) EACH built twice (delta-merged + full-recompute twin)
+    # plus two checksum reductions per comparison, in one lazy plan —
+    # the composite's count is the sum of the parts by design (the
+    # q200 rule); the DELTA path alone (what a real nightly runs
+    # after decommissioning the twins) is the q114/q241/q243/q242/
+    # q240 shapes, each within the default budget
+    "q246_nightly_maintenance": 70,
 }
 DEFAULT_SHUFFLE_BUDGET = 12
 
