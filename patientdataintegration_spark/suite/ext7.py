@@ -348,3 +348,87 @@ def q246_nightly_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(view_row)
         .unionByName(bloom_row)
     )
+
+
+# --- persisted Bloom store across delta generations ---------------------------
+
+
+@_register(
+    "q247_bloom_store_replay",
+    r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    ),
+    store1 AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 < 8),
+    day2 AS (SELECT * FROM fp WHERE doc_id % 10 >= 8)
+    SELECT fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM day2 d
+    WHERE NOT EXISTS (SELECT 1 FROM store1 s WHERE s.fingerprint = d.fingerprint)
+    GROUP BY fingerprint
+    """,
+)
+def q247_bloom_store_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two delta days against a PARQUET-PERSISTED Bloom store (the r8
+    stretch item: q240 rebuilt its bitmap from history every run;
+    this lane replays the store's real lifecycle). Day 0: gen0 =
+    bitmap(history fingerprints, doc_id%10<6), persisted. Day 1
+    (doc_id%10 in 6..7): dedup against the LOADED gen0 — the
+    prefilter path reads m/8 bytes of parquet, zero history scan —
+    then gen1 = OR-merge(gen0, bitmap(day1's fresh keys)), persisted.
+    Day 2 (doc_id%10>=8): dedup against the LOADED gen1. The result
+    returned is day 2's fresh fingerprints; the oracle is the plain
+    NOT EXISTS against the cumulative store (all fingerprints with
+    doc_id%10<8), so the driver hash proves the whole persisted
+    generation chain — load, delta-merge, save, reload — is
+    semantics-preserving (Bloom has no false negatives; OR-merge is
+    bit-identical to a scratch rebuild, pinned by
+    tests/test_bloomfilter.py::test_bloom_persisted_store_generations).
+    Scale: each generation is at most m_bits/8 bytes regardless of
+    store size; only day 2's maybe-sliver reaches the exact anti-join
+    probe of the store. The bitmap writes happen at build time (the
+    streaming-lane precedent); the returned plan is lazy."""
+    import tempfile
+
+    from patientdataintegration_spark.operators.bloomfilter import (
+        bloom_bitmap,
+        bloom_prefiltered_antijoin,
+        load_bloom_bitmap,
+        merge_bloom_bitmaps,
+        save_bloom_bitmap,
+    )
+    from patientdataintegration_spark.operators.textops import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(d)
+    hist_fp = fp.filter(F.col("doc_id") % 10 < 6).select("fingerprint").distinct()
+    day1_fp = (
+        fp.filter((F.col("doc_id") % 10 >= 6) & (F.col("doc_id") % 10 < 8))
+        .select("fingerprint")
+        .distinct()
+    )
+    day2 = fp.filter(F.col("doc_id") % 10 >= 8).select("doc_id", "fingerprint")
+
+    root = tempfile.mkdtemp(prefix="pdi_bloom_store_")
+    save_bloom_bitmap(bloom_bitmap(hist_fp, "fingerprint"), f"{root}/gen0")
+    gen0 = load_bloom_bitmap(spark, f"{root}/gen0")
+    fresh1 = bloom_prefiltered_antijoin(
+        day1_fp, hist_fp, "fingerprint", bitmap=gen0
+    )
+    save_bloom_bitmap(
+        merge_bloom_bitmaps([gen0, bloom_bitmap(fresh1, "fingerprint")]),
+        f"{root}/gen1",
+    )
+    gen1 = load_bloom_bitmap(spark, f"{root}/gen1")
+
+    store1 = hist_fp.unionByName(fresh1)  # disjoint by construction
+    fresh2 = bloom_prefiltered_antijoin(
+        day2, store1, "fingerprint", bitmap=gen1
+    )
+    return fresh2.groupBy("fingerprint").agg(
+        F.min("doc_id").cast("bigint").alias("canonical_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
