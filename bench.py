@@ -78,10 +78,24 @@ BENCH_QUERIES = [
     "q235_topk_per_group",      # WindowGroupLimit partial top-k (r8)
     "q237_hll_distinct_rollup", # mergeable HLL sketches + union rollup (r8b)
     "q240_bloom_incremental_dedup",  # bloom-prefiltered anti-join dedup (r8b)
+    "q242_join_view_maintenance",    # delta-broadcast join-view algebra (r8c)
+    "q243_bitmap_exact_distinct",    # OR-merged bitmap distinct state (r8c)
+    "q246_nightly_maintenance",      # five-artifact maintenance certificate (r9)
 ]
 
 
 def main() -> None:
+    # sample machine load BEFORE any Spark work: loadavg at this
+    # point reflects only EXTERNAL processes (the bench's own 32
+    # threads haven't started), which is exactly the signal that
+    # poisons round-over-round comparisons — concurrent work shifts
+    # every query uniformly +20-50% (the r3/r5/r7/r8 episodes)
+    try:
+        _l1, _l5, _ = os.getloadavg()
+        loads = {"load1_start": round(_l1, 2), "load5_start": round(_l5, 2),
+                 "cpus": os.cpu_count()}
+    except OSError:
+        loads = {}
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from patientdataintegration_spark.session import build_session
     from patientdataintegration_spark.suite import QUERIES
@@ -120,6 +134,7 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **loads,
     }
     print(json.dumps(result))
     # per-query history so regressions are caught in-round by diffing

@@ -40,6 +40,23 @@ def main() -> int:
     if not prior:
         print(f"no prior entries at sf={last.get('sf')}; nothing to compare")
         return 0
+    # prefer IDLE-probe priors for the baseline (r8 verdict stretch):
+    # entries stamped by bench.py with the pre-run loadavg; a loaded
+    # box shifts every query uniformly +20-50%, so keeping those runs
+    # in the median inflates the baseline and masks real regressions.
+    # Entries without the stamp (pre-r9 history) stay eligible.
+    def _idle(e):
+        l1 = e.get("load1_start")
+        cpus = e.get("cpus") or 32
+        return l1 is None or l1 < cpus / 4
+    idle_prior = [e for e in prior if _idle(e)]
+    if len(idle_prior) >= 2:
+        prior = idle_prior
+    if last.get("load1_start") is not None and not _idle(last):
+        print(f"NOTE: last entry ran on a LOADED machine "
+              f"(load1_start={last['load1_start']}, cpus={last.get('cpus')}) — "
+              f"expect a uniform shift across all queries; trust idle-probe "
+              f"entries over this one")
     import statistics
 
     samples: dict[str, list[float]] = {}
