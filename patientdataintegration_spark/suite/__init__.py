@@ -102,6 +102,27 @@ pytest-bounded, with the q224 hash-checked verdict oracle as its
 companion). Previously-green queries stay registered after
 the priority block; their evidence is CORRECTNESS_r01-r07.json plus
 the committed full-registry ORACLE_RUN logs.
+
+The round-9 window: (a) the three r9 additions, never
+driver-checked — q245 (the q236 state-store audit extended to the
+applyInPandasWithState sessionizer), q246 (the nightly-maintenance
+flagship: five maintained artifacts certified against their
+full-recompute twins through the q234 checksum in ONE DAG), q247
+(persisted-Bloom-store replay across two delta generations); (b)
+the r8 verdict's item 3 — q91_multimodal_features and
+q97_batch_inference, whose full oracles pass the local 3-SF gate
+since r8 but whose latest DRIVER rows are still r4 no_oracle: green
+rows here make "exactly one rows-only lane (q94)"
+driver-confirmed; (c) re-proofs for everything r9 touched — q240/
+q244 (bloomfilter/cms reserved-column hardening + the prebuilt-
+bitmap parameter; results bit-identical by design), q54/q145/q232/
+q233/q235 (ranking.py conf-parse fallback — behavior unchanged on
+the healthy path), q96 (sessions.py gained the checkpoint
+parameter); (d) the complete nineteen-lane r9 evidence queue from
+the r8 rotation (see above); and (e) eighteen oldest-first r4-era
+fill lanes (q127/q132/q134/q139/q140/q141/q143/q146-q156), after
+which the oldest latest-evidence row in the registry is r4 and the
+remaining r4-era lanes (q157 onward) queue for r10.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -154,88 +175,69 @@ ROWS_ONLY_REASONS = {
     ),
 }
 
-# The driver-checked prefix, by design exactly 50 names (round-8
+# The driver-checked prefix, by design exactly 50 names (round-9
 # rotation: see module docstring).
 PRIORITY = [
-    # (a) never driver-checked as hash lanes: the r8 additions
-    # (cross-engine table checksum; WindowGroupLimit top-k) and the
-    # nine streaming lanes upgraded r8 from rows-only to FULL hash
-    # oracles (complete-mode finals q88/q90; unique-key single-batch
-    # dedup q89; eager-emission INNER join q99; custom-sessionizer
-    # timeout-frontier replay q96; associative CDC merge fold q180;
-    # ms-calibrated outer-eviction frontier replays q201/q231;
-    # generator-replay over the stream path q196 — the q223 pattern)
-    "q234_table_checksum",
-    "q235_topk_per_group",
-    "q88_stream_static_enrich",
-    "q89_stream_dedup",
-    "q90_stream_tumbling",
-    "q96_stream_sessionize",
-    "q99_stream_stream_join",
-    "q180_stream_cdc_upsert",
-    "q201_stream_outer_join",
-    "q231_stream_full_outer_join",
-    "q196_python_stream_source",
-    # (b) changed in round 8 — re-prove: q54/q145 (adaptive range-
-    # partition sizing + overflow guard in global_row_number),
-    # q232/q233 (tie-robust dedup-edge verdict via the shared
-    # approx_equidepth_verdict helper)
+    # (a) the r9 additions — never driver-checked
+    "q245_sessionizer_state_audit",
+    "q246_nightly_maintenance",
+    "q247_bloom_store_replay",
+    # (b) r8 verdict item 3: oracles pass the local 3-SF gate since
+    # r8, latest driver rows still r4 no_oracle — green rows here
+    # make the "only q94 is rows-only" claim driver-confirmed
+    "q91_multimodal_features",
+    "q97_batch_inference",
+    # (c) changed in round 9 — re-prove: bloomfilter/cms hardening
+    # (q240/q244), the ranking conf fallback (q54/q145/q232/q233/
+    # q235), the sessionize_stream checkpoint parameter (q96)
+    "q240_bloom_incremental_dedup",
+    "q244_cms_brand_frequencies",
     "q54_spend_deciles",
     "q145_equidepth_histogram",
     "q232_decile_edges_approx",
     "q233_equidepth_approx",
-    # (c) the complete r2-era evidence residue (latest driver rows
-    # CORRECTNESS_r02) — closing the r7 verdict's backlog item: after
-    # this window no registry query's latest evidence predates r3
-    "q93_lsh_cosine_topk",
-    "q100_redaction",
-    "q103_variant_battery",
-    "q105_repetition_signals",
-    "q106_token_budget_sample",
-    "q107_jsonl_roundtrip",
-    "q108_sequence_packing",
-    "q109_shard_manifest",
-    "q111_zorder_layout",
-    "q112_winsorize",
-    # (d) the oldest r3-era rows (latest driver rows CORRECTNESS_r03),
-    # oldest-first fill; the ten r3-era hash lanes displaced by the
-    # streaming-oracle upgrades (q60_explode_vocab, q62_moving_frame,
-    # q66_nation_volume, q67_market_share, q70_multi_distinct,
-    # q71_first_nth_value, q73_quality_checks, q74_funnel,
-    # q85_session_window, q144_event_pmi) queue for r9 with the
-    # r4-era rows
-    "q101_upsert_merge",
-    "q102_time_weighted_avg",
-    "q110_inverted_index",
-    "q113_salted_join",
-    "q114_incremental_rollup",
-    "q116_bucketed_join",
-    "q117_incremental_dedup",
-    "q118_profile",
-    "q119_crosscorpus_neardup",
-    "q120_mixture_weights",
-    "q121_resample_interp",
-    "q122_realize_mixture",
-    "q123_vocab_coverage",
-    "q124_asof_forward",
-    "q125_asof_nearest",
-    "q126_sparse_cosine_pairs",
-    # (e) the round-8b/8c additions — never driver-checked, take the
-    # window's tail per rotation policy (new hash lanes first); the
-    # nine r3-era rows they displace (q133_ewma, q135_session_funnel,
-    # q136_growth_accounting, q137_fuzzy_join, q142_dedup_impact,
-    # q47_interval_join, q128_scd2_history, q129_robust_stats,
-    # q131_paragraph_dedup) queue for r9 with the rest of the r3/r4
-    # fill
-    "q236_statestore_audit",
-    "q237_hll_distinct_rollup",
-    "q238_theta_set_algebra",
-    "q239_sharded_topk_brands",
-    "q240_bloom_incremental_dedup",
-    "q241_incremental_distinct",
-    "q242_join_view_maintenance",
-    "q243_bitmap_exact_distinct",
-    "q244_cms_brand_frequencies",
+    "q235_topk_per_group",
+    "q96_stream_sessionize",
+    # (d) the nineteen-lane r9 evidence queue (displaced from the r8
+    # window; latest driver rows r3)
+    "q60_explode_vocab",
+    "q62_moving_frame",
+    "q66_nation_volume",
+    "q67_market_share",
+    "q70_multi_distinct",
+    "q71_first_nth_value",
+    "q73_quality_checks",
+    "q74_funnel",
+    "q85_session_window",
+    "q144_event_pmi",
+    "q133_ewma",
+    "q135_session_funnel",
+    "q136_growth_accounting",
+    "q137_fuzzy_join",
+    "q142_dedup_impact",
+    "q47_interval_join",
+    "q128_scd2_history",
+    "q129_robust_stats",
+    "q131_paragraph_dedup",
+    # (e) oldest-first r4-era fill (latest driver rows CORRECTNESS_r04)
+    "q127_weighted_sample",
+    "q132_kmeans_assign",
+    "q134_source_kl",
+    "q139_correlation_matrix",
+    "q140_mutual_information",
+    "q141_group_trend",
+    "q143_histogram",
+    "q146_pivot_lang",
+    "q147_retention_cohorts",
+    "q148_markov_transitions",
+    "q149_percentiles",
+    "q150_orphan_audit",
+    "q151_activity_streaks",
+    "q152_wow_change",
+    "q153_snapshot_diff",
+    "q154_abtest_zscore",
+    "q155_column_entropy",
+    "q156_quality_verdict",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]
