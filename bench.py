@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "q242_join_view_maintenance",    # delta-broadcast join-view algebra (r8c)
     "q243_bitmap_exact_distinct",    # OR-merged bitmap distinct state (r8c)
     "q246_nightly_maintenance",      # five-artifact maintenance certificate (r9)
+    "q248_rollup_retractions",       # CDC-delete rollup maintenance (r9)
+    "q249_incremental_sessionize",   # interval-coalesce session maintenance (r9)
 ]
 
 

@@ -202,6 +202,100 @@ def delta_join_rows(
     )
 
 
+# --- rollup maintenance under RETRACTIONS (CDC deletes) ----------------------
+#
+# partial_rollup/merge_rollups handle INSERT-only deltas: (count,
+# sum, min, max) is a commutative monoid. Real CDC feeds also carry
+# DELETES, and there the algebra splits: count and decimal-sum form
+# an abelian GROUP (every element has an inverse — apply a delete as
+# (-1, -value) and the merge stays exact), but min/max have no
+# inverse: deleting the minimum says nothing about the runner-up.
+# The production pattern is therefore hybrid — algebraic retraction
+# for the group-shaped state, plus a "dirty-key repair": re-aggregate
+# min/max ONLY for keys that saw a delete, from the post-CDC base
+# (partition-pruned to those keys at scale). Deletes cluster in
+# practice (GDPR erasure, late-arriving corrections for recent
+# partitions), so the repair scan touches a sliver, never history.
+
+
+def cdc_rollup_delta(
+    cdc: DataFrame, keys: Sequence[str], value_col: str, op_col: str = "op"
+) -> DataFrame:
+    """One CDC slice (op = +1 insert / -1 delete) → signed per-key
+    state: n_delta, sum_delta (exact DECIMAL), the inserted-rows
+    min/max (monoid-mergeable into old state), and a has_delete flag
+    marking the key dirty. One map-side-combined hash-agg."""
+    op = F.col(op_col)
+    v = F.col(value_col)
+    return cdc.groupBy(*keys).agg(
+        F.sum(op).cast("bigint").alias("n_delta"),
+        F.sum(op * v.cast("decimal(18,6)")).alias("sum_delta"),
+        F.min(F.when(op > 0, v)).alias("min_ins"),
+        F.max(F.when(op > 0, v)).alias("max_ins"),
+        F.max(F.when(op < 0, F.lit(1)).otherwise(F.lit(0))).alias("has_delete"),
+    )
+
+
+def apply_rollup_retractions(
+    state_old: DataFrame,
+    cdc_state: DataFrame,
+    base_post: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Maintained rollup state after a CDC slice: group-shaped
+    aggregates (n, sum_dec) retract algebraically; min/max merge
+    inserts monoid-ly on clean keys and re-aggregate from
+    `base_post` (the post-CDC base table) for the dirty keys only —
+    a scan filtered by a broadcast semi-join against the dirty-key
+    set, which is the ONLY base-table touch on the whole maintenance
+    path. Keys whose post-CDC count reaches zero drop out, exactly
+    as a recompute would drop them. Bit-identical to
+    `partial_rollup(base_post)` (the q248 oracle)."""
+    keys = list(keys)
+    merged = state_old.join(cdc_state, keys, "full_outer").select(
+        *keys,
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("n_delta"), F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+        (
+            F.coalesce(F.col("sum_dec"), F.lit(0).cast("decimal(18,6)"))
+            + F.coalesce(F.col("sum_delta"), F.lit(0).cast("decimal(18,6)"))
+        )
+        .cast("decimal(18,6)")
+        .alias("sum_dec"),
+        # least/greatest skip NULLs, so a brand-new key (no old
+        # state) or an insert-free slice both fall out correctly
+        F.least(F.col("min_v"), F.col("min_ins")).alias("min_v"),
+        F.greatest(F.col("max_v"), F.col("max_ins")).alias("max_v"),
+        F.coalesce(F.col("has_delete"), F.lit(0)).alias("_dirty"),
+    ).filter(F.col("n") > 0)
+
+    dirty_keys = merged.filter(F.col("_dirty") == 1).select(*keys)
+    repair = (
+        base_post.join(F.broadcast(dirty_keys), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(
+            F.min(value_col).alias("_rmin"),
+            F.max(value_col).alias("_rmax"),
+        )
+    )
+    return (
+        merged.join(F.broadcast(repair), keys, "left")
+        .select(
+            *keys,
+            "n",
+            "sum_dec",
+            F.when(F.col("_dirty") == 1, F.col("_rmin"))
+            .otherwise(F.col("min_v"))
+            .alias("min_v"),
+            F.when(F.col("_dirty") == 1, F.col("_rmax"))
+            .otherwise(F.col("max_v"))
+            .alias("max_v"),
+        )
+    )
+
+
 def maintain_join_view(
     view_old: DataFrame,
     a_old: DataFrame,

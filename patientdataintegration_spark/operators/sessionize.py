@@ -61,3 +61,121 @@ def sessionize(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    gap_seconds: int = 0,
+    user_col: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-key interval union: merge intervals whose start lies
+    within `gap_seconds` of the running maximum end of everything
+    before them (the classic overlapping-intervals coalesce,
+    generalized with a gap). Output one row per merged group:
+    (user, start_us = min, end_us = max, n_events = sum of weights;
+    weight 1 per input row when `weight_col` is None).
+
+    The running-max spelling (cumulative MAX window over preceding
+    ends, not lag) is what makes this correct for genuinely
+    OVERLAPPING intervals, where the previous ROW's end is not the
+    frontier. Plan shape: one shuffle on the key serves both the
+    ordered window and the group aggregate — same discipline as
+    `sessionize`. Point events embed as zero-length intervals
+    (start = end = ts), which is how `sessionize_increment` merges a
+    day's events into yesterday's session table."""
+    gap_us = int(gap_seconds) * 1_000_000
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = F.max(end_col).over(w)
+    new_g = (
+        F.when(
+            frontier.isNull() | (F.col(start_col) - frontier > gap_us),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    run = (
+        Window.partitionBy(user_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    weight = F.col(weight_col) if weight_col else F.lit(1)
+    tagged = df.select(
+        user_col,
+        F.col(start_col),
+        F.col(end_col),
+        weight.alias("_w"),
+        new_g.alias("_new"),
+    ).withColumn("_gid", F.sum("_new").over(run))
+    return (
+        tagged.groupBy(user_col, "_gid")
+        .agg(
+            F.min(start_col).alias("start_us"),
+            F.max(end_col).alias("end_us"),
+            F.sum("_w").cast("bigint").alias("n_events"),
+        )
+        .drop("_gid")
+    )
+
+
+def sessionize_increment(
+    sessions_old: DataFrame,
+    delta_us: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Maintain a materialized session table under a day's new
+    events WITHOUT re-sessionizing history. Precondition: every
+    delta event is later than every event behind `sessions_old`
+    (the nightly time-partitioned feed). Then only each user's LAST
+    old session can interact with the delta — any earlier session
+    is followed by an old session that started more than `gap`
+    after it ended, and the delta is later still — so the
+    maintenance is: keep the closed sessions verbatim, and
+    gap-coalesce (last session as an interval) ∪ (delta events as
+    zero-length intervals) per user. Bit-identical to full
+    re-sessionization of old ∪ delta (the q249 oracle).
+
+    Scale: the closed sessions are untouched (at 100 TB: not even
+    read, with the session table partitioned by last-activity day —
+    only the hot tail is scanned); the coalesce shuffles one
+    interval per ACTIVE user plus the day's events, never history.
+
+    `sessions_old` columns: (user, start_us, end_us, n_events);
+    `delta_us`: (user, us)."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("end_us").desc(), F.col("start_us").desc()
+    )
+    ranked = sessions_old.select(
+        user_col,
+        "start_us",
+        "end_us",
+        F.col("n_events").alias("_w"),
+        F.row_number().over(w).alias("_rk"),
+    )
+    closed = ranked.filter(F.col("_rk") > 1).drop("_rk")
+    hot_last = ranked.filter(F.col("_rk") == 1).drop("_rk")
+    hot_points = delta_us.select(
+        user_col,
+        F.col("us").alias("start_us"),
+        F.col("us").alias("end_us"),
+        F.lit(1).alias("_w"),
+    )
+    merged = coalesce_intervals(
+        hot_last.unionByName(hot_points),
+        gap_seconds=gap_seconds,
+        user_col=user_col,
+        weight_col="_w",
+    )
+    return closed.select(
+        user_col,
+        "start_us",
+        "end_us",
+        F.col("_w").cast("bigint").alias("n_events"),
+    ).unionByName(merged)

@@ -119,10 +119,15 @@ bitmap parameter; results bit-identical by design), q54/q145/q232/
 q233/q235 (ranking.py conf-parse fallback — behavior unchanged on
 the healthy path), q96 (sessions.py gained the checkpoint
 parameter); (d) the complete nineteen-lane r9 evidence queue from
-the r8 rotation (see above); and (e) eighteen oldest-first r4-era
-fill lanes (q127/q132/q134/q139/q140/q141/q143/q146-q156), after
+the r8 rotation (see above); and (e) sixteen oldest-first r4-era
+fill lanes (q127/q132/q134/q139/q140/q141/q143/q146-q154), after
 which the oldest latest-evidence row in the registry is r4 and the
-remaining r4-era lanes (q157 onward) queue for r10.
+remaining r4-era lanes (q155 onward) queue for r10. The late-r9
+additions q248 (rollup maintenance under CDC RETRACTIONS — the
+abelian-group/dirty-key-repair split the insert-only monoid lanes
+cannot express) and q249 (incremental sessionization via the
+generic running-max interval-coalesce) take two window slots ahead
+of the fill, displacing q155/q156 to the r10 queue.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -182,6 +187,8 @@ PRIORITY = [
     "q245_sessionizer_state_audit",
     "q246_nightly_maintenance",
     "q247_bloom_store_replay",
+    "q248_rollup_retractions",
+    "q249_incremental_sessionize",
     # (b) r8 verdict item 3: oracles pass the local 3-SF gate since
     # r8, latest driver rows still r4 no_oracle — green rows here
     # make the "only q94 is rows-only" claim driver-confirmed
@@ -236,8 +243,6 @@ PRIORITY = [
     "q152_wow_change",
     "q153_snapshot_diff",
     "q154_abtest_zscore",
-    "q155_column_entropy",
-    "q156_quality_verdict",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

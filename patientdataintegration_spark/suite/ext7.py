@@ -432,3 +432,138 @@ def q247_bloom_store_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("canonical_id"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
+
+
+# --- rollup maintenance under retractions (CDC deletes) ----------------------
+
+
+@_register(
+    "q248_rollup_retractions",
+    """
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(o_totalprice) AS avg_v,
+           MIN(o_totalprice) AS min_v,
+           MAX(o_totalprice) AS max_v
+    FROM orders
+    WHERE NOT (CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+               AND o_orderkey % 37 = 0)
+    GROUP BY strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+    """,
+)
+def q248_rollup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup maintenance under a CDC slice WITH DELETES
+    (`operators/incremental.apply_rollup_retractions`) — the algebra
+    q114/q242 cannot express: count and decimal-sum form an abelian
+    GROUP (a delete applies as (-1, -value), exactly), but min/max
+    have no inverse, so dirty keys (those that saw a delete — here
+    the pre-1996 months, clustered the way GDPR erasure and
+    late corrections cluster) repair min/max from a scan of the
+    post-CDC base FILTERED to the dirty keys by broadcast semi-join,
+    while clean keys never touch the base at all. The CDC slice:
+    every 50th order inserted, every 37th pre-1996 order deleted.
+    The oracle is the plain GROUP BY over the post-CDC table — the
+    driver hash proves the hybrid algebraic/repair path is
+    bit-identical to recompute, including keys whose minimum was the
+    deleted row. Scale: the maintenance path shuffles O(#keys) state
+    + the CDC slice; the only base touch is the dirty-key sliver."""
+    from patientdataintegration_spark.operators.incremental import (
+        apply_rollup_retractions,
+        cdc_rollup_delta,
+        partial_rollup,
+        rollup_readout,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("m"),
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    del_cond = (F.col("od") < "1996-01-01") & (F.col("o_orderkey") % 37 == 0)
+    ins_cond = (F.col("o_orderkey") % 50 == 0) & ~del_cond
+    old = o.filter(~ins_cond)
+    post = o.filter(~del_cond)
+    cdc = (
+        o.filter(ins_cond)
+        .withColumn("op", F.lit(1))
+        .unionByName(o.filter(del_cond).withColumn("op", F.lit(-1)))
+    )
+    state_new = apply_rollup_retractions(
+        partial_rollup(old, ["m"], "o_totalprice"),
+        cdc_rollup_delta(cdc, ["m"], "o_totalprice"),
+        post,
+        ["m"],
+        "o_totalprice",
+    )
+    return rollup_readout(state_new, ["m"])
+
+
+# --- incremental sessionization maintenance -----------------------------------
+
+# 2024-01-25T00:00:00Z in epoch microseconds: the nightly cutoff —
+# events before it are "history" (already sessionized), the rest is
+# the day's delta. Static so the oracle can state the same split.
+_Q249_CUT_US = 1_706_140_800_000_000
+
+
+@_register(
+    "q249_incremental_sessionize",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    l AS (
+      SELECT user_id, event_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+      FROM e
+    ),
+    t AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM t
+    )
+    SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q249_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sessionization maintenance (`operators/sessionize.
+    sessionize_increment`): yesterday's materialized session table
+    (events before 2024-01-25, 30-min gap) absorbs the day's delta
+    WITHOUT re-sessionizing history. The time-partitioned feed gives
+    the load-bearing invariant: only each user's LAST old session can
+    interact with later events (every earlier session is separated
+    from its successor by more than the gap, and the delta is later
+    still), so maintenance = closed sessions verbatim ∪
+    interval-coalesce(last session ∪ delta events as zero-length
+    intervals) — the generic running-max interval-union operator
+    (`coalesce_intervals`), correct even for genuinely overlapping
+    intervals where the previous ROW's end is not the frontier. The
+    oracle is FULL re-sessionization of all events; the driver hash
+    proves maintained == recomputed, including delta-only new users
+    and sessions that straddle the cutoff. Scale: history sessions
+    are untouched (partition the session table by last-activity day
+    and only the hot tail is even read); the coalesce shuffles one
+    interval per active user plus the day's events."""
+    from patientdataintegration_spark.operators.sessionize import (
+        sessionize,
+        sessionize_increment,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.unix_micros("ts").alias("us")
+    )
+    old_ev = e.filter(F.col("us") < _Q249_CUT_US)
+    delta = e.filter(F.col("us") >= _Q249_CUT_US).select("user_id", "us")
+    sessions_old = sessionize(old_ev, gap_seconds=1800).select(
+        "user_id", "start_us", "end_us", "n_events"
+    )
+    return sessionize_increment(sessions_old, delta, gap_seconds=1800)

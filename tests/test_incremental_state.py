@@ -128,3 +128,55 @@ def test_nightly_maintenance_certifies_all_artifacts(spark, sf_dir):
     ]
     assert all(r["matches"] for r in rows.values())
     assert all(r["n_rows"] > 0 for r in rows.values())
+
+
+def test_rollup_retractions_matches_recompute(spark):
+    """The hybrid retraction algebra vs recompute on adversarial
+    CDC: a key whose MINIMUM is deleted (algebraic min would be
+    stale), a key emptied entirely (must drop), a brand-new key from
+    inserts only, and an untouched clean key."""
+    from patientdataintegration_spark.operators.incremental import (
+        apply_rollup_retractions,
+        cdc_rollup_delta,
+        partial_rollup,
+        rollup_readout,
+    )
+
+    old = spark.createDataFrame(
+        [
+            ("a", 1.0), ("a", 5.0), ("a", 9.0),   # min 1.0 will be deleted
+            ("b", 2.0), ("b", 4.0),               # emptied entirely
+            ("d", 7.0),                           # clean, untouched
+        ],
+        "k string, v double",
+    )
+    cdc = spark.createDataFrame(
+        [
+            ("a", 1.0, -1),            # delete the minimum
+            ("a", 0.5, 1),             # and insert a new minimum
+            ("b", 2.0, -1), ("b", 4.0, -1),  # empty key b
+            ("c", 3.0, 1), ("c", 8.0, 1),    # brand-new key
+        ],
+        "k string, v double, op int",
+    )
+    post = spark.createDataFrame(
+        [
+            ("a", 5.0), ("a", 9.0), ("a", 0.5),
+            ("c", 3.0), ("c", 8.0),
+            ("d", 7.0),
+        ],
+        "k string, v double",
+    )
+    state = apply_rollup_retractions(
+        partial_rollup(old, ["k"], "v"),
+        cdc_rollup_delta(cdc, ["k"], "v"),
+        post,
+        ["k"],
+        "v",
+    )
+    got = rollup_readout(state, ["k"])
+    want = rollup_readout(partial_rollup(post, ["k"], "v"), ["k"])
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # key b must be gone
+    assert got.filter("k = 'b'").count() == 0

@@ -158,3 +158,89 @@ def test_pagerank_star_graph(spark):
     assert ranks[1] == ranks[2] == ranks[3]
     assert ranks[0] > ranks[1]
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_coalesce_intervals_overlapping(spark):
+    """The running-max frontier vs the lag trap: interval A covers B
+    entirely, so B's end is NOT the frontier for C — a lag-based
+    merge would wrongly split [A∪B] from C."""
+    from patientdataintegration_spark.operators.sessionize import (
+        coalesce_intervals,
+    )
+    from pyspark.sql import functions as F
+
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 100, 2),    # A
+            (1, 10, 20, 1),    # B inside A
+            (1, 105, 110, 1),  # C: within gap 10 of A's end, not B's
+            (1, 300, 310, 1),  # D: separate
+            (2, 0, 5, 1),      # other user untouched
+        ],
+        "user_id bigint, start_us bigint, end_us bigint, w bigint",
+    )
+    out = coalesce_intervals(
+        iv, gap_seconds=0, weight_col="w"
+    )  # gap 0 s, but A end 100 -> C start 105 gap is 5 MICROseconds
+    rows = sorted(
+        out.filter(F.col("user_id") == 1).collect(),
+        key=lambda r: r["start_us"],
+    )
+    # gap_seconds=0 -> gap_us=0: C (105) does NOT merge with A (end 100)
+    assert [(r["start_us"], r["end_us"], r["n_events"]) for r in rows] == [
+        (0, 100, 3),
+        (105, 110, 1),
+        (300, 310, 1),
+    ]
+    # with a 1 s gap (1e6 us) both holes (5 us, 190 us) close
+    merged = coalesce_intervals(iv, gap_seconds=1, weight_col="w")
+    r1 = sorted(
+        merged.filter(F.col("user_id") == 1).collect(),
+        key=lambda r: r["start_us"],
+    )
+    assert [(r["start_us"], r["end_us"], r["n_events"]) for r in r1] == [
+        (0, 310, 5)
+    ]
+
+
+def test_sessionize_increment_matches_full(spark):
+    """Maintained sessions == full re-sessionization on a synthetic
+    feed exercising: delta extending the last session, delta opening
+    a new session, a delta-only new user, and an untouched user."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.sessionize import (
+        sessionize,
+        sessionize_increment,
+    )
+
+    GAP = 10  # seconds
+    CUT = 1_000_000_000  # us
+    rows = [
+        # user 1: old session ends just before cut; delta extends it
+        (1, 100, 999_000_000), (1, 101, 999_500_000),
+        (1, 102, 1_000_200_000),  # within 10 s of 999.5 s -> merges
+        # user 1 second delta burst far later -> new session
+        (1, 103, 2_000_000_000), (1, 104, 2_001_000_000),
+        # user 2: old only, two sessions
+        (2, 200, 100_000_000), (2, 201, 500_000_000),
+        # user 3: delta only
+        (3, 300, 1_500_000_000),
+    ]
+    e = spark.createDataFrame(
+        [(u, i, ts) for u, i, ts in rows],
+        "user_id bigint, event_id bigint, us bigint",
+    ).select(
+        "user_id", "event_id", F.timestamp_micros("us").alias("ts"), "us"
+    )
+    old_ev = e.filter(F.col("us") < CUT)
+    delta = e.filter(F.col("us") >= CUT).select("user_id", "us")
+    sessions_old = sessionize(old_ev, gap_seconds=GAP).select(
+        "user_id", "start_us", "end_us", "n_events"
+    )
+    got = sessionize_increment(sessions_old, delta, gap_seconds=GAP)
+    want = sessionize(e, gap_seconds=GAP).select(
+        "user_id", "start_us", "end_us", "n_events"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
