@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "q246_nightly_maintenance",      # five-artifact maintenance certificate (r9)
     "q248_rollup_retractions",       # CDC-delete rollup maintenance (r9)
     "q249_incremental_sessionize",   # interval-coalesce session maintenance (r9)
+    "q250_divergence_drill",         # hierarchical anti-entropy drill (r9)
 ]
 
 

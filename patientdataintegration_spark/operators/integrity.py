@@ -97,3 +97,107 @@ def shard_checksum(
             F.sum("_fp").alias("checksum"),
         )
     )
+
+
+def locate_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    cols: Sequence[str | Column],
+    key_col: str,
+    levels: Sequence[int] = (16, 256),
+) -> DataFrame:
+    """Merkle-style hierarchical divergence localization between two
+    copies of a table: compare per-shard (count, checksum) pairs at
+    successively finer shard granularity (key % levels[i]),
+    descending ONLY into flagged shards, and finally emit the
+    divergent KEYS themselves from the surviving sliver.
+
+    Output: (level, shard, reason) — one row per flagged shard per
+    level, plus one row per divergent key at level len(levels)+1
+    (shard = the key). reason = 'count' when the row counts differ
+    (insert/delete divergence, including a shard missing entirely on
+    one side), else 'content' (same rows, different bytes).
+
+    This is the anti-entropy shape for 100 TB replicas: level 1
+    costs one scan of each copy reduced to `levels[0]` rows; every
+    deeper level scans only the flagged fraction (for d divergent
+    rows, ≤ d/levels[i] of the data), so total work is ~2 scans plus
+    a sliver — never a row-level join of two full tables. The same
+    q234 exactness machinery (portable MD5-prefix fingerprints,
+    DECIMAL(38,0) order-independent sums) makes the levels
+    cross-engine replayable; the per-pair 2^-64 collision stance is
+    inherited and documented there."""
+    key = F.col(key_col)
+    parts: list[DataFrame] = []
+    a_cur, b_cur = a, b
+    for i, mod in enumerate(levels, start=1):
+        cs_a = shard_checksum(a_cur, cols, key % mod).select(
+            F.col("shard"),
+            F.col("n_rows").alias("_na"),
+            F.col("checksum").alias("_ca"),
+        )
+        cs_b = shard_checksum(b_cur, cols, key % mod).select(
+            F.col("shard"),
+            F.col("n_rows").alias("_nb"),
+            F.col("checksum").alias("_cb"),
+        )
+        j = cs_a.join(cs_b, "shard", "full_outer")
+        flagged = j.filter(
+            ~F.col("_na").eqNullSafe(F.col("_nb"))
+            | ~F.col("_ca").eqNullSafe(F.col("_cb"))
+        ).select(
+            F.lit(i).cast("int").alias("level"),
+            F.col("shard").cast("bigint").alias("shard"),
+            F.when(~F.col("_na").eqNullSafe(F.col("_nb")), F.lit("count"))
+            .otherwise(F.lit("content"))
+            .alias("reason"),
+        )
+        # MATERIALIZE each level's flag set (kilobytes — bounded by
+        # the shard count) before descending: the drill is inherently
+        # adaptive (level i+1's scan predicate IS level i's result),
+        # and without this each of the three consumers (output union,
+        # both semi-joins) would re-plan the level's full checksum
+        # scans — 3 scans per level per side instead of 1.
+        flagged = flagged.localCheckpoint()
+        parts.append(flagged)
+        sh = flagged.select(F.col("shard").cast("int").alias("_sh"))
+        a_cur = (
+            a_cur.withColumn("_sh", (key % mod).cast("int"))
+            .join(F.broadcast(sh), "_sh", "left_semi")
+            .drop("_sh")
+        )
+        b_cur = (
+            b_cur.withColumn("_sh", (key % mod).cast("int"))
+            .join(F.broadcast(sh), "_sh", "left_semi")
+            .drop("_sh")
+        )
+    # final level: per-key fingerprints over the surviving sliver
+    ka = (
+        a_cur.select(key.alias("_k"), row_fingerprint(cols).alias("_fp"))
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_na"), F.sum("_fp").alias("_ca"))
+    )
+    kb = (
+        b_cur.select(key.alias("_k"), row_fingerprint(cols).alias("_fp"))
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_nb"), F.sum("_fp").alias("_cb"))
+    )
+    keys = (
+        ka.join(kb, "_k", "full_outer")
+        .filter(
+            ~F.col("_na").eqNullSafe(F.col("_nb"))
+            | ~F.col("_ca").eqNullSafe(F.col("_cb"))
+        )
+        .select(
+            F.lit(len(levels) + 1).cast("int").alias("level"),
+            F.col("_k").cast("bigint").alias("shard"),
+            F.when(~F.col("_na").eqNullSafe(F.col("_nb")), F.lit("count"))
+            .otherwise(F.lit("content"))
+            .alias("reason"),
+        )
+    )
+    parts.append(keys)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -567,3 +567,95 @@ def q249_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "start_us", "end_us", "n_events"
     )
     return sessionize_increment(sessions_old, delta, gap_seconds=1800)
+
+
+# --- hierarchical divergence localization (anti-entropy drill) ----------------
+
+_Q250_COLS_DOC = (
+    "o_orderkey, o_custkey, o_orderstatus, o_orderpriority, "
+    "DATE(o_orderdate), DECIMAL(18,4)(o_totalprice)"
+)
+
+
+@_register(
+    "q250_divergence_drill",
+    """
+    WITH mm AS (SELECT MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
+                FROM orders),
+    tg AS (
+      SELECT kmin AS k, 'content' AS kind FROM mm
+      UNION ALL
+      SELECT kmax AS k, 'count' AS kind FROM mm
+    ),
+    lv AS (
+      SELECT CAST(1 AS INTEGER) AS level, CAST(k % 16 AS BIGINT) AS shard, kind FROM tg
+      UNION ALL
+      SELECT CAST(2 AS INTEGER), CAST(k % 256 AS BIGINT), kind FROM tg
+      UNION ALL
+      SELECT CAST(3 AS INTEGER), CAST(k AS BIGINT), kind FROM tg
+    )
+    SELECT level, shard,
+           CASE WHEN MAX(CASE WHEN kind = 'count' THEN 1 ELSE 0 END) = 1
+                THEN 'count' ELSE 'content' END AS reason
+    FROM lv GROUP BY level, shard
+    """,
+)
+def q250_divergence_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style anti-entropy drill (`operators/integrity.
+    locate_divergence`): copy B of the orders table carries two
+    injected faults — the MIN-orderkey row's price bumped (+1.00, a
+    content fault) and the MAX-orderkey row dropped (a count fault).
+    The operator compares per-shard (count, checksum) at key%16,
+    descends ONLY into flagged shards for key%256, then emits the
+    divergent keys from the surviving sliver — localizing both
+    faults to their exact rows while scanning ≤ 1/16 then ≤ 1/256 of
+    the copies past level 1. The oracle states the A-PRIORI expected
+    drill (each fault flags its shard path with its reason; 'count'
+    wins when both land in one shard), so the driver hash proves the
+    checksum machinery flags exactly the corrupted paths and nothing
+    else — no false positives across every clean shard at every
+    level. Scale: the q234 argument per level (kilobyte state, one
+    scan each side), with each deeper level's scan fraction bounded
+    by flagged/total shards; the 2^-64 per-pair collision stance is
+    q234's, documented there."""
+    from patientdataintegration_spark.operators.integrity import (
+        locate_divergence,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    mm = o.agg(
+        F.min("o_orderkey").alias("_kmin"), F.max("o_orderkey").alias("_kmax")
+    )
+    b = (
+        o.crossJoin(F.broadcast(mm))
+        .filter(F.col("o_orderkey") != F.col("_kmax"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_orderdate",
+            F.when(
+                F.col("o_orderkey") == F.col("_kmin"),
+                F.col("o_totalprice") + 1.0,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate"),
+        F.col("o_totalprice").cast("decimal(18,4)"),
+    ]
+    return locate_divergence(o, b, cols, "o_orderkey", levels=(16, 256))

@@ -83,3 +83,70 @@ def test_canonical_row_null_and_framing(spark):
         ).collect()
     ]
     assert len(set(fps)) == 4
+
+
+def test_locate_divergence_identical_copies_empty(spark):
+    from patientdataintegration_spark.operators.integrity import (
+        locate_divergence,
+    )
+
+    t = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(400)], "k bigint, v string"
+    )
+    out = locate_divergence(t, t, ["k", "v"], "k", levels=(8, 64))
+    assert out.count() == 0
+
+
+def test_locate_divergence_localizes_both_fault_kinds(spark):
+    """A content fault (modified value) and a count fault (dropped
+    row) each drill to their exact key with the right reason, and no
+    clean shard is flagged at any level."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.integrity import (
+        locate_divergence,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(400)], "k bigint, v string"
+    )
+    b = a.filter(F.col("k") != 399).select(
+        "k",
+        F.when(F.col("k") == 7, F.lit("CORRUPT")).otherwise(F.col("v")).alias(
+            "v"
+        ),
+    )
+    out = locate_divergence(a, b, ["k", "v"], "k", levels=(8, 64))
+    rows = {(r["level"], r["shard"]): r["reason"] for r in out.collect()}
+    assert rows == {
+        (1, 7 % 8): "content",
+        (1, 399 % 8): "count",
+        (2, 7 % 64): "content",
+        (2, 399 % 64): "count",
+        (3, 7): "content",
+        (3, 399): "count",
+    }
+
+
+def test_locate_divergence_count_wins_shared_shard(spark):
+    """When a content fault and a count fault land in the SAME level-1
+    shard, the shard reports 'count' (the count mismatch is the
+    stronger, cheaper-to-check signal); the drill still separates
+    them at the key level."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.integrity import (
+        locate_divergence,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k bigint, v string"
+    )
+    # k=3 modified, k=11 dropped: 3 % 8 == 11 % 8 == 3
+    b = a.filter(F.col("k") != 11).select(
+        "k",
+        F.when(F.col("k") == 3, F.lit("X")).otherwise(F.col("v")).alias("v"),
+    )
+    out = locate_divergence(a, b, ["k", "v"], "k", levels=(8,))
+    rows = {(r["level"], r["shard"]): r["reason"] for r in out.collect()}
+    assert rows == {(1, 3): "count", (2, 3): "content", (2, 11): "count"}
