@@ -58,3 +58,50 @@ def salted_join(
     )
     out = l_salted.join(s_replicated, on=[*on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def skew_advisor(
+    large: DataFrame,
+    key_cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The plan-time twin of AQE's runtime skew detection: per-key
+    shuffle-load profile listing every key HEAVIER than one
+    partition's fair share (cnt x P > total) together with the
+    integer salt factor that spreads it back under the fair share —
+    salt = ceil(cnt x P / total), exactly the `n_salts` to hand
+    `salted_join` (or the partition multiplier for a hot groupBy
+    key). Run it on yesterday's data to pick today's plan constants;
+    AQE then only has to catch what the profile missed.
+
+    All integer arithmetic (counts, products, DIV) — exact, engine-
+    portable, oracle-checkable. One map-side-combined count per key
+    plus a broadcast single-row total: profiling cost is one scan
+    regardless of table size."""
+    key_cols = list(key_cols)
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                large.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "32"
+                )
+            )
+        except Exception:
+            num_partitions = 32
+    counts = large.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("_total"))
+    p = F.lit(int(num_partitions)).cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * p > F.col("_total"))
+        .select(
+            *key_cols,
+            "cnt",
+            F.expr(
+                f"CAST((cnt * {int(num_partitions)} + _total - 1) DIV _total"
+                " AS BIGINT)"
+            ).alias("salt_factor"),
+        )
+    )

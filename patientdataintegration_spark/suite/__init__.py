@@ -119,10 +119,10 @@ bitmap parameter; results bit-identical by design), q54/q145/q232/
 q233/q235 (ranking.py conf-parse fallback — behavior unchanged on
 the healthy path), q96 (sessions.py gained the checkpoint
 parameter); (d) the complete nineteen-lane r9 evidence queue from
-the r8 rotation (see above); and (e) fifteen oldest-first r4-era
-fill lanes (q127/q132/q134/q139/q140/q141/q143/q146-q153), after
+the r8 rotation (see above); and (e) thirteen oldest-first r4-era
+fill lanes (q127/q132/q134/q139/q140/q141/q143/q146-q151), after
 which the oldest latest-evidence row in the registry is r4 and the
-remaining r4-era lanes (q154 onward) queue for r10. The late-r9
+remaining r4-era lanes (q152 onward) queue for r10. The late-r9
 additions q248 (rollup maintenance under CDC RETRACTIONS — the
 abelian-group/dirty-key-repair split the insert-only monoid lanes
 cannot express) and q249 (incremental sessionization via the
@@ -131,7 +131,12 @@ of the fill, displacing q155/q156 to the r10 queue, and q250 (Merkle-style
 hierarchical divergence localization — the q234 checksums composed
 into an anti-entropy drill that descends only into flagged shards,
 its oracle the a-priori expected drill for two injected faults)
-takes a third, displacing q154.
+takes a third, displacing q154; q251 (the plan-time skew
+advisor feeding q113's salt factor, pure integer fair-share math)
+and q252 (IVF index maintenance against FROZEN history-trained
+centroids, the ANN member of the maintenance family — its oracle
+recomputes the maintained index's per-cell histogram end to end)
+take the fourth and fifth, displacing q152/q153.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -194,6 +199,8 @@ PRIORITY = [
     "q248_rollup_retractions",
     "q249_incremental_sessionize",
     "q250_divergence_drill",
+    "q251_skew_advisor",
+    "q252_ivf_index_maintenance",
     # (b) r8 verdict item 3: oracles pass the local 3-SF gate since
     # r8, latest driver rows still r4 no_oracle — green rows here
     # make the "only q94 is rows-only" claim driver-confirmed
@@ -245,8 +252,6 @@ PRIORITY = [
     "q149_percentiles",
     "q150_orphan_audit",
     "q151_activity_streaks",
-    "q152_wow_change",
-    "q153_snapshot_diff",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -281,15 +281,19 @@ _SQDIST_REDUCE = (
 )
 
 
-def _kmeans_cte_sql(k: int, iterations: int, dim: int) -> tuple[str, str]:
+def _kmeans_cte_sql(
+    k: int, iterations: int, dim: int, rel: str = "embeddings"
+) -> tuple[str, str]:
     """(CTE chain, final-centroid CTE name) for the deterministic
-    Lloyd's kmeans — shared by the q132 assignment oracle and the
-    q98 IVF oracle (the coarse quantizer is the same computation)."""
+    Lloyd's kmeans — shared by the q132 assignment oracle, the q98
+    IVF oracle (the coarse quantizer is the same computation), and
+    the q252 index-maintenance oracle (`rel` names the TRAINING
+    relation — q252 trains on the history slice only)."""
     dist = _SQDIST_REDUCE.format(a="e.embedding", b="c.cv")
     sql = f"""c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+      FROM (SELECT * FROM {rel} ORDER BY vec_id LIMIT {k})
     )"""
     prev = "c0"
     for it in range(iterations):
@@ -298,7 +302,7 @@ def _kmeans_cte_sql(k: int, iterations: int, dim: int) -> tuple[str, str]:
       SELECT e.vec_id, e.embedding, c.c,
              row_number() OVER (PARTITION BY e.vec_id
                                 ORDER BY {dist} ASC, c.c ASC) AS rn
-      FROM embeddings e CROSS JOIN {prev} c
+      FROM {rel} e CROSS JOIN {prev} c
     ),
     m{it} AS (
       SELECT a.c, r.i AS dim,

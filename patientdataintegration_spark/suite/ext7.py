@@ -659,3 +659,133 @@ def q250_divergence_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,4)"),
     ]
     return locate_divergence(o, b, cols, "o_orderkey", levels=(16, 256))
+
+
+# --- plan-time skew advisor ----------------------------------------------------
+
+
+@_register(
+    "q251_skew_advisor",
+    """
+    WITH c AS (SELECT event_type, COUNT(*) AS cnt FROM events
+               GROUP BY event_type),
+    t AS (SELECT SUM(cnt) AS total FROM c)
+    SELECT event_type, CAST(cnt AS BIGINT) AS cnt,
+           CAST((cnt * 32 + total - 1) // total AS BIGINT) AS salt_factor
+    FROM c, t WHERE cnt * 32 > total
+    """,
+)
+def q251_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-time skew profiling (`operators/skew.skew_advisor`) — the
+    offline twin of AQE's runtime skew-join detection and the input
+    q113's salting needs: every shuffle key heavier than one
+    partition's fair share (cnt x 32 > total over event_type),
+    with the integer salt factor ceil(cnt x P / total) that spreads
+    it back under the fair share. Run on yesterday's data to pick
+    today's n_salts; AQE then only catches what the profile missed.
+    Pure integer arithmetic end to end (counts, products, DIV), so
+    the oracle is the same computation verbatim — hash-exact by
+    construction. Scale: one map-side-combined count per key + a
+    broadcast single-row total; the profile costs one scan whatever
+    the table size."""
+    from patientdataintegration_spark.operators.skew import skew_advisor
+
+    e = load_table(spark, sf_dir, "events")
+    return skew_advisor(e, ["event_type"], num_partitions=32)
+
+
+# --- IVF index maintenance under inserts --------------------------------------
+
+
+def _q252_sql(n_cells: int = 16, iterations: int = 2, dim: int = 64) -> str:
+    from patientdataintegration_spark.suite.ext import (
+        _SQDIST_REDUCE,
+        _kmeans_cte_sql,
+    )
+
+    ctes, cent = _kmeans_cte_sql(n_cells, iterations, dim, rel="hist")
+    dist = _SQDIST_REDUCE.format(a="e.embedding", b="c.cv")
+    return f"""
+    WITH hist AS (SELECT * FROM embeddings WHERE vec_id % 10 < 8),
+    {ctes},
+    asg AS (
+      SELECT e.vec_id, c.c,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist} ASC, c.c ASC) AS rn
+      FROM embeddings e CROSS JOIN {cent} c
+    )
+    SELECT CAST(c AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           TRUE AS matches
+    FROM asg WHERE rn = 1 GROUP BY c
+    """
+
+
+@_register("q252_ivf_index_maintenance", _q252_sql())
+def q252_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance under inserts — the ANN piece of the
+    maintenance family: the coarse quantizer TRAINS ONCE on history
+    (deterministic Lloyd's k-means over vec_id%10<8, the q98 'exact'
+    quantizer), and the day's new vectors are assigned to those
+    FROZEN centroids and appended — the FAISS production pattern
+    (re-training moves cell boundaries and would force a full
+    re-index; freezing keeps maintenance a delta-only map job).
+    Assignment is a pure per-row function of (vector, centroids), so
+    maintained index (hist-assign ∪ delta-assign) is bit-identical
+    to a rebuild over all vectors — certified in-DAG through the
+    q234 checksum over (vec_id, cell) (the q246 pattern), and pinned
+    TRUE by the oracle. The oracle independently RECOMPUTES the
+    maintained index's per-cell histogram end to end (k-means CTEs
+    trained on hist + assignment of every vector), so the driver
+    hash checks the full quantizer + assignment pipeline, not just
+    the certificate. Scale: delta assignment broadcasts 16 centroids
+    under a map-side scan of the day's vectors; history is never
+    re-read on the maintenance path (the rebuild twin exists only in
+    the certificate). Recall/latency of the maintained index is
+    q98/PERF_NOTES territory — identical by bit-identity."""
+    from patientdataintegration_spark.operators.clustering import (
+        _assign,
+        kmeans_centroids,
+    )
+    from patientdataintegration_spark.operators.integrity import shard_checksum
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hist = e.filter(F.col("vec_id") % 10 < 8)
+    delta = e.filter(F.col("vec_id") % 10 >= 8)
+    # TRAIN ONCE, FREEZE: materialize the 16-row centroid table at
+    # build time — that is the operator's own semantics (a persisted
+    # quantizer all future deltas assign against), and it keeps the
+    # three assignment consumers from each re-planning the k-means
+    # iterations (the q250 materialize-the-tiny-frontier discipline)
+    cent = kmeans_centroids(hist, k=16, iterations=2).localCheckpoint()
+
+    def emb(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
+
+    maintained = (
+        _assign(emb(hist), cent, "vec_id")
+        .unionByName(_assign(emb(delta), cent, "vec_id"))
+        .select("vec_id", "c")
+    )
+    rebuilt = _assign(emb(e), cent, "vec_id").select("vec_id", "c")
+    cs_m = shard_checksum(maintained, ["vec_id", "c"], F.lit(0)).select(
+        F.col("n_rows").alias("_nm"), F.col("checksum").alias("_cm")
+    )
+    cs_r = shard_checksum(rebuilt, ["vec_id", "c"], F.lit(0)).select(
+        F.col("n_rows").alias("_nr"), F.col("checksum").alias("_cr")
+    )
+    cert = cs_m.crossJoin(F.broadcast(cs_r)).select(
+        (
+            (F.col("_nm") == F.col("_nr")) & (F.col("_cm") == F.col("_cr"))
+        ).alias("matches")
+    )
+    return (
+        maintained.groupBy(F.col("c").cast("bigint").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .crossJoin(F.broadcast(cert))
+    )

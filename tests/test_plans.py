@@ -691,3 +691,23 @@ def test_q234_single_scan_single_aggregate(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial+final
+
+
+def test_skew_advisor_integer_salt_factors(spark):
+    """Exact fair-share math: with P=4 partitions over 100 rows the
+    fair share is 25 — keys at 50 (salt 2), 26 (salt 2: ceil(1.04)),
+    and 24 (under, absent) behave exactly as the integer formula
+    says."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.skew import skew_advisor
+
+    rows = (
+        [("hot",)] * 50 + [("warm",)] * 26 + [("cool",)] * 24
+    )
+    df = spark.createDataFrame(rows, "k string")
+    out = {
+        r["k"]: (r["cnt"], r["salt_factor"])
+        for r in skew_advisor(df, ["k"], num_partitions=4).collect()
+    }
+    assert out == {"hot": (50, 2), "warm": (26, 2)}

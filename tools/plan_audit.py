@@ -93,6 +93,9 @@ NESTED_LOOP_ALLOW = {
     "q98_ivf_cosine_topk",
     "q132_kmeans_assign",
     "q157_semantic_dedup",
+    # frozen 16-row centroid table (checkpointed at build) broadcast
+    # under the three assignment scans — k-row by construction
+    "q252_ivf_index_maintenance",
     # the EXHAUSTIVE ANN baseline and its recall audit: the broadcast
     # side is the query set, small BY CONTRACT (1% modulus filter;
     # cosine_topk's documented contract) — the nested loop IS the
