@@ -99,6 +99,16 @@ def main() -> None:
                  "cpus": os.cpu_count()}
     except OSError:
         loads = {}
+
+    def _cpu_snap():
+        # aggregate jiffies: user nice system idle iowait irq softirq steal
+        try:
+            with open("/proc/stat") as f:
+                return list(map(int, f.readline().split()[1:9]))
+        except OSError:
+            return None
+
+    cpu0 = _cpu_snap()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from patientdataintegration_spark.session import build_session
     from patientdataintegration_spark.suite import QUERIES
@@ -129,6 +139,17 @@ def main() -> None:
     warm = run_pass()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # steal/idle fractions over the RUN WINDOW: hypervisor steal is
+    # the machine-noise source loadavg cannot see (a co-tenant burst
+    # inflates every query uniformly while in-guest load reads idle);
+    # bench_diff uses these to keep poisoned entries out of the
+    # median baseline
+    cpu1 = _cpu_snap()
+    if cpu0 and cpu1:
+        d = [y - x for x, y in zip(cpu0, cpu1)]
+        tot = sum(d) or 1
+        loads["steal_pct"] = round(100.0 * d[7] / tot, 2)
+        loads["busy_pct"] = round(100.0 * (tot - d[3] - d[4]) / tot, 2)
     result = {
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),

@@ -48,13 +48,22 @@ def main() -> int:
     def _idle(e):
         l1 = e.get("load1_start")
         cpus = e.get("cpus") or 32
-        return l1 is None or l1 < cpus / 4
+        if l1 is not None and l1 >= cpus / 4:
+            return False
+        # hypervisor steal over the run window — the noise loadavg
+        # cannot see (co-tenant bursts inflate every query uniformly
+        # while in-guest load reads idle)
+        steal = e.get("steal_pct")
+        if steal is not None and steal >= 3.0:
+            return False
+        return True
     idle_prior = [e for e in prior if _idle(e)]
     if len(idle_prior) >= 2:
         prior = idle_prior
-    if last.get("load1_start") is not None and not _idle(last):
+    if not _idle(last):
         print(f"NOTE: last entry ran on a LOADED machine "
-              f"(load1_start={last['load1_start']}, cpus={last.get('cpus')}) — "
+              f"(load1_start={last.get('load1_start')}, "
+              f"steal_pct={last.get('steal_pct')}, cpus={last.get('cpus')}) — "
               f"expect a uniform shift across all queries; trust idle-probe "
               f"entries over this one")
     import statistics
