@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "q248_rollup_retractions",       # CDC-delete rollup maintenance (r9)
     "q249_incremental_sessionize",   # interval-coalesce session maintenance (r9)
     "q250_divergence_drill",         # hierarchical anti-entropy drill (r9)
+    "q253_join_view_deletes",        # anti-probe view retraction (r9)
+    "q254_moments_state",            # mergeable variance state (r9)
 ]
 
 

@@ -202,6 +202,104 @@ def delta_join_rows(
     )
 
 
+# --- second-moment (variance) state ------------------------------------------
+#
+# The rollup state's natural extension for analytics that need
+# spread, not just location: adding an exact decimal SUM OF SQUARES
+# makes variance/stddev maintainable by the same monoid fold —
+# var_pop = (ss - s*s/n)/n off the merged sums, the q139 trick. The
+# naive streaming-variance recurrences (Welford/Chan) carry FP state
+# whose merge order changes results; decimal (n, s, ss) state is
+# order-independent, so maintenance is bit-identical to recompute.
+
+
+def moments_state(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """One slice → per-key exact moment state (n, s, ss). The square
+    is computed in DOUBLE then accumulated as DECIMAL(38,6): each
+    row's square is one deterministic IEEE product, and the SUM of
+    those exact-decimal-cast products is order-independent.
+
+    CROSS-ENGINE exactness contract (measured, q254): the readout is
+    hash-portable when the value column is integer-valued or
+    low-precision (every square then fits double exactly and the
+    double→decimal cast is unambiguous). Full-precision money
+    squares carry >17 significant digits, where double→decimal
+    materialization differs between engines by design — within
+    Spark the state is exact and mergeable either way."""
+    v = F.col(value_col).cast("double")
+    return df.groupBy(*keys).agg(
+        F.count(value_col).cast("bigint").alias("n"),
+        F.sum(v.cast("decimal(38,6)")).alias("s"),
+        F.sum((v * v).cast("decimal(38,6)")).alias("ss"),
+    )
+
+
+def merge_moments(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Monoid fold of moment states — decimal addition, exact."""
+    u = reduce(DataFrame.unionByName, states)
+    return u.groupBy(*keys).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s").cast("decimal(38,6)").alias("s"),
+        F.sum("ss").cast("decimal(38,6)").alias("ss"),
+    )
+
+
+def moments_readout(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """(keys…, n, mean, var_pop, std_pop) from merged state: the
+    moment formula over exact operands — a fixed sequence of IEEE
+    ops both engines execute identically — rounded to 6 digits where
+    libm/accumulation could genuinely differ (the q139 discipline;
+    sqrt itself is IEEE-correctly-rounded)."""
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    n = F.col("n")
+    var_raw = (ss - s * s / n) / n
+    return state.select(
+        *keys,
+        "n",
+        (s / n).alias("mean"),
+        (F.round(var_raw, 6) + F.lit(0.0)).alias("var_pop"),
+        (F.round(F.sqrt(F.greatest(var_raw, F.lit(0.0))), 6) + F.lit(0.0)).alias(
+            "std_pop"
+        ),
+    )
+
+
+# --- join-view maintenance under DELETES --------------------------------------
+#
+# q242's delta algebra covers inserts; deletes have their own exact
+# shape when the CDC feed deletes BY KEY and each side's key is
+# unique (the PK-delete case, i.e. essentially always): a stored
+# view row dies iff its A-side key was deleted OR its B-side key was
+# deleted, so
+#     J_new = J_old ⟕̸ ΔA⁻(a_key) ⟕̸ ΔB⁻(b_key)
+# — two LEFT ANTI joins against the broadcast delete-key sets. No
+# exceptAll (which would shuffle the whole stored view on every
+# column), no re-join: the maintenance path is two broadcast probes
+# over a partitioned scan of the view. Updates = delete + insert
+# (compose with maintain_join_view); full CRUD = this + q242 + the
+# q180 CDC merge for last-writer-wins semantics.
+
+
+def retract_join_view(
+    view_old: DataFrame,
+    deleted_a_keys: DataFrame,
+    deleted_b_keys: DataFrame,
+    a_key: str,
+    b_key: str,
+) -> DataFrame:
+    """J_old minus every row whose A-side or B-side key was deleted.
+    Bit-identical to re-joining the post-delete tables when the keys
+    are unique per side (pinned by the q253 oracle)."""
+    return view_old.join(
+        F.broadcast(deleted_a_keys.select(a_key).distinct()), a_key, "left_anti"
+    ).join(
+        F.broadcast(deleted_b_keys.select(b_key).distinct()), b_key, "left_anti"
+    )
+
+
 # --- rollup maintenance under RETRACTIONS (CDC deletes) ----------------------
 #
 # partial_rollup/merge_rollups handle INSERT-only deltas: (count,

@@ -789,3 +789,132 @@ def q252_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
         .crossJoin(F.broadcast(cert))
     )
+
+
+# --- join-view maintenance under deletes ---------------------------------------
+
+
+@_register(
+    "q253_join_view_deletes",
+    """
+    SELECT c_mktsegment,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 41 <> 0 AND c_custkey % 29 <> 0
+    GROUP BY c_mktsegment, strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+    """,
+)
+def q253_join_view_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view maintenance under DELETES (`operators/incremental.
+    retract_join_view`) — the retraction half q242's insert algebra
+    needs for full CRUD: with PK deletes (every 41st order, every
+    29th customer), a stored view row dies iff either side's key was
+    deleted, so J_new = J_old LEFT-ANTI ΔA⁻(orderkey) LEFT-ANTI
+    ΔB⁻(custkey) — two broadcast anti-probes over a partitioned scan
+    of the stored view, never an exceptAll (which would shuffle the
+    whole view on every column) and never a re-join. The maintained
+    view then rolls up to (mktsegment, month) counts + DECIMAL-exact
+    sums; the oracle is the re-join of the post-delete tables, so
+    the driver hash proves retraction == recompute row-exactly.
+    Updates compose as delete + q242 insert; last-writer-wins
+    semantics ride the q180 CDC merge. Scale: the delete-key sets
+    broadcast (a day's deletes are small against the store); the
+    view scan is the only data-proportional touch."""
+    from patientdataintegration_spark.operators.incremental import (
+        retract_join_view,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias(
+            "month"
+        ),
+        "o_totalprice",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    view_old = o.join(c, ["o_custkey"])  # stands for the stored view
+    del_a = o.filter(F.col("o_orderkey") % 41 == 0)
+    del_b = c.filter(F.col("o_custkey") % 29 == 0)
+    maintained = retract_join_view(
+        view_old, del_a, del_b, "o_orderkey", "o_custkey"
+    )
+    return maintained.groupBy("c_mktsegment", "month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# --- mergeable second-moment (variance) state ----------------------------------
+
+
+@_register(
+    "q254_moments_state",
+    """
+    WITH st AS (
+      SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS m,
+             COUNT(l_quantity) AS n,
+             SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(38,6))) AS s,
+             SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                      AS DECIMAL(38,6))) AS ss
+      FROM lineitem
+      GROUP BY strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+    )
+    SELECT m, CAST(n AS BIGINT) AS n,
+           CAST(s AS DOUBLE) / n AS mean,
+           ROUND((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                 / n, 6) + 0.0 AS var_pop,
+           ROUND(sqrt(GREATEST((CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                               / n, 0.0)), 6) + 0.0 AS std_pop
+    FROM st
+    """,
+)
+def q254_moments_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable second-moment state (`operators/incremental.
+    moments_state`): variance/stddev join the maintenance family via
+    exact decimal (n, Σx, Σx²) per ship-month of lineitem quantities
+    — 70% of lineitems plays the persisted state, the rest the
+    delta, merged by the monoid fold. The usual streaming-variance
+    recurrences (Welford, Chan's pairwise merge) carry FLOAT state
+    whose merge order changes the answer; decimal sums are
+    order-independent, so the maintained readout is bit-identical to
+    recompute — which is exactly what the oracle (one aggregation of
+    the full table) checks. Exactness: quantities are INTEGER-VALUED
+    doubles, so each row's square, both decimal sums, and every
+    decimal↔double conversion in the readout are exact and
+    unambiguous (sums « 2^53); the moment formula is then a fixed
+    sequence of single IEEE ops both engines execute identically
+    (measured: full-precision MONEY squares need >17 significant
+    digits and the per-row double→decimal cast diverges across
+    engines — the integer-valued measure is the contract, documented
+    on the operator). Scale: state is three numbers per key; merge
+    shuffles O(#keys)."""
+    from patientdataintegration_spark.operators.incremental import (
+        merge_moments,
+        moments_readout,
+        moments_state,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM").alias("m"),
+        "l_quantity",
+        "l_orderkey",
+    )
+    hist = li.filter(F.col("l_orderkey") % 10 < 7)
+    delta = li.filter(F.col("l_orderkey") % 10 >= 7)
+    state = merge_moments(
+        [
+            moments_state(hist, ["m"], "l_quantity"),
+            moments_state(delta, ["m"], "l_quantity"),
+        ],
+        ["m"],
+    )
+    return moments_readout(state, ["m"])

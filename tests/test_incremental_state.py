@@ -180,3 +180,62 @@ def test_rollup_retractions_matches_recompute(spark):
     assert want.exceptAll(got).count() == 0
     # key b must be gone
     assert got.filter("k = 'b'").count() == 0
+
+
+def test_moments_state_merge_matches_flat(spark):
+    """Merged (n, Σx, Σx²) state reads out bit-identically to one
+    flat aggregation — including a single-row key (variance 0) and a
+    constant-valued key."""
+    from patientdataintegration_spark.operators.incremental import (
+        merge_moments,
+        moments_readout,
+        moments_state,
+    )
+
+    rows = (
+        [("a", float(i % 7)) for i in range(100)]
+        + [("b", 5.0)] * 20          # constant -> var 0
+        + [("c", 3.0)]               # single row -> var 0
+    )
+    df = spark.createDataFrame(rows, "k string, v double")
+    s1 = df.filter("v < 4")
+    s2 = df.filter("v >= 4")
+    merged = moments_readout(
+        merge_moments(
+            [moments_state(s1, ["k"], "v"), moments_state(s2, ["k"], "v")],
+            ["k"],
+        ),
+        ["k"],
+    )
+    flat = moments_readout(moments_state(df, ["k"], "v"), ["k"])
+    assert merged.exceptAll(flat).count() == 0
+    assert flat.exceptAll(merged).count() == 0
+    got = {r["k"]: r for r in merged.collect()}
+    assert got["b"]["var_pop"] == 0.0 and got["c"]["std_pop"] == 0.0
+
+
+def test_retract_join_view_matches_rejoin(spark):
+    """Two broadcast anti-probes equal the re-join of the post-delete
+    tables, including a row dead on BOTH sides (deleted once, not
+    twice) and untouched rows."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.incremental import (
+        retract_join_view,
+    )
+
+    a = spark.createDataFrame(
+        [(i, i % 5, f"a{i}") for i in range(100)], "ak bigint, j bigint, pa string"
+    )
+    b = spark.createDataFrame(
+        [(j, f"b{j}") for j in range(5)], "j bigint, pb string"
+    )
+    view = a.join(b, "j")
+    del_a = a.filter("ak % 7 = 0").select(F.col("ak"))
+    del_b = b.filter("j = 3").select(F.col("j"))
+    got = retract_join_view(view, del_a, del_b, "ak", "j")
+    want = a.join(del_a, "ak", "left_anti").join(
+        b.join(del_b, "j", "left_anti"), "j"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
