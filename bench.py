@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "q250_divergence_drill",         # hierarchical anti-entropy drill (r9)
     "q253_join_view_deletes",        # anti-probe view retraction (r9)
     "q254_moments_state",            # mergeable variance state (r9)
+    "q255_histogram_quantile_state", # mergeable histogram quantiles (r9)
 ]
 
 

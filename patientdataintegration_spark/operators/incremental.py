@@ -408,3 +408,109 @@ def maintain_join_view(
     return view_old.unionByName(
         delta_join_rows(a_old, delta_a, b_old, delta_b, on)
     )
+
+
+# --- equi-width histogram state (approximate quantile maintenance) -----------
+#
+# The quantile member of the maintenance family: percentile_approx
+# answers one query but exposes no mergeable STATE; an equi-width
+# histogram over a declared [lo, lo + width*n_buckets) domain is the
+# classic substitute — per-(key, bucket) integer counts, a pure
+# counting monoid (sum-merge, exactly like partial_rollup's n), with
+# quantiles read out by linear interpolation inside the target
+# bucket. Accuracy is bounded by the bucket width (error <= width/2
+# against the true quantile for smooth data); the state is
+# n_buckets integers per key regardless of data volume. Exactness
+# across engines: counts are integers, and the readout is a FIXED
+# sequence of single IEEE ops over exact operands (dyadic width
+# literals), so the estimates hash bit-identically UNROUNDED.
+
+
+def histogram_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """One slice → per-(key, bucket) counts; values outside the
+    declared domain clamp into the edge buckets (the standard
+    open-tail convention)."""
+    b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).cast("bigint")
+    return (
+        df.select(*keys, b.alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def merge_histograms(
+    states: Sequence[DataFrame], keys: Sequence[str]
+) -> DataFrame:
+    """Counting-monoid fold: union per-slice states, sum per
+    (key, bucket)."""
+    u = reduce(DataFrame.unionByName, states)
+    return u.groupBy(*keys, "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def histogram_quantile_readout(
+    state: DataFrame,
+    keys: Sequence[str],
+    lo: float,
+    width: float,
+    percents: Sequence[int] = (50, 90, 99),
+) -> DataFrame:
+    """(keys…, n, q<p>…) — for each requested integer percent p, the
+    interpolated quantile: target rank t = ceil(n*p/100) (integer
+    arithmetic), b* = first bucket whose cumulative count reaches t,
+    estimate = lo + width*b* + width*((t - cum_before)/cnt_b*). The
+    formula is the same fixed op sequence in the SQL oracle, so the
+    unrounded doubles match bit-for-bit."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = state.select(
+        *keys,
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*keys)).alias("n"),
+    )
+    out = None
+    for p in percents:
+        t = F.expr(f"CAST((n * {int(p)} + 99) DIV 100 AS BIGINT)")
+        hit = (
+            cum.withColumn("_t", t)
+            .filter(F.col("cum") >= F.col("_t"))
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy(*keys).orderBy("bucket")
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+            .select(
+                *keys,
+                F.col("n"),
+                (
+                    F.lit(lo)
+                    + F.lit(width) * F.col("bucket")
+                    + F.lit(width)
+                    * (
+                        (F.col("_t") - (F.col("cum") - F.col("cnt")))
+                        / F.col("cnt")
+                    )
+                ).alias(f"q{p}"),
+            )
+        )
+        out = hit if out is None else out.join(hit, [*keys, "n"])
+    return out

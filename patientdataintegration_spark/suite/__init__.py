@@ -119,10 +119,10 @@ bitmap parameter; results bit-identical by design), q54/q145/q232/
 q233/q235 (ranking.py conf-parse fallback — behavior unchanged on
 the healthy path), q96 (sessions.py gained the checkpoint
 parameter); (d) the complete nineteen-lane r9 evidence queue from
-the r8 rotation (see above); and (e) eleven oldest-first r4-era
-fill lanes (q127/q132/q134/q139/q140/q141/q143/q146-q149), after
+the r8 rotation (see above); and (e) ten oldest-first r4-era
+fill lanes (q127/q132/q134/q139/q140/q141/q143/q146-q148), after
 which the oldest latest-evidence row in the registry is r4 and the
-remaining r4-era lanes (q150 onward) queue for r10. The late-r9
+remaining r4-era lanes (q149 onward) queue for r10. The late-r9
 additions q248 (rollup maintenance under CDC RETRACTIONS — the
 abelian-group/dirty-key-repair split the insert-only monoid lanes
 cannot express) and q249 (incremental sessionization via the
@@ -142,7 +142,11 @@ exceptAll, completing CRUD for the view family with q242/q180) and
 q254 (mergeable second-moment state: exact decimal (n, Σx, Σx²) so
 variance/stddev maintenance is bit-identical to recompute, unlike
 the order-dependent Welford/Chan float recurrences) take the sixth
-and seventh, displacing q150/q151.
+and seventh, displacing q150/q151; q255 (mergeable equi-width
+histogram state with interpolated-quantile readout — the quantile
+member of the maintenance family, estimates shipped UNROUNDED
+because every readout step is a single IEEE op over exact integer/
+dyadic operands) takes the eighth, displacing q149.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -209,6 +213,7 @@ PRIORITY = [
     "q252_ivf_index_maintenance",
     "q253_join_view_deletes",
     "q254_moments_state",
+    "q255_histogram_quantile_state",
     # (b) r8 verdict item 3: oracles pass the local 3-SF gate since
     # r8, latest driver rows still r4 no_oracle — green rows here
     # make the "only q94 is rows-only" claim driver-confirmed
@@ -257,7 +262,6 @@ PRIORITY = [
     "q146_pivot_lang",
     "q147_retention_cohorts",
     "q148_markov_transitions",
-    "q149_percentiles",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

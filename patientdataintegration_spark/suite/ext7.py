@@ -918,3 +918,89 @@ def q254_moments_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["m"],
     )
     return moments_readout(state, ["m"])
+
+
+# --- equi-width histogram state + quantile readout -----------------------------
+
+_Q255_LO, _Q255_W, _Q255_B = 900.0, 1626.5625, 64  # [900, 105000) / 64
+
+
+def _q255_sql() -> str:
+    pct_cte = []
+    for p in (50, 90, 99):
+        pct_cte.append(f"""q{p} AS (
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             {_Q255_LO} + {_Q255_W} * bucket
+               + {_Q255_W} * (CAST(t - (cum - cnt) AS DOUBLE)
+                              / CAST(cnt AS DOUBLE)) AS q{p}
+      FROM (SELECT *, CAST((n * {p} + 99) // 100 AS BIGINT) AS t FROM cum)
+      WHERE cum >= t
+      QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY bucket) = 1
+    )""")
+    return f"""
+    WITH st AS (
+      SELECT l_returnflag,
+             CAST(LEAST({_Q255_B - 1}, GREATEST(0,
+                  FLOOR((CAST(l_extendedprice AS DOUBLE) - {_Q255_LO})
+                        / {_Q255_W}))) AS BIGINT) AS bucket,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, bucket
+    ),
+    cum AS (
+      SELECT l_returnflag, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM st
+    ),
+    {', '.join(pct_cte)}
+    SELECT l_returnflag, n, q50.q50, q90.q90, q99.q99
+    FROM q50 JOIN q90 USING (l_returnflag, n) JOIN q99 USING (l_returnflag, n)
+    """
+
+
+@_register("q255_histogram_quantile_state", _q255_sql())
+def q255_histogram_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile member of the maintenance family (`operators/
+    incremental.histogram_state`): percentile_approx answers one
+    query but exposes no mergeable STATE; the equi-width histogram
+    over a declared domain ([900, 105000) in 64 buckets of
+    l_extendedprice per returnflag) is the classic substitute —
+    per-(key, bucket) integer counts, a pure counting monoid (70% of
+    lineitems plays the persisted state, the rest the delta,
+    sum-merged), with p50/p90/p99 read out by linear interpolation
+    inside the target bucket. Merge == recompute bit-exactly (it IS
+    the same counting), which the oracle's one-pass histogram
+    checks; the estimates ship UNROUNDED because every readout step
+    is a single IEEE op over exact operands (integer counts, dyadic
+    width 1626.5625 = 26025/16) in the same fixed order in both
+    engines. Error vs the true quantile is bounded by the bucket
+    width; q232/q233 audit percentile_approx against exact ranks,
+    this lane supplies the maintainable state those can't. Scale:
+    64 integers per key regardless of volume."""
+    from patientdataintegration_spark.operators.incremental import (
+        histogram_quantile_readout,
+        histogram_state,
+        merge_histograms,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey"
+    )
+    hist = li.filter(F.col("l_orderkey") % 10 < 7)
+    delta = li.filter(F.col("l_orderkey") % 10 >= 7)
+    state = merge_histograms(
+        [
+            histogram_state(
+                hist, ["l_returnflag"], "l_extendedprice",
+                _Q255_LO, _Q255_W, _Q255_B,
+            ),
+            histogram_state(
+                delta, ["l_returnflag"], "l_extendedprice",
+                _Q255_LO, _Q255_W, _Q255_B,
+            ),
+        ],
+        ["l_returnflag"],
+    )
+    return histogram_quantile_readout(
+        state, ["l_returnflag"], _Q255_LO, _Q255_W, percents=(50, 90, 99)
+    )

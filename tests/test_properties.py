@@ -670,3 +670,139 @@ def test_global_row_number_matches_window_on_random_data(spark, data):
     assert len(j) == n
     assert all(r.rn == r.rn_ref for r in j)
     assert all(r.nt == n for r in j)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=400),    # start
+            st.integers(min_value=0, max_value=60),     # length
+            st.integers(min_value=1, max_value=5),      # weight
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    gap_us=st.sampled_from([0, 10, 50]),
+)
+def test_coalesce_intervals_matches_brute_force(spark, iv, gap_us):
+    """coalesce_intervals vs a direct python sweep: merge intervals
+    (including genuinely overlapping/NESTED ones) whose start lies
+    within gap of the running max end; compare (start, end, weight)
+    per merged group per user."""
+    from patientdataintegration_spark.operators.sessionize import (
+        coalesce_intervals,
+    )
+
+    rows = [(u, s, s + ln, w) for (u, s, ln, w) in iv]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, start_us bigint, end_us bigint, w bigint"
+    )
+    got = sorted(
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in coalesce_intervals(
+            df, gap_seconds=0, weight_col="w"
+        ).collect()
+    ) if gap_us == 0 else sorted(
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in coalesce_intervals(
+            df.withColumn("start_us", df.start_us * 1_000_000)
+            .withColumn("end_us", df.end_us * 1_000_000),
+            gap_seconds=gap_us,
+            weight_col="w",
+        ).collect()
+    )
+    # python sweep in the same units
+    scale = 1 if gap_us == 0 else 1_000_000
+    g_us = gap_us * 1_000_000
+    want = []
+    by_user: dict = {}
+    for u, s, e, w in rows:
+        by_user.setdefault(u, []).append((s * scale, e * scale, w))
+    for u, ivs in by_user.items():
+        ivs.sort()
+        cur = None
+        for s, e, w in ivs:
+            if cur is None or s - cur[1] > g_us:
+                if cur:
+                    want.append((u, *cur))
+                cur = (s, e, w)
+            else:
+                cur = (cur[0], max(cur[1], e), cur[2] + w)
+        want.append((u, *cur))
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),                      # key
+            st.integers(min_value=-50, max_value=50),                   # value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    data=st.data(),
+)
+def test_rollup_retractions_match_recompute_property(spark, base, data):
+    """apply_rollup_retractions vs partial_rollup of the post-CDC
+    table on random bases and random delete/insert choices —
+    including keys fully emptied and keys created by inserts."""
+    from patientdataintegration_spark.operators.incremental import (
+        apply_rollup_retractions,
+        cdc_rollup_delta,
+        partial_rollup,
+        rollup_readout,
+    )
+
+    n = len(base)
+    del_idx = data.draw(
+        st.sets(st.integers(min_value=0, max_value=n - 1), max_size=n)
+    )
+    inserts = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),
+                st.integers(min_value=-50, max_value=50),
+            ),
+            max_size=10,
+        )
+    )
+    old_rows = [(f"k{k}", float(v)) for k, v in base]
+    del_rows = [old_rows[i] for i in sorted(del_idx)]
+    ins_rows = [(f"k{k}", float(v)) for k, v in inserts]
+    post_rows = [r for i, r in enumerate(old_rows) if i not in del_idx] + ins_rows
+
+    old = spark.createDataFrame(old_rows, "k string, v double")
+    cdc = spark.createDataFrame(
+        [(k, v, 1) for k, v in ins_rows] + [(k, v, -1) for k, v in del_rows],
+        "k string, v double, op int",
+    ) if (ins_rows or del_rows) else spark.createDataFrame(
+        [], "k string, v double, op int"
+    )
+    post = (
+        spark.createDataFrame(post_rows, "k string, v double")
+        if post_rows
+        else spark.createDataFrame([], "k string, v double")
+    )
+    state = apply_rollup_retractions(
+        partial_rollup(old, ["k"], "v"),
+        cdc_rollup_delta(cdc, ["k"], "v"),
+        post,
+        ["k"],
+        "v",
+    )
+    got = rollup_readout(state, ["k"])
+    want = rollup_readout(partial_rollup(post, ["k"], "v"), ["k"])
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
