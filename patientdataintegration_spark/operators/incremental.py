@@ -322,11 +322,19 @@ def cdc_rollup_delta(
     """One CDC slice (op = +1 insert / -1 delete) → signed per-key
     state: n_delta, sum_delta (exact DECIMAL), the inserted-rows
     min/max (monoid-mergeable into old state), and a has_delete flag
-    marking the key dirty. One map-side-combined hash-agg."""
+    marking the key dirty. One map-side-combined hash-agg.
+
+    NULL measures: `partial_rollup`'s n is COUNT(value_col), which
+    skips NULLs — so n_delta must too (a CDC row whose measure is
+    NULL changes neither the count nor the sum; r9 ADVICE). A delete
+    of a NULL-measure row still flags the key dirty, which only costs
+    a redundant min/max repair, never a wrong answer."""
     op = F.col(op_col)
     v = F.col(value_col)
     return cdc.groupBy(*keys).agg(
-        F.sum(op).cast("bigint").alias("n_delta"),
+        F.sum(F.when(v.isNotNull(), op).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_delta"),
         F.sum(op * v.cast("decimal(18,6)")).alias("sum_delta"),
         F.min(F.when(op > 0, v)).alias("min_ins"),
         F.max(F.when(op > 0, v)).alias("max_ins"),
@@ -436,11 +444,18 @@ def histogram_state(
 ) -> DataFrame:
     """One slice → per-(key, bucket) counts; values outside the
     declared domain clamp into the edge buckets (the standard
-    open-tail convention)."""
+    open-tail convention).
+
+    NULL measures are filtered out BEFORE bucketing (matching
+    aggregate NULL-skipping semantics): without the filter, Spark's
+    NULL-skipping `greatest` would clamp NULL values into bucket 0
+    and count them, and GREATEST/FLOOR NULL handling differs across
+    engines (r9 ADVICE)."""
     b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
     b = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).cast("bigint")
     return (
-        df.select(*keys, b.alias("bucket"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, b.alias("bucket"))
         .groupBy(*keys, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )

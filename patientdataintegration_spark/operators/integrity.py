@@ -127,6 +127,18 @@ def locate_divergence(
     DECIMAL(38,0) order-independent sums) makes the levels
     cross-engine replayable; the per-pair 2^-64 collision stance is
     inherited and documented there."""
+    # temp names are reserved for the duration of this call: a caller
+    # column named _sh would be silently clobbered by the descent's
+    # withColumn (corrupting fingerprints if it is in `cols`) — same
+    # loud guard as bloom_maybe_contains/cms_query (r9 ADVICE)
+    reserved = {"_sh", "_k", "_na", "_ca", "_nb", "_cb", "_fp"}
+    for side, df_side in (("a", a), ("b", b)):
+        clash = reserved.intersection(df_side.columns)
+        if clash:
+            raise ValueError(
+                f"locate_divergence: {side}.columns collide with reserved "
+                f"temp names {sorted(clash)}; rename them before calling"
+            )
     key = F.col(key_col)
     parts: list[DataFrame] = []
     a_cur, b_cur = a, b

@@ -28,8 +28,6 @@ watermark``; everything later stays in state.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from patientdataintegration_spark.streaming.events import (
@@ -49,12 +47,15 @@ def run_tumbling_with_state(
     watermark actually evicts) against a fresh checkpoint; return
     (emitted sink table, checkpoint path).
 
-    The checkpoint is a mkdtemp under the OS temp root and is left
-    in place — the returned state DataFrame reads it lazily, so it
-    must outlive this call (a per-run horizon-bounded directory of
-    kilobytes; the OS reaps it).
+    The checkpoint is a process-scoped scratch dir (wiped on reuse,
+    removed at interpreter exit — r9 ADVICE): it must outlive this
+    call because the returned state DataFrame reads it lazily, and
+    the per-table fixed path keeps repeated oracle/bench invocations
+    from accumulating checkpoints.
     """
-    ckpt = tempfile.mkdtemp(prefix="pdi_statestore_")
+    from patientdataintegration_spark.scratch import scratch_dir
+
+    ckpt = scratch_dir("statestore_ckpt", table_name, sf_dir)
     stream = _events_stream(spark, sf_dir)
     agg = tumbling_counts(
         stream, window_duration=window_duration, watermark=watermark, streaming=True
@@ -131,13 +132,12 @@ def sessionize_statestore_audit(
     before the final watermark. Deterministic end to end (the q96
     frontier calibration), so the whole relation carries a FULL hash
     oracle."""
-    import tempfile
-
+    from patientdataintegration_spark.scratch import scratch_dir
     from patientdataintegration_spark.streaming.sessions import (
         sessionize_stream,
     )
 
-    ckpt = tempfile.mkdtemp(prefix="pdi_sess_state_")
+    ckpt = scratch_dir("sess_state_ckpt", table_name, sf_dir)
     emitted = sessionize_stream(
         spark,
         sf_dir,

@@ -390,9 +390,10 @@ def q247_bloom_store_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each generation is at most m_bits/8 bytes regardless of
     store size; only day 2's maybe-sliver reaches the exact anti-join
     probe of the store. The bitmap writes happen at build time (the
-    streaming-lane precedent); the returned plan is lazy."""
-    import tempfile
-
+    streaming-lane precedent); the returned plan is lazy. The store
+    lives in a process-scoped scratch dir — wiped on reuse, removed
+    at exit — so repeated oracle/bench invocations never accumulate
+    bitmap generations (r9 ADVICE)."""
     from patientdataintegration_spark.operators.bloomfilter import (
         bloom_bitmap,
         bloom_prefiltered_antijoin,
@@ -401,6 +402,7 @@ def q247_bloom_store_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         save_bloom_bitmap,
     )
     from patientdataintegration_spark.operators.textops import fingerprint
+    from patientdataintegration_spark.scratch import scratch_dir
 
     d = load_table(spark, sf_dir, "documents")
     fp = fingerprint(d)
@@ -412,7 +414,7 @@ def q247_bloom_store_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     day2 = fp.filter(F.col("doc_id") % 10 >= 8).select("doc_id", "fingerprint")
 
-    root = tempfile.mkdtemp(prefix="pdi_bloom_store_")
+    root = scratch_dir("bloom_store", sf_dir)
     save_bloom_bitmap(bloom_bitmap(hist_fp, "fingerprint"), f"{root}/gen0")
     gen0 = load_bloom_bitmap(spark, f"{root}/gen0")
     fresh1 = bloom_prefiltered_antijoin(

@@ -239,3 +239,65 @@ def test_retract_join_view_matches_rejoin(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_cdc_retractions_null_measure_matches_recompute(spark):
+    """r9 ADVICE: a CDC slice carrying NULL measures must keep the
+    maintained n identical to partial_rollup(base_post)'s
+    COUNT(value_col) — NULL rows change neither count nor sum."""
+    from patientdataintegration_spark.operators.incremental import (
+        apply_rollup_retractions,
+        cdc_rollup_delta,
+        partial_rollup,
+        rollup_readout,
+    )
+
+    old = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 9.0), ("b", 2.0)],
+        "k string, v double",
+    )
+    cdc = spark.createDataFrame(
+        [
+            ("a", None, 1),    # NULL insert: no count/sum effect
+            ("a", 4.0, 1),     # real insert
+            ("b", None, -1),   # NULL delete: no count/sum effect
+            ("b", 6.0, 1),
+        ],
+        "k string, v double, op int",
+    )
+    post = spark.createDataFrame(
+        [
+            ("a", 1.0), ("a", None), ("a", 9.0), ("a", None), ("a", 4.0),
+            ("b", 2.0), ("b", 6.0),
+        ],
+        "k string, v double",
+    )
+    state = apply_rollup_retractions(
+        partial_rollup(old, ["k"], "v"),
+        cdc_rollup_delta(cdc, ["k"], "v"),
+        post,
+        ["k"],
+        "v",
+    )
+    got = rollup_readout(state, ["k"])
+    want = rollup_readout(partial_rollup(post, ["k"], "v"), ["k"])
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    n = {r["k"]: r["n"] for r in got.collect()}
+    assert n == {"a": 3, "b": 2}  # NULL measures never counted
+
+
+def test_histogram_state_skips_null_measures(spark):
+    """r9 ADVICE: NULL values must be filtered before bucketing, not
+    clamped into bucket 0 by NULL-skipping greatest()."""
+    from patientdataintegration_spark.operators.incremental import (
+        histogram_state,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0.5), ("a", None), ("a", 2.5), ("b", None)],
+        "k string, v double",
+    )
+    st = histogram_state(df, ["k"], "v", lo=0.0, width=1.0, n_buckets=4)
+    rows = {(r["k"], r["bucket"]): r["cnt"] for r in st.collect()}
+    assert rows == {("a", 0): 1, ("a", 2): 1}  # no NULL counted, no key b

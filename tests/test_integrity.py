@@ -150,3 +150,18 @@ def test_locate_divergence_count_wins_shared_shard(spark):
     out = locate_divergence(a, b, ["k", "v"], "k", levels=(8,))
     rows = {(r["level"], r["shard"]): r["reason"] for r in out.collect()}
     assert rows == {(1, 3): "count", (2, 3): "content", (2, 11): "count"}
+
+
+def test_locate_divergence_reserved_column_guard(spark):
+    """r9 ADVICE: a caller column named like a drill temp (_sh et al)
+    must raise loudly instead of being silently clobbered."""
+    import pytest
+
+    from patientdataintegration_spark.operators.integrity import (
+        locate_divergence,
+    )
+
+    a = spark.createDataFrame([(1, 2)], "k bigint, _sh bigint")
+    b = spark.createDataFrame([(1, 2)], "k bigint, _sh bigint")
+    with pytest.raises(ValueError, match="reserved"):
+        locate_divergence(a, b, ["k", "_sh"], "k", levels=(4,))
