@@ -129,6 +129,7 @@ def sessionize_increment(
     delta_us: DataFrame,
     gap_seconds: int = 1800,
     user_col: str = "user_id",
+    check_precondition: bool = True,
 ) -> DataFrame:
     """Maintain a materialized session table under a day's new
     events WITHOUT re-sessionizing history. Precondition: every
@@ -142,13 +143,27 @@ def sessionize_increment(
     zero-length intervals) per user. Bit-identical to full
     re-sessionization of old ∪ delta (the q249 oracle).
 
+    `check_precondition` (default ON — the r9 verdict's fail-loud
+    demand) guards the one semantic trapdoor IN-DAG: a delta event at
+    or before a user's last CLOSED-session end + gap could have
+    merged into (or bridged) a closed session, which this fast path
+    keeps verbatim — silently wrong sessions vs recompute. The guard
+    rides the already-computed `closed` relation (one per-user MAX +
+    a join against the delta, the `ranking.py` raise_error idiom) and
+    fires at EXECUTION time, the only time the delta's contents are
+    known. Genuinely late feeds belong on `sessionize_repair_late`,
+    which is exact for arbitrary late data.
+
     Scale: the closed sessions are untouched (at 100 TB: not even
     read, with the session table partitioned by last-activity day —
     only the hot tail is scanned); the coalesce shuffles one
-    interval per ACTIVE user plus the day's events, never history.
+    interval per ACTIVE user plus the day's events, never history;
+    the guard join is delta-sized against one row per user with
+    closed history.
 
     `sessions_old` columns: (user, start_us, end_us, n_events);
     `delta_us`: (user, us)."""
+    gap_us = int(gap_seconds) * 1_000_000
     w = Window.partitionBy(user_col).orderBy(
         F.col("end_us").desc(), F.col("start_us").desc()
     )
@@ -167,6 +182,33 @@ def sessionize_increment(
         F.col("us").alias("end_us"),
         F.lit(1).alias("_w"),
     )
+    if check_precondition:
+        frontier = closed.groupBy(user_col).agg(
+            F.max("end_us").alias("_frontier")
+        )
+        hot_points = (
+            hot_points.join(frontier, user_col, "left")
+            .withColumn(
+                "start_us",
+                F.when(
+                    F.col("_frontier").isNull()
+                    | (F.col("start_us") > F.col("_frontier") + F.lit(gap_us)),
+                    F.col("start_us"),
+                ).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "sessionize_increment: delta contains an event at"
+                            " or before a closed session's end + gap — the"
+                            " time-partitioned precondition is violated and"
+                            " the fast path would silently mis-sessionize;"
+                            " route late data through"
+                            " sessionize_repair_late instead"
+                        )
+                    ).cast("bigint")
+                ),
+            )
+            .select(user_col, "start_us", F.col("start_us").alias("end_us"), "_w")
+        )
     merged = coalesce_intervals(
         hot_last.unionByName(hot_points),
         gap_seconds=gap_seconds,
@@ -178,4 +220,69 @@ def sessionize_increment(
         "start_us",
         "end_us",
         F.col("_w").cast("bigint").alias("n_events"),
+    ).unionByName(merged)
+
+
+def sessionize_repair_late(
+    sessions_old: DataFrame,
+    delta_us: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Late-data-COMPLETE session maintenance: exact for ARBITRARY
+    deltas — late, out-of-order, inside old sessions, bridging two
+    old sessions — at the cost of re-coalescing every session of the
+    users PRESENT in the delta (never anyone else's, never raw
+    history).
+
+    Why this is exact (the hull lemma): sessionization of a point
+    set equals gap-coalescing its zero-length intervals, and
+    replacing any one session's points by its HULL interval (with
+    the event count as weight) preserves every gap-coalesce result —
+    inside a session consecutive events are ≤ gap apart, so a new
+    point lands in the merged group iff it lands within gap of the
+    hull, and two old sessions merge iff a new point chain bridges
+    their hulls within gap (q256's oracle is the full
+    re-sessionization; tests/test_properties.py drives random
+    old/delta splits against recompute). Hence per touched user:
+    coalesce(all old session hulls ∪ delta points) ==
+    sessionize(all of that user's events), with no raw-history scan.
+
+    This is the repair path `sessionize_increment`'s guard points
+    late feeds at; the two compose as fast-path + slow-sliver: split
+    the delta by the frontier test, increment the on-time part,
+    repair the late part.
+
+    Scale: untouched users' sessions pass through verbatim via one
+    broadcast anti-join (the delta's user set is day-sized); touched
+    users shuffle one interval per OLD SESSION plus the delta —
+    bounded by active users' session counts, independent of event
+    history volume.
+
+    `sessions_old` columns: (user, start_us, end_us, n_events);
+    `delta_us`: (user, us)."""
+    active = delta_us.select(user_col).distinct()
+    untouched = sessions_old.join(F.broadcast(active), user_col, "left_anti")
+    touched = sessions_old.join(
+        F.broadcast(active), user_col, "left_semi"
+    ).select(
+        user_col, "start_us", "end_us", F.col("n_events").alias("_w")
+    )
+    points = delta_us.select(
+        user_col,
+        F.col("us").alias("start_us"),
+        F.col("us").alias("end_us"),
+        F.lit(1).alias("_w"),
+    )
+    merged = coalesce_intervals(
+        touched.unionByName(points),
+        gap_seconds=gap_seconds,
+        user_col=user_col,
+        weight_col="_w",
+    )
+    return untouched.select(
+        user_col,
+        "start_us",
+        "end_us",
+        F.col("n_events").cast("bigint").alias("n_events"),
     ).unionByName(merged)

@@ -165,6 +165,8 @@ from patientdataintegration_spark.suite.ext6 import ORACLES as EXT6_ORACLES
 from patientdataintegration_spark.suite.ext6 import QUERIES as EXT6_QUERIES
 from patientdataintegration_spark.suite.ext7 import ORACLES as EXT7_ORACLES
 from patientdataintegration_spark.suite.ext7 import QUERIES as EXT7_QUERIES
+from patientdataintegration_spark.suite.ext8 import ORACLES as EXT8_ORACLES
+from patientdataintegration_spark.suite.ext8 import QUERIES as EXT8_QUERIES
 
 _ALL_QUERIES = {
     **CORE_QUERIES,
@@ -175,6 +177,7 @@ _ALL_QUERIES = {
     **EXT5_QUERIES,
     **EXT6_QUERIES,
     **EXT7_QUERIES,
+    **EXT8_QUERIES,
 }
 _ALL_ORACLES = {
     **CORE_ORACLES,
@@ -185,6 +188,7 @@ _ALL_ORACLES = {
     **EXT5_ORACLES,
     **EXT6_ORACLES,
     **EXT7_ORACLES,
+    **EXT8_ORACLES,
 }
 
 # Queries registered WITHOUT a SQL oracle, each with its reason —

@@ -1,0 +1,101 @@
+"""Round-10 additions: closing the maintenance family's remaining
+gaps — late data (q256), updates (q257), advisor→executor wiring
+(q258), maintained top-k (q259), and domain-drift-auditable
+histogram state (q260).
+
+Scale stance (100 TB): q256 re-coalesces ONLY delta-active users'
+session hulls (no raw-history scan — the hull lemma on
+`operators/sessionize.sessionize_repair_late`); q257's update path
+is two broadcast probes + one broadcast join against a partitioned
+view scan (never a view recompute); q258 derives the salt factor
+from a kilobyte profile relation at plan time (the q252
+frozen-readout discipline) so the hot key spreads before AQE ever
+sees it; q259's top-k state keeps k rows per key — merge is a
+re-rank of unions, exact under insert-only growth; q260 adds
+underflow/overflow counts to the q255 histogram state so a
+domain-drift day is detectable from the state itself.
+
+Exactness contract (suite/core.py rules): money sums ride
+DECIMAL(18,6); counts/ranks are integers; q259 ships raw doubles
+(passed through, never recomputed); q260 is pure integer counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from patientdataintegration_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# --- late-data session repair ---------------------------------------------------
+
+
+@_register(
+    "q256_sessionize_late_repair",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    l AS (
+      SELECT user_id, event_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+      FROM e
+    ),
+    t AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM t
+    )
+    SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q256_sessionize_late_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data-COMPLETE session maintenance (`operators/sessionize.
+    sessionize_repair_late`) — the repair path q249's fast-path guard
+    points genuinely late feeds at (the r9 verdict's item 4 stretch).
+    The delta here is an ARBITRARY slice (every 13th event_id —
+    scattered across all of time, so events land before, inside, and
+    between the materialized sessions); the maintained table
+    re-coalesces only delta-active users' session HULLS with the
+    late points, exact by the hull lemma (a session's points and its
+    hull interval gap-coalesce identically — see the operator
+    docstring; random-split property test in tests/test_properties.
+    py). The oracle is FULL re-sessionization of all events, so the
+    driver hash proves repair == recompute even when a late event
+    BRIDGES two previously-separate sessions. Scale: untouched users
+    pass through via one broadcast anti-join; touched users shuffle
+    one interval per old session plus the delta — never raw history.
+    Integer microsecond payloads — hash-exact by construction."""
+    from patientdataintegration_spark.operators.sessionize import (
+        sessionize,
+        sessionize_repair_late,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.unix_micros("ts").alias("us")
+    )
+    on_time = e.filter(F.col("event_id") % 13 != 0)
+    late = e.filter(F.col("event_id") % 13 == 0).select("user_id", "us")
+    sessions_old = sessionize(on_time, gap_seconds=1800).select(
+        "user_id", "start_us", "end_us", "n_events"
+    )
+    return sessionize_repair_late(sessions_old, late, gap_seconds=1800)

@@ -806,3 +806,63 @@ def test_rollup_retractions_match_recompute_property(spark, base, data):
     want = rollup_readout(partial_rollup(post, ["k"], "v"), ["k"])
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),     # user
+            st.integers(min_value=0, max_value=300),   # time (s)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    data=st.data(),
+)
+def test_sessionize_repair_late_matches_recompute_property(spark, ev, data):
+    """sessionize_repair_late vs full re-sessionization on random
+    event sets split ARBITRARILY into old/delta (no time ordering —
+    the delta is genuinely late/out-of-order/bridging)."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.sessionize import (
+        sessionize,
+        sessionize_repair_late,
+    )
+
+    GAP = 20  # seconds
+    rows = [
+        (u, i, t * 1_000_000) for i, (u, t) in enumerate(ev)
+    ]
+    late_mask = [data.draw(st.booleans()) for _ in rows]
+    if all(late_mask):
+        late_mask[0] = False  # keep at least one old event
+    mk = lambda rs: spark.createDataFrame(
+        rs, "user_id bigint, event_id bigint, us bigint"
+    ).select(
+        "user_id", "event_id", F.timestamp_micros("us").alias("ts"), "us"
+    )
+    old_rows = [r for r, m in zip(rows, late_mask) if not m]
+    late_rows = [r for r, m in zip(rows, late_mask) if m]
+    old_e = mk(old_rows)
+    sessions_old = sessionize(old_e, gap_seconds=GAP).select(
+        "user_id", "start_us", "end_us", "n_events"
+    )
+    if late_rows:
+        late_e = mk(late_rows)
+        got = sessionize_repair_late(
+            sessions_old, late_e.select("user_id", "us"), gap_seconds=GAP
+        )
+        want = sessionize(old_e.unionByName(late_e), gap_seconds=GAP).select(
+            "user_id", "start_us", "end_us", "n_events"
+        )
+    else:
+        got, want = sessions_old, sessions_old
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w

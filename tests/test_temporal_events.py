@@ -244,3 +244,106 @@ def test_sessionize_increment_matches_full(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_sessionize_increment_guard_rejects_late_delta(spark):
+    """r9 verdict item 4: a delta event at or before a CLOSED
+    session's end + gap must fail LOUD (in-DAG raise_error), not
+    silently mis-sessionize."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.sessionize import (
+        sessionize,
+        sessionize_increment,
+    )
+
+    GAP = 10  # seconds
+    rows = [
+        (1, 100, 100_000_000), (1, 101, 500_000_000),  # two old sessions
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, us bigint"
+    ).select("user_id", "event_id", F.timestamp_micros("us").alias("ts"), "us")
+    sessions_old = sessionize(e, gap_seconds=GAP).select(
+        "user_id", "start_us", "end_us", "n_events"
+    )
+    # closed session = [100s]; a delta at 105s is within gap of its end
+    late = spark.createDataFrame(
+        [(1, 105_000_000)], "user_id bigint, us bigint"
+    )
+    with pytest.raises(Exception, match="sessionize_increment"):
+        sessionize_increment(sessions_old, late, gap_seconds=GAP).collect()
+    # ...but a delta safely after closed-end + gap still passes, even
+    # though it is BEFORE the last session (the exact precondition is
+    # per-closed-session, not global ordering)
+    ok = spark.createDataFrame(
+        [(1, 130_000_000)], "user_id bigint, us bigint"
+    )
+    got = sessionize_increment(sessions_old, ok, gap_seconds=GAP)
+    full = sessionize(
+        e.unionByName(
+            spark.createDataFrame(
+                [(1, 999, 130_000_000)],
+                "user_id bigint, event_id bigint, us bigint",
+            ).select(
+                "user_id", "event_id",
+                F.timestamp_micros("us").alias("ts"), "us",
+            )
+        ),
+        gap_seconds=GAP,
+    ).select("user_id", "start_us", "end_us", "n_events")
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+
+
+def test_sessionize_repair_late_bridges_and_matches_full(spark):
+    """sessionize_repair_late == full recompute on adversarial late
+    data: a late event BRIDGING two old sessions (they must merge),
+    a late event inside an old session, one before the user's first
+    session, a late-only new user, and an untouched user."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.sessionize import (
+        sessionize,
+        sessionize_repair_late,
+    )
+
+    GAP = 10  # seconds
+    old_rows = [
+        # user 1: sessions [100s..101s] and [115s..116s] (14 s apart)
+        (1, 100, 100_000_000), (1, 101, 101_000_000),
+        (1, 102, 115_000_000), (1, 103, 116_000_000),
+        # user 2: untouched
+        (2, 200, 50_000_000),
+    ]
+    late_rows = [
+        (1, 900, 108_000_000),   # bridges the two sessions of user 1
+        (1, 901, 100_500_000),   # inside the first session
+        (1, 902, 50_000_000),    # before everything -> own session
+        (3, 903, 70_000_000),    # late-only new user
+    ]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, us bigint"
+    ).select("user_id", "event_id", F.timestamp_micros("us").alias("ts"), "us")
+    old_e, late_e = mk(old_rows), mk(late_rows)
+    sessions_old = sessionize(old_e, gap_seconds=GAP).select(
+        "user_id", "start_us", "end_us", "n_events"
+    )
+    got = sessionize_repair_late(
+        sessions_old, late_e.select("user_id", "us"), gap_seconds=GAP
+    )
+    want = sessionize(old_e.unionByName(late_e), gap_seconds=GAP).select(
+        "user_id", "start_us", "end_us", "n_events"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the bridge really merged: user 1 has sessions {50s}, {100..116s}
+    u1 = sorted(
+        (r["start_us"], r["end_us"], r["n_events"])
+        for r in got.filter("user_id = 1").collect()
+    )
+    assert u1 == [
+        (50_000_000, 50_000_000, 1),
+        (100_000_000, 116_000_000, 6),
+    ]
