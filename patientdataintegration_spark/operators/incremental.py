@@ -300,6 +300,60 @@ def retract_join_view(
     )
 
 
+# --- join-view maintenance under UPDATES (upsert CDC) -------------------------
+#
+# The missing CRUD verb: q242 handles inserts, retract_join_view
+# handles deletes; an UPDATE is delete + insert under last-writer-
+# wins. With a unique A-side key, an upsert CDC slice on A maintains
+# the view as
+#     J_new = (J_old ⟕̸ changed_keys) ∪ (winners ⋈ B)
+# where winners = one surviving row per key of the slice (ORDER BY
+# seq DESC, tiebreak DESC — the q180 CDC-merge total order, so
+# same-seq ties resolve deterministically, never by arrival). The
+# anti-probe IS retract_join_view's A-side arm; the append IS
+# delta_join_rows' ΔA⋈B branch — this operator is their last-writer-
+# wins composition, and it absorbs plain inserts for free (a new
+# key's anti-probe is a no-op).
+
+
+def upsert_join_view(
+    view_old: DataFrame,
+    cdc_a: DataFrame,
+    b_old: DataFrame,
+    a_key: str,
+    on: Sequence[str],
+    seq_col: str = "seq",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Maintained J = A ⋈ B after an upsert CDC slice on A: one
+    broadcast anti-probe over the partitioned view scan plus one
+    broadcast join of the winners against B — never a view recompute,
+    never an exceptAll. Bit-identical to re-joining the post-CDC
+    tables (the q257 oracle) when A's key is unique.
+
+    `tiebreak_col` totals the order within equal `seq_col` values
+    (required when a slice can carry same-seq versions of one key —
+    without a total order "last writer" is not well-defined; pinned
+    by tests/test_incremental_state.py's seq-tie case)."""
+    from pyspark.sql import Window
+
+    order = [F.col(seq_col).desc()]
+    drop = ["_rk", seq_col]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+        drop.append(tiebreak_col)
+    w = Window.partitionBy(a_key).orderBy(*order)
+    winners = (
+        cdc_a.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop(*drop)
+    )
+    survivors = view_old.join(
+        F.broadcast(winners.select(a_key)), a_key, "left_anti"
+    )
+    return survivors.unionByName(F.broadcast(winners).join(b_old, list(on)))
+
+
 # --- rollup maintenance under RETRACTIONS (CDC deletes) ----------------------
 #
 # partial_rollup/merge_rollups handle INSERT-only deltas: (count,

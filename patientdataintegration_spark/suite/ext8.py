@@ -99,3 +99,84 @@ def q256_sessionize_late_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "start_us", "end_us", "n_events"
     )
     return sessionize_repair_late(sessions_old, late, gap_seconds=1800)
+
+
+# --- join-view maintenance under UPDATES (upsert CDC) ---------------------------
+
+
+@_register(
+    "q257_join_view_updates",
+    """
+    WITH post AS (
+      SELECT o_orderkey, o_custkey,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             CASE WHEN o_orderkey % 43 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT c_mktsegment, month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM post JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, month
+    """,
+)
+def q257_join_view_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view maintenance under UPDATES (`operators/incremental.
+    upsert_join_view`) — the verb that completes CRUD for the
+    maintained-view family (inserts q242, deletes q253, updates
+    here): an upsert CDC slice on orders carries TWO versions of
+    every 43rd order (seq 1: price+5, seq 2: price+10) plus a plain
+    INSERT of every key ≡1 (mod 43) that the stored view has never
+    seen; last-writer-wins per key (ORDER BY seq DESC — the q180 CDC
+    total order) picks the winners, then J_new = (J_old anti-probe
+    changed keys) ∪ (winners ⋈ customer). The oracle is the re-join
+    over the post-CDC tables, so the driver hash proves
+    update == delete+insert == recompute, including that the LOSING
+    version (price+5) left no trace. Scale: the CDC slice broadcasts
+    twice (key probe + winner join); the stored view is scanned
+    partitioned, never re-joined, never exceptAll'd. Exactness:
+    price+10.0 is ONE shared IEEE op over the same parquet double in
+    both engines; sums ride DECIMAL(18,6)."""
+    from patientdataintegration_spark.operators.incremental import (
+        upsert_join_view,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias(
+            "month"
+        ),
+        "o_totalprice",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    a_old = o.filter(F.col("o_orderkey") % 43 != 1)
+    view_old = a_old.join(c, ["o_custkey"])  # stands for the stored view
+    upd = o.filter(F.col("o_orderkey") % 43 == 0)
+    cdc = (
+        upd.withColumn("o_totalprice", F.col("o_totalprice") + F.lit(5.0))
+        .withColumn("seq", F.lit(1))
+        .unionByName(
+            upd.withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+            ).withColumn("seq", F.lit(2))
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 43 == 1).withColumn(
+                "seq", F.lit(1)
+            )
+        )
+    )
+    maintained = upsert_join_view(
+        view_old, cdc, c, "o_orderkey", ["o_custkey"], seq_col="seq"
+    )
+    return maintained.groupBy("c_mktsegment", "month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -301,3 +301,48 @@ def test_histogram_state_skips_null_measures(spark):
     st = histogram_state(df, ["k"], "v", lo=0.0, width=1.0, n_buckets=4)
     rows = {(r["k"], r["bucket"]): r["cnt"] for r in st.collect()}
     assert rows == {("a", 0): 1, ("a", 2): 1}  # no NULL counted, no key b
+
+
+def test_upsert_join_view_matches_rejoin_and_resolves_seq_ties(spark):
+    """upsert_join_view == re-join of the post-CDC tables, with
+    updates, inserts of new keys, a key updated twice in one slice,
+    and a SAME-SEQ tie resolved deterministically by the tiebreak
+    column (highest wins), never by arrival order."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.incremental import (
+        upsert_join_view,
+    )
+
+    a_old = spark.createDataFrame(
+        [(1, 10, "v1"), (2, 20, "v2"), (3, 10, "v3")],
+        "ak bigint, j bigint, payload string",
+    )
+    b = spark.createDataFrame(
+        [(10, "b10"), (20, "b20")], "j bigint, pb string"
+    )
+    view_old = a_old.join(b, "j")
+    cdc = spark.createDataFrame(
+        [
+            (1, 10, "v1-new", 2, 100),   # plain update
+            (2, 20, "v2-mid", 1, 101),   # superseded within the slice
+            (2, 10, "v2-new", 2, 102),   # wins; also MOVES key 2 to j=10
+            (4, 20, "v4", 1, 103),       # brand-new key (insert)
+            (5, 10, "v5-a", 1, 104),     # same-seq tie ...
+            (5, 10, "v5-b", 1, 105),     # ... higher tiebreak wins
+        ],
+        "ak bigint, j bigint, payload string, seq int, cid bigint",
+    )
+    got = upsert_join_view(
+        view_old, cdc, b, "ak", ["j"], seq_col="seq", tiebreak_col="cid"
+    )
+    a_post = spark.createDataFrame(
+        [
+            (1, 10, "v1-new"), (2, 10, "v2-new"), (3, 10, "v3"),
+            (4, 20, "v4"), (5, 10, "v5-b"),
+        ],
+        "ak bigint, j bigint, payload string",
+    )
+    want = a_post.join(b, "j").select(*got.columns)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
