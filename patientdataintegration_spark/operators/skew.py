@@ -60,6 +60,63 @@ def salted_join(
     return out.drop("_salt")
 
 
+def profiled_n_salts(
+    profile: DataFrame,
+) -> int:
+    """Collapse a `skew_advisor` profile to the ONE plan constant the
+    executor needs: the max salt factor over the hot keys (1 when the
+    profile is empty — no key exceeds its fair share, salting would
+    only add overhead).
+
+    This is a PLAN-TIME readout of a single aggregated row off a
+    ≤#keys-sized relation (the q252 frozen-centroid discipline: the
+    profile is computed once — in production, on yesterday's data —
+    and frozen into today's plan). The collect is one driver-side
+    scalar, not a data path."""
+    row = profile.agg(F.max("salt_factor").alias("_s")).collect()[0]
+    return int(row["_s"]) if row["_s"] is not None else 1
+
+
+def profiled_salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_key_cols: Sequence[str] | None = None,
+    profile: DataFrame | None = None,
+    num_partitions: int | None = None,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """`salted_join` with n_salts derived from the skew profile
+    instead of guessed — the advisor→executor wiring the r9 verdict
+    asked for (q251's number previously went nowhere). `profile`
+    defaults to profiling `large` on the join keys right here; in
+    production pass yesterday's persisted advisor output. When the
+    profile says nothing is hot, this degrades to the plain join —
+    the advisor decides WHETHER to salt, not just how much.
+
+    Results are identical to the plain join by construction whatever
+    n_salts the profile picks (the q258 oracle is the plain-SQL
+    join); only the shuffle layout changes."""
+    adv = (
+        profile
+        if profile is not None
+        else skew_advisor(large, on, num_partitions=num_partitions)
+    )
+    n = profiled_n_salts(adv)
+    if n <= 1:
+        return large.join(small, list(on), how)
+    return salted_join(
+        large,
+        small,
+        on,
+        n_salts=n,
+        salt_key_cols=salt_key_cols,
+        how=how,
+        seed=seed,
+    )
+
+
 def skew_advisor(
     large: DataFrame,
     key_cols: Sequence[str],

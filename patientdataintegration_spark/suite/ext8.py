@@ -180,3 +180,71 @@ def q257_join_view_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+# --- advisor-driven salted join --------------------------------------------------
+
+
+@_register(
+    "q258_profiled_salted_join",
+    """
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             upper(event_type) AS type_uc,
+             CAST(length(event_type) AS BIGINT) AS type_len
+      FROM events
+    )
+    SELECT e.event_type, d.type_uc, d.type_len,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.type_uc, d.type_len
+    """,
+)
+def q258_profiled_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advisor→executor wiring (`operators/skew.profiled_salted_join`)
+    — the r9 verdict's item 6: q251's skew advisor previously emitted
+    salt factors that went nowhere; here its profile DERIVES n_salts
+    for the salted join at plan time (one driver-side scalar readout
+    of the ≤#keys profile relation — the q252 frozen-readout
+    discipline). The join key is event_type — a handful of values
+    owning ALL the rows, the worst shuffle-key skew shape: unsalted,
+    P-32 reducers sit idle while ~5 drain everything; the advisor's
+    ceil(cnt×P/total) spreads each type over its fair-share multiple
+    (verified to actually spread in tests/test_plans.py). The small
+    side is the derived type dimension, replicated n_salts× by the
+    executor. Results are identical to the plain join BY CONSTRUCTION
+    whatever the profile picks — exactly what the plain-SQL oracle
+    checks; the decimal sum keeps the aggregate order-independent
+    across the salted partitioning. Scale: profile = one map-side-
+    combined count per key off yesterday's scan; the salted shuffle
+    is the only data-proportional touch."""
+    from patientdataintegration_spark.operators.skew import (
+        profiled_salted_join,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.upper("event_type").alias("type_uc"),
+            F.length("event_type").cast("bigint").alias("type_len"),
+        )
+    )
+    j = profiled_salted_join(
+        e,
+        dim,
+        on=["event_type"],
+        salt_key_cols=["event_id"],
+        num_partitions=32,
+    )
+    return j.groupBy("event_type", "type_uc", "type_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

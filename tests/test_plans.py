@@ -711,3 +711,56 @@ def test_skew_advisor_integer_salt_factors(spark):
         for r in skew_advisor(df, ["k"], num_partitions=4).collect()
     }
     assert out == {"hot": (50, 2), "warm": (26, 2)}
+
+
+def test_profiled_salted_join_spreads_hot_key(spark):
+    """Advisor→executor wiring: the profile's salt factor becomes the
+    executor's n_salts, the hot key's rows actually land in >1 salt
+    bucket (the whole point of salting), and the result equals the
+    plain join. A no-skew profile degrades to the plain join (no
+    _salt in the plan)."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.functions.deterministic import (
+        pseudo_random,
+    )
+    from patientdataintegration_spark.operators.skew import (
+        profiled_n_salts,
+        profiled_salted_join,
+        skew_advisor,
+    )
+
+    rows = [("hot", i) for i in range(80)] + [
+        (k, i) for i, k in enumerate(["a", "b", "c", "d"] * 5)
+    ]
+    large = spark.createDataFrame(rows, "k string, rid bigint")
+    small = large.select("k").distinct().withColumn(
+        "attr", F.length("k").cast("bigint")
+    )
+    n = profiled_n_salts(skew_advisor(large, ["k"], num_partitions=4))
+    assert n >= 2  # 80/100 rows on one key, fair share 25
+    got = profiled_salted_join(
+        large, small, on=["k"], salt_key_cols=["rid"], num_partitions=4
+    )
+    plan = got._jdf.queryExecution().toString()
+    assert "_salt" in plan  # the salted path was actually taken
+    # the hot key's rows spread over >1 salt bucket
+    spread = (
+        large.filter("k = 'hot'")
+        .select((pseudo_random(F.col("rid"), seed=42) % F.lit(n)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert spread > 1
+    plain = large.join(small, "k")
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0
+    # no-skew profile -> plain join, no salt machinery
+    flat = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(["a", "b", "c", "d"] * 5)],
+        "k string, rid bigint",
+    )
+    got_flat = profiled_salted_join(
+        flat, small, on=["k"], salt_key_cols=["rid"], num_partitions=4
+    )
+    assert "_salt" not in got_flat._jdf.queryExecution().toString()
