@@ -472,6 +472,79 @@ def maintain_join_view(
     )
 
 
+# --- per-key TOP-K state (maintained ranking) ---------------------------------
+#
+# The last everyday aggregate family without a maintained form
+# (rollup/distinct/variance/quantile/sessions/views all have one):
+# per-key top-k by a measure. Under INSERT-only growth the state is
+# simply the current top-k rows per key, and the merge is exact:
+#     topk(A ∪ B) == topk(topk(A) ∪ topk(B))
+# — any row of topk(A ∪ B) is in its slice's top-k a fortiori (fewer
+# competitors), so re-ranking the union of the two k-row states
+# loses nothing. State is k rows per key regardless of volume; the
+# nightly merge shuffles O(#keys × k), never the data. DELETES break
+# the bound the usual way (evicting row k reveals an unknown k+1th);
+# the production fixes are k+Δ slack or the q248 dirty-key repair —
+# re-rank only keys that saw a delete from the base. Ranking must be
+# TOTAL (tiebreak column) or "the" top-k is not well-defined and
+# maintenance could legitimately differ from recompute.
+
+
+def topk_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """One slice → its per-key top-k rows (ORDER BY order_col DESC,
+    tiebreak ASC — a total order). Spark plans the row_number ≤ k
+    filter as WindowGroupLimit (the q235 shape): each map task keeps
+    a k-row heap per key before the shuffle, so state extraction is
+    one pass with map-side pruning."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def merge_topk(
+    states: Sequence[DataFrame],
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Re-rank of unions: merge any number of per-slice top-k states
+    into the top-k of the union — exact under insert-only growth
+    (see the family note above), bit-identical to `topk_state` over
+    the concatenated slices. Shuffle is O(#keys × k × #slices)."""
+    u = reduce(DataFrame.unionByName, states)
+    return topk_state(u, keys, order_col, k, tiebreak_col)
+
+
+def topk_readout(
+    state: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Read-time view over merged state: the state's rows with their
+    explicit rank (1..k) under the same total order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).asc()
+    )
+    return state.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
 # --- equi-width histogram state (approximate quantile maintenance) -----------
 #
 # The quantile member of the maintenance family: percentile_approx

@@ -248,3 +248,62 @@ def q258_profiled_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# --- maintained per-key top-k ----------------------------------------------------
+
+
+@_register(
+    "q259_topk_state",
+    """
+    SELECT o_custkey, CAST(rk AS BIGINT) AS rank, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    )
+    WHERE rk <= 3
+    """,
+)
+def q259_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained per-key TOP-K (`operators/incremental.topk_state`)
+    — the r9 verdict's stretch item 9, closing the one everyday
+    aggregate family still without a maintained form: each customer's
+    top-3 orders by price, kept as k-row-per-key state. 70% of orders
+    plays the persisted state, the rest the delta; the merge is a
+    re-rank of the two states' union, exact under insert-only growth
+    because topk(A∪B) == topk(topk(A)∪topk(B)) (a winner in the
+    union is a winner in its own slice a fortiori). The oracle is the
+    plain window top-3 over the FULL table, so the driver hash proves
+    maintenance == recompute — including price TIES, which the
+    o_orderkey tiebreak totals identically in both engines (without a
+    total order "the" top-k is ill-defined and maintenance could
+    legitimately diverge). Prices pass through raw (never recomputed)
+    — hash-exact. Scale: state is 3 rows per customer regardless of
+    history; extraction plans as WindowGroupLimit (map-side k-row
+    heaps — the q235 shape); the merge shuffles O(#keys × k)."""
+    from patientdataintegration_spark.operators.incremental import (
+        merge_topk,
+        topk_readout,
+        topk_state,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    hist = o.filter(F.col("o_orderkey") % 10 < 7)
+    delta = o.filter(F.col("o_orderkey") % 10 >= 7)
+    state = merge_topk(
+        [
+            topk_state(hist, ["o_custkey"], "o_totalprice", 3, "o_orderkey"),
+            topk_state(delta, ["o_custkey"], "o_totalprice", 3, "o_orderkey"),
+        ],
+        ["o_custkey"],
+        "o_totalprice",
+        3,
+        "o_orderkey",
+    )
+    return topk_readout(
+        state, ["o_custkey"], "o_totalprice", "o_orderkey"
+    ).select("o_custkey", "rank", "o_orderkey", "o_totalprice")

@@ -346,3 +346,34 @@ def test_upsert_join_view_matches_rejoin_and_resolves_seq_ties(spark):
     want = a_post.join(b, "j").select(*got.columns)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_topk_state_merge_matches_flat(spark):
+    """merge_topk == topk_state over the union on arbitrary slicings,
+    including ties resolved by the tiebreak and keys whose whole
+    top-k lives in one slice."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.incremental import (
+        merge_topk,
+        topk_state,
+    )
+
+    rows = [
+        ("a", i, float(v))
+        for i, v in enumerate([5, 9, 9, 1, 7, 9, 3])   # ties at 9
+    ] + [("b", 100 + i, float(i)) for i in range(4)]   # monotone
+    df = spark.createDataFrame(rows, "k string, rid bigint, v double")
+    slices = [df.filter(F.col("rid") % 3 == i) for i in range(3)]
+    merged = merge_topk(
+        [topk_state(s, ["k"], "v", 2, "rid") for s in slices],
+        ["k"], "v", 2, "rid",
+    )
+    flat = topk_state(df, ["k"], "v", 2, "rid")
+    assert merged.exceptAll(flat).count() == 0
+    assert flat.exceptAll(merged).count() == 0
+    got = sorted(map(tuple, merged.collect()))
+    # a: the two smallest-rid rows of value 9; b: values 3, 2
+    assert got == [
+        ("a", 1, 9.0), ("a", 2, 9.0), ("b", 102, 2.0), ("b", 103, 3.0),
+    ]
