@@ -568,23 +568,65 @@ def histogram_state(
     lo: float,
     width: float,
     n_buckets: int,
+    track_overflow: bool = False,
 ) -> DataFrame:
-    """One slice → per-(key, bucket) counts; values outside the
-    declared domain clamp into the edge buckets (the standard
-    open-tail convention).
+    """One slice → per-(key, bucket) counts. By default values
+    outside the declared domain clamp into the edge buckets (the
+    standard open-tail convention); with `track_overflow` they land
+    in dedicated sentinel buckets instead — -1 below `lo`,
+    `n_buckets` at/above the top — so a domain-drift day is
+    DETECTABLE from the state itself (`histogram_domain_audit`; the
+    r9 verdict's item 10: a silently-clamping state reads as healthy
+    while its edge buckets absorb a shifted distribution). Both
+    variants are the same counting monoid — `merge_histograms`
+    handles either; `histogram_quantile_readout` expects the CLAMPED
+    variant (sentinel buckets would skew interpolation).
 
     NULL measures are filtered out BEFORE bucketing (matching
     aggregate NULL-skipping semantics): without the filter, Spark's
     NULL-skipping `greatest` would clamp NULL values into bucket 0
     and count them, and GREATEST/FLOOR NULL handling differs across
     engines (r9 ADVICE)."""
-    b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
-    b = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).cast("bigint")
+    raw = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+    if track_overflow:
+        b = (
+            F.when(raw < 0, F.lit(-1))
+            .when(raw >= n_buckets, F.lit(n_buckets))
+            .otherwise(raw)
+            .cast("bigint")
+        )
+    else:
+        b = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw)).cast(
+            "bigint"
+        )
     return (
         df.filter(F.col(value_col).isNotNull())
         .select(*keys, b.alias("bucket"))
         .groupBy(*keys, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def histogram_domain_audit(
+    state: DataFrame, keys: Sequence[str], n_buckets: int
+) -> DataFrame:
+    """(keys…, n_in, n_under, n_over) off an overflow-tracked
+    histogram state: the drift readout — a healthy day has tail
+    counts near zero; a domain-drift day shows up as mass in the
+    sentinels WITHOUT re-scanning any data (the state is the
+    evidence). Pure integer counting, mergeable like the state."""
+    b = F.col("bucket")
+    zero = F.lit(0).cast("bigint")
+    return state.groupBy(*keys).agg(
+        F.sum(F.when((b >= 0) & (b < n_buckets), F.col("cnt")).otherwise(zero))
+        .cast("bigint")
+        .alias("n_in"),
+        F.sum(F.when(b == -1, F.col("cnt")).otherwise(zero))
+        .cast("bigint")
+        .alias("n_under"),
+        F.sum(F.when(b == n_buckets, F.col("cnt")).otherwise(zero))
+        .cast("bigint")
+        .alias("n_over"),
     )
 
 

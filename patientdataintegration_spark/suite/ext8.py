@@ -307,3 +307,71 @@ def q259_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_readout(
         state, ["o_custkey"], "o_totalprice", "o_orderkey"
     ).select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+
+
+# --- domain-drift-auditable histogram state -------------------------------------
+
+# A domain DELIBERATELY narrower than the data ([5000, 5000+64*1000)
+# = [5000, 69000) vs l_extendedprice's real [900, 105000)) so both
+# tails carry mass — the drift scenario the audit exists to catch.
+_Q260_LO, _Q260_W, _Q260_B = 5000.0, 1000.0, 64
+
+
+@_register(
+    "q260_histogram_domain_audit",
+    f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice >= {_Q260_LO}
+                AND l_extendedprice < {_Q260_LO + _Q260_W * _Q260_B})
+                AS BIGINT) AS n_in,
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice < {_Q260_LO})
+                AS BIGINT) AS n_under,
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice >=
+                {_Q260_LO + _Q260_W * _Q260_B}) AS BIGINT) AS n_over
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q260_histogram_domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-drift audit of the q255 histogram state (`operators/
+    incremental.histogram_state(track_overflow=True)` +
+    `histogram_domain_audit`) — the r9 verdict's item 10: q255's
+    clamping state silently absorbs out-of-domain values into its
+    edge buckets, so a day whose distribution drifted past the
+    declared [lo, hi) reads as healthy. The overflow-tracked variant
+    routes such values into sentinel buckets (-1 / n_buckets)
+    instead; this lane declares a domain deliberately narrower than
+    l_extendedprice's range and reads back (n_in, n_under, n_over)
+    per returnflag — both tails non-empty, proving the sentinels
+    catch drift ON BOTH SIDES, with the counts merged from a 70/30
+    state∪delta split exactly like q255 (same counting monoid). The
+    oracle is the three conditional counts over the full table —
+    bucketing a value v < lo to the under-sentinel is EXACTLY the
+    predicate v < lo, so the audit equals the direct counts
+    bit-for-bit; pure integer arithmetic end to end. Scale: the
+    audit reads 66 integers per key, zero data re-scan — the state
+    IS the evidence."""
+    from patientdataintegration_spark.operators.incremental import (
+        histogram_domain_audit,
+        histogram_state,
+        merge_histograms,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey"
+    )
+    hist = li.filter(F.col("l_orderkey") % 10 < 7)
+    delta = li.filter(F.col("l_orderkey") % 10 >= 7)
+    state = merge_histograms(
+        [
+            histogram_state(
+                hist, ["l_returnflag"], "l_extendedprice",
+                _Q260_LO, _Q260_W, _Q260_B, track_overflow=True,
+            ),
+            histogram_state(
+                delta, ["l_returnflag"], "l_extendedprice",
+                _Q260_LO, _Q260_W, _Q260_B, track_overflow=True,
+            ),
+        ],
+        ["l_returnflag"],
+    )
+    return histogram_domain_audit(state, ["l_returnflag"], _Q260_B)

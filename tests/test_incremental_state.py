@@ -377,3 +377,25 @@ def test_topk_state_merge_matches_flat(spark):
     assert got == [
         ("a", 1, 9.0), ("a", 2, 9.0), ("b", 102, 2.0), ("b", 103, 3.0),
     ]
+
+
+def test_histogram_overflow_sentinels_and_audit(spark):
+    """track_overflow routes out-of-domain values to sentinel buckets
+    (-1 / n_buckets) instead of clamping; the audit's (n_in, n_under,
+    n_over) equal the direct predicates, boundary values included
+    (lo is in-domain, hi is over)."""
+    from patientdataintegration_spark.operators.incremental import (
+        histogram_domain_audit,
+        histogram_state,
+    )
+
+    # domain [10, 30) in 2 buckets of 10
+    vals = [5.0, 9.999, 10.0, 19.0, 20.0, 29.999, 30.0, 99.0, None]
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v double")
+    st = histogram_state(
+        df, ["k"], "v", lo=10.0, width=10.0, n_buckets=2, track_overflow=True
+    )
+    buckets = {r["bucket"]: r["cnt"] for r in st.collect()}
+    assert buckets == {-1: 2, 0: 2, 1: 2, 2: 2}  # NULL absent
+    audit = histogram_domain_audit(st, ["k"], 2).collect()[0]
+    assert (audit["n_in"], audit["n_under"], audit["n_over"]) == (4, 2, 2)
