@@ -410,41 +410,6 @@ def test_audio_wav_header_real_metadata(spark):
     assert got["c.bin"].sample_rate is None and got["c.bin"].n_bytes == 16
 
 
-def test_transform_with_state_matches_batch(spark, sf_dir):
-    """Spark 4 transformWithState (StatefulProcessor + ValueState +
-    RocksDB store) == the batch per-user aggregate, exactly (integer
-    cents accumulation). Skips where the transformWithState Python
-    worker can't start (needs google.protobuf)."""
-    import pytest
-
-    from patientdataintegration_spark.sources.catalog import load_table
-    from patientdataintegration_spark.streaming.twstate import (
-        running_user_totals_stream,
-        transform_with_state_available,
-    )
-
-    if not transform_with_state_available():
-        pytest.skip("google.protobuf not installed: transformWithState worker unavailable")
-    streamed = running_user_totals_stream(spark, sf_dir, table_name="t_tws")
-    # update mode: last emission per user is the final state
-    s = {
-        r.user_id: (r.n, r.value_cents)
-        for r in streamed.collect()  # single availableNow batch → one row per user
-    }
-    e = load_table(spark, sf_dir, "events")
-    b = {
-        r.user_id: (r.n, r.value_cents)
-        for r in e.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_cents"),
-        )
-        .collect()
-    }
-    assert len(s) == len(b) > 0
-    assert s == b
-
-
 def test_png_pixel_decode_all_filters():
     """The pure-stdlib PNG decoder recovers exact pixel means through
     every scanline filter type (0..4), checked against pixels held in
