@@ -212,6 +212,44 @@ def lsh_candidate_pairs_bipartite(
     )
 
 
+def maintain_lsh_pairs(
+    pairs_old: DataFrame,
+    sigs_old: DataFrame,
+    sigs_delta: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Maintained LSH candidate-pair VIEW under corpus growth — the
+    near-dup member of the incremental-maintenance family (exact
+    dedup has q240's Bloom store; this is its MinHash sibling): a new
+    pair's sides are both old, split, or both new — three DISJOINT
+    origin classes (the q242 join-view delta argument applied to a
+    self-join), so
+
+        pairs(old ∪ delta) = P_old ∪ bipartite(old, delta)
+                                   ∪ pairs(delta)
+
+    exactly, with a plain append (no dedup across branches). The
+    nightly cost is banding the DELTA's signatures and joining them
+    against the persisted banded-key store + themselves — O(delta ×
+    bands) bucket probes, never a re-band or self-join of the corpus
+    (the q263 oracle is the full-corpus LSH recompute). Signature
+    rows are the state: k integers per doc, persisted once at
+    ingest."""
+    cross = lsh_candidate_pairs_bipartite(
+        sigs_old, sigs_delta, id_col=id_col, bands=bands,
+        rows_per_band=rows_per_band,
+    ).select(
+        F.least("left_id", "right_id").alias("doc_a"),
+        F.greatest("left_id", "right_id").alias("doc_b"),
+    )
+    within = lsh_candidate_pairs(
+        sigs_delta, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    )
+    return pairs_old.unionByName(cross).unionByName(within)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

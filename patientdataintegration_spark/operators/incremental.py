@@ -267,6 +267,74 @@ def moments_readout(state: DataFrame, keys: Sequence[str]) -> DataFrame:
     )
 
 
+# --- EXACT integer-scaled moments (lifts the money restriction) ---------------
+#
+# moments_state's cross-engine contract excludes full-precision money
+# measures (squares carry >17 significant digits, where per-row
+# double→decimal materialization differs between engines — measured,
+# q254). The lift is BY DESIGN, not arithmetic: quantize the measure
+# to its natural integer grain FIRST (money → cents: one shared IEEE
+# multiply + half-away round of the same parquet double in both
+# engines → identical bigint), then every downstream number is an
+# exact integer — sums, sums of squares, and the variance as the
+# exact RATIONAL (n·Σx² − (Σx)², n²). Readout emits integers only
+# (mean at a declared decimal scale via integral DIV); nothing ever
+# converts a wide value back through double, so the readout is
+# hash-portable for ANY measure the grain can express.
+
+
+def moments_state_scaled(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """One slice → per-key exact integer moment state (n, s, ss) over
+    floor(value × scale + 0.5) — nearest-grain quantization spelled
+    with FLOOR, not ROUND: floor is exact on doubles and the +0.5 is
+    one IEEE add, so both engines quantize the identical binary
+    value, whereas ROUND's shortest-repr path (Spark rounds the
+    DECIMAL repr of the double) can flip a value whose binary sits on
+    the other side of a .5 boundary than its repr. Same monoid fold
+    as `moments_state` (`merge_moments` merges either — identical
+    column names/types); state is three numbers per key."""
+    vi = F.floor(
+        F.col(value_col).cast("double") * F.lit(int(scale)) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    return df.groupBy(*keys).agg(
+        F.count(value_col).cast("bigint").alias("n"),
+        F.sum(vi).cast("decimal(38,6)").alias("s"),
+        F.sum(vi * vi).cast("decimal(38,6)").alias("ss"),
+    )
+
+
+def moments_exact_readout(
+    state: DataFrame, keys: Sequence[str], mean_scale: int = 10_000
+) -> DataFrame:
+    """(keys…, n, sum_i, mean_q, var_num, var_den) from integer-grain
+    merged state — every column an exact integer, hash-portable with
+    no FP anywhere: sum_i = Σx (grain units), mean_q =
+    (Σx × mean_scale) DIV n (the mean at `mean_scale` sub-grain
+    resolution; integral division of non-negative exact operands is
+    floor in both engines), var_num = n·Σx² − (Σx)² and var_den = n²
+    — the variance as an exact rational in grain² units
+    (var_num ≥ 0 by Cauchy–Schwarz; divide at DISPLAY time, where
+    precision choices belong)."""
+    n = F.col("n")
+    s = F.col("s").cast("decimal(38,0)")
+    ss = F.col("ss").cast("decimal(38,0)")
+    return state.select(
+        *keys,
+        "n",
+        s.cast("decimal(38,0)").alias("sum_i"),
+        F.expr(f"CAST((CAST(s AS DECIMAL(38,0)) * {int(mean_scale)}) DIV n AS BIGINT)").alias(
+            "mean_q"
+        ),
+        (n * ss - s * s).cast("decimal(38,0)").alias("var_num"),
+        (n * n).cast("bigint").alias("var_den"),
+    )
+
+
 # --- join-view maintenance under DELETES --------------------------------------
 #
 # q242's delta algebra covers inserts; deletes have their own exact
@@ -527,6 +595,42 @@ def merge_topk(
     the concatenated slices. Shuffle is O(#keys × k × #slices)."""
     u = reduce(DataFrame.unionByName, states)
     return topk_state(u, keys, order_col, k, tiebreak_col)
+
+
+def apply_topk_retractions(
+    state_old: DataFrame,
+    deleted: DataFrame,
+    base_post: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Top-k state after a DELETE slice — the family's q248 pattern
+    applied to ranking: like min/max, top-k has no inverse (evicting
+    rank j reveals an unknown (k+1)th the state never kept), so keys
+    that saw a delete are DIRTY and re-rank from `base_post` (the
+    post-delete base, scanned filtered to the dirty keys by
+    broadcast semi-join — the only base touch); clean keys' state
+    passes through verbatim. Dirtiness is conservative (any deleted
+    row marks its key, whether or not that row was ranked) — a
+    redundant repair costs a sliver scan, never a wrong answer.
+    Bit-identical to `topk_state(base_post)` (the q262 oracle).
+
+    `deleted` carries at least `keys` (the delete feed); deletes
+    cluster in practice (GDPR erasure, corrections for recent
+    partitions), so the repair touches a sliver, never history."""
+    keys = list(keys)
+    dirty = deleted.select(*keys).distinct()
+    clean = state_old.join(F.broadcast(dirty), keys, "left_anti")
+    repaired = topk_state(
+        base_post.join(F.broadcast(dirty), keys, "left_semi"),
+        keys,
+        order_col,
+        k,
+        tiebreak_col,
+    )
+    return clean.unionByName(repaired.select(*clean.columns))
 
 
 def topk_readout(

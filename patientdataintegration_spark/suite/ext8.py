@@ -375,3 +375,178 @@ def q260_histogram_domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
     )
     return histogram_domain_audit(state, ["l_returnflag"], _Q260_B)
+
+
+# --- exact integer-grain moments (money measures) --------------------------------
+
+
+@_register(
+    "q261_moments_exact_money",
+    """
+    WITH st AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m,
+             COUNT(vc) AS n, SUM(vc) AS s, SUM(vc * vc) AS ss
+      FROM (SELECT o_orderdate,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS vc
+            FROM orders)
+      GROUP BY strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+    )
+    SELECT m, CAST(n AS BIGINT) AS n,
+           CAST(s AS BIGINT) AS sum_i,
+           CAST((s * 10000) // n AS BIGINT) AS mean_q,
+           CAST(CAST(n * ss - s * s AS DECIMAL(38,0)) AS VARCHAR) AS var_num,
+           CAST(n * n AS BIGINT) AS var_den
+    FROM st
+    """,
+)
+def q261_moments_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact moments over a MONEY measure (`operators/incremental.
+    moments_state_scaled` + `moments_exact_readout`) — lifting q254's
+    integer-valued-measure restriction BY DESIGN: full-precision
+    money squares diverge across engines at the per-row
+    double→decimal cast (measured, r9), so the measure is quantized
+    to its natural integer grain FIRST — cents via
+    floor(price×100 + 0.5), bit-level-identical in both engines (one
+    shared IEEE multiply + add + exact floor; never ROUND, whose
+    shortest-repr path can flip a boundary the binary value is on
+    the other side of). Every downstream number is then an exact
+    integer: per-month (n, Σ cents, mean at 10⁻⁴-cent resolution via
+    integral DIV, and the variance as the exact RATIONAL
+    n·Σx² − (Σx)² over n²) — no FP anywhere after the grain, so the
+    readout hash-matches for any measure the grain expresses. Same
+    70/30 state∪delta merge as q254 (the identical monoid fold; the
+    oracle is one aggregation of the full table). Scale: three
+    numbers per key."""
+    from patientdataintegration_spark.operators.incremental import (
+        merge_moments,
+        moments_exact_readout,
+        moments_state_scaled,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("m"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    hist = o.filter(F.col("o_orderkey") % 10 < 7)
+    delta = o.filter(F.col("o_orderkey") % 10 >= 7)
+    state = merge_moments(
+        [
+            moments_state_scaled(hist, ["m"], "o_totalprice", scale=100),
+            moments_state_scaled(delta, ["m"], "o_totalprice", scale=100),
+        ],
+        ["m"],
+    )
+    out = moments_exact_readout(state, ["m"], mean_scale=10_000)
+    # cross-engine repr (the q234 discipline): cents sums fit BIGINT
+    # (< 2^53 even at sf100); the variance numerator is genuinely
+    # 128-bit-wide, so it ships as its exact DIGIT STRING — pandas
+    # fetch paths coerce wide decimals to float64, which would round
+    # the value before the hash ever sees it
+    return out.select(
+        "m",
+        "n",
+        F.col("sum_i").cast("bigint").alias("sum_i"),
+        "mean_q",
+        F.col("var_num").cast("string").alias("var_num"),
+        "var_den",
+    )
+
+
+# --- top-k maintenance under DELETES ---------------------------------------------
+
+
+@_register(
+    "q262_topk_retractions",
+    """
+    SELECT o_custkey, CAST(rk AS BIGINT) AS rank, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders WHERE o_orderkey % 37 != 0
+    )
+    WHERE rk <= 3
+    """,
+)
+def q262_topk_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k state under a DELETE slice (`operators/incremental.
+    apply_topk_retractions`) — the q248 dirty-key-repair pattern
+    applied to ranking, completing the top-k family q259 opened:
+    like min/max, top-k has no inverse (evicting a ranked row
+    reveals an unknown (k+1)th the k-row state never kept), so keys
+    that saw a delete re-rank from the post-delete base — scanned
+    FILTERED to the dirty keys by broadcast semi-join, the only base
+    touch — while clean keys' state passes through verbatim. The
+    delete slice (every 37th order) hits ranked and unranked rows
+    alike; the oracle is the plain window top-3 over the post-delete
+    table, so the driver hash proves repair == recompute, including
+    keys whose ENTIRE top-3 was wiped and keys where the deleted row
+    wasn't ranked at all (conservative dirtiness: redundant repair,
+    never a wrong answer). Prices pass through raw — hash-exact.
+    Scale: deletes cluster (GDPR erasure, recent-partition
+    corrections), so the repair is a sliver, never history."""
+    from patientdataintegration_spark.operators.incremental import (
+        apply_topk_retractions,
+        topk_readout,
+        topk_state,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    state_old = topk_state(o, ["o_custkey"], "o_totalprice", 3, "o_orderkey")
+    deleted = o.filter(F.col("o_orderkey") % 37 == 0)
+    post = o.filter(F.col("o_orderkey") % 37 != 0)
+    maintained = apply_topk_retractions(
+        state_old, deleted, post, ["o_custkey"], "o_totalprice", 3,
+        "o_orderkey",
+    )
+    return topk_readout(
+        maintained, ["o_custkey"], "o_totalprice", "o_orderkey"
+    ).select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+
+
+# --- maintained LSH candidate-pair view -------------------------------------------
+
+
+def _q263_sql() -> str:
+    from patientdataintegration_spark.suite.ext import _lsh_pairs_sql
+
+    return _lsh_pairs_sql()
+
+
+@_register("q263_incremental_lsh_pairs", _q263_sql())
+def q263_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained MinHash-LSH candidate-pair VIEW under corpus growth
+    (`operators/dedup.maintain_lsh_pairs`) — the NEAR-dup member of
+    the incremental family (exact dedup has the q240/q247 Bloom
+    store): a pair of old ∪ delta has both sides old, split, or both
+    new — three disjoint origin classes (the q242 delta argument on a
+    self-join), so the stored pairs plus bipartite(store, delta) plus
+    within(delta) IS the full recompute, with a plain append. 70% of
+    documents plays the persisted corpus (its signatures are the
+    state: k=8 integers per doc, banded keys persisted at ingest),
+    the rest the day's crawl; the oracle is q92's FULL-corpus LSH
+    recompute verbatim (the compose-oracles discipline), so the
+    driver hash proves maintenance == recompute across all three
+    classes. Scale: the nightly cost is banding the DELTA and two
+    bucket joins (delta×store keys, delta×delta) — never a re-band
+    or self-join of the corpus; signatures localCheckpoint once
+    (three consumers, the q252 freeze discipline — DataFrame DAG
+    branches re-execute their upstream otherwise)."""
+    from patientdataintegration_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        maintain_lsh_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_table(d), k=8, seed=42).localCheckpoint()
+    sigs_hist = sigs.filter(F.col("doc_id") % 10 < 7)
+    sigs_delta = sigs.filter(F.col("doc_id") % 10 >= 7)
+    pairs_old = lsh_candidate_pairs(sigs_hist, bands=4, rows_per_band=2)
+    return maintain_lsh_pairs(
+        pairs_old, sigs_hist, sigs_delta, bands=4, rows_per_band=2
+    )

@@ -399,3 +399,118 @@ def test_histogram_overflow_sentinels_and_audit(spark):
     assert buckets == {-1: 2, 0: 2, 1: 2, 2: 2}  # NULL absent
     audit = histogram_domain_audit(st, ["k"], 2).collect()[0]
     assert (audit["n_in"], audit["n_under"], audit["n_over"]) == (4, 2, 2)
+
+
+def test_moments_exact_money_matches_recompute(spark):
+    """Integer-grain moments: merged state reads out identically to
+    the flat state, every output column is an exact integer, and the
+    rational variance equals a Python Fraction recompute."""
+    from fractions import Fraction
+
+    from patientdataintegration_spark.operators.incremental import (
+        merge_moments,
+        moments_exact_readout,
+        moments_state_scaled,
+    )
+
+    vals = [("a", 12.34), ("a", 56.78), ("a", 0.01), ("b", 99.99), ("b", 99.99)]
+    df = spark.createDataFrame(vals, "k string, v double")
+    s1, s2 = df.filter("v < 50"), df.filter("v >= 50")
+    merged = moments_exact_readout(
+        merge_moments(
+            [
+                moments_state_scaled(s1, ["k"], "v", scale=100),
+                moments_state_scaled(s2, ["k"], "v", scale=100),
+            ],
+            ["k"],
+        ),
+        ["k"],
+        mean_scale=10_000,
+    )
+    flat = moments_exact_readout(
+        moments_state_scaled(df, ["k"], "v", scale=100), ["k"], 10_000
+    )
+    assert merged.exceptAll(flat).count() == 0
+    assert flat.exceptAll(merged).count() == 0
+    got = {r["k"]: r for r in merged.collect()}
+    cents = {"a": [1234, 5678, 1], "b": [9999, 9999]}
+    for k, cs in cents.items():
+        n = len(cs)
+        assert got[k]["n"] == n
+        assert int(got[k]["sum_i"]) == sum(cs)
+        assert got[k]["mean_q"] == (sum(cs) * 10_000) // n
+        var = Fraction(n * sum(c * c for c in cs) - sum(cs) ** 2, n * n)
+        assert Fraction(int(got[k]["var_num"]), got[k]["var_den"]) == var
+    assert got["b"]["var_num"] == 0  # constant key: exact zero, no FP dust
+
+
+def test_topk_retractions_matches_recompute(spark):
+    """apply_topk_retractions vs topk_state(post) on adversarial
+    deletes: a key whose ENTIRE top-k is wiped, a key whose deleted
+    row was unranked (conservative repair), a key emptied entirely,
+    and an untouched key."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.incremental import (
+        apply_topk_retractions,
+        topk_state,
+    )
+
+    rows = (
+        [("a", i, float(100 - i)) for i in range(6)]   # top-2 = rid 0,1
+        + [("b", 10 + i, float(i)) for i in range(4)]  # top-2 = rid 13,12
+        + [("c", 20, 1.0)]                             # emptied
+        + [("d", 30, 7.0), ("d", 31, 6.0)]             # untouched
+    )
+    df = spark.createDataFrame(rows, "k string, rid bigint, v double")
+    state_old = topk_state(df, ["k"], "v", 2, "rid")
+    # delete a's two best (whole top-k), b's WORST (unranked), all of c
+    deleted = df.filter(
+        (F.col("rid").isin(0, 1)) | (F.col("rid") == 10) | (F.col("k") == "c")
+    )
+    post = df.exceptAll(deleted)
+    got = apply_topk_retractions(
+        state_old, deleted, post, ["k"], "v", 2, "rid"
+    )
+    want = topk_state(post, ["k"], "v", 2, "rid")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.filter("k = 'c'").count() == 0
+
+
+def test_maintain_lsh_pairs_matches_full_recompute(spark):
+    """maintain_lsh_pairs == full-corpus LSH pairs: the three origin
+    classes are disjoint and exhaustive (checked by exact set
+    equality AND no duplicate pairs after the plain append)."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        maintain_lsh_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "completely different content about spark engines",
+        "completely different content about spark engines today",  # ~2
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "unrelated fifth document text goes here now",
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    sigs = minhash_signatures(shingle_table(d), k=8, seed=42)
+    hist = sigs.filter(F.col("doc_id") < 4)
+    delta = sigs.filter(F.col("doc_id") >= 4)
+    got = maintain_lsh_pairs(
+        lsh_candidate_pairs(hist), hist, delta
+    )
+    want = lsh_candidate_pairs(sigs)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == got.distinct().count()  # disjoint branches
+    # the exact dup (0,4) spans the split and must be found
+    assert got.filter("doc_a = 0 AND doc_b = 4").count() == 1
