@@ -580,3 +580,110 @@ def paragraph_dedup_stats(
             ).alias("dup_ratio"),
         )
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> DataFrame:
+    """Byte-pair-encoding MERGE TRAINING — the iterative core of the
+    tokenizer-building stage every LLM data pipeline runs before
+    anything else: repeatedly find the most frequent ADJACENT symbol
+    pair (weighted by word frequency) and fuse it into one symbol.
+    Returns the learned merge table (step, left, right, pair_count)
+    — n_merges rows, the artifact a tokenizer ships.
+
+    Distribution shape (the part that matters at 100 TB): the corpus
+    is reduced ONCE to its word-frequency VOCABULARY (one scan +
+    one vocab-sized shuffle — the classic Sennrich formulation works
+    on the vocab, never the corpus), and every iteration is
+    vocab-sized: explode adjacent pairs, one map-side-combined count,
+    pick the argmax, rewrite the vocab's symbol strings with ONE
+    literal replace. The per-iteration argmax is a single-row
+    plan-time readout (the q252/profiled_n_salts frozen-readout
+    discipline — an iterative algorithm's step-i+1 PLAN depends on
+    step i's result by nature); the vocab localCheckpoints each
+    round so the lineage stays flat (the kmeans/pagerank iteration
+    discipline).
+
+    Exactness/portability: words are restricted to ^[a-z]+$ (the
+    standard pre-tokenizer split), symbols ride a DOUBLE-SPACE-framed
+    string — '  a  b  c  ' — where fusing (a, b) is the literal
+    replace of ' a  b ' by ' ab ': left-to-right non-overlapping
+    resume-after-replacement semantics are IDENTICAL in Spark and
+    DuckDB (probed), and consuming one space of each outer pair keeps
+    the framing invariant, so 'a a a' fuses to ('aa', 'a') exactly
+    like the reference BPE fold. Ties break by (count DESC, left,
+    right) — ascii-lowercase strings, binary collation both engines.
+    Integer counts end to end; the q264 oracle replays every step as
+    an unrolled CTE."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    framed = words.select(
+        F.concat(
+            F.lit("  "),
+            F.array_join(F.split(F.col("w"), ""), "  "),
+            F.lit("  "),
+        ).alias("s"),
+        "wc",
+    ).localCheckpoint()
+
+    out_rows = []
+    for step in range(1, int(n_merges) + 1):
+        toks = F.filter(F.split(F.col("s"), "  "), lambda x: x != F.lit(""))
+        # single-row argmax readout: step i+1's replace LITERAL is a
+        # plan constant derived from step i (frozen-readout pattern)
+        best = (
+            pairs_from_framed(framed, toks)
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        out_rows.append((step, l, r, int(cnt)))
+        framed = framed.select(
+            F.replace(
+                F.col("s"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+            ).alias("s"),
+            "wc",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        out_rows,
+        "step int, merge_left string, merge_right string, pair_count bigint",
+    )
+
+
+def pairs_from_framed(framed: DataFrame, toks: Column) -> DataFrame:
+    """Adjacent-symbol pair counts (l, r, cnt) of a framed-vocab
+    relation — one explode + one map-side-combined sum per call."""
+    return (
+        framed.select(toks.alias("_toks"), "wc")
+        .select(
+            F.explode(
+                # size guard: Spark's sequence(1, 0) is DESCENDING
+                # [1, 0], not empty — unguarded, a single-symbol word
+                # would emit a (last, NULL) phantom pair
+                F.expr(
+                    "CASE WHEN size(_toks) >= 2 THEN"
+                    " transform(sequence(1, size(_toks) - 1),"
+                    " i -> struct(_toks[i-1] AS l, _toks[i] AS r))"
+                    " ELSE CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>)"
+                    " END"
+                )
+            ).alias("p"),
+            "wc",
+        )
+        .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "wc")
+        .groupBy("l", "r")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+    )

@@ -1,7 +1,10 @@
 """Round-10 additions: closing the maintenance family's remaining
 gaps — late data (q256), updates (q257), advisor→executor wiring
-(q258), maintained top-k (q259), and domain-drift-auditable
-histogram state (q260).
+(q258), maintained top-k under inserts (q259) and deletes (q262),
+domain-drift-auditable histogram state (q260), exact MONEY moments
+(q261, lifting q254's integer-measure restriction by quantizing to
+the grain), a maintained LSH near-dup pair view (q263), and the
+iterative BPE merge trainer (q264).
 
 Scale stance (100 TB): q256 re-coalesces ONLY delta-active users'
 session hulls (no raw-history scan — the hull lemma on
@@ -10,15 +13,21 @@ is two broadcast probes + one broadcast join against a partitioned
 view scan (never a view recompute); q258 derives the salt factor
 from a kilobyte profile relation at plan time (the q252
 frozen-readout discipline) so the hot key spreads before AQE ever
-sees it; q259's top-k state keeps k rows per key — merge is a
-re-rank of unions, exact under insert-only growth; q260 adds
+sees it; q259/q262's top-k state keeps k rows per key — merge is a
+re-rank of unions, deletes repair dirty keys only; q260 adds
 underflow/overflow counts to the q255 histogram state so a
-domain-drift day is detectable from the state itself.
+domain-drift day is detectable from the state itself; q263's
+nightly cost is banding the DELTA against a persisted banded-key
+store; q264 reduces the corpus once to its vocabulary and iterates
+vocab-sized.
 
 Exactness contract (suite/core.py rules): money sums ride
-DECIMAL(18,6); counts/ranks are integers; q259 ships raw doubles
-(passed through, never recomputed); q260 is pure integer counting.
-"""
+DECIMAL(18,6); counts/ranks are integers; q259/q262 ship raw
+doubles (passed through, never recomputed); q260/q264 are pure
+integer counting; q261 is exact integer arithmetic after a
+floor(x×scale + 0.5) grain both engines compute bit-identically,
+with its 128-bit variance numerator shipped as a digit string (the
+q234 discipline)."""
 
 from __future__ import annotations
 
@@ -550,3 +559,74 @@ def q263_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintain_lsh_pairs(
         pairs_old, sigs_hist, sigs_delta, bands=4, rows_per_band=2
     )
+
+
+# --- BPE merge training (iterative) -----------------------------------------------
+
+
+def _q264_sql(n_merges: int = 4) -> str:
+    ctes = [
+        """w AS (
+      SELECT word AS w, CAST(COUNT(*) AS BIGINT) AS wc
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$')
+      GROUP BY word
+    )""",
+        """f1 AS (
+      SELECT '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s,
+             wc
+      FROM w
+    )""",
+    ]
+    finals = []
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""p{i} AS (
+      SELECT toks[i] AS l, toks[i+1] AS r, CAST(SUM(wc) AS BIGINT) AS cnt
+      FROM (SELECT list_filter(string_split(s, '  '), x -> x != '') AS toks,
+                   wc
+            FROM f{i}),
+           UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+      GROUP BY l, r
+    )""")
+        ctes.append(
+            f"b{i} AS (SELECT l, r, cnt FROM p{i}"
+            f" ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        finals.append(
+            f"SELECT {i} AS step, l AS merge_left, r AS merge_right,"
+            f" cnt AS pair_count FROM b{i}"
+        )
+        if i < n_merges:
+            ctes.append(f"""f{i + 1} AS (
+      SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                        ' ' || b.l || b.r || ' ') AS s, wc
+      FROM f{i}, b{i} b
+    )""")
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+@_register("q264_bpe_merges", _q264_sql(4))
+def q264_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING over the documents corpus (`operators/
+    textops.bpe_merges`, 4 merges) — the iterative tokenizer-building
+    loop every LLM pipeline runs before tokenization; the engine's
+    token ops (q81 chunking, q82 rarity) consume exactly such a merge
+    table. Iterative-by-nature: step i+1's plan depends on step i's
+    argmax, so each winner is a single-row plan-time readout (the
+    q252/q258 frozen-readout discipline) and the vocab
+    localCheckpoints per round (the kmeans/pagerank iteration
+    discipline). The oracle UNROLLS all four iterations as CTEs —
+    pair counts, argmax with the (cnt DESC, l, r) tiebreak, and the
+    double-space-framed literal replace whose left-to-right
+    non-overlapping semantics are identical in both engines (probed;
+    'a a a' fuses to ('aa','a') like the reference BPE fold) — so the
+    driver hash proves the whole training loop step by step. Scale:
+    the corpus reduces ONCE to its word-frequency vocabulary (the
+    Sennrich formulation — one scan, one vocab-sized shuffle);
+    every iteration is vocab-sized, independent of corpus volume.
+    Integer counts and ascii-lowercase symbols end to end."""
+    from patientdataintegration_spark.operators.textops import bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_merges(d, "text", n_merges=4)

@@ -112,3 +112,34 @@ def test_sparse_cosine_pairs_hand_computed(spark):
     assert out2[(1, 2)] == 1.0
     assert set(out2) == {(1, 2), (1, 5), (2, 5), (4, 5)}
     assert 0.0 < out2[(1, 5)] < 1.0 and out2[(1, 5)] == out2[(2, 5)]
+
+
+def test_bpe_merges_hand_computed(spark):
+    """4 BPE merges over a tiny corpus, checked against the merge
+    table computed by hand — including the 'a a a' non-overlap rule
+    and the (cnt DESC, l, r) tiebreak."""
+    from patientdataintegration_spark.operators.textops import bpe_merges
+
+    docs = spark.createDataFrame(
+        [
+            ("low low low lower",),
+            ("newest newest west",),
+            ("aaa Mixed-CASE! ignored123",),   # aaa kept; others filtered
+        ],
+        "text string",
+    )
+    got = [tuple(r) for r in bpe_merges(docs, "text", n_merges=4).collect()]
+    # vocab: low×3, lower×1, newest×2, west×1, aaa×1
+    # step 1 pair counts: (l,o)=4, (o,w)=4, (w,e)=4(lower+newest+west),
+    #   (e,s)=3, (s,t)=3, (e,r)=1, (n,e)=2, (e,w)=2, (a,a)=1 →
+    #   tie at 4 between (l,o),(o,w),(w,e): lexicographic 'l'<'o'<'w'
+    #   → merge (l,o)
+    assert got[0] == (1, "l", "o", 4)
+    # step 2: (lo,w)=4, (w,e)=4 → 'lo' < 'w' → (lo,w)
+    assert got[1] == (2, "lo", "w", 4)
+    # step 3: (w,e)=3 now (newest, west; lower's w fused into low):
+    #   (low,e)=1, (e,s)=3, (s,t)=3, (w,e)=3 → tie at 3:
+    #   (e,s) < (s,t) < (w,e) → (e,s)
+    assert got[2] == (3, "e", "s", 3)
+    # step 4: (es,t)=3 beats everything
+    assert got[3] == (4, "es", "t", 3)
