@@ -147,6 +147,33 @@ histogram state with interpolated-quantile readout — the quantile
 member of the maintenance family, estimates shipped UNROUNDED
 because every readout step is a single IEEE op over exact integer/
 dyadic operands) takes the eighth, displacing q149.
+
+The round-10 window: (a) the nine r10 additions, never
+driver-checked — q256 (late-data-complete session repair: the hull
+lemma lets arbitrary late/bridging deltas re-coalesce only
+delta-active users' session hulls), q257 (join-view maintenance
+under UPDATES — last-writer-wins upsert completing CRUD with
+q242/q253), q258 (the q251 skew advisor wired INTO the salted-join
+executor: profile → n_salts at plan time), q259/q262 (maintained
+per-key top-k — insert merges as re-rank of unions; deletes repair
+dirty keys from the base, the q248 pattern), q260 (overflow-tracked
+histogram state + domain-drift audit), q261 (exact MONEY moments
+via integer-grain quantization, lifting q254's restriction), q263
+(maintained LSH candidate-pair view: stored pairs ∪ bipartite ∪
+within-delta == full recompute), q264 (iterative BPE merge training
+with a fully unrolled CTE oracle); (b) re-proofs for everything r10
+touched — the four r9-ADVICE fixes (q248 CDC NULL measures, q255
+histogram NULL filter, q250 reserved-name guard, q247/q245/q236
+scratch-dir hygiene), the q249 in-DAG precondition guard, and
+q251/q113 after the skew-module additions; (c) the complete 28-lane
+r4-era evidence queue (q149–q159, q161–q171, q173–q175, q42, q86,
+q98) — after this window no registry lane's latest driver evidence
+predates r5; and (d) four oldest r5-era fill lanes (q01/q02/q04/
+q05). Round 10 also RETIRES the transformWithState module
+(streaming/twstate.py): its Python worker needs google.protobuf,
+which the environment does not ship, so its test skipped every
+round — a vacuous green; applyInPandasWithState (q96/q245) remains
+the fully-exercised arbitrary-stateful lane.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -203,69 +230,72 @@ ROWS_ONLY_REASONS = {
     ),
 }
 
-# The driver-checked prefix, by design exactly 50 names (round-9
+# The driver-checked prefix, by design exactly 50 names (round-10
 # rotation: see module docstring).
 PRIORITY = [
-    # (a) the r9 additions — never driver-checked
-    "q245_sessionizer_state_audit",
-    "q246_nightly_maintenance",
-    "q247_bloom_store_replay",
+    # (a) the r10 additions — never driver-checked
+    "q256_sessionize_late_repair",
+    "q257_join_view_updates",
+    "q258_profiled_salted_join",
+    "q259_topk_state",
+    "q260_histogram_domain_audit",
+    "q261_moments_exact_money",
+    "q262_topk_retractions",
+    "q263_incremental_lsh_pairs",
+    "q264_bpe_merges",
+    # (b) changed in round 10 — re-prove: the r9-ADVICE fixes
+    # (cdc_rollup_delta NULL measures → q248; histogram_state NULL
+    # filter + the track_overflow restructure → q255;
+    # locate_divergence reserved-name guard → q250; the scratch-dir
+    # swap for persisted stores/checkpoints → q247/q245/q236), the
+    # sessionize_increment in-DAG precondition guard (q249), and the
+    # skew module's advisor wiring (q251/q113 — existing functions
+    # behavior-identical, re-proven anyway)
     "q248_rollup_retractions",
-    "q249_incremental_sessionize",
-    "q250_divergence_drill",
-    "q251_skew_advisor",
-    "q252_ivf_index_maintenance",
-    "q253_join_view_deletes",
-    "q254_moments_state",
     "q255_histogram_quantile_state",
-    # (b) r8 verdict item 3: oracles pass the local 3-SF gate since
-    # r8, latest driver rows still r4 no_oracle — green rows here
-    # make the "only q94 is rows-only" claim driver-confirmed
-    "q91_multimodal_features",
-    "q97_batch_inference",
-    # (c) changed in round 9 — re-prove: bloomfilter/cms hardening
-    # (q240/q244), the ranking conf fallback (q54/q145/q232/q233/
-    # q235), the sessionize_stream checkpoint parameter (q96)
-    "q240_bloom_incremental_dedup",
-    "q244_cms_brand_frequencies",
-    "q54_spend_deciles",
-    "q145_equidepth_histogram",
-    "q232_decile_edges_approx",
-    "q233_equidepth_approx",
-    "q235_topk_per_group",
-    "q96_stream_sessionize",
-    # (d) the nineteen-lane r9 evidence queue (displaced from the r8
-    # window; latest driver rows r3)
-    "q60_explode_vocab",
-    "q62_moving_frame",
-    "q66_nation_volume",
-    "q67_market_share",
-    "q70_multi_distinct",
-    "q71_first_nth_value",
-    "q73_quality_checks",
-    "q74_funnel",
-    "q85_session_window",
-    "q144_event_pmi",
-    "q133_ewma",
-    "q135_session_funnel",
-    "q136_growth_accounting",
-    "q137_fuzzy_join",
-    "q142_dedup_impact",
-    "q47_interval_join",
-    "q128_scd2_history",
-    "q129_robust_stats",
-    "q131_paragraph_dedup",
-    # (e) oldest-first r4-era fill (latest driver rows CORRECTNESS_r04)
-    "q127_weighted_sample",
-    "q132_kmeans_assign",
-    "q134_source_kl",
-    "q139_correlation_matrix",
-    "q140_mutual_information",
-    "q141_group_trend",
-    "q143_histogram",
-    "q146_pivot_lang",
-    "q147_retention_cohorts",
-    "q148_markov_transitions",
+    "q250_divergence_drill",
+    "q247_bloom_store_replay",
+    "q245_sessionizer_state_audit",
+    "q236_statestore_audit",
+    "q249_incremental_sessionize",
+    "q251_skew_advisor",
+    "q113_salted_join",
+    # (c) the complete 28-lane r4-era evidence queue (the r9
+    # verdict's item 2 — after this window no lane's latest driver
+    # evidence predates r5)
+    "q149_percentiles",
+    "q150_orphan_audit",
+    "q151_activity_streaks",
+    "q152_wow_change",
+    "q153_snapshot_diff",
+    "q154_abtest_zscore",
+    "q155_column_entropy",
+    "q156_quality_verdict",
+    "q157_semantic_dedup",
+    "q158_best_split",
+    "q159_xml_roundtrip",
+    "q161_promo_revenue",
+    "q162_product_profit",
+    "q163_returned_items",
+    "q164_order_count_distribution",
+    "q165_small_qty_revenue",
+    "q166_large_volume_orders",
+    "q167_disjunctive_join",
+    "q168_top_supplier",
+    "q169_important_share",
+    "q170_lonely_returner",
+    "q171_dormant_customers",
+    "q173_benford_digits",
+    "q174_cdc_apply",
+    "q175_grid_radius_join",
+    "q42_sessionize",
+    "q86_dedup_clusters",
+    "q98_ivf_cosine_topk",
+    # (d) oldest-first r5-era fill (the next rotation tier)
+    "q01_pricing_summary",
+    "q02_group_scores",
+    "q04_auroc",
+    "q05_mean_std_over_folds",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]
