@@ -87,6 +87,15 @@ BENCH_QUERIES = [
     "q253_join_view_deletes",        # anti-probe view retraction (r9)
     "q254_moments_state",            # mergeable variance state (r9)
     "q255_histogram_quantile_state", # mergeable histogram quantiles (r9)
+    "q256_sessionize_late_repair",   # hull-lemma late-data session repair (r10)
+    "q257_join_view_updates",        # last-writer-wins upsert view maintenance (r10)
+    "q258_profiled_salted_join",     # advisor-driven salted join (r10)
+    "q259_topk_state",               # maintained per-key top-k, insert merge (r10)
+    "q260_histogram_domain_audit",   # overflow-tracked histogram drift audit (r10)
+    "q261_moments_exact_money",      # integer-grain exact money moments (r10)
+    "q262_topk_retractions",         # top-k dirty-key delete repair (r10)
+    "q263_incremental_lsh_pairs",    # maintained LSH candidate-pair view (r10)
+    "q264_bpe_merges",               # iterative BPE merge training (r10)
 ]
 
 

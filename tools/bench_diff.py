@@ -72,21 +72,40 @@ def main() -> int:
     for e in prior:
         for q, v in e["queries"].items():
             samples.setdefault(q, []).append(v)
-    flagged = []
+    ratios: dict[str, tuple[float, float, float, float]] = {}
     for q, v in sorted(last["queries"].items()):
         s = samples.get(q)
         if not s:
             continue
         med = statistics.median(s)
-        if med and v / med >= threshold:
-            flagged.append((q, med, min(s), v, v / med))
+        if med:
+            ratios[q] = (med, min(s), v, v / med)
+    # SUITE-WIDE shift normalization (r9 verdict item 7): machine
+    # conditions — hypervisor co-tenants trashing cache/memory
+    # bandwidth (invisible even to the steal counter), frequency
+    # scaling — shift EVERY query by a common factor; a code change
+    # shifts the queries it touched RELATIVE to the rest. So the
+    # regression signal is the per-query ratio normalized by the
+    # suite-wide median ratio: flag only queries slower than
+    # threshold BOTH absolutely and after dividing out the global
+    # shift. The global factor itself is printed so a drifting box
+    # is visible rather than silently absorbed.
+    g = statistics.median(r for (_, _, _, r) in ratios.values()) if ratios else 1.0
+    flagged = [
+        (q, med, best, v, r)
+        for q, (med, best, v, r) in sorted(ratios.items())
+        if r >= threshold and r / max(g, 1.0) >= threshold
+    ]
     print(f"last total={last['value']}s warm={last.get('value_warm')}s "
-          f"({len(last['queries'])} queries); threshold={threshold}x vs median prior")
+          f"({len(last['queries'])} queries); threshold={threshold}x vs median prior; "
+          f"suite-wide shift factor={g:.2f}x over {len(ratios)} common queries"
+          + (" (UNIFORM SHIFT: environmental, normalized out)" if g >= 1.15 else ""))
     if not flagged:
-        print("no per-query regressions above threshold")
+        print("no per-query regressions above threshold (after shift normalization)")
         return 0
     for q, med, best, v, r in flagged:
-        print(f"  {q}: median-prior {med}s (best {best}s) -> {v}s ({r:.2f}x)")
+        print(f"  {q}: median-prior {med}s (best {best}s) -> {v}s "
+              f"({r:.2f}x raw, {r / max(g, 1.0):.2f}x shift-normalized)")
     return 1
 
 
