@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "q262_topk_retractions",         # top-k dirty-key delete repair (r10)
     "q263_incremental_lsh_pairs",    # maintained LSH candidate-pair view (r10)
     "q264_bpe_merges",               # iterative BPE merge training (r10)
+    "q265_histogram_retractions",    # group-algebra histogram deletes (r10)
+    "q266_rollup_updates",           # paired-CDC rollup updates (r10)
+    "q267_bpe_token_frequencies",    # BPE apply: token inventory (r10)
 ]
 
 

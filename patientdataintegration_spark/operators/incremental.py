@@ -734,6 +734,60 @@ def histogram_domain_audit(
     )
 
 
+def histogram_state_signed(
+    cdc: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    width: float,
+    n_buckets: int,
+    op_col: str = "op",
+) -> DataFrame:
+    """One CDC slice (op = +1 insert / -1 delete) → SIGNED per-(key,
+    bucket) counts. Histogram counts form an abelian GROUP (unlike
+    min/max, every bucket count has an inverse), so retraction is
+    pure algebra — no dirty-key repair, no base-table touch at all.
+    Same NULL-measure filter as `histogram_state`."""
+    raw = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw)).cast("bigint")
+    return (
+        cdc.filter(F.col(value_col).isNotNull())
+        .select(*keys, b.alias("bucket"), F.col(op_col).alias("_op"))
+        .groupBy(*keys, "bucket")
+        .agg(F.sum("_op").cast("bigint").alias("cnt"))
+    )
+
+
+def apply_histogram_retractions(
+    state_old: DataFrame, cdc_state: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Histogram state after a CDC slice with deletes: the plain
+    group fold (sum of signed counts), with emptied buckets dropped
+    exactly as a recompute would drop them, and a FAIL-LOUD in-DAG
+    guard on negative counts — a bucket going below zero means the
+    feed deleted rows the state never saw (double-delete, replayed
+    slice, wrong domain), and silently clamping would corrupt every
+    quantile read from the state. Bit-identical to
+    `histogram_state(base_post)` on a consistent feed (the q265
+    oracle chains this through the quantile readout)."""
+    keys = list(keys)
+    merged = (
+        state_old.unionByName(cdc_state)
+        .groupBy(*keys, "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    guard = F.when(F.col("cnt") >= 0, F.col("cnt")).otherwise(
+        F.raise_error(
+            F.lit(
+                "apply_histogram_retractions: a bucket count went negative"
+                " — the CDC slice deletes rows the state never counted"
+                " (double-delete or inconsistent feed); rebuild the state"
+            )
+        ).cast("bigint")
+    )
+    return merged.withColumn("cnt", guard).filter(F.col("cnt") > 0)
+
+
 def merge_histograms(
     states: Sequence[DataFrame], keys: Sequence[str]
 ) -> DataFrame:

@@ -619,6 +619,46 @@ def bpe_merges(
     Integer counts end to end; the q264 oracle replays every step as
     an unrolled CTE."""
     spark = docs.sparkSession
+    out_rows, _ = _bpe_train(docs, text_col, n_merges)
+    return spark.createDataFrame(
+        out_rows,
+        "step int, merge_left string, merge_right string, pair_count bigint",
+    )
+
+
+def bpe_token_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+    top_k: int = 20,
+) -> DataFrame:
+    """BPE APPLY — tokenize the corpus with the merge table
+    `bpe_merges` learns (train + apply in one call so the trained
+    vocab is reused, not recomputed) and return the top-k tokens by
+    total corpus occurrence (token, n_occurrences). This is the
+    artifact check a tokenizer build ends with: after n merges, what
+    does the unit inventory look like and how much mass did the
+    merges capture. Token occurrences are vocab-side — each word's
+    token multiset weighted by the word's corpus frequency — so the
+    apply never rescans the corpus either. The LIMIT rides a
+    provably-unique ORDER BY (count DESC, token — token is the group
+    key); integer counts end to end (the q267 oracle extends q264's
+    unrolled CTEs with the final replace + explode + count)."""
+    _, framed = _bpe_train(docs, text_col, n_merges)
+    toks = F.filter(F.split(F.col("s"), "  "), lambda x: x != F.lit(""))
+    return (
+        framed.select(F.explode(toks).alias("token"), "wc")
+        .groupBy("token")
+        .agg(F.sum("wc").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(top_k)
+    )
+
+
+def _bpe_train(
+    docs: DataFrame, text_col: str, n_merges: int
+) -> tuple[list, DataFrame]:
+    """Shared trainer: returns (merge rows, final framed vocab)."""
     words = (
         docs.select(
             F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
@@ -657,10 +697,7 @@ def bpe_merges(
             ).alias("s"),
             "wc",
         ).localCheckpoint()
-    return spark.createDataFrame(
-        out_rows,
-        "step int, merge_left string, merge_right string, pair_count bigint",
-    )
+    return out_rows, framed
 
 
 def pairs_from_framed(framed: DataFrame, toks: Column) -> DataFrame:

@@ -168,8 +168,16 @@ scratch-dir hygiene), the q249 in-DAG precondition guard, and
 q251/q113 after the skew-module additions; (c) the complete 28-lane
 r4-era evidence queue (q149–q159, q161–q171, q173–q175, q42, q86,
 q98) — after this window no registry lane's latest driver evidence
-predates r5; and (d) four oldest r5-era fill lanes (q01/q02/q04/
-q05). Round 10 also RETIRES the transformWithState module
+predates r5; and (d) the late-r10 additions — q265 (histogram
+maintenance under retractions: bucket counts are an abelian group,
+so deletes are pure algebra with a fail-loud negative-count guard,
+chained through the q255 quantile readout), q266 (rollup
+maintenance under UPDATES: the paired -old/+new CDC form through
+the q248 operator, completing rollup CRUD), q267 (BPE APPLY — the
+q264-learned merges tokenize the vocab; the oracle extends the
+unrolled training CTEs with the final replace + weighted count) —
+plus the oldest r5-era fill lane (q01); q02/q04/q05 queue for r11.
+Round 10 also RETIRES the transformWithState module
 (streaming/twstate.py): its Python worker needs google.protobuf,
 which the environment does not ship, so its test skipped every
 round — a vacuous green; applyInPandasWithState (q96/q245) remains
@@ -291,11 +299,14 @@ PRIORITY = [
     "q42_sessionize",
     "q86_dedup_clusters",
     "q98_ivf_cosine_topk",
-    # (d) oldest-first r5-era fill (the next rotation tier)
+    # (d) the late-r10 additions (histogram retractions, rollup
+    # updates, BPE apply) take three of the four fill slots,
+    # displacing q02/q04/q05 to the r11 queue
+    "q265_histogram_retractions",
+    "q266_rollup_updates",
+    "q267_bpe_token_frequencies",
+    # (e) oldest-first r5-era fill (the next rotation tier)
     "q01_pricing_summary",
-    "q02_group_scores",
-    "q04_auroc",
-    "q05_mean_std_over_folds",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -3,8 +3,11 @@ gaps — late data (q256), updates (q257), advisor→executor wiring
 (q258), maintained top-k under inserts (q259) and deletes (q262),
 domain-drift-auditable histogram state (q260), exact MONEY moments
 (q261, lifting q254's integer-measure restriction by quantizing to
-the grain), a maintained LSH near-dup pair view (q263), and the
-iterative BPE merge trainer (q264).
+the grain), a maintained LSH near-dup pair view (q263), the
+iterative BPE merge trainer (q264) and its apply half (q267),
+group-algebra histogram retractions chained through the quantile
+readout (q265), and rollup maintenance under paired-CDC UPDATES
+(q266).
 
 Scale stance (100 TB): q256 re-coalesces ONLY delta-active users'
 session hulls (no raw-history scan — the hull lemma on
@@ -630,3 +633,215 @@ def q264_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_merges(d, "text", n_merges=4)
+
+
+# --- histogram maintenance under retractions --------------------------------------
+
+
+def _q265_sql() -> str:
+    pct_cte = []
+    for p in (50, 90, 99):
+        pct_cte.append(f"""q{p} AS (
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             {_Q255LO} + {_Q255W} * bucket
+               + {_Q255W} * (CAST(t - (cum - cnt) AS DOUBLE)
+                              / CAST(cnt AS DOUBLE)) AS q{p}
+      FROM (SELECT *, CAST((n * {p} + 99) // 100 AS BIGINT) AS t FROM cum)
+      WHERE cum >= t
+      QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY bucket) = 1
+    )""")
+    return f"""
+    WITH post AS (
+      SELECT l_returnflag, l_extendedprice FROM lineitem
+      WHERE NOT (l_orderkey % 31 = 0 AND l_linenumber % 2 = 0)
+    ),
+    st AS (
+      SELECT l_returnflag,
+             CAST(LEAST(63, GREATEST(0,
+                  FLOOR((CAST(l_extendedprice AS DOUBLE) - {_Q255LO})
+                        / {_Q255W}))) AS BIGINT) AS bucket,
+             COUNT(*) AS cnt
+      FROM post GROUP BY l_returnflag, bucket
+    ),
+    cum AS (
+      SELECT l_returnflag, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM st
+    ),
+    {', '.join(pct_cte)}
+    SELECT l_returnflag, n, q50.q50, q90.q90, q99.q99
+    FROM q50 JOIN q90 USING (l_returnflag, n) JOIN q99 USING (l_returnflag, n)
+    """
+
+
+# q255's domain constants, restated locally for the oracle f-string
+_Q255LO, _Q255W = 900.0, 1626.5625
+
+
+@_register("q265_histogram_retractions", _q265_sql())
+def q265_histogram_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-quantile maintenance under DELETES (`operators/
+    incremental.histogram_state_signed/apply_histogram_retractions`)
+    — the quantile family joins the CRUD set: bucket counts form an
+    abelian GROUP (every count has an inverse), so unlike min/max
+    (q248) or top-k (q262) retraction needs NO dirty-key repair and
+    NO base-table touch — the whole maintenance path is one
+    state-sized fold of signed counts, with an in-DAG raise_error if
+    any bucket would go negative (double-delete detection: clamping
+    would silently corrupt every quantile read from the state). The
+    CDC deletes even-numbered lineitems of every 31st order; the
+    maintained state then feeds the SAME q255 interpolated-quantile
+    readout, and the oracle recomputes histogram → quantiles over
+    the post-delete table — the driver hash proves retraction +
+    readout == recompute end to end. Scale: the delta is one signed
+    map-side-combined count; state stays 64 integers per key."""
+    from patientdataintegration_spark.operators.incremental import (
+        apply_histogram_retractions,
+        histogram_quantile_readout,
+        histogram_state,
+        histogram_state_signed,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    del_cond = (F.col("l_orderkey") % 31 == 0) & (F.col("l_linenumber") % 2 == 0)
+    base = li  # the state covers everything; the CDC retracts the slice
+    cdc = li.filter(del_cond).withColumn("op", F.lit(-1))
+    state_old = histogram_state(
+        base, ["l_returnflag"], "l_extendedprice", _Q255LO, _Q255W, 64
+    )
+    delta = histogram_state_signed(
+        cdc, ["l_returnflag"], "l_extendedprice", _Q255LO, _Q255W, 64
+    )
+    maintained = apply_histogram_retractions(state_old, delta, ["l_returnflag"])
+    return histogram_quantile_readout(
+        maintained, ["l_returnflag"], _Q255LO, _Q255W, percents=(50, 90, 99)
+    )
+
+
+# --- rollup maintenance under UPDATES ----------------------------------------------
+
+
+@_register(
+    "q266_rollup_updates",
+    """
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m,
+           CAST(COUNT(p) AS BIGINT) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(p) AS avg_v,
+           MIN(p) AS min_v,
+           MAX(p) AS max_v
+    FROM (SELECT o_orderdate,
+                 CASE WHEN o_orderkey % 41 = 0 THEN o_totalprice + 7.5
+                      ELSE o_totalprice END AS p
+          FROM orders)
+    GROUP BY strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+    """,
+)
+def q266_rollup_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup maintenance under UPDATES — the CDC slice carries the
+    paired retraction form every CDC system emits for an update
+    (op=-1 with the OLD measure, op=+1 with the NEW: every 41st
+    order's price moves +7.5), driven through the SAME
+    `apply_rollup_retractions` as q248: count is net-zero per
+    update, the decimal sum retracts/reapplies algebraically, and
+    the updated keys are dirty (the old value might have been the
+    min/max) so min/max repair from the post-update base at those
+    keys only. The oracle is the plain GROUP BY over the post-update
+    table — update == retract+insert == recompute, completing CRUD
+    for the rollup family (q114 inserts, q248 deletes, this).
+    Exactness: price+7.5 is one shared IEEE op; sums ride
+    DECIMAL(18,6). Scale: the q248 argument — O(#keys) state + the
+    CDC slice; base touched only at dirty keys via broadcast
+    semi-join."""
+    from patientdataintegration_spark.operators.incremental import (
+        apply_rollup_retractions,
+        cdc_rollup_delta,
+        partial_rollup,
+        rollup_readout,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("m"),
+        "o_totalprice",
+    )
+    upd = F.col("o_orderkey") % 41 == 0
+    post = o.withColumn(
+        "o_totalprice",
+        F.when(upd, F.col("o_totalprice") + F.lit(7.5)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    cdc = (
+        o.filter(upd)
+        .withColumn("op", F.lit(-1))
+        .unionByName(
+            o.filter(upd)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(7.5))
+            .withColumn("op", F.lit(1))
+        )
+    )
+    state_new = apply_rollup_retractions(
+        partial_rollup(o, ["m"], "o_totalprice"),
+        cdc_rollup_delta(cdc, ["m"], "o_totalprice"),
+        post,
+        ["m"],
+        "o_totalprice",
+    )
+    return rollup_readout(state_new, ["m"]).select(
+        "m", "n", "sum_v", "avg_v", "min_v", "max_v"
+    )
+
+
+# --- BPE apply: token inventory after training --------------------------------------
+
+
+def _q267_sql(n_merges: int = 4, top_k: int = 20) -> str:
+    # extend q264's unrolled training CTEs with the FINAL merge's
+    # replace, then tokenize the vocab and count
+    base = _q264_sql(n_merges)
+    with_part, _, _ = base.partition("\n    SELECT 1 AS step")
+    # _q264_sql's finals start with "SELECT 1 AS step"; keep only the
+    # CTE prologue and append the apply chain
+    return f"""{with_part}
+    , f{n_merges + 1} AS (
+      SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                        ' ' || b.l || b.r || ' ') AS s, wc
+      FROM f{n_merges}, b{n_merges} b
+    ),
+    tok AS (
+      SELECT unnest(list_filter(string_split(s, '  '), x -> x != '')) AS token,
+             wc
+      FROM f{n_merges + 1}
+    )
+    SELECT token, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+    FROM tok GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT {top_k}
+    """
+
+
+@_register("q267_bpe_token_frequencies", _q267_sql(4, 20))
+def q267_bpe_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY (`operators/textops.bpe_token_frequencies`) — the
+    other half of q264: tokenize the corpus with the learned 4-merge
+    table and read back the top-20 tokens by total occurrence, the
+    unit-inventory check a tokenizer build ends with. Train and
+    apply share one framed vocab (no recompute, no corpus rescan —
+    occurrences are word-frequency-weighted vocab counts); the LIMIT
+    rides a provably-unique ORDER BY (count DESC, token). The oracle
+    extends q264's unrolled training CTEs with the final merge's
+    replace, then the same explode + weighted count — so the hash
+    proves train AND apply end to end in one lane. Integer counts
+    and ascii symbols throughout. Scale: the apply is a vocab-sized
+    explode + one map-side-combined sum; top-k is a TakeOrdered,
+    never a full sort."""
+    from patientdataintegration_spark.operators.textops import (
+        bpe_token_frequencies,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_token_frequencies(d, "text", n_merges=4, top_k=20)

@@ -514,3 +514,43 @@ def test_maintain_lsh_pairs_matches_full_recompute(spark):
     assert got.count() == got.distinct().count()  # disjoint branches
     # the exact dup (0,4) spans the split and must be found
     assert got.filter("doc_a = 0 AND doc_b = 4").count() == 1
+
+
+def test_histogram_retractions_match_recompute_and_guard(spark):
+    """Signed-count histogram retraction == recompute on the post
+    table (emptied buckets dropped), and a CDC slice deleting rows
+    the state never counted fails LOUD instead of clamping."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.incremental import (
+        apply_histogram_retractions,
+        histogram_state,
+        histogram_state_signed,
+    )
+
+    base = spark.createDataFrame(
+        [("k", v) for v in [1.0, 1.5, 12.0, 12.5, 25.0]],
+        "k string, v double",
+    )
+    dead = base.filter("v >= 12 AND v < 20").withColumn("op", F.lit(-1))
+    post = base.filter("NOT (v >= 12 AND v < 20)")
+    args = (["k"], "v", 0.0, 10.0, 4)
+    got = apply_histogram_retractions(
+        histogram_state(base, *args),
+        histogram_state_signed(dead, *args),
+        ["k"],
+    )
+    want = histogram_state(post, *args)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.filter("bucket = 1").count() == 0  # emptied bucket gone
+    # double-delete: bucket would go negative -> loud failure
+    twice = histogram_state_signed(
+        dead.unionByName(dead), *args
+    )
+    with pytest.raises(Exception, match="negative"):
+        apply_histogram_retractions(
+            histogram_state(base, *args), twice, ["k"]
+        ).collect()
