@@ -319,17 +319,40 @@ def moments_exact_readout(
     floor in both engines), var_num = n·Σx² − (Σx)² and var_den = n²
     — the variance as an exact rational in grain² units
     (var_num ≥ 0 by Cauchy–Schwarz; divide at DISPLAY time, where
-    precision choices belong)."""
+    precision choices belong).
+
+    NON-NEGATIVE MEASURES ONLY, enforced in-DAG (r10 ADVICE): Spark's
+    `DIV` truncates toward zero while DuckDB's `//` floors, so a
+    negative Σx (refund-heavy money feeds) would silently diverge by
+    one sub-grain unit between engines — the readout raises instead
+    of hashing wrong. (The companion caveat: `moments_state_scaled`'s
+    floor(x·scale+0.5) quantizer is round-half-UP for negatives, not
+    half-away — another reason signed measures need a signed-aware
+    variant, not this one.)"""
     n = F.col("n")
     s = F.col("s").cast("decimal(38,0)")
     ss = F.col("ss").cast("decimal(38,0)")
-    return state.select(
+    s_guarded = F.when(s >= 0, s).otherwise(
+        F.raise_error(
+            F.lit(
+                "moments_exact_readout: negative grain sum — Spark DIV"
+                " (trunc) and DuckDB // (floor) disagree on negative"
+                " dividends; use a non-negative measure or a signed-aware"
+                " readout"
+            )
+        ).cast("decimal(38,0)")
+    )
+    tmp = state.withColumn(
+        "_sm",
+        (s_guarded * F.lit(int(mean_scale)).cast("decimal(38,0)")).cast(
+            "decimal(38,0)"
+        ),
+    )
+    return tmp.select(
         *keys,
         "n",
         s.cast("decimal(38,0)").alias("sum_i"),
-        F.expr(f"CAST((CAST(s AS DECIMAL(38,0)) * {int(mean_scale)}) DIV n AS BIGINT)").alias(
-            "mean_q"
-        ),
+        F.expr("CAST(_sm DIV n AS BIGINT)").alias("mean_q"),
         (n * ss - s * s).cast("decimal(38,0)").alias("var_num"),
         (n * n).cast("bigint").alias("var_den"),
     )
@@ -402,7 +425,12 @@ def upsert_join_view(
     `tiebreak_col` totals the order within equal `seq_col` values
     (required when a slice can carry same-seq versions of one key —
     without a total order "last writer" is not well-defined; pinned
-    by tests/test_incremental_state.py's seq-tie case)."""
+    by tests/test_incremental_state.py's seq-tie case). With the
+    default `tiebreak_col=None` the operator FAILS LOUD on any
+    same-(key, seq) duplicate in the slice (r10 ADVICE): a
+    row_number over a non-total order would otherwise pick a
+    nondeterministic winner silently — the one maintenance verb in
+    the family that didn't guard its precondition."""
     from pyspark.sql import Window
 
     order = [F.col(seq_col).desc()]
@@ -411,11 +439,33 @@ def upsert_join_view(
         order.append(F.col(tiebreak_col).desc())
         drop.append(tiebreak_col)
     w = Window.partitionBy(a_key).orderBy(*order)
-    winners = (
-        cdc_a.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop(*drop)
-    )
+    ranked = cdc_a.withColumn("_rk", F.row_number().over(w))
+    if tiebreak_col is None:
+        # Same-(key, seq) duplicates make "last writer" ill-defined;
+        # the dup-count window clusters on (a_key, seq) — satisfied
+        # by the row_number's hash-partitioning on a_key, so the
+        # guard costs a sort within already-shuffled partitions of
+        # the (small) CDC slice, never a second shuffle. (Windows
+        # can't live in a WHERE clause, so the count lands in a
+        # column first.)
+        ranked = ranked.withColumn(
+            "_dupn",
+            F.count(F.lit(1)).over(Window.partitionBy(a_key, seq_col)),
+        )
+        keep = F.when(F.col("_dupn") == 1, F.col("_rk") == 1).otherwise(
+            F.raise_error(
+                F.lit(
+                    "upsert_join_view: CDC slice carries same-(key, seq)"
+                    " versions of one key and no tiebreak_col — last"
+                    " writer is not well-defined; pass tiebreak_col or"
+                    " fix the feed"
+                )
+            ).cast("boolean")
+        )
+        drop.append("_dupn")
+    else:
+        keep = F.col("_rk") == 1
+    winners = ranked.filter(keep).drop(*drop)
     survivors = view_old.join(
         F.broadcast(winners.select(a_key)), a_key, "left_anti"
     )
@@ -742,14 +792,34 @@ def histogram_state_signed(
     width: float,
     n_buckets: int,
     op_col: str = "op",
+    track_overflow: bool = False,
 ) -> DataFrame:
     """One CDC slice (op = +1 insert / -1 delete) → SIGNED per-(key,
     bucket) counts. Histogram counts form an abelian GROUP (unlike
     min/max, every bucket count has an inverse), so retraction is
     pure algebra — no dirty-key repair, no base-table touch at all.
-    Same NULL-measure filter as `histogram_state`."""
+    Same NULL-measure filter as `histogram_state`.
+
+    `track_overflow` MUST match the variant of the state the slice
+    will be retracted against (r10 ADVICE): retracting a clamped
+    slice from an overflow-tracked state would decrement edge buckets
+    0/n-1 while the state holds those rows in the -1/n sentinels —
+    corrupting both the histogram and the domain audit, usually
+    without tripping the negative-count guard because edge buckets
+    are non-empty. With `track_overflow=True` the bucketing mirrors
+    `histogram_state`'s sentinel variant exactly."""
     raw = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
-    b = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw)).cast("bigint")
+    if track_overflow:
+        b = (
+            F.when(raw < 0, F.lit(-1))
+            .when(raw >= n_buckets, F.lit(n_buckets))
+            .otherwise(raw)
+            .cast("bigint")
+        )
+    else:
+        b = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw)).cast(
+            "bigint"
+        )
     return (
         cdc.filter(F.col(value_col).isNotNull())
         .select(*keys, b.alias("bucket"), F.col(op_col).alias("_op"))

@@ -19,10 +19,14 @@ need a global funnel — they decompose over any *range* partitioning:
    additional shuffle;
 4. per-partition row counts (a metadata-sized aggregate) turn local
    row numbers into global ones: `rn = prefix_offset(pid) + local`.
-   The prefix sum runs as a triangular conditional aggregate over
-   the tiny (pid, count) relation — P² arithmetic on P ≈ hundreds of
-   partitions, broadcast back — so no unpartitioned window appears
-   anywhere in the plan, not even a cosmetic one.
+   The prefix sum is a running-sum window over the tiny (pid, count)
+   relation — O(P) work on P rows where P is the partition count
+   (tens of thousands at most, bounded by shuffle.partitions), then
+   broadcast back. The ONLY window in the plan therefore runs over a
+   metadata-sized relation, never the fact table: the single task it
+   funnels through sorts P rows, not 100 TB. (r11 replaced the
+   previous triangular crossJoin spelling — O(P²) arithmetic — with
+   this O(P) form; identical ranks by construction.)
 
 The ranged+numbered relation has two plan consumers (the counts
 aggregate and the final offset join), so it is localCheckpoint-ed
@@ -191,25 +195,29 @@ def global_row_number(
             ).cast("bigint")
         ),
     )
-    a = counts.select(
-        F.col("_gr_pid").alias("_gr_pid_a"), F.col("_gr_cnt").alias("_gr_cnt_a")
-    )
-    b = counts.select(
-        F.col("_gr_pid").alias("_gr_pid_b"), F.col("_gr_cnt").alias("_gr_cnt_b")
-    )
-    offsets = (
-        a.crossJoin(b)
-        .groupBy("_gr_pid_a")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("_gr_pid_b") < F.col("_gr_pid_a"),
-                    F.col("_gr_cnt_b"),
-                ).otherwise(F.lit(0))
-            ).alias("_gr_off"),
-            F.sum("_gr_cnt_b").alias("_gr_total"),
+    # O(P) prefix sum over the P-row counts relation (P = range
+    # partition count, <= shuffle.partitions). This window IS
+    # unpartitioned, but its input is metadata-sized — one task
+    # sorting P rows, not the fact table (see module docstring;
+    # replaced the r7-r10 O(P^2) triangular crossJoin).
+    from pyspark.sql import Window
+
+    w_order = Window.orderBy("_gr_pid")
+    offsets = counts.select(
+        "_gr_pid",
+        F.coalesce(
+            F.sum("_gr_cnt").over(
+                w_order.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_gr_off"),
+        F.sum("_gr_cnt")
+        .over(
+            w_order.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
         )
-        .withColumnRenamed("_gr_pid_a", "_gr_pid")
+        .alias("_gr_total"),
     )
 
     out = (

@@ -14,7 +14,12 @@ ONE fixed directory under a per-process root that is
   a plan after the interpreter is gone, so the cleanup is safe).
 
 The root is pid-scoped so concurrent gate/oracle processes never
-truncate each other's live checkpoints.
+truncate each other's live checkpoints. A crashed/SIGKILLed process
+never reaches ``atexit``, so on first use each process also REAPS
+sibling ``pdi_scratch_<uid>_<pid>`` roots whose pid is no longer
+alive (``os.kill(pid, 0)`` probe) — stale roots from abnormal exits
+are bounded to the dead processes since the last live invocation
+instead of accumulating forever (r10 ADVICE).
 """
 
 from __future__ import annotations
@@ -35,6 +40,40 @@ def _cleanup() -> None:
     shutil.rmtree(_ROOT, ignore_errors=True)
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else — leave it
+    except Exception:
+        return True  # unknown — err on the side of not deleting
+    return True
+
+
+def _reap_stale_roots() -> None:
+    """Remove sibling scratch roots left by crashed processes (their
+    atexit never ran). Only this uid's roots are candidates, and only
+    when their pid is provably dead — a live concurrent gate/oracle
+    process keeps its root."""
+    prefix = f"pdi_scratch_{os.getuid()}_"
+    tmp = tempfile.gettempdir()
+    try:
+        entries = os.listdir(tmp)
+    except OSError:
+        return
+    for entry in entries:
+        if not entry.startswith(prefix) or entry == os.path.basename(_ROOT):
+            continue
+        try:
+            pid = int(entry[len(prefix):])
+        except ValueError:
+            continue
+        if not _pid_alive(pid):
+            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+
+
 def scratch_dir(name: str, *tags: str) -> str:
     """A fresh, fixed scratch directory for `name` (extra `tags` —
     e.g. the sf_dir — are hashed into the path so distinct corpora
@@ -42,6 +81,7 @@ def scratch_dir(name: str, *tags: str) -> str:
     this process is removed; the whole root is removed at exit."""
     global _CLEANUP_REGISTERED
     if not _CLEANUP_REGISTERED:
+        _reap_stale_roots()
         atexit.register(_cleanup)
         _CLEANUP_REGISTERED = True
     suffix = (

@@ -77,14 +77,17 @@ def compact(
     listing + open overhead of millions of 1 MB files dominates scan
     time). Returns the number of output files."""
     df = spark.read.parquet(path)
-    total_bytes = sum(
-        int(row.size)
-        for row in spark.read.format("binaryFile")
+    # One scalar aggregate, not a row-per-file collect: at 100 TB a
+    # small-file-riddled table lists MILLIONS of files, and pulling a
+    # row per file to the driver is exactly the anti-pattern this
+    # maintenance job exists to fix (r10 ADVICE item 5).
+    total_bytes = int(
+        spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.parquet")
         .load(path)
-        .select(F.col("length").alias("size"))
-        .collect()
+        .agg(F.coalesce(F.sum("length"), F.lit(0)).alias("total"))
+        .first()["total"]
     )
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)

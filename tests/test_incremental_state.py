@@ -554,3 +554,108 @@ def test_histogram_retractions_match_recompute_and_guard(spark):
         apply_histogram_retractions(
             histogram_state(base, *args), twice, ["k"]
         ).collect()
+
+
+def test_upsert_join_view_fails_loud_on_untied_same_seq(spark):
+    """With the default tiebreak_col=None, a CDC slice carrying two
+    same-(key, seq) versions of one key must RAISE (last writer is
+    not well-defined — r10 ADVICE), while a duplicate-free slice
+    still maintains the view correctly without a tiebreak column."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.incremental import (
+        upsert_join_view,
+    )
+
+    a_old = spark.createDataFrame(
+        [(1, 10, "v1")], "ak bigint, j bigint, payload string"
+    )
+    b = spark.createDataFrame([(10, "b10")], "j bigint, pb string")
+    view_old = a_old.join(b, "j")
+
+    clean = spark.createDataFrame(
+        [(1, 10, "v1-new", 2)], "ak bigint, j bigint, payload string, seq int"
+    )
+    got = upsert_join_view(view_old, clean, b, "ak", ["j"], seq_col="seq")
+    assert [
+        (r["ak"], r["payload"]) for r in got.collect()
+    ] == [(1, "v1-new")]
+
+    tied = spark.createDataFrame(
+        [(1, 10, "v1-a", 2), (1, 10, "v1-b", 2)],
+        "ak bigint, j bigint, payload string, seq int",
+    )
+    with pytest.raises(Exception, match="same-\\(key, seq\\)"):
+        upsert_join_view(view_old, tied, b, "ak", ["j"], seq_col="seq").collect()
+
+
+def test_moments_exact_readout_rejects_negative_sums(spark):
+    """Spark DIV truncates toward zero; DuckDB // floors — they
+    disagree on negative dividends, so a refund-heavy (negative-sum)
+    key must fail LOUD instead of hashing one sub-grain unit off
+    (r10 ADVICE). Non-negative keys still read out fine."""
+    import pytest
+
+    from patientdataintegration_spark.operators.incremental import (
+        moments_exact_readout,
+        moments_state_scaled,
+    )
+
+    ok = spark.createDataFrame(
+        [("a", 1.25), ("a", 2.50)], "k string, v double"
+    )
+    out = moments_exact_readout(
+        moments_state_scaled(ok, ["k"], "v", scale=100), ["k"]
+    )
+    assert out.collect()[0]["mean_q"] == (375 * 10_000) // 2
+
+    refunds = spark.createDataFrame(
+        [("a", 1.00), ("a", -3.00)], "k string, v double"
+    )
+    with pytest.raises(Exception, match="negative grain sum"):
+        moments_exact_readout(
+            moments_state_scaled(refunds, ["k"], "v", scale=100), ["k"]
+        ).collect()
+
+
+def test_histogram_signed_overflow_retraction_matches_recompute(spark):
+    """The q260+q265 composition the r10 ADVICE flagged: retracting a
+    CDC slice against an overflow-TRACKED state. With
+    track_overflow=True on BOTH the state and the signed slice, the
+    maintained state (including sentinel buckets) equals a recompute
+    on the post table, and the domain audit stays truthful; the
+    variant-mismatched composition (clamped slice vs tracked state)
+    is what the parameter exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.incremental import (
+        apply_histogram_retractions,
+        histogram_domain_audit,
+        histogram_state,
+        histogram_state_signed,
+    )
+
+    # values below lo (-5) and at/above the top (45, 99) land in the
+    # -1 / n_buckets sentinels; the delete slice removes one row from
+    # EACH region: in-domain, under, over.
+    base = spark.createDataFrame(
+        [("k", v) for v in [-5.0, 1.0, 12.0, 25.0, 45.0, 99.0]],
+        "k string, v double",
+    )
+    dead = base.filter("v IN (-5.0, 12.0, 99.0)").withColumn(
+        "op", F.lit(-1)
+    )
+    post = base.filter("v NOT IN (-5.0, 12.0, 99.0)")
+    lo, width, nb = 0.0, 10.0, 4
+    state = histogram_state(base, ["k"], "v", lo, width, nb, track_overflow=True)
+    slice_signed = histogram_state_signed(
+        dead, ["k"], "v", lo, width, nb, track_overflow=True
+    )
+    got = apply_histogram_retractions(state, slice_signed, ["k"])
+    want = histogram_state(post, ["k"], "v", lo, width, nb, track_overflow=True)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    audit = histogram_domain_audit(got, ["k"], nb).collect()[0]
+    assert (audit["n_in"], audit["n_under"], audit["n_over"]) == (2, 0, 1)

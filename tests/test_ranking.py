@@ -86,10 +86,13 @@ def test_ntile_from_rank_matches_window_ntile(spark):
             assert bad == 0, f"ntile mismatch at total={total} buckets={buckets}"
 
 
-def test_q54_q145_plans_have_no_window(spark):
-    """The r7 point: the exact NTILE/PERCENT_RANK rollups contain NO
-    window operator at all — no unpartitioned WindowExec single
-    reducer, so the exact form itself survives scale-out."""
+def test_q54_q145_windows_only_over_counts_relation(spark):
+    """The r7 point, refined in r11: the exact NTILE/PERCENT_RANK
+    rollups never funnel the FACT TABLE through an unpartitioned
+    WindowExec. The r11 O(P) prefix sum does plan a window, but only
+    over the metadata-sized (pid, count) relation — every Window node
+    in the plan must order on `_gr_pid`, proving its input is the
+    P-row counts aggregate and not the ranked data."""
     from patientdataintegration_spark.suite.core import q54_spend_deciles
     from patientdataintegration_spark.suite.ext2 import (
         q145_equidepth_histogram,
@@ -97,7 +100,14 @@ def test_q54_q145_plans_have_no_window(spark):
 
     for q in (q54_spend_deciles, q145_equidepth_histogram):
         plan = q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        assert "Window" not in plan, f"{q.__name__} still plans a Window"
+        win_lines = [
+            ln for ln in plan.splitlines() if "Window" in ln
+        ]
+        for ln in win_lines:
+            assert "_gr_pid" in ln, (
+                f"{q.__name__} plans a Window NOT over the counts"
+                f" relation: {ln.strip()}"
+            )
 
 
 def test_global_row_number_partition_overflow_guard(spark, monkeypatch):
