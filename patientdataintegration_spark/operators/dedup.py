@@ -597,6 +597,158 @@ def connected_components_star(
     )
 
 
+def maintain_components(
+    labels_old: DataFrame,
+    new_edges: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected-components maintenance under EDGE INSERTS — the
+    graph side of the incremental dedup story (q263 maintains the
+    LSH *pairs*; this maintains the *clusters* those pairs imply):
+    given yesterday's (node, label=min reachable id) table and a
+    delta edge set, return the labels of edges_old ∪ Δ WITHOUT
+    touching the old edges at all.
+
+    Edge inserts can only MERGE components, never split them, so the
+    old labeling is a sound CONTRACTION of the old graph: map each
+    Δ-endpoint through its old label (new nodes map to themselves —
+    a fresh id is never an old node, hence never an old label),
+    drop the Δ-edges that contract to self-loops (both endpoints
+    already in one component: nothing to do), and run the large-/
+    small-star algorithm on what's left. That contracted graph has
+    O(|Δ|) edges and its diameter is the number of old components a
+    delta chain strings together, so the star loop converges in
+    O(log Δ-diameter) rounds over a delta-sized relation — versus a
+    full recompute's O(log n) rounds over ALL edges (at 100 TB: the
+    nightly delta is gigabytes; the edge history is the 100 TB).
+
+    Label correctness: an old label is the MIN id of its old
+    component, so the min over a merged group of representatives
+    (what the star computes on the contracted graph) IS the min id
+    of the merged component — including a brand-new node whose fresh
+    id undercuts every old member, since new nodes enter the
+    contracted graph as themselves. The final relabel map is
+    delta-sized and broadcasts against a partitioned scan of the
+    (big) old label table: one broadcast join, no shuffle of the
+    label table, no old-edge scan.
+
+    Oracle/equivalence contract: bit-identical to
+    `connected_components_star(edges_old ∪ Δ)` (the q268 lane's
+    DuckDB twin recomputes min-reachable-label by transitive closure
+    over the union; tests/test_dedup_similarity.py drives
+    adversarial cluster-bridging deltas through both paths).
+
+    Reference parity: the reference has no graph stage at all (its
+    dedup is per-patient pandas drop_duplicates); this extends the
+    SURVEY §2 dedup family's cluster-formation step (q86/q115) with
+    the maintenance verb every other state in the family already
+    has.
+    """
+    e = (
+        new_edges.select(
+            F.col(id_a).cast("bigint").alias("a"),
+            F.col(id_b).cast("bigint").alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        # three consumers (two contraction probes + the endpoint
+        # set): freeze once, delta-sized — the standard
+        # multi-consumer discipline (plans/materialize.py)
+        .localCheckpoint()
+    )
+    la = labels_old.select(
+        F.col("node").cast("bigint").alias("_n"),
+        F.col("label").cast("bigint").alias("_l"),
+    )
+    # Shrink the (big) label table to the Δ-touched nodes FIRST: a
+    # broadcast LEFT SEMI probe streams the label table once with the
+    # delta-endpoint set as build side — the label table is never
+    # shuffled and never broadcast (it is the 100 TB side; Δ is the
+    # gigabytes side). Everything downstream then joins against the
+    # delta-sized `la_touched` with Δ-scale broadcasts.
+    endpoints = (
+        e.select(F.col("a").alias("_n"))
+        .union(e.select(F.col("b").alias("_n")))
+        .distinct()
+    )
+    # three consumers (two contraction probes + the new-node anti
+    # probe); freezing also spares the 100 TB label-table semi-scan
+    # from re-running per consumer
+    la_touched = la.join(F.broadcast(endpoints), "_n", "left_semi").localCheckpoint()
+    ca = e.join(
+        F.broadcast(la_touched)
+        .withColumnRenamed("_n", "a")
+        .withColumnRenamed("_l", "_la"),
+        "a",
+        "left",
+    )
+    cb = ca.join(
+        F.broadcast(la_touched)
+        .withColumnRenamed("_n", "b")
+        .withColumnRenamed("_l", "_lb"),
+        "b",
+        "left",
+    )
+    contracted = (
+        cb.select(
+            F.coalesce("_la", "a").alias("doc_a"),
+            F.coalesce("_lb", "b").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    if contracted.isEmpty():
+        # every Δ-edge lands inside one old component (or is a self
+        # loop): labels are unchanged except brand-new isolated nodes
+        delta_labels = None
+    else:
+        delta_labels = connected_components_star(
+            contracted, max_rounds=max_rounds
+        )
+    # relabel old nodes through their representative's new label
+    if delta_labels is not None:
+        relabel = delta_labels.select(
+            F.col("node").alias("_rep"), F.col("label").alias("_newl")
+        )
+        out_old = (
+            labels_old.join(
+                F.broadcast(relabel),
+                labels_old["label"] == F.col("_rep"),
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("_newl", "label").alias("label"),
+            )
+        )
+    else:
+        out_old = labels_old.select("node", "label")
+    # nodes the delta introduced: endpoints not in the old label set.
+    # `la_touched` contains exactly the endpoints' old-label rows, so
+    # the anti-probe runs delta vs delta — the big table is long gone.
+    new_nodes = endpoints.withColumnRenamed("_n", "node").join(
+        F.broadcast(la_touched.select(F.col("_n").alias("node"))),
+        "node",
+        "left_anti",
+    )
+    if delta_labels is not None:
+        out_new = (
+            new_nodes.join(
+                F.broadcast(
+                    delta_labels.select(
+                        F.col("node"), F.col("label").alias("_newl")
+                    )
+                ),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("_newl", "node").alias("label"))
+        )
+    else:
+        out_new = new_nodes.select("node", F.col("node").alias("label"))
+    return out_old.unionByName(out_new)
+
+
 def canonicalize_clusters(
     docs: DataFrame,
     components: DataFrame,

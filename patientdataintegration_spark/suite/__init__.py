@@ -182,6 +182,30 @@ Round 10 also RETIRES the transformWithState module
 which the environment does not ship, so its test skipped every
 round — a vacuous green; applyInPandasWithState (q96/q245) remains
 the fully-exercised arbitrary-stateful lane.
+
+The round-11 window: (a) the two r11 additions, never
+driver-checked — q268 (incremental connected components: the delta
+contracts through yesterday's labels, the star loop runs over the
+O(|Δ|) contracted graph, and the oracle is q115's full
+transitive-closure recompute over the complete pair set) and q269
+(BPE vocab-drift audit: stored-slice train vs union re-train diffed
+rank by rank, both trainings fully unrolled in the oracle); (b)
+re-proofs for everything r11 touched — the seven ranking-family
+lanes after global_row_number's O(P²) triangular-crossJoin prefix
+sum became an O(P) running-sum window over the counts relation
+(q49/q54/q145/q149/q232/q233/q235 — identical ranks by
+construction, the plan now carries exactly one metadata-sized
+window), q257 (upsert_join_view gained the fail-loud same-(key,seq)
+guard on its default path), q261 (moments_exact_readout now raises
+on negative grain sums instead of risking the DIV-vs-// divergence),
+and q265 (histogram_state_signed gained the track_overflow variant;
+the clamped path this lane uses is byte-identical); and (c)
+thirty-eight oldest-first r5-era fill lanes — everything from the
+41-lane r5 evidence tail except q94 (rows-only by design, stays out
+of the window per the r6 verdict), q115 (its exact pipeline is
+re-exercised end-to-end as q268's oracle basis), and q200 (the
+multi-stage curation flagship, queued with q115 for r12, after
+which no lane's evidence predates r6).
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -202,6 +226,8 @@ from patientdataintegration_spark.suite.ext7 import ORACLES as EXT7_ORACLES
 from patientdataintegration_spark.suite.ext7 import QUERIES as EXT7_QUERIES
 from patientdataintegration_spark.suite.ext8 import ORACLES as EXT8_ORACLES
 from patientdataintegration_spark.suite.ext8 import QUERIES as EXT8_QUERIES
+from patientdataintegration_spark.suite.ext9 import ORACLES as EXT9_ORACLES
+from patientdataintegration_spark.suite.ext9 import QUERIES as EXT9_QUERIES
 
 _ALL_QUERIES = {
     **CORE_QUERIES,
@@ -213,6 +239,7 @@ _ALL_QUERIES = {
     **EXT6_QUERIES,
     **EXT7_QUERIES,
     **EXT8_QUERIES,
+    **EXT9_QUERIES,
 }
 _ALL_ORACLES = {
     **CORE_ORACLES,
@@ -224,6 +251,7 @@ _ALL_ORACLES = {
     **EXT6_ORACLES,
     **EXT7_ORACLES,
     **EXT8_ORACLES,
+    **EXT9_ORACLES,
 }
 
 # Queries registered WITHOUT a SQL oracle, each with its reason —
@@ -238,75 +266,71 @@ ROWS_ONLY_REASONS = {
     ),
 }
 
-# The driver-checked prefix, by design exactly 50 names (round-10
+# The driver-checked prefix, by design exactly 50 names (round-11
 # rotation: see module docstring).
 PRIORITY = [
-    # (a) the r10 additions — never driver-checked
-    "q256_sessionize_late_repair",
-    "q257_join_view_updates",
-    "q258_profiled_salted_join",
-    "q259_topk_state",
-    "q260_histogram_domain_audit",
-    "q261_moments_exact_money",
-    "q262_topk_retractions",
-    "q263_incremental_lsh_pairs",
-    "q264_bpe_merges",
-    # (b) changed in round 10 — re-prove: the r9-ADVICE fixes
-    # (cdc_rollup_delta NULL measures → q248; histogram_state NULL
-    # filter + the track_overflow restructure → q255;
-    # locate_divergence reserved-name guard → q250; the scratch-dir
-    # swap for persisted stores/checkpoints → q247/q245/q236), the
-    # sessionize_increment in-DAG precondition guard (q249), and the
-    # skew module's advisor wiring (q251/q113 — existing functions
-    # behavior-identical, re-proven anyway)
-    "q248_rollup_retractions",
-    "q255_histogram_quantile_state",
-    "q250_divergence_drill",
-    "q247_bloom_store_replay",
-    "q245_sessionizer_state_audit",
-    "q236_statestore_audit",
-    "q249_incremental_sessionize",
-    "q251_skew_advisor",
-    "q113_salted_join",
-    # (c) the complete 28-lane r4-era evidence queue (the r9
-    # verdict's item 2 — after this window no lane's latest driver
-    # evidence predates r5)
+    # (a) the r11 additions — never driver-checked
+    "q268_maintain_components",
+    "q269_bpe_vocab_drift",
+    # (b) changed in round 11 — re-prove: the global_row_number
+    # prefix-sum rewrite (O(P²) crossJoin → O(P) running-sum window
+    # over the counts relation) re-proves the ranking family; the
+    # fail-loud guards added to upsert_join_view (same-(key,seq)
+    # dups) and moments_exact_readout (negative grain sums) re-prove
+    # their lanes on the healthy path; histogram_state_signed gained
+    # track_overflow (q265's clamped path byte-identical)
+    "q49_global_topk",
+    "q54_spend_deciles",
+    "q145_equidepth_histogram",
     "q149_percentiles",
-    "q150_orphan_audit",
-    "q151_activity_streaks",
-    "q152_wow_change",
-    "q153_snapshot_diff",
-    "q154_abtest_zscore",
-    "q155_column_entropy",
-    "q156_quality_verdict",
-    "q157_semantic_dedup",
-    "q158_best_split",
-    "q159_xml_roundtrip",
-    "q161_promo_revenue",
-    "q162_product_profit",
-    "q163_returned_items",
-    "q164_order_count_distribution",
-    "q165_small_qty_revenue",
-    "q166_large_volume_orders",
-    "q167_disjunctive_join",
-    "q168_top_supplier",
-    "q169_important_share",
-    "q170_lonely_returner",
-    "q171_dormant_customers",
-    "q173_benford_digits",
-    "q174_cdc_apply",
-    "q175_grid_radius_join",
-    "q42_sessionize",
-    "q86_dedup_clusters",
-    "q98_ivf_cosine_topk",
-    # (d) the late-r10 additions (histogram retractions, rollup
-    # updates, BPE apply) take three of the four fill slots,
-    # displacing q02/q04/q05 to the r11 queue
+    "q232_decile_edges_approx",
+    "q233_equidepth_approx",
+    "q235_topk_per_group",
+    "q257_join_view_updates",
+    "q261_moments_exact_money",
     "q265_histogram_retractions",
-    "q266_rollup_updates",
-    "q267_bpe_token_frequencies",
-    # (e) oldest-first r5-era fill (the next rotation tier)
-    "q01_pricing_summary",
+    # (c) thirty-eight oldest-first r5-era fill lanes — the complete
+    # r5 evidence tail except q94 (rows-only by design, out of the
+    # window per the r6 verdict), q115 (re-exercised as q268's
+    # oracle basis) and q200 (queued for r12 with q115)
+    "q02_group_scores",
+    "q04_auroc",
+    "q05_mean_std_over_folds",
+    "q06_impute_mean",
+    "q11_fold_assignment",
+    "q12_balance_audit",
+    "q16_naive_fusion",
+    "q24_shipping_priority",
+    "q28_asof_join",
+    "q33_ngram_jaccard",
+    "q36_cosine_topk",
+    "q45_full_pipeline",
+    "q130_pagerank",
+    "q138_reachability",
+    "q160_min_cost_supplier",
+    "q172_triangle_count",
+    "q176_last_touch_attribution",
+    "q177_rolling_correlation",
+    "q178_pareto_frontier",
+    "q179_ordered_stringagg",
+    "q182_udtf_chunking",
+    "q183_hierarchical_shares",
+    "q184_top_session_paths",
+    "q185_local_clustering",
+    "q186_market_basket",
+    "q187_k_anonymity",
+    "q188_bpe_pair_counts",
+    "q189_kcore",
+    "q190_minhash_error",
+    "q191_bigram_surprisal",
+    "q192_random_projection",
+    "q197_pandas_udf_scalar",
+    "q198_grouped_agg_pandas",
+    "q199_apply_in_pandas",
+    "q202_bruteforce_topk",
+    "q203_ann_recall",
+    "q204_ks_drift",
+    "q205_audio_metadata_exact",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -567,12 +567,15 @@ def q263_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE merge training (iterative) -----------------------------------------------
 
 
-def _q264_sql(n_merges: int = 4) -> str:
+def _q264_sql(n_merges: int = 4, where: str = "") -> str:
+    # `where` filters the training corpus (q269's drift audit trains
+    # on a slice vs the union); default empty keeps q264/q267's
+    # generated SQL byte-identical to the r10 form.
     ctes = [
-        """w AS (
+        f"""w AS (
       SELECT word AS w, CAST(COUNT(*) AS BIGINT) AS wc
       FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
-            FROM documents)
+            FROM documents {where})
       WHERE regexp_matches(word, '^[a-z]+$')
       GROUP BY word
     )""",

@@ -1,0 +1,188 @@
+"""Round-11 additions: the last two maintenance verbs the r10
+verdict queued — incremental CONNECTED-COMPONENTS under edge inserts
+(q268), completing the nightly-dedup story pairs (q263) → components
+(this) → canonical (q86) all-incremental; and the BPE VOCAB-DRIFT
+audit (q269), the q260 domain-drift pattern applied to tokenization
+so the trained merge table is maintainable like every other state in
+the family.
+
+Scale stance (100 TB): q268 contracts the delta through yesterday's
+labels — the old EDGE set is never touched (the star loop runs over
+an O(|Δ|) contracted graph, converging in O(log Δ-diameter) rounds),
+the old LABEL table is streamed once through a broadcast semi-probe
+and relabeled with one delta-sized broadcast join; q269's two trains
+are each vocab-sized after one corpus reduction (the q264 Sennrich
+shape), and the drift readout is a 4-row join.
+
+Exactness: q268 is pure integer graph labeling (min reachable id);
+q269 is integer counts and ascii-lowercase symbols end to end, with
+the agreement flag as a 0/1 BIGINT."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from patientdataintegration_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# --- incremental connected components ----------------------------------------------
+
+
+def _q268_sql() -> str:
+    # the full-recompute twin: q115's transitive-closure labeling
+    # over the COMPLETE pair set (old ∪ delta == the full-corpus LSH
+    # pairs, by the q263 three-origin-class identity) — maintenance
+    # must be indistinguishable from recompute
+    from patientdataintegration_spark.suite.ext import _q115_sql
+
+    return _q115_sql()
+
+
+@_register("q268_maintain_components", _q268_sql())
+def q268_maintain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components maintenance under EDGE INSERTS
+    (`operators/dedup.maintain_components`) — the graph member the
+    incremental-dedup family was missing: q263 maintains the LSH
+    candidate *pairs*, but clusters were still recomputed from
+    scratch each night. Here 70% of documents plays the persisted
+    corpus (labels_old = the star labeling of its pairs — the stored
+    state), the rest the day's crawl; the delta edge set is exactly
+    the q263 increment (bipartite(store, delta) ∪ within(delta)),
+    and maintenance contracts that delta through the old labels and
+    star-labels the O(|Δ|) contracted graph — the old EDGES are
+    never read again. The oracle is q115's full transitive-closure
+    recompute over the complete pair set, so the driver hash proves
+    maintenance == recompute across every merge class (old-old
+    bridges, chains stringing several old components, brand-new
+    nodes — including new ids smaller than every old member, which
+    must become the merged component's label).
+
+    Scale: a nightly delta is gigabytes against a 100 TB edge
+    history; full star recompute is O(log n) rounds × all edges,
+    maintenance is O(log Δ-diameter) rounds × the delta plus ONE
+    broadcast-relabel pass over the label table."""
+    from patientdataintegration_spark.operators.dedup import (
+        connected_components_star,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_bipartite,
+        maintain_components,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_table(d), k=8, seed=42).localCheckpoint()
+    sigs_hist = sigs.filter(F.col("doc_id") % 10 < 7)
+    sigs_delta = sigs.filter(F.col("doc_id") % 10 >= 7)
+    pairs_old = lsh_candidate_pairs(sigs_hist, bands=4, rows_per_band=2)
+    labels_old = connected_components_star(pairs_old)
+    delta_edges = (
+        lsh_candidate_pairs_bipartite(
+            sigs_hist, sigs_delta, bands=4, rows_per_band=2
+        )
+        .select(
+            F.least("left_id", "right_id").alias("doc_a"),
+            F.greatest("left_id", "right_id").alias("doc_b"),
+        )
+        .unionByName(
+            lsh_candidate_pairs(sigs_delta, bands=4, rows_per_band=2).select(
+                "doc_a", "doc_b"
+            )
+        )
+    )
+    return maintain_components(labels_old, delta_edges)
+
+
+# --- BPE vocab-drift audit -----------------------------------------------------------
+
+
+def _q269_sql(n_merges: int = 4) -> str:
+    from patientdataintegration_spark.suite.ext8 import _q264_sql
+
+    stored = _q264_sql(n_merges, where="WHERE doc_id % 10 < 7")
+    retrained = _q264_sql(n_merges)
+    return f"""
+    WITH stored AS ({stored}),
+    retrained AS ({retrained})
+    SELECT s.step AS step,
+           s.merge_left AS stored_left,
+           s.merge_right AS stored_right,
+           s.pair_count AS stored_count,
+           r.merge_left AS new_left,
+           r.merge_right AS new_right,
+           r.pair_count AS new_count,
+           CAST(CASE WHEN s.merge_left = r.merge_left
+                      AND s.merge_right = r.merge_right
+                     THEN 1 ELSE 0 END AS BIGINT) AS agree
+    FROM stored s JOIN retrained r ON s.step = r.step
+    """
+
+
+@_register("q269_bpe_vocab_drift", _q269_sql(4))
+def q269_bpe_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocab-DRIFT audit — the q260 domain-drift pattern applied
+    to tokenization, making the q264-trained merge table maintainable
+    like every other state in the family: the STORED vocab was
+    trained on the persisted corpus (doc_id % 10 < 7, the q263/q268
+    split), the day's crawl arrives, and the audit re-trains on the
+    UNION and diffs the merged-pair sequence rank by rank — a drifted
+    domain shows up as the first step where the retrained argmax
+    disagrees with the stored merge (agree = 0), the signal to
+    re-ship the tokenizer. Both trains are the q264 loop (argmax
+    with the (count DESC, left, right) tiebreak; double-space-framed
+    literal replace — semantics identical in both engines); the
+    oracle nests TWO fully-unrolled training CTE blocks (the stored
+    slice and the union) and joins them by step, so the driver hash
+    proves both trainings AND the diff end to end.
+
+    Scale: each train reduces its corpus once to a word-frequency
+    vocab and iterates vocab-sized (the q264 argument); the union
+    train reuses nothing from the stored one BY DESIGN — drift
+    detection must see exactly what a fresh training would ship.
+    Integer counts, ascii symbols, 0/1 agreement."""
+    from patientdataintegration_spark.operators.textops import bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    stored = bpe_merges(
+        d.filter(F.col("doc_id") % 10 < 7), "text", n_merges=4
+    ).select(
+        "step",
+        F.col("merge_left").alias("stored_left"),
+        F.col("merge_right").alias("stored_right"),
+        F.col("pair_count").alias("stored_count"),
+    )
+    retrained = bpe_merges(d, "text", n_merges=4).select(
+        "step",
+        F.col("merge_left").alias("new_left"),
+        F.col("merge_right").alias("new_right"),
+        F.col("pair_count").alias("new_count"),
+    )
+    return stored.join(retrained, "step").select(
+        "step",
+        "stored_left",
+        "stored_right",
+        "stored_count",
+        "new_left",
+        "new_right",
+        "new_count",
+        (
+            (F.col("stored_left") == F.col("new_left"))
+            & (F.col("stored_right") == F.col("new_right"))
+        )
+        .cast("int")
+        .cast("bigint")
+        .alias("agree"),
+    )
