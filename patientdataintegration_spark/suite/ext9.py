@@ -16,7 +16,14 @@ shape), and the drift readout is a 4-row join.
 
 Exactness: q268 is pure integer graph labeling (min reachable id);
 q269 is integer counts and ascii-lowercase symbols end to end, with
-the agreement flag as a 0/1 BIGINT."""
+the agreement flag as a 0/1 BIGINT.
+
+Late-r11 addition: q270 (streaming maintained per-key top-k via
+applyInPandasWithState — the r10 verdict's stretch 9): O(k) state
+per key, single-file availableNow backlog == one micro-batch, so
+the append-mode emission log equals the batch window top-k and the
+lane hash-checks; the checkpointed restart/replay contract is
+pinned by tests/test_streaming_topk.py."""
 
 from __future__ import annotations
 
@@ -186,3 +193,53 @@ def q269_bpe_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("agree"),
     )
+
+
+# --- streaming maintained top-k ------------------------------------------------------
+
+
+@_register(
+    "q270_streaming_topk",
+    """
+    SELECT CAST(o_custkey AS BIGINT) AS key,
+           CAST(rk AS BIGINT) AS "rank",
+           CAST(o_orderkey AS BIGINT) AS id,
+           CAST(o_totalprice AS DOUBLE) AS value
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC,
+                                             o_orderkey) AS rk
+          FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def q270_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintained per-key top-k (`streaming/topk.
+    topk_stream`) — the q259/q262 batch state run as a live
+    applyInPandasWithState stream (the r10 verdict's stretch 9),
+    putting the last maintained aggregate under the streaming
+    exactly-once machinery: state is exactly k (value, id) pairs per
+    key, each micro-batch merges and re-emits touched keys' current
+    top-k. Determinism: the single-file orders backlog is ONE
+    micro-batch under availableNow (the q88/q89 argument), so the
+    append-mode emission log IS the final top-3 per customer and the
+    oracle is the plain window top-3 — the driver hash proves the
+    stream path == batch ranking. The restart/replay contract (state
+    survives a checkpointed restart, new files merge into it, an
+    empty restart emits nothing) is pinned by
+    tests/test_streaming_topk.py. Prices pass through raw —
+    hash-exact. Scale: O(k) state per key, no watermark and no
+    timeout (top-k never evicts by time), emission bounded by
+    k x touched keys per batch."""
+    from patientdataintegration_spark.streaming.topk import topk_stream
+
+    return topk_stream(
+        spark,
+        sf_dir,
+        "orders.parquet",
+        key_col="o_custkey",
+        value_col="o_totalprice",
+        id_col="o_orderkey",
+        k=3,
+        table_name="stream_topk_q270",
+    ).select("key", "rank", "id", "value")
