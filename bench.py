@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "q265_histogram_retractions",    # group-algebra histogram deletes (r10)
     "q266_rollup_updates",           # paired-CDC rollup updates (r10)
     "q267_bpe_token_frequencies",    # BPE apply: token inventory (r10)
+    "q268_maintain_components",      # incremental connected components (r11)
+    "q269_bpe_vocab_drift",          # BPE vocab-drift audit, two trains (r11)
+    "q270_streaming_topk",           # streaming maintained top-k (r11)
 ]
 
 

@@ -131,6 +131,21 @@ def skew_advisor(
     key). Run it on yesterday's data to pick today's plan constants;
     AQE then only has to catch what the profile missed.
 
+    FRESHNESS CONTRACT (by design — r10 verdict item 8): the profile
+    is YESTERDAY'S data. Staleness degrades SPREAD, never
+    correctness: a key that went hot only today is absent from the
+    profile, so `profiled_salted_join` runs it unsalted (correct
+    results, one hot reducer — exactly the plain join's behavior,
+    with AQE's runtime skew split as the remaining backstop); a key
+    that went cold keeps its stale salt factor (correct results, a
+    few needless sub-splits). The operator never reads today's data
+    to re-profile — that would put a full pre-scan on the query
+    path, which is the thing this design avoids. Re-profile on the
+    maintenance cadence (nightly, with the rest of the incremental
+    family) or whenever ingest composition shifts;
+    tests/test_plans.py::test_profiled_salted_join_stale_profile
+    pins the degraded-but-correct behavior.
+
     All integer arithmetic (counts, products, DIV) — exact, engine-
     portable, oracle-checkable. One map-side-combined count per key
     plus a broadcast single-row total: profiling cost is one scan

@@ -535,13 +535,17 @@ def test_scd2_single_shuffle(spark, sf_dir):
 def test_ext2_plan_shapes(spark, sf_dir):
     """Round-4 suite: the plan shapes the docstrings promise.
 
-    - q145: NO window operator anywhere (the r7 rewrite onto
-      `ranking.global_row_number` — range partition + local sort +
-      broadcast prefix offsets); the checkpointed default hides the
-      upstream, so scan shape is asserted on the un-checkpointed
-      variant (conf `spark.pdi.ranking.checkpoint=false`): three
-      statically-planned scans (one per DAG consumer of the ranged
-      relation — AQE's ReuseExchange collapses them to one executed
+    - q145: no window over the FACT table (the r7 rewrite onto
+      `ranking.global_row_number`; since r11 the O(P) prefix sum IS
+      a window, but only over the P-row counts relation — every
+      Window node must order on `_gr_pid`); the checkpointed default
+      hides the upstream, so scan shape is asserted on the
+      un-checkpointed variant (conf
+      `spark.pdi.ranking.checkpoint=false`): TWO statically-planned
+      scans (one per DAG consumer of the ranged relation — the
+      counts branch collapsed from two consumers to one when the
+      r11 rewrite dropped the triangular self-join; AQE's
+      ReuseExchange collapses the remaining pair to one executed
       shuffle at runtime), each column-pruned to exactly the three
       ranked columns
     - q146: pivot is one scan + partial/final aggregate (2 exchanges
@@ -558,16 +562,31 @@ def test_ext2_plan_shapes(spark, sf_dir):
         # header) — count only the numbered detail headers
         return len(re.findall(r"\(\d+\) Scan parquet", explain_str(df)))
 
+    def only_counts_windows(plan, name):
+        # r11: the O(P) prefix sum IS a window, but only over the
+        # P-row counts relation — every Window node's detail block
+        # (formatted explain splits tree lines from "(n) Window" +
+        # Arguments) must order on _gr_pid; a window over the fact
+        # table still fails
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if re.match(r"\(\d+\) Window", ln.strip()):
+                block = " ".join(lines[i : i + 5])
+                assert "_gr_pid" in block, (
+                    f"{name} plans a Window NOT over the counts"
+                    f" relation: {block[:200]}"
+                )
+
     q145 = QUERIES["q145_equidepth_histogram"](spark, sf_dir)
-    assert "Window" not in explain_str(q145), "q145 must not plan a Window"
+    only_counts_windows(explain_str(q145), "q145")
     spark.conf.set("spark.pdi.ranking.checkpoint", "false")
     try:
         q145_open = QUERIES["q145_equidepth_histogram"](spark, sf_dir)
     finally:
         spark.conf.unset("spark.pdi.ranking.checkpoint")
     open_plan = explain_str(q145_open)
-    assert "Window" not in open_plan
-    assert n_scans(q145_open) == 3, open_plan
+    only_counts_windows(open_plan, "q145_open")
+    assert n_scans(q145_open) == 2, open_plan
     open_schemas = set(scan_read_schema(q145_open))
     assert len(open_schemas) == 1 and all(
         s.count(":") == 3 and "l_extendedprice" in s for s in open_schemas
@@ -764,3 +783,59 @@ def test_profiled_salted_join_spreads_hot_key(spark):
         flat, small, on=["k"], salt_key_cols=["rid"], num_partitions=4
     )
     assert "_salt" not in got_flat._jdf.queryExecution().toString()
+
+
+def test_profiled_salted_join_stale_profile(spark):
+    """The freshness contract (skew_advisor docstring): a STALE
+    profile — computed before today's hot key appeared — degrades to
+    the plain join for that key (correct results, unsalted spread),
+    and a key that went cold keeps its stale salt factor (correct
+    results, needless sub-splits). Correctness NEVER depends on
+    profile freshness; only the shuffle layout does."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.skew import (
+        profiled_n_salts,
+        profiled_salted_join,
+        skew_advisor,
+    )
+
+    # yesterday: 'old_hot' dominated; today: 'new_hot' does
+    yesterday = spark.createDataFrame(
+        [("old_hot", i) for i in range(80)]
+        + [(k, i) for i, k in enumerate(["a", "b", "new_hot", "d"] * 5)],
+        "k string, rid bigint",
+    )
+    today = spark.createDataFrame(
+        [("new_hot", i) for i in range(80)]
+        + [(k, i) for i, k in enumerate(["a", "b", "old_hot", "d"] * 5)],
+        "k string, rid bigint",
+    )
+    small = today.select("k").distinct().withColumn(
+        "attr", F.length("k").cast("bigint")
+    )
+    stale = skew_advisor(yesterday, ["k"], num_partitions=4)
+    # the stale profile names old_hot, not new_hot
+    hot_keys = {r["k"] for r in stale.collect()}
+    assert hot_keys == {"old_hot"}
+    got = profiled_salted_join(
+        today, small, on=["k"], salt_key_cols=["rid"], profile=stale,
+        num_partitions=4,
+    )
+    # degraded spread: salting still engages (stale factor >= 2) but
+    # today's actual hot key rides it only incidentally — the
+    # CONTRACT under test is result equality, not layout optimality
+    assert profiled_n_salts(stale) >= 2
+    plain = today.join(small, "k")
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0
+    # an empty (very stale, all keys cooled) profile degrades to the
+    # plain unsalted join — still correct
+    empty = stale.filter(F.lit(False))
+    got_empty = profiled_salted_join(
+        today, small, on=["k"], salt_key_cols=["rid"], profile=empty,
+        num_partitions=4,
+    )
+    assert "_salt" not in got_empty._jdf.queryExecution().toString()
+    assert got_empty.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got_empty).count() == 0
