@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "q268_maintain_components",      # incremental connected components (r11)
     "q269_bpe_vocab_drift",          # BPE vocab-drift audit, two trains (r11)
     "q270_streaming_topk",           # streaming maintained top-k (r11)
+    "q271_topk_updates",             # top-k under paired-CDC updates (r11)
 ]
 
 

@@ -205,12 +205,13 @@ thirty-eight oldest-first r5-era fill lanes — everything from the
 of the window per the r6 verdict), q115 (its exact pipeline is
 re-exercised end-to-end as q268's oracle basis), and q200 (the
 multi-stage curation flagship, queued with q115 for r12, after
-which no lane's evidence predates r6). The late-r11 addition q270
+which no lane's evidence predates r6). The late-r11 additions q270
 (streaming maintained top-k — the r10 verdict's stretch 9, a FULL
 hash lane via the one-file-one-batch argument plus the
-tests/test_streaming_topk.py restart/replay contract) queues for
-the r12 window rather than displacing a fill lane; its r11 evidence
-is the committed 3-SF ORACLE_RUN gate logs.
+tests/test_streaming_topk.py restart/replay contract) and q271
+(top-k under paired-CDC updates, completing the top-k family's
+CRUD) queue for the r12 window rather than displacing fill lanes;
+their r11 evidence is the committed 3-SF ORACLE_RUN gate logs.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES

@@ -18,12 +18,15 @@ Exactness: q268 is pure integer graph labeling (min reachable id);
 q269 is integer counts and ascii-lowercase symbols end to end, with
 the agreement flag as a 0/1 BIGINT.
 
-Late-r11 addition: q270 (streaming maintained per-key top-k via
+Late-r11 additions: q270 (streaming maintained per-key top-k via
 applyInPandasWithState — the r10 verdict's stretch 9): O(k) state
 per key, single-file availableNow backlog == one micro-batch, so
 the append-mode emission log equals the batch window top-k and the
 lane hash-checks; the checkpointed restart/replay contract is
-pinned by tests/test_streaming_topk.py."""
+pinned by tests/test_streaming_topk.py. And q271 (top-k under
+paired-CDC UPDATES — retract-old/apply-new through the q262 repair,
+completing the top-k family's CRUD alongside q259 inserts and q262
+deletes, the same composition q266 gave the rollup family)."""
 
 from __future__ import annotations
 
@@ -243,3 +246,67 @@ def q270_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         table_name="stream_topk_q270",
     ).select("key", "rank", "id", "value")
+
+
+# --- top-k maintenance under UPDATES ------------------------------------------------
+
+
+@_register(
+    "q271_topk_updates",
+    """
+    SELECT o_custkey, CAST(rk AS BIGINT) AS "rank", o_orderkey,
+           p AS o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, p,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY p DESC, o_orderkey) AS rk
+          FROM (SELECT o_custkey, o_orderkey,
+                       CASE WHEN o_orderkey % 41 = 0
+                            THEN o_totalprice + 7.5
+                            ELSE o_totalprice END AS p
+                FROM orders))
+    WHERE rk <= 3
+    """,
+)
+def q271_topk_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k maintenance under UPDATES — the verb that completes the
+    top-k family's CRUD (q259 inserts, q262 deletes, this): the CDC
+    slice carries the paired form every CDC system emits for an
+    update (retract the OLD version, apply the NEW — every 41st
+    order's price moves +7.5, the q266 move), driven through the
+    SAME `apply_topk_retractions` as q262: an updated key is DIRTY
+    (its old value might have been ranked; its new value might rank
+    now), so it re-ranks from the post-update base filtered to the
+    dirty keys by broadcast semi-join — the only base touch — while
+    clean keys' k-row state passes through verbatim. The oracle is
+    the plain window top-3 over the post-update table, so the driver
+    hash proves update == retract+insert == recompute. Exactness:
+    price+7.5 is ONE shared IEEE op (both engines add the same
+    dyadic literal to the same double — the q266 discipline);
+    ranked prices pass through raw. Scale: O(#keys × k) state, the
+    CDC slice broadcast twice (anti + semi), repair touches the
+    dirty sliver, never history."""
+    from patientdataintegration_spark.operators.incremental import (
+        apply_topk_retractions,
+        topk_readout,
+        topk_state,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    upd = F.col("o_orderkey") % 41 == 0
+    post = o.withColumn(
+        "o_totalprice",
+        F.when(upd, F.col("o_totalprice") + F.lit(7.5)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    state_old = topk_state(o, ["o_custkey"], "o_totalprice", 3, "o_orderkey")
+    retractions = o.filter(upd)  # the -old half of the paired CDC
+    maintained = apply_topk_retractions(
+        state_old, retractions, post, ["o_custkey"], "o_totalprice", 3,
+        "o_orderkey",
+    )
+    return topk_readout(
+        maintained, ["o_custkey"], "o_totalprice", "o_orderkey"
+    ).select("o_custkey", "rank", "o_orderkey", "o_totalprice")
