@@ -634,11 +634,16 @@ def maintain_components(
     (big) old label table: one broadcast join, no shuffle of the
     label table, no old-edge scan.
 
-    Oracle/equivalence contract: bit-identical to
-    `connected_components_star(edges_old ∪ Δ)` (the q268 lane's
-    DuckDB twin recomputes min-reachable-label by transitive closure
-    over the union; tests/test_dedup_similarity.py drives
-    adversarial cluster-bridging deltas through both paths).
+    Oracle/equivalence contract: LABELS are identical to
+    `connected_components_star(edges_old ∪ Δ)` for every node both
+    paths emit; NODE COVERAGE differs on exactly one degenerate
+    class (r11 ADVICE): a brand-new node whose only Δ-edges are
+    self-loops is RETAINED here, labeled as itself (it enters the
+    endpoint set before the self-loop filter), while the full
+    recompute drops edgeless nodes entirely. Harmless for the LSH
+    pipeline (q263 pairs are `least < greatest`, never self-loops),
+    and pinned by tests/test_dedup_similarity.py, which also drives
+    adversarial cluster-bridging deltas through both paths.
 
     Reference parity: the reference has no graph stage at all (its
     dedup is per-patient pandas drop_duplicates); this extends the

@@ -426,11 +426,15 @@ def upsert_join_view(
     (required when a slice can carry same-seq versions of one key —
     without a total order "last writer" is not well-defined; pinned
     by tests/test_incremental_state.py's seq-tie case). With the
-    default `tiebreak_col=None` the operator FAILS LOUD on any
-    same-(key, seq) duplicate in the slice (r10 ADVICE): a
-    row_number over a non-total order would otherwise pick a
-    nondeterministic winner silently — the one maintenance verb in
-    the family that didn't guard its precondition."""
+    default `tiebreak_col=None` the operator FAILS LOUD only on a
+    genuinely AMBIGUOUS winner (r10 + r11 ADVICE): exact row
+    duplicates are collapsed first (at-least-once CDC delivery
+    replays rows — a replay changes nothing and must not fail the
+    nightly job), and same-(key, seq) duplicates in NON-winning seq
+    groups are irrelevant (last writer is still well-defined by the
+    higher seq). What raises is two DISTINCT rows tied at a key's
+    maximum seq — there a row_number over a non-total order would
+    pick a nondeterministic winner silently."""
     from pyspark.sql import Window
 
     order = [F.col(seq_col).desc()]
@@ -439,28 +443,39 @@ def upsert_join_view(
         order.append(F.col(tiebreak_col).desc())
         drop.append(tiebreak_col)
     w = Window.partitionBy(a_key).orderBy(*order)
+    if tiebreak_col is None:
+        # benign at-least-once replays: byte-identical rows collapse
+        # to one before ambiguity is judged (shuffles the SMALL CDC
+        # slice on all columns, never the view)
+        cdc_a = cdc_a.dropDuplicates()
     ranked = cdc_a.withColumn("_rk", F.row_number().over(w))
     if tiebreak_col is None:
-        # Same-(key, seq) duplicates make "last writer" ill-defined;
-        # the dup-count window clusters on (a_key, seq) — satisfied
-        # by the row_number's hash-partitioning on a_key, so the
-        # guard costs a sort within already-shuffled partitions of
-        # the (small) CDC slice, never a second shuffle. (Windows
-        # can't live in a WHERE clause, so the count lands in a
-        # column first.)
+        # Distinct same-(key, seq) rows make "last writer" ill-defined
+        # — but only in the WINNING seq group (_rk == 1 sits in the
+        # max-seq group by construction). The dup-count window
+        # clusters on (a_key, seq) — satisfied by the row_number's
+        # hash-partitioning on a_key, so the guard costs a sort
+        # within already-shuffled partitions of the (small) CDC
+        # slice, never a second shuffle. (Windows can't live in a
+        # WHERE clause, so the count lands in a column first.)
         ranked = ranked.withColumn(
             "_dupn",
             F.count(F.lit(1)).over(Window.partitionBy(a_key, seq_col)),
         )
-        keep = F.when(F.col("_dupn") == 1, F.col("_rk") == 1).otherwise(
-            F.raise_error(
-                F.lit(
-                    "upsert_join_view: CDC slice carries same-(key, seq)"
-                    " versions of one key and no tiebreak_col — last"
-                    " writer is not well-defined; pass tiebreak_col or"
-                    " fix the feed"
-                )
-            ).cast("boolean")
+        keep = (
+            F.when(F.col("_rk") != 1, F.lit(False))
+            .when(F.col("_dupn") == 1, F.lit(True))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "upsert_join_view: CDC slice carries distinct"
+                        " same-(key, seq) versions of one key at the"
+                        " winning seq and no tiebreak_col — last writer"
+                        " is not well-defined; pass tiebreak_col or fix"
+                        " the feed"
+                    )
+                ).cast("boolean")
+            )
         )
         drop.append("_dupn")
     else:

@@ -20,6 +20,15 @@ sibling ``pdi_scratch_<uid>_<pid>`` roots whose pid is no longer
 alive (``os.kill(pid, 0)`` probe) — stale roots from abnormal exits
 are bounded to the dead processes since the last live invocation
 instead of accumulating forever (r10 ADVICE).
+
+The root is derived LAZILY on each `scratch_dir` call and re-derived
+whenever ``os.getpid()`` differs from the pid it was captured under
+(r11 ADVICE): a process that forks after import (multiprocessing,
+pytest ``os.fork``) must NOT share the parent's root, or a child's
+scratch writes get wiped by the parent's atexit / sibling reuse of
+the same lane name. The atexit hook is likewise pid-guarded, so a
+registration inherited across ``fork`` never removes the parent's
+live root from the child's exit.
 """
 
 from __future__ import annotations
@@ -30,14 +39,30 @@ import os
 import shutil
 import tempfile
 
-_ROOT = os.path.join(
-    tempfile.gettempdir(), f"pdi_scratch_{os.getuid()}_{os.getpid()}"
-)
-_CLEANUP_REGISTERED = False
+_ROOT: str | None = None
+_ROOT_PID: int | None = None
 
 
-def _cleanup() -> None:
-    shutil.rmtree(_ROOT, ignore_errors=True)
+def _cleanup(root: str, owner_pid: int) -> None:
+    # inherited across fork: only the registering process cleans up
+    if os.getpid() == owner_pid:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _root() -> str:
+    """The per-process scratch root, (re)derived for the CURRENT pid.
+    First use in a process (including a forked child) reaps dead
+    siblings and registers the pid-guarded atexit cleanup."""
+    global _ROOT, _ROOT_PID
+    pid = os.getpid()
+    if _ROOT is None or _ROOT_PID != pid:
+        _ROOT = os.path.join(
+            tempfile.gettempdir(), f"pdi_scratch_{os.getuid()}_{pid}"
+        )
+        _ROOT_PID = pid
+        _reap_stale_roots(_ROOT)
+        atexit.register(_cleanup, _ROOT, pid)
+    return _ROOT
 
 
 def _pid_alive(pid: int) -> bool:
@@ -52,7 +77,7 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
-def _reap_stale_roots() -> None:
+def _reap_stale_roots(own_root: str) -> None:
     """Remove sibling scratch roots left by crashed processes (their
     atexit never ran). Only this uid's roots are candidates, and only
     when their pid is provably dead — a live concurrent gate/oracle
@@ -64,7 +89,7 @@ def _reap_stale_roots() -> None:
     except OSError:
         return
     for entry in entries:
-        if not entry.startswith(prefix) or entry == os.path.basename(_ROOT):
+        if not entry.startswith(prefix) or entry == os.path.basename(own_root):
             continue
         try:
             pid = int(entry[len(prefix):])
@@ -79,17 +104,13 @@ def scratch_dir(name: str, *tags: str) -> str:
     e.g. the sf_dir — are hashed into the path so distinct corpora
     don't collide). Existing content from a previous invocation in
     this process is removed; the whole root is removed at exit."""
-    global _CLEANUP_REGISTERED
-    if not _CLEANUP_REGISTERED:
-        _reap_stale_roots()
-        atexit.register(_cleanup)
-        _CLEANUP_REGISTERED = True
+    root = _root()
     suffix = (
         "_" + hashlib.md5("\x1f".join(tags).encode()).hexdigest()[:12]
         if tags
         else ""
     )
-    path = os.path.join(_ROOT, f"{name}{suffix}")
+    path = os.path.join(root, f"{name}{suffix}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path

@@ -128,10 +128,21 @@ def topk_stream(
         .option("pathGlobFilter", glob)
         .load(source_dir)
     )
+    # NULL semantics (r11 ADVICE): a row with a NULL key, value or id
+    # cannot rank — no key to group on, no position in the (value
+    # DESC, id ASC) total order — so it is EXCLUDED before the state
+    # function, the same NULL-measure discipline as the batch
+    # maintenance family (histogram_state, topk_state) and the q270
+    # oracle's row_number. Without this the pandas worker would crash
+    # on int(None)/astype(NaN) instead of defining the semantics.
     prepared = stream.select(
         F.col(key_col).cast("bigint").alias("key"),
         F.col(value_col).cast("double").alias("value"),
         F.col(id_col).cast("bigint").alias("id"),
+    ).filter(
+        F.col("key").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("id").isNotNull()
     )
     ranked = prepared.groupBy("key").applyInPandasWithState(
         make_topk_fn(k),

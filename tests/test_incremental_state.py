@@ -589,6 +589,25 @@ def test_upsert_join_view_fails_loud_on_untied_same_seq(spark):
     with pytest.raises(Exception, match="same-\\(key, seq\\)"):
         upsert_join_view(view_old, tied, b, "ak", ["j"], seq_col="seq").collect()
 
+    # r11 ADVICE: the guard must NOT fire on benign duplicates where
+    # last writer is still well-defined —
+    # (a) an exact replayed row (at-least-once CDC delivery), and
+    # (b) distinct same-seq versions in a NON-winning seq group
+    #     (outvoted by a higher seq).
+    benign = spark.createDataFrame(
+        [
+            (1, 10, "v1-new", 3),  # the unambiguous winner
+            (1, 10, "v1-new", 3),  # (a) exact replay of the winner
+            (1, 10, "v1-a", 2),    # (b) distinct tie at a LOSING seq
+            (1, 10, "v1-b", 2),
+        ],
+        "ak bigint, j bigint, payload string, seq int",
+    )
+    got2 = upsert_join_view(view_old, benign, b, "ak", ["j"], seq_col="seq")
+    assert [
+        (r["ak"], r["payload"]) for r in got2.collect()
+    ] == [(1, "v1-new")]
+
 
 def test_moments_exact_readout_rejects_negative_sums(spark):
     """Spark DIV truncates toward zero; DuckDB // floors — they

@@ -43,11 +43,37 @@ def test_stale_roots_of_dead_pids_are_reaped(tmp_path, monkeypatch):
     odd_root = os.path.join(tmp, f"pdi_scratch_{uid}_notapid")
     os.makedirs(odd_root)
 
-    monkeypatch.setattr(
-        scratch, "_ROOT", os.path.join(tmp, f"pdi_scratch_{uid}_999999999")
-    )
-    scratch._reap_stale_roots()
+    scratch._reap_stale_roots(os.path.join(tmp, f"pdi_scratch_{uid}_999999999"))
 
     assert not os.path.exists(dead_root), "dead pid's root must be reaped"
     assert os.path.exists(live_root), "live pid's root must survive"
     assert os.path.exists(odd_root), "non-pid names are not candidates"
+
+
+def test_forked_child_gets_its_own_root():
+    """r11 ADVICE: the root is re-derived per pid, so a fork after
+    first use gives the child a DISTINCT root — the parent's atexit
+    (and same-name lane reuse) can never wipe the child's scratch."""
+    parent_dir = scratch.scratch_dir("fork_lane")
+    parent_root = scratch._root()
+    r, w = os.pipe()
+    pid = os.fork()
+    if pid == 0:  # child
+        os.close(r)
+        try:
+            child_dir = scratch.scratch_dir("fork_lane")
+            ok = (
+                scratch._root() != parent_root
+                and child_dir != parent_dir
+                and os.path.isdir(child_dir)
+            )
+            os.write(w, b"1" if ok else b"0")
+        finally:
+            os._exit(0)
+    os.close(w)
+    got = os.read(r, 1)
+    os.close(r)
+    os.waitpid(pid, 0)
+    assert got == b"1", "forked child must derive its own pid-scoped root"
+    # the child's pid-guarded atexit must not have touched the parent root
+    assert os.path.isdir(parent_dir)

@@ -118,3 +118,32 @@ def test_restart_merges_state_and_replays_nothing(spark, tmp_path):
         )
     )
     assert c3 == c2
+
+
+def test_null_key_value_or_id_rows_are_excluded(spark, tmp_path):
+    """NULL semantics (r11 ADVICE): a row with a NULL key, value or
+    id has no place in the (value DESC, id ASC) total order, so it is
+    filtered before the state function — same discipline as the batch
+    topk_state / histogram_state NULL-measure filters — instead of
+    crashing the pandas worker on int(None)."""
+    rows = [
+        (1, 10.0, 100),
+        (1, 30.0, 101),
+        (None, 99.0, 400),   # NULL key: no group to rank in
+        (1, None, 102),      # NULL value: no rank position
+        (1, 40.0, None),     # NULL id: no deterministic tiebreak
+        (2, 5.0, 200),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "key bigint, value double, id bigint"
+    ).coalesce(1).write.parquet(src)
+    got = topk_stream(
+        spark, src, "*.parquet", "key", "value", "id", k=2,
+        table_name="tt_topk_nulls",
+    )
+    emitted = {
+        (r["key"], r["rank"], r["id"], r["value"]) for r in got.collect()
+    }
+    clean = [r for r in rows if None not in r]
+    assert emitted == _batch_topk(spark, clean, k=2)
