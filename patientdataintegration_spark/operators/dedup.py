@@ -754,6 +754,133 @@ def maintain_components(
     return out_old.unionByName(out_new)
 
 
+def retract_lsh_pairs(
+    pairs_old: DataFrame,
+    deleted_ids: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maintained LSH candidate-pair view under DOCUMENT DELETES —
+    the delete-side mirror of `maintain_lsh_pairs` (takedowns, GDPR
+    erasure): every pair touching a deleted document leaves the view,
+    and NO other pair is affected (a pair is a property of its two
+    endpoints only), so maintenance is exactly two broadcast
+    anti-joins over the partitioned pair scan:
+
+        pairs(corpus ∖ D) = pairs_old ∖ {p : p touches D}
+
+    At 100 TB the takedown set is rows-of-ids against a pair view of
+    billions: the view is streamed once, never shuffled, and the
+    signature/fingerprint stores retract with the same single
+    anti-join. Bit-identical to a full LSH recompute over the
+    surviving corpus because banding is per-document (the q263
+    three-origin-class identity, read backwards)."""
+    dele = F.broadcast(
+        deleted_ids.select(F.col(id_col).cast("bigint").alias(id_col)).distinct()
+    )
+    return (
+        pairs_old.join(dele.withColumnRenamed(id_col, id_a), id_a, "left_anti")
+        .join(dele.withColumnRenamed(id_col, id_b), id_b, "left_anti")
+        # anti-joins hoist their key column first; restore the view's
+        # column order so the maintained pair view round-trips
+        .select(*pairs_old.columns)
+    )
+
+
+def retract_documents(
+    pairs_old: DataFrame,
+    labels_old: DataFrame,
+    deleted_ids: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    id_col: str = "doc_id",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected-components maintenance under DOCUMENT DELETES — the
+    decremental verb that completes the dedup family's CRUD
+    (q263/q268 insert pairs and merge clusters; q86 canonicalizes;
+    this REMOVES documents): given the pair view, yesterday's
+    (node, label = min reachable id) table and a takedown id set,
+    return the labels of pairs(corpus ∖ D) WITHOUT a global
+    recompute.
+
+    Edge deletes can SPLIT components — min-label maintenance cannot
+    express that (a label carries no memory of which edges produced
+    it), so the repair is cluster-local recomputation, the q256
+    dirty-key pattern on the graph:
+
+    1. dirty labels = the old labels of deleted nodes — ONE broadcast
+       semi-probe of the (big) label table with the takedown set as
+       build side; |dirty| <= |D|.
+    2. untouched clusters pass through verbatim: broadcast ANTI on
+       the dirty label set over the partitioned label scan. This is
+       the 100 TB bulk, and it is never shuffled, joined wide, or
+       re-labeled — takedowns cluster in a sliver of clusters.
+    3. dirty-cluster membership = labels_old semi dirty-labels
+       (delta-sized: only clusters that lost a member). The pair
+       view restricts to those members with one broadcast semi on
+       `id_a` (pairs live WITHIN a cluster, so one endpoint suffices)
+       — the pair view is streamed once, never shuffled.
+    4. the surviving dirty pairs (both endpoints alive —
+       `retract_lsh_pairs` on the delta-sized restriction) re-label
+       via the large-/small-star loop, which runs over an
+       O(dirty-cluster-pairs) relation, not the corpus.
+
+    Node-coverage contract (stated per the r11 maintain_components
+    lesson): output covers exactly the nodes with >= 1 SURVIVING
+    pair — deleted nodes vanish, and a survivor whose every partner
+    was deleted vanishes too (it is no longer clustered; downstream
+    `canonicalize_clusters` treats absent nodes as their own
+    canonical). That is bit-identical to
+    `connected_components_star(retract_lsh_pairs(pairs_old, D))`
+    — the full-recompute twin the q272 oracle replays by transitive
+    closure — including min-label RE-ELECTION when a cluster's
+    canonical (minimum-id) document is the one taken down, and
+    SPLITS when a bridge document is (both pinned adversarially in
+    tests/test_dedup_similarity.py).
+
+    Reference parity: the reference rebuilds cohort tables per
+    experiment (ExperimentSetup_v2.py:57-71) so it never needed a
+    takedown path; at our north-star scale erasure without recompute
+    is mandatory."""
+    dele = (
+        deleted_ids.select(F.col(id_col).cast("bigint").alias("node"))
+        .distinct()
+        .localCheckpoint()  # two consumers: dirty-label probe + pair filter
+    )
+    dirty_labels = (
+        labels_old.join(F.broadcast(dele), "node", "left_semi")
+        .select("label")
+        .distinct()
+        .localCheckpoint()  # two consumers: the anti pass-through + membership
+    )
+    clean = labels_old.join(F.broadcast(dirty_labels), "label", "left_anti").select(
+        "node", "label"
+    )
+    dirty_members = labels_old.join(
+        F.broadcast(dirty_labels), "label", "left_semi"
+    ).select("node")
+    dirty_pairs = pairs_old.join(
+        F.broadcast(dirty_members).withColumnRenamed("node", id_a),
+        id_a,
+        "left_semi",
+    )
+    surviving = retract_lsh_pairs(
+        dirty_pairs,
+        dele.withColumnRenamed("node", id_col),
+        id_a=id_a,
+        id_b=id_b,
+        id_col=id_col,
+    ).localCheckpoint()  # isEmpty probe + star input
+    if surviving.isEmpty():
+        return clean
+    repaired = connected_components_star(
+        surviving, id_a=id_a, id_b=id_b, max_rounds=max_rounds
+    )
+    return clean.unionByName(repaired)
+
+
 def canonicalize_clusters(
     docs: DataFrame,
     components: DataFrame,

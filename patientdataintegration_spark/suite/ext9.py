@@ -26,7 +26,15 @@ lane hash-checks; the checkpointed restart/replay contract is
 pinned by tests/test_streaming_topk.py. And q271 (top-k under
 paired-CDC UPDATES — retract-old/apply-new through the q262 repair,
 completing the top-k family's CRUD alongside q259 inserts and q262
-deletes, the same composition q266 gave the rollup family)."""
+deletes, the same composition q266 gave the rollup family).
+
+Round-12 addition: q272 (decremental dedup — document takedowns):
+LSH pairs retract with two broadcast anti-joins, components repair
+cluster-locally (edge deletes can SPLIT components, so the dirty
+clusters re-label by a star run over only their surviving pairs),
+untouched clusters pass through behind one broadcast anti-probe —
+completing CRUD for the dedup family (q263/q268 insert, q86
+canonicalize, this deletes)."""
 
 from __future__ import annotations
 
@@ -310,3 +318,74 @@ def q271_topk_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_readout(
         maintained, ["o_custkey"], "o_totalprice", "o_orderkey"
     ).select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+
+
+# --- decremental dedup: document takedowns ------------------------------------------
+
+
+def _q272_sql(mod: int = 7, rem: int = 2) -> str:
+    # the full-recompute twin: q115's transitive-closure labeling
+    # over the SURVIVING pair set — every pair touching a deleted
+    # document removed first (retraction must be indistinguishable
+    # from recomputing over the corpus minus the takedowns)
+    from patientdataintegration_spark.suite.ext import _lsh_pairs_sql
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+    kept AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE doc_a % {mod} <> {rem} AND doc_b % {mod} <> {rem}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM kept
+      UNION SELECT doc_b, doc_a FROM kept
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(lab) AS BIGINT) AS label
+    FROM reach GROUP BY node
+    """
+
+
+@_register("q272_retract_documents", _q272_sql())
+def q272_retract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decremental dedup — DOCUMENT TAKEDOWNS (`operators/dedup.
+    retract_documents`), the r11 verdict's #1 missing family member:
+    the maintenance family handled inserts (q263/q268), updates
+    (q257/q266/q271) and aggregate retractions (q248/q262/q265), but
+    REMOVING a document (GDPR erasure) had no incremental lane
+    because edge deletes can SPLIT components, which min-label
+    maintenance cannot express. The repair is cluster-local (the
+    q256 dirty-key pattern on the graph): every 7th document
+    (doc_id % 7 == 2) is taken down; its LSH pairs retract from the
+    maintained pair view (two broadcast anti-joins — the delete-side
+    mirror of q263's maintain_lsh_pairs); clusters that lost a
+    member re-label via the star loop over ONLY their surviving
+    pairs, while untouched clusters pass through verbatim behind one
+    broadcast anti-probe. The oracle recomputes min-reachable-label
+    by transitive closure over the surviving pair set, so the driver
+    hash proves retraction == full recompute — including canonical
+    re-election (the cluster's min id removed) and bridge splits,
+    pinned adversarially in tests/test_dedup_similarity.py. This
+    completes CRUD for the dedup family.
+
+    Scale: the takedown set broadcasts; the (100 TB) label table and
+    pair view are each streamed ONCE, never shuffled; the star runs
+    over the dirty sliver (clusters that lost a member), never the
+    corpus. labels_old is localCheckpointed here because the lane
+    BUILDS the state it then maintains — in production it is stored
+    parquet, and the three probes are three column-pruned scans."""
+    from patientdataintegration_spark.operators.dedup import (
+        connected_components_star,
+        retract_documents,
+    )
+    from patientdataintegration_spark.suite.ext import cached_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs_old = cached_lsh_pairs(spark, sf_dir)
+    labels_old = connected_components_star(pairs_old).localCheckpoint()
+    deleted = d.select("doc_id").filter(F.col("doc_id") % 7 == 2)
+    return retract_documents(pairs_old, labels_old, deleted)

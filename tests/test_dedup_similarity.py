@@ -630,3 +630,76 @@ def test_maintain_components_self_loop_new_node(spark):
     delta = spark.createDataFrame([(9, 9)], "doc_a bigint, doc_b bigint")
     got = dict(maintain_components(labels_old, delta).collect())
     assert got == {1: 1, 2: 1, 9: 9}
+
+
+def test_retract_documents_adversarial_deletes(spark):
+    """retract_documents(pairs, labels, D) == full star recompute
+    over retract_lsh_pairs(pairs, D), under every delete class at
+    once: a BRIDGE removal that splits one component into two, a
+    CANONICAL (min-id) removal that forces label re-election, a LEAF
+    removal that leaves its cluster intact, a WHOLE-cluster wipe, a
+    survivor orphaned into edgelessness (drops out of the labeling,
+    per the node-coverage contract), and a delete of an id that was
+    never clustered (no-op)."""
+    from patientdataintegration_spark.operators.dedup import (
+        connected_components_star,
+        retract_documents,
+        retract_lsh_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            # path component {1,2,3,4,5}: 3 is a bridge
+            (1, 2), (2, 3), (3, 4), (4, 5),
+            # component {10,11,12}: 10 is the canonical (min id)
+            (10, 11), (10, 12), (11, 12),
+            # component {20,21}: wiped entirely
+            (20, 21),
+            # component {30,31}: 31's ONLY partner is 30 -> orphaned
+            (30, 31),
+            # untouched component {40,41,42}
+            (40, 41), (41, 42),
+        ],
+        "doc_a bigint, doc_b bigint",
+    )
+    labels_old = connected_components_star(pairs)
+    deleted = spark.createDataFrame(
+        [(3,), (10,), (20,), (21,), (30,), (999,)], "doc_id bigint"
+    )
+    got = retract_documents(pairs, labels_old, deleted)
+    want = connected_components_star(retract_lsh_pairs(pairs, deleted))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    g = dict(got.collect())
+    assert g[1] == g[2] == 1 and g[4] == g[5] == 4, "bridge delete splits"
+    assert g[11] == g[12] == 11, "canonical delete re-elects next min"
+    assert 20 not in g and 21 not in g, "wiped cluster vanishes"
+    assert 30 not in g and 31 not in g, "orphaned survivor drops out"
+    assert g[40] == g[41] == g[42] == 40, "untouched cluster unchanged"
+    assert 3 not in g and 10 not in g and 999 not in g
+
+
+def test_retract_documents_untouched_fastpath_and_pair_view(spark):
+    """Deletes that hit NO clustered document leave the labels
+    bit-identical (the dirty set is empty, so the star never runs),
+    and retract_lsh_pairs removes exactly the touching pairs."""
+    from patientdataintegration_spark.operators.dedup import (
+        connected_components_star,
+        retract_documents,
+        retract_lsh_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (5, 6)], "doc_a bigint, doc_b bigint"
+    )
+    labels_old = connected_components_star(pairs)
+    deleted = spark.createDataFrame([(100,), (200,)], "doc_id bigint")
+    got = retract_documents(pairs, labels_old, deleted)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, labels_old.collect())
+    )
+    kept = retract_lsh_pairs(
+        pairs, spark.createDataFrame([(5,)], "doc_id bigint")
+    )
+    assert sorted(map(tuple, kept.collect())) == [(1, 2)]
