@@ -7,6 +7,18 @@ min-of-N bias that flags every noisy sub-second query once history
 grows). The best prior is shown alongside for context. Prints
 queries above the threshold ratio.
 
+Baseline-reset markers (r11 verdict item 4): a deliberate
+reimplementation changes a lane's cost-by-construction, after which
+history rows from the RETIRED spelling are not a regression baseline
+— they made q145 re-flag its r7 single-reducer→distributed trade
+every round, needing hand-adjudication each time. A history line
+
+    {"baseline_reset": ["q145_equidepth_histogram"], "reason": "..."}
+
+invalidates all PRIOR samples for the listed lanes (position in the
+file is the cutoff, so the marker is append-order metadata like the
+round markers, and survives future appends untouched).
+
 Usage: python tools/bench_diff.py [threshold=1.25]
 """
 
@@ -22,13 +34,18 @@ def main() -> int:
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "BENCH_HISTORY.jsonl")
     entries = []
+    resets: dict[str, int] = {}  # lane -> first valid entry index
     with open(path) as f:
         for line in f:
             line = line.strip()
             if not line:
                 continue
             d = json.loads(line)
+            if d.get("baseline_reset"):
+                for lane in d["baseline_reset"]:
+                    resets[lane] = len(entries)
             if d.get("queries"):
+                d["_idx"] = len(entries)
                 entries.append(d)
     if len(entries) < 2:
         print("need at least two bench entries with per-query timings")
@@ -71,7 +88,16 @@ def main() -> int:
     samples: dict[str, list[float]] = {}
     for e in prior:
         for q, v in e["queries"].items():
+            if e["_idx"] < resets.get(q, 0):
+                continue  # retired-spelling row: not a valid baseline
             samples.setdefault(q, []).append(v)
+    if resets:
+        skipped = sorted(
+            q for q in (last.get("queries") or {}) if q in resets
+        )
+        if skipped:
+            print(f"baseline resets active for: {', '.join(skipped)} "
+                  f"(pre-reset history rows excluded from their medians)")
     ratios: dict[str, tuple[float, float, float, float]] = {}
     for q, v in sorted(last["queries"].items()):
         s = samples.get(q)
