@@ -389,3 +389,61 @@ def q272_retract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels_old = connected_components_star(pairs_old).localCheckpoint()
     deleted = d.select("doc_id").filter(F.col("doc_id") % 7 == 2)
     return retract_documents(pairs_old, labels_old, deleted)
+
+
+# --- streaming maintained dedup loop ------------------------------------------------
+
+
+@_register("q273_streaming_components", _q268_sql())
+def q273_streaming_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE nightly dedup loop — maintained pairs (q263) +
+    maintained components (q268) — run under the streaming
+    exactly-once machinery (`streaming/components.components_stream`,
+    the r11 verdict's stretch 6): 70% of documents seeds the
+    persisted (signatures, pairs, labels) stores, then TWO signature
+    deltas (doc_id % 10 in {7,8}, then % 10 == 9) arrive as files
+    across two checkpointed availableNow runs — the q270 restart
+    pattern, so the second run processes ONLY the new file against
+    the state that survived the restart. Each micro-batch does
+    delta-sized work only: bipartite-band the batch against the
+    signature store, append the new pairs, contract through the old
+    labels and star-relabel; versioned store writes keyed by
+    batch_id make a replayed batch idempotent. The oracle is the
+    q115/q268 full transitive-closure recompute over the COMPLETE
+    corpus pair set, so the driver hash proves two rounds of
+    streamed maintenance == batch recompute end to end (the q268
+    equivalence, applied inductively per batch). Restart/replay and
+    pair-view convergence are pinned by
+    tests/test_streaming_components.py."""
+    from patientdataintegration_spark.operators.dedup import (
+        connected_components_star,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+    from patientdataintegration_spark.scratch import scratch_dir
+    from patientdataintegration_spark.streaming.components import (
+        components_stream,
+        seed_stores,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_table(d), k=8, seed=42).localCheckpoint()
+    sigs_hist = sigs.filter(F.col("doc_id") % 10 < 7)
+    pairs0 = lsh_candidate_pairs(sigs_hist, bands=4, rows_per_band=2)
+    labels0 = connected_components_star(pairs0)
+    root = scratch_dir("stream_components", sf_dir)
+    src, store, ckpt = (f"{root}/{p}" for p in ("src", "store", "ckpt"))
+    import os
+
+    os.makedirs(src)
+    os.makedirs(store)
+    seed_stores(sigs_hist, pairs0, labels0, store)
+    sigs.filter((F.col("doc_id") % 10 >= 7) & (F.col("doc_id") % 10 < 9)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    components_stream(spark, src, "*.parquet", store, ckpt)
+    sigs.filter(F.col("doc_id") % 10 == 9).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    return components_stream(spark, src, "*.parquet", store, ckpt)
