@@ -136,3 +136,45 @@ def test_sessionizer_state_union_reconstructs_batch(spark, sf_dir):
         assert batch.exceptAll(stitched).count() == 0
     finally:
         out.unpersist()
+
+
+def test_state_sizing_on_sessionizer_checkpoint(spark, sf_dir):
+    """The capacity probe (`statestore.state_sizing`) against the
+    q245 sessionizer's checkpoint: live-key count matches the
+    statestore source, the overhead/marginal split is internally
+    consistent, and the projection is exactly the documented linear
+    model — the README's 100 TB state-sizing guidance, checkable."""
+    from patientdataintegration_spark.scratch import scratch_dir
+    from patientdataintegration_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+    from patientdataintegration_spark.streaming.statestore import state_sizing
+
+    ckpt = scratch_dir("sizing_test_ckpt", sf_dir)
+    sessionize_stream(
+        spark,
+        sf_dir,
+        gap_seconds=43200,
+        watermark="0 seconds",
+        table_name="sizing_test_emitted",
+        checkpoint=ckpt,
+    )
+    n_live = spark.read.format("statestore").load(ckpt).count()
+    rep = state_sizing(spark, ckpt, target_keys=1_000_000,
+                       target_partitions=20_000)
+    assert rep["operator_name"] == "applyInPandasWithState"
+    assert rep["n_keys"] == n_live > 0
+    assert rep["n_partitions"] == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    assert rep["state_bytes"] > 0
+    assert rep["overhead_bytes_per_partition"] >= 0
+    assert rep["bytes_per_key"] >= 0
+    # the projection IS the documented linear model
+    assert rep["projected_bytes"] == int(
+        20_000 * rep["overhead_bytes_per_partition"]
+        + 1_000_000 * rep["bytes_per_key"]
+    )
+    # sanity: the overhead estimate is one partition's bytes, so it
+    # can never exceed the whole store's observed total
+    assert rep["overhead_bytes_per_partition"] <= rep["state_bytes"]
