@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "q269_bpe_vocab_drift",          # BPE vocab-drift audit, two trains (r11)
     "q270_streaming_topk",           # streaming maintained top-k (r11)
     "q271_topk_updates",             # top-k under paired-CDC updates (r11)
+    "q272_retract_documents",        # decremental dedup: takedowns (r12)
+    "q273_streaming_components",     # streamed maintained dedup loop (r12)
 ]
 
 

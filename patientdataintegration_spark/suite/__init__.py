@@ -212,6 +212,30 @@ tests/test_streaming_topk.py restart/replay contract) and q271
 (top-k under paired-CDC updates, completing the top-k family's
 CRUD) queue for the r12 window rather than displacing fill lanes;
 their r11 evidence is the committed 3-SF ORACLE_RUN gate logs.
+
+The round-12 window: (a) the four never-driver-checked lanes — the
+late-r11 additions q270 (streaming maintained top-k) and q271
+(top-k under updates), plus the r12 additions q272 (decremental
+dedup: document takedowns — LSH pairs retract by broadcast
+anti-join, components repair cluster-locally because edge deletes
+can SPLIT what min-label maintenance cannot, oracle = transitive
+closure over the SURVIVING pair set; completes CRUD for the dedup
+family) and q273 (the whole maintained dedup loop — pairs q263 +
+components q268 — under streaming exactly-once: two signature-delta
+micro-batches across a checkpointed restart, versioned idempotent
+store writes, oracle = the q115 full-recompute closure); (b) the
+last two r5-era hash lanes, q115_components_star and
+q200_corpus_curation, closing the r9 verdict's evidence-rotation
+demand for good (after this window no hash lane's latest driver
+evidence predates r6); (c) the one r12 re-proof — q257 after
+upsert_join_view's ambiguity guard was SCOPED to genuinely
+ambiguous winners (exact at-least-once replays now collapse via
+dropDuplicates and losing-seq ties no longer raise — r11 ADVICE;
+the healthy path this lane drives is value-identical with the
+slice deduplicated first); and (d) forty-three oldest-first r6-era
+fill lanes — everything from the 47-lane r6 evidence tail except
+q43_percentiles, q44_cube, q63_latest_per_key and
+q95_approx_distinct, which queue for r13.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -272,71 +296,67 @@ ROWS_ONLY_REASONS = {
     ),
 }
 
-# The driver-checked prefix, by design exactly 50 names (round-11
+# The driver-checked prefix, by design exactly 50 names (round-12
 # rotation: see module docstring).
 PRIORITY = [
-    # (a) the r11 additions — never driver-checked
-    "q268_maintain_components",
-    "q269_bpe_vocab_drift",
-    # (b) changed in round 11 — re-prove: the global_row_number
-    # prefix-sum rewrite (O(P²) crossJoin → O(P) running-sum window
-    # over the counts relation) re-proves the ranking family; the
-    # fail-loud guards added to upsert_join_view (same-(key,seq)
-    # dups) and moments_exact_readout (negative grain sums) re-prove
-    # their lanes on the healthy path; histogram_state_signed gained
-    # track_overflow (q265's clamped path byte-identical)
-    "q49_global_topk",
-    "q54_spend_deciles",
-    "q145_equidepth_histogram",
-    "q149_percentiles",
-    "q232_decile_edges_approx",
-    "q233_equidepth_approx",
-    "q235_topk_per_group",
+    # (a) never driver-checked: the late-r11 additions and the two
+    # r12 additions
+    "q270_streaming_topk",
+    "q271_topk_updates",
+    "q272_retract_documents",
+    "q273_streaming_components",
+    # (b) the last two r5-era hash lanes — evidence rotation closes
+    "q115_components_star",
+    "q200_corpus_curation",
+    # (c) changed in round 12 — re-prove: upsert_join_view's
+    # ambiguity guard scoped to genuinely ambiguous winners (benign
+    # at-least-once replays collapse; losing-seq ties pass)
     "q257_join_view_updates",
-    "q261_moments_exact_money",
-    "q265_histogram_retractions",
-    # (c) thirty-eight oldest-first r5-era fill lanes — the complete
-    # r5 evidence tail except q94 (rows-only by design, out of the
-    # window per the r6 verdict), q115 (re-exercised as q268's
-    # oracle basis) and q200 (queued for r12 with q115)
-    "q02_group_scores",
-    "q04_auroc",
-    "q05_mean_std_over_folds",
-    "q06_impute_mean",
-    "q11_fold_assignment",
-    "q12_balance_audit",
-    "q16_naive_fusion",
-    "q24_shipping_priority",
-    "q28_asof_join",
-    "q33_ngram_jaccard",
-    "q36_cosine_topk",
-    "q45_full_pipeline",
-    "q130_pagerank",
-    "q138_reachability",
-    "q160_min_cost_supplier",
-    "q172_triangle_count",
-    "q176_last_touch_attribution",
-    "q177_rolling_correlation",
-    "q178_pareto_frontier",
-    "q179_ordered_stringagg",
-    "q182_udtf_chunking",
-    "q183_hierarchical_shares",
-    "q184_top_session_paths",
-    "q185_local_clustering",
-    "q186_market_basket",
-    "q187_k_anonymity",
-    "q188_bpe_pair_counts",
-    "q189_kcore",
-    "q190_minhash_error",
-    "q191_bigram_surprisal",
-    "q192_random_projection",
-    "q197_pandas_udf_scalar",
-    "q198_grouped_agg_pandas",
-    "q199_apply_in_pandas",
-    "q202_bruteforce_topk",
-    "q203_ann_recall",
-    "q204_ks_drift",
-    "q205_audio_metadata_exact",
+    # (d) forty-three oldest-first r6-era fill lanes (the complete
+    # r6 evidence tail except q43/q44/q63/q95, queued for r13)
+    "q03_balanced_accuracy",
+    "q07_impute_mode",
+    "q08_scale01",
+    "q09_onehot",
+    "q10_bucketize",
+    "q13_sample_per_group",
+    "q14_union_cohorts",
+    "q15_topk_per_group",
+    "q17_threshold_sweep",
+    "q18_semi_anti_join",
+    "q19_set_ops",
+    "q20_rollup",
+    "q23_distinct_agg",
+    "q25_local_volume",
+    "q26_path_parsing",
+    "q27_status_matrix",
+    "q104_audio_metadata",
+    "q181_video_frames",
+    "q193_image_dhash",
+    "q194_dhash_neardup",
+    "q195_python_datasource",
+    "q206_image_decode_exact",
+    "q207_embedding_neardup_clusters",
+    "q208_sole_late_supplier",
+    "q209_rich_idle_customers",
+    "q210_token_count_median",
+    "q211_join_key_skew",
+    "q212_status_pivot",
+    "q213_small_qty_revenue",
+    "q214_scd2_history",
+    "q215_max_concurrency",
+    "q216_fuzzy_name_match",
+    "q217_nation_trade_matrix",
+    "q218_market_share",
+    "q219_time_weighted_avg",
+    "q221_salted_join",
+    "q222_arrow_byte_stats",
+    "q225_revenue_concentration",
+    "q226_large_volume_orders",
+    "q227_disjunctive_revenue",
+    "q228_trailing_hour_frame",
+    "q229_sql_udf_macros",
+    "q230_lateral_topk",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]
