@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "q271_topk_updates",             # top-k under paired-CDC updates (r11)
     "q272_retract_documents",        # decremental dedup: takedowns (r12)
     "q273_streaming_components",     # streamed maintained dedup loop (r12)
+    "q274_takedown_certificate",     # four retraction algebras certified (r12)
 ]
 
 

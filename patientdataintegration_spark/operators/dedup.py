@@ -85,6 +85,61 @@ def incremental_exact_dedup(
     )
 
 
+def retract_exact_dedup(
+    store_old: DataFrame,
+    doc_fingerprints: DataFrame,
+    deleted_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-dedup store maintenance under DOCUMENT DELETES — the
+    takedown verb for the fingerprint family (q32 builds the store,
+    q117/q240 insert into it; this removes): given the
+    (fingerprint, canonical_id, n_docs) store, the persisted
+    (doc_id, fingerprint) mapping (what `incremental_exact_dedup`
+    keys its anti-join on), and a takedown id set, return the store
+    of the surviving corpus.
+
+    A delete touches exactly the deleted docs' fingerprint GROUPS —
+    the dirty-key pattern in its simplest form:
+
+    1. dirty fingerprints = one broadcast semi-probe of the mapping
+       with the takedown set (|dirty| <= |D|);
+    2. untouched store rows pass through behind one broadcast
+       anti-probe — the 100 TB bulk, streamed once, never shuffled;
+    3. dirty groups re-aggregate from the mapping restricted to the
+       dirty fingerprints minus the deleted docs — a delta-sized
+       groupBy that re-elects min-id canonicals (the taken-down doc
+       may BE the canonical) and drops groups that emptied.
+
+    Bit-identical to `exact_dedup` over the surviving corpus (pinned
+    in tests/test_dedup_similarity.py; the q274 certificate compares
+    checksums at suite scale). At 100 TB the mapping is O(rows) of
+    32-byte fingerprints, partition-prunable by fingerprint hash —
+    the repair never touches document bytes."""
+    dele = F.broadcast(
+        deleted_ids.select(F.col(id_col).cast("bigint").alias(id_col)).distinct()
+    )
+    dirty_fps = (
+        doc_fingerprints.join(dele, id_col, "left_semi")
+        .select("fingerprint")
+        .distinct()
+        .localCheckpoint()  # two consumers: store anti + repair semi
+    )
+    clean = store_old.join(F.broadcast(dirty_fps), "fingerprint", "left_anti")
+    repaired = (
+        doc_fingerprints.join(F.broadcast(dirty_fps), "fingerprint", "left_semi")
+        .join(dele, id_col, "left_anti")
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return clean.select(*store_old.columns).unionByName(
+        repaired.select(*store_old.columns)
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a document.
 

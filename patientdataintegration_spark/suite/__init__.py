@@ -213,17 +213,22 @@ tests/test_streaming_topk.py restart/replay contract) and q271
 CRUD) queue for the r12 window rather than displacing fill lanes;
 their r11 evidence is the committed 3-SF ORACLE_RUN gate logs.
 
-The round-12 window: (a) the four never-driver-checked lanes — the
+The round-12 window: (a) the five never-driver-checked lanes — the
 late-r11 additions q270 (streaming maintained top-k) and q271
 (top-k under updates), plus the r12 additions q272 (decremental
 dedup: document takedowns — LSH pairs retract by broadcast
 anti-join, components repair cluster-locally because edge deletes
 can SPLIT what min-label maintenance cannot, oracle = transitive
 closure over the SURVIVING pair set; completes CRUD for the dedup
-family) and q273 (the whole maintained dedup loop — pairs q263 +
+family), q273 (the whole maintained dedup loop — pairs q263 +
 components q268 — under streaming exactly-once: two signature-delta
 micro-batches across a checkpointed restart, versioned idempotent
-store writes, oracle = the q115 full-recompute closure); (b) the
+store writes, oracle = the q115 full-recompute closure) and q274
+(the TAKEDOWN certificate: all four retraction algebras — pair
+view, labels, canonical docs, exact-dedup store with canonical
+re-election — checksummed against their full-recompute twins in
+one DAG, the q246 pattern; its oracle states every cardinality a
+priori); (b) the
 last two r5-era hash lanes, q115_components_star and
 q200_corpus_curation, closing the r9 verdict's evidence-rotation
 demand for good (after this window no hash lane's latest driver
@@ -234,8 +239,9 @@ dropDuplicates and losing-seq ties no longer raise — r11 ADVICE;
 the healthy path this lane drives is value-identical with the
 slice deduplicated first); and (d) forty-three oldest-first r6-era
 fill lanes — everything from the 47-lane r6 evidence tail except
-q43_percentiles, q44_cube, q63_latest_per_key and
-q95_approx_distinct, which queue for r13.
+q43_percentiles, q44_cube, q63_latest_per_key, q95_approx_distinct
+and q230_lateral_topk, which queue for r13 (forty-two fills: q274's
+late addition displaces q230).
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -305,6 +311,7 @@ PRIORITY = [
     "q271_topk_updates",
     "q272_retract_documents",
     "q273_streaming_components",
+    "q274_takedown_certificate",
     # (b) the last two r5-era hash lanes — evidence rotation closes
     "q115_components_star",
     "q200_corpus_curation",
@@ -312,8 +319,8 @@ PRIORITY = [
     # ambiguity guard scoped to genuinely ambiguous winners (benign
     # at-least-once replays collapse; losing-seq ties pass)
     "q257_join_view_updates",
-    # (d) forty-three oldest-first r6-era fill lanes (the complete
-    # r6 evidence tail except q43/q44/q63/q95, queued for r13)
+    # (d) forty-two oldest-first r6-era fill lanes (the complete r6
+    # evidence tail except q43/q44/q63/q95/q230, queued for r13)
     "q03_balanced_accuracy",
     "q07_impute_mode",
     "q08_scale01",
@@ -356,7 +363,6 @@ PRIORITY = [
     "q227_disjunctive_revenue",
     "q228_trailing_hour_frame",
     "q229_sql_udf_macros",
-    "q230_lateral_topk",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

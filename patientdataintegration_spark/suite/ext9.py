@@ -28,13 +28,21 @@ paired-CDC UPDATES — retract-old/apply-new through the q262 repair,
 completing the top-k family's CRUD alongside q259 inserts and q262
 deletes, the same composition q266 gave the rollup family).
 
-Round-12 addition: q272 (decremental dedup — document takedowns):
+Round-12 additions: q272 (decremental dedup — document takedowns):
 LSH pairs retract with two broadcast anti-joins, components repair
 cluster-locally (edge deletes can SPLIT components, so the dirty
 clusters re-label by a star run over only their surviving pairs),
 untouched clusters pass through behind one broadcast anti-probe —
 completing CRUD for the dedup family (q263/q268 insert, q86
-canonicalize, this deletes)."""
+canonicalize, this deletes). q273 (the maintained dedup loop as a
+STREAM): signature deltas arrive as files, foreachBatch advances
+versioned idempotent (sigs, pairs, labels) stores across a
+checkpointed restart — the whole nightly pipeline under streaming
+exactly-once. q274 (the takedown certificate): the q246 pattern
+over the new decremental verbs — pair view, labels, canonical docs
+and the exact-dedup store (with canonical re-election via
+retract_exact_dedup) each checksummed against its full-recompute
+twin in one DAG."""
 
 from __future__ import annotations
 
@@ -447,3 +455,141 @@ def q273_streaming_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(src)
     return components_stream(spark, src, "*.parquet", store, ckpt)
+
+
+# --- takedown certificate ------------------------------------------------------------
+
+
+def _q274_sql(mod: int = 7, rem: int = 2) -> str:
+    from patientdataintegration_spark.suite.ext import _lsh_pairs_sql
+
+    return rf"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+    kept AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE doc_a % {mod} <> {rem} AND doc_b % {mod} <> {rem}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM kept
+      UNION SELECT doc_b, doc_a FROM kept
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    surv AS (SELECT * FROM documents WHERE doc_id % {mod} <> {rem})
+    SELECT 'pair_view' AS artifact,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_rows,
+           TRUE AS matches
+    UNION ALL SELECT 'labels',
+           CAST((SELECT COUNT(DISTINCT node) FROM reach) AS BIGINT), TRUE
+    UNION ALL SELECT 'canonical',
+           CAST((SELECT COUNT(*) FROM surv) AS BIGINT), TRUE
+    UNION ALL SELECT 'exact_store',
+           CAST((SELECT COUNT(DISTINCT md5(regexp_replace(lower(trim(text)),
+                                           '\s+', ' ', 'g')))
+                 FROM surv) AS BIGINT), TRUE
+    """
+
+
+@_register("q274_takedown_certificate", _q274_sql())
+def q274_takedown_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TAKEDOWN certificate — q246's nightly-maintenance
+    certificate pattern applied to the new decremental verbs: ONE
+    DAG takes a takedown set (doc_id % 7 == 2, the q272 split) and
+    retracts it from all four maintained dedup artifacts, then emits
+    (artifact, n_rows, matches) proving each maintained output
+    checksums identical to its full-recompute twin:
+
+    - pair_view (`retract_lsh_pairs`): two broadcast anti-joins;
+      twin = re-banding the surviving documents' signatures.
+    - labels (`retract_documents`): cluster-local star repair (edge
+      deletes can split); twin = full star recompute over the
+      surviving pairs.
+    - canonical (q86's `canonicalize_clusters` over the maintained
+      labels); twin = the same ranking over the recomputed labels —
+      certifying the repair composes into the downstream emit.
+    - exact_store (`retract_exact_dedup`): dirty-fingerprint repair
+      with canonical re-election; twin = `exact_dedup` of the
+      surviving corpus.
+
+    Every comparison reduces through the q234 checksum (row count +
+    order-independent DECIMAL(38,0) md5-prefix sum, compared via
+    single-row broadcast crossJoins) — never a row-level diff, the
+    certificate's own scale shape (the q246 argument). The oracle
+    states the certificate a DBA could write down a priori: every
+    `matches` TRUE and every n_rows the full-recompute cardinality
+    (surviving pairs / closure nodes / surviving docs / distinct
+    surviving fingerprints), so the driver hash proves all four
+    retraction algebras simultaneously. GDPR-erasure-shaped by
+    design: at 100 TB the twins run once to certify, then the O(Δ)
+    maintained path runs nightly."""
+    from patientdataintegration_spark.operators.dedup import (
+        canonicalize_clusters,
+        connected_components_star,
+        exact_dedup,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        retract_documents,
+        retract_exact_dedup,
+        retract_lsh_pairs,
+        shingle_table,
+    )
+    from patientdataintegration_spark.operators.integrity import shard_checksum
+    from patientdataintegration_spark.operators.textops import fingerprint
+    from patientdataintegration_spark.suite.ext import cached_lsh_pairs
+
+    def cert(name: str, maint: DataFrame, twin: DataFrame, cols) -> DataFrame:
+        cm = shard_checksum(maint, cols, F.lit(0)).select(
+            F.col("n_rows").alias("_n_m"), F.col("checksum").alias("_c_m")
+        )
+        ct = shard_checksum(twin, cols, F.lit(0)).select(
+            F.col("n_rows").alias("_n_t"), F.col("checksum").alias("_c_t")
+        )
+        return cm.crossJoin(F.broadcast(ct)).select(
+            F.lit(name).alias("artifact"),
+            F.col("_n_m").cast("bigint").alias("n_rows"),
+            (
+                (F.col("_n_m") == F.col("_n_t"))
+                & (F.col("_c_m") == F.col("_c_t"))
+            ).alias("matches"),
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    alive = F.col("doc_id") % 7 != 2
+    deleted = d.select("doc_id").filter(~alive)
+    d_surv = d.filter(alive)
+
+    pairs_all = cached_lsh_pairs(spark, sf_dir)
+    labels_all = connected_components_star(pairs_all).localCheckpoint()
+    # signatures are a pure per-document function, so the twin's
+    # "re-band the survivors" is one filter over the shared relation
+    sigs = minhash_signatures(shingle_table(d), k=8, seed=42).localCheckpoint()
+
+    pairs_maint = retract_lsh_pairs(pairs_all, deleted)
+    pairs_twin = lsh_candidate_pairs(
+        sigs.filter(alive), bands=4, rows_per_band=2
+    ).localCheckpoint()
+    labels_maint = retract_documents(pairs_all, labels_all, deleted).localCheckpoint()
+    labels_twin = connected_components_star(pairs_twin)
+
+    canon_cols = ["doc_id", "cluster", "rank_in_cluster", "is_canonical"]
+    canon_maint = canonicalize_clusters(
+        d_surv.select("doc_id", "n_chars"), labels_maint
+    ).select(*canon_cols)
+    canon_twin = canonicalize_clusters(
+        d_surv.select("doc_id", "n_chars"), labels_twin
+    ).select(*canon_cols)
+
+    doc_fps = fingerprint(d).select("doc_id", "fingerprint")
+    store_maint = retract_exact_dedup(exact_dedup(d), doc_fps, deleted)
+    store_twin = exact_dedup(d_surv)
+
+    store_cols = ["fingerprint", "canonical_id", "n_docs"]
+    return (
+        cert("pair_view", pairs_maint, pairs_twin, ["doc_a", "doc_b"])
+        .unionByName(cert("labels", labels_maint, labels_twin, ["node", "label"]))
+        .unionByName(cert("canonical", canon_maint, canon_twin, canon_cols))
+        .unionByName(cert("exact_store", store_maint, store_twin, store_cols))
+    )

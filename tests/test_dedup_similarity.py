@@ -703,3 +703,46 @@ def test_retract_documents_untouched_fastpath_and_pair_view(spark):
         pairs, spark.createDataFrame([(5,)], "doc_id bigint")
     )
     assert sorted(map(tuple, kept.collect())) == [(1, 2)]
+
+
+def test_retract_exact_dedup_matches_recompute(spark):
+    """retract_exact_dedup == exact_dedup over the surviving corpus,
+    across the delete classes: the CANONICAL of a group removed
+    (re-election), a non-canonical member removed (count drops), a
+    group emptied (row leaves the store), untouched groups verbatim,
+    and a takedown id with no stored fingerprint (no-op)."""
+    from patientdataintegration_spark.operators.dedup import (
+        exact_dedup,
+        retract_exact_dedup,
+    )
+    from patientdataintegration_spark.operators.textops import fingerprint
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"), (2, "alpha beta"), (3, "alpha beta"),
+            (10, "gamma"), (11, "gamma"),
+            (20, "delta"),
+            (30, "epsilon"), (31, "epsilon"),
+        ],
+        "doc_id bigint, text string",
+    )
+    store_old = exact_dedup(docs)
+    doc_fps = fingerprint(docs).select("doc_id", "fingerprint")
+    # delete: 1 (canonical of the alpha group), 11 (non-canonical of
+    # gamma), 20 (empties the delta group), 999 (never stored)
+    deleted = spark.createDataFrame(
+        [(1,), (11,), (20,), (999,)], "doc_id bigint"
+    )
+    got = retract_exact_dedup(store_old, doc_fps, deleted)
+    survivors = docs.join(deleted, "doc_id", "left_anti")
+    want = exact_dedup(survivors)
+    key = lambda df: sorted(
+        (r["fingerprint"], r["canonical_id"], r["n_docs"])
+        for r in df.collect()
+    )
+    assert key(got) == key(want)
+    by_canon = {r["canonical_id"]: r["n_docs"] for r in got.collect()}
+    assert by_canon[2] == 2, "canonical re-elects to next min id"
+    assert by_canon[10] == 1, "non-canonical delete just drops the count"
+    assert 20 not in by_canon, "emptied group leaves the store"
+    assert by_canon[30] == 2, "untouched group passes through"
