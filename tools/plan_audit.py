@@ -80,6 +80,14 @@ SHUFFLE_BUDGETS = {
     # after decommissioning the twins) is the q114/q241/q243/q242/
     # q240 shapes, each within the default budget
     "q246_nightly_maintenance": 70,
+    # the takedown certificate: FOUR maintained dedup artifacts (pair
+    # view, labels, canonical docs, exact store) EACH built twice
+    # (retraction-maintained + full-recompute twin) plus two checksum
+    # reductions per comparison, in one lazy plan — the q246/q200
+    # composite rule; the MAINTAINED path alone (what runs after the
+    # twins certify) is broadcast anti/semi probes plus a star loop
+    # over the dirty sliver, within the default budget
+    "q274_takedown_certificate": 40,
 }
 DEFAULT_SHUFFLE_BUDGET = 12
 
