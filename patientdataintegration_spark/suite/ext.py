@@ -561,6 +561,42 @@ def cached_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cached_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-standard MinHash signature relation (k=8, seed=42)
+    over the documents table — the persisted signature STORE of the
+    maintenance lanes (q263/q268/q272/q273/q274 treat it as stored
+    state: at scale signatures are written once at ingest, so lanes
+    that only MAINTAIN downstream state shouldn't re-shingle the
+    corpus per invocation). Content-keyed like `cached_lsh_pairs`."""
+    from patientdataintegration_spark.plans.materialize import cached_parquet
+
+    def produce() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return minhash_signatures(shingle_table(d), k=8, seed=42)
+
+    return cached_parquet(
+        spark, "minhash_sigs_k8", [f"{sf_dir}/documents.parquet"], produce
+    )
+
+
+def cached_star_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The star labeling of `cached_lsh_pairs` — the persisted LABEL
+    table the decremental lanes (q272/q274) maintain. Building it is
+    q115's measured job; lanes whose verb is RETRACTION read it as
+    stored state, content-keyed on the corpus."""
+    from patientdataintegration_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from patientdataintegration_spark.plans.materialize import cached_parquet
+
+    return cached_parquet(
+        spark,
+        "star_labels_b4r2",
+        [f"{sf_dir}/documents.parquet"],
+        lambda: connected_components_star(cached_lsh_pairs(spark, sf_dir)),
+    )
+
+
 @_register("q92_minhash_lsh_pairs", _lsh_pairs_sql())
 def q92_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate near-dup pairs (bands=4, rows=2).

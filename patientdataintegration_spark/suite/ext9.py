@@ -383,18 +383,19 @@ def q272_retract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the takedown set broadcasts; the (100 TB) label table and
     pair view are each streamed ONCE, never shuffled; the star runs
     over the dirty sliver (clusters that lost a member), never the
-    corpus. labels_old is localCheckpointed here because the lane
-    BUILDS the state it then maintains — in production it is stored
-    parquet, and the three probes are three column-pruned scans."""
-    from patientdataintegration_spark.operators.dedup import (
-        connected_components_star,
-        retract_documents,
+    corpus. Both stores are read through the content-keyed cache
+    (`cached_lsh_pairs`/`cached_star_labels`) — in production they
+    ARE stored parquet, and this lane's verb is the retraction, not
+    rebuilding the state it maintains."""
+    from patientdataintegration_spark.operators.dedup import retract_documents
+    from patientdataintegration_spark.suite.ext import (
+        cached_lsh_pairs,
+        cached_star_labels,
     )
-    from patientdataintegration_spark.suite.ext import cached_lsh_pairs
 
     d = load_table(spark, sf_dir, "documents")
     pairs_old = cached_lsh_pairs(spark, sf_dir)
-    labels_old = connected_components_star(pairs_old).localCheckpoint()
+    labels_old = cached_star_labels(spark, sf_dir)
     deleted = d.select("doc_id").filter(F.col("doc_id") % 7 == 2)
     return retract_documents(pairs_old, labels_old, deleted)
 
@@ -422,24 +423,39 @@ def q273_streaming_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed maintenance == batch recompute end to end (the q268
     equivalence, applied inductively per batch). Restart/replay and
     pair-view convergence are pinned by
-    tests/test_streaming_components.py."""
+    tests/test_streaming_components.py.
+
+    The seed state (signatures + the 70%-corpus pairs/labels) reads
+    through the content-keyed cache — it IS the persisted store in
+    production, and this lane measures the STREAMED maintenance, not
+    rebuilding yesterday's state per invocation."""
     from patientdataintegration_spark.operators.dedup import (
         connected_components_star,
         lsh_candidate_pairs,
-        minhash_signatures,
-        shingle_table,
     )
+    from patientdataintegration_spark.plans.materialize import cached_parquet
     from patientdataintegration_spark.scratch import scratch_dir
     from patientdataintegration_spark.streaming.components import (
         components_stream,
         seed_stores,
     )
+    from patientdataintegration_spark.suite.ext import cached_minhash_sigs
 
-    d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(shingle_table(d), k=8, seed=42).localCheckpoint()
+    sigs = cached_minhash_sigs(spark, sf_dir)
     sigs_hist = sigs.filter(F.col("doc_id") % 10 < 7)
-    pairs0 = lsh_candidate_pairs(sigs_hist, bands=4, rows_per_band=2)
-    labels0 = connected_components_star(pairs0)
+    docs_path = f"{sf_dir}/documents.parquet"
+    pairs0 = cached_parquet(
+        spark,
+        "lsh_pairs_hist70",
+        [docs_path],
+        lambda: lsh_candidate_pairs(sigs_hist, bands=4, rows_per_band=2),
+    )
+    labels0 = cached_parquet(
+        spark,
+        "star_labels_hist70",
+        [docs_path],
+        lambda: connected_components_star(pairs0),
+    )
     root = scratch_dir("stream_components", sf_dir)
     src, store, ckpt = (f"{root}/{p}" for p in ("src", "store", "ckpt"))
     import os
@@ -530,15 +546,17 @@ def q274_takedown_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_star,
         exact_dedup,
         lsh_candidate_pairs,
-        minhash_signatures,
         retract_documents,
         retract_exact_dedup,
         retract_lsh_pairs,
-        shingle_table,
     )
     from patientdataintegration_spark.operators.integrity import shard_checksum
     from patientdataintegration_spark.operators.textops import fingerprint
-    from patientdataintegration_spark.suite.ext import cached_lsh_pairs
+    from patientdataintegration_spark.suite.ext import (
+        cached_lsh_pairs,
+        cached_minhash_sigs,
+        cached_star_labels,
+    )
 
     def cert(name: str, maint: DataFrame, twin: DataFrame, cols) -> DataFrame:
         cm = shard_checksum(maint, cols, F.lit(0)).select(
@@ -561,11 +579,14 @@ def q274_takedown_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted = d.select("doc_id").filter(~alive)
     d_surv = d.filter(alive)
 
+    # the three persisted stores read through the content-keyed
+    # cache — the lane measures retraction + certification, not
+    # rebuilding yesterday's state
     pairs_all = cached_lsh_pairs(spark, sf_dir)
-    labels_all = connected_components_star(pairs_all).localCheckpoint()
+    labels_all = cached_star_labels(spark, sf_dir)
     # signatures are a pure per-document function, so the twin's
     # "re-band the survivors" is one filter over the shared relation
-    sigs = minhash_signatures(shingle_table(d), k=8, seed=42).localCheckpoint()
+    sigs = cached_minhash_sigs(spark, sf_dir)
 
     pairs_maint = retract_lsh_pairs(pairs_all, deleted)
     pairs_twin = lsh_candidate_pairs(
