@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "q272_retract_documents",        # decremental dedup: takedowns (r12)
     "q273_streaming_components",     # streamed maintained dedup loop (r12)
     "q274_takedown_certificate",     # four retraction algebras certified (r12)
+    "q275_streaming_takedowns",      # full-CRUD dedup stream (r12)
 ]
 
 

@@ -23,6 +23,12 @@ and OVERWRITES the same version — idempotent, the standard
 foreachBatch discipline — so state never double-applies a delta.
 The final state is the highest version present.
 
+The stream is full-CRUD when an `op_col` is declared: op > 0 rows
+ingest signatures, op < 0 rows are TAKEDOWNS, applied after the
+batch's inserts through the q272 retraction machinery (pair-view
+anti-joins + cluster-local label repair) — so GDPR erasure rides
+the same exactly-once micro-batches as ingest (q275).
+
 Determinism for the q273 oracle: each `availableNow` run processes
 the files that appeared since the last run as ONE micro-batch (the
 q270/q88 argument), so a fixed file-arrival schedule yields a fixed
@@ -82,6 +88,7 @@ def components_stream(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 2,
+    op_col: str | None = None,
 ) -> DataFrame:
     """Drain the signature-delta file stream under `availableNow`,
     maintaining the seeded stores one micro-batch at a time, and
@@ -95,15 +102,35 @@ def components_stream(
     to the pair view; contract the delta through the old labels and
     star-relabel (`maintain_components`); append the batch's
     signatures to the store. The old PAIR view is read only to be
-    appended to — never re-banded, never re-joined."""
+    appended to — never re-banded, never re-joined.
+
+    With `op_col` the stream is full-CRUD CDC: a batch row with
+    op > 0 is a signature INGEST, op < 0 a document TAKEDOWN (its
+    signature columns may be NULL — only the id matters). Within a
+    batch, inserts apply first, takedowns second (a doc ingested and
+    taken down in one batch ends deleted — last-writer order fixed
+    by definition, not arrival), and the takedown runs the q272
+    machinery against the post-insert state: `retract_lsh_pairs` on
+    the pair view, `retract_documents`' cluster-local star repair on
+    the labels, one anti-join on the signature store. A doc id taken
+    down and re-ingested in a LATER batch is simply a new document.
+    Every step preserves the store invariant labels_v =
+    star(pairs_v), which is exactly what the retraction's
+    dirty-cluster logic requires."""
     from patientdataintegration_spark.operators.dedup import (
         lsh_candidate_pairs,
         lsh_candidate_pairs_bipartite,
         maintain_components,
+        retract_documents,
+        retract_lsh_pairs,
     )
     from pyspark.sql import functions as F
 
-    sig_schema = spark.read.parquet(_store(store_dir, "sigs", 0)).schema
+    # the source files' own schema (they carry op_col in CRUD mode;
+    # the seeded signature store does not)
+    sig_schema = (
+        spark.read.option("pathGlobFilter", glob).parquet(source_dir).schema
+    )
 
     def advance(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
@@ -111,9 +138,20 @@ def components_stream(
         sigs_old = s.read.parquet(_store(store_dir, "sigs", v))
         pairs_old = s.read.parquet(_store(store_dir, "pairs", v))
         labels_old = s.read.parquet(_store(store_dir, "labels", v))
-        # the batch feeds three consumers (bipartite, within, store
+        if op_col is not None:
+            deleted = (
+                batch.filter(F.col(op_col) < 0)
+                .select(F.col(id_col))
+                .distinct()
+                .localCheckpoint()  # three retraction consumers
+            )
+            ingest = batch.filter(F.col(op_col) > 0).drop(op_col)
+        else:
+            deleted = None
+            ingest = batch
+        # the ingest feeds three consumers (bipartite, within, store
         # append): freeze once, delta-sized
-        sigs_delta = batch.localCheckpoint()
+        sigs_delta = ingest.localCheckpoint()
         cross = lsh_candidate_pairs_bipartite(
             sigs_old, sigs_delta, id_col=id_col, bands=bands,
             rows_per_band=rows_per_band,
@@ -127,15 +165,31 @@ def components_stream(
         ).select("doc_a", "doc_b")
         delta_edges = cross.unionByName(within).localCheckpoint()
         labels_new = maintain_components(labels_old, delta_edges)
+        pairs_new = pairs_old.unionByName(delta_edges)
+        sigs_new = sigs_old.unionByName(sigs_delta)
+        if deleted is not None and not deleted.isEmpty():
+            # takedowns after inserts: retraction needs the labels =
+            # star(pairs) invariant, so freeze the post-insert state
+            pairs_new = pairs_new.localCheckpoint()
+            labels_new = retract_documents(
+                pairs_new,
+                labels_new.localCheckpoint(),
+                deleted,
+                id_col=id_col,
+            )
+            pairs_new = retract_lsh_pairs(pairs_new, deleted, id_col=id_col)
+            sigs_new = sigs_new.join(
+                F.broadcast(deleted), id_col, "left_anti"
+            )
         # versioned writes: a replayed batch overwrites its own
         # generation — idempotent under the checkpoint's replay
         labels_new.write.mode("overwrite").parquet(
             _store(store_dir, "labels", v + 1)
         )
-        pairs_old.unionByName(delta_edges).write.mode("overwrite").parquet(
+        pairs_new.write.mode("overwrite").parquet(
             _store(store_dir, "pairs", v + 1)
         )
-        sigs_old.unionByName(sigs_delta).write.mode("overwrite").parquet(
+        sigs_new.write.mode("overwrite").parquet(
             _store(store_dir, "sigs", v + 1)
         )
 

@@ -213,7 +213,7 @@ tests/test_streaming_topk.py restart/replay contract) and q271
 CRUD) queue for the r12 window rather than displacing fill lanes;
 their r11 evidence is the committed 3-SF ORACLE_RUN gate logs.
 
-The round-12 window: (a) the five never-driver-checked lanes — the
+The round-12 window: (a) the six never-driver-checked lanes — the
 late-r11 additions q270 (streaming maintained top-k) and q271
 (top-k under updates), plus the r12 additions q272 (decremental
 dedup: document takedowns — LSH pairs retract by broadcast
@@ -228,7 +228,12 @@ store writes, oracle = the q115 full-recompute closure) and q274
 view, labels, canonical docs, exact-dedup store with canonical
 re-election — checksummed against their full-recompute twins in
 one DAG, the q246 pattern; its oracle states every cardinality a
-priori); (b) the
+priori) and q275 (the dedup loop as a FULL-CRUD stream: q273's
+streamed maintenance plus q272's takedowns riding the same
+exactly-once micro-batches — same-batch ingest+takedown, seed-doc
+splits and re-ingest semantics pinned by the CRUD case in
+tests/test_streaming_components.py; oracle = q272's surviving-pair
+closure); (b) the
 last two r5-era hash lanes, q115_components_star and
 q200_corpus_curation, closing the r9 verdict's evidence-rotation
 demand for good (after this window no hash lane's latest driver
@@ -239,9 +244,9 @@ dropDuplicates and losing-seq ties no longer raise — r11 ADVICE;
 the healthy path this lane drives is value-identical with the
 slice deduplicated first); and (d) forty-three oldest-first r6-era
 fill lanes — everything from the 47-lane r6 evidence tail except
-q43_percentiles, q44_cube, q63_latest_per_key, q95_approx_distinct
-and q230_lateral_topk, which queue for r13 (forty-two fills: q274's
-late addition displaces q230).
+q43_percentiles, q44_cube, q63_latest_per_key, q95_approx_distinct,
+q229_sql_udf_macros and q230_lateral_topk, which queue for r13
+(forty-one fills: the late additions q274/q275 displace q229/q230).
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -312,6 +317,7 @@ PRIORITY = [
     "q272_retract_documents",
     "q273_streaming_components",
     "q274_takedown_certificate",
+    "q275_streaming_takedowns",
     # (b) the last two r5-era hash lanes — evidence rotation closes
     "q115_components_star",
     "q200_corpus_curation",
@@ -319,8 +325,8 @@ PRIORITY = [
     # ambiguity guard scoped to genuinely ambiguous winners (benign
     # at-least-once replays collapse; losing-seq ties pass)
     "q257_join_view_updates",
-    # (d) forty-two oldest-first r6-era fill lanes (the complete r6
-    # evidence tail except q43/q44/q63/q95/q230, queued for r13)
+    # (d) forty-one oldest-first r6-era fill lanes (the complete r6
+    # evidence tail except q43/q44/q63/q95/q229/q230, queued for r13)
     "q03_balanced_accuracy",
     "q07_impute_mode",
     "q08_scale01",
@@ -362,7 +368,6 @@ PRIORITY = [
     "q226_large_volume_orders",
     "q227_disjunctive_revenue",
     "q228_trailing_hour_frame",
-    "q229_sql_udf_macros",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

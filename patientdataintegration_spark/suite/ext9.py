@@ -42,7 +42,9 @@ exactly-once. q274 (the takedown certificate): the q246 pattern
 over the new decremental verbs — pair view, labels, canonical docs
 and the exact-dedup store (with canonical re-election via
 retract_exact_dedup) each checksummed against its full-recompute
-twin in one DAG."""
+twin in one DAG. q275 (streaming takedowns): the q273 stream made
+full-CRUD — op-tagged CDC rows delete documents through the q272
+retraction inside the same exactly-once micro-batches."""
 
 from __future__ import annotations
 
@@ -614,3 +616,88 @@ def q274_takedown_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cert("canonical", canon_maint, canon_twin, canon_cols))
         .unionByName(cert("exact_store", store_maint, store_twin, store_cols))
     )
+
+
+# --- streaming takedowns (full-CRUD dedup stream) ------------------------------------
+
+
+@_register("q275_streaming_takedowns", _q272_sql())
+def q275_streaming_takedowns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup loop as a FULL-CRUD stream — q273's streamed
+    maintenance plus q272's takedowns riding the SAME exactly-once
+    micro-batches (`streaming/components.components_stream` with
+    op_col): the 70% store seeds as in q273; batch 1 ingests the
+    doc_id % 10 ∈ {7,8} signatures; batch 2 — across a checkpointed
+    restart — ingests the % 10 == 9 slice AND carries the takedown
+    CDC rows for every doc_id % 7 == 2 (op = −1, signature columns
+    NULL), which hit seed docs, batch-1 docs and SAME-BATCH ingests
+    alike. Within the batch, inserts apply first (maintain_
+    components on the delta edges), takedowns second (retract_
+    documents' cluster-local star repair against the post-insert
+    state, pair-view anti-joins, signature-store anti-join) — the
+    order is definitional, not arrival-dependent, so the result is
+    deterministic. The oracle is q272's transitive-closure
+    recompute over the surviving pair set (pairs among doc_id % 7
+    != 2 after the WHOLE corpus streamed in), so the driver hash
+    proves streamed ingest+erasure == batch recompute end to end.
+    Same-batch ingest+takedown, seeded-chain splits and re-ingest
+    semantics are pinned by tests/test_streaming_components.py's
+    CRUD case. Scale: the q273 per-batch cost model plus the q272
+    retraction shape — the takedown set broadcasts, the stores
+    stream once each."""
+    import os
+
+    from patientdataintegration_spark.operators.dedup import (
+        connected_components_star,
+        lsh_candidate_pairs,
+    )
+    from patientdataintegration_spark.plans.materialize import cached_parquet
+    from patientdataintegration_spark.scratch import scratch_dir
+    from patientdataintegration_spark.streaming.components import (
+        components_stream,
+        seed_stores,
+    )
+    from patientdataintegration_spark.suite.ext import cached_minhash_sigs
+
+    sigs = cached_minhash_sigs(spark, sf_dir)
+    sigs_hist = sigs.filter(F.col("doc_id") % 10 < 7)
+    docs_path = f"{sf_dir}/documents.parquet"
+    pairs0 = cached_parquet(
+        spark,
+        "lsh_pairs_hist70",
+        [docs_path],
+        lambda: lsh_candidate_pairs(sigs_hist, bands=4, rows_per_band=2),
+    )
+    labels0 = cached_parquet(
+        spark,
+        "star_labels_hist70",
+        [docs_path],
+        lambda: connected_components_star(pairs0),
+    )
+    root = scratch_dir("stream_takedowns", sf_dir)
+    src, store, ckpt = (f"{root}/{p}" for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    seed_stores(sigs_hist, pairs0, labels0, store)
+
+    def with_op(df: DataFrame, op: int) -> DataFrame:
+        return df.withColumn("op", F.lit(op).cast("int"))
+
+    sig_nulls = [
+        F.lit(None).cast("bigint").alias(f"mh_{i}") for i in range(8)
+    ]
+    batch1 = with_op(
+        sigs.filter((F.col("doc_id") % 10 >= 7) & (F.col("doc_id") % 10 < 9)),
+        1,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    components_stream(spark, src, "*.parquet", store, ckpt, op_col="op")
+    d = load_table(spark, sf_dir, "documents")
+    takedowns = d.filter(F.col("doc_id") % 7 == 2).select(
+        "doc_id", *sig_nulls, F.lit(-1).cast("int").alias("op")
+    )
+    batch2 = with_op(sigs.filter(F.col("doc_id") % 10 == 9), 1).unionByName(
+        takedowns
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    return components_stream(spark, src, "*.parquet", store, ckpt, op_col="op")

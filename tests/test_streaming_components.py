@@ -119,3 +119,83 @@ def test_stream_converges_to_batch_across_restarts(spark, tmp_path):
         )
     )
     assert got_pairs == want_pairs
+
+
+def test_crud_stream_applies_takedowns_after_inserts(spark, tmp_path):
+    """Full-CRUD stream (op_col): takedowns ride the same micro-
+    batches as ingest and apply AFTER the batch's inserts — the
+    final labels equal the batch recompute over (corpus ∖ deleted),
+    including a same-batch ingest+takedown (ends deleted), a seed-doc
+    takedown that SPLITS a seeded chain, and a later-batch
+    re-ingest of a previously taken-down id (a new doc)."""
+    from pyspark.sql import functions as F
+
+    from patientdataintegration_spark.operators.dedup import (
+        connected_components_star,
+        lsh_candidate_pairs,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.makedirs(store)
+
+    # seed: chain {1,2,3} (1-2 via band 0, 2-3 via band 1); loner 60
+    hist = [
+        (1, 10, 11, 1001, 1002),
+        (2, 10, 11, 2001, 2002),
+        (3, 30, 31, 2001, 2002),
+        (60, 61, 62, 6001, 6002),
+    ]
+    hist_sigs = spark.createDataFrame(hist, SIG_SCHEMA)
+    pairs0 = lsh_candidate_pairs(hist_sigs, bands=2, rows_per_band=2)
+    labels0 = connected_components_star(pairs0)
+    seed_stores(hist_sigs, pairs0, labels0, store)
+
+    CRUD_SCHEMA = SIG_SCHEMA + ", op int"
+    # batch A: ingest 4 (pairs with 1 via band 0) and 50 (pairs with
+    # nothing, then taken down IN THE SAME BATCH); take down 2 — the
+    # chain's bridge, splitting {1,3,4-side} from {3}
+    batch_a = [
+        (4, 10, 11, 4001, 4002, 1),
+        (50, 51, 52, 5001, 5002, 1),
+        (50, None, None, None, None, -1),
+        (2, None, None, None, None, -1),
+    ]
+    # batch B: re-ingest id 50 with signatures pairing it to 60
+    batch_b = [(50, 61, 62, 9001, 9002, 1)]
+
+    def run():
+        return components_stream(
+            spark, src, "*.parquet", store, ckpt,
+            bands=2, rows_per_band=2, op_col="op",
+        )
+
+    spark.createDataFrame(batch_a, CRUD_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got1 = dict(run().collect())
+    assert got1 == {1: 1, 4: 1}, (
+        "batch A: 4 joins 1 (band 0); taken-down 2 splits the chain,"
+        " orphaning 3 out of the labeling; same-batch ingest+takedown"
+        " of 50 ends deleted; loner 60 was never clustered"
+    )
+
+    spark.createDataFrame(batch_b, CRUD_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got2 = dict(run().collect())
+    assert got2[50] == got2[60] == 50, "re-ingested id is a new doc"
+    assert got2[1] == got2[4] == 1
+
+    # equivalence with the batch recompute over the surviving corpus
+    surviving = [hist[0], hist[3], (4, 10, 11, 4001, 4002),
+                 (50, 61, 62, 9001, 9002)]
+    want = sorted(map(tuple, connected_components_star(
+        lsh_candidate_pairs(
+            spark.createDataFrame(surviving, SIG_SCHEMA),
+            bands=2, rows_per_band=2,
+        )
+    ).collect()))
+    assert sorted(got2.items()) == want
