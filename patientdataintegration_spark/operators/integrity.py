@@ -99,6 +99,21 @@ def shard_checksum(
     )
 
 
+def table_checksum(df: DataFrame, cols: Sequence[str | Column]) -> DataFrame:
+    """Single-row (n_rows, order-independent checksum) — the GLOBAL
+    form of `shard_checksum`: a grand aggregate with no grouping key,
+    so an EMPTY relation still yields its one (0, NULL) row. A
+    certificate comparing two sides through this always emits its
+    verdict row — `shard_checksum(..., F.lit(0))` group-by drops the
+    row entirely when a side is empty, silently losing the
+    matches=false it exists to report (r12 ADVICE on q274's cert).
+    Compare checksums NULL-SAFELY (two empty sides agree)."""
+    return df.select(row_fingerprint(cols).alias("_fp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_fp").alias("checksum"),
+    )
+
+
 def locate_divergence(
     a: DataFrame,
     b: DataFrame,

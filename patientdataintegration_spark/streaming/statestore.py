@@ -222,9 +222,13 @@ def state_sizing(
             f"no state operator {operator_id} in checkpoint {checkpoint}"
         )
     n_partitions = md[0]["numPartitions"]
+    # the statestore source defaults to operator 0 — pin it to the
+    # audited operator so multi-operator checkpoints don't mix
+    # operator N's bytes with operator 0's key counts (r12 ADVICE)
     keys_by_pid = {
         r["partition_id"]: r["n"]
         for r in spark.read.format("statestore")
+        .option("operatorId", operator_id)
         .load(checkpoint)
         .groupBy("partition_id")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -597,6 +597,44 @@ def cached_star_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cached_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted (doc_id, fingerprint) mapping — what
+    `incremental_exact_dedup` keys its anti-join on and what
+    `retract_exact_dedup`'s dirty-group repair reads. A pure
+    per-document function of the corpus, so maintenance lanes (q274,
+    q278) read it as stored state through the content-keyed cache
+    instead of re-fingerprinting the corpus per invocation (r12
+    ADVICE)."""
+    from patientdataintegration_spark.operators.textops import fingerprint
+    from patientdataintegration_spark.plans.materialize import cached_parquet
+
+    return cached_parquet(
+        spark,
+        "doc_fingerprints",
+        [f"{sf_dir}/documents.parquet"],
+        lambda: fingerprint(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "fingerprint"
+        ),
+    )
+
+
+def cached_exact_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted exact-dedup store (fingerprint, canonical_id,
+    n_docs) — q32 builds it, q117/q240 insert into it, and the
+    decremental lanes (q274, q278) MAINTAIN it, so they read it as
+    stored state content-keyed on the corpus (r12 ADVICE: those
+    lanes measure the retraction verb, not the store rebuild)."""
+    from patientdataintegration_spark.operators.dedup import exact_dedup
+    from patientdataintegration_spark.plans.materialize import cached_parquet
+
+    return cached_parquet(
+        spark,
+        "exact_store",
+        [f"{sf_dir}/documents.parquet"],
+        lambda: exact_dedup(load_table(spark, sf_dir, "documents")),
+    )
+
+
 @_register("q92_minhash_lsh_pairs", _lsh_pairs_sql())
 def q92_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate near-dup pairs (bands=4, rows=2).

@@ -552,19 +552,25 @@ def q274_takedown_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         retract_exact_dedup,
         retract_lsh_pairs,
     )
-    from patientdataintegration_spark.operators.integrity import shard_checksum
-    from patientdataintegration_spark.operators.textops import fingerprint
+    from patientdataintegration_spark.operators.integrity import table_checksum
     from patientdataintegration_spark.suite.ext import (
+        cached_doc_fingerprints,
+        cached_exact_store,
         cached_lsh_pairs,
         cached_minhash_sigs,
         cached_star_labels,
     )
 
     def cert(name: str, maint: DataFrame, twin: DataFrame, cols) -> DataFrame:
-        cm = shard_checksum(maint, cols, F.lit(0)).select(
+        # grand aggregate (table_checksum), not shard_checksum with a
+        # constant key: an EMPTY side still yields its (0, NULL) row,
+        # so the certificate emits matches=false on a wipeout instead
+        # of silently dropping the artifact row (r12 ADVICE);
+        # checksum equality is null-safe so two empty sides agree
+        cm = table_checksum(maint, cols).select(
             F.col("n_rows").alias("_n_m"), F.col("checksum").alias("_c_m")
         )
-        ct = shard_checksum(twin, cols, F.lit(0)).select(
+        ct = table_checksum(twin, cols).select(
             F.col("n_rows").alias("_n_t"), F.col("checksum").alias("_c_t")
         )
         return cm.crossJoin(F.broadcast(ct)).select(
@@ -572,7 +578,7 @@ def q274_takedown_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_n_m").cast("bigint").alias("n_rows"),
             (
                 (F.col("_n_m") == F.col("_n_t"))
-                & (F.col("_c_m") == F.col("_c_t"))
+                & F.col("_c_m").eqNullSafe(F.col("_c_t"))
             ).alias("matches"),
         )
 
@@ -581,9 +587,9 @@ def q274_takedown_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted = d.select("doc_id").filter(~alive)
     d_surv = d.filter(alive)
 
-    # the three persisted stores read through the content-keyed
-    # cache — the lane measures retraction + certification, not
-    # rebuilding yesterday's state
+    # the persisted stores read through the content-keyed cache —
+    # the lane measures retraction + certification, not rebuilding
+    # yesterday's state
     pairs_all = cached_lsh_pairs(spark, sf_dir)
     labels_all = cached_star_labels(spark, sf_dir)
     # signatures are a pure per-document function, so the twin's
@@ -605,8 +611,15 @@ def q274_takedown_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_surv.select("doc_id", "n_chars"), labels_twin
     ).select(*canon_cols)
 
-    doc_fps = fingerprint(d).select("doc_id", "fingerprint")
-    store_maint = retract_exact_dedup(exact_dedup(d), doc_fps, deleted)
+    # the maintained side's INPUTS (the exact store + the doc→fp
+    # mapping) read through the content-keyed cache like the other
+    # persisted stores above (r12 ADVICE: the lane measures the
+    # retraction verb, not rebuilding yesterday's state); the TWIN
+    # stays a genuine full recompute — it is the certification
+    doc_fps = cached_doc_fingerprints(spark, sf_dir)
+    store_maint = retract_exact_dedup(
+        cached_exact_store(spark, sf_dir), doc_fps, deleted
+    )
     store_twin = exact_dedup(d_surv)
 
     store_cols = ["fingerprint", "canonical_id", "n_docs"]

@@ -37,6 +37,47 @@ def test_checksum_invariant_to_partitioning_and_order(spark):
     assert a == b and len(a) == 8
 
 
+def test_table_checksum_empty_side_still_emits_row(spark):
+    """The grand-aggregate form: an EMPTY relation yields its one
+    (0, NULL) row — so a certificate built on it emits matches=false
+    on a wipeout instead of silently dropping the artifact row (r12
+    ADVICE on q274's cert) — and two empty sides agree null-safely."""
+    from patientdataintegration_spark.operators.integrity import (
+        table_checksum,
+    )
+
+    full = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    empty = full.filter(F.lit(False))
+
+    e = table_checksum(empty, ["k", "v"]).collect()
+    assert len(e) == 1 and e[0].n_rows == 0 and e[0].checksum is None
+
+    def verdict(m, t):
+        cm = table_checksum(m, ["k", "v"]).select(
+            F.col("n_rows").alias("_nm"), F.col("checksum").alias("_cm")
+        )
+        ct = table_checksum(t, ["k", "v"]).select(
+            F.col("n_rows").alias("_nt"), F.col("checksum").alias("_ct")
+        )
+        rows = (
+            cm.crossJoin(ct)
+            .select(
+                (
+                    (F.col("_nm") == F.col("_nt"))
+                    & F.col("_cm").eqNullSafe(F.col("_ct"))
+                ).alias("matches")
+            )
+            .collect()
+        )
+        assert len(rows) == 1, "certificate row must never disappear"
+        return rows[0].matches
+
+    assert verdict(full, full) is True
+    assert verdict(empty, empty) is True
+    assert verdict(empty, full) is False
+    assert verdict(full, empty) is False
+
+
 def test_checksum_localizes_single_row_corruption(spark):
     """Flipping one column of one row changes exactly the one shard
     that row lives in — the mismatch-localization property a 100 TB
