@@ -129,15 +129,26 @@ def inverted_index(
         F.col(id_col).cast("bigint").alias("_doc"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
     ).filter(F.col("term") != "")
+    ranked = _rank_term_docs(t)
+    if max_postings is not None:
+        ranked = ranked.filter(F.col("_rn") <= max_postings)
+    return _roll_postings(ranked, min_df)
+
+
+def _rank_term_docs(term_docs: DataFrame) -> DataFrame:
+    """One shuffle on the term key serving both the doc-frequency
+    window-count and the posting cap — shared by the index builders
+    and `retract_inverted_index`'s dirty-term repair."""
     w = Window.partitionBy("term")
-    ranked = t.select(
+    return term_docs.select(
         "term",
         "_doc",
         F.count(F.lit(1)).over(w).alias("_df"),
         F.row_number().over(w.orderBy(F.col("_doc").asc())).alias("_rn"),
     )
-    if max_postings is not None:
-        ranked = ranked.filter(F.col("_rn") <= max_postings)
+
+
+def _roll_postings(ranked: DataFrame, min_df: int) -> DataFrame:
     return (
         ranked.groupBy("term")
         .agg(
@@ -145,4 +156,142 @@ def inverted_index(
             F.sort_array(F.collect_list("_doc")).alias("postings"),
         )
         .filter(F.col("doc_freq") >= min_df)
+    )
+
+
+def inverted_index_with_overflow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_postings: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """`inverted_index` plus its OVERFLOW relation — the (term, doc)
+    rows the posting cap displaced, kept RELATIONAL (never collected
+    into arrays, so a stop-word's overflow stays a partitioned
+    table, exactly the O(corpus)-elements-in-one-task hazard the cap
+    exists to avoid). The overflow is what makes the capped index
+    MAINTAINABLE under deletes: removing a doc from an AT-CAP
+    postings list must re-admit the smallest displaced posting, which
+    the index alone cannot know (`retract_inverted_index`). doc_freq
+    already counts postings ∪ overflow, so the pair (index, overflow)
+    is a lossless factorization of the uncapped index for every
+    STORED term; terms below `min_df` are dropped from both, which
+    stays sound under deletes (a delete only lowers doc-frequency,
+    so a dropped term can never need to re-enter).
+
+    At 100 TB the overflow concentrates on the few hottest terms and
+    lives beside the index, partition-pruned by term hash; pipelines
+    that accept lossy-under-deletes caps simply don't store it (and
+    then `retract_inverted_index` must not be used — state the
+    contract either way, per the q268/q272 coverage-contract
+    discipline)."""
+    from patientdataintegration_spark.operators.textops import tokens
+
+    t = df.select(
+        F.col(id_col).cast("bigint").alias("_doc"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    # one window shuffle feeds BOTH outputs: freeze it (delta-free
+    # builders run once at build time; the localCheckpoint spares the
+    # corpus re-scan for the overflow side)
+    ranked = _rank_term_docs(t).localCheckpoint()
+    capped = (
+        ranked if max_postings is None
+        else ranked.filter(F.col("_rn") <= max_postings)
+    )
+    index = _roll_postings(capped, min_df)
+    if max_postings is None:
+        overflow = ranked.select(
+            "term", F.col("_doc").alias("doc")
+        ).filter(F.lit(False))
+    else:
+        overflow = ranked.filter(F.col("_rn") > max_postings).select(
+            "term", F.col("_doc").alias("doc")
+        )
+    return index, overflow
+
+
+def retract_inverted_index(
+    index: DataFrame,
+    overflow: DataFrame,
+    deleted_ids: DataFrame,
+    min_df: int = 1,
+    max_postings: int | None = None,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Inverted-index maintenance under DOCUMENT DELETES — the
+    erasure verb for the retrieval store (q110 builds it; a pipeline
+    that honors takedowns but leaves the doc discoverable through
+    term lookup has not erased it). Returns the maintained
+    (index', overflow') pair.
+
+    The repair contract (the interesting part, stated explicitly per
+    the q268/q272 discipline): deleting a doc from an AT-CAP postings
+    list RE-ADMITS the smallest displaced posting from the overflow
+    relation — the capped index alone is lossy under deletes, the
+    (index, overflow) factorization is not. Dirty-term repair, the
+    q256/q272 pattern:
+
+    1. dirty terms = terms whose postings array or overflow rows
+       mention a deleted doc: the postings side streams the index
+       ONCE (explode + broadcast semi — no shuffle; at 100 TB this
+       is the same one-scan cost as any audit of the index), the
+       overflow side is a broadcast semi on its rows;
+    2. untouched terms pass through verbatim behind one broadcast
+       anti-probe — the vocabulary-sized bulk, never re-aggregated;
+    3. dirty terms rebuild from THEIR complete (term, doc) rows
+       (postings ∪ overflow restricted to dirty terms, minus the
+       deleted docs): re-rank, re-cap, re-roll — a delta-sized
+       shuffle that re-elects displaced postings, decrements
+       doc_freq, and drops terms that fall below min_df.
+
+    Bit-identical to `inverted_index_with_overflow` over the
+    surviving corpus (both outputs) — pinned by the at-cap
+    adversarial test in tests/test_etl_operators.py and hash-proven
+    by q277's full-rebuild oracle."""
+    dele = F.broadcast(
+        deleted_ids.select(F.col(id_col).cast("bigint").alias("_doc")).distinct()
+    )
+    posted = index.select(
+        "term", F.explode("postings").alias("_doc")
+    )
+    dirty_terms = (
+        posted.join(dele, "_doc", "left_semi")
+        .select("term")
+        .unionByName(
+            overflow.join(
+                dele.withColumnRenamed("_doc", "doc"), "doc", "left_semi"
+            ).select("term")
+        )
+        .distinct()
+        .localCheckpoint()  # three consumers: two antis + the repair semi
+    )
+    clean_index = index.join(F.broadcast(dirty_terms), "term", "left_anti")
+    clean_overflow = overflow.join(F.broadcast(dirty_terms), "term", "left_anti")
+    members = (
+        posted.join(F.broadcast(dirty_terms), "term", "left_semi")
+        .unionByName(
+            overflow.join(F.broadcast(dirty_terms), "term", "left_semi")
+            .select("term", F.col("doc").alias("_doc"))
+        )
+        .join(dele, "_doc", "left_anti")
+    )
+    ranked = _rank_term_docs(members).localCheckpoint()  # index + overflow sides
+    capped = (
+        ranked if max_postings is None
+        else ranked.filter(F.col("_rn") <= max_postings)
+    )
+    repaired_index = _roll_postings(capped, min_df)
+    if max_postings is None:
+        repaired_overflow = ranked.select(
+            "term", F.col("_doc").alias("doc")
+        ).filter(F.lit(False))
+    else:
+        repaired_overflow = ranked.filter(F.col("_rn") > max_postings).select(
+            "term", F.col("_doc").alias("doc")
+        )
+    return (
+        clean_index.unionByName(repaired_index).select(*index.columns),
+        clean_overflow.unionByName(repaired_overflow).select(*overflow.columns),
     )

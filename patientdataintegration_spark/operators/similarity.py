@@ -222,89 +222,66 @@ def lsh_cosine_topk(
     )
 
 
-def ivf_cosine_topk(
-    queries: DataFrame,
+def ivf_index_exact(
     candidates: DataFrame,
-    k: int = 3,
     n_cells: int = 16,
-    n_probe: int = 4,
-    seed: int = 42,
+    iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    quantizer: str = "ml",
-    quantizer_iterations: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index as a first-class PAIR of relations —
+    (assigned, centroids) — with the deterministic Lloyd's coarse
+    quantizer (`clustering.kmeans_centroids`): `assigned` is the
+    cell-keyed inverted file (neighbor_id, c_vec, c_norm, cell),
+    `centroids` the tiny (cell, centroid) table every probe
+    broadcasts. Splitting index from search (vs the fused
+    `ivf_cosine_topk`) is what gives the index a MAINTENANCE
+    surface: q252 appends delta assignments against the frozen
+    centroids; `retract_ivf` removes vectors (q276); `ivf_search`
+    serves queries against whatever the maintained relation
+    currently holds."""
+    from patientdataintegration_spark.operators.clustering import (
+        _assign,
+        kmeans_centroids,
+    )
+
+    cent = kmeans_centroids(
+        candidates,
+        k=n_cells,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    emb = candidates.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = _assign(emb, cent, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("c_vec"),
+        F.sqrt(sq_norm(F.col("v"))).alias("c_norm"),
+        F.col("c").alias("cell"),
+    )
+    centroids = cent.select(
+        F.col("c").alias("cell"), F.col("cv").alias("centroid")
+    )
+    return assigned, centroids
+
+
+def ivf_search(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
-    partitions candidates into cells; each query probes its `n_probe`
-    nearest cells and exact-reranks only those candidates.
-
-    The alternative scale path to `lsh_cosine_topk` (FAISS-style IVF
-    vs random hyperplanes): cell assignment is a plan-native
-    transform, and the probe set per query comes from a broadcast of
-    the tiny centroid table. Shuffle key is the cell id; candidate
-    vectors are read once. Recall grows with n_probe — pytest pins
-    it against the brute-force baseline.
-
-    ``quantizer``: 'ml' fits `pyspark.ml` KMeans (k-means||, fast,
-    engine-specific); 'exact' uses the DETERMINISTIC Lloyd's kmeans
-    (`clustering.kmeans_centroids` — decimal-exact means, lowest-id
-    seeds), which makes the WHOLE query bit-reproducible across
-    engines and partitionings, so a SQL oracle can check it
-    end-to-end (q98)."""
-    if quantizer == "exact":
-        from patientdataintegration_spark.operators.clustering import (
-            _assign,
-            kmeans_centroids,
-        )
-
-        cent = kmeans_centroids(
-            candidates,
-            k=n_cells,
-            iterations=quantizer_iterations,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
-        emb = candidates.select(
-            F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-        )
-        assigned = _assign(emb, cent, id_col).select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col("v").alias("c_vec"),
-            F.sqrt(sq_norm(F.col("v"))).alias("c_norm"),
-            F.col("c").alias("cell"),
-        )
-        centroids = cent.select(
-            F.col("c").alias("cell"), F.col("cv").alias("centroid")
-        )
-    elif quantizer == "ml":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.feature import VectorAssembler  # noqa: F401 (doc pointer)
-        from pyspark.ml.functions import array_to_vector, vector_to_array
-
-        cand_vec = candidates.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            array_to_vector(_as_double(F.col(vec_col))).alias("features"),
-        )
-        km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-        model = km.fit(cand_vec)
-        assigned = model.transform(cand_vec).select(
-            "neighbor_id",
-            "c_vec",
-            F.sqrt(sq_norm(F.col("c_vec"))).alias("c_norm"),
-            "cell",
-        )
-
-        centers = [
-            (int(i), [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
-        ]
-        spark = queries.sparkSession
-        centroids = spark.createDataFrame(
-            centers, "cell int, centroid array<double>"
-        )
-    else:
-        raise ValueError(f"unknown quantizer {quantizer!r} (use 'ml' or 'exact')")
+    """Probe + exact-rerank against a prebuilt (assigned, centroids)
+    IVF index: each query ranks the broadcast centroid table, keeps
+    its `n_probe` nearest cells, and reranks only those cells'
+    vectors. The index relation is read as-is — maintained inserts
+    (q252) and retractions (`retract_ivf`, q276) are served with no
+    rebuild, exactly the FAISS add/remove_ids contract."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -346,6 +323,122 @@ def ivf_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def retract_ivf(
+    assigned: DataFrame,
+    deleted_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF index maintenance under VECTOR DELETES — the erasure verb
+    the r12 verdict named first (a pipeline that honors document
+    takedowns but leaves the vectors discoverable through the ANN
+    index has not actually erased them): one broadcast anti-join on
+    the inverted file's id. The repair contract, stated like
+    q268/q272's:
+
+    - centroids stay FROZEN (the q252 production pattern) — a delete
+      never moves cell boundaries, so NO cell is rebuilt and no
+      surviving row is touched;
+    - an emptied cell REMAINS in the centroid table: probes still
+      rank it, scan zero rows there, and lose nothing;
+    - therefore search-after-retract is BIT-IDENTICAL to a rebuild
+      over the survivors against the same frozen centroids
+      (assignment is a pure per-row function) — pinned in
+      tests/test_dedup_similarity.py, hash-proven by q276's oracle,
+      which recomputes the probe+rerank over the surviving corpus.
+
+    At 100 TB: the takedown set broadcasts; the inverted file (the
+    corpus-sized side, cell-partitioned on disk) streams once and is
+    never shuffled — the q272 retraction shape on the ANN store.
+    FAISS analogue: IndexIVF.remove_ids."""
+    dele = F.broadcast(
+        deleted_ids.select(
+            F.col(id_col).cast(dict(assigned.dtypes)["neighbor_id"]).alias(
+                "neighbor_id"
+            )
+        ).distinct()
+    )
+    return assigned.join(dele, "neighbor_id", "left_anti").select(
+        *assigned.columns
+    )
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantizer: str = "ml",
+    quantizer_iterations: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
+    partitions candidates into cells; each query probes its `n_probe`
+    nearest cells and exact-reranks only those candidates.
+
+    The alternative scale path to `lsh_cosine_topk` (FAISS-style IVF
+    vs random hyperplanes): cell assignment is a plan-native
+    transform, and the probe set per query comes from a broadcast of
+    the tiny centroid table. Shuffle key is the cell id; candidate
+    vectors are read once. Recall grows with n_probe — pytest pins
+    it against the brute-force baseline.
+
+    ``quantizer``: 'ml' fits `pyspark.ml` KMeans (k-means||, fast,
+    engine-specific); 'exact' uses the DETERMINISTIC Lloyd's kmeans
+    (`clustering.kmeans_centroids` — decimal-exact means, lowest-id
+    seeds), which makes the WHOLE query bit-reproducible across
+    engines and partitionings, so a SQL oracle can check it
+    end-to-end (q98)."""
+    if quantizer == "exact":
+        assigned, centroids = ivf_index_exact(
+            candidates,
+            n_cells=n_cells,
+            iterations=quantizer_iterations,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    elif quantizer == "ml":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.feature import VectorAssembler  # noqa: F401 (doc pointer)
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        cand_vec = candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            array_to_vector(_as_double(F.col(vec_col))).alias("features"),
+        )
+        km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+        model = km.fit(cand_vec)
+        assigned = model.transform(cand_vec).select(
+            "neighbor_id",
+            "c_vec",
+            F.sqrt(sq_norm(F.col("c_vec"))).alias("c_norm"),
+            "cell",
+        )
+
+        centers = [
+            (int(i), [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
+        spark = queries.sparkSession
+        centroids = spark.createDataFrame(
+            centers, "cell int, centroid array<double>"
+        )
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r} (use 'ml' or 'exact')")
+    return ivf_search(
+        queries,
+        assigned,
+        centroids,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
     )
 
 

@@ -635,6 +635,64 @@ def cached_exact_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cached_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(assigned, centroids) of the exact-quantizer IVF index over
+    the embeddings table (n_cells=16, Lloyd iterations=2 — the q98
+    configuration) — the persisted ANN store the maintenance lanes
+    operate on (q252 appends against frozen centroids; q276/q278
+    retract from it), content-keyed on the corpus: building the
+    index is q98's measured job, so erasure lanes read it as stored
+    state instead of re-training the quantizer per invocation."""
+    from patientdataintegration_spark.operators.similarity import ivf_index_exact
+    from patientdataintegration_spark.plans.materialize import cached_parquet
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+
+    def build(part: int) -> DataFrame:
+        return ivf_index_exact(
+            load_table(spark, sf_dir, "embeddings"), n_cells=16, iterations=2
+        )[part]
+
+    assigned = cached_parquet(
+        spark, "ivf_assigned_c16", [emb_path], lambda: build(0)
+    )
+    centroids = cached_parquet(
+        spark, "ivf_centroids_c16", [emb_path], lambda: build(1)
+    )
+    return assigned, centroids
+
+
+def cached_inverted_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted (index, overflow) factorization of the capped
+    inverted index over the documents table (min_df=2, cap=16 — the
+    q110 configuration): q110 builds and measures the index; the
+    erasure lanes (q277/q278) MAINTAIN it, so they read both
+    relations as stored state content-keyed on the corpus. The
+    overflow relation is what makes the cap repairable under deletes
+    (`operators/indexing.retract_inverted_index`)."""
+    from patientdataintegration_spark.operators.indexing import (
+        inverted_index_with_overflow,
+    )
+    from patientdataintegration_spark.plans.materialize import cached_parquet
+
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    def build(part: int) -> DataFrame:
+        return inverted_index_with_overflow(
+            load_table(spark, sf_dir, "documents"), min_df=2, max_postings=16
+        )[part]
+
+    index = cached_parquet(
+        spark, "inv_index_df2_cap16", [docs_path], lambda: build(0)
+    )
+    overflow = cached_parquet(
+        spark, "inv_overflow_df2_cap16", [docs_path], lambda: build(1)
+    )
+    return index, overflow
+
+
 @_register("q92_minhash_lsh_pairs", _lsh_pairs_sql())
 def q92_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate near-dup pairs (bands=4, rows=2).

@@ -705,6 +705,103 @@ def test_retract_documents_untouched_fastpath_and_pair_view(spark):
     assert sorted(map(tuple, kept.collect())) == [(1, 2)]
 
 
+def test_maintain_components_delta_composition(spark):
+    """maintain_components_delta returns EXACTLY the rows that differ:
+    (L ∖-by-node Δrows) ∪ Δrows == maintain_components(L, Δ), and no
+    Δrow repeats an unchanged old label — under the full adversarial
+    merge battery (bridge, chain through new nodes, new-min relabel,
+    internal no-op, delta-only component)."""
+    from patientdataintegration_spark.operators.dedup import (
+        connected_components_star,
+        maintain_components,
+        maintain_components_delta,
+    )
+
+    old_edges = spark.createDataFrame(
+        [(10, 11), (20, 21), (30, 31), (40, 41), (50, 51)],
+        "doc_a bigint, doc_b bigint",
+    )
+    labels_old = connected_components_star(old_edges)
+    delta = spark.createDataFrame(
+        [(11, 20), (31, 100), (100, 41), (5, 50), (40, 41), (200, 201)],
+        "doc_a bigint, doc_b bigint",
+    )
+    drows = maintain_components_delta(labels_old, delta)
+    composed = labels_old.join(
+        drows.select("node"), "node", "left_anti"
+    ).unionByName(drows)
+    want = sorted(map(tuple, maintain_components(labels_old, delta).collect()))
+    assert sorted(map(tuple, composed.collect())) == want
+    # minimality: every emitted row genuinely differs from labels_old
+    old = dict(labels_old.collect())
+    for node, label in drows.collect():
+        assert old.get(node) != label, f"non-delta row ({node}, {label})"
+    # exactly the relabeled members: 20/21 (bridge merges into 10's
+    # label), 40/41 + new node 100 (chain merges into 30's label —
+    # 30/31 already carry the min), 50/51 + new-min 5, and the
+    # delta-only component; minimum-keeping members must NOT appear
+    emitted = {n for n, _l in drows.collect()}
+    assert emitted == {5, 20, 21, 40, 41, 50, 51, 100, 200, 201}
+
+    # all-internal delta: the delta is EMPTY (nothing changed)
+    delta2 = spark.createDataFrame([(10, 11)], "doc_a bigint, doc_b bigint")
+    assert maintain_components_delta(labels_old, delta2).isEmpty()
+
+
+def test_retract_documents_delta_composition(spark):
+    """retract_documents_delta's three relations compose back to
+    retract_documents, and the tombstones are exactly the nodes that
+    leave the labeling (deleted + orphaned survivors) — under the
+    full adversarial delete battery."""
+    from patientdataintegration_spark.operators.dedup import (
+        connected_components_star,
+        retract_documents,
+        retract_documents_delta,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5),
+            (10, 11), (10, 12), (11, 12),
+            (20, 21),
+            (30, 31),
+            (40, 41), (41, 42),
+        ],
+        "doc_a bigint, doc_b bigint",
+    )
+    labels_old = connected_components_star(pairs)
+    deleted = spark.createDataFrame(
+        [(3,), (10,), (20,), (21,), (30,), (999,)], "doc_id bigint"
+    )
+    dirty_labels, repaired, tombs = retract_documents_delta(
+        pairs, labels_old, deleted
+    )
+    composed = labels_old.join(
+        dirty_labels, "label", "left_semi"
+    ).select("node", "label")
+    composed = labels_old.join(
+        dirty_labels, "label", "left_anti"
+    ).select("node", "label").unionByName(repaired)
+    want_full = retract_documents(pairs, labels_old, deleted)
+    assert sorted(map(tuple, composed.collect())) == sorted(
+        map(tuple, want_full.collect())
+    )
+    want_tombs = {n for n, _l in labels_old.collect()} - {
+        n for n, _l in want_full.collect()
+    }
+    assert {r.node for r in tombs.collect()} == want_tombs
+    # orphaned survivor 31 and wiped/deleted 3,10,20,21,30 leave;
+    # never-clustered 999 was never a node, so it cannot tombstone
+    assert want_tombs == {3, 10, 20, 21, 30, 31}
+
+    # no-op delete: every relation empty
+    dl2, rep2, tb2 = retract_documents_delta(
+        pairs, labels_old,
+        spark.createDataFrame([(999,)], "doc_id bigint"),
+    )
+    assert dl2.isEmpty() and rep2.isEmpty() and tb2.isEmpty()
+
+
 def test_retract_exact_dedup_matches_recompute(spark):
     """retract_exact_dedup == exact_dedup over the surviving corpus,
     across the delete classes: the CANONICAL of a group removed
@@ -746,3 +843,69 @@ def test_retract_exact_dedup_matches_recompute(spark):
     assert by_canon[10] == 1, "non-canonical delete just drops the count"
     assert 20 not in by_canon, "emptied group leaves the store"
     assert by_canon[30] == 2, "untouched group passes through"
+
+
+def test_retract_ivf_absence_and_rebuild_identity(spark):
+    """ANN-index erasure: after retract_ivf (a) no deleted vector
+    appears in ANY probe's top-k, (b) search over the retracted
+    index is BIT-IDENTICAL to a rebuild over the survivors against
+    the same frozen centroids (so recall vs brute on survivors is
+    unchanged by construction), and (c) an emptied cell keeps its
+    centroid without breaking the probe ranking."""
+    from patientdataintegration_spark.operators.clustering import _assign
+    from patientdataintegration_spark.operators.similarity import (
+        ivf_index_exact,
+        ivf_search,
+        retract_ivf,
+    )
+    from pyspark.sql import functions as F
+
+    # 3 tight groups of 4 vectors; ids 0..11; group g at axis g
+    rows = []
+    for g in range(3):
+        for j in range(4):
+            v = [0.0] * 6
+            v[g] = 10.0
+            v[g + 3] = 1.0 + j  # spread within the group
+            rows.append((g * 4 + j, v))
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    assigned, centroids = ivf_index_exact(e, n_cells=3, iterations=3)
+
+    # delete one whole group (ids 4..7 -> empties its cell) plus one
+    # member of another (id 1)
+    deleted = spark.createDataFrame(
+        [(1,), (4,), (5,), (6,), (7,)], "vec_id bigint"
+    )
+    maintained = retract_ivf(assigned, deleted)
+    gone = {1, 4, 5, 6, 7}
+    assert {r.neighbor_id for r in maintained.collect()}.isdisjoint(gone)
+    # centroid table untouched: the emptied cell's centroid remains
+    assert centroids.count() == 3
+
+    got = ivf_search(e, maintained, centroids, k=3, n_probe=3)
+    assert not {r.neighbor_id for r in got.collect()} & gone, (
+        "a deleted vector surfaced in a probe's top-k"
+    )
+
+    # bit-identity with a fresh assignment of the SURVIVORS against
+    # the same frozen centroids
+    surv = e.join(deleted, "vec_id", "left_anti")
+    emb = surv.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = centroids.select(
+        F.col("cell").alias("c"), F.col("centroid").alias("cv")
+    )
+    rebuilt = _assign(emb, cent, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("c_vec"),
+        F.sqrt(
+            F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("c_norm"),
+        F.col("c").alias("cell"),
+    )
+    want = ivf_search(e, rebuilt, centroids, k=3, n_probe=3)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

@@ -411,6 +411,73 @@ def test_inverted_index_hand_computed(spark):
     assert "b" not in {r["term"] for r in inverted_index(df, min_df=3).collect()}
 
 
+def test_retract_inverted_index_at_cap_readmission(spark):
+    """The at-cap adversarial battery: deleting a VISIBLE posting of
+    an at-cap term re-admits the smallest displaced overflow doc;
+    deleting an OVERFLOW doc leaves the visible postings unchanged
+    but decrements doc_freq; a term falling below min_df leaves the
+    index; untouched terms pass through verbatim — and the whole
+    maintained pair equals the from-scratch rebuild over survivors."""
+    from patientdataintegration_spark.operators.indexing import (
+        inverted_index_with_overflow,
+        retract_inverted_index,
+    )
+
+    # term 'h' in docs 1..6 (cap 3 -> postings [1,2,3], overflow
+    # [4,5,6]); 'x' in docs 1..3 (at min_df edge after one delete);
+    # 'z' untouched in docs 7,8
+    rows = [
+        (1, "h x"), (2, "h x"), (3, "h x"),
+        (4, "h"), (5, "h"), (6, "h"),
+        (7, "z h"), (8, "z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    index, overflow = inverted_index_with_overflow(
+        df, min_df=2, max_postings=3
+    )
+    got_idx = {r["term"]: r for r in index.collect()}
+    assert got_idx["h"]["postings"] == [1, 2, 3]
+    assert got_idx["h"]["doc_freq"] == 7
+    assert sorted(
+        (r["term"], r["doc"]) for r in overflow.collect()
+    ) == [("h", 4), ("h", 5), ("h", 6), ("h", 7)]
+
+    # delete 2 (visible posting of at-cap 'h'; drops 'x' to df=2) and
+    # 5 (an OVERFLOW doc of 'h')
+    deleted = spark.createDataFrame([(2,), (5,)], "doc_id bigint")
+    new_index, new_overflow = retract_inverted_index(
+        index, overflow, deleted, min_df=2, max_postings=3
+    )
+    ni = {r["term"]: r for r in new_index.collect()}
+    assert ni["h"]["postings"] == [1, 3, 4], "displaced 4 re-admitted"
+    assert ni["h"]["doc_freq"] == 5, "both deletes decrement df"
+    assert ni["x"]["postings"] == [1, 3] and ni["x"]["doc_freq"] == 2
+    assert ni["z"]["postings"] == [7, 8], "untouched term verbatim"
+    assert sorted(
+        (r["term"], r["doc"]) for r in new_overflow.collect()
+    ) == [("h", 6), ("h", 7)]
+
+    # maintained pair == rebuild over the surviving corpus (both
+    # relations), and a below-min_df drop: deleting 1 and 3 empties
+    # 'x' (df 1 < 2) out of the index entirely
+    surv = df.join(deleted, "doc_id", "left_anti")
+    want_index, want_overflow = inverted_index_with_overflow(
+        surv, min_df=2, max_postings=3
+    )
+    assert sorted(map(tuple, new_index.collect())) == sorted(
+        map(tuple, want_index.collect())
+    )
+    assert sorted(map(tuple, new_overflow.collect())) == sorted(
+        map(tuple, want_overflow.collect())
+    )
+    deleted2 = spark.createDataFrame([(1,), (3,)], "doc_id bigint")
+    idx2, _of2 = retract_inverted_index(
+        new_index, new_overflow, deleted2, min_df=2, max_postings=3
+    )
+    terms2 = {r["term"] for r in idx2.collect()}
+    assert "x" not in terms2 and {"h", "z"} <= terms2
+
+
 def test_shard_manifest_partitions_corpus(spark):
     from patientdataintegration_spark.operators.indexing import shard_manifest
 
