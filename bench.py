@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "q273_streaming_components",     # streamed maintained dedup loop (r12)
     "q274_takedown_certificate",     # four retraction algebras certified (r12)
     "q275_streaming_takedowns",      # full-CRUD dedup stream (r12)
+    "q276_retract_ivf",              # ANN-index erasure + search (r13)
+    "q277_retract_inverted_index",   # capped-postings erasure repair (r13)
+    "q278_erasure_sla_certificate",  # six-artifact erasure audit (r13)
 ]
 
 

@@ -247,6 +247,32 @@ fill lanes — everything from the 47-lane r6 evidence tail except
 q43_percentiles, q44_cube, q63_latest_per_key, q95_approx_distinct,
 q229_sql_udf_macros and q230_lateral_topk, which queue for r13
 (forty-one fills: the late additions q274/q275 displace q229/q230).
+
+The round-13 window: (a) the three r13 additions, never
+driver-checked — q276 (ANN-index erasure: retract_ivf against the
+frozen-centroid inverted file, oracle = the full IVF pipeline over
+the survivors), q277 (inverted-index erasure: the (index, overflow)
+factorization repairs the posting cap under deletes — at-cap
+re-admission, doc_freq decrement, below-min_df drops — oracle = the
+full rebuild over survivors) and q278 (the erasure-SLA certificate:
+ONE DAG retracts the takedown set from all six maintained artifacts
+and proves refs_to_deleted = 0 with every survivor cardinality
+stated a priori); (b) seven re-proofs for everything r13 changed —
+q273/q275 (the dedup stream's store rewritten to DELTA GENERATIONS:
+per-batch O(Δ) writes via maintain_components_delta /
+retract_documents_delta, last-writer-wins label reconstruction,
+compaction + GC — the r12 verdict's weak mark), q268/q272 (their
+operators refactored onto the shared delta cores), q274 (cert()
+rebuilt on the empty-side-safe table_checksum + the exact store and
+fingerprints now cache-read — r12 ADVICE), q110 (inverted_index
+refactored onto the shared _rank_term_docs/_roll_postings helpers)
+and q98 (ivf_cosine_topk decomposed into ivf_index_exact +
+ivf_search — same dataflow, bit-identical expected); (c) the six
+r6-era queue lanes q43/q44/q63/q95/q229/q230 (after this window no
+hash lane's latest driver evidence predates r7); and (d)
+thirty-four oldest-first r7-era fill lanes — the 45-lane r7 cohort
+minus the eleven (q76/q77/q78/q79/q80/q81/q82/q83/q84/q87/q92) that
+queue for r14.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -307,67 +333,68 @@ ROWS_ONLY_REASONS = {
     ),
 }
 
-# The driver-checked prefix, by design exactly 50 names (round-12
+# The driver-checked prefix, by design exactly 50 names (round-13
 # rotation: see module docstring).
 PRIORITY = [
-    # (a) never driver-checked: the late-r11 additions and the two
-    # r12 additions
-    "q270_streaming_topk",
-    "q271_topk_updates",
+    # (a) never driver-checked: the r13 erasure additions
+    "q276_retract_ivf",
+    "q277_retract_inverted_index",
+    "q278_erasure_sla_certificate",
+    # (b) changed in round 13 — re-prove: the delta-generation store
+    # (q273/q275), the shared delta cores (q268/q272), the
+    # empty-side-safe certificate + cached stores (q274), the
+    # shared postings helpers (q110), the IVF decomposition (q98)
+    "q268_maintain_components",
     "q272_retract_documents",
     "q273_streaming_components",
     "q274_takedown_certificate",
     "q275_streaming_takedowns",
-    # (b) the last two r5-era hash lanes — evidence rotation closes
-    "q115_components_star",
-    "q200_corpus_curation",
-    # (c) changed in round 12 — re-prove: upsert_join_view's
-    # ambiguity guard scoped to genuinely ambiguous winners (benign
-    # at-least-once replays collapse; losing-seq ties pass)
-    "q257_join_view_updates",
-    # (d) forty-one oldest-first r6-era fill lanes (the complete r6
-    # evidence tail except q43/q44/q63/q95/q229/q230, queued for r13)
-    "q03_balanced_accuracy",
-    "q07_impute_mode",
-    "q08_scale01",
-    "q09_onehot",
-    "q10_bucketize",
-    "q13_sample_per_group",
-    "q14_union_cohorts",
-    "q15_topk_per_group",
-    "q17_threshold_sweep",
-    "q18_semi_anti_join",
-    "q19_set_ops",
-    "q20_rollup",
-    "q23_distinct_agg",
-    "q25_local_volume",
-    "q26_path_parsing",
-    "q27_status_matrix",
-    "q104_audio_metadata",
-    "q181_video_frames",
-    "q193_image_dhash",
-    "q194_dhash_neardup",
-    "q195_python_datasource",
-    "q206_image_decode_exact",
-    "q207_embedding_neardup_clusters",
-    "q208_sole_late_supplier",
-    "q209_rich_idle_customers",
-    "q210_token_count_median",
-    "q211_join_key_skew",
-    "q212_status_pivot",
-    "q213_small_qty_revenue",
-    "q214_scd2_history",
-    "q215_max_concurrency",
-    "q216_fuzzy_name_match",
-    "q217_nation_trade_matrix",
-    "q218_market_share",
-    "q219_time_weighted_avg",
-    "q221_salted_join",
-    "q222_arrow_byte_stats",
-    "q225_revenue_concentration",
-    "q226_large_volume_orders",
-    "q227_disjunctive_revenue",
-    "q228_trailing_hour_frame",
+    "q110_inverted_index",
+    "q98_ivf_cosine_topk",
+    # (c) the r6-era queue — evidence rotation: after this window no
+    # hash lane's latest driver evidence predates r7
+    "q43_percentiles",
+    "q44_cube",
+    "q63_latest_per_key",
+    "q95_approx_distinct",
+    "q229_sql_udf_macros",
+    "q230_lateral_topk",
+    # (d) thirty-four oldest-first r7-era fill lanes (the r7 cohort
+    # minus q76-q92's eleven, queued for r14)
+    "q21_window_lag",
+    "q220_native_session_window",
+    "q223_stream_session_window",
+    "q224_rf_quality_verdict",
+    "q22_running_best",
+    "q29_json_props",
+    "q30_token_stats",
+    "q31_lang_id",
+    "q32_exact_dedup",
+    "q34_minhash_signatures",
+    "q35_simhash",
+    "q37_events_tumbling",
+    "q38_quality_filter",
+    "q39_events_sliding",
+    "q40_embedding_neardup",
+    "q41_winnowing_fp",
+    "q46_tfidf_top_terms",
+    "q48_metric_map",
+    "q50_exists_correlated",
+    "q51_scalar_subquery",
+    "q52_unpivot",
+    "q53_having_join_back",
+    "q55_quantile_binning",
+    "q56_pivot_status",
+    "q57_not_exists_anti",
+    "q58_full_outer",
+    "q59_grouping_sets",
+    "q61_date_battery",
+    "q64_string_battery",
+    "q65_label_centroids",
+    "q68_array_battery",
+    "q69_forward_fill",
+    "q72_regex_tokens",
+    "q75_retention_cohorts",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

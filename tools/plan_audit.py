@@ -88,6 +88,14 @@ SHUFFLE_BUDGETS = {
     # twins certify) is broadcast anti/semi probes plus a star loop
     # over the dirty sliver, within the default budget
     "q274_takedown_certificate": 40,
+    # the erasure-SLA certificate: SIX maintained artifacts, each
+    # retraction-maintained once (no twins — q274/q246 already
+    # certify maintained == recompute; this lane audits ABSENCE) plus
+    # a rows + refs single-row aggregate pair per artifact — the
+    # composite's count is the sum of the parts by design (the q200
+    # rule); each artifact's maintained path alone is within the
+    # default budget
+    "q278_erasure_sla_certificate": 30,
 }
 DEFAULT_SHUFFLE_BUDGET = 12
 
@@ -111,6 +119,11 @@ NESTED_LOOP_ALLOW = {
     # are measured against
     "q202_bruteforce_topk",
     "q203_ann_recall",
+    # q98's probe crossJoin against the SAME 16-row centroid table,
+    # but read from the content-keyed cache (a 16-row parquet scan,
+    # so the plan text can't show the aggregate that bounded it at
+    # build time) — k-row by construction, the q252 argument
+    "q276_retract_ivf",
 }
 
 # Streaming-execution lanes: the query function RUNS a stream when
