@@ -178,3 +178,61 @@ def test_state_sizing_on_sessionizer_checkpoint(spark, sf_dir):
     # sanity: the overhead estimate is one partition's bytes, so it
     # can never exceed the whole store's observed total
     assert rep["overhead_bytes_per_partition"] <= rep["state_bytes"]
+
+
+def test_state_sizing_scopes_to_operator(spark):
+    """Pin the r12 ADVICE fix: state_sizing(operator_id=N) must count
+    operator N's OWN keys (the statestore source defaults to operator
+    0). A two-stateful-operator query — streaming dropDuplicates
+    feeding a windowed count — has different key cardinalities per
+    operator (8 distinct event ids vs 2 windows); each operator's
+    report must match its own cardinality, which the unscoped read
+    could not (it returned operator 0's count for both)."""
+    import os
+    import tempfile
+
+    from patientdataintegration_spark.streaming.statestore import state_sizing
+
+    root = tempfile.mkdtemp(prefix="pdi_sizing_")
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+    base = 1_700_000_000
+    rows = []
+    for i in range(8):  # 8 distinct ids, each duplicated once
+        win = 0 if i < 5 else 600  # 5 ids in window A, 3 in window B
+        for _ in range(2):
+            rows.append((i, (base + win + i) * 1_000_000))
+    df = spark.createDataFrame(rows, "event_id bigint, us bigint").select(
+        "event_id", F.timestamp_micros("us").alias("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .parquet(src)
+        .dropDuplicates(["event_id"])
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sizing_two_ops")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    names = {
+        r["operatorId"]: r["operatorName"]
+        for r in spark.read.format("state-metadata").load(ckpt).collect()
+    }
+    assert len(names) == 2, f"expected two stateful operators, got {names}"
+    want_by_name = {"dedupe": 8, "stateStoreSave": 2}
+    for op_id, op_name in names.items():
+        rep = state_sizing(spark, ckpt, operator_id=op_id)
+        assert rep["n_keys"] == want_by_name[op_name], (
+            f"operator {op_id} ({op_name}) reported {rep['n_keys']} keys"
+        )
+        assert rep["operator_name"] == op_name
