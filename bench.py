@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "q276_retract_ivf",              # ANN-index erasure + search (r13)
     "q277_retract_inverted_index",   # capped-postings erasure repair (r13)
     "q278_erasure_sla_certificate",  # six-artifact erasure audit (r13)
+    "q279_conjunctive_retrieval",    # boolean-AND from the capped index (r13)
+    "q280_bm25_topk",                # Okapi BM25 top-k ranking (r13)
 ]
 
 

@@ -295,3 +295,180 @@ def retract_inverted_index(
         clean_index.unionByName(repaired_index).select(*index.columns),
         clean_overflow.unionByName(repaired_overflow).select(*overflow.columns),
     )
+
+
+def full_postings(index: DataFrame, overflow: DataFrame) -> DataFrame:
+    """The complete (term, doc) relation of a capped index: visible
+    postings exploded ∪ the overflow rows. This is the READ-side
+    payoff of the (index, overflow) factorization: a consumer that
+    needs exact answers (conjunctive retrieval, erasure repair)
+    composes it; a consumer happy with the cap (preview UIs) reads
+    the arrays alone. One streamed scan of each relation, no
+    shuffle."""
+    return index.select(
+        "term", F.explode("postings").alias("doc")
+    ).unionByName(overflow.select("term", "doc"))
+
+
+def conjunctive_retrieval(
+    index: DataFrame,
+    overflow: DataFrame,
+    term_pairs: DataFrame,
+    term_a: str = "term_a",
+    term_b: str = "term_b",
+) -> DataFrame:
+    """Boolean-AND retrieval over the capped inverted index: for each
+    (term_a, term_b) query, the docs containing BOTH terms — answered
+    EXACTLY by intersecting `full_postings` sides, which is the point
+    of storing the overflow: the capped arrays alone silently drop
+    every hit past position `max_postings` (a hot term's intersection
+    would be bounded by the cap instead of the corpus).
+
+    Scale shape: the query terms broadcast as two semi-probes, so
+    each side of the intersection is one streamed scan of
+    index+overflow reduced to the queried terms' rows; the join key
+    is (doc) within a queried pair — shuffle volume is the queried
+    postings only, never the index. Returns (term_a, term_b, doc)
+    rows; callers aggregate to hit counts/ids."""
+    pairs = term_pairs.select(
+        F.col(term_a).alias("_ta"), F.col(term_b).alias("_tb")
+    ).distinct()
+    post = full_postings(index, overflow)
+    side_a = post.join(
+        F.broadcast(pairs.select(F.col("_ta").alias("term")).distinct()),
+        "term",
+        "left_semi",
+    ).select(F.col("term").alias("_ta"), "doc")
+    side_b = post.join(
+        F.broadcast(pairs.select(F.col("_tb").alias("term")).distinct()),
+        "term",
+        "left_semi",
+    ).select(F.col("term").alias("_tb"), "doc")
+    return (
+        F.broadcast(pairs)
+        .join(side_a, "_ta")
+        .join(side_b, ["_tb", "doc"])
+        .select(
+            F.col("_ta").alias(term_a),
+            F.col("_tb").alias(term_b),
+            "doc",
+        )
+    )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """BM25 top-k retrieval: score every corpus document against each
+    query's DISTINCT terms and keep the k best — the ranking function
+    the inverted-index family serves in production (Lucene/ES
+    default), here as one declarative DAG over the same (doc, term,
+    tf) statistics q46's tf-idf uses.
+
+        idf(t)       = ln((N - df + 0.5) / (df + 0.5) + 1)
+        tfnorm(t, d) = tf*(k1+1) / (tf + k1*(1 - b + b*len_d/avgdl))
+        score(q, d)  = Σ_t∈q round(idf*tfnorm, 6) as DECIMAL(28,12)
+
+    Exactness contract (the q82 ln-sum discipline): each per-term
+    score is rounded to 6 digits THEN summed as exact decimal, so the
+    per-(query, doc) total — and therefore the ranking — is
+    order-independent across partitionings and engines; idf*tfnorm is
+    irrational (positive ln times a rational), so the round can never
+    land on a decimal boundary. avgdl enters as len_d*N/total_tokens,
+    keeping every input to the double expression an exact integer.
+
+    `max_df` (optional) drops query terms hotter than the threshold
+    (stop-word elimination — the standard WAND-style guard): it
+    bounds the scored candidate set per query term at max_df docs,
+    which is what makes the (query_term ⋈ tf) join delta-sized at
+    100 TB instead of |queries| × |corpus| (a stop word would pair
+    every query with every document for a near-zero idf
+    contribution). The threshold changes the SEMANTICS (guarded
+    terms contribute nothing), so it is part of the caller's stated
+    contract; with None every term scores — the right setting when
+    the vocabulary is small relative to the corpus (q280's synthetic
+    corpus has 31 terms, all corpus-frequent: guarded, every query
+    would be empty).
+
+    Scale: two hash aggs build the corpus statistics (tf and df share
+    one explode); N/total broadcast as 1-row frames; the query-term
+    relation broadcasts against the df-filtered tf; the final top-k
+    is one per-query window."""
+    from patientdataintegration_spark.operators.textops import tokens
+
+    toks = corpus.select(
+        F.col(id_col).cast("bigint").alias("_doc"),
+        F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("_doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # one more agg on tf gives df AND doc_len without re-exploding
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    doclen = toks.groupBy("_doc").agg(F.count(F.lit(1)).alias("len_d"))
+    totals = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len_d").alias("total_tokens"),
+    )
+    q_terms = (
+        queries.select(
+            F.col(query_id_col).cast("bigint").alias("_q"),
+            F.explode(
+                F.array_distinct(tokens(F.lower(F.trim(F.col(text_col)))))
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    guarded = tf
+    if max_df is not None:
+        rare = dfreq.filter(F.col("df") <= max_df)
+        guarded = tf.join(F.broadcast(rare), "term", "left_semi")
+    cand = (
+        guarded.join(F.broadcast(q_terms), "term")
+        .filter(F.col("_q") != F.col("_doc"))
+        .join(F.broadcast(dfreq), "term")
+        .join(doclen, "_doc")
+        .crossJoin(F.broadcast(totals))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b)
+            * F.col("len_d")
+            * F.col("n_docs")
+            / F.col("total_tokens")
+        )
+    )
+    scored = cand.groupBy("_q", "_doc").agg(
+        F.sum(
+            F.round(idf * tfnorm, round_digits).cast("decimal(28,12)")
+        ).alias("_s")
+    )
+    w = Window.partitionBy("_q").orderBy(
+        F.col("_s").desc(), F.col("_doc").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("_q").alias(query_id_col),
+            F.col("_doc").alias(id_col),
+            F.col("_s").cast("double").alias("score"),
+            "rnk",
+        )
+    )

@@ -248,16 +248,22 @@ q43_percentiles, q44_cube, q63_latest_per_key, q95_approx_distinct,
 q229_sql_udf_macros and q230_lateral_topk, which queue for r13
 (forty-one fills: the late additions q274/q275 displace q229/q230).
 
-The round-13 window: (a) the three r13 additions, never
+The round-13 window: (a) the five r13 additions, never
 driver-checked — q276 (ANN-index erasure: retract_ivf against the
 frozen-centroid inverted file, oracle = the full IVF pipeline over
 the survivors), q277 (inverted-index erasure: the (index, overflow)
 factorization repairs the posting cap under deletes — at-cap
 re-admission, doc_freq decrement, below-min_df drops — oracle = the
-full rebuild over survivors) and q278 (the erasure-SLA certificate:
+full rebuild over survivors), q278 (the erasure-SLA certificate:
 ONE DAG retracts the takedown set from all six maintained artifacts
 and proves refs_to_deleted = 0 with every survivor cardinality
-stated a priori); (b) seven re-proofs for everything r13 changed —
+stated a priori), q279 (conjunctive retrieval SERVED from the
+(index, overflow) factorization — the 9 hottest-term pairs, every
+one past the posting cap, proven lossless against raw-text
+intersections) and q280 (Okapi BM25 top-k ranking, per-term
+round-6 ln scores summed as exact DECIMAL — the q82 discipline —
+with the oracle mirroring the expression trees token for token);
+(b) seven re-proofs for everything r13 changed —
 q273/q275 (the dedup stream's store rewritten to DELTA GENERATIONS:
 per-batch O(Δ) writes via maintain_components_delta /
 retract_documents_delta, last-writer-wins label reconstruction,
@@ -270,9 +276,10 @@ and q98 (ivf_cosine_topk decomposed into ivf_index_exact +
 ivf_search — same dataflow, bit-identical expected); (c) the six
 r6-era queue lanes q43/q44/q63/q95/q229/q230 (after this window no
 hash lane's latest driver evidence predates r7); and (d)
-thirty-four oldest-first r7-era fill lanes — the 45-lane r7 cohort
-minus the eleven (q76/q77/q78/q79/q80/q81/q82/q83/q84/q87/q92) that
-queue for r14.
+thirty-two oldest-first r7-era fill lanes — the 45-lane r7 cohort
+minus the thirteen (q72/q75/q76/q77/q78/q79/q80/q81/q82/q83/q84/
+q87/q92 — the late additions q279/q280 displace q72/q75) that queue
+for r14.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -340,6 +347,8 @@ PRIORITY = [
     "q276_retract_ivf",
     "q277_retract_inverted_index",
     "q278_erasure_sla_certificate",
+    "q279_conjunctive_retrieval",
+    "q280_bm25_topk",
     # (b) changed in round 13 — re-prove: the delta-generation store
     # (q273/q275), the shared delta cores (q268/q272), the
     # empty-side-safe certificate + cached stores (q274), the
@@ -359,8 +368,8 @@ PRIORITY = [
     "q95_approx_distinct",
     "q229_sql_udf_macros",
     "q230_lateral_topk",
-    # (d) thirty-four oldest-first r7-era fill lanes (the r7 cohort
-    # minus q76-q92's eleven, queued for r14)
+    # (d) thirty-two oldest-first r7-era fill lanes (the r7 cohort
+    # minus q72-q92's thirteen, queued for r14)
     "q21_window_lag",
     "q220_native_session_window",
     "q223_stream_session_window",
@@ -393,8 +402,6 @@ PRIORITY = [
     "q65_label_centroids",
     "q68_array_battery",
     "q69_forward_fill",
-    "q72_regex_tokens",
-    "q75_retention_cohorts",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

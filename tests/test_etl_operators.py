@@ -559,3 +559,83 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
 
     plan = explain_str(back.filter(F.col("o_orderkey") == 7).select("o_orderkey"))
     assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_conjunctive_retrieval_uses_overflow(spark):
+    """Boolean-AND served from the capped factorization: a hot term's
+    intersection must include docs the capped array displaced — the
+    read-side proof the overflow store exists for."""
+    from patientdataintegration_spark.operators.indexing import (
+        conjunctive_retrieval,
+        inverted_index_with_overflow,
+    )
+
+    # 'h' in docs 1..6 (cap 3 -> postings [1,2,3], overflow [4,5,6]);
+    # 'z' in docs 5..8: the true intersection {5,6} lives ENTIRELY in
+    # h's overflow
+    rows = [
+        (1, "h"), (2, "h"), (3, "h"), (4, "h"),
+        (5, "h z"), (6, "h z"), (7, "z"), (8, "z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    index, overflow = inverted_index_with_overflow(
+        df, min_df=1, max_postings=3
+    )
+    pairs = spark.createDataFrame([("h", "z")], "term_a string, term_b string")
+    got = sorted(
+        r.doc for r in conjunctive_retrieval(index, overflow, pairs).collect()
+    )
+    assert got == [5, 6], (
+        "capped arrays alone would return [] — the overflow rows must serve"
+    )
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 against hand arithmetic: idf ordering (rarer term wins),
+    length normalization (shorter doc wins at equal tf), self-hit
+    exclusion, and the max_df guard dropping a universal term."""
+    import math
+
+    from patientdataintegration_spark.operators.indexing import bm25_topk
+
+    # 'rare' in docs 1,2; 'common' everywhere; doc 2 shorter than 3
+    rows = [
+        (1, "rare common common"),
+        (2, "rare common"),
+        (3, "common common common"),
+        (4, "common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    queries = df.filter(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rnk)
+        for r in bm25_topk(df, queries, k=4, k1=1.2, b=0.75).collect()
+    }
+    assert (1, 1) not in got, "self-hit excluded"
+    assert set(got) == {(1, 2), (1, 3), (1, 4)}
+    # doc 2 carries the rare term -> highest score
+    ranks = {d: rk for (_q, d), (_s, rk) in got.items()}
+    assert ranks[2] == 1
+    # docs 3 and 4 score only on 'common' (tf 3 vs 1, len 3 vs 1):
+    # replicate the arithmetic exactly
+    n_docs, total = 4, 9
+    def score(term_df, tf, len_d):
+        idf = math.log((n_docs - term_df + 0.5) / (term_df + 0.5) + 1.0)
+        tfn = (tf * (1.2 + 1.0)) / (
+            tf + 1.2 * ((1.0 - 0.75) + 0.75 * len_d * n_docs / total)
+        )
+        return round(idf * tfn, 6)
+    s3 = score(4, 3, 3)
+    s4 = score(4, 1, 1)
+    assert abs(got[(1, 3)][0] - s3) < 1e-9
+    assert abs(got[(1, 4)][0] - s4) < 1e-9
+    assert (ranks[3] < ranks[4]) == (s3 > s4)
+    # the guard: max_df=3 silences 'common' everywhere; only doc 2
+    # (the other 'rare' holder) survives
+    guarded = {
+        r.doc_id
+        for r in bm25_topk(df, queries, k=4, k1=1.2, b=0.75, max_df=3).collect()
+    }
+    assert guarded == {2}
