@@ -399,20 +399,28 @@ def bm25_topk(
     corpus has 31 terms, all corpus-frequent: guarded, every query
     would be empty).
 
-    Scale: two hash aggs build the corpus statistics (tf and df share
-    one explode); N/total broadcast as 1-row frames; the query-term
-    relation broadcasts against the df-filtered tf; the final top-k
-    is one per-query window."""
+    Scale: ONE explode + hash agg builds the (doc, term, tf)
+    statistics relation — frozen once (it feeds four consumers: df,
+    doc lengths, totals, candidates; in production it IS the
+    persisted scoring index next to q110's postings) — then df and
+    doc_len are tf-sized aggs (len_d = Σ tf, no second explode);
+    N/total broadcast as 1-row frames; the query-term relation
+    broadcasts against tf; the final top-k is one per-query
+    window."""
     from patientdataintegration_spark.operators.textops import tokens
+    from patientdataintegration_spark.plans.partitioning import fan_out
 
-    toks = corpus.select(
+    toks = fan_out(corpus.select(id_col, text_col)).select(
         F.col(id_col).cast("bigint").alias("_doc"),
         F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("term"),
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("_doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # one more agg on tf gives df AND doc_len without re-exploding
+    tf = (
+        toks.groupBy("_doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    doclen = toks.groupBy("_doc").agg(F.count(F.lit(1)).alias("len_d"))
+    doclen = tf.groupBy("_doc").agg(F.sum("tf").alias("len_d"))
     totals = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("len_d").alias("total_tokens"),
@@ -431,13 +439,6 @@ def bm25_topk(
     if max_df is not None:
         rare = dfreq.filter(F.col("df") <= max_df)
         guarded = tf.join(F.broadcast(rare), "term", "left_semi")
-    cand = (
-        guarded.join(F.broadcast(q_terms), "term")
-        .filter(F.col("_q") != F.col("_doc"))
-        .join(F.broadcast(dfreq), "term")
-        .join(doclen, "_doc")
-        .crossJoin(F.broadcast(totals))
-    )
     idf = F.log(
         (F.col("n_docs") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
@@ -454,10 +455,27 @@ def bm25_topk(
             / F.col("total_tokens")
         )
     )
-    scored = cand.groupBy("_q", "_doc").agg(
-        F.sum(
-            F.round(idf * tfnorm, round_digits).cast("decimal(28,12)")
-        ).alias("_s")
+    # per-(term, doc) IMPACT, computed ONCE on the tf-sized relation —
+    # the score contribution is query-independent (Lucene's impact
+    # trick), so the |queries| fan-out below only SUMS precomputed
+    # decimals instead of re-evaluating ln per candidate row
+    impacts = (
+        guarded.join(F.broadcast(dfreq), "term")
+        .join(doclen, "_doc")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "_doc",
+            F.round(idf * tfnorm, round_digits)
+            .cast("decimal(28,12)")
+            .alias("_impact"),
+        )
+    )
+    scored = (
+        impacts.join(F.broadcast(q_terms), "term")
+        .filter(F.col("_q") != F.col("_doc"))
+        .groupBy("_q", "_doc")
+        .agg(F.sum("_impact").alias("_s"))
     )
     w = Window.partitionBy("_q").orderBy(
         F.col("_s").desc(), F.col("_doc").asc()
