@@ -345,3 +345,64 @@ def test_unseeded_store_is_a_descriptive_error(spark, tmp_path):
             spark, src, "*.parquet", store, str(tmp_path / "ckpt"),
             bands=2, rows_per_band=2,
         )
+
+
+def test_crud_with_compaction_and_reingest(spark, tmp_path):
+    """The CRUD × compaction interaction: a takedown batch compacts
+    (tombstones FOLD into the new base — the deleted rows simply
+    aren't in it), GC prunes the tombstone generation, and a LATER
+    re-ingest of the erased id still works (nothing retained may
+    resurrect the old rows or block the new ones). Each run is one
+    batch under compact_every=1, so every generation folds."""
+    from patientdataintegration_spark.operators.dedup import (
+        connected_components_star,
+        lsh_candidate_pairs,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.makedirs(store)
+
+    hist = [
+        (1, 10, 11, 1001, 1002),
+        (2, 10, 11, 2001, 2002),
+        (60, 61, 62, 6001, 6002),
+    ]
+    hist_sigs = spark.createDataFrame(hist, SIG_SCHEMA)
+    pairs0 = lsh_candidate_pairs(hist_sigs, bands=2, rows_per_band=2)
+    labels0 = connected_components_star(pairs0)
+    seed_stores(hist_sigs, pairs0, labels0, store)
+
+    CRUD_SCHEMA = SIG_SCHEMA + ", op int"
+
+    def run():
+        return components_stream(
+            spark, src, "*.parquet", store, ckpt,
+            bands=2, rows_per_band=2, op_col="op", compact_every=1,
+        )
+
+    # batch 1: take down 2 (clusters {1,2} -> both leave the labeling)
+    spark.createDataFrame(
+        [(2, None, None, None, None, -1)], CRUD_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    got1 = dict(run().collect())
+    assert got1 == {}, "pair (1,2) died; 1 orphaned out"
+    assert sorted(os.listdir(store)) == ["base_g0", "base_g1", "delta_g1"]
+    assert {r.doc_id for r in read_store(spark, store, "sigs").collect()} == {
+        1, 60,
+    }
+
+    # batch 2: re-ingest id 2 pairing with 60 — the folded base holds
+    # no tombstone for 2, and none may block the new rows
+    spark.createDataFrame(
+        [(2, 61, 62, 9001, 9002, 1)], CRUD_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    got2 = dict(run().collect())
+    assert got2 == {2: 2, 60: 2}, "re-ingested id clusters with 60"
+    assert sorted(os.listdir(store)) == ["base_g1", "base_g2", "delta_g2"]
+    sigs2 = sorted(map(tuple, read_store(spark, store, "sigs").collect()))
+    assert sigs2 == sorted([hist[0], hist[2], (2, 61, 62, 9001, 9002)])
+    pairs2 = sorted(map(tuple, read_store(spark, store, "pairs").collect()))
+    assert pairs2 == [(2, 60)]
