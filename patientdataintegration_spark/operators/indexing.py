@@ -159,6 +159,31 @@ def _roll_postings(ranked: DataFrame, min_df: int) -> DataFrame:
     )
 
 
+def _split_ranked(
+    ranked: DataFrame, min_df: int, max_postings: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Split a `_rank_term_docs` relation into the (index, overflow)
+    pair: rows at or under the cap roll into postings arrays, rows
+    past it stay relational — the shared tail of the builder
+    (`inverted_index_with_overflow`) and both maintenance verbs
+    (`retract_inverted_index`, `extend_inverted_index`), so all
+    three are bit-identical by construction."""
+    capped = (
+        ranked if max_postings is None
+        else ranked.filter(F.col("_rn") <= max_postings)
+    )
+    index = _roll_postings(capped, min_df)
+    if max_postings is None:
+        overflow = ranked.select(
+            "term", F.col("_doc").alias("doc")
+        ).filter(F.lit(False))
+    else:
+        overflow = ranked.filter(F.col("_rn") > max_postings).select(
+            "term", F.col("_doc").alias("doc")
+        )
+    return index, overflow
+
+
 def inverted_index_with_overflow(
     df: DataFrame,
     text_col: str = "text",
@@ -196,20 +221,7 @@ def inverted_index_with_overflow(
     # builders run once at build time; the localCheckpoint spares the
     # corpus re-scan for the overflow side)
     ranked = _rank_term_docs(t).localCheckpoint()
-    capped = (
-        ranked if max_postings is None
-        else ranked.filter(F.col("_rn") <= max_postings)
-    )
-    index = _roll_postings(capped, min_df)
-    if max_postings is None:
-        overflow = ranked.select(
-            "term", F.col("_doc").alias("doc")
-        ).filter(F.lit(False))
-    else:
-        overflow = ranked.filter(F.col("_rn") > max_postings).select(
-            "term", F.col("_doc").alias("doc")
-        )
-    return index, overflow
+    return _split_ranked(ranked, min_df, max_postings)
 
 
 def retract_inverted_index(
@@ -278,22 +290,174 @@ def retract_inverted_index(
         .join(dele, "_doc", "left_anti")
     )
     ranked = _rank_term_docs(members).localCheckpoint()  # index + overflow sides
-    capped = (
-        ranked if max_postings is None
-        else ranked.filter(F.col("_rn") <= max_postings)
-    )
-    repaired_index = _roll_postings(capped, min_df)
-    if max_postings is None:
-        repaired_overflow = ranked.select(
-            "term", F.col("_doc").alias("doc")
-        ).filter(F.lit(False))
-    else:
-        repaired_overflow = ranked.filter(F.col("_rn") > max_postings).select(
-            "term", F.col("_doc").alias("doc")
-        )
+    repaired_index, repaired_overflow = _split_ranked(ranked, min_df, max_postings)
     return (
         clean_index.unionByName(repaired_index).select(*index.columns),
         clean_overflow.unionByName(repaired_overflow).select(*overflow.columns),
+    )
+
+
+def extend_inverted_index(
+    index: DataFrame,
+    overflow: DataFrame,
+    new_docs: DataFrame,
+    min_df: int = 1,
+    max_postings: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Inverted-index maintenance under DOCUMENT INSERTS — the verb
+    that completes the index family's CRUD: build (q110), read
+    (q279/q280), delete (`retract_inverted_index`), and now create.
+    Returns the maintained (index', overflow') pair, bit-identical
+    to `inverted_index_with_overflow` over the old ∪ new corpus.
+
+    The exactness contract (stated explicitly, per the q268/q272
+    discipline): inserts require a **min_df=1 store**. A term below
+    `min_df` at build time is dropped from BOTH relations, so when
+    new documents push it over the threshold its old rows are
+    unrecoverable — the factorization that is lossless under deletes
+    (doc-frequency only falls, a dropped term can never re-enter) is
+    lossy under inserts for any min_df > 1. The maintained store
+    therefore keeps every term and readers apply min_df as a
+    serve-time filter on doc_freq (`WHERE doc_freq >= k` — exactly
+    equivalent to a min_df=k build, since the cap ranks within a
+    term independently of the term filter). Passing min_df > 1
+    raises rather than silently undercounting.
+
+    Re-ingesting a document with IDENTICAL content is idempotent:
+    every (term, doc) row of the re-ingested doc lands in the dirty
+    sliver (all its terms are in the batch's term set), where the
+    (term, doc) dedup collapses stored and incoming copies. Content
+    MUTATION under an existing id is out of contract — retract then
+    extend, the q272/q275 CRUD discipline.
+
+    Scale shape (the mirror of `retract_inverted_index`): dirty
+    terms = the batch's distinct terms — delta-sized, broadcast;
+    untouched terms (the vocabulary bulk) pass through verbatim
+    behind one broadcast anti-probe; dirty terms rebuild from their
+    complete (term, doc) rows — stored postings ∪ overflow restricted
+    to dirty terms, plus the batch's rows — re-ranked, re-capped,
+    re-rolled in one delta-sized shuffle that demotes displaced
+    postings into the overflow and admits brand-new terms. The index
+    and overflow each stream once; nothing corpus-sized shuffles."""
+    from patientdataintegration_spark.operators.textops import tokens
+
+    if min_df != 1:
+        raise ValueError(
+            "extend_inverted_index requires a min_df=1 store: terms below "
+            "min_df are dropped from both relations at build time, so their "
+            "rows are unrecoverable when inserts push them over the "
+            f"threshold (got min_df={min_df}). Keep every term in the "
+            "maintained store and apply min_df at serve time as a filter "
+            "on doc_freq."
+        )
+    t_new = new_docs.select(
+        F.col(id_col).cast("bigint").alias("_doc"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    dirty_terms = (
+        t_new.select("term").distinct().localCheckpoint()
+    )  # three consumers: two antis + the repair semi
+    clean_index = index.join(F.broadcast(dirty_terms), "term", "left_anti")
+    clean_overflow = overflow.join(F.broadcast(dirty_terms), "term", "left_anti")
+    stored = (
+        index.select("term", F.explode("postings").alias("_doc"))
+        .join(F.broadcast(dirty_terms), "term", "left_semi")
+        .unionByName(
+            overflow.join(F.broadcast(dirty_terms), "term", "left_semi")
+            .select("term", F.col("doc").alias("_doc"))
+        )
+    )
+    # (term, doc) dedup makes identical-content re-ingest idempotent;
+    # for a disjoint batch it is a no-op on a delta-sized relation
+    members = stored.unionByName(t_new).dropDuplicates(["term", "_doc"])
+    ranked = _rank_term_docs(members).localCheckpoint()  # index + overflow sides
+    repaired_index, repaired_overflow = _split_ranked(ranked, min_df, max_postings)
+    return (
+        clean_index.unionByName(repaired_index).select(*index.columns),
+        clean_overflow.unionByName(repaired_overflow).select(*overflow.columns),
+    )
+
+
+def positional_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The POSITIONAL postings relation: one (term, doc, pos) row per
+    token occurrence, positions 1-based, duplicates kept — the
+    artifact phrase and proximity queries need, which the
+    document-grain index (q110) cannot answer (it stores WHERE a term
+    appears, not where within the document; Lucene's analogue is the
+    .prx/.pos file beside the .doc postings).
+
+    Position is assigned BEFORE the empty-token filter, so offsets
+    are stable against how the tokenizer treats runs of separators —
+    the same convention an engine mirroring this relation from raw
+    text must follow. One scan, one narrow explode; the relation is
+    O(total tokens) and term-partitionable like any postings store."""
+    from patientdataintegration_spark.operators.textops import tokens
+
+    return (
+        df.select(
+            F.col(id_col).cast("bigint").alias("doc"),
+            F.posexplode(tokens(F.col(text_col))).alias("_p0", "term"),
+        )
+        .withColumn("pos", (F.col("_p0") + 1).cast("bigint"))
+        .filter(F.col("term") != "")
+        .select("term", "doc", "pos")
+    )
+
+
+def phrase_retrieval(
+    positions: DataFrame,
+    term_pairs: DataFrame,
+    term_a: str = "term_a",
+    term_b: str = "term_b",
+) -> DataFrame:
+    """Exact two-term PHRASE retrieval over the positional postings:
+    for each (term_a, term_b) query, every occurrence where term_b
+    immediately follows term_a in the same document — the adjacency
+    join conjunctive retrieval (q279) cannot express (AND proves
+    co-occurrence anywhere in the doc; a phrase needs pos_b =
+    pos_a + 1). Overlapping matches count individually ("a a a"
+    contains "a a" twice), which is why the answer is a positional
+    JOIN and not a substring count.
+
+    Scale shape: the queried terms broadcast as two semi-probes, so
+    the corpus-sized positional relation streams once per side
+    reduced to the queried terms' rows; the adjacency join keys on
+    (doc, pos) within a queried pair — shuffle volume is the queried
+    postings only. Returns (term_a, term_b, doc, pos) match rows
+    (pos = the phrase start); callers aggregate to hit counts."""
+    pairs = term_pairs.select(
+        F.col(term_a).alias("_ta"), F.col(term_b).alias("_tb")
+    ).distinct()
+    side_a = positions.join(
+        F.broadcast(pairs.select(F.col("_ta").alias("term")).distinct()),
+        "term",
+        "left_semi",
+    ).select(F.col("term").alias("_ta"), "doc", "pos")
+    side_b = positions.join(
+        F.broadcast(pairs.select(F.col("_tb").alias("term")).distinct()),
+        "term",
+        "left_semi",
+    ).select(
+        F.col("term").alias("_tb"),
+        "doc",
+        (F.col("pos") - 1).alias("pos"),  # align to the phrase start
+    )
+    return (
+        F.broadcast(pairs)
+        .join(side_a, "_ta")
+        .join(side_b, ["_tb", "doc", "pos"])
+        .select(
+            F.col("_ta").alias(term_a),
+            F.col("_tb").alias(term_b),
+            "doc",
+            "pos",
+        )
     )
 
 

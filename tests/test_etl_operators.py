@@ -478,6 +478,96 @@ def test_retract_inverted_index_at_cap_readmission(spark):
     assert "x" not in terms2 and {"h", "z"} <= terms2
 
 
+def test_extend_inverted_index_crud(spark):
+    """The insert battery (the verb that completes the index family's
+    CRUD): a new smaller doc_id DISPLACES an at-cap posting into the
+    overflow; a brand-new term is admitted; untouched terms pass
+    through verbatim; the maintained pair equals the from-scratch
+    rebuild over old ∪ new; identical-content re-ingest is
+    idempotent; and a min_df>1 store is refused with the lossy-under-
+    inserts contract."""
+    import pytest
+
+    from patientdataintegration_spark.operators.indexing import (
+        extend_inverted_index,
+        inverted_index_with_overflow,
+    )
+
+    # 'h' in docs 2..7 (cap 3 -> postings [2,3,4], overflow [5,6,7]);
+    # 'z' in docs 7,8 (untouched by the batch)
+    base = spark.createDataFrame(
+        [(2, "h"), (3, "h"), (4, "h"), (5, "h"), (6, "h"), (7, "h z"), (8, "z")],
+        "doc_id bigint, text string",
+    )
+    index, overflow = inverted_index_with_overflow(base, min_df=1, max_postings=3)
+    new = spark.createDataFrame(
+        [(1, "h q"), (9, "h q")], "doc_id bigint, text string"
+    )
+    idx2, of2 = extend_inverted_index(index, overflow, new, max_postings=3)
+    ni = {r["term"]: r for r in idx2.collect()}
+    assert ni["h"]["postings"] == [1, 2, 3], "new doc 1 displaces 4 off the cap"
+    assert ni["h"]["doc_freq"] == 8
+    assert ni["q"]["postings"] == [1, 9] and ni["q"]["doc_freq"] == 2, "new term"
+    assert ni["z"]["postings"] == [7, 8], "untouched term verbatim"
+    assert sorted((r["term"], r["doc"]) for r in of2.collect()) == [
+        ("h", 4), ("h", 5), ("h", 6), ("h", 7), ("h", 9)
+    ], "displaced posting demoted INTO the overflow"
+
+    # maintained pair == rebuild over the union corpus (both relations)
+    want_index, want_overflow = inverted_index_with_overflow(
+        base.unionByName(new), min_df=1, max_postings=3
+    )
+    assert sorted(map(tuple, idx2.collect())) == sorted(
+        map(tuple, want_index.collect())
+    )
+    assert sorted(map(tuple, of2.collect())) == sorted(
+        map(tuple, want_overflow.collect())
+    )
+
+    # identical-content re-ingest is idempotent
+    idx3, of3 = extend_inverted_index(idx2, of2, new, max_postings=3)
+    assert sorted(map(tuple, idx3.collect())) == sorted(map(tuple, idx2.collect()))
+    assert sorted(map(tuple, of3.collect())) == sorted(map(tuple, of2.collect()))
+
+    # min_df>1 stores are lossy under inserts — refuse, don't undercount
+    with pytest.raises(ValueError, match="min_df=1 store"):
+        extend_inverted_index(index, overflow, new, min_df=2, max_postings=3)
+
+
+def test_phrase_retrieval_adjacency(spark):
+    """Phrase hits are positional ADJACENCY, not co-occurrence:
+    overlapping occurrences count individually ('a a a' contains
+    'a a' twice), reversed order does not match, and empty tokens
+    hold their position (a double separator breaks adjacency)."""
+    from patientdataintegration_spark.operators.indexing import (
+        phrase_retrieval,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b a"), (3, "a b"), (4, "a  b")],
+        "doc_id bigint, text string",
+    )
+    pos = positional_postings(docs)
+    got = {(r["term"], r["doc"], r["pos"]) for r in pos.collect()}
+    assert ("a", 1, 1) in got and ("a", 1, 3) in got, "1-based, duplicates kept"
+    assert ("b", 4, 3) in got and ("a", 4, 1) in got, (
+        "empty token holds position 2"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "a"), ("a", "b")], "term_a string, term_b string"
+    )
+    hits = sorted(
+        (r["term_a"], r["term_b"], r["doc"], r["pos"])
+        for r in phrase_retrieval(pos, pairs).collect()
+    )
+    assert hits == [
+        ("a", "a", 1, 1),  # overlapping matches ...
+        ("a", "a", 1, 2),  # ... count individually
+        ("a", "b", 3, 1),  # doc 2 is reversed; doc 4 is separated
+    ]
+
+
 def test_shard_manifest_partitions_corpus(spark):
     from patientdataintegration_spark.operators.indexing import shard_manifest
 
