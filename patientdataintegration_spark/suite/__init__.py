@@ -248,8 +248,13 @@ q43_percentiles, q44_cube, q63_latest_per_key, q95_approx_distinct,
 q229_sql_udf_macros and q230_lateral_topk, which queue for r13
 (forty-one fills: the late additions q274/q275 displace q229/q230).
 
-The round-13 window: (a) the five r13 additions, never
-driver-checked — q276 (ANN-index erasure: retract_ivf against the
+The round-13 window: (a) the seven r13 additions, never
+driver-checked — q281 (inverted-index INSERTS: extend_inverted_index
+completes the index family's CRUD against the min_df=1 seed store,
+serve-time doc_freq filter, oracle = q110's full rebuild over all
+documents), q282 (exact PHRASE retrieval: positional postings +
+adjacency join over the same hottest-term pairs as q279, separating
+phrase semantics from boolean AND on identical inputs), q276 (ANN-index erasure: retract_ivf against the
 frozen-centroid inverted file, oracle = the full IVF pipeline over
 the survivors), q277 (inverted-index erasure: the (index, overflow)
 factorization repairs the posting cap under deletes — at-cap
@@ -276,10 +281,10 @@ and q98 (ivf_cosine_topk decomposed into ivf_index_exact +
 ivf_search — same dataflow, bit-identical expected); (c) the six
 r6-era queue lanes q43/q44/q63/q95/q229/q230 (after this window no
 hash lane's latest driver evidence predates r7); and (d)
-thirty-two oldest-first r7-era fill lanes — the 45-lane r7 cohort
-minus the thirteen (q72/q75/q76/q77/q78/q79/q80/q81/q82/q83/q84/
-q87/q92 — the late additions q279/q280 displace q72/q75) that queue
-for r14.
+thirty oldest-first r7-era fill lanes — the 45-lane r7 cohort
+minus the fifteen (q72/q75/q76/q77/q78/q79/q80/q81/q82/q83/q84/
+q87/q92 plus q68/q69 — the late additions q279/q280 displace
+q72/q75 and q281/q282 displace q68/q69) that queue for r14.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -343,7 +348,9 @@ ROWS_ONLY_REASONS = {
 # The driver-checked prefix, by design exactly 50 names (round-13
 # rotation: see module docstring).
 PRIORITY = [
-    # (a) never driver-checked: the r13 erasure additions
+    # (a) never driver-checked: the r13 erasure + retrieval additions
+    "q281_extend_inverted_index",
+    "q282_phrase_retrieval",
     "q276_retract_ivf",
     "q277_retract_inverted_index",
     "q278_erasure_sla_certificate",
@@ -368,8 +375,9 @@ PRIORITY = [
     "q95_approx_distinct",
     "q229_sql_udf_macros",
     "q230_lateral_topk",
-    # (d) thirty-two oldest-first r7-era fill lanes (the r7 cohort
-    # minus q72-q92's thirteen, queued for r14)
+    # (d) thirty oldest-first r7-era fill lanes (the r7 cohort minus
+    # q72-q92's thirteen plus q68/q69 — displaced by the late
+    # additions q281/q282 — queued for r14)
     "q21_window_lag",
     "q220_native_session_window",
     "q223_stream_session_window",
@@ -400,8 +408,6 @@ PRIORITY = [
     "q61_date_battery",
     "q64_string_battery",
     "q65_label_centroids",
-    "q68_array_battery",
-    "q69_forward_fill",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -693,6 +693,38 @@ def cached_inverted_index(
     return index, overflow
 
 
+def cached_seed_inverted_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The INSERT-maintained store's seed: the (index, overflow)
+    factorization over the seed corpus (doc_id % 3 != 1) with
+    **min_df=1**, cap=16 — `extend_inverted_index`'s exactness
+    contract requires every term stored (min_df is a serve-time
+    doc_freq filter on a maintained store; a build-time drop is
+    unrecoverable under inserts). q281 reads this as persisted state
+    and measures the insert verb, not the seed build."""
+    from patientdataintegration_spark.operators.indexing import (
+        inverted_index_with_overflow,
+    )
+    from patientdataintegration_spark.plans.materialize import cached_parquet
+
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    def build(part: int) -> DataFrame:
+        seed = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 != 1
+        )
+        return inverted_index_with_overflow(seed, min_df=1, max_postings=16)[part]
+
+    index = cached_parquet(
+        spark, "inv_seed3_index_df1_cap16", [docs_path], lambda: build(0)
+    )
+    overflow = cached_parquet(
+        spark, "inv_seed3_overflow_df1_cap16", [docs_path], lambda: build(1)
+    )
+    return index, overflow
+
+
 @_register("q92_minhash_lsh_pairs", _lsh_pairs_sql())
 def q92_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate near-dup pairs (bands=4, rows=2).

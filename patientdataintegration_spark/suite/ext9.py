@@ -1298,3 +1298,171 @@ def q280_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), "text"
     )
     return bm25_topk(d, queries, k=5, k1=1.2, b=0.75)
+
+
+# --- inverted-index inserts (round 13) -------------------------------------------------
+
+
+def _q281_sql() -> str:
+    # the full rebuild over old ∪ new == ALL documents (q110's exact
+    # spelling, min_df 2 / cap 16): the insert-maintained min_df=1
+    # store, serve-filtered to doc_freq >= 2, must be
+    # indistinguishable from it
+    return """
+    WITH t AS (
+      SELECT DISTINCT doc_id, term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term <> ''
+    ),
+    r AS (
+      SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY term) AS df
+      FROM t
+    )
+    SELECT term, CAST(MAX(df) AS BIGINT) AS doc_freq,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM r WHERE rn <= 16 GROUP BY term HAVING MAX(df) >= 2
+    """
+
+
+@_register("q281_extend_inverted_index", _q281_sql())
+def q281_extend_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index INSERTS (`operators/indexing.
+    extend_inverted_index`) — the verb that completes the index
+    family's CRUD: build (q110), read (q279/q280), delete (q277),
+    and now create. Every third document (doc_id % 3 == 1) arrives
+    as a fresh ingest batch against the seed store
+    (`cached_seed_inverted_index`: the (index, overflow)
+    factorization over the other two thirds, **min_df=1**/cap=16 —
+    the insert-exactness contract: a build-time min_df drop is
+    unrecoverable under inserts, so the maintained store keeps every
+    term and min_df becomes the serve-time filter `doc_freq >= 2`
+    this lane applies on read). The batch's smaller doc_ids DISPLACE
+    at-cap postings into the overflow (the mirror of q277's
+    re-admission) and admit brand-new sub-cap arrangements; the
+    oracle rebuilds the capped index from scratch over ALL documents
+    — q110's exact spelling — so the driver hash proves
+    extend(seed) == full build, including displacement, doc_freq
+    increments and the serve-time min_df equivalence. The insert
+    battery (displacement, new-term admission, re-ingest
+    idempotency, the min_df>1 refusal) is pinned in
+    tests/test_etl_operators.py. Postings emit comma-joined (the
+    q110 hashability discipline).
+
+    Scale: the q272/q277 maintenance stance, mirrored for inserts —
+    the batch's distinct terms broadcast; the vocabulary bulk passes
+    through behind one anti-probe; index and overflow each stream
+    once; the repair shuffle carries only dirty terms' rows."""
+    from patientdataintegration_spark.operators.indexing import (
+        extend_inverted_index,
+    )
+    from patientdataintegration_spark.suite.ext import cached_seed_inverted_index
+
+    d = load_table(spark, sf_dir, "documents")
+    index, overflow = cached_seed_inverted_index(spark, sf_dir)
+    batch = d.filter(F.col("doc_id") % 3 == 1)
+    maintained, _overflow2 = extend_inverted_index(
+        index, overflow, batch, max_postings=16
+    )
+    return maintained.filter(F.col("doc_freq") >= 2).withColumn(
+        "postings",
+        F.concat_ws(",", F.transform("postings", lambda x: x.cast("string"))),
+    )
+
+
+# --- phrase retrieval (round 13) -------------------------------------------------------
+
+
+def _q282_sql(top_n: int = 10) -> str:
+    # positional ADJACENCY from raw text: positions assigned BEFORE
+    # the empty-token filter (the positional_postings convention),
+    # hot terms by doc-frequency like q279
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, toks[i] AS term, i AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           UNNEST(range(1, len(toks) + 1)) AS u(i)
+      WHERE toks[i] <> ''
+    ),
+    t AS (SELECT DISTINCT doc_id, term FROM pos),
+    d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+    h AS (
+      SELECT term, df,
+             row_number() OVER (ORDER BY df DESC, term ASC) AS r
+      FROM d
+    ),
+    hr AS (SELECT term, r FROM h WHERE r <= {top_n}),
+    p AS (
+      SELECT a.term AS term_a, b.term AS term_b
+      FROM hr a JOIN hr b ON b.r = a.r + 1
+    ),
+    hits AS (
+      SELECT p.term_a, p.term_b, a.doc_id, a.pos
+      FROM p
+      JOIN pos a ON a.term = p.term_a
+      JOIN pos b ON b.term = p.term_b
+               AND b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    )
+    SELECT term_a, term_b,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM hits GROUP BY term_a, term_b
+    """
+
+
+@_register("q282_phrase_retrieval", _q282_sql())
+def q282_phrase_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE retrieval (`operators/indexing.phrase_retrieval`
+    over `positional_postings`) — the query class the doc-grain
+    index cannot answer: q279's boolean AND proves co-occurrence
+    anywhere in a document, a phrase needs ADJACENCY (pos_b =
+    pos_a + 1), which is why real engines store a positional file
+    beside the postings (Lucene's .pos). The queries are the same 9
+    consecutive hottest-term pairs as q279 — read as two-token
+    phrases — so the pair of lanes separates the two semantics on
+    identical inputs: n_docs here ≤ q279's n_docs per pair, with
+    overlapping occurrences counted individually (the positional
+    join, not a substring count). The oracle recomputes positions
+    from raw text with the same convention (1-based, assigned BEFORE
+    the empty-token filter so separator runs break adjacency), the
+    hand battery (overlap, reversed order, empty-token offsets) is
+    pinned in tests/test_etl_operators.py.
+
+    Scale: the positional relation is O(total tokens) — one narrow
+    posexplode, term-partitionable like any postings store; queried
+    terms broadcast as semi-probes so it streams once per side
+    reduced to ~20 terms' rows; the adjacency join keys on
+    (doc, pos) within a queried pair — shuffle volume is the queried
+    postings only. At 100 TB this is the contamination auditor's
+    exact-phrase probe against the corpus."""
+    from patientdataintegration_spark.operators.indexing import (
+        phrase_retrieval,
+        positional_postings,
+    )
+    from patientdataintegration_spark.suite.ext import cached_inverted_index
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    index, _overflow = cached_inverted_index(spark, sf_dir)
+    hot = index.select("term", "doc_freq").orderBy(
+        F.col("doc_freq").desc(), F.col("term").asc()
+    ).limit(10)
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+    ranked = hot.withColumn("r", F.row_number().over(w)).select("term", "r")
+    pairs = (
+        ranked.alias("x")
+        .join(ranked.alias("y"), F.col("y.r") == F.col("x.r") + 1)
+        .select(
+            F.col("x.term").alias("term_a"), F.col("y.term").alias("term_b")
+        )
+    )
+    hits = phrase_retrieval(positional_postings(d), pairs)
+    return hits.groupBy("term_a", "term_b").agg(
+        F.countDistinct("doc").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.min("doc").cast("bigint").alias("min_doc"),
+        F.max("doc").cast("bigint").alias("max_doc"),
+    )
