@@ -262,6 +262,37 @@ def retract_inverted_index(
     surviving corpus (both outputs) — pinned by the at-cap
     adversarial test in tests/test_etl_operators.py and hash-proven
     by q277's full-rebuild oracle."""
+    dirty_terms, repaired_index, repaired_overflow = retract_inverted_index_delta(
+        index, overflow, deleted_ids, min_df, max_postings, id_col
+    )
+    clean_index = index.join(F.broadcast(dirty_terms), "term", "left_anti")
+    clean_overflow = overflow.join(F.broadcast(dirty_terms), "term", "left_anti")
+    return (
+        clean_index.unionByName(repaired_index).select(*index.columns),
+        clean_overflow.unionByName(repaired_overflow).select(*overflow.columns),
+    )
+
+
+def retract_inverted_index_delta(
+    index: DataFrame,
+    overflow: DataFrame,
+    deleted_ids: DataFrame,
+    min_df: int = 1,
+    max_postings: int | None = None,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """`retract_inverted_index` restated as a WRITE-SIDE DELTA —
+    returns (dirty_terms, index_rows, overflow_rows): the terms the
+    takedown touches (every one whose postings or overflow mention a
+    deleted doc) and their complete REPAIRED rows; a dirty term
+    absent from both repaired relations fell below min_df and leaves
+    the index. `retract_inverted_index` composes the full relations
+    on top (clean bulk behind one broadcast anti ∪ these rows); a
+    persisted store appends them as one term-grain upsert generation
+    (`streaming/index.py`) instead of rewriting the vocabulary —
+    the same decomposition `maintain_components_delta` /
+    `retract_documents_delta` gave the dedup stores
+    (operators/dedup.py)."""
     dele = F.broadcast(
         deleted_ids.select(F.col(id_col).cast("bigint").alias("_doc")).distinct()
     )
@@ -277,10 +308,8 @@ def retract_inverted_index(
             ).select("term")
         )
         .distinct()
-        .localCheckpoint()  # three consumers: two antis + the repair semi
+        .localCheckpoint()  # consumers: caller's antis + the repair semis
     )
-    clean_index = index.join(F.broadcast(dirty_terms), "term", "left_anti")
-    clean_overflow = overflow.join(F.broadcast(dirty_terms), "term", "left_anti")
     members = (
         posted.join(F.broadcast(dirty_terms), "term", "left_semi")
         .unionByName(
@@ -291,10 +320,7 @@ def retract_inverted_index(
     )
     ranked = _rank_term_docs(members).localCheckpoint()  # index + overflow sides
     repaired_index, repaired_overflow = _split_ranked(ranked, min_df, max_postings)
-    return (
-        clean_index.unionByName(repaired_index).select(*index.columns),
-        clean_overflow.unionByName(repaired_overflow).select(*overflow.columns),
-    )
+    return dirty_terms, repaired_index, repaired_overflow
 
 
 def extend_inverted_index(
@@ -341,6 +367,34 @@ def extend_inverted_index(
     re-rolled in one delta-sized shuffle that demotes displaced
     postings into the overflow and admits brand-new terms. The index
     and overflow each stream once; nothing corpus-sized shuffles."""
+    dirty_terms, repaired_index, repaired_overflow = extend_inverted_index_delta(
+        index, overflow, new_docs, min_df, max_postings, text_col, id_col
+    )
+    clean_index = index.join(F.broadcast(dirty_terms), "term", "left_anti")
+    clean_overflow = overflow.join(F.broadcast(dirty_terms), "term", "left_anti")
+    return (
+        clean_index.unionByName(repaired_index).select(*index.columns),
+        clean_overflow.unionByName(repaired_overflow).select(*overflow.columns),
+    )
+
+
+def extend_inverted_index_delta(
+    index: DataFrame,
+    overflow: DataFrame,
+    new_docs: DataFrame,
+    min_df: int = 1,
+    max_postings: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """`extend_inverted_index` restated as a WRITE-SIDE DELTA —
+    returns (dirty_terms, index_rows, overflow_rows): the ingest
+    batch's distinct terms and their complete post-insert rows.
+    Same contract as the full verb (min_df=1 store required — see
+    `extend_inverted_index`), same decomposition as
+    `retract_inverted_index_delta`: the full verb composes the clean
+    bulk behind one broadcast anti; a persisted store appends these
+    as one term-grain upsert generation (`streaming/index.py`)."""
     from patientdataintegration_spark.operators.textops import tokens
 
     if min_df != 1:
@@ -358,9 +412,7 @@ def extend_inverted_index(
     ).filter(F.col("term") != "")
     dirty_terms = (
         t_new.select("term").distinct().localCheckpoint()
-    )  # three consumers: two antis + the repair semi
-    clean_index = index.join(F.broadcast(dirty_terms), "term", "left_anti")
-    clean_overflow = overflow.join(F.broadcast(dirty_terms), "term", "left_anti")
+    )  # consumers: caller's antis + the repair semis
     stored = (
         index.select("term", F.explode("postings").alias("_doc"))
         .join(F.broadcast(dirty_terms), "term", "left_semi")
@@ -374,10 +426,7 @@ def extend_inverted_index(
     members = stored.unionByName(t_new).dropDuplicates(["term", "_doc"])
     ranked = _rank_term_docs(members).localCheckpoint()  # index + overflow sides
     repaired_index, repaired_overflow = _split_ranked(ranked, min_df, max_postings)
-    return (
-        clean_index.unionByName(repaired_index).select(*index.columns),
-        clean_overflow.unionByName(repaired_overflow).select(*overflow.columns),
-    )
+    return dirty_terms, repaired_index, repaired_overflow
 
 
 def positional_postings(

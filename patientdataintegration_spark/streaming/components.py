@@ -133,8 +133,8 @@ def latest_generation(store_dir: str) -> int:
     bases, deltas = _scan_gens(store_dir)
     if not bases:
         raise ValueError(
-            f"dedup store at {store_dir!r} was never seeded: no base_g* "
-            "snapshot found — call seed_stores() (or check store_dir)"
+            f"delta-generation store at {store_dir!r} was never seeded: no "
+            "base_g* snapshot found — seed it first (or check store_dir)"
         )
     return max(bases[-1], deltas[-1] if deltas else 0)
 
@@ -146,15 +146,15 @@ def _resolve(store_dir: str, version: int | None) -> tuple[int, int, list[int]]:
     bases, deltas = _scan_gens(store_dir)
     if not bases:
         raise ValueError(
-            f"dedup store at {store_dir!r} was never seeded: no base_g* "
-            "snapshot found — call seed_stores() (or check store_dir)"
+            f"delta-generation store at {store_dir!r} was never seeded: no "
+            "base_g* snapshot found — seed it first (or check store_dir)"
         )
     if version is None:
         version = max(bases[-1], deltas[-1] if deltas else 0)
     usable = [b for b in bases if b <= version]
     if not usable:
         raise ValueError(
-            f"dedup store at {store_dir!r} has no base at or below "
+            f"delta-generation store at {store_dir!r} has no base at or below "
             f"version {version} (bases: {bases}) — GC removed it or the "
             "version predates the seed"
         )

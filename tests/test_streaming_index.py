@@ -1,0 +1,207 @@
+"""Streaming maintained inverted index (`streaming/index`): raw
+document files arrive, each micro-batch advances the persisted
+(index, overflow) factorization through term-grain upsert
+generations, and the final store CONVERGES to the from-scratch
+rebuild over the net corpus — including across a checkpointed
+restart and with takedowns riding the same batches (CRUD). The store
+side mirrors the dedup store's contract: per-batch writes are
+dirty-term-sized, compaction folds generations into a new base, GC
+bounds disk."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from patientdataintegration_spark.streaming.components import (
+    latest_generation,
+    store_disk_report,
+)
+from patientdataintegration_spark.streaming.index import (
+    index_stream,
+    read_index_store,
+    seed_index_store,
+)
+
+DOC_SCHEMA = "doc_id bigint, text string, op int"
+
+
+def _rebuild(spark, rows, max_postings=2):
+    from patientdataintegration_spark.operators.indexing import (
+        inverted_index_with_overflow,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _op in rows], "doc_id bigint, text string"
+    )
+    return inverted_index_with_overflow(docs, min_df=1, max_postings=max_postings)
+
+
+def _norm_index(df):
+    return sorted(
+        (r["term"], r["doc_freq"], tuple(r["postings"])) for r in df.collect()
+    )
+
+
+def _norm_overflow(df):
+    return sorted((r["term"], r["doc"]) for r in df.collect())
+
+
+def test_index_stream_crud_converges_across_restart(spark, tmp_path):
+    """Two availableNow runs over a checkpointed restart: batch A
+    ingests, batch B ingests AND takes down seed docs, batch-A docs
+    and a SAME-BATCH ingest — the final (index, overflow) pair equals
+    the rebuild over the net corpus, at-cap displacement and
+    re-admission included."""
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+
+    seed = [(1, "h x", 1), (2, "h", 1), (3, "h z", 1), (4, "z", 1)]
+    idx0, of0 = _rebuild(spark, seed)
+    seed_index_store(idx0, of0, store)
+    # cap=2: 'h' seeds at postings [1,2], overflow [3]
+    assert _norm_overflow(of0) == [("h", 3)]
+
+    def run():
+        return index_stream(
+            spark, src, "*.parquet", store, ckpt,
+            op_col="op", max_postings=2, compact_every=0,
+        )
+
+    # batch A: 'h' gains an overflow doc; 'q' is a brand-new term
+    batch_a = [(5, "h q", 1), (6, "q", 1)]
+    spark.createDataFrame(batch_a, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got_a = _norm_index(run())
+    want_a_idx, want_a_of = _rebuild(spark, seed + batch_a)
+    assert got_a == _norm_index(want_a_idx)
+    assert _norm_overflow(read_index_store(spark, store, "overflow")) == (
+        _norm_overflow(want_a_of)
+    )
+    assert latest_generation(store) == 1
+
+    # batch B (restart): ingest 7 and 8; take down 2 (a VISIBLE at-cap
+    # posting of 'h' -> re-admission), 5 (an overflow doc) and 8
+    # (ingested THIS batch -> dies)
+    batch_b = [
+        (7, "h x", 1), (8, "z q", 1),
+        (2, None, -1), (5, None, -1), (8, None, -1),
+    ]
+    spark.createDataFrame(batch_b, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got_b = run()
+    net = [(1, "h x", 1), (3, "h z", 1), (4, "z", 1), (6, "q", 1), (7, "h x", 1)]
+    want_b_idx, want_b_of = _rebuild(spark, net)
+    assert _norm_index(got_b) == _norm_index(want_b_idx)
+    assert _norm_overflow(read_index_store(spark, store, "overflow")) == (
+        _norm_overflow(want_b_of)
+    )
+    bi = {r["term"]: r for r in got_b.collect()}
+    assert bi["h"]["postings"] == [1, 3], "deleting 2 re-admits 3 off the overflow"
+    assert bi["h"]["doc_freq"] == 3
+    assert latest_generation(store) == 2
+
+    # run 3: nothing new -> no batch, state generation unchanged
+    assert _norm_index(run()) == _norm_index(got_b)
+    assert latest_generation(store) == 2
+
+
+def test_index_store_writes_scale_with_dirty_terms_not_vocabulary(spark, tmp_path):
+    """A tiny batch against a large seeded store must write a
+    generation orders below the base snapshot — the delta-cost
+    argument, writes included (the dedup store's r12 lesson applied
+    from birth)."""
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+
+    # 20k docs over a 400-term vocabulary, 8 tokens each
+    corpus = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[((F.col("id") * (i + 3) + i) % 400).cast("string") for i in range(8)]
+        ).alias("text"),
+    )
+    from patientdataintegration_spark.operators.indexing import (
+        inverted_index_with_overflow,
+    )
+
+    idx0, of0 = inverted_index_with_overflow(corpus, min_df=1, max_postings=16)
+    seed_index_store(idx0, of0, store)
+
+    batch = [(100001 + i, f"t{i} t{i + 1}", 1) for i in range(6)]
+    spark.createDataFrame(batch, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    index_stream(
+        spark, src, "*.parquet", store, ckpt,
+        op_col="op", max_postings=16, compact_every=0,
+    )
+    report = store_disk_report(store)
+    base = report["base_bytes"][0]
+    delta = report["delta_bytes"][1]
+    assert delta < base / 5, (
+        f"delta generation ({delta} B) must be far below the base "
+        f"({base} B) — writes scale with dirty terms, not the vocabulary"
+    )
+
+
+def test_index_compaction_folds_generations_and_gc_prunes(spark, tmp_path):
+    """compact_every=2: generation 2 folds into a new base; GC keeps
+    the newest two bases and the deltas above the older kept base,
+    and the reconstruction still equals the rebuild."""
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+
+    seed = [(1, "a b", 1), (2, "b c", 1)]
+    idx0, of0 = _rebuild(spark, seed, max_postings=16)
+    seed_index_store(idx0, of0, store)
+
+    def run():
+        return index_stream(
+            spark, src, "*.parquet", store, ckpt,
+            op_col="op", max_postings=16, compact_every=2,
+        )
+
+    b1 = [(3, "c d", 1)]
+    spark.createDataFrame(b1, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    b2 = [(4, "d e", 1), (1, None, -1)]
+    spark.createDataFrame(b2, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = run()
+
+    entries = sorted(
+        e for e in os.listdir(store) if e.startswith(("base_", "delta_"))
+    )
+    assert entries == ["base_g0", "base_g2", "delta_g1", "delta_g2"], (
+        "gen 2 compacts into a base; newest two bases + deltas above the "
+        "older kept base survive"
+    )
+    net = [(2, "b c", 1), (3, "c d", 1), (4, "d e", 1)]
+    want_idx, want_of = _rebuild(spark, net, max_postings=16)
+    assert _norm_index(got) == _norm_index(want_idx)
+    assert _norm_overflow(read_index_store(spark, store, "overflow")) == (
+        _norm_overflow(want_of)
+    )
+
+    # the disk projection DOMINATES the measured footprint
+    report = store_disk_report(store, compact_every=2)
+    assert report["total_bytes"] <= report["projected_bound_bytes"]
+
+
+def test_index_stream_unseeded_store_is_descriptive(spark, tmp_path):
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    with pytest.raises(ValueError, match="never seeded"):
+        index_stream(spark, src, "*.parquet", store, ckpt)
