@@ -725,6 +725,36 @@ def cached_seed_inverted_index(
     return index, overflow
 
 
+def cached_stream_seed_inverted_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The STREAMED index's seed (q283): the (index, overflow)
+    factorization over the first third of the corpus (doc_id % 3 ==
+    0), min_df=1/cap=16 — the insert-exactness contract, as in
+    `cached_seed_inverted_index`. q283 seeds its delta-generation
+    store from this and measures the stream, not the seed build."""
+    from patientdataintegration_spark.operators.indexing import (
+        inverted_index_with_overflow,
+    )
+    from patientdataintegration_spark.plans.materialize import cached_parquet
+
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    def build(part: int) -> DataFrame:
+        seed = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 == 0
+        )
+        return inverted_index_with_overflow(seed, min_df=1, max_postings=16)[part]
+
+    index = cached_parquet(
+        spark, "inv_seed0_index_df1_cap16", [docs_path], lambda: build(0)
+    )
+    overflow = cached_parquet(
+        spark, "inv_seed0_overflow_df1_cap16", [docs_path], lambda: build(1)
+    )
+    return index, overflow
+
+
 @_register("q92_minhash_lsh_pairs", _lsh_pairs_sql())
 def q92_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate near-dup pairs (bands=4, rows=2).

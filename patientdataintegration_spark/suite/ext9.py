@@ -1466,3 +1466,99 @@ def q282_phrase_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc").cast("bigint").alias("min_doc"),
         F.max("doc").cast("bigint").alias("max_doc"),
     )
+
+
+# --- streamed index maintenance (round 13) ---------------------------------------------
+
+
+def _q283_sql() -> str:
+    # the full rebuild over the NET corpus (everything streamed in,
+    # minus the takedowns) — q110's exact spelling over the survivors
+    return """
+    WITH t AS (
+      SELECT DISTINCT doc_id, term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents WHERE doc_id % 5 <> 0)
+      WHERE term <> ''
+    ),
+    r AS (
+      SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY term) AS df
+      FROM t
+    )
+    SELECT term, CAST(MAX(df) AS BIGINT) AS doc_freq,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM r WHERE rn <= 16 GROUP BY term HAVING MAX(df) >= 2
+    """
+
+
+@_register("q283_streaming_index", _q283_sql())
+def q283_streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained inverted index as a FULL-CRUD STREAM
+    (`streaming/index.index_stream`) — the q273/q275 treatment
+    applied to the retrieval store, so every maintained artifact in
+    the engine has a streaming path: the store seeds from the first
+    third of the corpus (`cached_stream_seed_inverted_index`,
+    min_df=1/cap=16 — the q281 insert-exactness contract); batch 1
+    ingests the second third; batch 2 — across a checkpointed
+    restart — ingests the final third AND carries the takedown CDC
+    rows for every doc_id % 5 == 0 (op = −1, text NULL), which hit
+    seed docs, batch-1 docs and SAME-BATCH ingests alike. Each batch
+    lands as ONE term-grain upsert generation (dirty terms +
+    their wholly-replaced rows; writes are O(dirty terms' rows),
+    never the vocabulary — the dedup store's r12 delta-cost lesson
+    applied from birth), inserts before takedowns against the
+    lazily-composed post-insert state. The final index, serve-time
+    filtered to doc_freq >= 2 (min_df as a READ filter on the
+    min_df=1 store — the q281 equivalence), hashes against q110's
+    full rebuild over the net corpus, proving streamed
+    build+extend+erasure == batch recompute end to end; restart
+    convergence, at-cap re-admission under streamed takedowns,
+    dirty-term-sized writes and compaction/GC are pinned by
+    tests/test_streaming_index.py. Postings emit comma-joined (the
+    q110 hashability discipline).
+
+    Scale: per batch the corpus-sized base streams ONCE behind
+    broadcast anti/semi probes; every aggregate is dirty-term-sized;
+    the exactly-once machinery is the checkpoint + overwrite-by-
+    generation idempotency, identical to the dedup stream's."""
+    import os
+
+    from patientdataintegration_spark.scratch import scratch_dir
+    from patientdataintegration_spark.streaming.index import (
+        index_stream,
+        seed_index_store,
+    )
+    from patientdataintegration_spark.suite.ext import (
+        cached_stream_seed_inverted_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    idx0, of0 = cached_stream_seed_inverted_index(spark, sf_dir)
+    root = scratch_dir("stream_index", sf_dir)
+    src, store, ckpt = (f"{root}/{p}" for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    seed_index_store(idx0, of0, store)
+
+    batch1 = d.filter(F.col("doc_id") % 3 == 1).select(
+        "doc_id", "text", F.lit(1).cast("int").alias("op")
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    index_stream(spark, src, "*.parquet", store, ckpt, op_col="op")
+
+    takedowns = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(-1).cast("int").alias("op"),
+    )
+    batch2 = d.filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id", "text", F.lit(1).cast("int").alias("op")
+    ).unionByName(takedowns)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    final = index_stream(spark, src, "*.parquet", store, ckpt, op_col="op")
+    return final.filter(F.col("doc_freq") >= 2).withColumn(
+        "postings",
+        F.concat_ws(",", F.transform("postings", lambda x: x.cast("string"))),
+    )
