@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "q278_erasure_sla_certificate",  # six-artifact erasure audit (r13)
     "q279_conjunctive_retrieval",    # boolean-AND from the capped index (r13)
     "q280_bm25_topk",                # Okapi BM25 top-k ranking (r13)
+    "q281_extend_inverted_index",    # index inserts: CRUD complete (r13)
+    "q282_phrase_retrieval",         # positional adjacency queries (r13)
+    "q283_streaming_index",          # full-CRUD index stream (r13)
 ]
 
 

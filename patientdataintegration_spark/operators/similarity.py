@@ -241,7 +241,6 @@ def ivf_index_exact(
     serves queries against whatever the maintained relation
     currently holds."""
     from patientdataintegration_spark.operators.clustering import (
-        _assign,
         kmeans_centroids,
     )
 
@@ -252,19 +251,40 @@ def ivf_index_exact(
         id_col=id_col,
         vec_col=vec_col,
     )
-    emb = candidates.select(
+    centroids = cent.select(
+        F.col("c").alias("cell"), F.col("cv").alias("centroid")
+    )
+    return ivf_assign(candidates, centroids, id_col, vec_col), centroids
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to an EXISTING frozen (cell, centroid) table —
+    the INSERT verb of the maintained IVF index (q252's
+    frozen-centroid append; the per-batch map job of the IVF stream,
+    `streaming/ivf.py`): the centroid table broadcasts, assignment is
+    a pure per-row argmin, and the output rows are inverted-file rows
+    (`ivf_index_exact`'s `assigned` shape) ready to append — which is
+    why maintained == rebuilt is bit-identical (the q252/q276
+    certificates). FAISS analogue: IndexIVF.add."""
+    from patientdataintegration_spark.operators.clustering import _assign
+
+    cent = centroids.select(
+        F.col("cell").alias("c"), F.col("centroid").alias("cv")
+    )
+    emb = vectors.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     )
-    assigned = _assign(emb, cent, id_col).select(
+    return _assign(emb, cent, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("v").alias("c_vec"),
         F.sqrt(sq_norm(F.col("v"))).alias("c_norm"),
         F.col("c").alias("cell"),
     )
-    centroids = cent.select(
-        F.col("c").alias("cell"), F.col("cv").alias("centroid")
-    )
-    return assigned, centroids
 
 
 def ivf_search(

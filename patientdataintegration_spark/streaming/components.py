@@ -189,6 +189,58 @@ def _tombs_by_id(
     )
 
 
+def _reconstruct_rowstore(
+    spark: SparkSession,
+    store_dir: str,
+    name: str,
+    base: int,
+    gens: list[int],
+    tombs: DataFrame | None,
+    id_col: str,
+) -> DataFrame:
+    """The ROW-GRAIN reconstruction rule (module docstring's "sigs"
+    rule): base rows minus tombstoned ids, plus delta rows whose gen
+    is above the id's latest tombstone — shared by the dedup store's
+    signature relation and any other id-keyed row store
+    (`read_rowstore`, used by the IVF stream's inverted file)."""
+    base_df = spark.read.parquet(_base_path(store_dir, base, name))
+    deltas = _read_deltas(spark, store_dir, name, gens)
+    if tombs is not None:
+        base_df = base_df.join(
+            F.broadcast(tombs.select(id_col)), id_col, "left_anti"
+        )
+        if deltas is not None:
+            deltas = (
+                deltas.join(F.broadcast(tombs), id_col, "left")
+                .filter(F.col("_tg").isNull() | (F.col("_tg") < F.col("_gen")))
+                .drop("_tg")
+            )
+    if deltas is None:
+        return base_df
+    return base_df.unionByName(deltas.drop("_gen"))
+
+
+def read_rowstore(
+    spark: SparkSession,
+    store_dir: str,
+    name: str,
+    version: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reconstruct an id-keyed row relation at `version` from its
+    base snapshot + retained delta generations + `tombs` tombstones —
+    the generic entry over `_reconstruct_rowstore` for stores whose
+    state is plain insert/delete rows (the IVF stream's inverted
+    file, `streaming/ivf.py`). Same gen semantics as the dedup sigs
+    relation: a same-batch insert+tombstone dies, a later re-insert
+    lives."""
+    version, base, gens = _resolve(store_dir, version)
+    tombs = _tombs_by_id(spark, store_dir, gens, id_col)
+    return _reconstruct_rowstore(
+        spark, store_dir, name, base, gens, tombs, id_col
+    )
+
+
 def read_store(
     spark: SparkSession,
     store_dir: str,
@@ -230,21 +282,9 @@ def read_store(
 
     tombs = _tombs_by_id(spark, store_dir, gens, id_col)
     if name == "sigs":
-        base_df = spark.read.parquet(_base_path(store_dir, base, "sigs"))
-        deltas = _read_deltas(spark, store_dir, "sigs", gens)
-        if tombs is not None:
-            base_df = base_df.join(
-                F.broadcast(tombs.select(id_col)), id_col, "left_anti"
-            )
-            if deltas is not None:
-                deltas = (
-                    deltas.join(F.broadcast(tombs), id_col, "left")
-                    .filter(F.col("_tg").isNull() | (F.col("_tg") < F.col("_gen")))
-                    .drop("_tg")
-                )
-        if deltas is None:
-            return base_df
-        return base_df.unionByName(deltas.drop("_gen"))
+        return _reconstruct_rowstore(
+            spark, store_dir, "sigs", base, gens, tombs, id_col
+        )
 
     if name == "pairs":
         base_df = spark.read.schema(PAIR_SCHEMA).parquet(

@@ -1,0 +1,172 @@
+"""Streaming maintained IVF index (`streaming/ivf`): vector files
+arrive, each micro-batch assigns ingests against the FROZEN coarse
+quantizer (the old state is never read on the insert path) and
+applies op-tagged takedowns as tombstones, and the final inverted
+file CONVERGES to the assignment of the net corpus — across a
+checkpointed restart, with a deleted vector unfindable through
+search. Store mechanics (row-grain generations, compaction, GC,
+disk bound) reuse the dedup store's rule."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from patientdataintegration_spark.streaming.components import (
+    latest_generation,
+    store_disk_report,
+)
+from patientdataintegration_spark.streaming.ivf import (
+    ivf_stream,
+    read_ivf_centroids,
+    seed_ivf_store,
+)
+
+VEC_SCHEMA = "vec_id bigint, embedding array<double>, op int"
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, VEC_SCHEMA)
+
+
+def _cells(df):
+    return sorted((r["neighbor_id"], r["cell"]) for r in df.collect())
+
+
+def test_ivf_stream_crud_converges_across_restart(spark, tmp_path):
+    from patientdataintegration_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index_exact,
+        ivf_search,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+
+    seed = [
+        (1, [1.0, 0.0], 1), (2, [0.9, 0.1], 1),
+        (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),
+    ]
+    assigned0, centroids = ivf_index_exact(
+        _vecs(spark, seed).drop("op"), n_cells=2, iterations=1
+    )
+    seed_ivf_store(assigned0, centroids, store)
+
+    def run():
+        return ivf_stream(
+            spark, src, "*.parquet", store, ckpt, op_col="op", compact_every=0
+        )
+
+    batch_a = [(5, [0.95, 0.05], 1), (6, [0.05, 0.95], 1)]
+    _vecs(spark, batch_a).coalesce(1).write.mode("append").parquet(src)
+    got_a = run()
+    cent = read_ivf_centroids(spark, store)
+    want_a = ivf_assign(
+        _vecs(spark, seed + batch_a).drop("op"), cent
+    )
+    assert _cells(got_a) == _cells(want_a)
+    assert latest_generation(store) == 1
+
+    # batch B across a restart: ingest 7/8, take down a seed doc (1),
+    # a batch-A doc (5) and a SAME-BATCH ingest (8 -> dies)
+    batch_b = [
+        (7, [1.0, 0.01], 1), (8, [0.02, 1.0], 1),
+        (1, None, -1), (5, None, -1), (8, None, -1),
+    ]
+    _vecs(spark, batch_b).coalesce(1).write.mode("append").parquet(src)
+    got_b = run()
+    net = [
+        (2, [0.9, 0.1], 1), (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),
+        (6, [0.05, 0.95], 1), (7, [1.0, 0.01], 1),
+    ]
+    want_b = ivf_assign(_vecs(spark, net).drop("op"), cent)
+    assert _cells(got_b) == _cells(want_b)
+    assert latest_generation(store) == 2
+
+    # a deleted vector is unfindable through probe+rerank search
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    hits = ivf_search(queries, got_b, cent, k=10, n_probe=2)
+    found = {r["neighbor_id"] for r in hits.collect()}
+    assert found == {2, 3, 4, 6, 7}, "deleted 1/5/8 must be unfindable"
+
+    # nothing new -> no batch, state unchanged
+    assert _cells(run()) == _cells(got_b)
+    assert latest_generation(store) == 2
+
+
+def test_ivf_store_writes_scale_with_batch_not_corpus(spark, tmp_path):
+    from patientdataintegration_spark.operators.similarity import ivf_index_exact
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+
+    corpus = spark.range(0, 20000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.col("id") * (i + 3) + i) % 97).cast("double") for i in range(4)]
+        ).alias("embedding"),
+    )
+    assigned0, centroids = ivf_index_exact(corpus, n_cells=4, iterations=1)
+    seed_ivf_store(assigned0, centroids, store)
+
+    batch = [(100001 + i, [float(i), 1.0, 2.0, 3.0], 1) for i in range(5)]
+    _vecs(spark, batch).coalesce(1).write.mode("append").parquet(src)
+    ivf_stream(spark, src, "*.parquet", store, ckpt, op_col="op", compact_every=0)
+    report = store_disk_report(store)
+    base = report["base_bytes"][0]
+    delta = report["delta_bytes"][1]
+    assert delta < base / 5, (
+        f"delta generation ({delta} B) must be far below the base "
+        f"({base} B) — writes scale with the batch, not the corpus"
+    )
+
+
+def test_ivf_compaction_folds_generations_and_gc_prunes(spark, tmp_path):
+    from patientdataintegration_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index_exact,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+
+    seed = [(1, [1.0, 0.0], 1), (2, [0.0, 1.0], 1)]
+    assigned0, centroids = ivf_index_exact(
+        _vecs(spark, seed).drop("op"), n_cells=2, iterations=1
+    )
+    seed_ivf_store(assigned0, centroids, store)
+
+    def run():
+        return ivf_stream(
+            spark, src, "*.parquet", store, ckpt, op_col="op", compact_every=2
+        )
+
+    _vecs(spark, [(3, [0.8, 0.2], 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    _vecs(spark, [(4, [0.2, 0.8], 1), (1, None, -1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = run()
+
+    entries = sorted(
+        e for e in os.listdir(store) if e.startswith(("base_", "delta_"))
+    )
+    assert entries == ["base_g0", "base_g2", "delta_g1", "delta_g2"]
+    # the frozen centroid table survives GC
+    cent = read_ivf_centroids(spark, store)
+    assert cent.count() == 2
+
+    net = [(2, [0.0, 1.0], 1), (3, [0.8, 0.2], 1), (4, [0.2, 0.8], 1)]
+    want = ivf_assign(_vecs(spark, net).drop("op"), cent)
+    assert _cells(got) == _cells(want)
+
+    report = store_disk_report(store, compact_every=2)
+    assert report["total_bytes"] <= report["projected_bound_bytes"]
