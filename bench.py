@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q281_extend_inverted_index",    # index inserts: CRUD complete (r13)
     "q282_phrase_retrieval",         # positional adjacency queries (r13)
     "q283_streaming_index",          # full-CRUD index stream (r13)
+    "q284_streaming_ivf",            # full-CRUD ANN-index stream (r13)
 ]
 
 

@@ -248,7 +248,7 @@ q43_percentiles, q44_cube, q63_latest_per_key, q95_approx_distinct,
 q229_sql_udf_macros and q230_lateral_topk, which queue for r13
 (forty-one fills: the late additions q274/q275 displace q229/q230).
 
-The round-13 window: (a) the eight r13 additions, never
+The round-13 window: (a) the nine r13 additions, never
 driver-checked — q281 (inverted-index INSERTS: extend_inverted_index
 completes the index family's CRUD against the min_df=1 seed store,
 serve-time doc_freq filter, oracle = q110's full rebuild over all
@@ -257,8 +257,11 @@ adjacency join over the same hottest-term pairs as q279, separating
 phrase semantics from boolean AND on identical inputs), q283 (the
 maintained index as a FULL-CRUD STREAM: term-grain upsert
 generations, takedowns riding the exactly-once micro-batches, oracle
-= the full rebuild over the net corpus — every maintained artifact
-now has a streaming path), q276 (ANN-index erasure: retract_ivf against the
+= the full rebuild over the net corpus), q284 (the maintained IVF
+index as a stream: frozen-centroid per-batch assignment, row-grain
+generations via the dedup sigs rule, oracle = the full
+quantizer+assign+search pipeline over the survivors — with q273/q283
+every maintained artifact now has a streaming path), q276 (ANN-index erasure: retract_ivf against the
 frozen-centroid inverted file, oracle = the full IVF pipeline over
 the survivors), q277 (inverted-index erasure: the (index, overflow)
 factorization repairs the posting cap under deletes — at-cap
@@ -285,11 +288,11 @@ and q98 (ivf_cosine_topk decomposed into ivf_index_exact +
 ivf_search — same dataflow, bit-identical expected); (c) the six
 r6-era queue lanes q43/q44/q63/q95/q229/q230 (after this window no
 hash lane's latest driver evidence predates r7); and (d)
-twenty-nine oldest-first r7-era fill lanes — the 45-lane r7 cohort
-minus the sixteen (q72/q75/q76/q77/q78/q79/q80/q81/q82/q83/q84/
-q87/q92 plus q68/q69/q65 — the late additions q279/q280 displace
-q72/q75, q281/q282 displace q68/q69, and q283 displaces q65) that
-queue for r14.
+twenty-eight oldest-first r7-era fill lanes — the 45-lane r7 cohort
+minus the seventeen (q72/q75/q76/q77/q78/q79/q80/q81/q82/q83/q84/
+q87/q92 plus q68/q69/q65/q64 — the late additions q279/q280 displace
+q72/q75, q281/q282 displace q68/q69, and q283/q284 displace q65/q64)
+that queue for r14.
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -357,6 +360,7 @@ PRIORITY = [
     "q281_extend_inverted_index",
     "q282_phrase_retrieval",
     "q283_streaming_index",
+    "q284_streaming_ivf",
     "q276_retract_ivf",
     "q277_retract_inverted_index",
     "q278_erasure_sla_certificate",
@@ -412,7 +416,6 @@ PRIORITY = [
     "q58_full_outer",
     "q59_grouping_sets",
     "q61_date_battery",
-    "q64_string_battery",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

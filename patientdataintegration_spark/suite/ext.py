@@ -662,6 +662,35 @@ def cached_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
     return assigned, centroids
 
 
+def cached_stream_seed_ivf(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The STREAMED IVF index's seed (q284): (assigned, centroids)
+    over the first third of the corpus (vec_id % 3 == 0), n_cells=16,
+    Lloyd iterations=2 — the quantizer trains ONCE on day-0 data and
+    freezes (the q252 production pattern); every later batch assigns
+    against it. q284 seeds its row-grain generation store from this
+    and measures the stream, not the quantizer training."""
+    from patientdataintegration_spark.operators.similarity import ivf_index_exact
+    from patientdataintegration_spark.plans.materialize import cached_parquet
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+
+    def build(part: int) -> DataFrame:
+        seed = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 3 == 0
+        )
+        return ivf_index_exact(seed, n_cells=16, iterations=2)[part]
+
+    assigned = cached_parquet(
+        spark, "ivf_seed0_assigned_c16", [emb_path], lambda: build(0)
+    )
+    centroids = cached_parquet(
+        spark, "ivf_seed0_centroids_c16", [emb_path], lambda: build(1)
+    )
+    return assigned, centroids
+
+
 def cached_inverted_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:

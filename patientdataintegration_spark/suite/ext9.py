@@ -1562,3 +1562,141 @@ def q283_streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "postings",
         F.concat_ws(",", F.transform("postings", lambda x: x.cast("string"))),
     )
+
+
+# --- streamed IVF maintenance (round 13) -----------------------------------------------
+
+
+def _q284_sql(
+    k: int = 3, n_cells: int = 16, n_probe: int = 4,
+    iterations: int = 2, dim: int = 64, mod: int = 7, rem: int = 3,
+) -> str:
+    # the full IVF pipeline over the NET corpus with the quantizer
+    # trained on the SEED slice only (vec_id % 3 == 0 — frozen before
+    # the stream starts): assignment of every streamed-in vector,
+    # search over the survivors of the takedowns
+    from patientdataintegration_spark.suite.ext import (
+        COSINE_REDUCE,
+        _SQDIST_REDUCE,
+        _kmeans_cte_sql,
+    )
+
+    ctes, cent = _kmeans_cte_sql(n_cells, iterations, dim, rel="hist")
+    adist = _SQDIST_REDUCE.format(a="e.embedding", b="c.cv")
+    qdist = _SQDIST_REDUCE.format(a="q.qv", b="c.cv")
+    dotqc = COSINE_REDUCE.format(a="p.qv", b="a.c_vec")
+    dotqq = COSINE_REDUCE.format(a="p.qv", b="p.qv")
+    dotcc = COSINE_REDUCE.format(a="a.c_vec", b="a.c_vec")
+    return f"""
+    WITH hist AS (SELECT * FROM embeddings WHERE vec_id % 3 = 0),
+    {ctes},
+    asg AS (
+      SELECT e.vec_id AS neighbor_id,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c_vec,
+             c.c AS cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {adist} ASC, c.c ASC) AS rn
+      FROM embeddings e CROSS JOIN {cent} c
+    ),
+    a AS (
+      SELECT neighbor_id, c_vec, cell FROM asg
+      WHERE rn = 1 AND neighbor_id % {mod} <> {rem}
+    ),
+    q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    qp AS (
+      SELECT q.query_id, q.qv, c.c AS cell,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {qdist} ASC, c.c ASC) AS pr
+      FROM q CROSS JOIN {cent} c
+    ),
+    p AS (SELECT query_id, qv, cell FROM qp WHERE pr <= {n_probe}),
+    pairs AS (
+      SELECT p.query_id, a.neighbor_id,
+             round({dotqc} / (sqrt({dotqq}) * sqrt({dotcc})), 4) + 0.0 AS cos_sim
+      FROM a JOIN p USING (cell)
+      WHERE p.query_id <> a.neighbor_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= {k}
+    """
+
+
+@_register("q284_streaming_ivf", _q284_sql())
+def q284_streaming_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained IVF (ANN) index as a FULL-CRUD STREAM
+    (`streaming/ivf.ivf_stream`) — with q273/q275 (dedup) and q283
+    (inverted index), EVERY maintained artifact in the engine now has
+    a streaming path. The coarse quantizer trains ONCE on the seed
+    third of the corpus (`cached_stream_seed_ivf`, vec_id % 3 == 0,
+    n_cells=16/iterations=2) and FREEZES — the q252 production
+    pattern — so the stream's insert path never reads the old state
+    at all: each micro-batch is one broadcast argmin map job over its
+    own rows (`similarity.ivf_assign`) written as a row-grain delta
+    generation, and takedowns are tombstone ids applied lazily by the
+    read rule (`components.read_rowstore` — the dedup sigs rule
+    verbatim). Batch 1 ingests the second third; batch 2 — across a
+    checkpointed restart — ingests the final third AND carries
+    takedown CDC rows for every vec_id % 7 == 3 (op = −1, vector
+    NULL), hitting seed vectors, batch-1 vectors and SAME-BATCH
+    ingests alike. The q98 probe+rerank search (k=3, n_probe=4,
+    queries = vec_id % 100 == 0 — external, so deleted ids may still
+    QUERY; they can no longer be FOUND) runs against the final
+    maintained inverted file, and the oracle replays the ENTIRE
+    pipeline — quantizer trained on the seed slice, assignment of
+    every vector, search over the survivors — so the driver hash
+    proves streamed build+extend+erasure == batch recompute against
+    the same frozen centroids. Restart convergence, search absence,
+    batch-sized writes and compaction/GC are pinned by
+    tests/test_streaming_ivf.py.
+
+    Scale: per batch O(|Δ| × n_cells) compute and O(|Δ|) writes —
+    nothing corpus-sized is read, shuffled OR written on the
+    maintenance path; the corpus-sized inverted file streams once at
+    SEARCH time behind the broadcast probe set, cell-partitioned."""
+    import os
+
+    from patientdataintegration_spark.operators.similarity import ivf_search
+    from patientdataintegration_spark.scratch import scratch_dir
+    from patientdataintegration_spark.streaming.ivf import (
+        ivf_stream,
+        seed_ivf_store,
+    )
+    from patientdataintegration_spark.suite.ext import cached_stream_seed_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned0, centroids = cached_stream_seed_ivf(spark, sf_dir)
+    root = scratch_dir("stream_ivf", sf_dir)
+    src, store, ckpt = (f"{root}/{p}" for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    seed_ivf_store(assigned0, centroids, store)
+
+    batch1 = e.filter(F.col("vec_id") % 3 == 1).select(
+        "vec_id", "embedding", F.lit(1).cast("int").alias("op")
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    ivf_stream(spark, src, "*.parquet", store, ckpt, op_col="op")
+
+    takedowns = e.filter(F.col("vec_id") % 7 == 3).select(
+        "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(-1).cast("int").alias("op"),
+    )
+    batch2 = e.filter(F.col("vec_id") % 3 == 2).select(
+        "vec_id", "embedding", F.lit(1).cast("int").alias("op")
+    ).unionByName(takedowns)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    maintained = ivf_stream(spark, src, "*.parquet", store, ckpt, op_col="op")
+
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_search(
+        queries, maintained, centroids, k=3, n_probe=4
+    ).withColumnRenamed("rank", "rnk")

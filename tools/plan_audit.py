@@ -124,6 +124,11 @@ NESTED_LOOP_ALLOW = {
     # so the plan text can't show the aggregate that bounded it at
     # build time) — k-row by construction, the q252 argument
     "q276_retract_ivf",
+    # the same 16-row frozen centroid table, read back from the
+    # stream store's parquet (streaming/ivf.read_ivf_centroids) for
+    # the q98 probe crossJoin — k-row by construction (n_cells=16
+    # fixed at seed time; centroids never grow, the freeze contract)
+    "q284_streaming_ivf",
 }
 
 # Streaming-execution lanes: the query function RUNS a stream when
