@@ -357,6 +357,16 @@ def _compact(spark: SparkSession, store_dir: str, gen: int) -> None:
     }
     for name, df in folded.items():
         df.write.mode("overwrite").parquet(_base_path(store_dir, gen, name))
+    gc_generations(store_dir)
+
+
+def gc_generations(store_dir: str) -> None:
+    """The shared retention rule of every delta-generation store
+    (dedup, inverted index, IVF): keep the newest TWO bases (a
+    replayed in-flight batch reads state gen-1, which needs the
+    previous base) and the deltas above the OLDER kept base; remove
+    everything below. Local `shutil.rmtree` here; at 100 TB these
+    are object-store prefix deletes issued by the same rule."""
     bases, deltas = _scan_gens(store_dir)
     keep_from = bases[-2] if len(bases) >= 2 else bases[-1]
     for b in bases:

@@ -66,9 +66,6 @@ term filter (proven by q281's oracle).
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,7 +73,7 @@ from patientdataintegration_spark.streaming.components import (
     _base_path,
     _delta_path,
     _resolve,
-    _scan_gens,
+    gc_generations,
     latest_generation,
 )
 
@@ -175,16 +172,7 @@ def _compact_index(spark: SparkSession, store_dir: str, gen: int) -> None:
     }
     for name, df in folded.items():
         df.write.mode("overwrite").parquet(_base_path(store_dir, gen, name))
-    bases, deltas = _scan_gens(store_dir)
-    keep_from = bases[-2] if len(bases) >= 2 else bases[-1]
-    for b in bases:
-        if b < keep_from:
-            shutil.rmtree(os.path.join(store_dir, f"base_g{b}"), ignore_errors=True)
-    for g in deltas:
-        if g <= keep_from:
-            shutil.rmtree(
-                os.path.join(store_dir, f"delta_g{g}"), ignore_errors=True
-            )
+    gc_generations(store_dir)
 
 
 def index_stream(

@@ -52,7 +52,6 @@ other two streams.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,7 +59,7 @@ from pyspark.sql import functions as F
 from patientdataintegration_spark.streaming.components import (
     _base_path,
     _delta_path,
-    _scan_gens,
+    gc_generations,
     latest_generation,
     read_rowstore,
 )
@@ -100,16 +99,7 @@ def _compact_ivf(spark: SparkSession, store_dir: str, gen: int) -> None:
     folded.write.mode("overwrite").parquet(
         _base_path(store_dir, gen, "assigned")
     )
-    bases, deltas = _scan_gens(store_dir)
-    keep_from = bases[-2] if len(bases) >= 2 else bases[-1]
-    for b in bases:
-        if b < keep_from:
-            shutil.rmtree(os.path.join(store_dir, f"base_g{b}"), ignore_errors=True)
-    for g in deltas:
-        if g <= keep_from:
-            shutil.rmtree(
-                os.path.join(store_dir, f"delta_g{g}"), ignore_errors=True
-            )
+    gc_generations(store_dir)
 
 
 def ivf_stream(
