@@ -510,6 +510,68 @@ def phrase_retrieval(
     )
 
 
+def phrase_retrieval_nterm(
+    positions: DataFrame,
+    phrases: DataFrame,
+    phrase_id_col: str = "phrase_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Exact N-TERM phrase retrieval over the positional postings —
+    `phrase_retrieval` generalized past (a, b) adjacency (r13 verdict
+    item 2): for each phrase (an array of terms), every occurrence
+    where the terms appear CONSECUTIVELY in a document. Returns
+    (phrase_id, doc, pos) rows, pos = the phrase start; overlapping
+    matches count individually ("a a a a" contains "a a a" twice).
+
+    The join is NOT a chained per-offset self-join (n−1 joins for an
+    n-term phrase): each queried (phrase, offset i, term) row aligns
+    candidate token occurrences to their implied phrase START
+    (start = pos − i), and a start is a match iff ALL n offsets
+    aligned to it — one join + one (phrase, doc, start) aggregate,
+    independent of phrase length and of mixed-length phrase batches.
+    Correct under repeated terms ("a a a"): offset i matches at start
+    iff the token AT start+i is term_i, and positions are unique per
+    (doc, pos) — `positional_postings` emits exactly one term per
+    position — so distinct matched offsets == n proves every slot.
+
+    Scale shape: the phrases explode to (phrase, i, term) — query-
+    sized, broadcast; the corpus-sized positional relation streams
+    ONCE behind a semi-probe on the queried terms; the alignment join
+    fans each queried-term occurrence out only to the phrases that
+    contain it, and the aggregate keys on (phrase, doc, start) —
+    shuffle volume is the queried postings only."""
+    pterms = (
+        phrases.select(
+            F.col(phrase_id_col).alias("_pid"),
+            F.posexplode(F.col(terms_col)).alias("_i", "term"),
+        )
+        .distinct()
+        .localCheckpoint()  # consumers: the semi-probe + the alignment join
+    )
+    plen = pterms.groupBy("_pid").agg(
+        (F.max("_i") + 1).alias("_n")
+    )
+    hits = positions.join(
+        F.broadcast(pterms.select("term").distinct()), "term", "left_semi"
+    )
+    aligned = (
+        hits.join(F.broadcast(pterms), "term")
+        .select("_pid", "_i", "doc", (F.col("pos") - F.col("_i")).alias("_start"))
+        .filter(F.col("_start") >= 1)
+    )
+    return (
+        aligned.groupBy("_pid", "doc", "_start")
+        .agg(F.countDistinct("_i").alias("_hit"))
+        .join(F.broadcast(plen), "_pid")
+        .filter(F.col("_hit") == F.col("_n"))
+        .select(
+            F.col("_pid").alias(phrase_id_col),
+            "doc",
+            F.col("_start").cast("bigint").alias("pos"),
+        )
+    )
+
+
 def full_postings(index: DataFrame, overflow: DataFrame) -> DataFrame:
     """The complete (term, doc) relation of a capped index: visible
     postings exploded ∪ the overflow rows. This is the READ-side
@@ -567,6 +629,210 @@ def conjunctive_retrieval(
             "doc",
         )
     )
+
+
+def doc_term_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The BM25 SCORING-STATISTICS relation: one (term, doc, tf,
+    len_d) row per distinct (document, term) — term frequency plus
+    the document length DENORMALIZED onto every row. This is the
+    third relation of the maintained index store
+    (`streaming/index.py`): postings answer WHICH docs contain a
+    term, these rows carry what ranking needs (Lucene's .doc tf
+    stream + norms file, relationally).
+
+    len_d denormalizes soundly because a document's length is fixed
+    at ingest — content MUTATION under an existing id is out of the
+    store's contract (retract then extend, the q272/q275 CRUD
+    discipline) — so the relation stays TERM-GRAIN maintainable: a
+    dirty term's rows are wholly replaced without consulting any
+    other term. One explode + one (doc, term) hash agg; the len_d
+    window repartitions by doc once — build-time cost, same order as
+    the index build itself."""
+    from patientdataintegration_spark.operators.textops import tokens
+
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    w = Window.partitionBy("doc")
+    return tf.withColumn("len_d", F.sum("tf").over(w).cast("bigint")).select(
+        "term", "doc", "tf", "len_d"
+    )
+
+
+def corpus_stats(tf: DataFrame) -> DataFrame:
+    """The 1-row (n_docs, total_tokens) marginal of a `doc_term_stats`
+    relation — the store's `stats` sub-relation at seed time. Exact
+    integers: BM25's avgdl enters every impact as
+    len_d·n_docs/total_tokens (one double division), so maintaining
+    these two counters exactly keeps served scores bit-identical to a
+    corpus recompute."""
+    return (
+        tf.select("doc", "len_d")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("len_d").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+def _bm25_impact(k1: float, b: float) -> Column:
+    """The per-(term, doc) Okapi BM25 impact EXPRESSION over columns
+    (tf, df, len_d, n_docs, total_tokens) — factored out so the
+    corpus-recompute path (`bm25_topk`) and the store-serving path
+    (`bm25_from_store`) score with the IDENTICAL tree (literals,
+    association, parenthesization): served-from-store equality with
+    recompute is then by construction, with libm's ln the only FP
+    surface (absorbed by the caller's round-then-DECIMAL-sum)."""
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b)
+            * F.col("len_d")
+            * F.col("n_docs")
+            / F.col("total_tokens")
+        )
+    )
+    return idf * tfnorm
+
+
+def _bm25_rank(
+    impacts: DataFrame,
+    q_terms: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared tail of both BM25 paths: fan the (query, term) relation
+    out over the precomputed per-(term, doc) decimal impacts, sum
+    exactly, window top-k per query (self-hits excluded)."""
+    scored = (
+        impacts.join(F.broadcast(q_terms), "term")
+        .filter(F.col("_q") != F.col("_doc"))
+        .groupBy("_q", "_doc")
+        .agg(F.sum("_impact").alias("_s"))
+    )
+    w = Window.partitionBy("_q").orderBy(
+        F.col("_s").desc(), F.col("_doc").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("_q").alias(query_id_col),
+            F.col("_doc").alias(id_col),
+            F.col("_s").cast("double").alias("score"),
+            "rnk",
+        )
+    )
+
+
+def bm25_from_store(
+    tf_store: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """BM25 top-k retrieval SERVED FROM THE MAINTAINED STORE — the
+    r13 verdict's lead item: `bm25_topk` re-derives (doc, term, tf),
+    df, doc lengths and corpus totals from the RAW corpus on every
+    call, which at 100 TB forfeits the entire point of maintaining an
+    index (q281/q277/q283). This path tokenizes ONLY the query text;
+    every corpus-derived number comes from two store relations —
+    `tf_store` (term, doc, tf, len_d — `doc_term_stats` rows, the
+    store's scoring sub-relation) and `stats` (the 1-row
+    n_docs/total_tokens marginal) — so serving never scans, shuffles
+    or re-tokenizes documents (pinned by the inputFiles plan test in
+    tests/test_scoring_store.py).
+
+    df is NOT stored: for the queried terms it equals the per-term
+    row count of their own store rows, which serving reads anyway —
+    recomputing it there is delta-sized and keeps the store free of
+    a relation that every insert/delete of a term's rows would have
+    to touch. avgdl is likewise folded into query time from the
+    exact (n_docs, total_tokens) counters, the Lucene treatment the
+    r13 verdict asked for — no impact staleness contract needed,
+    because no impact is persisted.
+
+    Exactness: scores == `bm25_topk` over the same corpus state,
+    BIT-IDENTICAL — both paths round the shared `_bm25_impact` tree
+    to `round_digits` then sum as DECIMAL(28,12) (the q82
+    discipline), and every impact input (tf, df, len_d, n_docs,
+    total_tokens) is an exact integer maintained exactly by the
+    store verbs. q285's oracle is the corpus recompute; q289
+    certifies the equality inside one DAG.
+
+    Scale shape: the queried terms broadcast as one semi-probe, so
+    the corpus-sized tf store streams ONCE reduced to Σ df(query
+    terms) candidate rows (the `max_df` WAND-style guard bounds that
+    at |terms|·max_df); df is a candidate-sized agg; the 1-row stats
+    broadcast; the top-k is one per-query window."""
+    from patientdataintegration_spark.operators.textops import tokens
+
+    q_terms = (
+        queries.select(
+            F.col(query_id_col).cast("bigint").alias("_q"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    cand = tf_store.join(
+        F.broadcast(q_terms.select("term").distinct()), "term", "left_semi"
+    ).localCheckpoint()  # consumers: the df agg + the impact join
+    dfreq = cand.select("term", "doc").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    guarded = cand
+    if max_df is not None:
+        rare = dfreq.filter(F.col("df") <= max_df)
+        guarded = cand.join(
+            F.broadcast(rare.select("term")), "term", "left_semi"
+        )
+    # reduce the stats relation to a PROVABLY single-row frame (max
+    # over its one row is the identity): the broadcast-scalar cross
+    # join stays the sanctioned aggregate-derived shape even though
+    # the store relation arrives as a parquet scan, and a corrupted
+    # multi-row stats store can never silently fan the join out
+    totals = stats.agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("total_tokens").alias("total_tokens"),
+    )
+    impacts = (
+        guarded.withColumnRenamed("doc", "_doc")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "_doc",
+            F.round(_bm25_impact(k1, b), round_digits)
+            .cast("decimal(28,12)")
+            .alias("_impact"),
+        )
+    )
+    return _bm25_rank(impacts, q_terms, k, id_col, query_id_col)
 
 
 def bm25_topk(
@@ -652,26 +918,13 @@ def bm25_topk(
     if max_df is not None:
         rare = dfreq.filter(F.col("df") <= max_df)
         guarded = tf.join(F.broadcast(rare), "term", "left_semi")
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (
-            F.lit(1.0 - b)
-            + F.lit(b)
-            * F.col("len_d")
-            * F.col("n_docs")
-            / F.col("total_tokens")
-        )
-    )
     # per-(term, doc) IMPACT, computed ONCE on the tf-sized relation —
     # the score contribution is query-independent (Lucene's impact
     # trick), so the |queries| fan-out below only SUMS precomputed
-    # decimals instead of re-evaluating ln per candidate row
+    # decimals instead of re-evaluating ln per candidate row; the
+    # expression tree is the shared `_bm25_impact`, so the
+    # store-serving path (`bm25_from_store`) is bit-identical by
+    # construction
     impacts = (
         guarded.join(F.broadcast(dfreq), "term")
         .join(doclen, "_doc")
@@ -679,27 +932,9 @@ def bm25_topk(
         .select(
             "term",
             "_doc",
-            F.round(idf * tfnorm, round_digits)
+            F.round(_bm25_impact(k1, b), round_digits)
             .cast("decimal(28,12)")
             .alias("_impact"),
         )
     )
-    scored = (
-        impacts.join(F.broadcast(q_terms), "term")
-        .filter(F.col("_q") != F.col("_doc"))
-        .groupBy("_q", "_doc")
-        .agg(F.sum("_impact").alias("_s"))
-    )
-    w = Window.partitionBy("_q").orderBy(
-        F.col("_s").desc(), F.col("_doc").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            F.col("_q").alias(query_id_col),
-            F.col("_doc").alias(id_col),
-            F.col("_s").cast("double").alias("score"),
-            "rnk",
-        )
-    )
+    return _bm25_rank(impacts, q_terms, k, id_col, query_id_col)

@@ -100,8 +100,21 @@ _BASE_RE = re.compile(r"^base_g(\d+)$")
 _DELTA_RE = re.compile(r"^delta_g(\d+)$")
 
 
-def _scan_gens(store_dir: str) -> tuple[list[int], list[int]]:
-    """(sorted base generations, sorted delta generations) present."""
+def _scan_gens(
+    store_dir: str, marker: str | None = None
+) -> tuple[list[int], list[int]]:
+    """(sorted base generations, sorted delta generations) present.
+
+    `marker` names the delta sub-relation each writer persists LAST —
+    its presence is the generation's COMMIT MARKER. A crash between a
+    generation's per-relation writes leaves a partial delta_g{g} on
+    disk; without the filter, a version=None read between crash and
+    checkpoint replay resolves to the partial generation and fails on
+    the missing sub-relation path (r13 ADVICE). With it, uncommitted
+    generations are invisible to every read — the pre-batch state
+    serves until the replayed batch overwrites the partial generation
+    idempotently. Writers: the dedup stream commits with "tombs", the
+    IVF stream with "tombs", the index stream with "terms"."""
     bases: list[int] = []
     deltas: list[int] = []
     try:
@@ -115,7 +128,12 @@ def _scan_gens(store_dir: str) -> tuple[list[int], list[int]]:
             continue
         m = _DELTA_RE.match(entry)
         if m:
-            deltas.append(int(m.group(1)))
+            g = int(m.group(1))
+            if marker is not None and not os.path.isdir(
+                os.path.join(store_dir, entry, marker)
+            ):
+                continue  # uncommitted (partial) generation: invisible
+            deltas.append(g)
     return sorted(bases), sorted(deltas)
 
 
@@ -127,10 +145,11 @@ def _delta_path(store_dir: str, gen: int, name: str) -> str:
     return os.path.join(store_dir, f"delta_g{gen}", name)
 
 
-def latest_generation(store_dir: str) -> int:
-    """The store's current version: the highest base or delta
-    generation present (0 = freshly seeded)."""
-    bases, deltas = _scan_gens(store_dir)
+def latest_generation(store_dir: str, marker: str | None = None) -> int:
+    """The store's current version: the highest base or COMMITTED
+    delta generation present (0 = freshly seeded; `marker` is the
+    writer's commit-marker relation — see `_scan_gens`)."""
+    bases, deltas = _scan_gens(store_dir, marker)
     if not bases:
         raise ValueError(
             f"delta-generation store at {store_dir!r} was never seeded: no "
@@ -139,11 +158,16 @@ def latest_generation(store_dir: str) -> int:
     return max(bases[-1], deltas[-1] if deltas else 0)
 
 
-def _resolve(store_dir: str, version: int | None) -> tuple[int, int, list[int]]:
-    """(version, base gen <= version, delta gens in (base, version])
-    — raising a descriptive error on an unseeded/ahead-of-store read
-    (r12 ADVICE: the old code surfaced an opaque path-not-found)."""
-    bases, deltas = _scan_gens(store_dir)
+def _resolve(
+    store_dir: str, version: int | None, marker: str | None = None
+) -> tuple[int, int, list[int]]:
+    """(version, base gen <= version, COMMITTED delta gens in
+    (base, version]) — raising a descriptive error on an
+    unseeded/ahead-of-store read (r12 ADVICE: the old code surfaced
+    an opaque path-not-found). `marker` filters out partial
+    generations left by a crash mid-write (r13 ADVICE; see
+    `_scan_gens`)."""
+    bases, deltas = _scan_gens(store_dir, marker)
     if not bases:
         raise ValueError(
             f"delta-generation store at {store_dir!r} was never seeded: no "
@@ -226,6 +250,7 @@ def read_rowstore(
     name: str,
     version: int | None = None,
     id_col: str = "doc_id",
+    marker: str | None = None,
 ) -> DataFrame:
     """Reconstruct an id-keyed row relation at `version` from its
     base snapshot + retained delta generations + `tombs` tombstones —
@@ -233,8 +258,9 @@ def read_rowstore(
     state is plain insert/delete rows (the IVF stream's inverted
     file, `streaming/ivf.py`). Same gen semantics as the dedup sigs
     relation: a same-batch insert+tombstone dies, a later re-insert
-    lives."""
-    version, base, gens = _resolve(store_dir, version)
+    lives. `marker` is the writer's commit-marker relation (see
+    `_scan_gens`) — pass the sub-relation the writer persists last."""
+    version, base, gens = _resolve(store_dir, version, marker)
     tombs = _tombs_by_id(spark, store_dir, gens, id_col)
     return _reconstruct_rowstore(
         spark, store_dir, name, base, gens, tombs, id_col
@@ -252,8 +278,12 @@ def read_store(
     "pairs", "labels") at `version` (default: latest) from its base
     snapshot + retained delta generations — the read path of the
     delta-generation store (module docstring). The base is streamed
-    once under broadcast probes; every other input is delta-sized."""
-    version, base, gens = _resolve(store_dir, version)
+    once under broadcast probes; every other input is delta-sized.
+    The dedup stream writes `tombs` LAST in every generation (even
+    when empty), so it is the store's commit marker: a generation
+    missing it is a crash remnant and stays invisible until replay
+    overwrites it (r13 ADVICE; see `_scan_gens`)."""
+    version, base, gens = _resolve(store_dir, version, marker="tombs")
     if name == "labels":
         base_df = spark.read.schema(LABEL_SCHEMA).parquet(
             _base_path(store_dir, base, "labels")
@@ -358,6 +388,32 @@ def _compact(spark: SparkSession, store_dir: str, gen: int) -> None:
     for name, df in folded.items():
         df.write.mode("overwrite").parquet(_base_path(store_dir, gen, name))
     gc_generations(store_dir)
+
+
+def compact_store(spark: SparkSession, store_dir: str) -> int:
+    """Compaction as a SCHEDULED MAINTENANCE JOB (r13 verdict item 5):
+    fold the dedup store's retained deltas into a new base snapshot at
+    the latest committed generation, OUTSIDE the ingest hot path — at
+    100 TB the fold streams the corpus-sized base, and paying that
+    inside `foreachBatch` (the `compact_every` inline mode) stalls
+    ingest for the duration; a nightly job (the q246 shape) does the
+    same fold while ingest batches stay delta-sized throughout
+    (`compact_every=0` on the stream). Returns the folded generation.
+
+    Replay safety is the SAME argument as the inline fold: the job
+    compacts at generation v = the latest committed one; an in-flight
+    or replayed batch writing generation v+1 reads state at version v,
+    which the new base serves directly, and the GC rule keeps the
+    previous base + its deltas for a replay of generation v itself.
+    If the latest generation already has a base (freshly seeded or
+    just compacted), the job is a no-op — folding a base onto itself
+    would truncate the very files the fold reads."""
+    gen = latest_generation(store_dir, marker="tombs")
+    bases, _deltas = _scan_gens(store_dir)
+    if gen in bases:
+        return gen
+    _compact(spark, store_dir, gen)
+    return gen
 
 
 def gc_generations(store_dir: str) -> None:

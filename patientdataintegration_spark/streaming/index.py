@@ -18,10 +18,25 @@ delta is a keyed whole-row upsert. Under `store_dir`:
 
     base_g{G}/{index,overflow}/   full snapshots: the seed (G=0) and
                                   periodic compactions
+    base_g{G}/{tf,pos,stats}/     OPTIONAL serving satellites (same
+                                  snapshots), present iff seeded:
+                                  doc_term_stats rows + the 1-row
+                                  corpus marginal (BM25 serving,
+                                  `indexing.bm25_from_store`) and
+                                  positional postings (phrase
+                                  serving) — r13 verdict items 1+2
     delta_g{g}/terms/             batch g's DIRTY TERM set — every
-                                  term whose state gen g rewrote
+                                  term whose state gen g rewrote;
+                                  written LAST, so it is the
+                                  generation's COMMIT MARKER
+                                  (r13 ADVICE)
     delta_g{g}/index/             those terms' repaired index rows
     delta_g{g}/overflow/          those terms' repaired overflow rows
+    delta_g{g}/{tf,pos}/          those terms' repaired satellite
+                                  rows (iff seeded) — same dirty set,
+                                  same last-writer-wins read rule
+    delta_g{g}/stats/             the post-batch 1-row scoring
+                                  marginal (iff tf seeded)
 
 A dirty term ABSENT from a generation's index rows left the index in
 that generation (lost its last posting) — dirty + absent = delete, so
@@ -79,20 +94,77 @@ from patientdataintegration_spark.streaming.components import (
 
 INDEX_SCHEMA = "term string, doc_freq bigint, postings array<bigint>"
 OVERFLOW_SCHEMA = "term string, doc bigint"
+TF_SCHEMA = "term string, doc bigint, tf bigint, len_d bigint"
+POS_SCHEMA = "term string, doc bigint, pos bigint"
+STATS_SCHEMA = "n_docs bigint, total_tokens bigint"
 _TERM_SCHEMA = "term string"
+_SCHEMAS = {
+    "index": INDEX_SCHEMA,
+    "overflow": OVERFLOW_SCHEMA,
+    "tf": TF_SCHEMA,
+    "pos": POS_SCHEMA,
+}
+# optional SERVING satellites beyond the (index, overflow) core, all
+# term-grain upserts under the SAME dirty set and read rule: "tf"
+# (doc_term_stats rows + the 1-row "stats" marginal — BM25 serving,
+# r13 verdict item 1) and "pos" (positional postings — phrase
+# serving, item 2). A store maintains exactly the satellites its
+# seed base carries (`_store_features`).
+_SATELLITES = ("tf", "pos")
 
 
 def seed_index_store(
-    index_init: DataFrame, overflow_init: DataFrame, store_dir: str
+    index_init: DataFrame,
+    overflow_init: DataFrame,
+    store_dir: str,
+    tf_init: DataFrame | None = None,
+    pos_init: DataFrame | None = None,
 ) -> None:
-    """Write generation 0 of the (index, overflow) factorization —
-    the persisted store the stream maintains — as the first base
-    snapshot. Build it with min_df=1 (module docstring)."""
+    """Write generation 0 of the store the stream maintains — the
+    (index, overflow) factorization, built with min_df=1 (module
+    docstring), plus any serving satellites: `tf_init`
+    (`operators/indexing.doc_term_stats` over the seed corpus; its
+    1-row `corpus_stats` marginal is derived and persisted beside it
+    as the "stats" relation) and `pos_init`
+    (`operators/indexing.positional_postings`). The stream maintains
+    exactly the satellites seeded here."""
+    from patientdataintegration_spark.operators.indexing import corpus_stats
+
     index_init.write.mode("overwrite").parquet(
         _base_path(store_dir, 0, "index")
     )
     overflow_init.write.mode("overwrite").parquet(
         _base_path(store_dir, 0, "overflow")
+    )
+    if tf_init is not None:
+        tf_init = tf_init.localCheckpoint()  # consumers: write + stats
+        tf_init.select("term", "doc", "tf", "len_d").write.mode(
+            "overwrite"
+        ).parquet(_base_path(store_dir, 0, "tf"))
+        corpus_stats(tf_init).write.mode("overwrite").parquet(
+            _base_path(store_dir, 0, "stats")
+        )
+    if pos_init is not None:
+        pos_init.select("term", "doc", "pos").write.mode("overwrite").parquet(
+            _base_path(store_dir, 0, "pos")
+        )
+
+
+def _store_features(store_dir: str) -> tuple[str, ...]:
+    """Which serving satellites this store maintains — feature-
+    detected from its newest base snapshot (the seed, or the last
+    compaction, which folds every maintained relation)."""
+    import os
+
+    from patientdataintegration_spark.streaming.components import _scan_gens
+
+    bases, _deltas = _scan_gens(store_dir)
+    if not bases:
+        return ()
+    b = bases[-1]
+    return tuple(
+        n for n in _SATELLITES
+        if os.path.isdir(_base_path(store_dir, b, n))
     )
 
 
@@ -128,16 +200,24 @@ def read_index_store(
     name: str,
     version: int | None = None,
 ) -> DataFrame:
-    """Reconstruct one of the maintained relations ("index",
-    "overflow") at `version` (default: latest): base rows pass
-    through behind one broadcast anti on the retained dirty-term
-    union; delta rows survive iff their generation is the term's
-    LATEST touching generation (term-grain last-writer-wins — a term
-    absent from its latest generation's rows left the index)."""
-    if name not in ("index", "overflow"):
-        raise ValueError(f"unknown store relation {name!r} (index/overflow)")
-    schema = INDEX_SCHEMA if name == "index" else OVERFLOW_SCHEMA
-    version, base, gens = _resolve(store_dir, version)
+    """Reconstruct one of the maintained term-grain relations
+    ("index", "overflow", or a seeded satellite "tf"/"pos") at
+    `version` (default: latest): base rows pass through behind one
+    broadcast anti on the retained dirty-term union; delta rows
+    survive iff their generation is the term's LATEST touching
+    generation (term-grain last-writer-wins — a term absent from its
+    latest generation's rows left the index). One rule serves every
+    relation because every relation is keyed and repaired at term
+    grain under the SAME per-generation dirty set."""
+    if name not in _SCHEMAS:
+        raise ValueError(
+            f"unknown store relation {name!r} ({'/'.join(_SCHEMAS)})"
+        )
+    schema = _SCHEMAS[name]
+    # "terms" is written LAST in every generation, so it is the
+    # store's commit marker: a partial generation left by a crash
+    # stays invisible until replay overwrites it (r13 ADVICE)
+    version, base, gens = _resolve(store_dir, version, marker="terms")
     base_df = spark.read.schema(schema).parquet(
         _base_path(store_dir, base, name)
     )
@@ -157,22 +237,70 @@ def read_index_store(
     return out
 
 
+def read_index_stats(
+    spark: SparkSession, store_dir: str, version: int | None = None
+) -> DataFrame:
+    """The store's 1-row (n_docs, total_tokens) scoring marginal at
+    `version` — present only in stores seeded with the "tf"
+    satellite. Every generation (seed base, each committed delta,
+    each compaction) persists the POST-generation totals, so the read
+    is simply the newest stats at or below `version`: BM25's avgdl
+    folds in at query time from these two exact counters (the Lucene
+    treatment — nothing corpus-sized is read or aggregated)."""
+    import os
+
+    version, base, gens = _resolve(store_dir, version, marker="terms")
+    path = (
+        _delta_path(store_dir, gens[-1], "stats")
+        if gens
+        else _base_path(store_dir, base, "stats")
+    )
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"index store at {store_dir!r} has no scoring stats at version "
+            f"{version} — seed it with tf_init (seed_index_store) to "
+            "maintain the BM25 serving satellites"
+        )
+    return spark.read.schema(STATS_SCHEMA).parquet(path)
+
+
 def _compact_index(spark: SparkSession, store_dir: str, gen: int) -> None:
     """Fold the retained upsert generations into a full base_g{gen}
-    snapshot, then GC with the dedup store's exact retention rule:
-    keep the newest TWO bases (a replayed in-flight batch reads state
-    gen-1, which needs the previous base) and the deltas above the
-    OLDER kept base."""
-    # pin both reconstructions before the first write (the _compact
+    snapshot — every maintained relation, seeded satellites and the
+    stats marginal included — then GC with the dedup store's exact
+    retention rule: keep the newest TWO bases (a replayed in-flight
+    batch reads state gen-1, which needs the previous base) and the
+    deltas above the OLDER kept base."""
+    feats = _store_features(store_dir)
+    # pin every reconstruction before the first write (the _compact
     # ordering hazard: once base_g{gen}/index exists, a fresh _resolve
     # at `gen` would pick the half-written base for the other side)
     folded = {
         name: read_index_store(spark, store_dir, name, version=gen)
-        for name in ("index", "overflow")
+        for name in ("index", "overflow", *feats)
     }
+    if "tf" in feats:
+        folded["stats"] = read_index_stats(spark, store_dir, version=gen)
     for name, df in folded.items():
         df.write.mode("overwrite").parquet(_base_path(store_dir, gen, name))
     gc_generations(store_dir)
+
+
+def compact_index_store(spark: SparkSession, store_dir: str) -> int:
+    """Compaction as a SCHEDULED MAINTENANCE JOB for the index store
+    (r13 verdict item 5) — `components.compact_store`'s contract
+    applied here: fold at the latest committed generation outside the
+    ingest hot path (run the stream with `compact_every=0`), no-op if
+    that generation already has a base, GC keeps the replay window.
+    Returns the folded generation."""
+    from patientdataintegration_spark.streaming.components import _scan_gens
+
+    gen = latest_generation(store_dir, marker="terms")
+    bases, _deltas = _scan_gens(store_dir)
+    if gen in bases:
+        return gen
+    _compact_index(spark, store_dir, gen)
+    return gen
 
 
 def index_stream(
@@ -206,13 +334,18 @@ def index_stream(
     bounding read fan-in and disk
     (`streaming/components.store_disk_report`)."""
     from patientdataintegration_spark.operators.indexing import (
+        doc_term_stats,
         extend_inverted_index_delta,
+        positional_postings,
         retract_inverted_index_delta,
     )
 
     # fail fast (and descriptively) on an unseeded store rather than
     # inside the first micro-batch
     latest_generation(store_dir)
+    # which serving satellites this store maintains (seeded relations
+    # beyond the core pair) — fixed at seed time, detected once
+    feats = _store_features(store_dir)
 
     doc_schema = (
         spark.read.option("pathGlobFilter", glob).parquet(source_dir).schema
@@ -262,16 +395,124 @@ def index_stream(
             )
         else:
             dirty, index_rows, overflow_rows = d1, i1, o1
+
+        # --- serving satellites: SAME dirty set, same upsert rule.
+        # Soundness of sharing the index's dirty terms: a tf/pos row
+        # changes only when its doc is ingested (its terms are the
+        # batch vocabulary = d1) or deleted (its terms appear in the
+        # doc's post-insert postings∪overflow, hence in d2), so every
+        # changed satellite row's term is dirty; and a dirty term's
+        # rows are rebuilt WHOLLY from store-rows ∪ batch-rows minus
+        # deleted docs — one rule, no per-relation delta algebra.
+        sat_rows: dict[str, DataFrame] = {}
+        stats_new: DataFrame | None = None
+        if feats:
+            dirty = dirty.localCheckpoint()  # terms write + satellite semis
+            dele_docs = (
+                F.broadcast(
+                    deleted.select(
+                        F.col(id_col).cast("bigint").alias("doc")
+                    ).distinct()
+                )
+                if deleted is not None
+                else None
+            )
+        if "tf" in feats:
+            batch_tf = doc_term_stats(
+                ingest, text_col=text_col, id_col=id_col
+            ).localCheckpoint()  # consumers: tf rows + stats bookkeeping
+            tf_old = read_index_store(s, store_dir, "tf", version=v)
+            tf_rows = (
+                tf_old.join(F.broadcast(dirty), "term", "left_semi")
+                .unionByName(batch_tf)
+                .dropDuplicates(["term", "doc"])  # re-ingest idempotency
+            )
+            # stats bookkeeping — exact integer deltas: +(batch docs
+            # not already live), −(live or same-batch docs taken
+            # down); the one store scan is doc-probed and broadcast-
+            # bounded, the same order the retract path already pays
+            stats_old = read_index_stats(s, store_dir, version=v)
+            batch_docs = (
+                batch_tf.select("doc", "len_d").distinct().localCheckpoint()
+            )
+            live_batch = (
+                tf_old.join(
+                    F.broadcast(batch_docs.select("doc")), "doc", "left_semi"
+                )
+                .select("doc")
+                .distinct()
+            )
+            added = batch_docs.join(F.broadcast(live_batch), "doc", "left_anti")
+            if dele_docs is not None:
+                tf_rows = tf_rows.join(dele_docs, "doc", "left_anti")
+                removed = (
+                    tf_old.join(dele_docs, "doc", "left_semi")
+                    .select("doc", "len_d")
+                    .distinct()
+                    .unionByName(
+                        batch_docs.join(dele_docs, "doc", "left_semi")
+                    )
+                    .distinct()
+                )
+            else:
+                removed = batch_docs.filter(F.lit(False))
+            adds = added.agg(
+                F.count(F.lit(1)).alias("_na"),
+                F.coalesce(F.sum("len_d"), F.lit(0)).alias("_ta"),
+            )
+            rems = removed.agg(
+                F.count(F.lit(1)).alias("_nr"),
+                F.coalesce(F.sum("len_d"), F.lit(0)).alias("_tr"),
+            )
+            stats_new = (
+                stats_old.crossJoin(F.broadcast(adds))
+                .crossJoin(F.broadcast(rems))
+                .select(
+                    (F.col("n_docs") + F.col("_na") - F.col("_nr"))
+                    .cast("bigint")
+                    .alias("n_docs"),
+                    (F.col("total_tokens") + F.col("_ta") - F.col("_tr"))
+                    .cast("bigint")
+                    .alias("total_tokens"),
+                )
+            )
+            sat_rows["tf"] = tf_rows.select("term", "doc", "tf", "len_d")
+        if "pos" in feats:
+            pos_old = read_index_store(s, store_dir, "pos", version=v)
+            pos_rows = (
+                pos_old.join(F.broadcast(dirty), "term", "left_semi")
+                .unionByName(
+                    positional_postings(
+                        ingest, text_col=text_col, id_col=id_col
+                    )
+                )
+                .dropDuplicates(["term", "doc", "pos"])
+            )
+            if dele_docs is not None:
+                pos_rows = pos_rows.join(dele_docs, "doc", "left_anti")
+            sat_rows["pos"] = pos_rows.select("term", "doc", "pos")
+
         # one upsert generation per batch: a replayed batch overwrites
-        # its own generation — idempotent under checkpoint replay
-        dirty.select("term").write.mode("overwrite").parquet(
-            _delta_path(store_dir, g, "terms")
-        )
+        # its own generation — idempotent under checkpoint replay.
+        # "terms" goes LAST: it is the generation's commit marker, so
+        # a crash between these writes leaves an uncommitted partial
+        # that every read skips (r13 ADVICE; components._scan_gens)
         index_rows.select("term", "doc_freq", "postings").write.mode(
             "overwrite"
         ).parquet(_delta_path(store_dir, g, "index"))
         overflow_rows.select("term", "doc").write.mode("overwrite").parquet(
             _delta_path(store_dir, g, "overflow")
+        )
+        for name, rows in sat_rows.items():
+            rows.write.mode("overwrite").parquet(
+                _delta_path(store_dir, g, name)
+            )
+        if stats_new is not None:
+            stats_new.write.mode("overwrite").parquet(
+                _delta_path(store_dir, g, "stats")
+            )
+        dirty.select("term").write.mode("overwrite").parquet(
+            _delta_path(store_dir, g, "terms")
         )
         if compact_every and g % compact_every == 0:
             _compact_index(s, store_dir, g)

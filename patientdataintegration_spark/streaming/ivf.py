@@ -21,7 +21,12 @@ dedup store). Under `store_dir`:
     base_g{G}/assigned/           inverted-file snapshots: the seed
                                   (G=0) and periodic compactions
     delta_g{g}/assigned/          batch g's newly-assigned rows
-    delta_g{g}/tombs/             batch g's vector takedowns
+    delta_g{g}/tombs/             batch g's vector takedowns —
+                                  written LAST (even when empty), so
+                                  it is the generation's COMMIT
+                                  MARKER: reads skip a crash-partial
+                                  generation until replay overwrites
+                                  it (r13 ADVICE)
 
 Reconstruction: base ∖ tombstoned ids ∪ delta rows above their id's
 latest tombstone — same-batch ingest+takedown dies, later re-ingest
@@ -94,12 +99,29 @@ def _compact_ivf(spark: SparkSession, store_dir: str, gen: int) -> None:
     the newest two bases + deltas above the older kept base). The
     centroid table lives outside the generations and is untouched."""
     folded = read_rowstore(
-        spark, store_dir, "assigned", version=gen, id_col="neighbor_id"
+        spark, store_dir, "assigned", version=gen, id_col="neighbor_id",
+        marker="tombs",
     )
     folded.write.mode("overwrite").parquet(
         _base_path(store_dir, gen, "assigned")
     )
     gc_generations(store_dir)
+
+
+def compact_ivf_store(spark: SparkSession, store_dir: str) -> int:
+    """Compaction as a SCHEDULED MAINTENANCE JOB for the IVF store —
+    `components.compact_store`'s contract (fold at the latest
+    committed generation outside the ingest hot path, no-op when that
+    generation already has a base, GC keeps the replay window).
+    Returns the folded generation."""
+    from patientdataintegration_spark.streaming.components import _scan_gens
+
+    gen = latest_generation(store_dir, marker="tombs")
+    bases, _deltas = _scan_gens(store_dir)
+    if gen in bases:
+        return gen
+    _compact_ivf(spark, store_dir, gen)
+    return gen
 
 
 def ivf_stream(
@@ -176,5 +198,5 @@ def ivf_stream(
     )
     query.awaitTermination()
     return read_rowstore(
-        spark, store_dir, "assigned", id_col="neighbor_id"
+        spark, store_dir, "assigned", id_col="neighbor_id", marker="tombs"
     )

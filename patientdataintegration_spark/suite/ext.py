@@ -784,6 +784,51 @@ def cached_stream_seed_inverted_index(
     return index, overflow
 
 
+def cached_stream_seed_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMED scoring satellite's seed (q285/q289):
+    `doc_term_stats` rows — (term, doc, tf, len_d) — over the first
+    third of the corpus (doc_id % 3 == 0), matching
+    `cached_stream_seed_inverted_index`'s slice so one store seeds
+    all its relations consistently. The serving lanes read this as
+    persisted state and measure the stream + the from-store serve,
+    not the seed build."""
+    from patientdataintegration_spark.operators.indexing import doc_term_stats
+    from patientdataintegration_spark.plans.materialize import cached_parquet
+
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    def build() -> DataFrame:
+        seed = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 == 0
+        )
+        return doc_term_stats(seed)
+
+    return cached_parquet(spark, "scoring_seed0_tf", [docs_path], build)
+
+
+def cached_stream_seed_positions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMED positional satellite's seed (q286):
+    `positional_postings` rows over the first third of the corpus
+    (doc_id % 3 == 0) — same slice discipline as the other stream
+    seeds."""
+    from patientdataintegration_spark.operators.indexing import (
+        positional_postings,
+    )
+    from patientdataintegration_spark.plans.materialize import cached_parquet
+
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    def build() -> DataFrame:
+        seed = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 == 0
+        )
+        return positional_postings(seed)
+
+    return cached_parquet(spark, "positions_seed0", [docs_path], build)
+
+
 @_register("q92_minhash_lsh_pairs", _lsh_pairs_sql())
 def q92_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate near-dup pairs (bands=4, rows=2).

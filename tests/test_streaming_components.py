@@ -406,3 +406,47 @@ def test_crud_with_compaction_and_reingest(spark, tmp_path):
     assert sigs2 == sorted([hist[0], hist[2], (2, 61, 62, 9001, 9002)])
     pairs2 = sorted(map(tuple, read_store(spark, store, "pairs").collect()))
     assert pairs2 == [(2, 60)]
+
+
+def test_partial_generation_is_invisible_to_dedup_store_reads(spark, tmp_path):
+    """The dedup store's commit marker is "tombs" (written last in
+    every generation, even when empty — r13 ADVICE): a delta_g1
+    holding sigs/edges/labels but no tombs is a crash remnant, so
+    every read rule resolves to the pre-batch state until the
+    replayed batch overwrites the partial generation."""
+    from patientdataintegration_spark.streaming.components import (
+        _delta_path,
+        read_store,
+        seed_stores,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    sigs0 = spark.createDataFrame([(1, 10), (2, 20)], "doc_id bigint, s bigint")
+    pairs0 = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+    labels0 = spark.createDataFrame([(1, 1), (2, 1)], "node bigint, label bigint")
+    seed_stores(sigs0, pairs0, labels0, store)
+
+    # crash remnant: three relations written, no tombs commit marker
+    spark.createDataFrame([(9, 90)], "doc_id bigint, s bigint").write.parquet(
+        _delta_path(store, 1, "sigs")
+    )
+    spark.createDataFrame([(1, 9)], "doc_a bigint, doc_b bigint").write.parquet(
+        _delta_path(store, 1, "edges")
+    )
+    spark.createDataFrame([(9, 1)], "node bigint, label bigint").write.parquet(
+        _delta_path(store, 1, "labels")
+    )
+
+    assert sorted(
+        r["doc_id"] for r in read_store(spark, store, "sigs").collect()
+    ) == [1, 2]
+    assert sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in read_store(spark, store, "pairs").collect()
+    ) == [(1, 2)]
+    assert sorted(
+        (r["node"], r["label"])
+        for r in read_store(spark, store, "labels").collect()
+    ) == [(1, 1), (2, 1)]
+    assert latest_generation(store, marker="tombs") == 0

@@ -205,3 +205,52 @@ def test_index_stream_unseeded_store_is_descriptive(spark, tmp_path):
     os.makedirs(store)
     with pytest.raises(ValueError, match="never seeded"):
         index_stream(spark, src, "*.parquet", store, ckpt)
+
+
+def test_partial_generation_is_invisible_until_replay_heals_it(spark, tmp_path):
+    """A crash between a generation's per-relation writes must not
+    poison reads (r13 ADVICE): "terms" is written LAST as the commit
+    marker, so a delta_g1 holding index/overflow but no terms is a
+    crash remnant — reads at any version resolve to the pre-batch
+    state, and the checkpoint replay then overwrites the partial
+    generation idempotently."""
+    from patientdataintegration_spark.streaming.components import (
+        _delta_path,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+
+    seed = [(1, "a b", 1), (2, "b c", 1)]
+    idx0, of0 = _rebuild(spark, seed, max_postings=16)
+    seed_index_store(idx0, of0, store)
+    want_seed = _norm_index(read_index_store(spark, store, "index"))
+
+    # simulate the crash: the batch wrote index and overflow, then
+    # died before the terms commit marker
+    fake_idx, fake_of = _rebuild(spark, [(9, "zz", 1)], max_postings=16)
+    fake_idx.write.mode("overwrite").parquet(_delta_path(store, 1, "index"))
+    fake_of.write.mode("overwrite").parquet(_delta_path(store, 1, "overflow"))
+
+    # the uncommitted generation is invisible — both the version=None
+    # read and an explicit read AT the partial version serve the seed
+    assert _norm_index(read_index_store(spark, store, "index")) == want_seed
+    assert (
+        _norm_index(read_index_store(spark, store, "index", version=1))
+        == want_seed
+    )
+    assert latest_generation(store, marker="terms") == 0
+
+    # the replayed batch overwrites generation 1 and commits it
+    batch = [(3, "c d", 1)]
+    spark.createDataFrame(batch, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = index_stream(
+        spark, src, "*.parquet", store, ckpt,
+        op_col="op", max_postings=16, compact_every=0,
+    )
+    want_idx, _ = _rebuild(spark, seed + batch, max_postings=16)
+    assert _norm_index(got) == _norm_index(want_idx)
+    assert latest_generation(store, marker="terms") == 1
