@@ -116,6 +116,11 @@ BENCH_QUERIES = [
     "q282_phrase_retrieval",         # positional adjacency queries (r13)
     "q283_streaming_index",          # full-CRUD index stream (r13)
     "q284_streaming_ivf",            # full-CRUD ANN-index stream (r13)
+    "q285_bm25_from_store",          # BM25 served from the store (r14)
+    "q286_phrase_from_store",        # n-term phrases from the store (r14)
+    "q287_index_time_travel",        # pinned-version retrieval (r14)
+    "q288_offline_compaction",       # scheduled offline fold (r14)
+    "q289_bm25_drift_certificate",   # served==recomputed certificate (r14)
 ]
 
 

@@ -293,6 +293,37 @@ minus the seventeen (q72/q75/q76/q77/q78/q79/q80/q81/q82/q83/q84/
 q87/q92 plus q68/q69/q65/q64 — the late additions q279/q280 displace
 q72/q75, q281/q282 displace q68/q69, and q283/q284 displace q65/q64)
 that queue for r14.
+
+The round-14 window: (a) the five r14 additions, never
+driver-checked — q285 (BM25 served FROM the maintained store: the
+index store gains the `tf` + 1-row `stats` scoring satellites,
+repaired per batch by the same term-grain upsert rule, and
+`bm25_from_store` tokenizes only query text — oracle = the corpus
+recompute, the r13 verdict's lead item), q286 (n-term phrases served
+from the maintained positional satellite via the alignment join —
+one join + one aggregate for any phrase length, overlap-correct),
+q287 (time-travel retrieval: conjunctive intersections answered AT a
+pinned historical store version — batch-2 ingests and takedowns both
+invisible; oracle = the rebuild over the as-of corpus), q288
+(compaction as a scheduled OFFLINE job between availableNow runs,
+ingest batches delta-sized throughout; oracle = q283's
+rebuild-over-net-corpus contract) and q289 (the BM25 drift
+certificate: served-from-store == corpus-recomputed inside one DAG,
+the q274 pattern applied to the serving store); (b) five re-proofs
+for everything r14 touched — q283 (the index stream's write order
+now commits each generation with "terms" LAST — the r13-ADVICE
+partial-generation marker — and the advance body grew the satellite
+maintenance), q280 (bm25_topk refactored onto the shared
+_bm25_impact/_bm25_rank helpers — bit-identical by construction),
+q273/q275 (the dedup store's reads are now commit-marker-aware:
+"tombs" filters crash remnants) and q284 (the IVF reads pass the
+same marker); (c) the complete seventeen-lane r7-era queue from the
+r13 rotation (q64/q65/q68/q69/q72/q75/q76/q77/q78/q79/q80/q81/q82/
+q83/q84/q87/q92 — after this window no hash lane's latest driver
+evidence predates r8); and (d) twenty-three oldest-first r8-era fill
+lanes (the 39-lane r8 cohort up to q126; the remaining sixteen —
+q180/q196/q201/q231/q234/q237/q238/q239/q241/q242/q243/q88/q89/q90/
+q93/q99 — queue for r15).
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -315,6 +346,8 @@ from patientdataintegration_spark.suite.ext8 import ORACLES as EXT8_ORACLES
 from patientdataintegration_spark.suite.ext8 import QUERIES as EXT8_QUERIES
 from patientdataintegration_spark.suite.ext9 import ORACLES as EXT9_ORACLES
 from patientdataintegration_spark.suite.ext9 import QUERIES as EXT9_QUERIES
+from patientdataintegration_spark.suite.ext10 import ORACLES as EXT10_ORACLES
+from patientdataintegration_spark.suite.ext10 import QUERIES as EXT10_QUERIES
 
 _ALL_QUERIES = {
     **CORE_QUERIES,
@@ -327,6 +360,7 @@ _ALL_QUERIES = {
     **EXT7_QUERIES,
     **EXT8_QUERIES,
     **EXT9_QUERIES,
+    **EXT10_QUERIES,
 }
 _ALL_ORACLES = {
     **CORE_ORACLES,
@@ -339,6 +373,7 @@ _ALL_ORACLES = {
     **EXT7_ORACLES,
     **EXT8_ORACLES,
     **EXT9_ORACLES,
+    **EXT10_ORACLES,
 }
 
 # Queries registered WITHOUT a SQL oracle, each with its reason —
@@ -353,69 +388,70 @@ ROWS_ONLY_REASONS = {
     ),
 }
 
-# The driver-checked prefix, by design exactly 50 names (round-13
+# The driver-checked prefix, by design exactly 50 names (round-14
 # rotation: see module docstring).
 PRIORITY = [
-    # (a) never driver-checked: the r13 erasure + retrieval additions
-    "q281_extend_inverted_index",
-    "q282_phrase_retrieval",
+    # (a) never driver-checked: the r14 serving additions
+    "q285_bm25_from_store",
+    "q286_phrase_from_store",
+    "q287_index_time_travel",
+    "q288_offline_compaction",
+    "q289_bm25_drift_certificate",
+    # (b) changed in round 14 — re-prove: the index stream's
+    # commit-marker write order + satellite maintenance (q283), the
+    # shared BM25 impact/rank helpers (q280), the marker-aware dedup
+    # store reads (q273/q275), the IVF marker pass-through (q284)
     "q283_streaming_index",
-    "q284_streaming_ivf",
-    "q276_retract_ivf",
-    "q277_retract_inverted_index",
-    "q278_erasure_sla_certificate",
-    "q279_conjunctive_retrieval",
     "q280_bm25_topk",
-    # (b) changed in round 13 — re-prove: the delta-generation store
-    # (q273/q275), the shared delta cores (q268/q272), the
-    # empty-side-safe certificate + cached stores (q274), the
-    # shared postings helpers (q110), the IVF decomposition (q98)
-    "q268_maintain_components",
-    "q272_retract_documents",
     "q273_streaming_components",
-    "q274_takedown_certificate",
     "q275_streaming_takedowns",
-    "q110_inverted_index",
-    "q98_ivf_cosine_topk",
-    # (c) the r6-era queue — evidence rotation: after this window no
-    # hash lane's latest driver evidence predates r7
-    "q43_percentiles",
-    "q44_cube",
-    "q63_latest_per_key",
-    "q95_approx_distinct",
-    "q229_sql_udf_macros",
-    "q230_lateral_topk",
-    # (d) thirty oldest-first r7-era fill lanes (the r7 cohort minus
-    # q72-q92's thirteen plus q68/q69 — displaced by the late
-    # additions q281/q282 — queued for r14)
-    "q21_window_lag",
-    "q220_native_session_window",
-    "q223_stream_session_window",
-    "q224_rf_quality_verdict",
-    "q22_running_best",
-    "q29_json_props",
-    "q30_token_stats",
-    "q31_lang_id",
-    "q32_exact_dedup",
-    "q34_minhash_signatures",
-    "q35_simhash",
-    "q37_events_tumbling",
-    "q38_quality_filter",
-    "q39_events_sliding",
-    "q40_embedding_neardup",
-    "q41_winnowing_fp",
-    "q46_tfidf_top_terms",
-    "q48_metric_map",
-    "q50_exists_correlated",
-    "q51_scalar_subquery",
-    "q52_unpivot",
-    "q53_having_join_back",
-    "q55_quantile_binning",
-    "q56_pivot_status",
-    "q57_not_exists_anti",
-    "q58_full_outer",
-    "q59_grouping_sets",
-    "q61_date_battery",
+    "q284_streaming_ivf",
+    # (c) the complete seventeen-lane r7-era queue — evidence
+    # rotation: after this window no hash lane's latest driver
+    # evidence predates r8
+    "q64_string_battery",
+    "q65_label_centroids",
+    "q68_array_battery",
+    "q69_forward_fill",
+    "q72_regex_tokens",
+    "q75_retention_cohorts",
+    "q76_stratified_sample",
+    "q77_fusion_battery",
+    "q78_grouping_battery",
+    "q79_subquery_battery",
+    "q80_window_battery",
+    "q81_chunking",
+    "q82_token_rarity",
+    "q83_contamination",
+    "q84_quantize_embeddings",
+    "q87_multires_rollup",
+    "q92_minhash_lsh_pairs",
+    # (d) twenty-three oldest-first r8-era fill lanes (the 39-lane r8
+    # cohort up to q126; the remaining sixteen queue for r15 — see
+    # module docstring)
+    "q100_redaction",
+    "q101_upsert_merge",
+    "q102_time_weighted_avg",
+    "q103_variant_battery",
+    "q105_repetition_signals",
+    "q106_token_budget_sample",
+    "q107_jsonl_roundtrip",
+    "q108_sequence_packing",
+    "q109_shard_manifest",
+    "q111_zorder_layout",
+    "q112_winsorize",
+    "q114_incremental_rollup",
+    "q116_bucketed_join",
+    "q117_incremental_dedup",
+    "q118_profile",
+    "q119_crosscorpus_neardup",
+    "q120_mixture_weights",
+    "q121_resample_interp",
+    "q122_realize_mixture",
+    "q123_vocab_coverage",
+    "q124_asof_forward",
+    "q125_asof_nearest",
+    "q126_sparse_cosine_pairs",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -96,6 +96,19 @@ SHUFFLE_BUDGETS = {
     # rule); each artifact's maintained path alone is within the
     # default budget
     "q278_erasure_sla_certificate": 30,
+    # maintained-store serving composites: the returned plan stitches
+    # the generation read rule (base anti + per-generation upsert
+    # joins + last-writer-wins filter, each a keyed stage on
+    # delta-sized inputs) under the serve query itself (hot-term
+    # rank + alignment/intersection joins + the output aggregate) —
+    # the sum-of-parts rule (q200/q246); every stage past the one
+    # streamed base scan is dirty-term- or query-sized
+    "q286_phrase_from_store": 20,
+    # the drift certificate: BOTH BM25 paths (store-served + corpus
+    # recompute, each the q280 shape) plus the full-outer comparison
+    # and the verdict aggregate in one lazy plan — the q274
+    # certificate composite rule
+    "q289_bm25_drift_certificate": 24,
 }
 DEFAULT_SHUFFLE_BUDGET = 12
 
