@@ -305,3 +305,90 @@ def test_offline_compaction_job_dedup_store(spark, tmp_path):
     assert entries == ["base_g0", "base_g1", "delta_g1"]
     labels = _norm(read_store(spark, store, "labels"))
     assert labels == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_satellite_time_travel_through_real_write_path(spark, tmp_path):
+    """Historical versions of the SATELLITES, driven through the real
+    stream writes (the store-properties sweeps fabricate generations
+    by hand; this goes seed → three CRUD batches → read every version
+    back): at each version v, tf/pos/stats equal their recompute over
+    the as-of corpus — and BM25 SERVED at the pinned version equals
+    the recompute over that historical corpus, i.e. time-travel
+    retrieval works for ranking, not just postings."""
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    _seed(spark, store, SEED)
+
+    batches = [
+        BATCH_A,
+        BATCH_B,
+        # batch 3: re-ingest previously-deleted doc 5 with new content
+        # (a NEW document under the CRUD contract) + take down 1
+        [(5, "e f g", 1), (1, None, -1)],
+    ]
+
+    def corpus_at(v):
+        live = {i: t for i, t, _ in SEED}
+        for ins_del in batches[:v]:
+            for i, t, op in ins_del:
+                if op > 0:
+                    live[i] = t
+            for i, _t, op in ins_del:
+                if op < 0:
+                    live.pop(i, None)
+        return [(i, t, 1) for i, t in sorted(live.items())]
+
+    for b in batches:
+        spark.createDataFrame(b, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        index_stream(
+            spark, src, "*.parquet", store, ckpt,
+            op_col="op", max_postings=16, compact_every=0,
+        )
+
+    queries = spark.createDataFrame(
+        [(10, "a c"), (11, "f"), (12, "g e")], "query_id bigint, text string"
+    )
+    for v in range(len(batches) + 1):
+        asof = _docs(spark, corpus_at(v))
+        want_tf = doc_term_stats(asof)
+        assert _norm(read_index_store(spark, store, "tf", version=v)) == (
+            _norm(want_tf)
+        ), f"tf at version {v}"
+        assert _norm(read_index_store(spark, store, "pos", version=v)) == (
+            _norm(positional_postings(asof))
+        ), f"pos at version {v}"
+        assert _norm(read_index_stats(spark, store, version=v)) == _norm(
+            corpus_stats(want_tf)
+        ), f"stats at version {v}"
+        served = bm25_from_store(
+            read_index_store(spark, store, "tf", version=v),
+            read_index_stats(spark, store, version=v),
+            queries,
+            k=3,
+        )
+        assert _norm(served) == _norm(bm25_topk(asof, queries, k=3)), (
+            f"pinned-version BM25 at version {v}"
+        )
+
+
+def test_bm25_from_store_max_df_guard_matches_recompute(spark, tmp_path):
+    """The WAND-style stop-word guard must mean the same thing on
+    both paths: guarded terms contribute nothing, and df for the
+    guard decision comes from the candidate rows themselves."""
+    store = _run_crud(spark, tmp_path)
+    queries = spark.createDataFrame(
+        [(10, "a c f"), (11, "b")], "query_id bigint, text string"
+    )
+    for max_df in (1, 2, 3):
+        served = bm25_from_store(
+            read_index_store(spark, store, "tf"),
+            read_index_stats(spark, store),
+            queries,
+            k=3,
+            max_df=max_df,
+        )
+        want = bm25_topk(_docs(spark, NET), queries, k=3, max_df=max_df)
+        assert _norm(served) == _norm(want), f"max_df={max_df}"
