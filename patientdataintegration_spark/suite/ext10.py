@@ -58,6 +58,19 @@ def _register(name: str, sql: str | None = None):
 # first third of the corpus, batch 1 ingests the second third,
 # batch 2 — across a checkpointed restart — ingests the final third
 # AND takes down every doc_id % 5 == 0; net corpus = doc_id % 5 <> 0.
+#
+# The three latest-version serving lanes (q285/q286/q289) SHARE one
+# maintained store carrying both satellites, built once per process
+# (the memo below — same spirit as the content-keyed cached_* seed
+# helpers: the store is serving infrastructure, each lane measures
+# its SERVE): the final store state is batch-grouping-invariant
+# (maintenance == recompute per batch, inductively), so they drain
+# the whole CRUD backlog in ONE availableNow run, while q283 (two
+# runs across a restart), q287 (pinned version between generations)
+# and q288 (offline fold between runs) keep the multi-run schedule
+# their semantics need.
+
+_STORE_MEMO: dict[tuple, str] = {}
 
 
 def _stream_crud_store(
@@ -67,12 +80,15 @@ def _stream_crud_store(
     tf_seed: bool = False,
     pos_seed: bool = False,
     compact_between: bool = False,
+    single_run: bool = False,
 ) -> str:
     """Run the q283 CRUD schedule against a freshly seeded store with
-    the requested serving satellites; returns the store dir. With
-    `compact_between`, the OFFLINE `compact_index_store` job folds
-    between the two availableNow runs (q288) — ingest batches
-    themselves always run with inline compaction off."""
+    the requested serving satellites; returns the store dir
+    (process-memoized per configuration). With `compact_between`, the
+    OFFLINE `compact_index_store` job folds between the two
+    availableNow runs (q288); with `single_run`, the whole backlog —
+    ingests and takedowns — drains as one micro-batch. Ingest batches
+    always run with inline compaction off."""
     from patientdataintegration_spark.scratch import scratch_dir
     from patientdataintegration_spark.streaming.index import (
         compact_index_store,
@@ -84,6 +100,11 @@ def _stream_crud_store(
         cached_stream_seed_positions,
         cached_stream_seed_scoring,
     )
+
+    key = (scratch_name, sf_dir, tf_seed, pos_seed, compact_between, single_run)
+    memo = _STORE_MEMO.get(key)
+    if memo is not None and os.path.isdir(memo):
+        return memo
 
     d = load_table(spark, sf_dir, "documents")
     idx0, of0 = cached_stream_seed_inverted_index(spark, sf_dir)
@@ -102,13 +123,6 @@ def _stream_crud_store(
     batch1 = d.filter(F.col("doc_id") % 3 == 1).select(
         "doc_id", "text", F.lit(1).cast("int").alias("op")
     )
-    batch1.coalesce(1).write.mode("append").parquet(src)
-    index_stream(
-        spark, src, "*.parquet", store, ckpt, op_col="op", compact_every=0
-    )
-    if compact_between:
-        compact_index_store(spark, store)
-
     takedowns = d.filter(F.col("doc_id") % 5 == 0).select(
         "doc_id",
         F.lit(None).cast("string").alias("text"),
@@ -117,11 +131,35 @@ def _stream_crud_store(
     batch2 = d.filter(F.col("doc_id") % 3 == 2).select(
         "doc_id", "text", F.lit(1).cast("int").alias("op")
     ).unionByName(takedowns)
-    batch2.coalesce(1).write.mode("append").parquet(src)
-    index_stream(
-        spark, src, "*.parquet", store, ckpt, op_col="op", compact_every=0
-    )
+
+    if single_run:
+        batch1.unionByName(batch2).coalesce(1).write.mode("append").parquet(src)
+        index_stream(
+            spark, src, "*.parquet", store, ckpt, op_col="op", compact_every=0
+        )
+    else:
+        batch1.coalesce(1).write.mode("append").parquet(src)
+        index_stream(
+            spark, src, "*.parquet", store, ckpt, op_col="op", compact_every=0
+        )
+        if compact_between:
+            compact_index_store(spark, store)
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        index_stream(
+            spark, src, "*.parquet", store, ckpt, op_col="op", compact_every=0
+        )
+    _STORE_MEMO[key] = store
     return store
+
+
+def _shared_serving_store(spark: SparkSession, sf_dir: str) -> str:
+    """The one CRUD-maintained store the latest-version serving lanes
+    (q285/q286/q289) read: both satellites seeded, whole backlog in
+    one run, built once per process."""
+    return _stream_crud_store(
+        spark, sf_dir, "serve_store",
+        tf_seed=True, pos_seed=True, single_run=True,
+    )
 
 
 _BM25_CTES = """
@@ -220,7 +258,7 @@ def q285_bm25_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_index_store,
     )
 
-    store = _stream_crud_store(spark, sf_dir, "bm25_store", tf_seed=True)
+    store = _shared_serving_store(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     queries = d.filter(F.col("doc_id") % 100 == 1).select(
         F.col("doc_id").alias("query_id"), "text"
@@ -312,7 +350,7 @@ def q286_phrase_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from patientdataintegration_spark.streaming.index import read_index_store
 
-    store = _stream_crud_store(spark, sf_dir, "phrase_store", pos_seed=True)
+    store = _shared_serving_store(spark, sf_dir)
     index = read_index_store(spark, store, "index")
     positions = read_index_store(spark, store, "pos")
 
@@ -533,7 +571,7 @@ def q289_bm25_drift_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_index_store,
     )
 
-    store = _stream_crud_store(spark, sf_dir, "bm25_cert_store", tf_seed=True)
+    store = _shared_serving_store(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     queries = d.filter(F.col("doc_id") % 100 == 1).select(
         F.col("doc_id").alias("query_id"), "text"
