@@ -170,3 +170,45 @@ def test_ivf_compaction_folds_generations_and_gc_prunes(spark, tmp_path):
 
     report = store_disk_report(store, compact_every=2)
     assert report["total_bytes"] <= report["projected_bound_bytes"]
+
+
+def test_partial_generation_is_invisible_to_ivf_store_reads(spark, tmp_path):
+    """The IVF store's commit marker is "tombs" (written last in
+    every generation — r13 ADVICE): a delta_g1 holding assigned rows
+    but no tombs is a crash remnant, so reads resolve to the
+    pre-batch state until the replayed batch overwrites it."""
+    from patientdataintegration_spark.operators.similarity import (
+        ivf_index_exact,
+    )
+    from patientdataintegration_spark.streaming.components import (
+        _delta_path,
+        read_rowstore,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    seed = [(1, [1.0, 0.0], 1), (2, [0.0, 1.0], 1)]
+    assigned0, centroids = ivf_index_exact(
+        _vecs(spark, seed).drop("op"), n_cells=2, iterations=1
+    )
+    seed_ivf_store(assigned0, centroids, store)
+    want = sorted(
+        r["neighbor_id"]
+        for r in read_rowstore(
+            spark, store, "assigned", id_col="neighbor_id", marker="tombs"
+        ).collect()
+    )
+
+    # crash remnant: assigned rows written, no tombs commit marker
+    assigned0.withColumn(
+        "neighbor_id", F.col("neighbor_id") + 100
+    ).write.parquet(_delta_path(store, 1, "assigned"))
+
+    got = sorted(
+        r["neighbor_id"]
+        for r in read_rowstore(
+            spark, store, "assigned", id_col="neighbor_id", marker="tombs"
+        ).collect()
+    )
+    assert got == want
+    assert latest_generation(store, marker="tombs") == 0
