@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "q287_index_time_travel",        # pinned-version retrieval (r14)
     "q288_offline_compaction",       # scheduled offline fold (r14)
     "q289_bm25_drift_certificate",   # served==recomputed certificate (r14)
+    "q290_bm25_pruned_serving",      # bucketed export, pruned serve (r14)
 ]
 
 

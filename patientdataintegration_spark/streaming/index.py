@@ -286,6 +286,101 @@ def _compact_index(spark: SparkSession, store_dir: str, gen: int) -> None:
     gc_generations(store_dir)
 
 
+def term_bucket(term, n_buckets: int):
+    """Deterministic serving bucket in [0, n_buckets) from the
+    engine-portable md5 hash of the term — the partition key of the
+    exported serving layout. md5, not Spark's murmur `hash()`: a
+    layout written today must still be addressable by any engine (or
+    a driver-side Python planner) tomorrow."""
+    from patientdataintegration_spark.functions.deterministic import (
+        md5_bigint,
+    )
+
+    return (md5_bigint(term) % F.lit(n_buckets)).cast("int")
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """The driver-side twin of `term_bucket` — what a query planner
+    uses to turn a query's term list into the partition filter,
+    without touching the cluster."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:14], 16) % (
+        n_buckets
+    )
+
+
+def export_serving_layout(
+    spark: SparkSession,
+    store_dir: str,
+    out_dir: str,
+    relations: tuple[str, ...] = ("tf",),
+    n_buckets: int = 64,
+    version: int | None = None,
+) -> int:
+    """Export maintained term-grain relations into a SERVING-OPTIMIZED
+    layout: hive-partitioned by `term_bucket`, so a point-term query
+    reads only its terms' buckets (partition pruning at plan time)
+    instead of streaming the whole relation behind a semi-probe —
+    Spark's analogue of Lucene's term-dictionary seek, and the
+    offline-job companion of `compact_index_store` (the q246 nightly
+    shape: maintenance stays delta-sized online; the corpus-sized
+    rewrite runs scheduled, off the ingest path).
+
+    The export pins ONE store version (default latest committed) and
+    records it with `n_buckets` in a meta file: serving from the
+    layout answers AT that version — a consistent snapshot, the q287
+    time-travel semantics — until the next scheduled export refreshes
+    it (the staleness contract, stated rather than hidden). The
+    scoring stats marginal is copied alongside when "tf" exports.
+    Returns the exported version."""
+    import json
+    import os
+
+    version, _base, _gens = _resolve(store_dir, version, marker="terms")
+    for name in relations:
+        df = read_index_store(spark, store_dir, name, version=version)
+        df.withColumn("tb", term_bucket(F.col("term"), n_buckets)).write.mode(
+            "overwrite"
+        ).partitionBy("tb").parquet(os.path.join(out_dir, name))
+        if name == "tf":
+            read_index_stats(spark, store_dir, version=version).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, "stats"))
+    with open(os.path.join(out_dir, "serving_meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "version": version}, f)
+    return version
+
+
+def read_serving_relation(
+    spark: SparkSession,
+    out_dir: str,
+    name: str,
+    terms: list[str],
+) -> DataFrame:
+    """Pruned point read over an exported serving layout: the query's
+    terms map to buckets DRIVER-SIDE (`term_bucket_py` — the term
+    list is query-sized metadata, never cluster data), and the
+    bucket IN-list lands as a partition filter the scan prunes on at
+    plan time; the residual term IN-list cuts bucket cohabitants.
+    Feed the result straight to `bm25_from_store` /
+    `phrase_retrieval_nterm` — at 100 TB this turns "stream the
+    store once per query batch" into "read |query terms| buckets of
+    1/n_buckets each"."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "serving_meta.json")) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
+    return (
+        spark.read.parquet(os.path.join(out_dir, name))
+        .filter(F.col("tb").isin(buckets))
+        .filter(F.col("term").isin(list(terms)))
+        .drop("tb")
+    )
+
+
 def compact_index_store(spark: SparkSession, store_dir: str) -> int:
     """Compaction as a SCHEDULED MAINTENANCE JOB for the index store
     (r13 verdict item 5) — `components.compact_store`'s contract

@@ -307,9 +307,15 @@ pinned historical store version — batch-2 ingests and takedowns both
 invisible; oracle = the rebuild over the as-of corpus), q288
 (compaction as a scheduled OFFLINE job between availableNow runs,
 ingest batches delta-sized throughout; oracle = q283's
-rebuild-over-net-corpus contract) and q289 (the BM25 drift
+rebuild-over-net-corpus contract), q289 (the BM25 drift
 certificate: served-from-store == corpus-recomputed inside one DAG,
-the q274 pattern applied to the serving store); (b) five re-proofs
+the q274 pattern applied to the serving store) and the late
+addition q290 (BM25 from the BUCKETED serving export: the store's
+tf relation hive-partitioned by engine-portable md5 term bucket, a
+driver-side planner turns the query's terms into a partition
+filter, and the scan prunes to the queried buckets — the Lucene
+term-dictionary seek; oracle = the q285 recompute over a sparser
+query set, displacing q126 to the r15 queue); (b) five re-proofs
 for everything r14 touched — q283 (the index stream's write order
 now commits each generation with "terms" LAST — the r13-ADVICE
 partial-generation marker — and the advance body grew the satellite
@@ -320,10 +326,10 @@ q273/q275 (the dedup store's reads are now commit-marker-aware:
 same marker); (c) the complete seventeen-lane r7-era queue from the
 r13 rotation (q64/q65/q68/q69/q72/q75/q76/q77/q78/q79/q80/q81/q82/
 q83/q84/q87/q92 — after this window no hash lane's latest driver
-evidence predates r8); and (d) twenty-three oldest-first r8-era fill
-lanes (the 39-lane r8 cohort up to q126; the remaining sixteen —
-q180/q196/q201/q231/q234/q237/q238/q239/q241/q242/q243/q88/q89/q90/
-q93/q99 — queue for r15).
+evidence predates r8); and (d) twenty-two oldest-first r8-era fill
+lanes (the 39-lane r8 cohort up to q125; the remaining seventeen —
+q126/q180/q196/q201/q231/q234/q237/q238/q239/q241/q242/q243/q88/
+q89/q90/q93/q99 — queue for r15).
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -397,6 +403,7 @@ PRIORITY = [
     "q287_index_time_travel",
     "q288_offline_compaction",
     "q289_bm25_drift_certificate",
+    "q290_bm25_pruned_serving",
     # (b) changed in round 14 — re-prove: the index stream's
     # commit-marker write order + satellite maintenance (q283), the
     # shared BM25 impact/rank helpers (q280), the marker-aware dedup
@@ -426,8 +433,9 @@ PRIORITY = [
     "q84_quantize_embeddings",
     "q87_multires_rollup",
     "q92_minhash_lsh_pairs",
-    # (d) twenty-three oldest-first r8-era fill lanes (the 39-lane r8
-    # cohort up to q126; the remaining sixteen queue for r15 — see
+    # (d) twenty-two oldest-first r8-era fill lanes (the 39-lane r8
+    # cohort up to q125; the remaining seventeen, q126 included —
+    # displaced by the late addition q290 — queue for r15; see the
     # module docstring)
     "q100_redaction",
     "q101_upsert_merge",
@@ -451,7 +459,6 @@ PRIORITY = [
     "q123_vocab_coverage",
     "q124_asof_forward",
     "q125_asof_nearest",
-    "q126_sparse_cosine_pairs",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

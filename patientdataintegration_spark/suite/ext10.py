@@ -162,7 +162,10 @@ def _shared_serving_store(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-_BM25_CTES = """
+def _bm25_ctes(q_filter: str = "doc_id % 100 = 1") -> str:
+    # the recompute CTE block both BM25 oracles share; `q_filter`
+    # picks the external query documents
+    return f"""
     corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
     toks AS (
       SELECT doc_id, term
@@ -178,7 +181,7 @@ _BM25_CTES = """
     q AS (
       SELECT DISTINCT doc_id AS qid, term
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-            FROM documents WHERE doc_id % 100 = 1)
+            FROM documents WHERE {q_filter})
       WHERE term <> ''
     ),
     cand AS (
@@ -215,7 +218,7 @@ def _q285_sql(k: int = 5) -> str:
     # serving from the maintained (tf, stats) satellites must be
     # indistinguishable from re-deriving everything from raw text
     return f"""
-    WITH {_BM25_CTES}
+    WITH {_bm25_ctes()}
     SELECT CAST(qid AS BIGINT) AS query_id,
            CAST(d AS BIGINT) AS doc_id,
            CAST(s AS DOUBLE) AS score,
@@ -534,7 +537,7 @@ def _q289_sql(k: int = 5) -> str:
     # between served-from-store and corpus-recomputed BM25 breaks
     # n_mismatch (and usually n_rows) against this
     return f"""
-    WITH {_BM25_CTES},
+    WITH {_bm25_ctes()},
     topk AS (SELECT qid, d, s, rnk FROM r WHERE rnk <= {k})
     SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -604,3 +607,93 @@ def q289_bm25_drift_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("bigint").alias("n_mismatch"),
     )
+
+
+def _shared_serving_export(spark: SparkSession, sf_dir: str) -> str:
+    """The bucketed serving layout exported from the shared
+    maintained store (q290) — built once per process, like the store
+    itself."""
+    from patientdataintegration_spark.scratch import scratch_dir
+    from patientdataintegration_spark.streaming.index import (
+        export_serving_layout,
+    )
+
+    key = ("serve_export", sf_dir)
+    memo = _STORE_MEMO.get(key)
+    if memo is not None and os.path.isdir(memo):
+        return memo
+    store = _shared_serving_store(spark, sf_dir)
+    out = scratch_dir("serve_export", sf_dir)
+    export_serving_layout(
+        spark, store, out, relations=("tf",), n_buckets=64
+    )
+    _STORE_MEMO[key] = out
+    return out
+
+
+def _q290_sql(k: int = 5) -> str:
+    # identical recompute contract to q285 — the bucketed layout and
+    # the partition-pruned read must be invisible to values — over a
+    # sparser query set (every 250th-plus-one document)
+    return f"""
+    WITH {_bm25_ctes("doc_id % 250 = 1")}
+    SELECT CAST(qid AS BIGINT) AS query_id,
+           CAST(d AS BIGINT) AS doc_id,
+           CAST(s AS DOUBLE) AS score,
+           rnk
+    FROM r WHERE rnk <= {k}
+    """
+
+
+@_register("q290_bm25_pruned_serving", _q290_sql())
+def q290_bm25_pruned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the BUCKETED SERVING EXPORT with partition
+    pruning (`streaming/index.export_serving_layout` +
+    `read_serving_relation`) — the 100 TB point-query answer the
+    plain store read cannot give: q285 streams the whole tf relation
+    behind a broadcast semi-probe (one full-store scan per query
+    batch — fine for analytics, wrong for a serving tier), while the
+    exported layout hive-partitions the rows by the engine-portable
+    md5 term bucket, the query's terms map to buckets DRIVER-SIDE
+    (`term_bucket_py` — query-sized metadata, Lucene's
+    term-dictionary seek as a partition filter), and the scan reads
+    ONLY those buckets: 1/n_buckets of the store per queried term,
+    pruned at plan time. The export is the scheduled-offline-job
+    companion of q288's fold (corpus-sized rewrites stay off the
+    ingest path) and pins one store version — serving answers AT
+    that consistent snapshot (the q287 semantics) until the next
+    export, a stated staleness contract instead of a hidden one.
+    The oracle recomputes BM25 from raw text over the net corpus, so
+    the driver hash proves layout + pruning are invisible to values;
+    the partition-pruning plan proof (every input file under a
+    queried tb= directory) is pinned in tests/test_scoring_store.py.
+
+    Scale: the pruned read touches |query terms| buckets; df is
+    recomputed candidate-sized from exactly the pruned rows; the
+    1-row stats marginal rides the export."""
+    from patientdataintegration_spark.operators.indexing import bm25_from_store
+    from patientdataintegration_spark.operators.textops import tokens
+    from patientdataintegration_spark.streaming.index import (
+        STATS_SCHEMA,
+        read_serving_relation,
+    )
+
+    out = _shared_serving_export(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    queries = d.filter(F.col("doc_id") % 250 == 1).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    # the query vocabulary, driver-side: this IS the serving planner's
+    # input (query-sized metadata), never cluster data
+    terms = [
+        r["term"]
+        for r in queries.select(
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+        .collect()
+    ]
+    tf_pruned = read_serving_relation(spark, out, "tf", terms)
+    stats = spark.read.schema(STATS_SCHEMA).parquet(f"{out}/stats")
+    return bm25_from_store(tf_pruned, stats, queries, k=5, k1=1.2, b=0.75)

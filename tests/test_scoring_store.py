@@ -392,3 +392,60 @@ def test_bm25_from_store_max_df_guard_matches_recompute(spark, tmp_path):
         )
         want = bm25_topk(_docs(spark, NET), queries, k=3, max_df=max_df)
         assert _norm(served) == _norm(want), f"max_df={max_df}"
+
+
+def test_serving_export_prunes_to_query_buckets(spark, tmp_path):
+    """The bucketed serving export (q290's machinery): the pruned
+    point read equals the store relation filtered to the queried
+    terms, every input file lies under a QUERIED tb= partition
+    directory (partition pruning at plan time — the Lucene
+    term-dictionary seek as a partition filter), and BM25 over the
+    pruned rows equals BM25 over the full store."""
+    from patientdataintegration_spark.streaming.index import (
+        STATS_SCHEMA,
+        export_serving_layout,
+        read_serving_relation,
+        term_bucket_py,
+    )
+
+    store = _run_crud(spark, tmp_path)
+    out = str(tmp_path / "export")
+    n_buckets = 8
+    v = export_serving_layout(
+        spark, store, out, relations=("tf",), n_buckets=n_buckets
+    )
+    assert v == 2  # latest committed generation
+
+    terms = ["a", "c"]
+    pruned = read_serving_relation(spark, out, "tf", terms)
+    want = read_index_store(spark, store, "tf").filter(
+        F.col("term").isin(terms)
+    )
+    assert _norm(pruned) == _norm(want)
+
+    # plan proof: the physical scan carries the bucket IN-list as a
+    # PARTITION filter (inputFiles() is best-effort on the logical
+    # relation and ignores partition pruning once a Project sits on
+    # top, so assert on the executed plan, as tools/plan_audit does)
+    from patientdataintegration_spark.plans.inspect import explain_str
+
+    import re
+
+    queried_buckets = {term_bucket_py(t, n_buckets) for t in terms}
+    plan = explain_str(pruned)
+    m = re.search(r"PartitionFilters: \[tb#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, "the pruned scan must carry a tb IN partition filter"
+    assert {int(x) for x in m.group(1).split(",")} == queried_buckets
+
+    queries = spark.createDataFrame(
+        [(10, "a c")], "query_id bigint, text string"
+    )
+    stats = spark.read.schema(STATS_SCHEMA).parquet(f"{out}/stats")
+    served_pruned = bm25_from_store(pruned, stats, queries, k=3)
+    served_full = bm25_from_store(
+        read_index_store(spark, store, "tf"),
+        read_index_stats(spark, store),
+        queries,
+        k=3,
+    )
+    assert _norm(served_pruned) == _norm(served_full)
