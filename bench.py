@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "q288_offline_compaction",       # scheduled offline fold (r14)
     "q289_bm25_drift_certificate",   # served==recomputed certificate (r14)
     "q290_bm25_pruned_serving",      # bucketed export, pruned serve (r14)
+    "q291_phrase_pruned_serving",    # pruned positional phrase serve (r14)
 ]
 
 

@@ -315,7 +315,11 @@ tf relation hive-partitioned by engine-portable md5 term bucket, a
 driver-side planner turns the query's terms into a partition
 filter, and the scan prunes to the queried buckets — the Lucene
 term-dictionary seek; oracle = the q285 recompute over a sparser
-query set, displacing q126 to the r15 queue); (b) five re-proofs
+query set, displacing q126 to the r15 queue) and q291 (the same
+serving-tier treatment for PHRASES: the positional satellite —
+the store's largest relation at scale — exported bucketed, the
+phrase vocabulary pruning the scan; oracle = q286's raw-text
+recompute, displacing q125 to the r15 queue); (b) five re-proofs
 for everything r14 touched — q283 (the index stream's write order
 now commits each generation with "terms" LAST — the r13-ADVICE
 partial-generation marker — and the advance body grew the satellite
@@ -326,10 +330,10 @@ q273/q275 (the dedup store's reads are now commit-marker-aware:
 same marker); (c) the complete seventeen-lane r7-era queue from the
 r13 rotation (q64/q65/q68/q69/q72/q75/q76/q77/q78/q79/q80/q81/q82/
 q83/q84/q87/q92 — after this window no hash lane's latest driver
-evidence predates r8); and (d) twenty-two oldest-first r8-era fill
-lanes (the 39-lane r8 cohort up to q125; the remaining seventeen —
-q126/q180/q196/q201/q231/q234/q237/q238/q239/q241/q242/q243/q88/
-q89/q90/q93/q99 — queue for r15).
+evidence predates r8); and (d) twenty-one oldest-first r8-era fill
+lanes (the 39-lane r8 cohort up to q124; the remaining eighteen —
+q125/q126/q180/q196/q201/q231/q234/q237/q238/q239/q241/q242/q243/
+q88/q89/q90/q93/q99 — queue for r15).
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -404,6 +408,7 @@ PRIORITY = [
     "q288_offline_compaction",
     "q289_bm25_drift_certificate",
     "q290_bm25_pruned_serving",
+    "q291_phrase_pruned_serving",
     # (b) changed in round 14 — re-prove: the index stream's
     # commit-marker write order + satellite maintenance (q283), the
     # shared BM25 impact/rank helpers (q280), the marker-aware dedup
@@ -433,10 +438,10 @@ PRIORITY = [
     "q84_quantize_embeddings",
     "q87_multires_rollup",
     "q92_minhash_lsh_pairs",
-    # (d) twenty-two oldest-first r8-era fill lanes (the 39-lane r8
-    # cohort up to q125; the remaining seventeen, q126 included —
-    # displaced by the late addition q290 — queue for r15; see the
-    # module docstring)
+    # (d) twenty-one oldest-first r8-era fill lanes (the 39-lane r8
+    # cohort up to q124; the remaining eighteen, q125/q126 included —
+    # displaced by the late additions q290/q291 — queue for r15; see
+    # the module docstring)
     "q100_redaction",
     "q101_upsert_merge",
     "q102_time_weighted_avg",
@@ -458,7 +463,6 @@ PRIORITY = [
     "q122_realize_mixture",
     "q123_vocab_coverage",
     "q124_asof_forward",
-    "q125_asof_nearest",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

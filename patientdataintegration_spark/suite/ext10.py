@@ -625,7 +625,7 @@ def _shared_serving_export(spark: SparkSession, sf_dir: str) -> str:
     store = _shared_serving_store(spark, sf_dir)
     out = scratch_dir("serve_export", sf_dir)
     export_serving_layout(
-        spark, store, out, relations=("tf",), n_buckets=64
+        spark, store, out, relations=("tf", "pos"), n_buckets=64
     )
     _STORE_MEMO[key] = out
     return out
@@ -697,3 +697,87 @@ def q290_bm25_pruned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_pruned = read_serving_relation(spark, out, "tf", terms)
     stats = spark.read.schema(STATS_SCHEMA).parquet(f"{out}/stats")
     return bm25_from_store(tf_pruned, stats, queries, k=5, k1=1.2, b=0.75)
+
+
+def _q291_sql(top_n: int = 10) -> str:
+    # identical recompute contract to q286 — the bucketed positional
+    # layout and the partition-pruned read must be invisible to
+    # phrase values
+    return _q286_sql(top_n)
+
+
+@_register("q291_phrase_pruned_serving", _q291_sql())
+def q291_phrase_pruned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-term phrases from the BUCKETED POSITIONAL EXPORT with
+    partition pruning — q290's serving-tier treatment applied to the
+    phrase family, closing the symmetry: q286 streams the whole
+    maintained `pos` satellite behind a broadcast semi-probe (one
+    full-satellite scan per phrase batch — the analytics shape),
+    while here the export hive-partitions positions by the md5 term
+    bucket and the phrase terms map to a partition filter
+    DRIVER-SIDE, so the scan reads only the queried terms' buckets —
+    at 100 TB the positional relation is the STORE'S LARGEST
+    (O(total tokens), dwarfing postings and tf), which makes pruning
+    matter most exactly here. Queries are q286's hottest-term triples
+    (hot-term DISCOVERY stays an analytics read of the maintained
+    index; SERVING takes the resulting ~12-term vocabulary as its
+    planner input); the oracle is q286's raw-text recompute, so the
+    driver hash proves layout + pruning invisible to phrase
+    semantics, and the PartitionFilters IN-set proof for the pos
+    relation is pinned in tests/test_scoring_store.py.
+
+    Scale: |phrase terms| buckets of 1/n_buckets each, the alignment
+    join and aggregate over queried postings only."""
+    from patientdataintegration_spark.operators.indexing import (
+        phrase_retrieval_nterm,
+    )
+    from patientdataintegration_spark.streaming.index import (
+        read_index_store,
+        read_serving_relation,
+    )
+
+    out = _shared_serving_export(spark, sf_dir)
+    store = _shared_serving_store(spark, sf_dir)
+    index = read_index_store(spark, store, "index")
+    hot = index.select("term", "doc_freq").orderBy(
+        F.col("doc_freq").desc(), F.col("term").asc()
+    ).limit(10)
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+    ranked = hot.withColumn("r", F.row_number().over(w)).select("term", "r")
+    triples = (
+        ranked.alias("x")
+        .join(ranked.alias("y"), F.col("y.r") == F.col("x.r") + 1)
+        .join(ranked.alias("z"), F.col("z.r") == F.col("x.r") + 2)
+        .select(
+            F.col("x.r").alias("phrase_id"),
+            F.col("x.term").alias("term_a"),
+            F.col("y.term").alias("term_b"),
+            F.col("z.term").alias("term_c"),
+            F.array("x.term", "y.term", "z.term").alias("terms"),
+        )
+        .localCheckpoint()  # consumers: the planner collect + two joins
+    )
+    # the serving planner's input: the phrase vocabulary, driver-side
+    # (10 hot terms — query-sized metadata)
+    terms = sorted(
+        {t for r in triples.select("terms").collect() for t in r["terms"]}
+    )
+    positions = read_serving_relation(spark, out, "pos", terms)
+    hits = phrase_retrieval_nterm(
+        positions, triples.select("phrase_id", "terms")
+    )
+    return (
+        hits.join(
+            F.broadcast(
+                triples.select("phrase_id", "term_a", "term_b", "term_c")
+            ),
+            "phrase_id",
+        )
+        .groupBy("term_a", "term_b", "term_c")
+        .agg(
+            F.countDistinct("doc").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("doc").cast("bigint").alias("min_doc"),
+            F.max("doc").cast("bigint").alias("max_doc"),
+        )
+    )

@@ -412,7 +412,7 @@ def test_serving_export_prunes_to_query_buckets(spark, tmp_path):
     out = str(tmp_path / "export")
     n_buckets = 8
     v = export_serving_layout(
-        spark, store, out, relations=("tf",), n_buckets=n_buckets
+        spark, store, out, relations=("tf", "pos"), n_buckets=n_buckets
     )
     assert v == 2  # latest committed generation
 
@@ -449,3 +449,21 @@ def test_serving_export_prunes_to_query_buckets(spark, tmp_path):
         k=3,
     )
     assert _norm(served_pruned) == _norm(served_full)
+
+    # the POSITIONAL export serves phrases identically, pruned the
+    # same way (q291's machinery — at 100 TB positions are the
+    # store's largest relation, so pruning matters most there)
+    phrase_terms = ["a", "b", "c"]
+    pos_pruned = read_serving_relation(spark, out, "pos", phrase_terms)
+    pplan = explain_str(pos_pruned)
+    pm = re.search(r"PartitionFilters: \[tb#\d+ IN \(([\d,]+)\)\]", pplan)
+    assert pm, "the pruned pos scan must carry a tb IN partition filter"
+    assert {int(x) for x in pm.group(1).split(",")} == {
+        term_bucket_py(t, n_buckets) for t in phrase_terms
+    }
+    phrases = spark.createDataFrame(
+        [(1, ["a", "b", "c"])], "phrase_id bigint, terms array<string>"
+    )
+    assert _norm(phrase_retrieval_nterm(pos_pruned, phrases)) == _norm(
+        phrase_retrieval_nterm(read_index_store(spark, store, "pos"), phrases)
+    )
