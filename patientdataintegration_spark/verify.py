@@ -176,6 +176,16 @@ def duckdb_connection(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
+    # an in-memory DuckDB has NO spill location by default, so a
+    # heavy oracle (q189's recursive k-core at sf0.1) racing the
+    # Spark JVM for RAM dies on a failed allocation instead of going
+    # out-of-core — point it at a temp directory so memory pressure
+    # degrades to disk spill, never a red gate
+    try:
+        con.execute("SET temp_directory='/tmp/pdi_duckdb_spill'")
+        con.execute("SET max_temp_directory_size='60GB'")
+    except Exception:
+        pass  # older DuckDB without these pragmas: keep the default
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
