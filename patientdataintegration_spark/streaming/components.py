@@ -99,22 +99,53 @@ PAIR_SCHEMA = "doc_a bigint, doc_b bigint"
 _BASE_RE = re.compile(r"^base_g(\d+)$")
 _DELTA_RE = re.compile(r"^delta_g(\d+)$")
 
+# zero-byte sentinel every base-snapshot writer (seed, compaction)
+# puts down AFTER the snapshot's last relation finished — bases have
+# multiple sequentially-written relations just like deltas, so they
+# need the same marker-last commit discipline (r14 ADVICE: a crash
+# mid-compaction used to leave a partial base_g{gen} that every read
+# resolved to as the newest base)
+_BASE_SENTINEL = "_COMMITTED"
+
+
+def commit_base(store_dir: str, gen: int) -> None:
+    """Mark base_g{gen} COMMITTED — call strictly after the
+    snapshot's last relation write returned. Reads (`_scan_gens`)
+    skip bases without the sentinel, so a crash between a base's
+    per-relation writes leaves an invisible remnant that the
+    replayed/re-run compaction overwrites idempotently. Local file
+    create here; on an object store this is one zero-byte put."""
+    with open(
+        os.path.join(store_dir, f"base_g{gen}", _BASE_SENTINEL), "w"
+    ):
+        pass
+
 
 def _scan_gens(
     store_dir: str, marker: str | None = None
 ) -> tuple[list[int], list[int]]:
-    """(sorted base generations, sorted delta generations) present.
+    """(sorted base generations, sorted delta generations) COMMITTED.
 
     `marker` names the delta sub-relation each writer persists LAST —
-    its presence is the generation's COMMIT MARKER. A crash between a
-    generation's per-relation writes leaves a partial delta_g{g} on
-    disk; without the filter, a version=None read between crash and
-    checkpoint replay resolves to the partial generation and fails on
-    the missing sub-relation path (r13 ADVICE). With it, uncommitted
-    generations are invisible to every read — the pre-batch state
-    serves until the replayed batch overwrites the partial generation
-    idempotently. Writers: the dedup stream commits with "tombs", the
-    IVF stream with "tombs", the index stream with "terms"."""
+    its COMMITTED presence is the generation's COMMIT MARKER. A crash
+    between a generation's per-relation writes leaves a partial
+    delta_g{g} on disk; without the filter, a version=None read
+    between crash and checkpoint replay resolves to the partial
+    generation and fails on the missing sub-relation path (r13
+    ADVICE). "Committed presence" means the marker relation's own
+    `_SUCCESS` file — Spark's committer creates the output directory
+    before job commit, so a bare isdir check would trust a marker
+    whose write crashed mid-job and serve a torn dirty-term/tombstone
+    set (r14 ADVICE). With the filter, uncommitted generations are
+    invisible to every read — the pre-batch state serves until the
+    replayed batch overwrites the partial generation idempotently.
+    Writers: the dedup stream commits with "tombs", the IVF stream
+    with "tombs", the index stream with "terms".
+
+    Bases get the same discipline via the `_COMMITTED` sentinel
+    (`commit_base`): seed and compaction write several relations
+    sequentially, and a crash mid-fold must not leave a newest base
+    that reads resolve to with sub-relations missing (r14 ADVICE)."""
     bases: list[int] = []
     deltas: list[int] = []
     try:
@@ -124,13 +155,17 @@ def _scan_gens(
     for entry in entries:
         m = _BASE_RE.match(entry)
         if m:
+            if not os.path.isfile(
+                os.path.join(store_dir, entry, _BASE_SENTINEL)
+            ):
+                continue  # crash-remnant partial base: invisible
             bases.append(int(m.group(1)))
             continue
         m = _DELTA_RE.match(entry)
         if m:
             g = int(m.group(1))
-            if marker is not None and not os.path.isdir(
-                os.path.join(store_dir, entry, marker)
+            if marker is not None and not os.path.isfile(
+                os.path.join(store_dir, entry, marker, "_SUCCESS")
             ):
                 continue  # uncommitted (partial) generation: invisible
             deltas.append(g)
@@ -367,6 +402,7 @@ def seed_stores(
     labels_init.write.mode("overwrite").parquet(
         _base_path(store_dir, 0, "labels")
     )
+    commit_base(store_dir, 0)
 
 
 def _compact(spark: SparkSession, store_dir: str, gen: int) -> None:
@@ -387,6 +423,9 @@ def _compact(spark: SparkSession, store_dir: str, gen: int) -> None:
     }
     for name, df in folded.items():
         df.write.mode("overwrite").parquet(_base_path(store_dir, gen, name))
+    # sentinel LAST: a crash between the three relation writes leaves
+    # an invisible partial base, not a torn newest base (r14 ADVICE)
+    commit_base(store_dir, gen)
     gc_generations(store_dir)
 
 
@@ -423,16 +462,23 @@ def gc_generations(store_dir: str) -> None:
     previous base) and the deltas above the OLDER kept base; remove
     everything below. Local `shutil.rmtree` here; at 100 TB these
     are object-store prefix deletes issued by the same rule."""
-    bases, deltas = _scan_gens(store_dir)
+    bases, _deltas = _scan_gens(store_dir)
     keep_from = bases[-2] if len(bases) >= 2 else bases[-1]
-    for b in bases:
-        if b < keep_from:
-            shutil.rmtree(os.path.join(store_dir, f"base_g{b}"), ignore_errors=True)
-    for g in deltas:
-        if g <= keep_from:
-            shutil.rmtree(
-                os.path.join(store_dir, f"delta_g{g}"), ignore_errors=True
-            )
+    # the keep horizon comes from COMMITTED bases only, but removal
+    # walks the RAW listing: uncommitted crash-remnant bases/deltas
+    # below the horizon are dead weight no read can ever resolve to
+    try:
+        entries = os.listdir(store_dir)
+    except OSError:
+        return
+    for entry in entries:
+        m = _BASE_RE.match(entry)
+        if m and int(m.group(1)) < keep_from:
+            shutil.rmtree(os.path.join(store_dir, entry), ignore_errors=True)
+            continue
+        m = _DELTA_RE.match(entry)
+        if m and int(m.group(1)) <= keep_from:
+            shutil.rmtree(os.path.join(store_dir, entry), ignore_errors=True)
 
 
 def store_disk_report(store_dir: str, compact_every: int | None = None) -> dict:

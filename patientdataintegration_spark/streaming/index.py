@@ -88,6 +88,7 @@ from patientdataintegration_spark.streaming.components import (
     _base_path,
     _delta_path,
     _resolve,
+    commit_base,
     gc_generations,
     latest_generation,
 )
@@ -148,6 +149,7 @@ def seed_index_store(
         pos_init.select("term", "doc", "pos").write.mode("overwrite").parquet(
             _base_path(store_dir, 0, "pos")
         )
+    commit_base(store_dir, 0)
 
 
 def _store_features(store_dir: str) -> tuple[str, ...]:
@@ -283,6 +285,11 @@ def _compact_index(spark: SparkSession, store_dir: str, gen: int) -> None:
         folded["stats"] = read_index_stats(spark, store_dir, version=gen)
     for name, df in folded.items():
         df.write.mode("overwrite").parquet(_base_path(store_dir, gen, name))
+    # sentinel LAST (r14 ADVICE): a crash mid-fold leaves an invisible
+    # partial base — reads keep resolving to the previous base, and
+    # `_store_features` cannot mis-detect fewer satellites off a base
+    # whose tf/pos writes never ran
+    commit_base(store_dir, gen)
     gc_generations(store_dir)
 
 
@@ -310,6 +317,31 @@ def term_bucket_py(term: str, n_buckets: int) -> int:
     )
 
 
+def _read_serving_meta(out_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "serving_meta.json")) as f:
+        return json.load(f)
+
+
+def _write_serving_meta(out_dir: str, meta: dict) -> None:
+    """Atomic meta flip (r14 ADVICE): write to a temp file in the
+    same directory and `os.replace` it over the live one, so a
+    reader never sees a half-written meta and a crash mid-export
+    leaves the OLD meta (old version) in place, not a torn file.
+    On an object store this is the usual single-key put — object
+    puts are already atomic."""
+    import json
+    import os
+
+    path = os.path.join(out_dir, "serving_meta.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
 def export_serving_layout(
     spark: SparkSession,
     store_dir: str,
@@ -330,14 +362,37 @@ def export_serving_layout(
     The export pins ONE store version (default latest committed) and
     records it with `n_buckets` in a meta file: serving from the
     layout answers AT that version — a consistent snapshot, the q287
-    time-travel semantics — until the next scheduled export refreshes
+    time-travel semantics — until the next export/refresh advances
     it (the staleness contract, stated rather than hidden). The
     scoring stats marginal is copied alongside when "tf" exports.
-    Returns the exported version."""
-    import json
+    Returns the exported version.
+
+    Atomicity (r14 ADVICE): `n_buckets` is FROZEN per layout
+    directory — re-exporting in place with a different bucket count
+    is refused, because a reader racing the rewrite would pair one
+    bucket mapping with the other's partitions and silently drop
+    queried terms' rows. Changing the bucket count means exporting
+    to a FRESH directory and flipping the serving pointer. The meta
+    file itself flips atomically (`_write_serving_meta`) and only
+    after the last data write, so a crash mid-export leaves the old
+    version serving (in-place refreshed partitions may already hold
+    newer rows — same-mapping, value-correct at the new version —
+    which is the stated in-place staleness window, closed by
+    re-running the export)."""
     import os
 
     version, _base, _gens = _resolve(store_dir, version, marker="terms")
+    meta_path = os.path.join(out_dir, "serving_meta.json")
+    if os.path.isfile(meta_path):
+        old_meta = _read_serving_meta(out_dir)
+        if old_meta["n_buckets"] != n_buckets:
+            raise ValueError(
+                f"serving layout at {out_dir!r} was exported with "
+                f"n_buckets={old_meta['n_buckets']}; re-exporting in place "
+                f"with n_buckets={n_buckets} would pair the old bucket "
+                "mapping with the new partitions — export to a fresh "
+                "directory instead"
+            )
     for name in relations:
         df = read_index_store(spark, store_dir, name, version=version)
         df.withColumn("tb", term_bucket(F.col("term"), n_buckets)).write.mode(
@@ -347,9 +402,135 @@ def export_serving_layout(
             read_index_stats(spark, store_dir, version=version).write.mode(
                 "overwrite"
             ).parquet(os.path.join(out_dir, "stats"))
-    with open(os.path.join(out_dir, "serving_meta.json"), "w") as f:
-        json.dump({"n_buckets": n_buckets, "version": version}, f)
+    _write_serving_meta(
+        out_dir,
+        {
+            "n_buckets": n_buckets,
+            "version": version,
+            "relations": list(relations),
+        },
+    )
     return version
+
+
+def refresh_serving_layout(
+    spark: SparkSession,
+    store_dir: str,
+    out_dir: str,
+    version: int | None = None,
+) -> dict:
+    """INCREMENTAL refresh of an exported serving layout (r14 verdict
+    item 1): `export_serving_layout` rewrites EVERY bucket of every
+    relation — a corpus-sized job even when one CRUD batch dirtied a
+    handful of terms. The store already records each generation's
+    dirty-term set (`delta_g{g}/terms/`), so a refresh from the
+    exported version v_exp to the store's committed version v_new
+    touches exactly the buckets containing terms dirtied in
+    (v_exp, v_new]:
+
+    - dirty terms = ∪ delta_g{g}/terms over that range (delta-sized);
+      their bucket set collects DRIVER-SIDE (≤ n_buckets ints — the
+      planner input of the rewrite);
+    - new bucket content = (the old exported rows of those buckets,
+      read PRUNED, minus dirty terms) ∪ (each dirty term's rows from
+      its latest touching generation in range — the store's own
+      last-writer-wins rule restricted to the range, delta-sized);
+      dirty + absent = the term left the index, so it simply
+      contributes no rows;
+    - the write is a DYNAMIC partition overwrite of only those
+      buckets; a dirty bucket whose terms all vanished is deleted
+      explicitly (dynamic overwrite only rewrites partitions present
+      in the output).
+
+    Refresh cost is therefore O(dirty terms' rows + their buckets'
+    rows), never the store (pinned by tests/test_scoring_store.py:
+    untouched bucket files stay byte-identical). If any generation in
+    the range is no longer on disk (compaction folded it and GC ran),
+    the dirty sets are incomplete and the refresh FALLS BACK to a
+    full re-export at v_new — correct, just not incremental.
+    `n_buckets` stays frozen (see `export_serving_layout`); the meta
+    version flips atomically after the last data write. Returns
+    {"version", "mode": "noop"|"incremental"|"full",
+    "dirty_buckets"}."""
+    import os
+    import shutil
+
+    meta = _read_serving_meta(out_dir)
+    n_buckets = int(meta["n_buckets"])
+    v_exp = int(meta["version"])
+    relations = tuple(meta.get("relations", ("tf",)))
+    v_new, _base, _gens = _resolve(store_dir, version, marker="terms")
+    if v_new < v_exp:
+        raise ValueError(
+            f"serving layout at {out_dir!r} is at version {v_exp}, ahead of "
+            f"the requested store version {v_new} — a refresh only moves "
+            "forward; export a historical version to a fresh directory"
+        )
+    if v_new == v_exp:
+        return {"version": v_exp, "mode": "noop", "dirty_buckets": []}
+    from patientdataintegration_spark.streaming.components import _scan_gens
+
+    needed = list(range(v_exp + 1, v_new + 1))
+    _bases, committed = _scan_gens(store_dir, marker="terms")
+    if not set(needed) <= set(committed):
+        export_serving_layout(
+            spark, store_dir, out_dir, relations, n_buckets, version=v_new
+        )
+        return {"version": v_new, "mode": "full", "dirty_buckets": None}
+
+    dirty: DataFrame | None = None
+    for g in needed:
+        t = spark.read.schema(_TERM_SCHEMA).parquet(
+            _delta_path(store_dir, g, "terms")
+        )
+        dirty = t if dirty is None else dirty.unionByName(t)
+    # consumers: the bucket collect + one anti-join per relation
+    dirty = dirty.distinct().localCheckpoint()
+    buckets = sorted(
+        r["tb"]
+        for r in dirty.select(
+            term_bucket(F.col("term"), n_buckets).alias("tb")
+        )
+        .distinct()
+        .collect()
+    )
+
+    for name in relations:
+        touched, rows = _read_upserts(
+            spark, store_dir, name, _SCHEMAS[name], needed
+        )
+        fresh = (
+            rows.join(F.broadcast(touched), "term")
+            .filter(F.col("_gen") == F.col("_lg"))
+            .drop("_gen", "_lg")
+        )
+        kept = (
+            spark.read.parquet(os.path.join(out_dir, name))
+            .filter(F.col("tb").isin(buckets))
+            .drop("tb")
+            .join(F.broadcast(dirty), "term", "left_anti")
+        )
+        # materialize BEFORE the overwrite: the plan reads the very
+        # partitions the write replaces
+        content = (
+            kept.unionByName(fresh)
+            .withColumn("tb", term_bucket(F.col("term"), n_buckets))
+            .localCheckpoint()
+        )
+        written = {r["tb"] for r in content.select("tb").distinct().collect()}
+        content.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("tb").parquet(os.path.join(out_dir, name))
+        for b in set(buckets) - written:
+            shutil.rmtree(
+                os.path.join(out_dir, name, f"tb={b}"), ignore_errors=True
+            )
+        if name == "tf":
+            read_index_stats(spark, store_dir, version=v_new).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, "stats"))
+    _write_serving_meta(out_dir, {**meta, "version": v_new})
+    return {"version": v_new, "mode": "incremental", "dirty_buckets": buckets}
 
 
 def read_serving_relation(
@@ -367,11 +548,9 @@ def read_serving_relation(
     `phrase_retrieval_nterm` — at 100 TB this turns "stream the
     store once per query batch" into "read |query terms| buckets of
     1/n_buckets each"."""
-    import json
     import os
 
-    with open(os.path.join(out_dir, "serving_meta.json")) as f:
-        n_buckets = json.load(f)["n_buckets"]
+    n_buckets = int(_read_serving_meta(out_dir)["n_buckets"])
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
     return (
         spark.read.parquet(os.path.join(out_dir, name))
@@ -503,6 +682,18 @@ def index_stream(
         stats_new: DataFrame | None = None
         if feats:
             dirty = dirty.localCheckpoint()  # terms write + satellite semis
+            # the batch's ingested doc ids — re-ingest idempotency for
+            # the satellites is a DETERMINISTIC anti-join on these
+            # (store rows of a doc the batch carries always lose to
+            # the batch rows), not a dropDuplicates whose survivor is
+            # partition-order luck (r14 ADVICE: under a contract-
+            # violating re-ingest with changed text, an arbitrary
+            # survivor silently corrupts tf/stats forever)
+            ingest_docs = F.broadcast(
+                ingest.select(
+                    F.col(id_col).cast("bigint").alias("doc")
+                ).distinct()
+            )
             dele_docs = (
                 F.broadcast(
                     deleted.select(
@@ -519,8 +710,8 @@ def index_stream(
             tf_old = read_index_store(s, store_dir, "tf", version=v)
             tf_rows = (
                 tf_old.join(F.broadcast(dirty), "term", "left_semi")
+                .join(ingest_docs, "doc", "left_anti")
                 .unionByName(batch_tf)
-                .dropDuplicates(["term", "doc"])  # re-ingest idempotency
             )
             # stats bookkeeping — exact integer deltas: +(batch docs
             # not already live), −(live or same-batch docs taken
@@ -540,14 +731,23 @@ def index_stream(
             added = batch_docs.join(F.broadcast(live_batch), "doc", "left_anti")
             if dele_docs is not None:
                 tf_rows = tf_rows.join(dele_docs, "doc", "left_anti")
+                # one (doc, len_d) row per removed doc, batch-wins to
+                # match tf_rows' upsert rule: a doc both live and in
+                # the batch contributes exactly its surviving len_d,
+                # never two differing rows double-subtracting from
+                # total_tokens (r14 ADVICE)
                 removed = (
                     tf_old.join(dele_docs, "doc", "left_semi")
+                    .join(
+                        F.broadcast(batch_docs.select("doc")),
+                        "doc",
+                        "left_anti",
+                    )
                     .select("doc", "len_d")
                     .distinct()
                     .unionByName(
                         batch_docs.join(dele_docs, "doc", "left_semi")
                     )
-                    .distinct()
                 )
             else:
                 removed = batch_docs.filter(F.lit(False))
@@ -576,12 +776,12 @@ def index_stream(
             pos_old = read_index_store(s, store_dir, "pos", version=v)
             pos_rows = (
                 pos_old.join(F.broadcast(dirty), "term", "left_semi")
+                .join(ingest_docs, "doc", "left_anti")
                 .unionByName(
                     positional_postings(
                         ingest, text_col=text_col, id_col=id_col
                     )
                 )
-                .dropDuplicates(["term", "doc", "pos"])
             )
             if dele_docs is not None:
                 pos_rows = pos_rows.join(dele_docs, "doc", "left_anti")

@@ -64,6 +64,7 @@ from pyspark.sql import functions as F
 from patientdataintegration_spark.streaming.components import (
     _base_path,
     _delta_path,
+    commit_base,
     gc_generations,
     latest_generation,
     read_rowstore,
@@ -78,12 +79,15 @@ def seed_ivf_store(
     """Write generation 0 of the inverted file plus the FROZEN
     centroid table (outside the generations — it never changes and
     must survive GC)."""
-    assigned_init.write.mode("overwrite").parquet(
-        _base_path(store_dir, 0, "assigned")
-    )
     centroids.write.mode("overwrite").parquet(
         os.path.join(store_dir, "centroids")
     )
+    assigned_init.write.mode("overwrite").parquet(
+        _base_path(store_dir, 0, "assigned")
+    )
+    # sentinel strictly last — a crash anywhere above leaves an
+    # unseeded-looking store that fails loudly, never a torn seed
+    commit_base(store_dir, 0)
 
 
 def read_ivf_centroids(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -105,6 +109,7 @@ def _compact_ivf(spark: SparkSession, store_dir: str, gen: int) -> None:
     folded.write.mode("overwrite").parquet(
         _base_path(store_dir, gen, "assigned")
     )
+    commit_base(store_dir, gen)  # marker-last (r14 ADVICE)
     gc_generations(store_dir)
 
 

@@ -19,6 +19,7 @@ from hypothesis import strategies as st
 from patientdataintegration_spark.streaming.components import (
     _base_path,
     _delta_path,
+    commit_base,
     read_rowstore,
 )
 from patientdataintegration_spark.streaming.index import (
@@ -47,6 +48,7 @@ def test_rowstore_time_travel_matches_model(spark, gens, tmp_path_factory):
     spark.createDataFrame(base, "doc_id bigint, payload bigint").write.mode(
         "overwrite"
     ).parquet(_base_path(store, 0, "rows"))
+    commit_base(store, 0)  # base sentinel: reads skip unmarked bases
 
     # the store is INSERT+DELETE, not upsert (the CDC contract:
     # re-ingesting a LIVE id needs a prior takedown) — drop

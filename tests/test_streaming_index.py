@@ -254,3 +254,139 @@ def test_partial_generation_is_invisible_until_replay_heals_it(spark, tmp_path):
     want_idx, _ = _rebuild(spark, seed + batch, max_postings=16)
     assert _norm_index(got) == _norm_index(want_idx)
     assert latest_generation(store, marker="terms") == 1
+
+
+def test_torn_marker_write_is_uncommitted(spark, tmp_path):
+    """Spark's committer creates the output directory before job
+    commit, so a crash DURING the marker write leaves a terms/ dir
+    with no _SUCCESS — a bare isdir check would trust it and serve a
+    torn generation (r14 ADVICE). Commitment requires the marker
+    job's own _SUCCESS file."""
+    from patientdataintegration_spark.streaming.components import (
+        _delta_path,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    seed = [(1, "a b", 1), (2, "b c", 1)]
+    idx0, of0 = _rebuild(spark, seed, max_postings=16)
+    seed_index_store(idx0, of0, store)
+    want_seed = _norm_index(read_index_store(spark, store, "index"))
+
+    fake_idx, fake_of = _rebuild(spark, [(9, "zz", 1)], max_postings=16)
+    fake_idx.write.mode("overwrite").parquet(_delta_path(store, 1, "index"))
+    fake_of.write.mode("overwrite").parquet(_delta_path(store, 1, "overflow"))
+    # the crash-torn marker: terms/ written, then its _SUCCESS removed
+    spark.createDataFrame([("zz",)], "term string").write.mode(
+        "overwrite"
+    ).parquet(_delta_path(store, 1, "terms"))
+    os.remove(os.path.join(_delta_path(store, 1, "terms"), "_SUCCESS"))
+
+    assert _norm_index(read_index_store(spark, store, "index")) == want_seed
+    assert latest_generation(store, marker="terms") == 0
+
+
+def test_partial_base_is_invisible_and_satellites_survive(spark, tmp_path):
+    """A crash mid-compaction leaves a base_g{gen} with some
+    relations missing; without the base sentinel every read resolves
+    to it as the newest base and `_store_features` silently detects
+    fewer satellites, permanently dropping tf/pos maintenance (r14
+    ADVICE). With it, the partial base is invisible: reads serve the
+    previous state and feature detection still sees both
+    satellites."""
+    from patientdataintegration_spark.operators.indexing import (
+        doc_term_stats,
+        positional_postings,
+    )
+    from patientdataintegration_spark.streaming.components import _base_path
+    from patientdataintegration_spark.streaming.index import (
+        _store_features,
+        read_index_stats,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    seed = [(1, "a b", 1), (2, "b c", 1)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in seed], "doc_id bigint, text string"
+    )
+    idx0, of0 = _rebuild(spark, seed, max_postings=16)
+    seed_index_store(
+        idx0, of0, store,
+        tf_init=doc_term_stats(docs),
+        pos_init=positional_postings(docs),
+    )
+    want = _norm_index(read_index_store(spark, store, "index"))
+    want_stats = read_index_stats(spark, store).collect()
+
+    # crash mid-fold: base_g1 got index only — no overflow, no
+    # satellites, and (crucially) no _COMMITTED sentinel
+    fake_idx, _ = _rebuild(spark, [(9, "zz", 1)], max_postings=16)
+    fake_idx.write.mode("overwrite").parquet(_base_path(store, 1, "index"))
+
+    assert _store_features(store) == ("tf", "pos")
+    assert _norm_index(read_index_store(spark, store, "index")) == want
+    assert read_index_stats(spark, store).collect() == want_stats
+    assert latest_generation(store, marker="terms") == 0
+
+
+def test_reingest_upsert_is_deterministic_batch_wins(spark, tmp_path):
+    """Satellite re-ingest idempotency is a deterministic anti-join
+    (store rows of a doc the batch carries lose to the batch rows),
+    not a dropDuplicates whose survivor is partition-order luck (r14
+    ADVICE): even under a contract-violating live re-ingest with
+    CHANGED text, the maintained tf/pos rows equal the batch's —
+    every run, every partitioning."""
+    from patientdataintegration_spark.operators.indexing import (
+        doc_term_stats,
+        positional_postings,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    seed = [(1, "a b", 1), (2, "b", 1)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in seed], "doc_id bigint, text string"
+    )
+    idx0, of0 = _rebuild(spark, seed, max_postings=16)
+    seed_index_store(
+        idx0, of0, store,
+        tf_init=doc_term_stats(docs),
+        pos_init=positional_postings(docs),
+    )
+
+    # doc 1 re-ingests LIVE with different text (out of contract)
+    batch = [(1, "a a c", 1)]
+    spark.createDataFrame(batch, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    index_stream(
+        spark, src, "*.parquet", store, ckpt,
+        op_col="op", max_postings=16, compact_every=0,
+    )
+
+    # the batch's vocabulary is the dirty set: on those terms the
+    # batch rows win DETERMINISTICALLY — the old dropDuplicates left
+    # the ("a", 1) survivor (tf 1 len 2 vs tf 2 len 3) to partition-
+    # order luck. The doc's dropped term "b" is outside the dirty set
+    # (a live re-ingest cannot dirty the terms it removed — that is
+    # what the CDC contract's takedown-first rule exists for), so its
+    # stale row is the violation's documented residue, identical
+    # every run.
+    tf = sorted(
+        (r["term"], r["doc"], r["tf"], r["len_d"])
+        for r in read_index_store(spark, store, "tf")
+        .filter(F.col("doc") == 1)
+        .collect()
+    )
+    assert tf == [("a", 1, 2, 3), ("b", 1, 1, 2), ("c", 1, 1, 3)]
+    pos = sorted(
+        (r["term"], r["doc"], r["pos"])
+        for r in read_index_store(spark, store, "pos")
+        .filter(F.col("doc") == 1)
+        .collect()
+    )
+    assert pos == [
+        ("a", 1, 1), ("a", 1, 2), ("b", 1, 2), ("c", 1, 3),
+    ]
