@@ -123,6 +123,12 @@ BENCH_QUERIES = [
     "q289_bm25_drift_certificate",   # served==recomputed certificate (r14)
     "q290_bm25_pruned_serving",      # bucketed export, pruned serve (r14)
     "q291_phrase_pruned_serving",    # pruned positional phrase serve (r14)
+    "q292_refreshed_pruned_serving", # incremental export refresh (r15)
+    "q293_conjunctive_pruned_serving",  # pruned postings AND-query (r15)
+    "q294_ivf_pruned_serving",       # cell-pruned ANN serve (r15)
+    "q295_time_travel_export_serving",  # pinned-version export serve (r15)
+    "q296_ivf_refreshed_serving",    # MoR-refreshed ANN serve (r15)
+    "q297_proximity_pruned_serving",  # min-gap proximity rank (r15)
 ]
 
 
@@ -162,6 +168,18 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    # the declared BUILD/SERVE split (r15): the serving lanes
+    # (q285-q295) read process-memoized stores/exports whose one-off
+    # construction is a scheduled maintenance job, not a query —
+    # build them here, timed separately, so the per-lane numbers
+    # price the steady-state SERVE and bench_diff stops flagging
+    # build-ordering variance (the r14 q290 adjudication)
+    from patientdataintegration_spark.suite.ext11 import (
+        prebuild_serving_stores,
+    )
+
+    builds = prebuild_serving_stores(spark, sf_dir)
+
     def run_pass() -> dict[str, float]:
         out: dict[str, float] = {}
         for name in BENCH_QUERIES:
@@ -196,6 +214,10 @@ def main() -> None:
         "queries": timings,
         "value_warm": round(sum(warm.values()), 3),
         "queries_warm": warm,
+        # one-off store/export construction (maintenance jobs), kept
+        # OUT of the per-lane serve numbers — the build/serve split
+        "builds": builds,
+        "build_total_s": round(sum(builds.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **loads,
     }

@@ -938,3 +938,75 @@ def bm25_topk(
         )
     )
     return _bm25_rank(impacts, q_terms, k, id_col, query_id_col)
+
+
+def proximity_pair_topk(
+    positions: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """PROXIMITY ranking from the positional postings — the IR
+    operator between exact phrase match and bag-of-words BM25
+    (Clarke/Metzler term-dependence family; Lucene's analogue is the
+    sloppy PhraseQuery): for each queried (term_a, term_b) pair,
+    rank the documents containing BOTH terms by the MINIMAL token
+    distance between an occurrence of a and an occurrence of b
+    (`min_gap` = min |pos_a − pos_b|, ties → doc asc), top-k per
+    pair. Serves entirely from the maintained `pos` satellite
+    (`streaming/index.py` POS_SCHEMA rows) or its bucketed serving
+    export — the corpus is never re-tokenized.
+
+    NOT the quadratic |occ_a| × |occ_b| pairing: both terms'
+    occurrences merge into one per-(pair, doc) position-sorted
+    sequence, and the minimum opposite-term gap is provably achieved
+    by two occurrences ADJACENT in that order (any occurrence
+    strictly between a closest (a, b) pair would itself form a
+    strictly closer opposite pair with one of its endpoints — both
+    terms' positions are distinct per doc, one term per position),
+    so one `lag` window over the merged rows finds it in O(n log n).
+    Both-terms-present is enforced by requiring an opposite-tag
+    adjacency to exist (a one-sided doc yields no candidate gaps).
+
+    Scale shape: the pair list is query-sized and broadcasts twice
+    (once per side); the positional relation streams once behind the
+    semi-probe implied by the inner joins (feed it PRUNED serving
+    buckets and the scan reads |query terms| partitions); the window
+    keys on (pair, doc) — the merged occurrence rows of the queried
+    terms only, never the corpus. Ranking reuses the row_number
+    top-k, map-side-combinable shape.
+
+    Cites reference scope: DBO-DKFZ/PatientDataIntegration has no
+    retrieval tier; north-star extension (SURVEY §2 Ext)."""
+    pr = pairs.select("term_a", "term_b").distinct()
+    occ_a = positions.join(
+        F.broadcast(pr), positions["term"] == pr["term_a"]
+    ).select("term_a", "term_b", "doc", "pos", F.lit(0).alias("_side"))
+    occ_b = positions.join(
+        F.broadcast(pr), positions["term"] == pr["term_b"]
+    ).select("term_a", "term_b", "doc", "pos", F.lit(1).alias("_side"))
+    merged = occ_a.unionByName(occ_b)
+    w = Window.partitionBy("term_a", "term_b", "doc").orderBy("pos")
+    gaps = (
+        merged.withColumn("_ppos", F.lag("pos").over(w))
+        .withColumn("_pside", F.lag("_side").over(w))
+        .filter(
+            F.col("_pside").isNotNull() & (F.col("_pside") != F.col("_side"))
+        )
+        .select(
+            "term_a",
+            "term_b",
+            "doc",
+            (F.col("pos") - F.col("_ppos")).alias("_gap"),
+        )
+    )
+    best = gaps.groupBy("term_a", "term_b", "doc").agg(
+        F.min("_gap").cast("bigint").alias("min_gap")
+    )
+    rw = Window.partitionBy("term_a", "term_b").orderBy(
+        F.col("min_gap").asc(), F.col("doc").asc()
+    )
+    return (
+        best.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= k)
+        .select("term_a", "term_b", "doc", "min_gap", "rnk")
+    )

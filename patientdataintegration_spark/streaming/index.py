@@ -505,7 +505,7 @@ def refresh_serving_layout(
             .drop("_gen", "_lg")
         )
         kept = (
-            spark.read.parquet(os.path.join(out_dir, name))
+            _read_serving_parquet(spark, out_dir, name)
             .filter(F.col("tb").isin(buckets))
             .drop("tb")
             .join(F.broadcast(dirty), "term", "left_anti")
@@ -553,10 +553,25 @@ def read_serving_relation(
     n_buckets = int(_read_serving_meta(out_dir)["n_buckets"])
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
     return (
-        spark.read.parquet(os.path.join(out_dir, name))
+        _read_serving_parquet(spark, out_dir, name)
         .filter(F.col("tb").isin(buckets))
         .filter(F.col("term").isin(list(terms)))
         .drop("tb")
+    )
+
+
+def _read_serving_parquet(
+    spark: SparkSession, out_dir: str, name: str
+) -> DataFrame:
+    """The exported relation with its schema stated explicitly
+    (partition column included): an EMPTY relation's partitioned
+    write leaves no part files at all — e.g. a small store whose
+    overflow never filled — and schema inference would fail on the
+    bare directory where an empty frame is the correct answer."""
+    import os
+
+    return spark.read.schema(f"{_SCHEMAS[name]}, tb int").parquet(
+        os.path.join(out_dir, name)
     )
 
 

@@ -71,6 +71,12 @@ from patientdataintegration_spark.streaming.components import (
 )
 
 CENTROID_SCHEMA = "cell bigint, centroid array<double>"
+ASSIGNED_SCHEMA = (
+    "neighbor_id bigint, c_vec array<double>, c_norm double, cell bigint"
+)
+# the serving export's delete-file side relation: (id, latest
+# tombstone generation) — `components._tombs_by_id`'s shape
+TOMB_SCHEMA = "neighbor_id bigint, _tg bigint"
 
 
 def seed_ivf_store(
@@ -127,6 +133,290 @@ def compact_ivf_store(spark: SparkSession, store_dir: str) -> int:
         return gen
     _compact_ivf(spark, store_dir, gen)
     return gen
+
+
+def export_ivf_serving_layout(
+    spark: SparkSession,
+    store_dir: str,
+    out_dir: str,
+    version: int | None = None,
+) -> int:
+    """Export the maintained inverted file into a SERVING-OPTIMIZED
+    layout (r14 verdict item 3 — the q290 treatment applied to the
+    ANN store): the `assigned` relation hive-partitioned by its
+    natural serving key, the PROBE CELL, with the (tiny) centroid
+    table copied alongside as the driver-side planner input — a
+    query vector maps to its n_probe cells without touching the
+    cluster (`ivf_probe_cells_py`, `term_bucket_py`'s geometric
+    twin), and the scan then reads ONLY those cells' partitions:
+    |probe cells| / n_cells of the store per query batch, pruned at
+    plan time, instead of streaming the whole inverted file behind
+    the broadcast probe join.
+
+    Pins one committed store version and records it in an atomically-
+    flipped meta file (the `export_serving_layout` staleness/commit
+    contract verbatim). The layout is MERGE-ON-READ refreshable
+    (`refresh_ivf_serving_layout`): every exported row carries its
+    assignment generation `_gen` (a full export folds the whole state,
+    so all rows take the exported version), and a delta-sized
+    `tombs_v{V}` side relation (empty at full export) records
+    (neighbor_id, latest tombstone generation) pairs the pruned read
+    anti-applies with the store's own liveness rule — the
+    Iceberg/Hudi delete-file pattern, so a refresh never has to FIND
+    a tombstoned id's cell partition. Returns the exported
+    version."""
+    from patientdataintegration_spark.streaming.components import _resolve
+
+    version, _base, _gens = _resolve(store_dir, version, marker="tombs")
+    assigned = read_rowstore(
+        spark, store_dir, "assigned", version=version,
+        id_col="neighbor_id", marker="tombs",
+    ).withColumn("_gen", F.lit(int(version)).cast("int"))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(out_dir, "assigned")
+    )
+    read_ivf_centroids(spark, store_dir).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids")
+    )
+    tombs_rel = f"tombs_v{version}"
+    spark.createDataFrame([], TOMB_SCHEMA).write.mode("overwrite").parquet(
+        os.path.join(out_dir, tombs_rel)
+    )
+    _write_ivf_serving_meta(out_dir, {"version": version, "tombs": tombs_rel})
+    # a re-export over a refreshed layout orphans the old delete
+    # files — GC them after the flip (meta no longer points there)
+    import shutil
+
+    for entry in os.listdir(out_dir):
+        if entry.startswith("tombs_v") and entry != tombs_rel:
+            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
+    return version
+
+
+def _write_ivf_serving_meta(out_dir: str, meta: dict) -> None:
+    """Atomic meta flip (os.replace) — a reader never pairs one
+    version's tombs pointer with another's data (r14 ADVICE
+    discipline, `index._write_serving_meta`'s twin)."""
+    import json
+
+    meta_path = os.path.join(out_dir, "serving_meta.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+
+
+def _read_ivf_serving_meta(out_dir: str) -> dict:
+    import json
+
+    with open(os.path.join(out_dir, "serving_meta.json")) as f:
+        return json.load(f)
+
+
+def refresh_ivf_serving_layout(
+    spark: SparkSession,
+    store_dir: str,
+    out_dir: str,
+    version: int | None = None,
+) -> dict:
+    """INCREMENTAL refresh of an exported IVF serving layout — the
+    serving tier's last full-scan cost (`refresh_serving_layout`'s
+    row-grain twin): a full re-export rewrites every cell partition
+    even when one maintenance window touched a handful of vectors.
+    The store's deltas already say exactly what changed, so a refresh
+    from the exported version v_exp to the committed version v_new:
+
+    - live inserts = the range's delta `assigned` rows above their
+      id's latest in-range tombstone (the store's same-batch-dies
+      rule) — delta-sized; their cell set collects DRIVER-SIDE
+      (≤ n_cells ints, the rewrite's planner input);
+    - those cells rewrite by DYNAMIC partition overwrite: the cell's
+      old exported rows (read PRUNED, minus rows killed by the new
+      tombstones, minus exact (id, _gen) replay duplicates) ∪ the
+      live inserts carrying their true generation;
+    - takedowns never hunt for their victim's partition: the range's
+      (id, latest tomb gen) pairs MERGE into the delta-sized tombs
+      side relation (per-id max — idempotent), written to a fresh
+      `tombs_v{v_new}` so a crash never truncates the live one; the
+      pruned read applies them with the store's liveness rule
+      (`_tg < _gen` keeps re-inserts above their tombstone alive,
+      exactly `components._reconstruct_rowstore`).
+
+    Refresh cost is O(inserted rows + their cells' rows + tombstone
+    ids) — the maintenance window's size, never the inverted file's.
+    If any needed generation was already folded and GC'd, the diff is
+    unknowable and the refresh FALLS BACK to a full re-export at
+    v_new (which also resets the tombs relation to empty — the
+    natural fold point, compaction-aligned). The meta version flips
+    atomically after the last data write. Returns {"version",
+    "mode": "noop"|"incremental"|"full", "dirty_cells"}."""
+    import shutil
+
+    from patientdataintegration_spark.streaming.components import (
+        _scan_gens,
+        _tombs_by_id,
+    )
+
+    meta = _read_ivf_serving_meta(out_dir)
+    v_exp = int(meta["version"])
+    from patientdataintegration_spark.streaming.components import _resolve
+
+    v_new, _base, _gens = _resolve(store_dir, version, marker="tombs")
+    if v_new < v_exp:
+        raise ValueError(
+            f"IVF serving layout at {out_dir!r} is at version {v_exp}, "
+            f"ahead of the requested store version {v_new} — a refresh "
+            "only moves forward; export a historical version to a fresh "
+            "directory"
+        )
+    if v_new == v_exp:
+        return {"version": v_exp, "mode": "noop", "dirty_cells": []}
+    needed = list(range(v_exp + 1, v_new + 1))
+    _bases, committed = _scan_gens(store_dir, marker="tombs")
+    if not set(needed) <= set(committed):
+        export_ivf_serving_layout(spark, store_dir, out_dir, version=v_new)
+        return {"version": v_new, "mode": "full", "dirty_cells": None}
+
+    inserts: DataFrame | None = None
+    for g in needed:
+        d = spark.read.schema(ASSIGNED_SCHEMA).parquet(
+            _delta_path(store_dir, g, "assigned")
+        ).withColumn("_gen", F.lit(int(g)).cast("int"))
+        inserts = d if inserts is None else inserts.unionByName(d)
+    new_tombs = _tombs_by_id(spark, store_dir, needed, "neighbor_id")
+    live = (
+        inserts.join(F.broadcast(new_tombs), "neighbor_id", "left")
+        .filter(F.col("_tg").isNull() | (F.col("_tg") < F.col("_gen")))
+        .drop("_tg")
+        # consumers: the cell collect, the replay anti-join, the union
+        .localCheckpoint()
+    )
+    dirty = sorted(
+        r["cell"] for r in live.select("cell").distinct().collect()
+    )
+    if dirty:
+        kept = (
+            _read_ivf_export(spark, out_dir)
+            .filter(F.col("cell").isin(dirty))
+            .join(F.broadcast(new_tombs), "neighbor_id", "left")
+            .filter(F.col("_tg").isNull() | (F.col("_tg") < F.col("_gen")))
+            .drop("_tg")
+            # checkpoint-replayed batches re-land identical (id, gen)
+            # rows; exact-pair anti keeps the rewrite idempotent
+            # without collapsing the store's legitimate duplicates
+            .join(
+                F.broadcast(live.select("neighbor_id", "_gen")),
+                ["neighbor_id", "_gen"],
+                "left_anti",
+            )
+        )
+        # materialize BEFORE the overwrite: the plan reads the very
+        # partitions the write replaces
+        content = kept.unionByName(live).localCheckpoint()
+        written = {
+            r["cell"] for r in content.select("cell").distinct().collect()
+        }
+        content.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell").parquet(os.path.join(out_dir, "assigned"))
+        for c in set(dirty) - written:
+            shutil.rmtree(
+                os.path.join(out_dir, "assigned", f"cell={c}"),
+                ignore_errors=True,
+            )
+    old_rel = meta["tombs"]
+    merged = (
+        spark.read.schema(TOMB_SCHEMA)
+        .parquet(os.path.join(out_dir, old_rel))
+        .unionByName(new_tombs)
+        .groupBy("neighbor_id")
+        .agg(F.max("_tg").alias("_tg"))
+    )
+    new_rel = f"tombs_v{v_new}"
+    merged.write.mode("overwrite").parquet(os.path.join(out_dir, new_rel))
+    _write_ivf_serving_meta(out_dir, {"version": v_new, "tombs": new_rel})
+    if old_rel != new_rel:
+        shutil.rmtree(os.path.join(out_dir, old_rel), ignore_errors=True)
+    return {"version": v_new, "mode": "incremental", "dirty_cells": dirty}
+
+
+def ivf_probe_cells_py(
+    query_vecs: list[list[float]],
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+) -> list[int]:
+    """The driver-side probe planner: the union of every query's
+    `n_probe` nearest cells, computed from the broadcast-tiny
+    centroid table WITHOUT touching the cluster — `term_bucket_py`'s
+    geometric twin. Bit-faithful to `ivf_search`'s probe ranking:
+    the same sequential-fold squared distance (left-to-right IEEE
+    adds over double-widened components — `similarity.sq_norm`'s
+    aggregate order) and the same (distance asc, cell asc) tie rule,
+    so the pruned partitions are exactly a superset of what the
+    search probes. Inputs are query-sized planner metadata (a query
+    batch and ≤ n_cells centroids), never corpus data."""
+    cells: set[int] = set()
+    for q in query_vecs:
+        qd = [float(x) for x in q]
+        ranked = []
+        for cell, cv in centroids:
+            acc = 0.0
+            for x, y in zip(qd, cv):
+                d = x - y
+                acc += d * d
+            ranked.append((acc, int(cell)))
+        ranked.sort()
+        cells.update(c for _dist, c in ranked[:n_probe])
+    return sorted(cells)
+
+
+def read_ivf_serving(
+    spark: SparkSession, out_dir: str, cells: list[int]
+) -> tuple[DataFrame, DataFrame]:
+    """(pruned assigned relation, centroid table) from an exported
+    IVF serving layout: the cell IN-list lands as a partition filter
+    the scan prunes on at plan time. Feed both to
+    `similarity.ivf_search` — the probe join then finds every
+    candidate it would have found in the full inverted file, because
+    `cells` came from the same centroid ranking the search replays
+    (`ivf_probe_cells_py`). The layout is merge-on-read: the pruned
+    rows anti-apply the delta-sized tombstone side relation with the
+    store's liveness rule (`_tg < _gen` keeps re-inserts above their
+    tombstone), so a refreshed layout serves takedowns without ever
+    having rewritten their cells."""
+    meta = _read_ivf_serving_meta(out_dir)
+    tombs = spark.read.schema(TOMB_SCHEMA).parquet(
+        os.path.join(out_dir, meta["tombs"])
+    )
+    assigned = (
+        _read_ivf_export(spark, out_dir)
+        .filter(F.col("cell").isin(list(cells)))
+        .join(F.broadcast(tombs), "neighbor_id", "left")
+        .filter(F.col("_tg").isNull() | (F.col("_tg") < F.col("_gen")))
+        .drop("_tg", "_gen")
+    )
+    # provably ≤ n_cells rows BEFORE the search's broadcast crossJoin
+    # (`bm25_from_store`'s 1-row-stats adjudication): a corrupted
+    # export with duplicate cell rows can never fan the rank join out
+    centroids = (
+        spark.read.schema(CENTROID_SCHEMA)
+        .parquet(os.path.join(out_dir, "centroids"))
+        .groupBy("cell")
+        .agg(F.min("centroid").alias("centroid"))
+    )
+    return assigned, centroids
+
+
+def _read_ivf_export(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The exported inverted file with its schema stated explicitly
+    (partition column included) — an export whose every cell emptied
+    leaves no part files, and schema inference would fail on the bare
+    directory where an empty frame is the correct answer
+    (`index._read_serving_parquet`'s rule)."""
+    return spark.read.schema(
+        "neighbor_id bigint, c_vec array<double>, c_norm double, "
+        "_gen int, cell bigint"
+    ).parquet(os.path.join(out_dir, "assigned"))
 
 
 def ivf_stream(

@@ -334,6 +334,42 @@ evidence predates r8); and (d) twenty-one oldest-first r8-era fill
 lanes (the 39-lane r8 cohort up to q124; the remaining eighteen —
 q125/q126/q180/q196/q201/q231/q234/q237/q238/q239/q241/q242/q243/
 q88/q89/q90/q93/q99 — queue for r15).
+
+The round-15 window: (a) the six r15 additions, never
+driver-checked — q292 (BM25 from an INCREMENTALLY refreshed export:
+`refresh_serving_layout` rewrites only the buckets containing terms
+dirtied since the exported version, oracle = the net-corpus
+recompute so the refresh is provably invisible to values — the r14
+verdict's lead item), q293 (conjunctive retrieval from the bucketed
+(index, overflow) export with partition pruning — the q290
+treatment extended to the core factorization; oracle = q279's exact
+intersections over the net corpus), q294 (ANN top-k from the IVF
+serving export: `assigned` hive-partitioned by probe cell, the
+centroid table as the driver-side planner — `term_bucket_py`'s
+geometric twin; oracle = q284's full-pipeline recompute) and q295
+(a TIME-TRAVELED export: the layout pinned at store version 1 after
+the store advanced to 2; oracle = the as-of-corpus BM25 recompute)
+and q296 (ANN top-k from an INCREMENTALLY refreshed IVF export —
+`refresh_ivf_serving_layout` rewrites only the cells receiving new
+assignments and folds takedowns into a delta-sized merge-on-read
+delete-file relation; oracle = q284's full-pipeline recompute) and
+q297 (PROXIMITY ranking — min token gap per term pair, top-k docs —
+served from the pruned positional export via a linear merged-
+adjacency window, never the quadratic occurrence pairing; oracle =
+the quadratic MIN recomputed from raw text, provably the same
+integer);
+(b) eleven re-proofs for everything r15 touched — the hardened
+commit markers (delta markers now require the marker job's
+_SUCCESS; bases commit via a _COMMITTED sentinel written after the
+last relation) sit under every store-backed lane
+(q283/q273/q275/q284/q285-q291), the satellite upserts became
+deterministic anti-joins (q283/q285/q286/q289), and the shared
+serving export grew to four relations (q290/q291); (c) the complete
+eighteen-lane r8-era queue from the r14 rotation — after this
+window no hash lane's latest driver evidence predates r9; and (d)
+seventeen oldest-first r9-era fill lanes (q127-q146 era — the next
+rotation cohort; the remaining r9 lanes, q144/q146 included —
+displaced by the late additions q296/q297 — queue for r16).
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -358,6 +394,8 @@ from patientdataintegration_spark.suite.ext9 import ORACLES as EXT9_ORACLES
 from patientdataintegration_spark.suite.ext9 import QUERIES as EXT9_QUERIES
 from patientdataintegration_spark.suite.ext10 import ORACLES as EXT10_ORACLES
 from patientdataintegration_spark.suite.ext10 import QUERIES as EXT10_QUERIES
+from patientdataintegration_spark.suite.ext11 import ORACLES as EXT11_ORACLES
+from patientdataintegration_spark.suite.ext11 import QUERIES as EXT11_QUERIES
 
 _ALL_QUERIES = {
     **CORE_QUERIES,
@@ -371,6 +409,7 @@ _ALL_QUERIES = {
     **EXT8_QUERIES,
     **EXT9_QUERIES,
     **EXT10_QUERIES,
+    **EXT11_QUERIES,
 }
 _ALL_ORACLES = {
     **CORE_ORACLES,
@@ -384,6 +423,7 @@ _ALL_ORACLES = {
     **EXT8_ORACLES,
     **EXT9_ORACLES,
     **EXT10_ORACLES,
+    **EXT11_ORACLES,
 }
 
 # Queries registered WITHOUT a SQL oracle, each with its reason —
@@ -398,10 +438,24 @@ ROWS_ONLY_REASONS = {
     ),
 }
 
-# The driver-checked prefix, by design exactly 50 names (round-14
+# The driver-checked prefix, by design exactly 50 names (round-15
 # rotation: see module docstring).
 PRIORITY = [
-    # (a) never driver-checked: the r14 serving additions
+    # (a) never driver-checked: the r15 serving-tier additions
+    "q292_refreshed_pruned_serving",
+    "q293_conjunctive_pruned_serving",
+    "q294_ivf_pruned_serving",
+    "q295_time_travel_export_serving",
+    "q296_ivf_refreshed_serving",
+    "q297_proximity_pruned_serving",
+    # (b) changed in round 15 — re-prove: every store-backed lane
+    # rides the hardened commit markers (_SUCCESS-checked delta
+    # markers, base _COMMITTED sentinels), the deterministic
+    # satellite upserts, and the four-relation shared serving export
+    "q283_streaming_index",
+    "q273_streaming_components",
+    "q275_streaming_takedowns",
+    "q284_streaming_ivf",
     "q285_bm25_from_store",
     "q286_phrase_from_store",
     "q287_index_time_travel",
@@ -409,60 +463,44 @@ PRIORITY = [
     "q289_bm25_drift_certificate",
     "q290_bm25_pruned_serving",
     "q291_phrase_pruned_serving",
-    # (b) changed in round 14 — re-prove: the index stream's
-    # commit-marker write order + satellite maintenance (q283), the
-    # shared BM25 impact/rank helpers (q280), the marker-aware dedup
-    # store reads (q273/q275), the IVF marker pass-through (q284)
-    "q283_streaming_index",
-    "q280_bm25_topk",
-    "q273_streaming_components",
-    "q275_streaming_takedowns",
-    "q284_streaming_ivf",
-    # (c) the complete seventeen-lane r7-era queue — evidence
-    # rotation: after this window no hash lane's latest driver
-    # evidence predates r8
-    "q64_string_battery",
-    "q65_label_centroids",
-    "q68_array_battery",
-    "q69_forward_fill",
-    "q72_regex_tokens",
-    "q75_retention_cohorts",
-    "q76_stratified_sample",
-    "q77_fusion_battery",
-    "q78_grouping_battery",
-    "q79_subquery_battery",
-    "q80_window_battery",
-    "q81_chunking",
-    "q82_token_rarity",
-    "q83_contamination",
-    "q84_quantize_embeddings",
-    "q87_multires_rollup",
-    "q92_minhash_lsh_pairs",
-    # (d) twenty-one oldest-first r8-era fill lanes (the 39-lane r8
-    # cohort up to q124; the remaining eighteen, q125/q126 included —
-    # displaced by the late additions q290/q291 — queue for r15; see
-    # the module docstring)
-    "q100_redaction",
-    "q101_upsert_merge",
-    "q102_time_weighted_avg",
-    "q103_variant_battery",
-    "q105_repetition_signals",
-    "q106_token_budget_sample",
-    "q107_jsonl_roundtrip",
-    "q108_sequence_packing",
-    "q109_shard_manifest",
-    "q111_zorder_layout",
-    "q112_winsorize",
-    "q114_incremental_rollup",
-    "q116_bucketed_join",
-    "q117_incremental_dedup",
-    "q118_profile",
-    "q119_crosscorpus_neardup",
-    "q120_mixture_weights",
-    "q121_resample_interp",
-    "q122_realize_mixture",
-    "q123_vocab_coverage",
-    "q124_asof_forward",
+    # (c) the eighteen-lane r8-era queue the r14 verdict's item 4
+    # named — after this window no hash lane's latest driver
+    # evidence predates r9
+    "q88_stream_static_enrich",
+    "q89_stream_dedup",
+    "q90_stream_tumbling",
+    "q93_lsh_cosine_topk",
+    "q99_stream_stream_join",
+    "q125_asof_nearest",
+    "q126_sparse_cosine_pairs",
+    "q180_stream_cdc_upsert",
+    "q196_python_stream_source",
+    "q201_stream_outer_join",
+    "q231_stream_full_outer_join",
+    "q234_table_checksum",
+    "q237_hll_distinct_rollup",
+    "q238_theta_set_algebra",
+    "q239_sharded_topk_brands",
+    "q241_incremental_distinct",
+    "q242_join_view_maintenance",
+    "q243_bitmap_exact_distinct",
+    # (d) seventeen oldest-first r9-era fill lanes — the next
+    # evidence-rotation cohort
+    "q127_weighted_sample",
+    "q128_scd2_history",
+    "q129_robust_stats",
+    "q131_paragraph_dedup",
+    "q132_kmeans_assign",
+    "q133_ewma",
+    "q134_source_kl",
+    "q135_session_funnel",
+    "q136_growth_accounting",
+    "q137_fuzzy_join",
+    "q139_correlation_matrix",
+    "q140_mutual_information",
+    "q141_group_trend",
+    "q142_dedup_impact",
+    "q143_histogram",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -162,11 +162,16 @@ def _shared_serving_store(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-def _bm25_ctes(q_filter: str = "doc_id % 100 = 1") -> str:
-    # the recompute CTE block both BM25 oracles share; `q_filter`
-    # picks the external query documents
+def _bm25_ctes(
+    q_filter: str = "doc_id % 100 = 1",
+    corpus_filter: str = "doc_id % 5 <> 0",
+) -> str:
+    # the recompute CTE block the BM25 oracles share; `q_filter`
+    # picks the external query documents, `corpus_filter` the corpus
+    # state being served (net post-CRUD by default; q295 pins the
+    # as-of-version-1 corpus)
     return f"""
-    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    corpus AS (SELECT doc_id, text FROM documents WHERE {corpus_filter}),
     toks AS (
       SELECT doc_id, term
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -624,8 +629,11 @@ def _shared_serving_export(spark: SparkSession, sf_dir: str) -> str:
         return memo
     store = _shared_serving_store(spark, sf_dir)
     out = scratch_dir("serve_export", sf_dir)
+    # all four term-grain relations export: tf/pos serve q290/q291,
+    # index/overflow serve q293's pruned conjunctive retrieval (r15)
     export_serving_layout(
-        spark, store, out, relations=("tf", "pos"), n_buckets=64
+        spark, store, out,
+        relations=("tf", "pos", "index", "overflow"), n_buckets=64,
     )
     _STORE_MEMO[key] = out
     return out

@@ -467,3 +467,367 @@ def test_serving_export_prunes_to_query_buckets(spark, tmp_path):
     assert _norm(phrase_retrieval_nterm(pos_pruned, phrases)) == _norm(
         phrase_retrieval_nterm(read_index_store(spark, store, "pos"), phrases)
     )
+
+
+# --- incremental serving-export refresh (round 15) -------------------------
+
+
+def _export_file_state(out, relation):
+    """relpath -> (md5, mtime_ns) for every file under the exported
+    relation — the byte-identity witness for untouched buckets."""
+    import hashlib
+
+    state = {}
+    rel = os.path.join(out, relation)
+    for root, _dirs, files in os.walk(rel):
+        for f in files:
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                digest = hashlib.md5(fh.read()).hexdigest()
+            state[os.path.relpath(p, rel)] = (digest, os.stat(p).st_mtime_ns)
+    return state
+
+
+def test_incremental_refresh_rewrites_only_dirty_buckets(spark, tmp_path):
+    """`refresh_serving_layout` must (a) be invisible to values — the
+    refreshed layout equals the store at the new version, (b) leave
+    every bucket containing no dirtied term BYTE-IDENTICAL on disk
+    (same content, same mtime: the refresh never opened it), (c)
+    rewrite a dirty bucket without losing its untouched cohabitant
+    terms, and (d) delete a bucket whose only terms vanished (dynamic
+    overwrite alone would leave its stale files serving)."""
+    from patientdataintegration_spark.streaming.index import (
+        export_serving_layout,
+        refresh_serving_layout,
+        term_bucket_py,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    # one disjoint term per doc, so dirty/untouched buckets separate;
+    # at n_buckets=16: u1->15, u2->4, u3->8, u4->11, u5->0, u6->10,
+    # x7->10 (x7 COHABITS u6's bucket — the rewrite must keep u6)
+    seed = [(i, f"u{i} u{i}", 1) for i in range(1, 7)]
+    _seed(spark, store, seed)
+    out = str(tmp_path / "export")
+    n_buckets = 16
+    assert export_serving_layout(
+        spark, store, out, relations=("tf", "pos"), n_buckets=n_buckets
+    ) == 0
+
+    # batch: ingest 7 (dirties u1, x7), take down doc 2 (u2's ONLY
+    # doc — the term leaves the index, bucket 4 must empty out)
+    batch = [(7, "u1 x7", 1), (2, None, -1)]
+    spark.createDataFrame(batch, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    index_stream(
+        spark, src, "*.parquet", store, ckpt,
+        op_col="op", max_postings=16, compact_every=0,
+    )
+
+    before = {n: _export_file_state(out, n) for n in ("tf", "pos")}
+    res = refresh_serving_layout(spark, store, out)
+    dirty_buckets = sorted(
+        {term_bucket_py(t, n_buckets) for t in ("u1", "x7", "u2")}
+    )
+    assert res == {
+        "version": 1, "mode": "incremental", "dirty_buckets": dirty_buckets,
+    }
+
+    for name in ("tf", "pos"):
+        got = _norm(spark.read.parquet(os.path.join(out, name)).drop("tb"))
+        assert got == _norm(read_index_store(spark, store, name, version=1)), (
+            f"refreshed {name} must equal the store at the new version"
+        )
+        after = _export_file_state(out, name)
+        untouched_before = {
+            p: s for p, s in before[name].items()
+            if p.startswith("tb=")
+            and int(p.split(os.sep)[0][3:]) not in dirty_buckets
+        }
+        assert untouched_before, "test needs untouched buckets to witness"
+        for p, s in untouched_before.items():
+            assert after.get(p) == s, f"untouched bucket file rewritten: {p}"
+        # the emptied bucket (u2's) is gone entirely
+        assert not os.path.isdir(
+            os.path.join(out, name, f"tb={term_bucket_py('u2', n_buckets)}")
+        )
+    # the stats marginal and meta version advanced with the refresh
+    assert _norm(
+        spark.read.parquet(os.path.join(out, "stats"))
+    ) == _norm(read_index_stats(spark, store, version=1))
+
+    # re-running with nothing new is a declared no-op: zero writes
+    again = refresh_serving_layout(spark, store, out)
+    assert again == {"version": 1, "mode": "noop", "dirty_buckets": []}
+    for name in ("tf", "pos"):
+        assert _export_file_state(out, name) == (
+            {p: s for p, s in _export_file_state(out, name).items()}
+        )
+
+
+def test_refresh_falls_back_to_full_export_after_gc(spark, tmp_path):
+    """When compaction + GC removed a generation in the refresh range,
+    the dirty sets are incomplete — the refresh must detect it and
+    fall back to a full re-export at the new version (correct, just
+    not incremental), never serve a layout missing those terms."""
+    from patientdataintegration_spark.streaming.index import (
+        export_serving_layout,
+        refresh_serving_layout,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    _seed(spark, store, SEED)
+    out = str(tmp_path / "export")
+    assert export_serving_layout(
+        spark, store, out, relations=("tf",), n_buckets=8
+    ) == 0
+
+    def run():
+        return index_stream(
+            spark, src, "*.parquet", store, ckpt,
+            op_col="op", max_postings=16, compact_every=0,
+        )
+
+    spark.createDataFrame(BATCH_A, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    compact_index_store(spark, store)  # base_g1
+    spark.createDataFrame(BATCH_B, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    compact_index_store(spark, store)  # base_g2; GC drops delta_g1
+
+    res = refresh_serving_layout(spark, store, out)
+    assert res["mode"] == "full"
+    assert res["version"] == 2
+    got = _norm(spark.read.parquet(os.path.join(out, "tf")).drop("tb"))
+    assert got == _norm(read_index_store(spark, store, "tf", version=2))
+
+
+def test_refresh_under_crud_soak_certifies_every_window(spark, tmp_path):
+    """The refresh-under-CRUD soak (r14 verdict stretch item):
+    interleave CRUD batches — across the checkpointed-restart pattern
+    — with incremental refreshes, and after EVERY refresh certify the
+    export against the from-scratch recompute over the net corpus
+    (the q289 certificate applied to the serving layout): tf content,
+    the stats marginal, and one BM25 query served from the PRUNED
+    read, all equal to recompute."""
+    from patientdataintegration_spark.streaming.index import (
+        STATS_SCHEMA,
+        export_serving_layout,
+        read_serving_relation,
+        refresh_serving_layout,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    _seed(spark, store, SEED)
+    out = str(tmp_path / "export")
+    export_serving_layout(spark, store, out, relations=("tf",), n_buckets=8)
+
+    batches = [
+        BATCH_A,
+        BATCH_B,
+        [(5, "e f g", 1), (1, None, -1)],  # re-ingest after takedown
+    ]
+    live = {i: t for i, t, _ in SEED}
+    queries = spark.createDataFrame(
+        [(10, "a c"), (11, "f g")], "query_id bigint, text string"
+    )
+    for v, b in enumerate(batches, start=1):
+        spark.createDataFrame(b, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        index_stream(
+            spark, src, "*.parquet", store, ckpt,
+            op_col="op", max_postings=16, compact_every=0,
+        )
+        res = refresh_serving_layout(spark, store, out)
+        assert res["version"] == v and res["mode"] == "incremental"
+
+        for i, t, op in b:
+            if op > 0:
+                live[i] = t
+        for i, _t, op in b:
+            if op < 0:
+                live.pop(i, None)
+        net = _docs(spark, [(i, t, 1) for i, t in sorted(live.items())])
+        assert _norm(
+            spark.read.parquet(os.path.join(out, "tf")).drop("tb")
+        ) == _norm(doc_term_stats(net)), f"tf drift after refresh {v}"
+        assert _norm(
+            spark.read.parquet(os.path.join(out, "stats"))
+        ) == _norm(corpus_stats(doc_term_stats(net))), f"stats at {v}"
+        terms = sorted({w for t in live.values() for w in t.split()})
+        served = bm25_from_store(
+            read_serving_relation(spark, out, "tf", terms),
+            spark.read.schema(STATS_SCHEMA).parquet(f"{out}/stats"),
+            queries,
+            k=3,
+        )
+        assert _norm(served) == _norm(bm25_topk(net, queries, k=3)), (
+            f"served BM25 drift after refresh {v}"
+        )
+
+
+def test_export_refuses_in_place_bucket_count_change(spark, tmp_path):
+    """n_buckets is frozen per layout directory: re-exporting in place
+    with a different count would pair one bucket mapping with the
+    other's partitions and silently drop queried rows (r14 ADVICE) —
+    it must refuse loudly."""
+    from patientdataintegration_spark.streaming.index import (
+        export_serving_layout,
+    )
+
+    store = _run_crud(spark, tmp_path)
+    out = str(tmp_path / "export")
+    export_serving_layout(spark, store, out, relations=("tf",), n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        export_serving_layout(
+            spark, store, out, relations=("tf",), n_buckets=16
+        )
+
+
+def test_conjunctive_serving_from_pruned_postings_export(spark, tmp_path):
+    """q293's machinery: the (index, overflow) core factorization
+    exports bucketed like the satellites, the pruned point read
+    carries the tb IN partition filter, and conjunctive retrieval
+    over the pruned rows equals retrieval over the full maintained
+    relations — the cap's overflow rows survive the layout."""
+    import re
+
+    from patientdataintegration_spark.operators.indexing import (
+        conjunctive_retrieval,
+    )
+    from patientdataintegration_spark.plans.inspect import explain_str
+    from patientdataintegration_spark.streaming.index import (
+        export_serving_layout,
+        read_serving_relation,
+        term_bucket_py,
+    )
+
+    # cap=2 so the hot term 'a' (4 net docs) actually OVERFLOWS —
+    # the pruned serve must restore exact postings past the cap
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    _seed(spark, store, SEED, max_postings=2)
+    for b in (BATCH_A, BATCH_B):
+        spark.createDataFrame(b, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        index_stream(
+            spark, src, "*.parquet", store, ckpt,
+            op_col="op", max_postings=2, compact_every=0,
+        )
+    assert read_index_store(spark, store, "overflow").count() > 0
+
+    out = str(tmp_path / "export")
+    n_buckets = 8
+    export_serving_layout(
+        spark, store, out, relations=("index", "overflow"),
+        n_buckets=n_buckets,
+    )
+    pairs = spark.createDataFrame(
+        [("a", "c"), ("c", "d")], "term_a string, term_b string"
+    )
+    terms = ["a", "c", "d"]
+    idx_pruned = read_serving_relation(spark, out, "index", terms)
+    of_pruned = read_serving_relation(spark, out, "overflow", terms)
+    for df, label in ((idx_pruned, "index"), (of_pruned, "overflow")):
+        plan = explain_str(df)
+        m = re.search(r"PartitionFilters: \[tb#\d+ IN \(([\d,]+)\)\]", plan)
+        assert m, f"pruned {label} scan must carry a tb IN partition filter"
+        assert {int(x) for x in m.group(1).split(",")} == {
+            term_bucket_py(t, n_buckets) for t in terms
+        }
+    got = _norm(conjunctive_retrieval(idx_pruned, of_pruned, pairs))
+    want = _norm(
+        conjunctive_retrieval(
+            read_index_store(spark, store, "index"),
+            read_index_store(spark, store, "overflow"),
+            pairs,
+        )
+    )
+    assert got == want
+
+
+def test_empty_exported_relation_reads_as_empty(spark, tmp_path):
+    """An exported relation with zero rows (a store whose overflow
+    never filled) leaves NO part files under its partitioned
+    directory — the pruned read must return an empty frame with the
+    relation's schema, not fail schema inference."""
+    from patientdataintegration_spark.streaming.index import (
+        export_serving_layout,
+        read_serving_relation,
+    )
+
+    store = _run_crud(spark, tmp_path)  # cap=16: overflow stays empty
+    assert read_index_store(spark, store, "overflow").count() == 0
+    out = str(tmp_path / "export")
+    export_serving_layout(
+        spark, store, out, relations=("overflow",), n_buckets=8
+    )
+    got = read_serving_relation(spark, out, "overflow", ["a", "b"])
+    assert got.columns == ["term", "doc"]
+    assert got.count() == 0
+
+
+# --- proximity ranking from the positional satellite (round 15) ------------
+
+
+def test_proximity_merged_adjacency_equals_quadratic_min(spark):
+    """`proximity_pair_topk`'s linear merged-adjacency window must
+    equal the brute-force O(occ_a × occ_b) minimum on crafted
+    position lists covering the argument's edge cases: interleaved
+    runs, a-runs hiding the closest b, single occurrences, b before
+    a, and a doc containing only one of the terms (excluded)."""
+    from patientdataintegration_spark.operators.indexing import (
+        proximity_pair_topk,
+    )
+
+    # (term, doc, pos) rows; pair = (a, b)
+    docs = {
+        1: [("a", 1), ("a", 3), ("b", 10)],          # min |3-10| = 7
+        2: [("b", 2), ("a", 9), ("b", 11)],          # min = 2
+        3: [("a", 1), ("b", 2), ("a", 3), ("b", 8)],  # min = 1
+        4: [("a", 5)],                                # one-sided: absent
+        5: [("b", 4), ("b", 5), ("b", 6), ("a", 7)],  # min = 1
+        6: [("a", 100), ("a", 101), ("a", 102), ("b", 99)],  # min = 1
+    }
+    rows = [
+        (term, doc, pos) for doc, occ in docs.items() for term, pos in occ
+    ]
+    positions = spark.createDataFrame(
+        rows, "term string, doc bigint, pos bigint"
+    )
+    pairs = spark.createDataFrame([("a", "b")], "term_a string, term_b string")
+    got = {
+        (r["doc"], r["min_gap"], r["rnk"])
+        for r in proximity_pair_topk(positions, pairs, k=10).collect()
+    }
+
+    brute = {}
+    for doc, occ in docs.items():
+        pa = [p for t, p in occ if t == "a"]
+        pb = [p for t, p in occ if t == "b"]
+        if pa and pb:
+            brute[doc] = min(abs(x - y) for x in pa for y in pb)
+    ranked = sorted(brute.items(), key=lambda kv: (kv[1], kv[0]))
+    want = {(doc, gap, i + 1) for i, (doc, gap) in enumerate(ranked)}
+    assert got == want
+
+    # k truncates by (min_gap asc, doc asc)
+    top2 = {
+        (r["doc"], r["rnk"])
+        for r in proximity_pair_topk(positions, pairs, k=2).collect()
+    }
+    assert top2 == {(doc, i + 1) for i, (doc, _g) in enumerate(ranked[:2])}

@@ -212,3 +212,268 @@ def test_partial_generation_is_invisible_to_ivf_store_reads(spark, tmp_path):
     )
     assert got == want
     assert latest_generation(store, marker="tombs") == 0
+
+
+def test_ivf_serving_export_prunes_to_probe_cells(spark, tmp_path):
+    """The IVF serving export (q294's machinery): the exported
+    layout at the pinned version equals the maintained inverted
+    file, the driver-side probe planner (`ivf_probe_cells_py`)
+    yields exactly the cells `ivf_search` would probe, the pruned
+    scan carries the cell IN-list as a PARTITION filter, and search
+    over the pruned partitions equals search over the full relation
+    — takedowns already folded in."""
+    import re
+
+    from patientdataintegration_spark.operators.similarity import (
+        ivf_index_exact,
+        ivf_search,
+    )
+    from patientdataintegration_spark.plans.inspect import explain_str
+    from patientdataintegration_spark.streaming.components import (
+        read_rowstore,
+    )
+    from patientdataintegration_spark.streaming.ivf import (
+        export_ivf_serving_layout,
+        ivf_probe_cells_py,
+        read_ivf_serving,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    seed = [
+        (1, [1.0, 0.0], 1), (2, [0.9, 0.1], 1),
+        (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),
+        (5, [-1.0, 0.0], 1), (6, [-0.9, -0.1], 1),
+        (7, [0.0, -1.0], 1), (8, [0.5, 0.5], 1),
+    ]
+    assigned0, centroids = ivf_index_exact(
+        _vecs(spark, seed).drop("op"), n_cells=4, iterations=1
+    )
+    seed_ivf_store(assigned0, centroids, store)
+    batch = [(9, [0.8, 0.2], 1), (10, [-0.1, -0.9], 1), (2, None, -1)]
+    _vecs(spark, batch).coalesce(1).write.mode("append").parquet(src)
+    ivf_stream(
+        spark, src, "*.parquet", store, ckpt, op_col="op", compact_every=0
+    )
+
+    out = str(tmp_path / "export")
+    assert export_ivf_serving_layout(spark, store, out) == 1
+
+    maintained = read_rowstore(
+        spark, store, "assigned", id_col="neighbor_id", marker="tombs"
+    )
+    exported = spark.read.parquet(os.path.join(out, "assigned"))
+    assert _cells(exported) == _cells(maintained)
+
+    queries = spark.createDataFrame(
+        [(100, [0.95, 0.05]), (101, [-0.2, -0.8])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = [
+        (r["cell"], [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(os.path.join(out, "centroids")).collect()
+    ]
+    # n_probe=1: the planner's cell choice must match the search's
+    # argmin exactly (same fold order, same tie rule) — a superset
+    # by construction at larger n_probe
+    cells = ivf_probe_cells_py(
+        [[0.95, 0.05], [-0.2, -0.8]], cents, n_probe=1
+    )
+    assigned, cdf = read_ivf_serving(spark, out, cells)
+    plan = explain_str(assigned)
+    m = re.search(r"PartitionFilters: \[cell#\d+(?:L)? IN \(([\d,]+)\)\]", plan)
+    assert m, f"pruned IVF scan must carry a cell IN partition filter:\n{plan}"
+    assert sorted(int(x) for x in m.group(1).split(",")) == cells
+
+    got = ivf_search(queries, assigned, cdf, k=2, n_probe=1)
+    want = ivf_search(
+        queries, maintained, read_ivf_centroids(spark, store), k=2, n_probe=1
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the deleted vector is unfindable through the export
+    assert exported.filter(F.col("neighbor_id") == 2).count() == 0
+
+
+def test_ivf_refresh_is_incremental_and_value_invisible(spark, tmp_path):
+    """`refresh_ivf_serving_layout` — the merge-on-read refresh:
+    after a second CRUD wave, (a) only the cells receiving new
+    assignments rewrite (untouched cell part files stay
+    byte-identical), (b) a takedown in an UNTOUCHED cell is served
+    through the delete-file side relation without rewriting that
+    cell, (c) a re-insert above its own tombstone lives, and (d)
+    search over the refreshed pruned layout equals search over the
+    maintained store at the new version."""
+    import glob as globmod
+
+    from patientdataintegration_spark.operators.similarity import (
+        ivf_index_exact,
+        ivf_search,
+    )
+    from patientdataintegration_spark.streaming.components import (
+        read_rowstore,
+    )
+    from patientdataintegration_spark.streaming.ivf import (
+        export_ivf_serving_layout,
+        refresh_ivf_serving_layout,
+        read_ivf_serving,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    # four well-separated directions -> four stable cells
+    seed = [
+        (1, [1.0, 0.0], 1), (2, [0.9, 0.1], 1),
+        (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),
+        (5, [-1.0, 0.0], 1), (6, [-0.9, -0.1], 1),
+        (7, [0.0, -1.0], 1), (8, [0.5, 0.5], 1),
+    ]
+    assigned0, centroids = ivf_index_exact(
+        _vecs(spark, seed).drop("op"), n_cells=4, iterations=1
+    )
+    seed_ivf_store(assigned0, centroids, store)
+    # batch 1 -> generation 1; export pins it
+    _vecs(spark, [(9, [0.8, 0.2], 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ivf_stream(
+        spark, src, "*.parquet", store, ckpt, op_col="op", compact_every=0
+    )
+    out = str(tmp_path / "export")
+    assert export_ivf_serving_layout(spark, store, out) == 1
+
+    all_cells = sorted(
+        r["cell"]
+        for r in spark.read.parquet(os.path.join(out, "centroids"))
+        .select("cell")
+        .collect()
+    )
+    before = {
+        p: (os.path.getmtime(p), os.path.getsize(p))
+        for p in globmod.glob(os.path.join(out, "assigned", "cell=*", "*"))
+    }
+
+    # batch 2 -> generation 2: an ingest near +x and takedowns of
+    # vec 3 (the +y cell, which receives NO new assignment) and
+    # vec 5; batch 3 -> generation 3: vec 5 re-inserts ABOVE its
+    # tombstone, moved to the -y direction (a same-batch re-insert
+    # would die by the store's own rule)
+    batch2 = [(10, [0.95, 0.05], 1), (3, None, -1), (5, None, -1)]
+    _vecs(spark, batch2).coalesce(1).write.mode("append").parquet(src)
+    ivf_stream(
+        spark, src, "*.parquet", store, ckpt, op_col="op", compact_every=0
+    )
+    _vecs(spark, [(5, [-0.05, -0.95], 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ivf_stream(
+        spark, src, "*.parquet", store, ckpt, op_col="op", compact_every=0
+    )
+
+    res = refresh_ivf_serving_layout(spark, store, out)
+    assert res["mode"] == "incremental"
+    assert res["version"] == 3
+
+    maintained = read_rowstore(
+        spark, store, "assigned", id_col="neighbor_id", marker="tombs"
+    )
+    served, cdf = read_ivf_serving(spark, out, all_cells)
+    assert _cells(served) == _cells(maintained)
+    # (b) vec 3's cell was never rewritten, yet 3 is gone (MoR tombs)
+    assert served.filter(F.col("neighbor_id") == 3).count() == 0
+    # (c) vec 5's re-insert above its tombstone lives, in its new cell
+    assert served.filter(F.col("neighbor_id") == 5).count() == 1
+    # (a) untouched cells' files are byte-identical
+    dirty = set(res["dirty_cells"])
+    untouched = [
+        p
+        for p in before
+        if int(p.split("cell=")[1].split(os.sep)[0]) not in dirty
+    ]
+    assert untouched, "test needs at least one untouched cell"
+    for p in untouched:
+        assert (os.path.getmtime(p), os.path.getsize(p)) == before[p]
+    assert len(dirty) < len(all_cells)
+
+    # (d) search parity at the refreshed version
+    queries = spark.createDataFrame(
+        [(100, [0.9, 0.1]), (101, [0.0, 1.0]), (102, [-0.1, -0.9])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = ivf_search(queries, served, cdf, k=2, n_probe=4)
+    want = ivf_search(
+        queries, maintained, read_ivf_centroids(spark, store), k=2, n_probe=4
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # noop at the same version; backward refresh refuses
+    assert refresh_ivf_serving_layout(spark, store, out)["mode"] == "noop"
+    import pytest
+
+    with pytest.raises(ValueError):
+        refresh_ivf_serving_layout(spark, store, out, version=1)
+
+
+def test_ivf_refresh_falls_back_to_full_after_gc(spark, tmp_path):
+    """When compaction+GC folded the generations the diff needs, the
+    refresh takes the FULL re-export path (correct, just not
+    incremental) and resets the delete-file relation to empty at the
+    new version — the natural fold point."""
+    from patientdataintegration_spark.operators.similarity import (
+        ivf_index_exact,
+    )
+    from patientdataintegration_spark.streaming.components import (
+        read_rowstore,
+    )
+    from patientdataintegration_spark.streaming.ivf import (
+        compact_ivf_store,
+        export_ivf_serving_layout,
+        refresh_ivf_serving_layout,
+        read_ivf_serving,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    seed = [(1, [1.0, 0.0], 1), (3, [0.0, 1.0], 1), (5, [-1.0, 0.0], 1)]
+    assigned0, centroids = ivf_index_exact(
+        _vecs(spark, seed).drop("op"), n_cells=2, iterations=1
+    )
+    seed_ivf_store(assigned0, centroids, store)
+    _vecs(spark, [(9, [0.8, 0.2], 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ivf_stream(
+        spark, src, "*.parquet", store, ckpt, op_col="op", compact_every=0
+    )
+    out = str(tmp_path / "export")
+    assert export_ivf_serving_layout(spark, store, out) == 1
+
+    for i, batch in enumerate(
+        ([(10, [0.9, 0.1], 1)], [(11, [-0.9, 0.1], 1), (1, None, -1)])
+    ):
+        _vecs(spark, batch).coalesce(1).write.mode("append").parquet(src)
+        ivf_stream(
+            spark, src, "*.parquet", store, ckpt, op_col="op",
+            compact_every=0,
+        )
+        compact_ivf_store(spark, store)
+
+    res = refresh_ivf_serving_layout(spark, store, out)
+    assert res["mode"] == "full"
+    assert res["version"] == 3
+    maintained = read_rowstore(
+        spark, store, "assigned", id_col="neighbor_id", marker="tombs"
+    )
+    cells = sorted(
+        r["cell"]
+        for r in spark.read.parquet(os.path.join(out, "centroids"))
+        .select("cell")
+        .collect()
+    )
+    served, _cdf = read_ivf_serving(spark, out, cells)
+    assert _cells(served) == _cells(maintained)
+    assert served.filter(F.col("neighbor_id") == 1).count() == 0
