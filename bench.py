@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "q295_time_travel_export_serving",  # pinned-version export serve (r15)
     "q296_ivf_refreshed_serving",    # MoR-refreshed ANN serve (r15)
     "q297_proximity_pruned_serving",  # min-gap proximity rank (r15)
+    "q298_export_erasure_sla",       # serving-export erasure cert (r15)
 ]
 
 

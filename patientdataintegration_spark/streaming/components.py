@@ -121,6 +121,56 @@ def commit_base(store_dir: str, gen: int) -> None:
         pass
 
 
+def uncommit_delta(store_dir: str, gen: int) -> None:
+    """Remove delta_g{gen}'s explicit commit sentinel — writers call
+    this BEFORE the generation's first relation write, so a crash
+    mid-(re)write can never pair a stale sentinel with partially
+    rewritten relations (the `_SUCCESS` path gets the same property
+    for free because the marker job's overwrite deletes it first)."""
+    try:
+        os.remove(os.path.join(store_dir, f"delta_g{gen}", _BASE_SENTINEL))
+    except FileNotFoundError:
+        pass
+
+
+def commit_delta(store_dir: str, gen: int) -> None:
+    """Mark delta_g{gen} COMMITTED with an explicit sentinel — call
+    strictly after the generation's marker relation write returned.
+    `_scan_gens` accepts EITHER this sentinel or the marker job's
+    `_SUCCESS` file: deployments routinely disable success markers
+    (mapreduce.fileoutputcommitter.marksuccessfuljobs=false — the
+    default posture of several cloud committers), and without an
+    engine-owned sentinel every committed generation would look like
+    a crash remnant there — reads would silently serve the stale
+    base forever. Local file create; one zero-byte put on an object
+    store."""
+    with open(
+        os.path.join(store_dir, f"delta_g{gen}", _BASE_SENTINEL), "w"
+    ):
+        pass
+
+
+def migrate_store_markers(store_dir: str) -> list[str]:
+    """Stamp the commit sentinels onto a store written ENTIRELY by a
+    release that predates them — a pre-sentinel store's bases lack
+    `_COMMITTED`, so after upgrading, every read raises "never
+    seeded" with no recovery short of a rebuild. Only run this
+    against a store KNOWN to be cleanly shut down (the sentinel
+    asserts commit; this tool cannot distinguish a pre-upgrade crash
+    remnant from a committed generation — that is exactly the
+    information the sentinel adds). Returns the stamped entries."""
+    stamped: list[str] = []
+    for entry in sorted(os.listdir(store_dir)):
+        if not _BASE_RE.match(entry):
+            continue
+        path = os.path.join(store_dir, entry, _BASE_SENTINEL)
+        if not os.path.isfile(path):
+            with open(path, "w"):
+                pass
+            stamped.append(entry)
+    return stamped
+
+
 def _scan_gens(
     store_dir: str, marker: str | None = None
 ) -> tuple[list[int], list[int]]:
@@ -136,11 +186,18 @@ def _scan_gens(
     `_SUCCESS` file — Spark's committer creates the output directory
     before job commit, so a bare isdir check would trust a marker
     whose write crashed mid-job and serve a torn dirty-term/tombstone
-    set (r14 ADVICE). With the filter, uncommitted generations are
-    invisible to every read — the pre-batch state serves until the
-    replayed batch overwrites the partial generation idempotently.
-    Writers: the dedup stream commits with "tombs", the IVF stream
-    with "tombs", the index stream with "terms".
+    set (r14 ADVICE) — OR the engine-owned `_COMMITTED` sentinel the
+    writers stamp after the marker write (`commit_delta`): `_SUCCESS`
+    is a committer courtesy that deployments disable
+    (marksuccessfuljobs=false), and relying on it alone would make
+    every committed generation invisible there — reads silently
+    serving the stale base forever (r15 review). With the filter,
+    uncommitted generations are invisible to every read — the
+    pre-batch state serves until the replayed batch overwrites the
+    partial generation idempotently. Writers: the dedup stream
+    commits with "tombs", the IVF stream with "tombs", the index
+    stream with "terms"; each clears the sentinel before its first
+    relation write (`uncommit_delta`) and stamps it last.
 
     Bases get the same discipline via the `_COMMITTED` sentinel
     (`commit_base`): seed and compaction write several relations
@@ -164,8 +221,13 @@ def _scan_gens(
         m = _DELTA_RE.match(entry)
         if m:
             g = int(m.group(1))
-            if marker is not None and not os.path.isfile(
-                os.path.join(store_dir, entry, marker, "_SUCCESS")
+            if marker is not None and not (
+                os.path.isfile(
+                    os.path.join(store_dir, entry, marker, "_SUCCESS")
+                )
+                or os.path.isfile(
+                    os.path.join(store_dir, entry, _BASE_SENTINEL)
+                )
             ):
                 continue  # uncommitted (partial) generation: invisible
             deltas.append(g)
@@ -667,7 +729,9 @@ def components_stream(
                 F.col(id_col).cast("bigint").alias(id_col)
             ).filter(F.lit(False))
         # one delta generation per batch: a replayed batch overwrites
-        # its own generation — idempotent under checkpoint replay
+        # its own generation — idempotent under checkpoint replay;
+        # sentinel cleared first, stamped after the marker ("tombs")
+        uncommit_delta(store_dir, g)
         sigs_delta.write.mode("overwrite").parquet(
             _delta_path(store_dir, g, "sigs")
         )
@@ -680,6 +744,7 @@ def components_stream(
         doc_tombs.write.mode("overwrite").parquet(
             _delta_path(store_dir, g, "tombs")
         )
+        commit_delta(store_dir, g)
         if compact_every and g % compact_every == 0:
             _compact(s, store_dir, g)
 

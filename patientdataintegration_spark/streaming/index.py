@@ -89,8 +89,10 @@ from patientdataintegration_spark.streaming.components import (
     _delta_path,
     _resolve,
     commit_base,
+    commit_delta,
     gc_generations,
     latest_generation,
+    uncommit_delta,
 )
 
 INDEX_SCHEMA = "term string, doc_freq bigint, postings array<bigint>"
@@ -393,6 +395,18 @@ def export_serving_layout(
                 "mapping with the new partitions — export to a fresh "
                 "directory instead"
             )
+        old_rels = set(old_meta.get("relations", ()))
+        if old_rels and not old_rels <= set(relations):
+            # shrinking the relation set in place would leave the
+            # dropped relations' directories readable at the OLD
+            # version under the new meta version — the same silent-
+            # staleness class the n_buckets freeze refuses
+            raise ValueError(
+                f"serving layout at {out_dir!r} carries relations "
+                f"{sorted(old_rels)}; re-exporting in place with only "
+                f"{sorted(relations)} would leave the dropped relations "
+                "stale-but-readable — export to a fresh directory instead"
+            )
     for name in relations:
         df = read_index_store(spark, store_dir, name, version=version)
         df.withColumn("tb", term_bucket(F.col("term"), n_buckets)).write.mode(
@@ -458,7 +472,16 @@ def refresh_serving_layout(
     meta = _read_serving_meta(out_dir)
     n_buckets = int(meta["n_buckets"])
     v_exp = int(meta["version"])
-    relations = tuple(meta.get("relations", ("tf",)))
+    if "relations" not in meta:
+        # a meta without the relation list predates this refresh; a
+        # guessed default would advance the version while leaving the
+        # unguessed relations silently stale — refuse loudly instead
+        raise ValueError(
+            f"serving layout at {out_dir!r} records no relation list in its "
+            "meta (exported by an earlier release); re-export it before "
+            "refreshing incrementally"
+        )
+    relations = tuple(meta["relations"])
     v_new, _base, _gens = _resolve(store_dir, version, marker="terms")
     if v_new < v_exp:
         raise ValueError(
@@ -806,7 +829,9 @@ def index_stream(
         # its own generation — idempotent under checkpoint replay.
         # "terms" goes LAST: it is the generation's commit marker, so
         # a crash between these writes leaves an uncommitted partial
-        # that every read skips (r13 ADVICE; components._scan_gens)
+        # that every read skips (r13 ADVICE; components._scan_gens);
+        # the explicit sentinel covers committers with _SUCCESS off
+        uncommit_delta(store_dir, g)
         index_rows.select("term", "doc_freq", "postings").write.mode(
             "overwrite"
         ).parquet(_delta_path(store_dir, g, "index"))
@@ -824,6 +849,7 @@ def index_stream(
         dirty.select("term").write.mode("overwrite").parquet(
             _delta_path(store_dir, g, "terms")
         )
+        commit_delta(store_dir, g)
         if compact_every and g % compact_every == 0:
             _compact_index(s, store_dir, g)
 

@@ -65,9 +65,11 @@ from patientdataintegration_spark.streaming.components import (
     _base_path,
     _delta_path,
     commit_base,
+    commit_delta,
     gc_generations,
     latest_generation,
     read_rowstore,
+    uncommit_delta,
 )
 
 CENTROID_SCHEMA = "cell bigint, centroid array<double>"
@@ -194,23 +196,21 @@ def export_ivf_serving_layout(
 
 
 def _write_ivf_serving_meta(out_dir: str, meta: dict) -> None:
-    """Atomic meta flip (os.replace) — a reader never pairs one
-    version's tombs pointer with another's data (r14 ADVICE
-    discipline, `index._write_serving_meta`'s twin)."""
-    import json
+    """Atomic meta flip — `index._write_serving_meta` verbatim (one
+    flip discipline for every serving layout, not two copies)."""
+    from patientdataintegration_spark.streaming.index import (
+        _write_serving_meta,
+    )
 
-    meta_path = os.path.join(out_dir, "serving_meta.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
+    _write_serving_meta(out_dir, meta)
 
 
 def _read_ivf_serving_meta(out_dir: str) -> dict:
-    import json
+    from patientdataintegration_spark.streaming.index import (
+        _read_serving_meta,
+    )
 
-    with open(os.path.join(out_dir, "serving_meta.json")) as f:
-        return json.load(f)
+    return _read_serving_meta(out_dir)
 
 
 def refresh_ivf_serving_layout(
@@ -311,19 +311,14 @@ def refresh_ivf_serving_layout(
             )
         )
         # materialize BEFORE the overwrite: the plan reads the very
-        # partitions the write replaces
+        # partitions the write replaces. No emptied-cell deletion pass
+        # (unlike the index twin, where a dirty bucket's terms can all
+        # vanish): a cell is dirty only because a live insert lands in
+        # it, so every rewritten partition is non-empty by construction
         content = kept.unionByName(live).localCheckpoint()
-        written = {
-            r["cell"] for r in content.select("cell").distinct().collect()
-        }
         content.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("cell").parquet(os.path.join(out_dir, "assigned"))
-        for c in set(dirty) - written:
-            shutil.rmtree(
-                os.path.join(out_dir, "assigned", f"cell={c}"),
-                ignore_errors=True,
-            )
     old_rel = meta["tombs"]
     merged = (
         spark.read.schema(TOMB_SCHEMA)
@@ -469,13 +464,16 @@ def ivf_stream(
             ingest = batch
         cent = read_ivf_centroids(s, store_dir)
         assigned_delta = ivf_assign(ingest, cent, id_col, vec_col)
-        # one generation per batch, overwrite = replay-idempotent
+        # one generation per batch, overwrite = replay-idempotent;
+        # sentinel cleared first, stamped after the marker ("tombs")
+        uncommit_delta(store_dir, g)
         assigned_delta.write.mode("overwrite").parquet(
             _delta_path(store_dir, g, "assigned")
         )
         deleted.write.mode("overwrite").parquet(
             _delta_path(store_dir, g, "tombs")
         )
+        commit_delta(store_dir, g)
         if compact_every and g % compact_every == 0:
             _compact_ivf(s, store_dir, g)
 

@@ -679,6 +679,17 @@ def q290_bm25_pruned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pruned read touches |query terms| buckets; df is
     recomputed candidate-sized from exactly the pruned rows; the
     1-row stats marginal rides the export."""
+    out = _shared_serving_export(spark, sf_dir)
+    return _pruned_bm25_serve(spark, sf_dir, out, q_mod=250)
+
+
+def _pruned_bm25_serve(
+    spark: SparkSession, sf_dir: str, out: str, q_mod: int, k: int = 5
+) -> DataFrame:
+    """The shared q290-shape serve (also q292/q295, suite/ext11):
+    query vocabulary collected driver-side (the serving planner's
+    input — query-sized metadata, never cluster data), tf read
+    pruned to its buckets, stats from the layout's 1-row marginal."""
     from patientdataintegration_spark.operators.indexing import bm25_from_store
     from patientdataintegration_spark.operators.textops import tokens
     from patientdataintegration_spark.streaming.index import (
@@ -686,13 +697,10 @@ def q290_bm25_pruned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_serving_relation,
     )
 
-    out = _shared_serving_export(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
-    queries = d.filter(F.col("doc_id") % 250 == 1).select(
+    queries = d.filter(F.col("doc_id") % q_mod == 1).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    # the query vocabulary, driver-side: this IS the serving planner's
-    # input (query-sized metadata), never cluster data
     terms = [
         r["term"]
         for r in queries.select(
@@ -704,7 +712,7 @@ def q290_bm25_pruned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     tf_pruned = read_serving_relation(spark, out, "tf", terms)
     stats = spark.read.schema(STATS_SCHEMA).parquet(f"{out}/stats")
-    return bm25_from_store(tf_pruned, stats, queries, k=5, k1=1.2, b=0.75)
+    return bm25_from_store(tf_pruned, stats, queries, k=k, k1=1.2, b=0.75)
 
 
 def _q291_sql(top_n: int = 10) -> str:

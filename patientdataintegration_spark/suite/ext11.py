@@ -41,6 +41,7 @@ from patientdataintegration_spark.sources.catalog import load_table
 from patientdataintegration_spark.suite.ext10 import (
     _STORE_MEMO,
     _bm25_ctes,
+    _pruned_bm25_serve,
     _stream_crud_store,
 )
 
@@ -208,36 +209,8 @@ def prebuild_serving_stores(spark: SparkSession, sf_dir: str) -> dict:
     return builds
 
 
-def _pruned_bm25_serve(
-    spark: SparkSession, sf_dir: str, out: str, q_mod: int, k: int = 5
-) -> DataFrame:
-    """The shared q290-shape serve: query vocabulary collected
-    driver-side (the serving planner's input — query-sized metadata,
-    never cluster data), tf read pruned to its buckets, stats from
-    the layout's 1-row marginal."""
-    from patientdataintegration_spark.operators.indexing import bm25_from_store
-    from patientdataintegration_spark.operators.textops import tokens
-    from patientdataintegration_spark.streaming.index import (
-        STATS_SCHEMA,
-        read_serving_relation,
-    )
-
-    d = load_table(spark, sf_dir, "documents")
-    queries = d.filter(F.col("doc_id") % q_mod == 1).select(
-        F.col("doc_id").alias("query_id"), "text"
-    )
-    terms = [
-        r["term"]
-        for r in queries.select(
-            F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-        .collect()
-    ]
-    tf_pruned = read_serving_relation(spark, out, "tf", terms)
-    stats = spark.read.schema(STATS_SCHEMA).parquet(f"{out}/stats")
-    return bm25_from_store(tf_pruned, stats, queries, k=k, k1=1.2, b=0.75)
+# the shared q290-shape serve lives beside q290 (suite/ext10); the
+# refresh/time-travel lanes here reuse it verbatim
 
 
 def _q292_sql(k: int = 5) -> str:
@@ -716,3 +689,140 @@ def q297_proximity_pruned_serving(
     out, pairs, terms = _hot_pair_plan(spark, sf_dir)
     pos_pruned = read_serving_relation(spark, out, "pos", terms)
     return proximity_pair_topk(pos_pruned, pairs, k=5)
+
+
+def _q298_sql(cap: int = 16) -> str:
+    # expected row counts recomputed from raw text / raw vectors over
+    # each layout's net corpus; every refs_to_deleted is literally 0 —
+    # the certificate's claim — and the n_rows parity is what proves
+    # the engine actually scanned the real exported artifacts
+    return f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    tok AS (
+      SELECT doc_id, term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM corpus)
+      WHERE term <> ''
+    ),
+    t AS (SELECT DISTINCT doc_id, term FROM tok),
+    d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+    ivf_net AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 7 <> 3)
+    SELECT 'serve_tf' AS artifact,
+           CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS refs_to_deleted
+    UNION ALL SELECT 'serve_pos',
+           CAST((SELECT COUNT(*) FROM tok) AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL SELECT 'serve_index',
+           CAST((SELECT COUNT(*) FROM d) AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL SELECT 'serve_overflow',
+           CAST((SELECT COALESCE(SUM(GREATEST(df - {cap}, 0)), 0) FROM d)
+                AS BIGINT),
+           CAST(0 AS BIGINT)
+    UNION ALL SELECT 'refresh_tf',
+           CAST((SELECT COUNT(*) FROM t) AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL SELECT 'ivf_export',
+           CAST((SELECT n FROM ivf_net) AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL SELECT 'ivf_export_mor_served',
+           CAST((SELECT n FROM ivf_net) AS BIGINT), CAST(0 AS BIGINT)
+    """
+
+
+@_register("q298_export_erasure_sla", _q298_sql())
+def q298_export_erasure_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ERASURE-SLA certificate EXTENDED TO THE SERVING EXPORTS —
+    q278's question one hop further out: the store retracted the
+    takedown set, but did the SERVING COPIES? Every exported layout a
+    query can be served from is scanned in full (corpus-grain by
+    design — this is the auditor's nightly job, not a point read) and
+    certified (artifact, n_rows, refs_to_deleted):
+
+    - serve_tf / serve_pos / serve_index / serve_overflow — the
+      shared bucketed export (q290/q291/q293): refs scan the doc
+      column, and for the index relation the POSTINGS ARRAYS
+      themselves (a deleted doc hiding inside a capped posting list
+      is the failure mode the row-count alone would miss);
+    - refresh_tf — the incrementally refreshed export (q292): the
+      refresh path must erase as thoroughly as the full path;
+    - ivf_export — the full IVF export (q294): physically clean,
+      takedowns folded before the write;
+    - ivf_export_mor_served — the merge-on-read refreshed layout
+      (q296) read THROUGH `read_ivf_serving`: the delete files must
+      hide every tombstoned vector the never-rewritten cells still
+      physically hold. (Physical residue in MoR files is by design
+      until the next full re-export — the fold point; version-pinned
+      time-travel layouts are likewise retention-policy artifacts,
+      deleted per policy, not scrubbed in place.)
+
+    n_rows parity against the oracle's raw-text/raw-vector recompute
+    proves the certificate scanned the real artifacts; refs == 0 is
+    the SLA. Every row is a single-row aggregate — no row-level
+    diffs, the q278 discipline.
+
+    Scale: one pruned-free scan per exported relation, embarrassingly
+    parallel over buckets/cells; refs predicates are per-row integer
+    mods (JVM-codegen), the postings check one `filter` over each
+    array — the nightly compliance job's exact cost envelope."""
+    from patientdataintegration_spark.streaming.index import (
+        _SCHEMAS,
+        _read_serving_parquet,
+    )
+    from patientdataintegration_spark.streaming.ivf import read_ivf_serving
+    from patientdataintegration_spark.suite.ext10 import (
+        _shared_serving_export,
+    )
+
+    serve_out = _shared_serving_export(spark, sf_dir)
+    refresh_out = _refreshed_serving_export(spark, sf_dir)
+    ivf_full = _ivf_serving_export(spark, sf_dir)
+    ivf_mor = _ivf_refreshed_export(spark, sf_dir)
+
+    def cert(artifact: str, df: DataFrame, refs) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum(refs), F.lit(0))
+            .cast("bigint")
+            .alias("refs_to_deleted"),
+        ).select(
+            F.lit(artifact).alias("artifact"), "n_rows", "refs_to_deleted"
+        )
+
+    doc_deleted = (F.col("doc") % 5 == 0).cast("int")
+    rows = []
+    for name in ("tf", "pos", "overflow"):
+        rows.append(
+            cert(
+                f"serve_{name}",
+                _read_serving_parquet(spark, serve_out, name),
+                doc_deleted,
+            )
+        )
+    rows.append(
+        cert(
+            "serve_index",
+            _read_serving_parquet(spark, serve_out, "index"),
+            F.size(F.filter("postings", lambda x: x % 5 == 0)),
+        )
+    )
+    rows.append(
+        cert(
+            "refresh_tf",
+            _read_serving_parquet(spark, refresh_out, "tf"),
+            doc_deleted,
+        )
+    )
+    vec_deleted = (F.col("neighbor_id") % 7 == 3).cast("int")
+    from patientdataintegration_spark.streaming.ivf import _read_ivf_export
+
+    rows.append(cert("ivf_export", _read_ivf_export(spark, ivf_full), vec_deleted))
+    all_cells = sorted(
+        r["cell"]
+        for r in spark.read.parquet(f"{ivf_mor}/centroids")
+        .select("cell")
+        .collect()
+    )
+    served, _cdf = read_ivf_serving(spark, ivf_mor, all_cells)
+    rows.append(cert("ivf_export_mor_served", served, vec_deleted))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

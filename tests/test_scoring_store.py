@@ -508,12 +508,18 @@ def test_incremental_refresh_rewrites_only_dirty_buckets(spark, tmp_path):
     # one disjoint term per doc, so dirty/untouched buckets separate;
     # at n_buckets=16: u1->15, u2->4, u3->8, u4->11, u5->0, u6->10,
     # x7->10 (x7 COHABITS u6's bucket — the rewrite must keep u6)
-    seed = [(i, f"u{i} u{i}", 1) for i in range(1, 7)]
+    # ... plus 18 docs sharing "of" (df > cap=16), so the exported
+    # overflow relation is non-empty and its bucket (8) is an
+    # untouched-bucket witness of its own
+    seed = [(i, f"u{i} u{i}", 1) for i in range(1, 7)] + [
+        (100 + i, "of", 1) for i in range(18)
+    ]
     _seed(spark, store, seed)
     out = str(tmp_path / "export")
     n_buckets = 16
+    RELS = ("tf", "pos", "index", "overflow")
     assert export_serving_layout(
-        spark, store, out, relations=("tf", "pos"), n_buckets=n_buckets
+        spark, store, out, relations=RELS, n_buckets=n_buckets
     ) == 0
 
     # batch: ingest 7 (dirties u1, x7), take down doc 2 (u2's ONLY
@@ -527,7 +533,7 @@ def test_incremental_refresh_rewrites_only_dirty_buckets(spark, tmp_path):
         op_col="op", max_postings=16, compact_every=0,
     )
 
-    before = {n: _export_file_state(out, n) for n in ("tf", "pos")}
+    before = {n: _export_file_state(out, n) for n in RELS}
     res = refresh_serving_layout(spark, store, out)
     dirty_buckets = sorted(
         {term_bucket_py(t, n_buckets) for t in ("u1", "x7", "u2")}
@@ -536,7 +542,7 @@ def test_incremental_refresh_rewrites_only_dirty_buckets(spark, tmp_path):
         "version": 1, "mode": "incremental", "dirty_buckets": dirty_buckets,
     }
 
-    for name in ("tf", "pos"):
+    for name in RELS:
         got = _norm(spark.read.parquet(os.path.join(out, name)).drop("tb"))
         assert got == _norm(read_index_store(spark, store, name, version=1)), (
             f"refreshed {name} must equal the store at the new version"
@@ -559,13 +565,14 @@ def test_incremental_refresh_rewrites_only_dirty_buckets(spark, tmp_path):
         spark.read.parquet(os.path.join(out, "stats"))
     ) == _norm(read_index_stats(spark, store, version=1))
 
-    # re-running with nothing new is a declared no-op: zero writes
+    # re-running with nothing new is a declared no-op: zero writes —
+    # snapshot BEFORE the call, compare after (a same-call comparison
+    # would be a tautology)
+    pre_noop = {n: _export_file_state(out, n) for n in RELS}
     again = refresh_serving_layout(spark, store, out)
     assert again == {"version": 1, "mode": "noop", "dirty_buckets": []}
-    for name in ("tf", "pos"):
-        assert _export_file_state(out, name) == (
-            {p: s for p, s in _export_file_state(out, name).items()}
-        )
+    for name in RELS:
+        assert _export_file_state(out, name) == pre_noop[name]
 
 
 def test_refresh_falls_back_to_full_export_after_gc(spark, tmp_path):
@@ -831,3 +838,54 @@ def test_proximity_merged_adjacency_equals_quadratic_min(spark):
         for r in proximity_pair_topk(positions, pairs, k=2).collect()
     }
     assert top2 == {(doc, i + 1) for i, (doc, _g) in enumerate(ranked[:2])}
+
+
+def test_refresh_refuses_meta_without_relation_list(spark, tmp_path):
+    """A serving meta with no 'relations' key predates the refresh;
+    guessing a default would advance the version while leaving the
+    unguessed relations silently stale — the refresh must refuse
+    loudly and demand a re-export."""
+    import json
+
+    from patientdataintegration_spark.streaming.index import (
+        export_serving_layout,
+        refresh_serving_layout,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    _seed(spark, store, [(1, "a b", 1)])
+    out = str(tmp_path / "export")
+    export_serving_layout(spark, store, out, relations=("tf",), n_buckets=4)
+    meta_path = os.path.join(out, "serving_meta.json")
+    meta = json.load(open(meta_path))
+    del meta["relations"]
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="no relation list"):
+        refresh_serving_layout(spark, store, out)
+
+
+def test_inplace_export_refuses_shrinking_relations(spark, tmp_path):
+    """Re-exporting in place with FEWER relations would leave the
+    dropped relations' directories stale-but-readable under the new
+    meta version — refused, the n_buckets-freeze discipline; growing
+    the set in place stays allowed (everything rewrites)."""
+    from patientdataintegration_spark.streaming.index import (
+        export_serving_layout,
+        read_serving_relation,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    _seed(spark, store, [(1, "a b", 1)])
+    out = str(tmp_path / "export")
+    export_serving_layout(
+        spark, store, out, relations=("tf", "pos"), n_buckets=4
+    )
+    with pytest.raises(ValueError, match="stale-but-readable"):
+        export_serving_layout(spark, store, out, relations=("tf",), n_buckets=4)
+    # growing in place is fine — and the grown relation serves
+    export_serving_layout(
+        spark, store, out, relations=("tf", "pos", "index"), n_buckets=4
+    )
+    assert read_serving_relation(spark, out, "index", ["a"]).count() == 1

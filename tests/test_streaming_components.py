@@ -450,3 +450,85 @@ def test_partial_generation_is_invisible_to_dedup_store_reads(spark, tmp_path):
         for r in read_store(spark, store, "labels").collect()
     ) == [(1, 1), (2, 1)]
     assert latest_generation(store, marker="tombs") == 0
+
+
+def test_commit_survives_disabled_success_markers(spark, tmp_path):
+    """Generations stay COMMITTED when the committer writes no
+    `_SUCCESS` files (marksuccessfuljobs=false — the posture of
+    several cloud committers): the writers stamp an engine-owned
+    `_COMMITTED` sentinel after the marker relation, and `_scan_gens`
+    accepts either. Simulated by deleting every `_SUCCESS` under the
+    store after a committed run — without the sentinel, every read
+    would silently resolve to the seed state forever."""
+    from patientdataintegration_spark.streaming.components import (
+        components_stream,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.makedirs(store)
+    hist = [(1, 10, 11, 1001, 1002), (2, 10, 11, 2001, 2002)]
+    seed_stores(
+        spark.createDataFrame(hist, SIG_SCHEMA),
+        spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint"),
+        spark.createDataFrame(
+            [(1, 1), (2, 1)], "node bigint, label bigint"
+        ),
+        store,
+    )
+    delta = [(3, 30, 31, 3001, 3002)]
+    spark.createDataFrame(delta, SIG_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    components_stream(
+        spark, src, "*.parquet", store, ckpt, bands=2, rows_per_band=2,
+        compact_every=0,
+    )
+    assert latest_generation(store, marker="tombs") == 1
+
+    removed = 0
+    for root, _dirs, files in os.walk(store):
+        for f in files:
+            if f == "_SUCCESS":
+                os.remove(os.path.join(root, f))
+                removed += 1
+    assert removed > 0, "test needs _SUCCESS files to strip"
+
+    # the sentinel alone keeps generation 1 visible
+    assert latest_generation(store, marker="tombs") == 1
+    assert sorted(
+        r["doc_id"] for r in read_store(spark, store, "sigs").collect()
+    ) == [1, 2, 3]
+
+
+def test_migrate_store_markers_restores_pre_upgrade_store(spark, tmp_path):
+    """A store written by a release that predates the base sentinel
+    has no `base_g*/_COMMITTED`: after upgrading, every read raises
+    "never seeded" with no recovery path. `migrate_store_markers`
+    stamps the sentinels onto a known-good store and returns what it
+    stamped (idempotent: a second run stamps nothing)."""
+    from patientdataintegration_spark.streaming.components import (
+        _BASE_SENTINEL,
+        migrate_store_markers,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    seed_stores(
+        spark.createDataFrame([(1, 10)], "doc_id bigint, s bigint"),
+        spark.createDataFrame([], "doc_a bigint, doc_b bigint"),
+        spark.createDataFrame([(1, 1)], "node bigint, label bigint"),
+        store,
+    )
+    # simulate the pre-sentinel layout
+    os.remove(os.path.join(store, "base_g0", _BASE_SENTINEL))
+    with pytest.raises(ValueError, match="never seeded"):
+        read_store(spark, store, "sigs")
+
+    assert migrate_store_markers(store) == ["base_g0"]
+    assert sorted(
+        r["doc_id"] for r in read_store(spark, store, "sigs").collect()
+    ) == [1]
+    assert migrate_store_markers(store) == []
