@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "q296_ivf_refreshed_serving",    # MoR-refreshed ANN serve (r15)
     "q297_proximity_pruned_serving",  # min-gap proximity rank (r15)
     "q298_export_erasure_sla",       # serving-export erasure cert (r15)
+    "q299_continuous_serving",       # inline per-batch refresh (r15)
 ]
 
 

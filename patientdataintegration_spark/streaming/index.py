@@ -626,12 +626,27 @@ def index_stream(
     op_col: str | None = None,
     max_postings: int | None = 16,
     compact_every: int = 16,
+    serving_out: str | None = None,
 ) -> DataFrame:
     """Drain the document file stream under `availableNow`,
     maintaining the seeded (index, overflow) store one micro-batch at
     a time, and return the FINAL maintained index. Call again after
     new files land (same checkpoint): only the new files process,
     against the surviving state — the q270/q273 restart pattern.
+
+    With `serving_out` (a layout previously created by
+    `export_serving_layout` against this store), the stream is
+    CONTINUOUS SERVING: each micro-batch ends with an incremental
+    `refresh_serving_layout`, so the point-read layout follows the
+    stream — the batch's dirty terms' buckets rewrite, everything
+    else stays byte-identical — and no scheduled refresh job exists
+    to fall behind. Replay-safe for free: a replayed batch finds the
+    layout already at (or past) its generation and the refresh
+    no-ops (it only moves forward). The refresh rides the SAME
+    foreachBatch, strictly after the generation's commit sentinel —
+    a crash between commit and refresh leaves a committed store one
+    version ahead of the layout, which the next batch's refresh
+    catches up (staleness, never wrongness).
 
     Per batch: `extend_inverted_index_delta` over the op > 0 rows
     (dirty terms = the batch's vocabulary, broadcast; repair shuffle
@@ -852,6 +867,8 @@ def index_stream(
         commit_delta(store_dir, g)
         if compact_every and g % compact_every == 0:
             _compact_index(s, store_dir, g)
+        if serving_out is not None:
+            refresh_serving_layout(s, store_dir, serving_out)
 
     stream = (
         spark.readStream.schema(doc_schema)

@@ -889,3 +889,69 @@ def test_inplace_export_refuses_shrinking_relations(spark, tmp_path):
         spark, store, out, relations=("tf", "pos", "index"), n_buckets=4
     )
     assert read_serving_relation(spark, out, "index", ["a"]).count() == 1
+
+
+def test_continuous_serving_layout_follows_the_stream(spark, tmp_path):
+    """`index_stream(serving_out=...)` — continuous serving: each
+    micro-batch ends with an incremental refresh, so after every run
+    the layout serves the store's newest version with only the
+    batch's dirty buckets rewritten; a restart run with no new files
+    advances nothing and rewrites nothing."""
+    from patientdataintegration_spark.streaming.index import (
+        _read_serving_meta,
+        export_serving_layout,
+        term_bucket_py,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    seed = [(i, f"u{i} u{i}", 1) for i in range(1, 7)]
+    _seed(spark, store, seed)
+    out = str(tmp_path / "export")
+    n_buckets = 16
+    assert export_serving_layout(
+        spark, store, out, relations=("tf", "pos"), n_buckets=n_buckets
+    ) == 0
+
+    def run():
+        return index_stream(
+            spark, src, "*.parquet", store, ckpt,
+            op_col="op", max_postings=16, compact_every=0,
+            serving_out=out,
+        )
+
+    # batch 1 -> gen 1, refreshed inline
+    spark.createDataFrame([(7, "u1 x7", 1)], DOC_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run()
+    assert _read_serving_meta(out)["version"] == 1
+    state1 = {n: _export_file_state(out, n) for n in ("tf", "pos")}
+
+    # batch 2 -> gen 2 (ingest u8, take down doc 2), refreshed inline
+    spark.createDataFrame(
+        [(8, "u8", 1), (2, None, -1)], DOC_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert _read_serving_meta(out)["version"] == 2
+    dirty2 = {term_bucket_py(t, n_buckets) for t in ("u8", "u2")}
+    for name in ("tf", "pos"):
+        got = _norm(spark.read.parquet(os.path.join(out, name)).drop("tb"))
+        assert got == _norm(read_index_store(spark, store, name))
+        after = _export_file_state(out, name)
+        untouched = {
+            p: s for p, s in state1[name].items()
+            if p.startswith("tb=")
+            and int(p.split(os.sep)[0][3:]) not in dirty2
+        }
+        assert untouched, "test needs untouched buckets to witness"
+        for p, s in untouched.items():
+            assert after.get(p) == s, f"batch-2 refresh rewrote {p}"
+
+    # empty restart: nothing advances, nothing rewrites
+    pre = {n: _export_file_state(out, n) for n in ("tf", "pos")}
+    run()
+    assert _read_serving_meta(out)["version"] == 2
+    for name in ("tf", "pos"):
+        assert _export_file_state(out, name) == pre[name]
