@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "q297_proximity_pruned_serving",  # min-gap proximity rank (r15)
     "q298_export_erasure_sla",       # serving-export erasure cert (r15)
     "q299_continuous_serving",       # inline per-batch refresh (r15)
+    "q300_ivf_continuous_serving",   # inline MoR ANN refresh (r15)
 ]
 
 

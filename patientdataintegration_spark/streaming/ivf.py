@@ -424,12 +424,26 @@ def ivf_stream(
     vec_col: str = "embedding",
     op_col: str | None = None,
     compact_every: int = 16,
+    serving_out: str | None = None,
 ) -> DataFrame:
     """Drain the vector file stream under `availableNow`, maintaining
     the seeded inverted file one micro-batch at a time, and return
     the FINAL maintained `assigned` relation (feed it to
     `ivf_search`). Call again after new files land (same checkpoint):
     only the new files process — the q270/q273/q283 restart pattern.
+
+    With `serving_out` (a layout previously created by
+    `export_ivf_serving_layout` against this store), the stream is
+    CONTINUOUS SERVING — `index_stream(serving_out=...)`'s geometric
+    twin: each micro-batch ends with an incremental
+    `refresh_ivf_serving_layout` (the batch's inserts rewrite only
+    their cells, takedowns merge into the delta-sized delete files),
+    so the cell-partitioned layout follows the stream with no
+    scheduled job. Replay-safe for free (the refresh only moves
+    forward and its partition rewrite is exact-(id, gen)
+    idempotent); a crash between the generation commit and the
+    refresh costs one version of staleness, repaired by the next
+    batch.
 
     Per batch: op > 0 rows assign against the frozen centroids
     (`ivf_assign` — one broadcast map job over the batch, the old
@@ -476,6 +490,8 @@ def ivf_stream(
         commit_delta(store_dir, g)
         if compact_every and g % compact_every == 0:
             _compact_ivf(s, store_dir, g)
+        if serving_out is not None:
+            refresh_ivf_serving_layout(s, store_dir, serving_out)
 
     stream = (
         spark.readStream.schema(vec_schema)

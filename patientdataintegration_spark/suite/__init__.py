@@ -335,7 +335,7 @@ lanes (the 39-lane r8 cohort up to q124; the remaining eighteen —
 q125/q126/q180/q196/q201/q231/q234/q237/q238/q239/q241/q242/q243/
 q88/q89/q90/q93/q99 — queue for r15).
 
-The round-15 window: (a) the eight r15 additions, never
+The round-15 window: (a) the nine r15 additions, never
 driver-checked — q292 (BM25 from an INCREMENTALLY refreshed export:
 `refresh_serving_layout` rewrites only the buckets containing terms
 dirtied since the exported version, oracle = the net-corpus
@@ -363,7 +363,9 @@ arrays included, refs_to_deleted == 0 with n_rows parity against
 the raw recompute) and q299 (CONTINUOUS serving — index_stream
 refreshes the exported layout inline at the end of every
 micro-batch, so the point-read layout follows the stream with no
-scheduled job; oracle = q292's net-corpus recompute);
+scheduled job; oracle = q292's net-corpus recompute) and q300 (the
+same for the ANN store — ivf_stream's inline merge-on-read refresh;
+oracle = q284's full-pipeline recompute);
 (b) eleven re-proofs for everything r15 touched — the hardened
 commit markers (delta markers now require the marker job's
 _SUCCESS; bases commit via a _COMMITTED sentinel written after the
@@ -373,10 +375,9 @@ deterministic anti-joins (q283/q285/q286/q289), and the shared
 serving export grew to four relations (q290/q291); (c) the complete
 eighteen-lane r8-era queue from the r14 rotation — after this
 window no hash lane's latest driver evidence predates r9; and (d)
-thirteen oldest-first r9-era fill lanes (q127-q141 era — the next
-rotation cohort; the remaining r9 lanes, q142/q143/q144/q146
-included — displaced by the late additions q296-q299 — queue for
-r16).
+twelve oldest-first r9-era fill lanes (q127-q140 era — the next
+rotation cohort; the remaining r9 lanes, q141-q144/q146 included —
+displaced by the late additions q296-q300 — queue for r16).
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -457,6 +458,7 @@ PRIORITY = [
     "q297_proximity_pruned_serving",
     "q298_export_erasure_sla",
     "q299_continuous_serving",
+    "q300_ivf_continuous_serving",
     # (b) changed in round 15 — re-prove: every store-backed lane
     # rides the hardened commit markers (_SUCCESS-checked delta
     # markers, base _COMMITTED sentinels), the deterministic
@@ -493,7 +495,7 @@ PRIORITY = [
     "q241_incremental_distinct",
     "q242_join_view_maintenance",
     "q243_bitmap_exact_distinct",
-    # (d) thirteen oldest-first r9-era fill lanes — the next
+    # (d) twelve oldest-first r9-era fill lanes — the next
     # evidence-rotation cohort
     "q127_weighted_sample",
     "q128_scd2_history",
@@ -507,7 +509,6 @@ PRIORITY = [
     "q137_fuzzy_join",
     "q139_correlation_matrix",
     "q140_mutual_information",
-    "q141_group_trend",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -10,10 +10,19 @@ q294 (the maintained IVF store gains a point-read serving export:
 DRIVER-SIDE planner input — `term_bucket_py`'s geometric twin), and
 q295 (a TIME-TRAVELED serving export: the layout pinned at a
 historical store version, so yesterday's corpus serves today at
-point-read cost — q287's semantics at q290's price).
+point-read cost — q287's semantics at q290's price). Late-round
+additions complete the tier: q296 (the IVF export refreshes
+incrementally — dirty cells rewrite, takedowns become merge-on-read
+delete files), q297 (proximity ranking — min token gap per pair —
+from the pruned positional buckets via a linear merged-adjacency
+window), q298 (the erasure-SLA certificate extended to every
+exported layout, postings arrays and delete files included), and
+q299/q300 (CONTINUOUS serving: index_stream/ivf_stream refresh
+their exports inline at the end of every micro-batch, so the
+point-read layouts follow the streams with no scheduled job).
 
-Scale stance (100 TB): these four close the serving tier's remaining
-full-scan costs. The refresh (q292) is the one that bites first in
+Scale stance (100 TB): together these close the serving tier's
+remaining full-scan costs. The refresh (q292) is the one that bites first in
 production — without it every maintenance window forces a
 corpus-sized re-export; with it the refresh is O(dirty terms' rows +
 their buckets), proven byte-identical on untouched buckets by
@@ -203,6 +212,10 @@ def prebuild_serving_stores(spark: SparkSession, sf_dir: str) -> dict:
         (
             "continuous_export",
             lambda: _continuous_serving_export(spark, sf_dir),
+        ),
+        (
+            "ivf_continuous_export",
+            lambda: _ivf_continuous_export(spark, sf_dir),
         ),
     ]
     builds = {}
@@ -939,3 +952,124 @@ def q299_continuous_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     whatever its meta says it is)."""
     out = _continuous_serving_export(spark, sf_dir)
     return _pruned_bm25_serve(spark, sf_dir, out, q_mod=150)
+
+
+def _ivf_continuous_export(spark: SparkSession, sf_dir: str) -> str:
+    """The q300 layout: exported ONCE at the seed version, then kept
+    fresh by `ivf_stream(serving_out=...)` — batch 1 ingests the
+    second third, batch 2 (a checkpointed restart) ingests the final
+    third plus the vec_id % 7 == 3 takedowns; each run's inline
+    refresh advances the layout. Built once per process."""
+    from patientdataintegration_spark.scratch import scratch_dir
+    from patientdataintegration_spark.streaming.ivf import (
+        _read_ivf_serving_meta,
+        export_ivf_serving_layout,
+        ivf_stream,
+        seed_ivf_store,
+    )
+    from patientdataintegration_spark.suite.ext import cached_stream_seed_ivf
+
+    key = ("ivf_continuous_export", sf_dir)
+    memo = _STORE_MEMO.get(key)
+    if memo is not None and os.path.isdir(memo):
+        return memo
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned0, centroids0 = cached_stream_seed_ivf(spark, sf_dir)
+    root = scratch_dir("ivf_continuous_store", sf_dir)
+    src, store, ckpt, out = (
+        f"{root}/{p}" for p in ("src", "store", "ckpt", "export")
+    )
+    os.makedirs(src)
+    os.makedirs(store)
+    seed_ivf_store(assigned0, centroids0, store)
+    export_ivf_serving_layout(spark, store, out)
+
+    def run():
+        ivf_stream(
+            spark, src, "*.parquet", store, ckpt, op_col="op",
+            compact_every=0, serving_out=out,
+        )
+
+    batch1 = e.filter(F.col("vec_id") % 3 == 1).select(
+        "vec_id", "embedding", F.lit(1).cast("int").alias("op")
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    run()
+    takedowns = e.filter(F.col("vec_id") % 7 == 3).select(
+        "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(-1).cast("int").alias("op"),
+    )
+    batch2 = e.filter(F.col("vec_id") % 3 == 2).select(
+        "vec_id", "embedding", F.lit(1).cast("int").alias("op")
+    ).unionByName(takedowns)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    run()
+    v = int(_read_ivf_serving_meta(out)["version"])
+    if v != 2:
+        raise RuntimeError(
+            f"IVF continuous serving left the layout at version {v}, "
+            "expected 2 — the inline refresh did not follow the stream"
+        )
+    _STORE_MEMO[key] = out
+    return out
+
+
+def _q300_sql() -> str:
+    # q284's full-pipeline recompute over the net corpus — the inline
+    # per-batch MoR refresh must be exactly as invisible to the
+    # search as the scheduled one (q296)
+    from patientdataintegration_spark.suite.ext9 import _q284_sql
+
+    return _q284_sql()
+
+
+@_register("q300_ivf_continuous_serving", _q300_sql())
+def q300_ivf_continuous_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS SERVING for the ANN store — q299's geometric twin
+    (`ivf_stream(serving_out=...)`): each micro-batch, after
+    committing its row-grain generation, runs the incremental
+    merge-on-read refresh inline — the batch's inserts rewrite only
+    their probe cells and its takedowns merge into the delta-sized
+    delete files — so the cell-partitioned layout follows the vector
+    stream with no scheduled job, and the ANN serving user reads the
+    newest committed inverted file at pruned point-read cost the
+    moment the batch lands. The builder exports at the seed version
+    and drains the q284 CRUD schedule through two checkpointed runs
+    (batch 2 carries the vec_id % 7 == 3 takedowns, hitting seed,
+    batch-1 and same-batch vectors alike). The serve is q294's
+    verbatim (driver-side probe planner, cell partition filter,
+    delete files anti-applied); the oracle replays the ENTIRE
+    pipeline — quantizer on the seed slice, assignment of every
+    vector, search over the survivors — so the driver hash proves
+    the inline refresh is exactly as invisible to the search as the
+    scheduled one (q296). Version tracking, MoR takedown serving and
+    empty-restart no-ops are pinned by tests/test_streaming_ivf.py.
+
+    Scale: per batch the stream pays O(|Δ| × n_cells) for assignment
+    plus O(inserted rows' cells + tombstone ids) for the layout —
+    both batch-sized; the corpus-sized inverted file is touched only
+    by the pruned serve itself."""
+    from patientdataintegration_spark.operators.similarity import ivf_search
+    from patientdataintegration_spark.streaming.ivf import (
+        ivf_probe_cells_py,
+        read_ivf_serving,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = _ivf_continuous_export(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    qvecs = [
+        [float(x) for x in r["embedding"]]
+        for r in queries.select("embedding").collect()
+    ]
+    cents = spark.read.parquet(f"{out}/centroids").collect()
+    cells = ivf_probe_cells_py(
+        qvecs,
+        [(r["cell"], [float(x) for x in r["centroid"]]) for r in cents],
+        n_probe=4,
+    )
+    assigned, centroids = read_ivf_serving(spark, out, cells)
+    return ivf_search(
+        queries, assigned, centroids, k=3, n_probe=4
+    ).withColumnRenamed("rank", "rnk")

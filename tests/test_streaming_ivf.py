@@ -477,3 +477,78 @@ def test_ivf_refresh_falls_back_to_full_after_gc(spark, tmp_path):
     served, _cdf = read_ivf_serving(spark, out, cells)
     assert _cells(served) == _cells(maintained)
     assert served.filter(F.col("neighbor_id") == 1).count() == 0
+
+
+def test_ivf_continuous_serving_follows_the_stream(spark, tmp_path):
+    """`ivf_stream(serving_out=...)` — continuous serving for the ANN
+    store: each micro-batch ends with the incremental merge-on-read
+    refresh, so after every run the layout serves the store's newest
+    version; an empty restart advances nothing."""
+    from patientdataintegration_spark.operators.similarity import (
+        ivf_index_exact,
+        ivf_search,
+    )
+    from patientdataintegration_spark.streaming.components import (
+        read_rowstore,
+    )
+    from patientdataintegration_spark.streaming.ivf import (
+        _read_ivf_serving_meta,
+        export_ivf_serving_layout,
+        read_ivf_serving,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    seed = [
+        (1, [1.0, 0.0], 1), (3, [0.0, 1.0], 1),
+        (5, [-1.0, 0.0], 1), (7, [0.0, -1.0], 1),
+    ]
+    assigned0, centroids = ivf_index_exact(
+        _vecs(spark, seed).drop("op"), n_cells=4, iterations=1
+    )
+    seed_ivf_store(assigned0, centroids, store)
+    out = str(tmp_path / "export")
+    assert export_ivf_serving_layout(spark, store, out) == 0
+
+    def run():
+        return ivf_stream(
+            spark, src, "*.parquet", store, ckpt, op_col="op",
+            compact_every=0, serving_out=out,
+        )
+
+    _vecs(spark, [(9, [0.9, 0.1], 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert _read_ivf_serving_meta(out)["version"] == 1
+
+    _vecs(spark, [(10, [-0.1, -0.9], 1), (3, None, -1)]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run()
+    assert _read_ivf_serving_meta(out)["version"] == 2
+
+    maintained = read_rowstore(
+        spark, store, "assigned", id_col="neighbor_id", marker="tombs"
+    )
+    cells = sorted(r["cell"] for r in centroids.select("cell").collect())
+    served, cdf = read_ivf_serving(spark, out, cells)
+    assert _cells(served) == _cells(maintained)
+    assert served.filter(F.col("neighbor_id") == 3).count() == 0
+
+    queries = spark.createDataFrame(
+        [(100, [0.8, 0.2]), (101, [0.1, 0.9])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = ivf_search(queries, served, cdf, k=2, n_probe=4)
+    want = ivf_search(
+        queries, maintained, read_ivf_centroids(spark, store), k=2, n_probe=4
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # empty restart: version holds
+    run()
+    assert _read_ivf_serving_meta(out)["version"] == 2
