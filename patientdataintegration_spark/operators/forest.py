@@ -1,0 +1,297 @@
+"""Deterministic random forest (M1) — engine-portable train + score.
+
+The reference trains `RandomForestClassifier(n_estimators=121,
+max_depth=5)` on tabular patient features and scores the same
+relation (`ipynb cell 10:37-48`). `operators/mlbridge.py` carries
+the MLlib spelling of that lane (distributed CART training, model
+artifact save/load, q224's hash-checked quality verdict) — but CART
+split search is engine-internal, so MLlib scores can never be
+hash-verified by an external oracle, which left q94 as the one
+registry row without a driver check (r15 verdict, item 1).
+
+This module closes that hole with the *totally-random-split* member
+of the random-forest family (Geurts, Ernst & Wehenkel, "Extremely
+Randomized Trees", Machine Learning 63(1), 2006 — the K=1
+fully-random variant; also Cutler's PERT): split features and
+thresholds are drawn at random rather than searched, and ONLY the
+leaf values are estimated from (bagged) data. Drawing the splits
+from `functions/deterministic.pseudo_random` — pure integer
+arithmetic, identical in any ANSI engine — makes the entire
+train+score computation a relational expression BOTH Spark and
+DuckDB evaluate bit-for-bit:
+
+- split(t, node): feature = pr(t, node, SEED_FEAT) % 3, threshold =
+  lo_f + (pr(t, node, SEED_THR) / M) * (hi_f - lo_f) over the
+  feature's global [min, max];
+- bag(t): rows with pr(custkey, t, SEED_BAG) % 4 > 0 (75%);
+- leaf value: floor(1e6 * mean(label)) over the bag — *integer*
+  milli-micro means, so the ensemble sum is exact BIGINT arithmetic
+  with zero float-ordering risk (the suite's round-then-DECIMAL
+  discipline, taken all the way to integers);
+- score6 = Σ_t leaf6_t ∈ [0, 121e6]; pred = [2·score6 > 121e6].
+
+Scale (100 TB): scoring is the canonical forest fan-out — each row
+visits all 121 trees via a broadcast crossJoin (map-side, no
+shuffle), leaf routing is five codegen'd CASE levels, and the leaf
+table (≤ trees·2^depth = 3 872 rows) broadcasts back. The per-row
+ensemble sum happens in the partial hash-aggregate BEFORE the
+exchange (a row's 121 copies are produced consecutively in one
+task), so shuffle volume stays ≈ |rows|, not 121×. Training adds
+one tiny shuffle keyed (tree, leaf) with ≤ 3 872 groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from patientdataintegration_spark.functions.deterministic import (
+    MODULUS,
+    pseudo_random_sql,
+)
+from patientdataintegration_spark.sources.catalog import load_table
+
+NUM_TREES = 121  # reference n_estimators (ipynb cell 10:37)
+DEPTH = 5  # reference max_depth (ipynb cell 10:38)
+SEED_FEAT = 11
+SEED_THR = 13
+SEED_BAG = 7
+BAG_MOD = 4  # keep rows with draw % 4 > 0 → 75% bag per tree
+SCALE6 = 1_000_000  # integer milli-micro leaf means
+
+# The three features and the label, shared with mlbridge's MLlib
+# lane: nation key, market-segment index (fixed alphabetic map — the
+# five TPC-H segments), trailing customer-name digits; label =
+# account balance above the global mean, compared in exact DECIMAL
+# (bal · n > Σbal) so no engine ever divides.
+_SEG_CASE = (
+    "CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1 "
+    "WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3 "
+    "WHEN 'MACHINERY' THEN 4 ELSE 5 END"
+)
+_FEAT_COLS = {
+    "f0": "CAST(c_nationkey AS DOUBLE)",
+    "f1": f"CAST({_SEG_CASE} AS DOUBLE)",
+    "f2": "CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS DOUBLE)",
+}
+
+
+def _case3(fi: str, a: str, b: str, c: str) -> str:
+    return f"(CASE WHEN {fi} = 0 THEN {a} WHEN {fi} = 1 THEN {b} ELSE {c} END)"
+
+
+def _step_exprs(node: str) -> tuple[str, str]:
+    """(split feature selector text, descend-right predicate text)
+    for the node held in expression `node` of tree `t` — the SHARED
+    formula text both spellings below are assembled from: the Spark
+    side folds it once inside an `aggregate` lambda (constant-size
+    expression — the unrolled projection chain made Catalyst's
+    optimizer inline 5 levels of itself, a 40s fixpoint at ANY data
+    size), the DuckDB oracle unrolls it into per-level CTEs (DuckDB
+    optimizes that instantly, and CTEs keep the oracle plain ANSI)."""
+    prf = f"({pseudo_random_sql('t', node, SEED_FEAT)} % 3)"
+    fr = (
+        f"(CAST({pseudo_random_sql('t', node, SEED_THR)} AS DOUBLE)"
+        f" / {MODULUS})"
+    )
+    x = _case3(prf, "f0", "f1", "f2")
+    lo = _case3(prf, "lo0", "lo1", "lo2")
+    hi = _case3(prf, "hi0", "hi1", "hi2")
+    return x, f"({x} >= {lo} + {fr} * ({hi} - {lo}))"
+
+
+def _route_lambda() -> str:
+    """The Spark routing expression: fold the DEPTH split decisions
+    with `aggregate` — one lambda body evaluated DEPTH times per
+    (row, tree), so the expression (and the optimizer's work) stays
+    constant-size in depth."""
+    _x, right = _step_exprs("acc")
+    return (
+        f"aggregate(sequence(1, {DEPTH}), CAST(1 AS BIGINT), "
+        f"(acc, d) -> 2 * acc + (CASE WHEN {right} THEN 1 ELSE 0 END))"
+    )
+
+
+def _level_exprs(d: int) -> dict[str, str]:
+    """The oracle's unrolled spelling of `_step_exprs` for level `d`:
+    nd{d-1} → nd{d}, with the pseudo-random draws bound to columns so
+    each CTE stays readable."""
+    prev = f"nd{d - 1}"
+    fi = f"fi{d}"
+    fr = f"fr{d}"
+    x = _case3(fi, "f0", "f1", "f2")
+    lo = _case3(fi, "lo0", "lo1", "lo2")
+    hi = _case3(fi, "hi0", "hi1", "hi2")
+    return {
+        fi: f"({pseudo_random_sql('t', prev, SEED_FEAT)} % 3)",
+        fr: (
+            f"(CAST({pseudo_random_sql('t', prev, SEED_THR)} AS DOUBLE)"
+            f" / {MODULUS})"
+        ),
+        f"nd{d}": (
+            f"(2 * {prev} + (CASE WHEN {x} >= {lo} + {fr} * ({hi} - {lo})"
+            f" THEN 1 ELSE 0 END))"
+        ),
+    }
+
+
+_BAG_EXPR = f"(({pseudo_random_sql('c_custkey', 't', SEED_BAG)} % {BAG_MOD}) > 0)"
+_PRED_EXPR = (
+    f"CAST(CASE WHEN 2 * score6 > {NUM_TREES} * {SCALE6} "
+    "THEN 1 ELSE 0 END AS INT)"
+)
+
+
+def deterministic_forest_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train and score the 121-tree/depth-5 deterministic forest on
+    the customer table; returns (c_custkey, label, pred, score6)
+    ordered by key. score6 is the exact BIGINT ensemble sum of
+    per-tree leaf values in milli-micro units (score6 / 121e6 is the
+    probability-like mean)."""
+    c = load_table(spark, sf_dir, "customer")
+    feat = c.selectExpr(
+        "c_custkey",
+        *[f"{expr} AS {name}" for name, expr in _FEAT_COLS.items()],
+        "CAST(c_acctbal AS DECIMAL(18,2)) AS bal",
+    )
+    stats = feat.agg(
+        F.min("f0").alias("lo0"),
+        F.max("f0").alias("hi0"),
+        F.min("f1").alias("lo1"),
+        F.max("f1").alias("hi1"),
+        F.min("f2").alias("lo2"),
+        F.max("f2").alias("hi2"),
+        F.sum("bal").alias("total_bal"),
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+    )
+    lab = feat.crossJoin(F.broadcast(stats)).withColumn(
+        "label",
+        F.expr("CASE WHEN bal * n_all > total_bal THEN 1 ELSE 0 END"),
+    )
+    prior = lab.agg(
+        F.sum("label").cast("bigint").alias("lab_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lab"),
+    )
+    trees = spark.range(NUM_TREES).select(F.col("id").cast("bigint").alias("t"))
+
+    leafed = lab.crossJoin(F.broadcast(trees)).select(
+        "c_custkey",
+        "label",
+        "t",
+        F.expr(_route_lambda()).alias("leaf"),
+        F.expr(_BAG_EXPR).alias("in_bag"),
+    )
+
+    leafval = (
+        leafed.filter("in_bag")
+        .groupBy("t", "leaf")
+        .agg(
+            F.sum("label").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .selectExpr("t", "leaf", f"CAST((s * {SCALE6}) DIV n AS BIGINT) AS leaf6")
+    )
+
+    scored = (
+        leafed.join(F.broadcast(leafval), ["t", "leaf"], "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "c_custkey",
+            "label",
+            F.coalesce(
+                F.col("leaf6"),
+                F.expr(f"CAST((lab_s * {SCALE6}) DIV n_lab AS BIGINT)"),
+            ).alias("leaf6"),
+        )
+    )
+    return (
+        scored.groupBy("c_custkey", "label")
+        .agg(F.sum("leaf6").cast("bigint").alias("score6"))
+        .select(
+            "c_custkey",
+            F.col("label").cast("int").alias("label"),
+            F.expr(_PRED_EXPR).alias("pred"),
+            "score6",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def deterministic_forest_oracle_sql() -> str:
+    """The DuckDB twin, generated from the SAME per-level expression
+    text as the Spark plan. Dialect deltas are exactly two: integer
+    division spells `//` (Spark: `DIV`) and the tree series comes
+    from DuckDB's range() table function (Spark: spark.range)."""
+    level_ctes = []
+    prev = "rt"
+    for d in range(1, DEPTH + 1):
+        e = _level_exprs(d)
+        fi, fr, nd = f"fi{d}", f"fr{d}", f"nd{d}"
+        level_ctes.append(
+            f"s{d} AS (SELECT *, {e[fi]} AS {fi}, {e[fr]} AS {fr} "
+            f"FROM {prev})"
+        )
+        level_ctes.append(f"n{d} AS (SELECT *, {e[nd]} AS {nd} FROM s{d})")
+        prev = f"n{d}"
+    levels = ",\n    ".join(level_ctes)
+    feats = ",\n             ".join(
+        f"{expr} AS {name}" for name, expr in _FEAT_COLS.items()
+    )
+    return f"""
+    WITH feat AS (
+      SELECT c_custkey,
+             {feats},
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer
+    ),
+    stats AS (
+      SELECT MIN(f0) AS lo0, MAX(f0) AS hi0,
+             MIN(f1) AS lo1, MAX(f1) AS hi1,
+             MIN(f2) AS lo2, MAX(f2) AS hi2,
+             SUM(bal) AS total_bal, CAST(COUNT(*) AS BIGINT) AS n_all
+      FROM feat
+    ),
+    lab AS (
+      SELECT f.*, s.lo0, s.hi0, s.lo1, s.hi1, s.lo2, s.hi2,
+             CASE WHEN f.bal * s.n_all > s.total_bal THEN 1 ELSE 0 END
+               AS label
+      FROM feat f CROSS JOIN stats s
+    ),
+    prior AS (
+      SELECT CAST(SUM(label) AS BIGINT) AS lab_s,
+             CAST(COUNT(*) AS BIGINT) AS n_lab
+      FROM lab
+    ),
+    trees AS (SELECT CAST(range AS BIGINT) AS t FROM range({NUM_TREES})),
+    rt AS (SELECT l.*, tr.t, 1 AS nd0 FROM lab l CROSS JOIN trees tr),
+    {levels},
+    leafed AS (
+      SELECT c_custkey, label, t, nd{DEPTH} AS leaf,
+             {_BAG_EXPR} AS in_bag
+      FROM {prev}
+    ),
+    leafval AS (
+      SELECT t, leaf,
+             CAST((CAST(SUM(label) AS BIGINT) * {SCALE6})
+                  // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS leaf6
+      FROM leafed WHERE in_bag GROUP BY t, leaf
+    ),
+    scored AS (
+      SELECT L.c_custkey, L.label,
+             COALESCE(v.leaf6,
+                      CAST((p.lab_s * {SCALE6}) // p.n_lab AS BIGINT))
+               AS leaf6
+      FROM leafed L
+      LEFT JOIN leafval v ON v.t = L.t AND v.leaf = L.leaf
+      CROSS JOIN prior p
+    ),
+    agg AS (
+      SELECT c_custkey, label, CAST(SUM(leaf6) AS BIGINT) AS score6
+      FROM scored GROUP BY c_custkey, label
+    )
+    SELECT c_custkey,
+           CAST(label AS INT) AS label,
+           {_PRED_EXPR} AS pred,
+           score6
+    FROM agg
+    ORDER BY c_custkey
+    """

@@ -378,6 +378,20 @@ window no hash lane's latest driver evidence predates r9; and (d)
 twelve oldest-first r9-era fill lanes (q127-q140 era — the next
 rotation cohort; the remaining r9 lanes, q141-q144/q146 included —
 displaced by the late additions q296-q300 — queue for r16).
+
+The round-16 window: (a) q94_random_forest — the registry's last
+no-oracle row, re-expressed as the deterministic totally-random-
+split forest (operators/forest.py) with a FULL hash oracle, never
+hash-checked before; (b) the twenty store/serving lanes changed in
+round 16 — the r15 ADVICE crash-safety fixes (marker-relation
+_SUCCESS uncommit, delta _COMMITTED migration, staged full-export
+fallbacks, versioned stats pairing) sit under every store-backed
+lane (q273/q275/q283-q300), and the serving reads gained the
+bounded term-collect guard; (c) the complete twenty-six-lane r9-era
+queue from the r15 rotation (q47/q60/q62/q66/q67/q70/q71/q73/q74/
+q85/q91/q96/q97/q141-q144/q146-q148/q240/q244/q246/q252-q254) —
+after this window no lane's latest driver evidence predates r10;
+and (d) three oldest-first r10-era fill lanes (q01/q42/q86).
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -438,31 +452,26 @@ _ALL_ORACLES = {
 # the enumerated exception list the registry-hygiene contract test
 # (tests/test_registry_hygiene.py) checks against. Adding a query
 # here requires a reason AND a pytest lane covering its semantics.
-ROWS_ONLY_REASONS = {
-    "q94_random_forest": (
-        "per-row MLlib model scores are model internals no other engine "
-        "can replay; bounded by pytest (test_observe_mllib_regression) "
-        "plus the q224 hash-checked verdict oracle over the same scores"
-    ),
+ROWS_ONLY_REASONS: dict[str, str] = {
+    # EMPTY since r16: q94 — the last rows-only lane — re-expressed
+    # the random forest as the deterministic totally-random-split
+    # variant (operators/forest.py), whose train+score is a pure
+    # relational expression DuckDB replays bit-for-bit. Every one of
+    # the 300 registered queries now carries a full hash oracle. The
+    # MLlib CART path keeps its q224 verdict oracle + pytest bounds.
 }
 
-# The driver-checked prefix, by design exactly 50 names (round-15
+# The driver-checked prefix, by design exactly 50 names (round-16
 # rotation: see module docstring).
 PRIORITY = [
-    # (a) never driver-checked: the r15 serving-tier additions
-    "q292_refreshed_pruned_serving",
-    "q293_conjunctive_pruned_serving",
-    "q294_ivf_pruned_serving",
-    "q295_time_travel_export_serving",
-    "q296_ivf_refreshed_serving",
-    "q297_proximity_pruned_serving",
-    "q298_export_erasure_sla",
-    "q299_continuous_serving",
-    "q300_ivf_continuous_serving",
-    # (b) changed in round 15 — re-prove: every store-backed lane
-    # rides the hardened commit markers (_SUCCESS-checked delta
-    # markers, base _COMMITTED sentinels), the deterministic
-    # satellite upserts, and the four-relation shared serving export
+    # (a) never hash-checked: q94, the last no-oracle registry row,
+    # now carries the deterministic-forest full hash oracle
+    "q94_random_forest",
+    # (b) changed in round 16 — re-prove: every store-backed lane
+    # rides the r15-ADVICE crash-safety fixes (marker-relation
+    # _SUCCESS uncommit, delta _COMMITTED migration, staged
+    # full-export fallbacks, versioned stats pairing) and the
+    # serving reads' bounded term-collect guard
     "q283_streaming_index",
     "q273_streaming_components",
     "q275_streaming_takedowns",
@@ -474,41 +483,49 @@ PRIORITY = [
     "q289_bm25_drift_certificate",
     "q290_bm25_pruned_serving",
     "q291_phrase_pruned_serving",
-    # (c) the eighteen-lane r8-era queue the r14 verdict's item 4
-    # named — after this window no hash lane's latest driver
-    # evidence predates r9
-    "q88_stream_static_enrich",
-    "q89_stream_dedup",
-    "q90_stream_tumbling",
-    "q93_lsh_cosine_topk",
-    "q99_stream_stream_join",
-    "q125_asof_nearest",
-    "q126_sparse_cosine_pairs",
-    "q180_stream_cdc_upsert",
-    "q196_python_stream_source",
-    "q201_stream_outer_join",
-    "q231_stream_full_outer_join",
-    "q234_table_checksum",
-    "q237_hll_distinct_rollup",
-    "q238_theta_set_algebra",
-    "q239_sharded_topk_brands",
-    "q241_incremental_distinct",
-    "q242_join_view_maintenance",
-    "q243_bitmap_exact_distinct",
-    # (d) twelve oldest-first r9-era fill lanes — the next
+    "q292_refreshed_pruned_serving",
+    "q293_conjunctive_pruned_serving",
+    "q294_ivf_pruned_serving",
+    "q295_time_travel_export_serving",
+    "q296_ivf_refreshed_serving",
+    "q297_proximity_pruned_serving",
+    "q298_export_erasure_sla",
+    "q299_continuous_serving",
+    "q300_ivf_continuous_serving",
+    # (c) the complete twenty-six-lane r9-era queue from the r15
+    # rotation — after this window no lane's latest driver evidence
+    # predates r10
+    "q47_interval_join",
+    "q60_explode_vocab",
+    "q62_moving_frame",
+    "q66_nation_volume",
+    "q67_market_share",
+    "q70_multi_distinct",
+    "q71_first_nth_value",
+    "q73_quality_checks",
+    "q74_funnel",
+    "q85_session_window",
+    "q91_multimodal_features",
+    "q96_stream_sessionize",
+    "q97_batch_inference",
+    "q141_group_trend",
+    "q142_dedup_impact",
+    "q143_histogram",
+    "q144_event_pmi",
+    "q146_pivot_lang",
+    "q147_retention_cohorts",
+    "q148_markov_transitions",
+    "q240_bloom_incremental_dedup",
+    "q244_cms_brand_frequencies",
+    "q246_nightly_maintenance",
+    "q252_ivf_index_maintenance",
+    "q253_join_view_deletes",
+    "q254_moments_state",
+    # (d) three oldest-first r10-era fill lanes — the next
     # evidence-rotation cohort
-    "q127_weighted_sample",
-    "q128_scd2_history",
-    "q129_robust_stats",
-    "q131_paragraph_dedup",
-    "q132_kmeans_assign",
-    "q133_ewma",
-    "q134_source_kl",
-    "q135_session_funnel",
-    "q136_growth_accounting",
-    "q137_fuzzy_join",
-    "q139_correlation_matrix",
-    "q140_mutual_information",
+    "q01_pricing_summary",
+    "q42_sessionize",
+    "q86_dedup_clusters",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -1002,17 +1002,40 @@ def q41_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d, k=3, w=4)
 
 
-# --- MLlib random forest (M1; rows-only) ------------------------------------
+# --- random forest (M1; full hash oracle since r16) -------------------------
 
 
-@_register("q94_random_forest")  # no oracle: tree ensembles aren't bit-portable
+def _q94_sql() -> str:
+    from patientdataintegration_spark.operators.forest import (
+        deterministic_forest_oracle_sql,
+    )
+
+    return deterministic_forest_oracle_sql()
+
+
+@_register("q94_random_forest", _q94_sql())
 def q94_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RF train+score on customer tabular features
-    (`pyspark.ml`, numTrees=121/maxDepth=5 per reference ipynb cell
-    10:37-41). pytest asserts better-than-chance accuracy."""
-    from patientdataintegration_spark.operators.mlbridge import random_forest_scores
+    """RF train+score on customer tabular features — the reference's
+    hyperparameters (numTrees=121, maxDepth=5, ipynb cell 10:37-41)
+    on the totally-random-split forest variant (Extra-Trees K=1),
+    whose splits derive from the engine-portable `pseudo_random`
+    hash and whose leaf values are integer-exact bagged label means
+    (`operators/forest.py`). That makes the ENTIRE train+score
+    computation hash-verifiable against DuckDB — closing the r15
+    verdict's last no-oracle registry row. The MLlib CART spelling
+    stays in `operators/mlbridge.py` (artifact save/load, q224's
+    quality-verdict oracle, pytest accuracy bounds).
 
-    return random_forest_scores(spark, sf_dir)
+    Scale: scoring fans each row across the 121 trees via a
+    broadcast crossJoin (map-side), routes through five codegen'd
+    CASE levels, and joins the ≤3,872-row leaf table back by
+    broadcast; the partial hash-aggregate collapses each row's 121
+    copies BEFORE the exchange, so shuffle volume stays ≈ |rows|."""
+    from patientdataintegration_spark.operators.forest import (
+        deterministic_forest_scores,
+    )
+
+    return deterministic_forest_scores(spark, sf_dir)
 
 
 # --- approximate distinct sketch (rows-only) --------------------------------

@@ -143,10 +143,10 @@ def test_engine_facade(spark, sf_dir):
     assert "q45_full_pipeline" in eng.names()
     assert eng.run("q03_balanced_accuracy").count() > 0
     assert eng.oracle_sql("q03_balanced_accuracy") is not None
-    # r8 upgraded every streaming lane to a hash oracle; the one
-    # rows-only lane left is the ML-ensemble internals
+    # r8 upgraded every streaming lane to a hash oracle; r16 closed
+    # the last gap (q94 → deterministic forest) — every lane oracled
     assert eng.oracle_sql("q90_stream_tumbling") is not None
-    assert eng.oracle_sql("q94_random_forest") is None
+    assert eng.oracle_sql("q94_random_forest") is not None
     assert "Exchange" in eng.explain("q02_group_scores") or "Scan" in eng.explain(
         "q02_group_scores"
     )
@@ -341,8 +341,8 @@ def test_engine_verify_against_oracle(spark, sf_dir):
     assert res["match"] is True and res["rows"] > 0 and not res["problems"]
     st = eng.verify("q90_stream_tumbling")  # hash-oracled since r8
     assert st["match"] is True and st["rows"] > 0 and not st["problems"]
-    ro = eng.verify("q94_random_forest")
-    assert ro["rows_only"] is True and ro["match"] is None
+    ro = eng.verify("q94_random_forest")  # full hash oracle since r16
+    assert ro["match"] is True and ro["rows"] > 0 and not ro["problems"]
 
 
 def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):

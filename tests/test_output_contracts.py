@@ -154,33 +154,21 @@ def test_every_query_is_oracle_backed_or_documented_rows_only():
     rows-only driver check."""
     from patientdataintegration_spark.suite import ORACLES, QUERIES
 
-    ROWS_ONLY = {
-        # streaming execution lanes (the subject IS the stream run;
-        # batch twins are hash-checked). q88/q89/q90/q96/q99 left this list
-        # in r8: complete-mode finals (q88/q90), the unique-key
-        # single-batch dedup set (q89), the eagerly-emitting INNER
-        # stream-stream join (q99), and the custom sessionizer (q96,
-        # timeout-eviction frontier replayed in SQL) are
-        # deterministic, so they now carry full hash oracles (the
-        # q223 pattern). q180 followed in r8: per-batch
-        # last-writer-wins merges compose associatively, so the
-        # final snapshot is the global fold — replayed in SQL.
-        # (the binary decode lanes all graduated to closed-form
-        # hash oracles: q91/q97 r5, q104 PCM + q181 video frames r6;
-        # q205/q206/q193/q194 were born checked)
-        # ML-ensemble lane (model internals; bounds pinned in
-        # pytest; q95's sketch lane graduated r6 to a partial oracle
-        # — exact counts hash-checked + the error-bound verdict
-        # pinned TRUE)
-        "q94_random_forest",
-        # q201/q231 left this list in r8 (outer-emission frontier
-        # replayed exactly — ms-calibrated eviction rules,
-        # tests/test_stream_eviction_frontier.py), as did q196 (the
-        # q195 generator-replay oracle lifted to the stream lane),
-        # completing the q223 pattern across every streaming lane:
-        # the ONLY remaining rows-only entry is the ML-ensemble lane
-        # above.
-    }
+    # EMPTY since r16. History of graduations: streaming lanes
+    # left in r8 (complete-mode finals q88/q90, single-batch
+    # dedup q89, eager INNER stream-stream join q99, custom
+    # sessionizer q96 with its timeout-eviction frontier replayed
+    # in SQL, CDC last-writer-wins q180, outer-emission frontiers
+    # q201/q231, generator-replay q196 — the q223 pattern); the
+    # binary decode lanes graduated to closed-form hash oracles
+    # (q91/q97 r5, q104 PCM + q181 video frames r6); the sketch
+    # lane q95 took a partial oracle in r6 (exact counts hashed,
+    # error-bound verdict pinned TRUE); and the last holdout —
+    # q94's ML ensemble — was re-expressed in r16 as the
+    # deterministic totally-random-split forest
+    # (operators/forest.py), whose train+score DuckDB replays
+    # bit-for-bit. Every registered query is now hash-oracled.
+    ROWS_ONLY: set[str] = set()
     missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY
     stale = ROWS_ONLY - set(QUERIES)
     over = ROWS_ONLY & set(ORACLES)
