@@ -121,16 +121,32 @@ def commit_base(store_dir: str, gen: int) -> None:
         pass
 
 
-def uncommit_delta(store_dir: str, gen: int) -> None:
-    """Remove delta_g{gen}'s explicit commit sentinel — writers call
-    this BEFORE the generation's first relation write, so a crash
-    mid-(re)write can never pair a stale sentinel with partially
-    rewritten relations (the `_SUCCESS` path gets the same property
-    for free because the marker job's overwrite deletes it first)."""
+def uncommit_delta(store_dir: str, gen: int, marker: str | None = None) -> None:
+    """Remove delta_g{gen}'s commit evidence — writers call this
+    BEFORE the generation's first relation write, so a crash
+    mid-(re)write can never pair stale commit evidence with partially
+    rewritten relations. `_scan_gens` accepts EITHER the engine
+    sentinel or the marker relation's `_SUCCESS`, so BOTH must go:
+    the marker job runs LAST, which means a checkpoint-replay rewrite
+    of an already-committed generation would otherwise leave the
+    prior attempt's `{marker}/_SUCCESS` advertising commit while the
+    earlier relations are mid-overwrite (r15 ADVICE — the old
+    docstring's claim that the `_SUCCESS` path cleared itself "for
+    free" was wrong precisely because the marker write is not
+    first). Pass the same `marker` name the writer gives
+    `_scan_gens`; two file deletes locally, two DELETEs on an object
+    store."""
     try:
         os.remove(os.path.join(store_dir, f"delta_g{gen}", _BASE_SENTINEL))
     except FileNotFoundError:
         pass
+    if marker is not None:
+        try:
+            os.remove(
+                os.path.join(store_dir, f"delta_g{gen}", marker, "_SUCCESS")
+            )
+        except FileNotFoundError:
+            pass
 
 
 def commit_delta(store_dir: str, gen: int) -> None:
@@ -150,7 +166,9 @@ def commit_delta(store_dir: str, gen: int) -> None:
         pass
 
 
-def migrate_store_markers(store_dir: str) -> list[str]:
+def migrate_store_markers(
+    store_dir: str, marker: str | None = None
+) -> list[str]:
     """Stamp the commit sentinels onto a store written ENTIRELY by a
     release that predates them — a pre-sentinel store's bases lack
     `_COMMITTED`, so after upgrading, every read raises "never
@@ -158,11 +176,30 @@ def migrate_store_markers(store_dir: str) -> list[str]:
     against a store KNOWN to be cleanly shut down (the sentinel
     asserts commit; this tool cannot distinguish a pre-upgrade crash
     remnant from a committed generation — that is exactly the
-    information the sentinel adds). Returns the stamped entries."""
+    information the sentinel adds). Returns the stamped entries.
+
+    Deltas are migrated too (r15 ADVICE): on deployments with
+    success markers disabled (marksuccessfuljobs=false — the exact
+    posture `commit_delta`'s docstring names), a pre-upgrade delta
+    has neither `_SUCCESS` nor `_COMMITTED`, so without stamping it
+    every committed delta would become permanently invisible and
+    reads would silently serve the stale base. Pass the writer's
+    `marker` relation name to gate each delta's stamp on that
+    relation's directory existing (the strongest commit evidence a
+    cleanly-shut-down pre-sentinel store can offer — the marker
+    relation is written last); with `marker=None` every delta_g*
+    entry is stamped, matching the stated
+    known-cleanly-shut-down contract."""
     stamped: list[str] = []
     for entry in sorted(os.listdir(store_dir)):
-        if not _BASE_RE.match(entry):
+        is_base = bool(_BASE_RE.match(entry))
+        is_delta = bool(_DELTA_RE.match(entry))
+        if not (is_base or is_delta):
             continue
+        if is_delta and marker is not None and not os.path.isdir(
+            os.path.join(store_dir, entry, marker)
+        ):
+            continue  # no marker relation: not commit-evidenced
         path = os.path.join(store_dir, entry, _BASE_SENTINEL)
         if not os.path.isfile(path):
             with open(path, "w"):
@@ -730,8 +767,9 @@ def components_stream(
             ).filter(F.lit(False))
         # one delta generation per batch: a replayed batch overwrites
         # its own generation — idempotent under checkpoint replay;
-        # sentinel cleared first, stamped after the marker ("tombs")
-        uncommit_delta(store_dir, g)
+        # commit evidence (sentinel AND the marker's _SUCCESS)
+        # cleared first, stamped after the marker ("tombs")
+        uncommit_delta(store_dir, g, marker="tombs")
         sigs_delta.write.mode("overwrite").parquet(
             _delta_path(store_dir, g, "sigs")
         )

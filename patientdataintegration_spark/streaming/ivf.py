@@ -57,6 +57,7 @@ other two streams.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -170,27 +171,50 @@ def export_ivf_serving_layout(
     from patientdataintegration_spark.streaming.components import _resolve
 
     version, _base, _gens = _resolve(store_dir, version, marker="tombs")
+    # staged, version-tagged relation dirs + atomic meta flip (r15
+    # ADVICE): a full export — including the GC-triggered fallback
+    # `refresh_ivf_serving_layout` can fire INLINE from a live stream
+    # — must never static-overwrite the directory the old meta
+    # serves. A crash mid-export leaves the old meta pointing at
+    # intact old dirs; orphan staging dirs from a crashed attempt are
+    # overwritten by the retry (same version → same name) and GC'd
+    # after the next successful flip.
+    assigned_rel = f"assigned_v{version}"
+    cent_rel = f"centroids_v{version}"
+    tombs_rel = f"tombs_v{version}"
     assigned = read_rowstore(
         spark, store_dir, "assigned", version=version,
         id_col="neighbor_id", marker="tombs",
     ).withColumn("_gen", F.lit(int(version)).cast("int"))
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(out_dir, "assigned")
+        os.path.join(out_dir, assigned_rel)
     )
     read_ivf_centroids(spark, store_dir).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "centroids")
+        os.path.join(out_dir, cent_rel)
     )
-    tombs_rel = f"tombs_v{version}"
     spark.createDataFrame([], TOMB_SCHEMA).write.mode("overwrite").parquet(
         os.path.join(out_dir, tombs_rel)
     )
-    _write_ivf_serving_meta(out_dir, {"version": version, "tombs": tombs_rel})
-    # a re-export over a refreshed layout orphans the old delete
-    # files — GC them after the flip (meta no longer points there)
+    _write_ivf_serving_meta(
+        out_dir,
+        {
+            "version": version,
+            "tombs": tombs_rel,
+            "assigned": assigned_rel,
+            "centroids": cent_rel,
+        },
+    )
+    # GC everything the flipped meta no longer references — older
+    # version-tagged dirs and pre-versioning legacy names
     import shutil
 
+    live = {assigned_rel, cent_rel, tombs_rel, "serving_meta.json"}
     for entry in os.listdir(out_dir):
-        if entry.startswith("tombs_v") and entry != tombs_rel:
+        if entry in live:
+            continue
+        if entry in ("assigned", "centroids") or re.match(
+            r"^(assigned|centroids|tombs)_v\d+$", entry
+        ):
             shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
     return version
 
@@ -318,7 +342,9 @@ def refresh_ivf_serving_layout(
         content = kept.unionByName(live).localCheckpoint()
         content.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
-        ).partitionBy("cell").parquet(os.path.join(out_dir, "assigned"))
+        ).partitionBy("cell").parquet(
+            os.path.join(out_dir, meta.get("assigned", "assigned"))
+        )
     old_rel = meta["tombs"]
     merged = (
         spark.read.schema(TOMB_SCHEMA)
@@ -329,7 +355,7 @@ def refresh_ivf_serving_layout(
     )
     new_rel = f"tombs_v{v_new}"
     merged.write.mode("overwrite").parquet(os.path.join(out_dir, new_rel))
-    _write_ivf_serving_meta(out_dir, {"version": v_new, "tombs": new_rel})
+    _write_ivf_serving_meta(out_dir, {**meta, "version": v_new, "tombs": new_rel})
     if old_rel != new_rel:
         shutil.rmtree(os.path.join(out_dir, old_rel), ignore_errors=True)
     return {"version": v_new, "mode": "incremental", "dirty_cells": dirty}
@@ -395,11 +421,27 @@ def read_ivf_serving(
     # export with duplicate cell rows can never fan the rank join out
     centroids = (
         spark.read.schema(CENTROID_SCHEMA)
-        .parquet(os.path.join(out_dir, "centroids"))
+        .parquet(
+            os.path.join(out_dir, meta.get("centroids", "centroids"))
+        )
         .groupBy("cell")
         .agg(F.min("centroid").alias("centroid"))
     )
     return assigned, centroids
+
+
+def read_ivf_serving_centroids(
+    spark: SparkSession, out_dir: str
+) -> DataFrame:
+    """The exported layout's (tiny) centroid table — the driver-side
+    probe planner's input — resolved through the meta so planners
+    and the pruned read pair with one committed export version
+    (version-tagged staging, r15 ADVICE); legacy fallback as in
+    `_read_ivf_export`."""
+    rel = _read_ivf_serving_meta(out_dir).get("centroids", "centroids")
+    return spark.read.schema(CENTROID_SCHEMA).parquet(
+        os.path.join(out_dir, rel)
+    )
 
 
 def _read_ivf_export(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -407,11 +449,14 @@ def _read_ivf_export(spark: SparkSession, out_dir: str) -> DataFrame:
     (partition column included) — an export whose every cell emptied
     leaves no part files, and schema inference would fail on the bare
     directory where an empty frame is the correct answer
-    (`index._read_serving_parquet`'s rule)."""
+    (`index._read_serving_parquet`'s rule). The physical directory
+    resolves through the meta (version-tagged staging, r15 ADVICE),
+    falling back to the legacy bare name for older layouts."""
+    rel = _read_ivf_serving_meta(out_dir).get("assigned", "assigned")
     return spark.read.schema(
         "neighbor_id bigint, c_vec array<double>, c_norm double, "
         "_gen int, cell bigint"
-    ).parquet(os.path.join(out_dir, "assigned"))
+    ).parquet(os.path.join(out_dir, rel))
 
 
 def ivf_stream(
@@ -479,8 +524,9 @@ def ivf_stream(
         cent = read_ivf_centroids(s, store_dir)
         assigned_delta = ivf_assign(ingest, cent, id_col, vec_col)
         # one generation per batch, overwrite = replay-idempotent;
-        # sentinel cleared first, stamped after the marker ("tombs")
-        uncommit_delta(store_dir, g)
+        # commit evidence (sentinel AND the marker's _SUCCESS)
+        # cleared first, stamped after the marker ("tombs")
+        uncommit_delta(store_dir, g, marker="tombs")
         assigned_delta.write.mode("overwrite").parquet(
             _delta_path(store_dir, g, "assigned")
         )

@@ -688,30 +688,31 @@ def _pruned_bm25_serve(
 ) -> DataFrame:
     """The shared q290-shape serve (also q292/q295, suite/ext11):
     query vocabulary collected driver-side (the serving planner's
-    input — query-sized metadata, never cluster data), tf read
-    pruned to its buckets, stats from the layout's 1-row marginal."""
+    input — query-sized metadata, never cluster data) behind the
+    `collect_pruning_terms` OOM guard — a pathological batch whose
+    vocabulary exceeds the cap serves UNPRUNED instead of OOMing the
+    driver (r15 verdict item 4; fallback pinned by
+    tests/test_scoring_store.py) — tf read pruned to its buckets,
+    stats from the layout's meta-paired 1-row marginal."""
     from patientdataintegration_spark.operators.indexing import bm25_from_store
     from patientdataintegration_spark.operators.textops import tokens
     from patientdataintegration_spark.streaming.index import (
-        STATS_SCHEMA,
+        collect_pruning_terms,
         read_serving_relation,
+        read_serving_stats,
     )
 
     d = load_table(spark, sf_dir, "documents")
     queries = d.filter(F.col("doc_id") % q_mod == 1).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    terms = [
-        r["term"]
-        for r in queries.select(
+    terms = collect_pruning_terms(
+        queries.select(
             F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-        .collect()
-    ]
+        ).filter(F.col("term") != "")
+    )
     tf_pruned = read_serving_relation(spark, out, "tf", terms)
-    stats = spark.read.schema(STATS_SCHEMA).parquet(f"{out}/stats")
+    stats = read_serving_stats(spark, out)
     return bm25_from_store(tf_pruned, stats, queries, k=k, k1=1.2, b=0.75)
 
 

@@ -433,6 +433,7 @@ def q294_ivf_pruned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patientdataintegration_spark.streaming.ivf import (
         ivf_probe_cells_py,
         read_ivf_serving,
+        read_ivf_serving_centroids,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -444,7 +445,7 @@ def q294_ivf_pruned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         [float(x) for x in r["embedding"]]
         for r in queries.select("embedding").collect()
     ]
-    cents = spark.read.parquet(f"{out}/centroids").collect()
+    cents = read_ivf_serving_centroids(spark, out).collect()
     cells = ivf_probe_cells_py(
         qvecs,
         [(r["cell"], [float(x) for x in r["centroid"]]) for r in cents],
@@ -599,6 +600,7 @@ def q296_ivf_refreshed_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patientdataintegration_spark.streaming.ivf import (
         ivf_probe_cells_py,
         read_ivf_serving,
+        read_ivf_serving_centroids,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -608,7 +610,7 @@ def q296_ivf_refreshed_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         [float(x) for x in r["embedding"]]
         for r in queries.select("embedding").collect()
     ]
-    cents = spark.read.parquet(f"{out}/centroids").collect()
+    cents = read_ivf_serving_centroids(spark, out).collect()
     cells = ivf_probe_cells_py(
         qvecs,
         [(r["cell"], [float(x) for x in r["centroid"]]) for r in cents],
@@ -828,12 +830,15 @@ def q298_export_erasure_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vec_deleted = (F.col("neighbor_id") % 7 == 3).cast("int")
-    from patientdataintegration_spark.streaming.ivf import _read_ivf_export
+    from patientdataintegration_spark.streaming.ivf import (
+        _read_ivf_export,
+        read_ivf_serving_centroids,
+    )
 
     rows.append(cert("ivf_export", _read_ivf_export(spark, ivf_full), vec_deleted))
     all_cells = sorted(
         r["cell"]
-        for r in spark.read.parquet(f"{ivf_mor}/centroids")
+        for r in read_ivf_serving_centroids(spark, ivf_mor)
         .select("cell")
         .collect()
     )
@@ -1054,6 +1059,7 @@ def q300_ivf_continuous_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patientdataintegration_spark.streaming.ivf import (
         ivf_probe_cells_py,
         read_ivf_serving,
+        read_ivf_serving_centroids,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1063,7 +1069,7 @@ def q300_ivf_continuous_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         [float(x) for x in r["embedding"]]
         for r in queries.select("embedding").collect()
     ]
-    cents = spark.read.parquet(f"{out}/centroids").collect()
+    cents = read_ivf_serving_centroids(spark, out).collect()
     cells = ivf_probe_cells_py(
         qvecs,
         [(r["cell"], [float(x) for x in r["centroid"]]) for r in cents],

@@ -25,9 +25,11 @@ from patientdataintegration_spark.operators.indexing import (
 )
 from patientdataintegration_spark.streaming.index import (
     compact_index_store,
+    export_serving_layout,
     index_stream,
     read_index_stats,
     read_index_store,
+    read_serving_relation,
     seed_index_store,
 )
 
@@ -440,7 +442,9 @@ def test_serving_export_prunes_to_query_buckets(spark, tmp_path):
     queries = spark.createDataFrame(
         [(10, "a c")], "query_id bigint, text string"
     )
-    stats = spark.read.schema(STATS_SCHEMA).parquet(f"{out}/stats")
+    stats = spark.read.schema(STATS_SCHEMA).parquet(
+        os.path.join(out, _meta_dir(out, "stats"))
+    )
     served_pruned = bm25_from_store(pruned, stats, queries, k=3)
     served_full = bm25_from_store(
         read_index_store(spark, store, "tf"),
@@ -472,13 +476,26 @@ def test_serving_export_prunes_to_query_buckets(spark, tmp_path):
 # --- incremental serving-export refresh (round 15) -------------------------
 
 
+def _meta_dir(out, relation):
+    """Resolve a relation's physical directory through the layout
+    meta (version-tagged staging since r16; legacy bare-name
+    fallback) — tests must address exports the way readers do."""
+    import json
+
+    with open(os.path.join(out, "serving_meta.json")) as f:
+        meta = json.load(f)
+    if relation == "stats":
+        return meta.get("stats", "stats")
+    return meta.get("dirs", {}).get(relation, relation)
+
+
 def _export_file_state(out, relation):
     """relpath -> (md5, mtime_ns) for every file under the exported
     relation — the byte-identity witness for untouched buckets."""
     import hashlib
 
     state = {}
-    rel = os.path.join(out, relation)
+    rel = os.path.join(out, _meta_dir(out, relation))
     for root, _dirs, files in os.walk(rel):
         for f in files:
             p = os.path.join(root, f)
@@ -543,7 +560,11 @@ def test_incremental_refresh_rewrites_only_dirty_buckets(spark, tmp_path):
     }
 
     for name in RELS:
-        got = _norm(spark.read.parquet(os.path.join(out, name)).drop("tb"))
+        got = _norm(
+            spark.read.parquet(
+                os.path.join(out, _meta_dir(out, name))
+            ).drop("tb")
+        )
         assert got == _norm(read_index_store(spark, store, name, version=1)), (
             f"refreshed {name} must equal the store at the new version"
         )
@@ -558,11 +579,13 @@ def test_incremental_refresh_rewrites_only_dirty_buckets(spark, tmp_path):
             assert after.get(p) == s, f"untouched bucket file rewritten: {p}"
         # the emptied bucket (u2's) is gone entirely
         assert not os.path.isdir(
-            os.path.join(out, name, f"tb={term_bucket_py('u2', n_buckets)}")
+            os.path.join(
+                out, _meta_dir(out, name), f"tb={term_bucket_py('u2', n_buckets)}"
+            )
         )
     # the stats marginal and meta version advanced with the refresh
     assert _norm(
-        spark.read.parquet(os.path.join(out, "stats"))
+        spark.read.parquet(os.path.join(out, _meta_dir(out, "stats")))
     ) == _norm(read_index_stats(spark, store, version=1))
 
     # re-running with nothing new is a declared no-op: zero writes —
@@ -614,7 +637,9 @@ def test_refresh_falls_back_to_full_export_after_gc(spark, tmp_path):
     res = refresh_serving_layout(spark, store, out)
     assert res["mode"] == "full"
     assert res["version"] == 2
-    got = _norm(spark.read.parquet(os.path.join(out, "tf")).drop("tb"))
+    got = _norm(
+        spark.read.parquet(os.path.join(out, _meta_dir(out, "tf"))).drop("tb")
+    )
     assert got == _norm(read_index_store(spark, store, "tf", version=2))
 
 
@@ -668,15 +693,19 @@ def test_refresh_under_crud_soak_certifies_every_window(spark, tmp_path):
                 live.pop(i, None)
         net = _docs(spark, [(i, t, 1) for i, t in sorted(live.items())])
         assert _norm(
-            spark.read.parquet(os.path.join(out, "tf")).drop("tb")
+            spark.read.parquet(
+                os.path.join(out, _meta_dir(out, "tf"))
+            ).drop("tb")
         ) == _norm(doc_term_stats(net)), f"tf drift after refresh {v}"
         assert _norm(
-            spark.read.parquet(os.path.join(out, "stats"))
+            spark.read.parquet(os.path.join(out, _meta_dir(out, "stats")))
         ) == _norm(corpus_stats(doc_term_stats(net))), f"stats at {v}"
         terms = sorted({w for t in live.values() for w in t.split()})
         served = bm25_from_store(
             read_serving_relation(spark, out, "tf", terms),
-            spark.read.schema(STATS_SCHEMA).parquet(f"{out}/stats"),
+            spark.read.schema(STATS_SCHEMA).parquet(
+                os.path.join(out, _meta_dir(out, "stats"))
+            ),
             queries,
             k=3,
         )
@@ -937,7 +966,11 @@ def test_continuous_serving_layout_follows_the_stream(spark, tmp_path):
     assert _read_serving_meta(out)["version"] == 2
     dirty2 = {term_bucket_py(t, n_buckets) for t in ("u8", "u2")}
     for name in ("tf", "pos"):
-        got = _norm(spark.read.parquet(os.path.join(out, name)).drop("tb"))
+        got = _norm(
+            spark.read.parquet(
+                os.path.join(out, _meta_dir(out, name))
+            ).drop("tb")
+        )
         assert got == _norm(read_index_store(spark, store, name))
         after = _export_file_state(out, name)
         untouched = {
@@ -955,3 +988,164 @@ def test_continuous_serving_layout_follows_the_stream(spark, tmp_path):
     assert _read_serving_meta(out)["version"] == 2
     for name in ("tf", "pos"):
         assert _export_file_state(out, name) == pre[name]
+
+
+def test_full_export_crash_before_flip_keeps_old_version_serving(
+    spark, tmp_path, monkeypatch
+):
+    """The staged full export (r15 ADVICE): every relation writes to
+    a fresh version-tagged directory and the meta flips LAST — so a
+    crash anywhere before the flip (simulated by failing the meta
+    write) leaves the layout serving the OLD version from intact old
+    directories, never a truncated relation. The retry then lands the
+    new version cleanly."""
+    import patientdataintegration_spark.streaming.index as ix
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    _seed(spark, store, SEED)
+    out = str(tmp_path / "export")
+    assert export_serving_layout(
+        spark, store, out, relations=("tf",), n_buckets=8
+    ) == 0
+    want_v0 = _norm(read_serving_relation(spark, out, "tf", ["a", "b", "c"]))
+
+    def run():
+        return index_stream(
+            spark, src, "*.parquet", store, ckpt,
+            op_col="op", max_postings=16, compact_every=0,
+        )
+
+    spark.createDataFrame(BATCH_A, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    real_write = ix._write_serving_meta
+
+    def crash(*a, **kw):
+        raise RuntimeError("simulated crash before the meta flip")
+
+    monkeypatch.setattr(ix, "_write_serving_meta", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        export_serving_layout(
+            spark, store, out, relations=("tf",), n_buckets=8, version=1
+        )
+    monkeypatch.setattr(ix, "_write_serving_meta", real_write)
+
+    # the old meta still points at intact v0 directories: reads serve
+    # exactly what they served before the crashed attempt
+    from patientdataintegration_spark.streaming.index import (
+        _read_serving_meta,
+    )
+
+    assert _read_serving_meta(out)["version"] == 0
+    assert _norm(
+        read_serving_relation(spark, out, "tf", ["a", "b", "c"])
+    ) == want_v0
+
+    # the retry overwrites the orphan staging dirs and flips cleanly
+    assert export_serving_layout(
+        spark, store, out, relations=("tf",), n_buckets=8, version=1
+    ) == 1
+    assert _read_serving_meta(out)["version"] == 1
+    assert _norm(
+        read_serving_relation(spark, out, "tf", ["e"])
+    ) == _norm(
+        read_index_store(spark, store, "tf", version=1).filter(
+            F.col("term") == "e"
+        )
+    )
+
+
+def test_pruning_term_collect_guard_falls_back_to_unpruned(spark, tmp_path):
+    """`collect_pruning_terms` caps the driver-side vocabulary
+    collect (r15 verdict item 4): above `max_terms` it returns None
+    and `read_serving_relation(..., terms=None)` serves UNPRUNED —
+    the same rows the downstream semi-probe would keep, so results
+    are identical, and a pathological query batch can never OOM the
+    driver."""
+    from patientdataintegration_spark.streaming.index import (
+        collect_pruning_terms,
+        export_serving_layout,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    _seed(spark, store, SEED)
+    out = str(tmp_path / "export")
+    export_serving_layout(spark, store, out, relations=("tf",), n_buckets=8)
+
+    vocab = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "term string"
+    )
+    # under the cap: the pruned path
+    terms = collect_pruning_terms(vocab, max_terms=10)
+    assert terms == ["a", "b", "c"]
+    pruned = _norm(read_serving_relation(spark, out, "tf", terms))
+
+    # over the cap: the declared fallback — None, unpruned read
+    assert collect_pruning_terms(vocab, max_terms=2) is None
+    unpruned = read_serving_relation(spark, out, "tf", None)
+    assert _norm(
+        unpruned.filter(F.col("term").isin(["a", "b", "c"]))
+    ) == pruned
+    # the unpruned read carries the WHOLE relation (no tb column)
+    assert unpruned.columns == ["term", "doc", "tf", "len_d"]
+    assert _norm(unpruned) == _norm(read_index_store(spark, store, "tf"))
+
+
+def test_continuous_trigger_cadence_refreshes_after_every_batch(
+    spark, tmp_path, monkeypatch
+):
+    """Continuous serving under a rate-limited source (r15 verdict
+    item 6): with `maxFilesPerTrigger=1`, one availableNow run drains
+    the backlog as CONSECUTIVE micro-batches, and the inline refresh
+    must land after EVERY one of them — the export is never more
+    than the in-flight batch behind the store. Pinned by wrapping
+    the refresh and recording (store version, mode) per batch."""
+    import patientdataintegration_spark.streaming.index as ix
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    _seed(spark, store, SEED)
+    out = str(tmp_path / "export")
+    assert export_serving_layout(
+        spark, store, out, relations=("tf", "pos"), n_buckets=8
+    ) == 0
+
+    # three files -> three consecutive micro-batches in ONE run
+    for i, doc in enumerate([(10, "p q", 1), (11, "q r", 1), (12, "r s", 1)]):
+        spark.createDataFrame([doc], DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    seen = []
+    real_refresh = ix.refresh_serving_layout
+
+    def recording_refresh(s, store_dir, out_dir, version=None):
+        res = real_refresh(s, store_dir, out_dir, version)
+        seen.append((res["version"], res["mode"]))
+        return res
+
+    monkeypatch.setattr(ix, "refresh_serving_layout", recording_refresh)
+    ix.index_stream(
+        spark, src, "*.parquet", store, ckpt,
+        op_col="op", max_postings=16, compact_every=0,
+        serving_out=out, max_files_per_trigger=1,
+    )
+
+    # one refresh per micro-batch, each incremental, each advancing
+    assert seen == [(1, "incremental"), (2, "incremental"), (3, "incremental")]
+    from patientdataintegration_spark.streaming.index import (
+        _read_serving_meta,
+    )
+
+    assert _read_serving_meta(out)["version"] == 3
+    # the final layout serves the final store state
+    for name in ("tf", "pos"):
+        assert _norm(
+            read_serving_relation(spark, out, name, None)
+        ) == _norm(read_index_store(spark, store, name))

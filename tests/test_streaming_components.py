@@ -532,3 +532,87 @@ def test_migrate_store_markers_restores_pre_upgrade_store(spark, tmp_path):
         r["doc_id"] for r in read_store(spark, store, "sigs").collect()
     ) == [1]
     assert migrate_store_markers(store) == []
+
+
+def test_migrate_store_markers_stamps_deltas(spark, tmp_path):
+    """A pre-sentinel store on a committer with `_SUCCESS` disabled
+    has deltas with NO commit evidence at all: without migrating them
+    every committed delta becomes permanently invisible and reads
+    silently serve the stale base (r15 ADVICE). The migration stamps
+    delta_g* too — gated on the marker relation directory existing
+    when a marker name is given."""
+    from patientdataintegration_spark.streaming.components import (
+        _BASE_SENTINEL,
+        components_stream,
+        migrate_store_markers,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.makedirs(store)
+    seed_stores(
+        spark.createDataFrame(
+            [(1, 10, 11, 1001, 1002)], SIG_SCHEMA
+        ),
+        spark.createDataFrame([], "doc_a bigint, doc_b bigint"),
+        spark.createDataFrame([(1, 1)], "node bigint, label bigint"),
+        store,
+    )
+    spark.createDataFrame(
+        [(3, 30, 31, 3001, 3002)], SIG_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    components_stream(
+        spark, src, "*.parquet", store, ckpt, bands=2, rows_per_band=2,
+        compact_every=0,
+    )
+    # simulate the pre-upgrade, markers-disabled posture for the
+    # DELTA: strip both commit evidences (the base keeps its
+    # sentinel — stamping bases is test_migrate_store_markers_
+    # restores_pre_upgrade_store's subject)
+    delta_dir = os.path.join(store, "delta_g1")
+    for root, _dirs, files in os.walk(delta_dir):
+        for f in files:
+            if f in ("_SUCCESS", _BASE_SENTINEL):
+                os.remove(os.path.join(root, f))
+    # delta_g1 is now invisible: reads fall back to the seed
+    assert latest_generation(store, marker="tombs") == 0
+
+    stamped = migrate_store_markers(store, marker="tombs")
+    assert stamped == ["delta_g1"]
+    assert latest_generation(store, marker="tombs") == 1
+    assert sorted(
+        r["doc_id"] for r in read_store(spark, store, "sigs").collect()
+    ) == [1, 3]
+    # gating: a crash-remnant delta with no marker relation is NOT
+    # stamped
+    os.makedirs(os.path.join(store, "delta_g2"))
+    assert migrate_store_markers(store, marker="tombs") == []
+
+
+def test_uncommit_delta_clears_marker_success(spark, tmp_path):
+    """A checkpoint-replay rewrite of an already-committed generation
+    must first remove BOTH commit evidences — the engine sentinel AND
+    the marker relation's `_SUCCESS` (written LAST in the original
+    attempt, so it would otherwise advertise commit while earlier
+    relations are mid-overwrite; r15 ADVICE)."""
+    from patientdataintegration_spark.streaming.components import (
+        _BASE_SENTINEL,
+        commit_delta,
+        uncommit_delta,
+    )
+
+    store = str(tmp_path / "store")
+    gen_dir = os.path.join(store, "delta_g1")
+    os.makedirs(os.path.join(gen_dir, "tombs"))
+    with open(os.path.join(gen_dir, "tombs", "_SUCCESS"), "w"):
+        pass
+    commit_delta(store, 1)
+    assert os.path.isfile(os.path.join(gen_dir, _BASE_SENTINEL))
+
+    uncommit_delta(store, 1, marker="tombs")
+    assert not os.path.isfile(os.path.join(gen_dir, _BASE_SENTINEL))
+    assert not os.path.isfile(os.path.join(gen_dir, "tombs", "_SUCCESS"))
+    # idempotent on a generation with no evidence at all
+    uncommit_delta(store, 1, marker="tombs")

@@ -30,6 +30,16 @@ def _vecs(spark, rows):
     return spark.createDataFrame(rows, VEC_SCHEMA)
 
 
+def _ivf_dir(out, relation):
+    """Resolve an exported relation's physical directory through the
+    layout meta (version-tagged staging since r16)."""
+    import json
+
+    with open(os.path.join(out, "serving_meta.json")) as f:
+        meta = json.load(f)
+    return meta.get(relation, relation)
+
+
 def _cells(df):
     return sorted((r["neighbor_id"], r["cell"]) for r in df.collect())
 
@@ -263,7 +273,7 @@ def test_ivf_serving_export_prunes_to_probe_cells(spark, tmp_path):
     maintained = read_rowstore(
         spark, store, "assigned", id_col="neighbor_id", marker="tombs"
     )
-    exported = spark.read.parquet(os.path.join(out, "assigned"))
+    exported = spark.read.parquet(os.path.join(out, _ivf_dir(out, "assigned")))
     assert _cells(exported) == _cells(maintained)
 
     queries = spark.createDataFrame(
@@ -272,7 +282,7 @@ def test_ivf_serving_export_prunes_to_probe_cells(spark, tmp_path):
     )
     cents = [
         (r["cell"], [float(x) for x in r["centroid"]])
-        for r in spark.read.parquet(os.path.join(out, "centroids")).collect()
+        for r in spark.read.parquet(os.path.join(out, _ivf_dir(out, "centroids"))).collect()
     ]
     # n_probe=1: the planner's cell choice must match the search's
     # argmin exactly (same fold order, same tie rule) — a superset
@@ -345,13 +355,15 @@ def test_ivf_refresh_is_incremental_and_value_invisible(spark, tmp_path):
 
     all_cells = sorted(
         r["cell"]
-        for r in spark.read.parquet(os.path.join(out, "centroids"))
+        for r in spark.read.parquet(os.path.join(out, _ivf_dir(out, "centroids")))
         .select("cell")
         .collect()
     )
     before = {
         p: (os.path.getmtime(p), os.path.getsize(p))
-        for p in globmod.glob(os.path.join(out, "assigned", "cell=*", "*"))
+        for p in globmod.glob(
+            os.path.join(out, _ivf_dir(out, "assigned"), "cell=*", "*")
+        )
     }
 
     # batch 2 -> generation 2: an ingest near +x and takedowns of
@@ -470,7 +482,7 @@ def test_ivf_refresh_falls_back_to_full_after_gc(spark, tmp_path):
     )
     cells = sorted(
         r["cell"]
-        for r in spark.read.parquet(os.path.join(out, "centroids"))
+        for r in spark.read.parquet(os.path.join(out, _ivf_dir(out, "centroids")))
         .select("cell")
         .collect()
     )
@@ -552,3 +564,76 @@ def test_ivf_continuous_serving_follows_the_stream(spark, tmp_path):
     # empty restart: version holds
     run()
     assert _read_ivf_serving_meta(out)["version"] == 2
+
+
+def test_ivf_full_export_crash_before_flip_keeps_old_version(
+    spark, tmp_path, monkeypatch
+):
+    """The staged IVF full export (r15 ADVICE): assigned/centroids/
+    tombs all write to fresh version-tagged directories and the meta
+    flips LAST, so a crash anywhere before the flip — including the
+    GC-triggered full fallback firing INLINE from a live stream —
+    leaves the old version serving from intact old directories. The
+    retry lands cleanly."""
+    import patientdataintegration_spark.streaming.ivf as iv
+    import pytest
+    from patientdataintegration_spark.operators.similarity import (
+        ivf_index_exact,
+    )
+    from patientdataintegration_spark.streaming.ivf import (
+        export_ivf_serving_layout,
+        read_ivf_serving,
+        seed_ivf_store,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    seed = [
+        (1, [1.0, 0.0], 1), (2, [0.9, 0.1], 1),
+        (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),
+    ]
+    assigned0, centroids = ivf_index_exact(
+        _vecs(spark, seed).drop("op"), n_cells=2, iterations=1
+    )
+    seed_ivf_store(assigned0, centroids, store)
+    out = str(tmp_path / "export")
+    assert export_ivf_serving_layout(spark, store, out) == 0
+    all_cells = sorted(
+        r["cell"]
+        for r in spark.read.parquet(
+            os.path.join(out, _ivf_dir(out, "centroids"))
+        ).collect()
+    )
+    served0, _c = read_ivf_serving(spark, out, all_cells)
+    want_v0 = _cells(served0)
+
+    # advance the store one generation
+    _vecs(spark, [(5, [-1.0, 0.0], 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ivf_stream(
+        spark, src, "*.parquet", store, ckpt, op_col="op", compact_every=0
+    )
+
+    real_write = iv._write_ivf_serving_meta
+
+    def crash(*a, **kw):
+        raise RuntimeError("simulated crash before the meta flip")
+
+    monkeypatch.setattr(iv, "_write_ivf_serving_meta", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        export_ivf_serving_layout(spark, store, out, version=1)
+    monkeypatch.setattr(iv, "_write_ivf_serving_meta", real_write)
+
+    # old meta, old dirs, old answers — the crashed attempt invisible
+    served_after_crash, _c = read_ivf_serving(spark, out, all_cells)
+    assert _cells(served_after_crash) == want_v0
+    assert _ivf_dir(out, "assigned") == "assigned_v0"
+
+    # retry: clean flip to v1, vector 5 now served
+    assert export_ivf_serving_layout(spark, store, out, version=1) == 1
+    assert _ivf_dir(out, "assigned") == "assigned_v1"
+    served1, _c = read_ivf_serving(spark, out, all_cells)
+    assert (5, ) not in {(i,) for i, _cell in want_v0}
+    assert 5 in {i for i, _cell in _cells(served1)}
