@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "q298_export_erasure_sla",       # serving-export erasure cert (r15)
     "q299_continuous_serving",       # inline per-batch refresh (r15)
     "q300_ivf_continuous_serving",   # inline MoR ANN refresh (r15)
+    "q94_random_forest",             # deterministic forest, full oracle (r16)
 ]
 
 

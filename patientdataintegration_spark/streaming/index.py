@@ -347,6 +347,48 @@ def _write_serving_meta(out_dir: str, meta: dict) -> None:
     os.replace(tmp, path)
 
 
+def _gc_versioned_dirs(
+    out_dir: str,
+    prefixes: tuple[str, ...],
+    current_version: int,
+    keep_old_versions: int,
+    legacy: tuple[str, ...] = (),
+) -> None:
+    """Post-flip GC with a RETENTION WINDOW: delete version-tagged
+    relation directories (`{prefix}_v{V}`) except the current version
+    and the `keep_old_versions` newest versions below it. keep=0 is
+    the tight-disk default; keep>=1 closes the snapshot-GC race — a
+    reader that planned against the pre-flip meta can finish its scan
+    against the retained old version instead of racing the rmtree
+    (the Iceberg-style retention stance). Legacy (pre-versioning)
+    bare-name directories count as one implicit old version: they
+    are deleted only when keep_old_versions == 0."""
+    import shutil
+
+    tagged: dict[int, list[str]] = {}
+    pat = re.compile(
+        r"^(" + "|".join(map(re.escape, prefixes)) + r")_v(\d+)$"
+    )
+    try:
+        entries = os.listdir(out_dir)
+    except OSError:
+        return
+    for entry in entries:
+        m = pat.match(entry)
+        if m:
+            tagged.setdefault(int(m.group(2)), []).append(entry)
+    old = sorted((v for v in tagged if v != current_version), reverse=True)
+    for v in old[keep_old_versions:]:
+        for entry in tagged[v]:
+            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
+    if keep_old_versions == 0:
+        for entry in legacy:
+            if entry in entries:
+                shutil.rmtree(
+                    os.path.join(out_dir, entry), ignore_errors=True
+                )
+
+
 def export_serving_layout(
     spark: SparkSession,
     store_dir: str,
@@ -354,6 +396,7 @@ def export_serving_layout(
     relations: tuple[str, ...] = ("tf",),
     n_buckets: int = 64,
     version: int | None = None,
+    keep_old_versions: int = 0,
 ) -> int:
     """Export maintained term-grain relations into a SERVING-OPTIMIZED
     layout: hive-partitioned by `term_bucket`, so a point-term query
@@ -389,7 +432,11 @@ def export_serving_layout(
     a reader planning a scan during the export never sees a
     truncated relation. Orphan staging dirs from a crashed attempt
     are overwritten by the retry (same version → same name) and
-    GC'd after the next successful flip. The one residual in-place
+    GC'd after the next successful flip — where `keep_old_versions`
+    sets the retention window (`_gc_versioned_dirs`): 0 reclaims
+    disk immediately, >=1 lets a reader that planned against the
+    pre-flip meta finish against the retained old version instead of
+    racing the delete. The one residual in-place
     case: re-exporting at the SAME already-served version (e.g.
     growing the relation set with no new store generation) rewrites
     that version's directories under readers — run that shape as an
@@ -440,17 +487,16 @@ def export_serving_layout(
             "overwrite"
         ).parquet(os.path.join(out_dir, meta["stats"]))
     _write_serving_meta(out_dir, meta)
-    # GC: everything the flipped meta no longer references — old
-    # version-tagged dirs, pre-versioning legacy dirs ("tf", "stats")
-    live = set(dirs.values()) | {meta.get("stats")}
-    for entry in os.listdir(out_dir):
-        if entry == "serving_meta.json" or entry in live:
-            continue
-        if entry in set(relations) | {"stats"} or re.match(
-            r"^(stats|" + "|".join(map(re.escape, relations)) + r")_v\d+$",
-            entry,
-        ):
-            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
+    # GC: everything outside the retention window — old version-
+    # tagged dirs beyond keep_old_versions, pre-versioning legacy
+    # dirs ("tf", "stats") when the window is 0
+    _gc_versioned_dirs(
+        out_dir,
+        prefixes=("stats", *relations),
+        current_version=version,
+        keep_old_versions=keep_old_versions,
+        legacy=(*relations, "stats"),
+    )
     return version
 
 
@@ -473,6 +519,7 @@ def refresh_serving_layout(
     store_dir: str,
     out_dir: str,
     version: int | None = None,
+    keep_old_versions: int = 0,
 ) -> dict:
     """INCREMENTAL refresh of an exported serving layout (r14 verdict
     item 1): `export_serving_layout` rewrites EVERY bucket of every
@@ -551,7 +598,8 @@ def refresh_serving_layout(
     _bases, committed = _scan_gens(store_dir, marker="terms")
     if not set(needed) <= set(committed):
         export_serving_layout(
-            spark, store_dir, out_dir, relations, n_buckets, version=v_new
+            spark, store_dir, out_dir, relations, n_buckets, version=v_new,
+            keep_old_versions=keep_old_versions,
         )
         return {"version": v_new, "mode": "full", "dirty_buckets": None}
 
@@ -622,11 +670,13 @@ def refresh_serving_layout(
             ).parquet(os.path.join(out_dir, new_meta["stats"]))
     _write_serving_meta(out_dir, new_meta)
     if "tf" in relations:
-        old_stats = meta.get("stats", "stats")
-        if old_stats != new_meta["stats"]:
-            shutil.rmtree(
-                os.path.join(out_dir, old_stats), ignore_errors=True
-            )
+        _gc_versioned_dirs(
+            out_dir,
+            prefixes=("stats",),
+            current_version=v_new,
+            keep_old_versions=keep_old_versions,
+            legacy=("stats",),
+        )
     return {"version": v_new, "mode": "incremental", "dirty_buckets": buckets}
 
 

@@ -143,6 +143,7 @@ def export_ivf_serving_layout(
     store_dir: str,
     out_dir: str,
     version: int | None = None,
+    keep_old_versions: int = 0,
 ) -> int:
     """Export the maintained inverted file into a SERVING-OPTIMIZED
     layout (r14 verdict item 3 — the q290 treatment applied to the
@@ -204,18 +205,21 @@ def export_ivf_serving_layout(
             "centroids": cent_rel,
         },
     )
-    # GC everything the flipped meta no longer references — older
-    # version-tagged dirs and pre-versioning legacy names
-    import shutil
+    # GC everything outside the retention window: older version-
+    # tagged dirs beyond keep_old_versions, pre-versioning legacy
+    # names when the window is 0 (`index._gc_versioned_dirs` — one
+    # retention discipline for every serving layout)
+    from patientdataintegration_spark.streaming.index import (
+        _gc_versioned_dirs,
+    )
 
-    live = {assigned_rel, cent_rel, tombs_rel, "serving_meta.json"}
-    for entry in os.listdir(out_dir):
-        if entry in live:
-            continue
-        if entry in ("assigned", "centroids") or re.match(
-            r"^(assigned|centroids|tombs)_v\d+$", entry
-        ):
-            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
+    _gc_versioned_dirs(
+        out_dir,
+        prefixes=("assigned", "centroids", "tombs"),
+        current_version=version,
+        keep_old_versions=keep_old_versions,
+        legacy=("assigned", "centroids"),
+    )
     return version
 
 
@@ -242,6 +246,7 @@ def refresh_ivf_serving_layout(
     store_dir: str,
     out_dir: str,
     version: int | None = None,
+    keep_old_versions: int = 0,
 ) -> dict:
     """INCREMENTAL refresh of an exported IVF serving layout — the
     serving tier's last full-scan cost (`refresh_serving_layout`'s
@@ -298,7 +303,10 @@ def refresh_ivf_serving_layout(
     needed = list(range(v_exp + 1, v_new + 1))
     _bases, committed = _scan_gens(store_dir, marker="tombs")
     if not set(needed) <= set(committed):
-        export_ivf_serving_layout(spark, store_dir, out_dir, version=v_new)
+        export_ivf_serving_layout(
+            spark, store_dir, out_dir, version=v_new,
+            keep_old_versions=keep_old_versions,
+        )
         return {"version": v_new, "mode": "full", "dirty_cells": None}
 
     inserts: DataFrame | None = None
@@ -356,8 +364,16 @@ def refresh_ivf_serving_layout(
     new_rel = f"tombs_v{v_new}"
     merged.write.mode("overwrite").parquet(os.path.join(out_dir, new_rel))
     _write_ivf_serving_meta(out_dir, {**meta, "version": v_new, "tombs": new_rel})
-    if old_rel != new_rel:
-        shutil.rmtree(os.path.join(out_dir, old_rel), ignore_errors=True)
+    from patientdataintegration_spark.streaming.index import (
+        _gc_versioned_dirs,
+    )
+
+    _gc_versioned_dirs(
+        out_dir,
+        prefixes=("tombs",),
+        current_version=v_new,
+        keep_old_versions=keep_old_versions,
+    )
     return {"version": v_new, "mode": "incremental", "dirty_cells": dirty}
 
 

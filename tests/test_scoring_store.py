@@ -1149,3 +1149,58 @@ def test_continuous_trigger_cadence_refreshes_after_every_batch(
         assert _norm(
             read_serving_relation(spark, out, name, None)
         ) == _norm(read_index_store(spark, store, name))
+
+
+def test_export_retention_window_keeps_previous_version(spark, tmp_path):
+    """`keep_old_versions` (the snapshot-GC race closer): a full
+    re-export with keep_old_versions=1 retains the previous version's
+    directories — a reader that planned against the pre-flip meta can
+    finish its scan — and the next export rolls the window (v0 gone,
+    v1 kept). keep_old_versions=0 (default) reclaims immediately."""
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    _seed(spark, store, SEED)
+    out = str(tmp_path / "export")
+    assert export_serving_layout(
+        spark, store, out, relations=("tf",), n_buckets=8
+    ) == 0
+
+    def run():
+        return index_stream(
+            spark, src, "*.parquet", store, ckpt,
+            op_col="op", max_postings=16, compact_every=0,
+        )
+
+    spark.createDataFrame(BATCH_A, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert export_serving_layout(
+        spark, store, out, relations=("tf",), n_buckets=8, version=1,
+        keep_old_versions=1,
+    ) == 1
+    names = set(os.listdir(out))
+    assert {"tf_v0", "stats_v0", "tf_v1", "stats_v1"} <= names
+    # the retained old version still reads coherently (pre-flip
+    # readers' view)
+    from patientdataintegration_spark.streaming.index import TF_SCHEMA
+
+    old = spark.read.schema(f"{TF_SCHEMA}, tb int").parquet(
+        os.path.join(out, "tf_v0")
+    )
+    assert _norm(old.drop("tb")) == _norm(
+        read_index_store(spark, store, "tf", version=0)
+    )
+
+    spark.createDataFrame(BATCH_B, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert export_serving_layout(
+        spark, store, out, relations=("tf",), n_buckets=8, version=2,
+        keep_old_versions=1,
+    ) == 2
+    names = set(os.listdir(out))
+    assert "tf_v0" not in names and "stats_v0" not in names
+    assert {"tf_v1", "tf_v2", "stats_v1", "stats_v2"} <= names
