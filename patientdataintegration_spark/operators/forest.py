@@ -32,12 +32,19 @@ DuckDB evaluate bit-for-bit:
 
 Scale (100 TB): scoring is the canonical forest fan-out — each row
 visits all 121 trees via a broadcast crossJoin (map-side, no
-shuffle), leaf routing is five codegen'd CASE levels, and the leaf
-table (≤ trees·2^depth = 3 872 rows) broadcasts back. The per-row
-ensemble sum happens in the partial hash-aggregate BEFORE the
-exchange (a row's 121 copies are produced consecutively in one
+shuffle); the MODEL STRUCTURE is itself a relation (the 3,751-row
+(tree, node) → (feature, threshold) split table, derived once from
+the same pseudo-random draws the oracle unrolls) and leaf routing is
+five broadcast hash-join levels over it — whole-stage codegen end to
+end, no per-row hash arithmetic (an `aggregate`-lambda spelling was
+13× slower because higher-order lambda bodies evaluate interpreted;
+a chained-projection spelling cost the OPTIMIZER 43s inlining five
+levels of itself — both measured, see PERF_NOTES r16). The trained
+leaf table (≤ trees·2^depth = 3,872 rows) broadcasts back. The
+per-row ensemble sum happens in the partial hash-aggregate BEFORE
+the exchange (a row's 121 copies are produced consecutively in one
 task), so shuffle volume stays ≈ |rows|, not 121×. Training adds
-one tiny shuffle keyed (tree, leaf) with ≤ 3 872 groups.
+one tiny shuffle keyed (tree, leaf) with ≤ 3,872 groups.
 """
 
 from __future__ import annotations
@@ -79,36 +86,23 @@ def _case3(fi: str, a: str, b: str, c: str) -> str:
     return f"(CASE WHEN {fi} = 0 THEN {a} WHEN {fi} = 1 THEN {b} ELSE {c} END)"
 
 
-def _step_exprs(node: str) -> tuple[str, str]:
-    """(split feature selector text, descend-right predicate text)
-    for the node held in expression `node` of tree `t` — the SHARED
-    formula text both spellings below are assembled from: the Spark
-    side folds it once inside an `aggregate` lambda (constant-size
-    expression — the unrolled projection chain made Catalyst's
-    optimizer inline 5 levels of itself, a 40s fixpoint at ANY data
-    size), the DuckDB oracle unrolls it into per-level CTEs (DuckDB
-    optimizes that instantly, and CTEs keep the oracle plain ANSI)."""
-    prf = f"({pseudo_random_sql('t', node, SEED_FEAT)} % 3)"
+def _split_table_exprs() -> tuple[str, str]:
+    """(feature-index expr, threshold expr) over a (t, node) frame
+    carrying the broadcast lo/hi stats — the MODEL STRUCTURE as a
+    relation: trees × internal nodes = NUM_TREES · (2^DEPTH - 1)
+    rows (3,751), computed once. Routing then needs no per-row
+    pseudo-random arithmetic at all: a higher-order `aggregate`
+    lambda spelling was measured 85s at sf0.1 because lambda bodies
+    evaluate INTERPRETED per element — whereas a broadcast hash join
+    per level stays inside whole-stage codegen."""
+    prf = f"({pseudo_random_sql('t', 'node', SEED_FEAT)} % 3)"
     fr = (
-        f"(CAST({pseudo_random_sql('t', node, SEED_THR)} AS DOUBLE)"
+        f"(CAST({pseudo_random_sql('t', 'node', SEED_THR)} AS DOUBLE)"
         f" / {MODULUS})"
     )
-    x = _case3(prf, "f0", "f1", "f2")
-    lo = _case3(prf, "lo0", "lo1", "lo2")
-    hi = _case3(prf, "hi0", "hi1", "hi2")
-    return x, f"({x} >= {lo} + {fr} * ({hi} - {lo}))"
-
-
-def _route_lambda() -> str:
-    """The Spark routing expression: fold the DEPTH split decisions
-    with `aggregate` — one lambda body evaluated DEPTH times per
-    (row, tree), so the expression (and the optimizer's work) stays
-    constant-size in depth."""
-    _x, right = _step_exprs("acc")
-    return (
-        f"aggregate(sequence(1, {DEPTH}), CAST(1 AS BIGINT), "
-        f"(acc, d) -> 2 * acc + (CASE WHEN {right} THEN 1 ELSE 0 END))"
-    )
+    lo = _case3("fi", "lo0", "lo1", "lo2")
+    hi = _case3("fi", "hi0", "hi1", "hi2")
+    return prf, f"({lo} + {fr} * ({hi} - {lo}))"
 
 
 def _level_exprs(d: int) -> dict[str, str]:
@@ -163,9 +157,13 @@ def deterministic_forest_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bal").alias("total_bal"),
         F.count(F.lit(1)).cast("bigint").alias("n_all"),
     )
-    lab = feat.crossJoin(F.broadcast(stats)).withColumn(
-        "label",
-        F.expr("CASE WHEN bal * n_all > total_bal THEN 1 ELSE 0 END"),
+    lab = (
+        feat.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "label",
+            F.expr("CASE WHEN bal * n_all > total_bal THEN 1 ELSE 0 END"),
+        )
+        .select("c_custkey", "f0", "f1", "f2", "label")
     )
     prior = lab.agg(
         F.sum("label").cast("bigint").alias("lab_s"),
@@ -173,11 +171,54 @@ def deterministic_forest_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     trees = spark.range(NUM_TREES).select(F.col("id").cast("bigint").alias("t"))
 
-    leafed = lab.crossJoin(F.broadcast(trees)).select(
+    # the model structure as a broadcastable relation: every internal
+    # node's (feature index, threshold), NUM_TREES * (2^DEPTH - 1)
+    # rows, derived from the same pseudo-random draws the oracle
+    # unrolls — routing below is then five codegen'd broadcast-join
+    # levels over data, with zero per-row hash arithmetic
+    fi_expr, thr_expr = _split_table_exprs()
+    nodes = spark.range(1, 2**DEPTH).select(
+        F.col("id").cast("bigint").alias("node")
+    )
+    splits = (
+        trees.crossJoin(nodes)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("fi", F.expr(fi_expr))
+        .select("t", "node", "fi", F.expr(thr_expr).alias("thr"))
+        # 3,751 rows, five broadcast consumers: pin it so each level
+        # does not re-run the stats scan under its broadcast
+        .localCheckpoint()
+    )
+
+    routed = lab.crossJoin(F.broadcast(trees)).withColumn(
+        "nd", F.lit(1).cast("bigint")
+    )
+    for d in range(1, DEPTH + 1):
+        sp = splits.select(
+            F.col("t").alias(f"_t{d}"),
+            F.col("node").alias(f"_n{d}"),
+            F.col("fi").alias(f"_fi{d}"),
+            F.col("thr").alias(f"_thr{d}"),
+        )
+        descend = (
+            f"CAST(2 * nd + (CASE WHEN "
+            f"{_case3(f'_fi{d}', 'f0', 'f1', 'f2')} >= _thr{d} "
+            f"THEN 1 ELSE 0 END) AS BIGINT)"
+        )
+        routed = (
+            routed.join(
+                F.broadcast(sp),
+                (F.col("t") == F.col(f"_t{d}"))
+                & (F.col("nd") == F.col(f"_n{d}")),
+            )
+            .withColumn("nd", F.expr(descend))
+            .drop(f"_t{d}", f"_n{d}", f"_fi{d}", f"_thr{d}")
+        )
+    leafed = routed.select(
         "c_custkey",
         "label",
         "t",
-        F.expr(_route_lambda()).alias("leaf"),
+        F.col("nd").alias("leaf"),
         F.expr(_BAG_EXPR).alias("in_bag"),
     )
 

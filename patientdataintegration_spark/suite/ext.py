@@ -1027,8 +1027,10 @@ def q94_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-verdict oracle, pytest accuracy bounds).
 
     Scale: scoring fans each row across the 121 trees via a
-    broadcast crossJoin (map-side), routes through five codegen'd
-    CASE levels, and joins the ≤3,872-row leaf table back by
+    broadcast crossJoin (map-side), routes through five broadcast
+    hash-join levels against the 3,751-row split table (the model
+    structure as a relation — whole-stage codegen, no per-row hash
+    arithmetic), and joins the ≤3,872-row leaf table back by
     broadcast; the partial hash-aggregate collapses each row's 121
     copies BEFORE the exchange, so shuffle volume stays ≈ |rows|."""
     from patientdataintegration_spark.operators.forest import (
