@@ -637,3 +637,44 @@ def test_ivf_full_export_crash_before_flip_keeps_old_version(
     served1, _c = read_ivf_serving(spark, out, all_cells)
     assert (5, ) not in {(i,) for i, _cell in want_v0}
     assert 5 in {i for i, _cell in _cells(served1)}
+
+
+def test_ivf_export_retention_window(spark, tmp_path):
+    """`keep_old_versions` on the IVF export (the index twin's
+    retention contract): a re-export with keep_old_versions=1 retains
+    the previous version's assigned/centroids/tombs directories for
+    in-flight readers; the next export rolls the window."""
+    from patientdataintegration_spark.operators.similarity import (
+        ivf_index_exact,
+    )
+    from patientdataintegration_spark.streaming.ivf import (
+        export_ivf_serving_layout,
+        seed_ivf_store,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    seed = [(1, [1.0, 0.0], 1), (2, [0.0, 1.0], 1)]
+    assigned0, centroids = ivf_index_exact(
+        _vecs(spark, seed).drop("op"), n_cells=2, iterations=1
+    )
+    seed_ivf_store(assigned0, centroids, store)
+    out = str(tmp_path / "export")
+    assert export_ivf_serving_layout(spark, store, out) == 0
+
+    for batch, ver in [((3, [0.9, 0.1], 1), 1), ((4, [0.1, 0.9], 1), 2)]:
+        _vecs(spark, [batch]).coalesce(1).write.mode("append").parquet(src)
+        ivf_stream(
+            spark, src, "*.parquet", store, ckpt, op_col="op",
+            compact_every=0,
+        )
+        assert export_ivf_serving_layout(
+            spark, store, out, version=ver, keep_old_versions=1
+        ) == ver
+
+    names = set(os.listdir(out))
+    # window of 1: v2 (current) + v1 retained, v0 rolled out
+    assert {"assigned_v1", "assigned_v2", "centroids_v1",
+            "centroids_v2", "tombs_v1", "tombs_v2"} <= names
+    assert not any(n.endswith("_v0") for n in names)
