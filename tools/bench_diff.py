@@ -139,9 +139,18 @@ def main() -> int:
         shift_label = (" (uniform shift below threshold — consistent"
                        " with environment; normalized out of per-query"
                        " flags)")
+    # uniformity triple (the r15/r16 adjudication ritual, built in):
+    # a tight p10..p90 band around the median says "everything moved
+    # together" (environment); a long right tail concentrated in the
+    # lanes a round touched says "code". Printed so the adjudication
+    # evidence is in the log instead of recomputed by hand each round.
+    rs = sorted(r for (_, _, _, r) in ratios.values())
+    p10 = rs[len(rs) // 10] if rs else 1.0
+    p90 = rs[9 * len(rs) // 10] if rs else 1.0
     print(f"last total={last['value']}s warm={last.get('value_warm')}s "
           f"({len(last['queries'])} queries); threshold={threshold}x vs median prior; "
-          f"suite-wide shift factor={g:.2f}x over {len(ratios)} common queries"
+          f"suite-wide shift factor={g:.2f}x over {len(ratios)} common queries "
+          f"[uniformity p10={p10:.2f} p50={g:.2f} p90={p90:.2f}]"
           + shift_label)
     if not flagged:
         if suite_wide_flag:
