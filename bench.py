@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "q299_continuous_serving",       # inline per-batch refresh (r15)
     "q300_ivf_continuous_serving",   # inline MoR ANN refresh (r15)
     "q94_random_forest",             # deterministic forest, full oracle (r16)
+    "q301_training_curve",           # 3-phase training loop, hash-oracled (r16)
 ]
 
 

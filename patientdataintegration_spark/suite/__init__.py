@@ -391,7 +391,10 @@ bounded term-collect guard; (c) the complete twenty-six-lane r9-era
 queue from the r15 rotation (q47/q60/q62/q66/q67/q70/q71/q73/q74/
 q85/q91/q96/q97/q141-q144/q146-q148/q240/q244/q246/q252-q254) —
 after this window no lane's latest driver evidence predates r10;
-and (d) three oldest-first r10-era fill lanes (q01/q42/q86).
+(d) q301_training_curve — the r16 addition closing SURVEY §2.11's
+M4 as a fully hash-oracled training-loop analogue (suite/ext12) —
+and (e) two oldest-first r10-era fill lanes (q01/q42; q86 queues
+for r17).
 """
 
 from patientdataintegration_spark.suite.core import ORACLES as CORE_ORACLES
@@ -418,6 +421,8 @@ from patientdataintegration_spark.suite.ext10 import ORACLES as EXT10_ORACLES
 from patientdataintegration_spark.suite.ext10 import QUERIES as EXT10_QUERIES
 from patientdataintegration_spark.suite.ext11 import ORACLES as EXT11_ORACLES
 from patientdataintegration_spark.suite.ext11 import QUERIES as EXT11_QUERIES
+from patientdataintegration_spark.suite.ext12 import ORACLES as EXT12_ORACLES
+from patientdataintegration_spark.suite.ext12 import QUERIES as EXT12_QUERIES
 
 _ALL_QUERIES = {
     **CORE_QUERIES,
@@ -432,6 +437,7 @@ _ALL_QUERIES = {
     **EXT9_QUERIES,
     **EXT10_QUERIES,
     **EXT11_QUERIES,
+    **EXT12_QUERIES,
 }
 _ALL_ORACLES = {
     **CORE_ORACLES,
@@ -446,6 +452,7 @@ _ALL_ORACLES = {
     **EXT9_ORACLES,
     **EXT10_ORACLES,
     **EXT11_ORACLES,
+    **EXT12_ORACLES,
 }
 
 # Queries registered WITHOUT a SQL oracle, each with its reason —
@@ -465,8 +472,10 @@ ROWS_ONLY_REASONS: dict[str, str] = {
 # rotation: see module docstring).
 PRIORITY = [
     # (a) never hash-checked: q94, the last no-oracle registry row,
-    # now carries the deterministic-forest full hash oracle
+    # now carrying the deterministic-forest full hash oracle, and
+    # q301, the r16 addition (M4 training-loop analogue)
     "q94_random_forest",
+    "q301_training_curve",
     # (b) changed in round 16 — re-prove: every store-backed lane
     # rides the r15-ADVICE crash-safety fixes (marker-relation
     # _SUCCESS uncommit, delta _COMMITTED migration, staged
@@ -521,11 +530,11 @@ PRIORITY = [
     "q252_ivf_index_maintenance",
     "q253_join_view_deletes",
     "q254_moments_state",
-    # (d) three oldest-first r10-era fill lanes — the next
-    # evidence-rotation cohort
+    # (d) two oldest-first r10-era fill lanes — the next
+    # evidence-rotation cohort (q86 displaced to the r17 queue by the
+    # q301 addition)
     "q01_pricing_summary",
     "q42_sessionize",
-    "q86_dedup_clusters",
 ]
 
 _missing = [n for n in PRIORITY if n not in _ALL_QUERIES]

@@ -1,0 +1,48 @@
+"""Deterministic training loop (M4 analogue, `operators/training.py`)
+— the invariants behind q301's hash oracle: run-invariant curve,
+monotone non-increasing loss under the stepped-LR schedule, weights
+in a sane range, improved-flag semantics, and the schedule shape."""
+
+from __future__ import annotations
+
+from patientdataintegration_spark.operators.training import (
+    EPS,
+    PHASES,
+    _schedule,
+    training_curve,
+)
+
+
+def _rows(df):
+    return [tuple(r) for r in df.orderBy("epoch").collect()]
+
+
+def test_schedule_shape():
+    sched = _schedule()
+    assert len(sched) == sum(n for _lr, n in PHASES)
+    assert [s[0] for s in sched] == list(range(1, len(sched) + 1))
+    # LR strictly decreases across phases
+    lrs = [lr for _e, _p, lr in sched]
+    assert lrs == sorted(lrs, reverse=True)
+
+
+def test_curve_deterministic_and_monotone(spark, sf_dir):
+    a = _rows(training_curve(spark, sf_dir))
+    b = _rows(training_curve(spark, sf_dir))
+    assert a == b and len(a) == len(_schedule())
+    losses = [r[3] for r in a]
+    # gradient descent on a convex-ish objective with this schedule
+    # must not diverge: the 6-dp loss never increases
+    assert all(l2 <= l1 for l1, l2 in zip(losses, losses[1:]))
+    # epoch 1 is declared improved (no predecessor)
+    assert a[0][-1] is True
+    # the flag matches its definition on every later epoch
+    for prev, cur in zip(a, a[1:]):
+        assert cur[-1] == ((prev[3] - cur[3]) > EPS)
+
+
+def test_weights_bounded(spark, sf_dir):
+    rows = _rows(training_curve(spark, sf_dir))
+    for r in rows:
+        for w in r[4:8]:
+            assert abs(w) < 10.0  # standardized features, small LRs
