@@ -27,15 +27,23 @@ chosen so every arithmetic step is bit-identical in Spark and DuckDB:
   discipline — so the per-epoch totals are exact numbers both
   engines reproduce digit-for-digit, and the weight recurrence
   w ← w − lr·(G/n) evolves identically on both sides;
+- split: a deterministic 75/25 train/validation split from the
+  engine-portable pseudo_random draw on the row key — gradients and
+  train loss aggregate over the train split, the validation loss
+  over the held-out quarter (FILTER-clause aggregates, identical
+  syntax in Spark SQL and DuckDB);
 - schedule: three phases × two epochs at lr = 0.5 / 0.25 / 0.125
-  (the reference's stepped-LR shape); the early-stopping SIGNAL is
-  emitted per epoch (did the rounded loss improve by > EPS) rather
-  than acted on, so the full curve stays in the output for the
-  oracle to hash.
+  (the reference's stepped-LR shape); the early-stopping SIGNAL
+  tracks the VALIDATION loss — the reference's stop criterion — and
+  is emitted per epoch rather than acted on, so the full curve stays
+  in the output for the oracle to hash. (On this corpus the label is
+  noise w.r.t. the features, so the curve shows textbook
+  overfitting: train loss falls, val loss rises, the signal fires.)
 
 The lane output IS the training curve: one row per epoch with the
-phase, learning rate, 6-dp loss, post-epoch weights, and the
-improvement flag — the table a training-ops dashboard ingests.
+phase, learning rate, 6-dp train and validation losses, post-epoch
+weights, and the improvement flag — the table a training-ops
+dashboard ingests.
 
 Scale (100 TB): each epoch is ONE map-side aggregation over the
 standardized projection (partial aggregation before a 1-row
@@ -54,11 +62,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from patientdataintegration_spark.functions.deterministic import (
+    pseudo_random_sql,
+)
 from patientdataintegration_spark.sources.catalog import load_table
 
 PHASES: tuple[tuple[float, int], ...] = ((0.5, 2), (0.25, 2), (0.125, 2))
 ROUND_D = 9  # per-row contribution rounding (round-then-DECIMAL)
-EPS = 1e-5  # early-stop improvement threshold on the 6-dp loss
+EPS = 1e-5  # early-stop improvement threshold on the 6-dp VAL loss
+SEED_SPLIT = 17  # deterministic 75/25 train/validation split
+VAL_MOD = 4  # rows with draw % 4 == 0 are validation
 
 _SEG_CASE = (
     "CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1 "
@@ -87,8 +100,10 @@ def _epoch_aggs(w: tuple[str, str, str, str]) -> dict[str, str]:
     CTE chain — or repr'd double literals — the Spark loop): shared
     operation trees, so both engines execute the same IEEE sequence.
 
-    Keys: g0..g3 (decimal-exact gradient sums), ls (decimal-exact
-    squared-error sum)."""
+    Keys: g0..g3 (decimal-exact gradient sums over the TRAIN split —
+    `FILTER (WHERE v = 0)`, identical syntax in Spark SQL and
+    DuckDB), lt/lv (decimal-exact squared-error sums over train /
+    validation)."""
     w0, w1, w2, w3 = w
     z = f"((({w0}) + (({w1}) * x1) + (({w2}) * x2)) + (({w3}) * x3))"
     az = f"(1.0 + abs({z}))"
@@ -97,15 +112,19 @@ def _epoch_aggs(w: tuple[str, str, str, str]) -> dict[str, str]:
     dsdz = f"(0.5 / ({az} * {az}))"
     core = f"((2.0 * ({e} * {dsdz})))"
 
-    def dec_sum(expr: str) -> str:
-        return f"SUM(CAST(round({expr}, {ROUND_D}) AS DECIMAL(28,12)))"
+    def dec_sum(expr: str, where: str) -> str:
+        return (
+            f"SUM(CAST(round({expr}, {ROUND_D}) AS DECIMAL(28,12))) "
+            f"FILTER (WHERE {where})"
+        )
 
     return {
-        "g0": dec_sum(core),
-        "g1": dec_sum(f"({core} * x1)"),
-        "g2": dec_sum(f"({core} * x2)"),
-        "g3": dec_sum(f"({core} * x3)"),
-        "ls": dec_sum(f"({e} * {e})"),
+        "g0": dec_sum(core, "v = 0"),
+        "g1": dec_sum(f"({core} * x1)", "v = 0"),
+        "g2": dec_sum(f"({core} * x2)", "v = 0"),
+        "g3": dec_sum(f"({core} * x3)", "v = 0"),
+        "lt": dec_sum(f"({e} * {e})", "v = 0"),
+        "lv": dec_sum(f"({e} * {e})", "v = 1"),
     }
 
 
@@ -125,6 +144,7 @@ def training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (epoch, phase, lr, loss6, w0..w3 at 6 dp, improved)."""
     c = load_table(spark, sf_dir, "customer")
     feat = c.selectExpr(
+        "c_custkey",
         *[f"{expr} AS {name}" for name, expr in _RAW_FEATS.items()],
         "CAST(c_acctbal AS DECIMAL(18,2)) AS bal",
     )
@@ -140,6 +160,10 @@ def training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bal").alias("total_bal"),
         F.count(F.lit(1)).cast("bigint").alias("n_all"),
     )
+    split = (
+        f"(CASE WHEN ({pseudo_random_sql('c_custkey', None, SEED_SPLIT)} "
+        f"% {VAL_MOD}) = 0 THEN 1 ELSE 0 END)"
+    )
     lab = (
         feat.crossJoin(F.broadcast(stats))
         .selectExpr(
@@ -147,12 +171,17 @@ def training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             _std_expr(2) + " AS x2",
             _std_expr(3) + " AS x3",
             "CASE WHEN bal * n_all > total_bal THEN 1 ELSE 0 END AS y",
+            split + " AS v",
         )
         # one epoch = one map-side aggregate over this projection;
         # pin it so each epoch re-reads columnar batches, not parquet
         .localCheckpoint()
     )
-    n = lab.count()
+    cnt = lab.selectExpr(
+        "CAST(SUM(1 - v) AS BIGINT) AS n_tr",
+        "CAST(SUM(v) AS BIGINT) AS n_va",
+    ).first()
+    n_tr, n_va = int(cnt["n_tr"]), int(cnt["n_va"])
 
     w = (0.0, 0.0, 0.0, 0.0)
     rows = []
@@ -162,21 +191,23 @@ def training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.expr(expr).alias(name) for name, expr in aggs.items()]
         ).first()
         gs = [float(got[k]) for k in ("g0", "g1", "g2", "g3")]
-        loss = float(got["ls"]) / n
+        loss = float(got["lt"]) / n_tr
+        val_loss = float(got["lv"]) / n_va
         # the weight recurrence — the same op sequence the oracle's
-        # CTE chain runs: w - lr * (G / n), one op at a time
-        w = tuple(wj - lr * (gj / n) for wj, gj in zip(w, gs))
-        rows.append((epoch, phase, lr, loss, *w))
+        # CTE chain runs: w - lr * (G / n_tr), one op at a time
+        w = tuple(wj - lr * (gj / n_tr) for wj, gj in zip(w, gs))
+        rows.append((epoch, phase, lr, loss, val_loss, *w))
 
     curve = spark.createDataFrame(
         rows,
-        "epoch int, phase int, lr double, loss double, "
+        "epoch int, phase int, lr double, loss double, val_loss double, "
         "rw0 double, rw1 double, rw2 double, rw3 double",
     ).select(
         "epoch",
         "phase",
         "lr",
         F.round("loss", 6).alias("loss6"),
+        F.round("val_loss", 6).alias("val_loss6"),
         *[F.round(f"rw{j}", 6).alias(f"w{j}") for j in range(4)],
     )
     win = Window.orderBy("epoch")
@@ -184,7 +215,7 @@ def training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         curve.withColumn(
             "improved",
             F.coalesce(
-                (F.lag("loss6").over(win) - F.col("loss6")) > EPS,
+                (F.lag("val_loss6").over(win) - F.col("val_loss6")) > EPS,
                 F.lit(True),
             ),
         )
@@ -198,16 +229,22 @@ def training_curve_oracle_sql() -> str:
     expression text with the weights spliced as CTE column
     references. The weight/loss doubles evolve identically because
     every op is a single IEEE double op on identical inputs and every
-    cross-row sum rides the 9-dp round-then-DECIMAL discipline."""
+    cross-row sum rides the 9-dp round-then-DECIMAL discipline; the
+    75/25 split replays through the engine-portable pseudo_random
+    draw on c_custkey."""
     feats = ",\n             ".join(
         f"{expr} AS {name}" for name, expr in _RAW_FEATS.items()
     )
     stat_cols = ",\n             ".join(
         f"MIN(f{j}) AS lo{j}, MAX(f{j}) AS hi{j}" for j in (1, 2, 3)
     )
+    split = (
+        f"(CASE WHEN ({pseudo_random_sql('c_custkey', None, SEED_SPLIT)} "
+        f"% {VAL_MOD}) = 0 THEN 1 ELSE 0 END)"
+    )
     ctes = [
         f"""feat AS (
-      SELECT {feats},
+      SELECT c_custkey, {feats},
              CAST(c_acctbal AS DECIMAL(18,2)) AS bal
       FROM customer
     )""",
@@ -220,8 +257,13 @@ def training_curve_oracle_sql() -> str:
       SELECT {_std_expr(1)} AS x1, {_std_expr(2)} AS x2,
              {_std_expr(3)} AS x3,
              CASE WHEN f.bal * s.n_all > s.total_bal THEN 1 ELSE 0 END AS y,
-             s.n_all
+             {split} AS v
       FROM feat f CROSS JOIN stats s
+    )""",
+        """cnt AS (
+      SELECT CAST(SUM(1 - v) AS BIGINT) AS n_tr,
+             CAST(SUM(v) AS BIGINT) AS n_va
+      FROM lab
     )""",
         """w0cte AS (
       SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3
@@ -237,26 +279,27 @@ def training_curve_oracle_sql() -> str:
         ctes.append(
             f"""e{epoch} AS (
       SELECT MIN(w0) AS w0, MIN(w1) AS w1, MIN(w2) AS w2, MIN(w3) AS w3,
-             MIN(n_all) AS n,
+             MIN(n_tr) AS n_tr, MIN(n_va) AS n_va,
              {agg_cols}
-      FROM lab CROSS JOIN {prev}
+      FROM lab CROSS JOIN {prev} CROSS JOIN cnt
     )"""
         )
         upd = ",\n             ".join(
-            f"(w{j} - {lr!r} * (CAST(g{j} AS DOUBLE) / n)) AS w{j}"
+            f"(w{j} - {lr!r} * (CAST(g{j} AS DOUBLE) / n_tr)) AS w{j}"
             for j in range(4)
         )
         ctes.append(
             f"""w{epoch} AS (
       SELECT {upd},
-             (CAST(ls AS DOUBLE) / n) AS loss, n
+             (CAST(lt AS DOUBLE) / n_tr) AS loss,
+             (CAST(lv AS DOUBLE) / n_va) AS val_loss
       FROM e{epoch}
     )"""
         )
         outrows.append(
             f"SELECT CAST({epoch} AS INT) AS epoch, "
             f"CAST({phase} AS INT) AS phase, {lr!r} AS lr, "
-            f"round(loss, 6) AS loss6, "
+            f"round(loss, 6) AS loss6, round(val_loss, 6) AS val_loss6, "
             + ", ".join(f"round(w{j}, 6) AS w{j}" for j in range(4))
             + f" FROM w{epoch}"
         )
@@ -268,9 +311,10 @@ def training_curve_oracle_sql() -> str:
     curve AS (
       {union}
     )
-    SELECT epoch, phase, lr, loss6, w0, w1, w2, w3,
-           COALESCE((lag(loss6) OVER (ORDER BY epoch)) - loss6 > {EPS!r},
-                    TRUE) AS improved
+    SELECT epoch, phase, lr, loss6, val_loss6, w0, w1, w2, w3,
+           COALESCE(
+             (lag(val_loss6) OVER (ORDER BY epoch)) - val_loss6 > {EPS!r},
+             TRUE) AS improved
     FROM curve
     ORDER BY epoch
     """

@@ -52,9 +52,12 @@ def q301_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     — reference `functions_v2.py:222-403`): six epochs of exact batch
     gradient descent (Elliott fast-sigmoid linear model over the
     standardized customer features, the forest lane's feature/label
-    design) under the stepped LR schedule 0.5/0.25/0.125 × 2 epochs.
-    Output = the training CURVE: per-epoch (phase, lr, 6-dp loss,
-    post-epoch weights, improved-by-> EPS flag). The oracle unrolls
+    design) under the stepped LR schedule 0.5/0.25/0.125 × 2 epochs,
+    with a deterministic 75/25 train/validation split and the stop
+    signal on the VALIDATION loss — the reference's criterion.
+    Output = the training CURVE: per-epoch (phase, lr, 6-dp train +
+    val losses, post-epoch weights, improved flag; on this corpus it
+    shows textbook overfitting and the signal fires). The oracle unrolls
     the weight recurrence into chained CTEs built from the SAME
     per-epoch aggregate expression text, so the driver hash proves
     the distributed loop and the single-node replay agree on every

@@ -30,19 +30,22 @@ def test_curve_deterministic_and_monotone(spark, sf_dir):
     a = _rows(training_curve(spark, sf_dir))
     b = _rows(training_curve(spark, sf_dir))
     assert a == b and len(a) == len(_schedule())
-    losses = [r[3] for r in a]
+    train_losses = [r[3] for r in a]
     # gradient descent on a convex-ish objective with this schedule
-    # must not diverge: the 6-dp loss never increases
-    assert all(l2 <= l1 for l1, l2 in zip(losses, losses[1:]))
+    # must not diverge: the 6-dp TRAIN loss never increases
+    assert all(l2 <= l1 for l1, l2 in zip(train_losses, train_losses[1:]))
     # epoch 1 is declared improved (no predecessor)
     assert a[0][-1] is True
-    # the flag matches its definition on every later epoch
+    # the early-stop flag tracks the VALIDATION loss by definition
     for prev, cur in zip(a, a[1:]):
-        assert cur[-1] == ((prev[3] - cur[3]) > EPS)
+        assert cur[-1] == ((prev[4] - cur[4]) > EPS)
+    # the label is noise w.r.t. the features, so the val curve must
+    # eventually stop improving — the stop signal genuinely fires
+    assert any(r[-1] is False for r in a[1:])
 
 
 def test_weights_bounded(spark, sf_dir):
     rows = _rows(training_curve(spark, sf_dir))
     for r in rows:
-        for w in r[4:8]:
+        for w in r[5:9]:
             assert abs(w) < 10.0  # standardized features, small LRs
