@@ -139,9 +139,19 @@ def _schedule() -> list[tuple[int, int, float]]:
     return out
 
 
-def training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def training_curve(
+    spark: SparkSession, sf_dir: str, momentum: float = 0.0
+) -> DataFrame:
     """Run the 3-phase loop and return the per-epoch curve:
-    (epoch, phase, lr, loss6, w0..w3 at 6 dp, improved)."""
+    (epoch, phase, lr, loss6, val_loss6, w0..w3 at 6 dp, improved).
+
+    `momentum` enables classical momentum (velocity fold
+    v ← μ·v + G/n_tr, w ← w − lr·v — Polyak's heavy ball), the
+    reference loop's per-phase-optimizer shape; still fully
+    deterministic (the velocity recurrence is the same single-IEEE-op
+    sequence on both sides), but the registered q301 lane pins
+    μ = 0 so its oracle stays the plain-GD unroll — the momentum
+    path is pytest-pinned (tests/test_training.py) instead."""
     c = load_table(spark, sf_dir, "customer")
     feat = c.selectExpr(
         "c_custkey",
@@ -184,6 +194,7 @@ def training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tr, n_va = int(cnt["n_tr"]), int(cnt["n_va"])
 
     w = (0.0, 0.0, 0.0, 0.0)
+    vel = (0.0, 0.0, 0.0, 0.0)
     rows = []
     for epoch, phase, lr in _schedule():
         aggs = _epoch_aggs(tuple(repr(x) for x in w))
@@ -194,8 +205,12 @@ def training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         loss = float(got["lt"]) / n_tr
         val_loss = float(got["lv"]) / n_va
         # the weight recurrence — the same op sequence the oracle's
-        # CTE chain runs: w - lr * (G / n_tr), one op at a time
-        w = tuple(wj - lr * (gj / n_tr) for wj, gj in zip(w, gs))
+        # CTE chain runs for the μ=0 lane: w - lr * (G / n_tr), one
+        # op at a time; with momentum the velocity folds first
+        vel = tuple(
+            momentum * vj + (gj / n_tr) for vj, gj in zip(vel, gs)
+        )
+        w = tuple(wj - lr * vj for wj, vj in zip(w, vel))
         rows.append((epoch, phase, lr, loss, val_loss, *w))
 
     curve = spark.createDataFrame(

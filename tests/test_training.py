@@ -49,3 +49,15 @@ def test_weights_bounded(spark, sf_dir):
     for r in rows:
         for w in r[5:9]:
             assert abs(w) < 10.0  # standardized features, small LRs
+
+
+def test_momentum_path_deterministic_and_distinct(spark, sf_dir):
+    """The momentum option (Polyak heavy ball): deterministic across
+    runs, reduces train loss at least as a trend, and actually
+    changes the trajectory vs plain GD (velocity accumulates)."""
+    a = _rows(training_curve(spark, sf_dir, momentum=0.9))
+    b = _rows(training_curve(spark, sf_dir, momentum=0.9))
+    plain = _rows(training_curve(spark, sf_dir))
+    assert a == b
+    assert a != plain  # the velocity fold must matter
+    assert a[-1][3] <= a[0][3]  # train loss trend still downward
