@@ -54,6 +54,18 @@ def pseudo_random_sql(key1: str, key2: str | None = None, seed: int = 42) -> str
     return f"(({x} * {x}) % {MODULUS})"
 
 
+def pseudo_random_py(key1: int, key2: int | None = None, seed: int = 42) -> int:
+    """Driver-side Python twin of `pseudo_random` (the `term_bucket_py`
+    pattern): pure integer arithmetic, bit-identical to the SQL form
+    for non-negative keys, so a planner can derive pseudo-random model
+    structure (e.g. the forest split table) without a cluster job."""
+    expr = int(key1) * KNUTH_A + int(seed) * SEED_MIX
+    if key2 is not None:
+        expr += int(key2) * KNUTH_B
+    x = expr % MODULUS
+    return (x * x) % MODULUS
+
+
 def md5_bigint(col: Column, hex_digits: int = 14) -> Column:
     """Stable 56-bit integer hash of a string column via md5.
 

@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from patientdataintegration_spark.functions.deterministic import (
     MODULUS,
+    pseudo_random_py,
     pseudo_random_sql,
 )
 from patientdataintegration_spark.sources.catalog import load_table
@@ -86,23 +87,31 @@ def _case3(fi: str, a: str, b: str, c: str) -> str:
     return f"(CASE WHEN {fi} = 0 THEN {a} WHEN {fi} = 1 THEN {b} ELSE {c} END)"
 
 
-def _split_table_exprs() -> tuple[str, str]:
-    """(feature-index expr, threshold expr) over a (t, node) frame
-    carrying the broadcast lo/hi stats — the MODEL STRUCTURE as a
-    relation: trees × internal nodes = NUM_TREES · (2^DEPTH - 1)
-    rows (3,751), computed once. Routing then needs no per-row
-    pseudo-random arithmetic at all: a higher-order `aggregate`
-    lambda spelling was measured 85s at sf0.1 because lambda bodies
-    evaluate INTERPRETED per element — whereas a broadcast hash join
-    per level stays inside whole-stage codegen."""
-    prf = f"({pseudo_random_sql('t', 'node', SEED_FEAT)} % 3)"
-    fr = (
-        f"(CAST({pseudo_random_sql('t', 'node', SEED_THR)} AS DOUBLE)"
-        f" / {MODULUS})"
-    )
-    lo = _case3("fi", "lo0", "lo1", "lo2")
-    hi = _case3("fi", "hi0", "hi1", "hi2")
-    return prf, f"({lo} + {fr} * ({hi} - {lo}))"
+def _split_table_rows(stats_row) -> list[tuple[int, int, int, float | None]]:
+    """The MODEL STRUCTURE derived DRIVER-SIDE (r17, guide §1.2 step 1
+    / r16 verdict item 4): trees × internal nodes = NUM_TREES ·
+    (2^DEPTH - 1) = 3,751 (t, node, feature, threshold) rows from the
+    same `pseudo_random` draws the oracle unrolls — pure integer
+    arithmetic plus one lo/hi lookup in the collected 1-row stats
+    marginal, so no cluster job (the r16 spelling localCheckpointed a
+    crossJoin per invocation) and no data dependency beyond that one
+    bounded collect. The float expression replays the SQL tree's exact
+    IEEE op order (`lo + (pr/M) * (hi - lo)`), so thresholds stay
+    bit-identical to the oracle's CTE spelling; a NULL lo/hi (empty
+    table) propagates as None exactly like the SQL NULL."""
+    lo = [stats_row["lo0"], stats_row["lo1"], stats_row["lo2"]]
+    hi = [stats_row["hi0"], stats_row["hi1"], stats_row["hi2"]]
+    rows: list[tuple[int, int, int, float | None]] = []
+    for t in range(NUM_TREES):
+        for node in range(1, 2**DEPTH):
+            fi = pseudo_random_py(t, node, SEED_FEAT) % 3
+            if lo[fi] is None or hi[fi] is None:
+                thr = None
+            else:
+                fr = pseudo_random_py(t, node, SEED_THR) / MODULUS
+                thr = lo[fi] + fr * (hi[fi] - lo[fi])
+            rows.append((t, node, fi, thr))
+    return rows
 
 
 def _level_exprs(d: int) -> dict[str, str]:
@@ -157,8 +166,23 @@ def deterministic_forest_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bal").alias("total_bal"),
         F.count(F.lit(1)).cast("bigint").alias("n_all"),
     )
-    lab = (
-        feat.crossJoin(F.broadcast(stats))
+    # ONE bounded driver action — the 1-row stats marginal (the
+    # `collect_pruning_terms`/salt-factor precedent) — feeds both the
+    # driver-derived split table and a literal 1-row stats relation,
+    # so the label/split branches stop re-running the stats scan and
+    # the per-invocation localCheckpoint job is gone (guide §1.2/§5;
+    # r16 verdict item 4)
+    st = stats.collect()[0]
+    stats_lit = spark.createDataFrame([st], stats.schema)
+    from patientdataintegration_spark.plans.partitioning import fan_out
+
+    # fan_out BEFORE the 121× tree fan-out: the routing pipeline
+    # inherits the scan's partitioning, and a narrow scan (one row
+    # group locally) would run the whole rows×trees×5-level pipeline
+    # on one task; at real volumes the guard is a no-op (guide §2.5
+    # input skew / §1.2 step 1)
+    lab = fan_out(
+        feat.crossJoin(F.broadcast(stats_lit))
         .withColumn(
             "label",
             F.expr("CASE WHEN bal * n_all > total_bal THEN 1 ELSE 0 END"),
@@ -171,23 +195,14 @@ def deterministic_forest_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     trees = spark.range(NUM_TREES).select(F.col("id").cast("bigint").alias("t"))
 
-    # the model structure as a broadcastable relation: every internal
-    # node's (feature index, threshold), NUM_TREES * (2^DEPTH - 1)
-    # rows, derived from the same pseudo-random draws the oracle
-    # unrolls — routing below is then five codegen'd broadcast-join
-    # levels over data, with zero per-row hash arithmetic
-    fi_expr, thr_expr = _split_table_exprs()
-    nodes = spark.range(1, 2**DEPTH).select(
-        F.col("id").cast("bigint").alias("node")
-    )
-    splits = (
-        trees.crossJoin(nodes)
-        .crossJoin(F.broadcast(stats))
-        .withColumn("fi", F.expr(fi_expr))
-        .select("t", "node", "fi", F.expr(thr_expr).alias("thr"))
-        # 3,751 rows, five broadcast consumers: pin it so each level
-        # does not re-run the stats scan under its broadcast
-        .localCheckpoint()
+    # the model structure as a broadcastable LOCAL relation (3,751
+    # rows, derived driver-side from the same pseudo-random draws the
+    # oracle unrolls — `_split_table_rows`): routing below stays five
+    # codegen'd broadcast-join levels over data, with zero per-row
+    # hash arithmetic, and the broadcast build is now a local-relation
+    # scan instead of a per-invocation checkpointed crossJoin
+    splits = spark.createDataFrame(
+        _split_table_rows(st), "t bigint, node bigint, fi bigint, thr double"
     )
 
     routed = lab.crossJoin(F.broadcast(trees)).withColumn(
@@ -214,13 +229,21 @@ def deterministic_forest_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("nd", F.expr(descend))
             .drop(f"_t{d}", f"_n{d}", f"_fi{d}", f"_thr{d}")
         )
+    # pin the routed fan-out ONCE: it feeds BOTH the leaf-value
+    # training aggregate and the scoring join, and without the pin the
+    # whole routing subtree (customer × 121 trees × five join levels)
+    # executes twice per action — once inside the leafval broadcast
+    # build, once on the probe side (measured in the r17 before-plan:
+    # two parallel routing subtrees). Materializing |rows|·NUM_TREES
+    # narrow rows is one pass; re-deriving them is two (guide §5:
+    # cache exactly when recompute costs more than the memory).
     leafed = routed.select(
         "c_custkey",
         "label",
         "t",
         F.col("nd").alias("leaf"),
         F.expr(_BAG_EXPR).alias("in_bag"),
-    )
+    ).localCheckpoint()
 
     leafval = (
         leafed.filter("in_bag")
