@@ -652,6 +652,82 @@ def connected_components_star(
     )
 
 
+# Bounded driver-side labeling for DELTA-SIZED star inputs (r17,
+# guide §1.2 step 1): the maintenance verbs run the large/small-star
+# loop over graphs that are delta-CONTRACTED by construction (merged
+# representatives / one dirty cluster's surviving pairs — the
+# docstrings' O(|Δ|) argument), yet each distributed round costs
+# 2 phases × (union + agg + join + distinct) of driver-coordinated
+# job latency. Below this cap the edge set collects (bounded, the
+# `collect_pruning_terms` pattern) and labels by union-find —
+# bit-identical output contract: nodes with >= 1 surviving non-self
+# edge, label = min reachable id. Above the cap the distributed loop
+# runs unchanged — at 100 TB a delta that strings together millions
+# of components falls back automatically.
+_STAR_CAP_CONF = "spark.pdi.star.driverMaxEdges"
+_STAR_CAP_DEFAULT = 100_000
+
+
+def _star_labels_bounded(
+    edges: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 20,
+) -> DataFrame | None:
+    """(node, label=min reachable id) of a delta-sized edge relation —
+    driver union-find when the DISTINCT canonical edge set fits the
+    `spark.pdi.star.driverMaxEdges` cap (default 100k ≈ 1.6 MB),
+    `connected_components_star` otherwise. Returns None when the
+    relation has no non-self-loop edge (the callers' empty case)."""
+    spark = edges.sparkSession
+    try:
+        cap = int(
+            spark.conf.get(_STAR_CAP_CONF, str(_STAR_CAP_DEFAULT))
+        )
+    except (TypeError, ValueError):
+        cap = _STAR_CAP_DEFAULT
+    e = (
+        edges.select(
+            F.col(id_a).cast("bigint").alias("a"),
+            F.col(id_b).cast("bigint").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    if cap > 0:
+        head = e.limit(cap + 1).collect()
+        if len(head) <= cap:
+            if not head:
+                return None
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in head:
+                a, b = row["a"], row["b"]
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # larger root attaches under smaller, so every
+                    # root IS its component's minimum id
+                    parent[max(ra, rb)] = min(ra, rb)
+            rows = sorted((n, find(n)) for n in parent)
+            return spark.createDataFrame(rows, "node bigint, label bigint")
+    if e.isEmpty():
+        return None
+    return connected_components_star(e, id_a="a", id_b="b", max_rounds=max_rounds)
+
+
 def _contracted_star(
     labels_old: DataFrame,
     new_edges: DataFrame,
@@ -721,14 +797,9 @@ def _contracted_star(
         )
         .filter(F.col("doc_a") != F.col("doc_b"))
     )
-    if contracted.isEmpty():
-        # every Δ-edge lands inside one old component (or is a self
-        # loop): labels are unchanged except brand-new isolated nodes
-        delta_labels = None
-    else:
-        delta_labels = connected_components_star(
-            contracted, max_rounds=max_rounds
-        )
+    # None when every Δ-edge lands inside one old component (or is a
+    # self loop): labels are unchanged except brand-new isolated nodes
+    delta_labels = _star_labels_bounded(contracted, max_rounds=max_rounds)
     return endpoints, la_touched, delta_labels
 
 
@@ -992,16 +1063,17 @@ def retract_documents_delta(
         id_a=id_a,
         id_b=id_b,
         id_col=id_col,
-    ).localCheckpoint()  # isEmpty probe + star input
-    if surviving.isEmpty():
+    ).localCheckpoint()  # bounded-collect probe + (fallback) star input
+    repaired = _star_labels_bounded(
+        surviving, id_a=id_a, id_b=id_b, max_rounds=max_rounds
+    )
+    if repaired is None:
         repaired = labels_old.select(
             F.col("node").cast("bigint").alias("node"),
             F.col("label").cast("bigint").alias("label"),
         ).filter(F.lit(False))
         return dirty_labels, repaired, dirty_members
-    repaired = connected_components_star(
-        surviving, id_a=id_a, id_b=id_b, max_rounds=max_rounds
-    ).localCheckpoint()  # two consumers: output + tombstone anti
+    repaired = repaired.localCheckpoint()  # two consumers: output + tombstone anti
     tombstones = dirty_members.join(
         F.broadcast(repaired.select("node")), "node", "left_anti"
     )

@@ -108,6 +108,38 @@ _DELTA_RE = re.compile(r"^delta_g(\d+)$")
 _BASE_SENTINEL = "_COMMITTED"
 
 
+def parallel_writes(jobs: list[tuple]) -> None:
+    """Run independent parquet overwrites CONCURRENTLY from a small
+    driver thread pool (guide §2.6: actions are only sequential
+    because the driver calls them sequentially; submitting the
+    independent per-relation writes of one generation together lets
+    each job's tail back-fill the executors the previous one frees).
+    Strictly for writes with no ordering constraint between them —
+    every caller writes its COMMIT MARKER relation (and sentinel)
+    sequentially AFTER this returns, so crash semantics are unchanged:
+    any failure here propagates before the marker exists and the
+    partial generation stays invisible to reads. A job is (df, path)
+    or (df, path, partition_cols) for hive-partitioned layouts."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w(job: tuple) -> None:
+        df, path = job[0], job[1]
+        w = df.write.mode("overwrite")
+        if len(job) > 2 and job[2]:
+            w = w.partitionBy(*job[2])
+        w.parquet(path)
+
+    if len(jobs) == 1:
+        _w(jobs[0])
+        return
+
+    # 2-4 jobs in flight is the guide's sweet spot: enough to fill
+    # stage tails, not enough to thrash the scheduler
+    with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as pool:
+        for f in [pool.submit(_w, j) for j in jobs]:
+            f.result()
+
+
 def commit_base(store_dir: str, gen: int) -> None:
     """Mark base_g{gen} COMMITTED — call strictly after the
     snapshot's last relation write returned. Reads (`_scan_gens`)
@@ -495,12 +527,14 @@ def seed_stores(
     store_dir: str,
 ) -> None:
     """Write generation 0 of the three dedup stores (the persisted
-    corpus the stream maintains) as the first base snapshot."""
-    sigs_init.write.mode("overwrite").parquet(_base_path(store_dir, 0, "sigs"))
-    pairs_init.write.mode("overwrite").parquet(_base_path(store_dir, 0, "pairs"))
-    labels_init.write.mode("overwrite").parquet(
-        _base_path(store_dir, 0, "labels")
-    )
+    corpus the stream maintains) as the first base snapshot. The three
+    relation writes are independent and run concurrently; the commit
+    sentinel goes down strictly after all of them (guide §2.6)."""
+    parallel_writes([
+        (sigs_init, _base_path(store_dir, 0, "sigs")),
+        (pairs_init, _base_path(store_dir, 0, "pairs")),
+        (labels_init, _base_path(store_dir, 0, "labels")),
+    ])
     commit_base(store_dir, 0)
 
 
@@ -520,8 +554,9 @@ def _compact(spark: SparkSession, store_dir: str, gen: int) -> None:
         name: read_store(spark, store_dir, name, version=gen)
         for name in ("sigs", "pairs", "labels")
     }
-    for name, df in folded.items():
-        df.write.mode("overwrite").parquet(_base_path(store_dir, gen, name))
+    parallel_writes([
+        (df, _base_path(store_dir, gen, name)) for name, df in folded.items()
+    ])
     # sentinel LAST: a crash between the three relation writes leaves
     # an invisible partial base, not a torn newest base (r14 ADVICE)
     commit_base(store_dir, gen)
@@ -770,15 +805,13 @@ def components_stream(
         # commit evidence (sentinel AND the marker's _SUCCESS)
         # cleared first, stamped after the marker ("tombs")
         uncommit_delta(store_dir, g, marker="tombs")
-        sigs_delta.write.mode("overwrite").parquet(
-            _delta_path(store_dir, g, "sigs")
-        )
-        delta_edges.write.mode("overwrite").parquet(
-            _delta_path(store_dir, g, "edges")
-        )
-        label_delta.write.mode("overwrite").parquet(
-            _delta_path(store_dir, g, "labels")
-        )
+        # independent relation writes run concurrently; "tombs" (the
+        # commit marker) stays a strictly-after sequential write
+        parallel_writes([
+            (sigs_delta, _delta_path(store_dir, g, "sigs")),
+            (delta_edges, _delta_path(store_dir, g, "edges")),
+            (label_delta, _delta_path(store_dir, g, "labels")),
+        ])
         doc_tombs.write.mode("overwrite").parquet(
             _delta_path(store_dir, g, "tombs")
         )

@@ -95,6 +95,7 @@ from patientdataintegration_spark.streaming.components import (
     commit_delta,
     gc_generations,
     latest_generation,
+    parallel_writes,
     uncommit_delta,
 )
 
@@ -136,24 +137,29 @@ def seed_index_store(
     exactly the satellites seeded here."""
     from patientdataintegration_spark.operators.indexing import corpus_stats
 
-    index_init.write.mode("overwrite").parquet(
-        _base_path(store_dir, 0, "index")
-    )
-    overflow_init.write.mode("overwrite").parquet(
-        _base_path(store_dir, 0, "overflow")
-    )
+    jobs = [
+        (index_init, _base_path(store_dir, 0, "index")),
+        (overflow_init, _base_path(store_dir, 0, "overflow")),
+    ]
     if tf_init is not None:
         tf_init = tf_init.localCheckpoint()  # consumers: write + stats
-        tf_init.select("term", "doc", "tf", "len_d").write.mode(
-            "overwrite"
-        ).parquet(_base_path(store_dir, 0, "tf"))
-        corpus_stats(tf_init).write.mode("overwrite").parquet(
-            _base_path(store_dir, 0, "stats")
+        jobs.append(
+            (
+                tf_init.select("term", "doc", "tf", "len_d"),
+                _base_path(store_dir, 0, "tf"),
+            )
         )
+        jobs.append((corpus_stats(tf_init), _base_path(store_dir, 0, "stats")))
     if pos_init is not None:
-        pos_init.select("term", "doc", "pos").write.mode("overwrite").parquet(
-            _base_path(store_dir, 0, "pos")
+        jobs.append(
+            (
+                pos_init.select("term", "doc", "pos"),
+                _base_path(store_dir, 0, "pos"),
+            )
         )
+    # independent relation writes run concurrently (guide §2.6); the
+    # commit sentinel goes down strictly after all of them
+    parallel_writes(jobs)
     commit_base(store_dir, 0)
 
 
@@ -288,8 +294,9 @@ def _compact_index(spark: SparkSession, store_dir: str, gen: int) -> None:
     }
     if "tf" in feats:
         folded["stats"] = read_index_stats(spark, store_dir, version=gen)
-    for name, df in folded.items():
-        df.write.mode("overwrite").parquet(_base_path(store_dir, gen, name))
+    parallel_writes([
+        (df, _base_path(store_dir, gen, name)) for name, df in folded.items()
+    ])
     # sentinel LAST (r14 ADVICE): a crash mid-fold leaves an invisible
     # partial base — reads keep resolving to the previous base, and
     # `_store_features` cannot mis-detect fewer satellites off a base
@@ -469,12 +476,23 @@ def export_serving_layout(
                 f"{sorted(relations)} would leave the dropped relations "
                 "stale-but-readable — export to a fresh directory instead"
             )
+    from patientdataintegration_spark.streaming.components import (
+        parallel_writes,
+    )
+
     dirs = {name: f"{name}_v{version}" for name in relations}
-    for name in relations:
-        df = read_index_store(spark, store_dir, name, version=version)
-        df.withColumn("tb", term_bucket(F.col("term"), n_buckets)).write.mode(
-            "overwrite"
-        ).partitionBy("tb").parquet(os.path.join(out_dir, dirs[name]))
+    # the staged per-relation writes are independent of each other
+    # (the atomic meta flip below is what publishes them), so they run
+    # concurrently (guide §2.6)
+    jobs: list[tuple] = [
+        (
+            read_index_store(spark, store_dir, name, version=version)
+            .withColumn("tb", term_bucket(F.col("term"), n_buckets)),
+            os.path.join(out_dir, dirs[name]),
+            ("tb",),
+        )
+        for name in relations
+    ]
     meta = {
         "n_buckets": n_buckets,
         "version": version,
@@ -483,9 +501,13 @@ def export_serving_layout(
     }
     if "tf" in relations:
         meta["stats"] = f"stats_v{version}"
-        read_index_stats(spark, store_dir, version=version).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, meta["stats"]))
+        jobs.append(
+            (
+                read_index_stats(spark, store_dir, version=version),
+                os.path.join(out_dir, meta["stats"]),
+            )
+        )
+    parallel_writes(jobs)
     _write_serving_meta(out_dir, meta)
     # GC: everything outside the retention window — old version-
     # tagged dirs beyond keep_old_versions, pre-versioning legacy
@@ -1016,20 +1038,23 @@ def index_stream(
         # the explicit sentinel covers committers with _SUCCESS off;
         # uncommit clears BOTH commit evidences before the rewrite
         uncommit_delta(store_dir, g, marker="terms")
-        index_rows.select("term", "doc_freq", "postings").write.mode(
-            "overwrite"
-        ).parquet(_delta_path(store_dir, g, "index"))
-        overflow_rows.select("term", "doc").write.mode("overwrite").parquet(
-            _delta_path(store_dir, g, "overflow")
-        )
+        # independent relation writes run concurrently; "terms" (the
+        # commit marker) stays a strictly-after sequential write
+        jobs = [
+            (
+                index_rows.select("term", "doc_freq", "postings"),
+                _delta_path(store_dir, g, "index"),
+            ),
+            (
+                overflow_rows.select("term", "doc"),
+                _delta_path(store_dir, g, "overflow"),
+            ),
+        ]
         for name, rows in sat_rows.items():
-            rows.write.mode("overwrite").parquet(
-                _delta_path(store_dir, g, name)
-            )
+            jobs.append((rows, _delta_path(store_dir, g, name)))
         if stats_new is not None:
-            stats_new.write.mode("overwrite").parquet(
-                _delta_path(store_dir, g, "stats")
-            )
+            jobs.append((stats_new, _delta_path(store_dir, g, "stats")))
+        parallel_writes(jobs)
         dirty.select("term").write.mode("overwrite").parquet(
             _delta_path(store_dir, g, "terms")
         )

@@ -68,6 +68,7 @@ from patientdataintegration_spark.streaming.components import (
     commit_delta,
     gc_generations,
     latest_generation,
+    parallel_writes,
     read_rowstore,
     uncommit_delta,
 )
@@ -87,12 +88,10 @@ def seed_ivf_store(
     """Write generation 0 of the inverted file plus the FROZEN
     centroid table (outside the generations — it never changes and
     must survive GC)."""
-    centroids.write.mode("overwrite").parquet(
-        os.path.join(store_dir, "centroids")
-    )
-    assigned_init.write.mode("overwrite").parquet(
-        _base_path(store_dir, 0, "assigned")
-    )
+    parallel_writes([
+        (centroids, os.path.join(store_dir, "centroids")),
+        (assigned_init, _base_path(store_dir, 0, "assigned")),
+    ])
     # sentinel strictly last — a crash anywhere above leaves an
     # unseeded-looking store that fails loudly, never a torn seed
     commit_base(store_dir, 0)
