@@ -1046,29 +1046,38 @@ def q278_erasure_sla_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted = d.select("doc_id").filter(~alive).localCheckpoint()
     deleted_vecs = e.select("vec_id").filter(F.col("vec_id") % 7 == 2)
 
-    def cert(name: str, artifact: DataFrame, id_refs: DataFrame,
+    def cert(name: str, artifact: DataFrame, ref_cols: list[str],
              dele: DataFrame) -> DataFrame:
-        # id_refs: ONE id column, the artifact's id references at
-        # whatever grain the artifact stores them (exploded arrays
-        # for pairs/labels/postings); dele: matching takedown set
+        # ONE streamed pass per artifact (r17, guide §1.2: the old
+        # spelling ran the artifact's whole retraction plan twice —
+        # once for the row count, once for the exploded-refs count):
+        # each ref column left-joins the broadcast takedown set for a
+        # per-row hit flag (ids are unique per set, so row counts are
+        # preserved), and n_rows + refs_to_deleted reduce in one agg.
+        # Reference counting is unchanged: one hit per (row, ref col),
+        # exactly what the exploded semi-join counted.
         dele_col = dele.columns[0]
-        refs_rel = id_refs.select(
-            F.col(id_refs.columns[0]).cast("bigint").alias(dele_col)
-        ).join(F.broadcast(dele), dele_col, "left_semi")
-        rows = artifact.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-        refs = refs_rel.agg(
-            F.count(F.lit(1)).cast("bigint").alias("refs_to_deleted")
+        out = artifact
+        flag_cols = []
+        for i, c in enumerate(ref_cols):
+            flags = F.broadcast(
+                dele.select(
+                    F.col(dele_col).cast("bigint").alias(f"_k{i}")
+                ).withColumn(f"_f{i}", F.lit(1))
+            )
+            out = out.join(
+                flags, out[c].cast("bigint") == F.col(f"_k{i}"), "left"
+            )
+            flag_cols.append(f"_f{i}")
+        hits = sum(
+            (F.coalesce(F.col(f), F.lit(0)) for f in flag_cols), F.lit(0)
         )
-        return rows.crossJoin(F.broadcast(refs)).select(
-            F.lit(name).alias("artifact"), "n_rows", "refs_to_deleted"
-        )
-
-    def both(df: DataFrame, a: str, b: str) -> DataFrame:
-        return df.select(
-            F.explode(
-                F.array(F.col(a).cast("bigint"), F.col(b).cast("bigint"))
-            ).alias("_id")
-        )
+        return out.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum(hits), F.lit(0))
+            .cast("bigint")
+            .alias("refs_to_deleted"),
+        ).select(F.lit(name).alias("artifact"), "n_rows", "refs_to_deleted")
 
     pairs_maint = retract_lsh_pairs(cached_lsh_pairs(spark, sf_dir), deleted)
     labels_maint = retract_documents(
@@ -1093,28 +1102,34 @@ def q278_erasure_sla_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv_maint = inv_maint.localCheckpoint()  # own row + postings refs
     inv_postings = inv_maint.select(F.explode("postings").alias("_id"))
 
+    # the postings cert keeps the two-aggregate shape (its refs live
+    # INSIDE arrays, which a flag join cannot reach) — both passes
+    # read the pinned checkpoint, so no plan re-executes
+    inv_rows = inv_maint.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    inv_refs = (
+        inv_postings.select(F.col("_id").cast("bigint").alias("doc_id"))
+        .join(F.broadcast(deleted), "doc_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("refs_to_deleted"))
+    )
+    inv_cert = inv_rows.crossJoin(F.broadcast(inv_refs)).select(
+        F.lit("inverted_index").alias("artifact"), "n_rows", "refs_to_deleted"
+    )
+
     return (
-        cert("pair_view", pairs_maint, both(pairs_maint, "doc_a", "doc_b"),
-             deleted)
+        cert("pair_view", pairs_maint, ["doc_a", "doc_b"], deleted)
+        .unionByName(cert("labels", labels_maint, ["node", "label"], deleted))
         .unionByName(
-            cert("labels", labels_maint, both(labels_maint, "node", "label"),
-                 deleted)
+            cert("canonical", canon_maint, ["doc_id", "cluster"], deleted)
         )
         .unionByName(
-            cert("canonical", canon_maint,
-                 both(canon_maint, "doc_id", "cluster"), deleted)
+            cert("exact_store", store_maint, ["canonical_id"], deleted)
         )
         .unionByName(
-            cert("exact_store", store_maint,
-                 store_maint.select("canonical_id"), deleted)
+            cert("ivf_index", ivf_maint, ["neighbor_id"], deleted_vecs)
         )
-        .unionByName(
-            cert("ivf_index", ivf_maint, ivf_maint.select("neighbor_id"),
-                 deleted_vecs)
-        )
-        .unionByName(
-            cert("inverted_index", inv_maint, inv_postings, deleted)
-        )
+        .unionByName(inv_cert)
     )
 
 
