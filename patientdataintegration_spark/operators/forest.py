@@ -23,7 +23,11 @@ DuckDB evaluate bit-for-bit:
 - split(t, node): feature = pr(t, node, SEED_FEAT) % 3, threshold =
   lo_f + (pr(t, node, SEED_THR) / M) * (hi_f - lo_f) over the
   feature's global [min, max];
-- bag(t): rows with pr(custkey, t, SEED_BAG) % 4 > 0 (75%);
+- bag(t): rows with pr(custkey, t, SEED_BAG) % 4 > 0 (75%) — a
+  deliberate divergence from the reference, whose
+  RandomForestClassifier sets bootstrap=False (every tree sees every
+  row); the deterministic bag is what makes trees differ here, since
+  splits are data-independent draws;
 - leaf value: floor(1e6 * mean(label)) over the bag — *integer*
   milli-micro means, so the ensemble sum is exact BIGINT arithmetic
   with zero float-ordering risk (the suite's round-then-DECIMAL

@@ -450,9 +450,15 @@ def decode_jpeg_pixels(content: bytes):
     if _np is not None:
         # elementwise ops are the scalar expressions verbatim (same
         # IEEE ops on the same doubles); only the total's ADD ORDER
-        # differs (pairwise vs sequential) — a last-ulp concern the
-        # decode lanes' oracles absorb by construction (their means
-        # are compared after the suite's rounding discipline)
+        # differs (numpy pairwise vs the fallback's sequential fold),
+        # so the two paths can differ in the mean's last ulp — and a
+        # ulp sitting exactly on a rounding boundary would survive the
+        # suite's round-to-N-dp discipline (r16 ADVICE). numpy
+        # availability is therefore PART OF THE PINNED ENVIRONMENT
+        # for the decode lanes: the hash-oracled expected values were
+        # produced with numpy present, and the scalar path below is a
+        # correctness fallback for numpy-free deployments, not a
+        # hash-equivalent twin.
         y = _np.frombuffer(bytes(Y), dtype=_np.uint8).astype(_np.float64)
         cb = _np.frombuffer(bytes(Cb), dtype=_np.uint8).astype(_np.float64) - 128.0
         cr = _np.frombuffer(bytes(Cr), dtype=_np.uint8).astype(_np.float64) - 128.0

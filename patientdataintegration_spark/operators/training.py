@@ -34,9 +34,12 @@ chosen so every arithmetic step is bit-identical in Spark and DuckDB:
   syntax in Spark SQL and DuckDB);
 - schedule: three phases × two epochs at lr = 0.5 / 0.25 / 0.125
   (the reference's stepped-LR shape); the early-stopping SIGNAL
-  tracks the VALIDATION loss — the reference's stop criterion — and
-  is emitted per epoch rather than acted on, so the full curve stays
-  in the output for the oracle to hash. (On this corpus the label is
+  tracks the VALIDATION loss — the variant the reference considered
+  (its val-loss check is commented out, "Auf loss umsteigen?",
+  functions_v2.py; the reference's ACTIVE selection criterion is
+  validation balanced accuracy after epoch 5) — and is emitted per
+  epoch rather than acted on, so the full curve stays in the output
+  for the oracle to hash. (On this corpus the label is
   noise w.r.t. the features, so the curve shows textbook
   overfitting: train loss falls, val loss rises, the signal fires.)
 
@@ -191,6 +194,16 @@ def training_curve(
         "CAST(SUM(1 - v) AS BIGINT) AS n_tr",
         "CAST(SUM(v) AS BIGINT) AS n_va",
     ).first()
+    if cnt["n_tr"] is None or cnt["n_va"] is None or not cnt["n_tr"] or not cnt["n_va"]:
+        # r16 ADVICE: a tiny table can leave either side of the
+        # deterministic 75/25 split empty, and the division below
+        # would surface as an opaque TypeError/ZeroDivisionError
+        raise ValueError(
+            "training_curve: the deterministic 75/25 split left "
+            f"{'train' if not cnt['n_tr'] else 'validation'} empty "
+            f"(n_tr={cnt['n_tr']}, n_va={cnt['n_va']}) — the input "
+            "table is too small to train on"
+        )
     n_tr, n_va = int(cnt["n_tr"]), int(cnt["n_va"])
 
     w = (0.0, 0.0, 0.0, 0.0)

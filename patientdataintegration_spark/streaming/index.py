@@ -360,6 +360,7 @@ def _gc_versioned_dirs(
     current_version: int,
     keep_old_versions: int,
     legacy: tuple[str, ...] = (),
+    protect: tuple[str, ...] = (),
 ) -> None:
     """Post-flip GC with a RETENTION WINDOW: delete version-tagged
     relation directories (`{prefix}_v{V}`) except the current version
@@ -369,7 +370,15 @@ def _gc_versioned_dirs(
     against the retained old version instead of racing the rmtree
     (the Iceberg-style retention stance). Legacy (pre-versioning)
     bare-name directories count as one implicit old version: they
-    are deleted only when keep_old_versions == 0."""
+    are deleted only when keep_old_versions == 0.
+
+    `protect` retains BY REFERENCE (r16 ADVICE): after incremental
+    refreshes a meta's relation dirs keep their original export tag
+    while the version/stats tags advance, so newest-tag retention
+    alone can delete the very directories the PRE-FLIP meta points at
+    while retaining newer-tagged ones no reader references. Callers
+    with keep_old_versions >= 1 pass the previous meta's directory
+    entries here; those names never delete, whatever their tag."""
     import shutil
 
     tagged: dict[int, list[str]] = {}
@@ -385,12 +394,15 @@ def _gc_versioned_dirs(
         if m:
             tagged.setdefault(int(m.group(2)), []).append(entry)
     old = sorted((v for v in tagged if v != current_version), reverse=True)
+    keep_names = set(protect)
     for v in old[keep_old_versions:]:
         for entry in tagged[v]:
+            if entry in keep_names:
+                continue
             shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
     if keep_old_versions == 0:
         for entry in legacy:
-            if entry in entries:
+            if entry in entries and entry not in keep_names:
                 shutil.rmtree(
                     os.path.join(out_dir, entry), ignore_errors=True
                 )
@@ -454,8 +466,16 @@ def export_serving_layout(
 
     version, _base, _gens = _resolve(store_dir, version, marker="terms")
     meta_path = os.path.join(out_dir, "serving_meta.json")
+    prev_refs: tuple[str, ...] = ()
     if os.path.isfile(meta_path):
         old_meta = _read_serving_meta(out_dir)
+        # the directories the PRE-FLIP meta references — retained by
+        # reference when keep_old_versions >= 1 (r16 ADVICE: after
+        # incremental refreshes their tags lag the meta version, so
+        # newest-tag retention would delete exactly these)
+        prev_refs = tuple(old_meta.get("dirs", {}).values()) + (
+            (old_meta["stats"],) if "stats" in old_meta else ()
+        )
         if old_meta["n_buckets"] != n_buckets:
             raise ValueError(
                 f"serving layout at {out_dir!r} was exported with "
@@ -518,6 +538,7 @@ def export_serving_layout(
         current_version=version,
         keep_old_versions=keep_old_versions,
         legacy=(*relations, "stats"),
+        protect=prev_refs if keep_old_versions >= 1 else (),
     )
     return version
 
@@ -698,6 +719,13 @@ def refresh_serving_layout(
             current_version=v_new,
             keep_old_versions=keep_old_versions,
             legacy=("stats",),
+            # retain the PRE-FLIP meta's stats by reference (r16
+            # ADVICE) — its tag can lag v_new by several refreshes
+            protect=(
+                (meta["stats"],)
+                if keep_old_versions >= 1 and "stats" in meta
+                else ()
+            ),
         )
     return {"version": v_new, "mode": "incremental", "dirty_buckets": buckets}
 

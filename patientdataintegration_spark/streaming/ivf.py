@@ -181,19 +181,34 @@ def export_ivf_serving_layout(
     assigned_rel = f"assigned_v{version}"
     cent_rel = f"centroids_v{version}"
     tombs_rel = f"tombs_v{version}"
+    # the directories the PRE-FLIP meta references, retained by
+    # reference when keep_old_versions >= 1 (r16 ADVICE — see
+    # index._gc_versioned_dirs)
+    prev_refs: tuple[str, ...] = ()
+    if os.path.isfile(os.path.join(out_dir, "serving_meta.json")):
+        old_meta = _read_ivf_serving_meta(out_dir)
+        prev_refs = tuple(
+            old_meta[k]
+            for k in ("assigned", "centroids", "tombs")
+            if k in old_meta
+        )
     assigned = read_rowstore(
         spark, store_dir, "assigned", version=version,
         id_col="neighbor_id", marker="tombs",
     ).withColumn("_gen", F.lit(int(version)).cast("int"))
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(out_dir, assigned_rel)
-    )
-    read_ivf_centroids(spark, store_dir).write.mode("overwrite").parquet(
-        os.path.join(out_dir, cent_rel)
-    )
-    spark.createDataFrame([], TOMB_SCHEMA).write.mode("overwrite").parquet(
-        os.path.join(out_dir, tombs_rel)
-    )
+    # staged writes are independent (the meta flip publishes them) —
+    # run them concurrently (guide §2.6)
+    parallel_writes([
+        (assigned, os.path.join(out_dir, assigned_rel), ("cell",)),
+        (
+            read_ivf_centroids(spark, store_dir),
+            os.path.join(out_dir, cent_rel),
+        ),
+        (
+            spark.createDataFrame([], TOMB_SCHEMA),
+            os.path.join(out_dir, tombs_rel),
+        ),
+    ])
     _write_ivf_serving_meta(
         out_dir,
         {
@@ -217,6 +232,7 @@ def export_ivf_serving_layout(
         current_version=version,
         keep_old_versions=keep_old_versions,
         legacy=("assigned", "centroids"),
+        protect=prev_refs if keep_old_versions >= 1 else (),
     )
     return version
 
@@ -371,6 +387,8 @@ def refresh_ivf_serving_layout(
         prefixes=("tombs",),
         current_version=v_new,
         keep_old_versions=keep_old_versions,
+        # retain the PRE-FLIP meta's tombs by reference (r16 ADVICE)
+        protect=(old_rel,) if keep_old_versions >= 1 else (),
     )
     return {"version": v_new, "mode": "incremental", "dirty_cells": dirty}
 

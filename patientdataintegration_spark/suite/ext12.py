@@ -54,7 +54,10 @@ def q301_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     standardized customer features, the forest lane's feature/label
     design) under the stepped LR schedule 0.5/0.25/0.125 × 2 epochs,
     with a deterministic 75/25 train/validation split and the stop
-    signal on the VALIDATION loss — the reference's criterion.
+    signal on the VALIDATION loss — the variant the reference
+    considered (its val-loss check is commented out; the active
+    criterion there is val balanced accuracy after epoch 5 —
+    `operators/training.py` docstring).
     Output = the training CURVE: per-epoch (phase, lr, 6-dp train +
     val losses, post-epoch weights, improved flag; on this corpus it
     shows textbook overfitting and the signal fires). The oracle unrolls

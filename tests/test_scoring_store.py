@@ -1204,3 +1204,68 @@ def test_export_retention_window_keeps_previous_version(spark, tmp_path):
     names = set(os.listdir(out))
     assert "tf_v0" not in names and "stats_v0" not in names
     assert {"tf_v1", "tf_v2", "stats_v1", "stats_v2"} <= names
+
+
+def test_export_retention_protects_pre_flip_refs_after_refreshes(
+    spark, tmp_path
+):
+    """Retain BY REFERENCE, not by tag (r16 ADVICE): incremental
+    refreshes advance the meta's version and stats tag while the
+    relation dirs keep the original export's tag, so a later full
+    re-export with keep_old_versions=1 must retain the directories
+    the PRE-FLIP meta actually references (lagging tags included) —
+    not merely the newest old version tag."""
+    from patientdataintegration_spark.streaming.index import (
+        _read_serving_meta,
+        refresh_serving_layout,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    _seed(spark, store, SEED)
+    out = str(tmp_path / "export")
+    assert export_serving_layout(
+        spark, store, out, relations=("tf",), n_buckets=8
+    ) == 0
+
+    def run():
+        return index_stream(
+            spark, src, "*.parquet", store, ckpt,
+            op_col="op", max_postings=16, compact_every=0,
+        )
+
+    # two refresh windows: dirs stay tf_v0, stats/version advance
+    for batch in (BATCH_A, BATCH_B):
+        spark.createDataFrame(batch, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run()
+        assert refresh_serving_layout(spark, store, out)["mode"] == (
+            "incremental"
+        )
+    pre_flip = _read_serving_meta(out)
+    assert pre_flip["version"] == 2 and pre_flip["dirs"]["tf"] == "tf_v0"
+    assert pre_flip["stats"] == "stats_v2"
+
+    # a third generation, then a FULL re-export with a retention window
+    spark.createDataFrame([(30, "p q r", 1)], DOC_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run()
+    assert export_serving_layout(
+        spark, store, out, relations=("tf",), n_buckets=8,
+        keep_old_versions=1,
+    ) == 3
+    names = set(os.listdir(out))
+    # everything the pre-flip meta references survives the GC — a
+    # reader that planned against it can finish its scan
+    assert {"tf_v0", "stats_v2", "tf_v3", "stats_v3"} <= names
+    from patientdataintegration_spark.streaming.index import TF_SCHEMA
+
+    old = spark.read.schema(f"{TF_SCHEMA}, tb int").parquet(
+        os.path.join(out, "tf_v0")
+    )
+    assert _norm(old.drop("tb")) == _norm(
+        read_index_store(spark, store, "tf", version=2)
+    )
