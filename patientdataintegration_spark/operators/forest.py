@@ -241,13 +241,38 @@ def deterministic_forest_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two parallel routing subtrees). Materializing |rows|·NUM_TREES
     # narrow rows is one pass; re-deriving them is two (guide §5:
     # cache exactly when recompute costs more than the memory).
+    #
+    # SIZE-GATED (r17 verdict item 8): |rows|×121 pinned to executor
+    # memory/disk is fine at bench scale but a very large persist at
+    # 100 TB — and localCheckpoint additionally forfeits lineage
+    # recovery on executor loss. The routed cardinality is EXACTLY
+    # n_all × NUM_TREES and n_all is already in the collected 1-row
+    # stats marginal, so the gate costs nothing and never guesses
+    # (the optimizer's own estimate was measured at ~1e121 bytes here
+    # — five broadcast-join levels multiply size estimates — and is
+    # unusable; see OPTIMIZATION_r18.md). Above
+    # `spark.pdi.forest.pinMaxBytes` (default 8 GiB; <= 0 disables
+    # the gate and always pins) skip the pin and pay the second
+    # routing pass instead: two passes beat an OOM. The local default
+    # keeps the bench on the pinned plan (sf0.1 routed ≈ 87 MB).
     leafed = routed.select(
         "c_custkey",
         "label",
         "t",
         F.col("nd").alias("leaf"),
         F.expr(_BAG_EXPR).alias("in_bag"),
-    ).localCheckpoint()
+    )
+    try:
+        pin_budget = int(
+            spark.conf.get("spark.pdi.forest.pinMaxBytes",
+                           str(8 * 1024**3))
+        )
+    except (TypeError, ValueError):
+        pin_budget = 8 * 1024**3
+    _ROUTED_ROW_BYTES = 48  # (bigint key, label, t, leaf, bool) + slack
+    routed_bytes = int(st["n_all"] or 0) * NUM_TREES * _ROUTED_ROW_BYTES
+    if pin_budget <= 0 or routed_bytes <= pin_budget:
+        leafed = leafed.localCheckpoint()
 
     leafval = (
         leafed.filter("in_bag")

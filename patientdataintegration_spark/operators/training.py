@@ -198,9 +198,14 @@ def training_curve(
         # r16 ADVICE: a tiny table can leave either side of the
         # deterministic 75/25 split empty, and the division below
         # would surface as an opaque TypeError/ZeroDivisionError
+        empty = [
+            side
+            for side, n in (("train", cnt["n_tr"]), ("validation", cnt["n_va"]))
+            if not n
+        ]
         raise ValueError(
             "training_curve: the deterministic 75/25 split left "
-            f"{'train' if not cnt['n_tr'] else 'validation'} empty "
+            f"{' and '.join(empty)} empty "
             f"(n_tr={cnt['n_tr']}, n_va={cnt['n_va']}) — the input "
             "table is too small to train on"
         )

@@ -140,6 +140,63 @@ def parallel_writes(jobs: list[tuple]) -> None:
             f.result()
 
 
+def parallel_actions(fns: list) -> list:
+    """Run independent driver-blocking actions (localCheckpoints,
+    bounded collects) CONCURRENTLY from a small thread pool — the
+    write-side `parallel_writes` discipline applied to the repair
+    READS of one micro-batch (guide §2.6 / r17 verdict item 2: the
+    micro-batch lanes are driver/job-latency bound, and their repair
+    materializations are only sequential because foreachBatch calls
+    them sequentially). Strictly for actions with no ordering
+    constraint between them; exceptions propagate before the caller
+    writes anything, so crash semantics are unchanged. Returns the
+    results in input order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(fns) == 1:
+        return [fns[0]()]
+    with ThreadPoolExecutor(max_workers=min(4, len(fns))) as pool:
+        futs = [pool.submit(f) for f in fns]
+        return [f.result() for f in futs]
+
+
+# bounded driver materialization of BATCH-SIZED key sets (the
+# `collect_pruning_terms` guard pattern, shared by the three streams'
+# takedown/dirty sets): below the cap the set collects into a LOCAL
+# relation — same one job as the localCheckpoint it replaces, but
+# every downstream broadcast probe becomes a LocalTableScan build,
+# the emptiness test is free (the isEmpty job disappears), and the
+# caller gets the values themselves for driver-side planning (net
+# dirty unions, serving-bucket computation, tombstone writes).
+# Above the cap: localCheckpoint, the r17 spelling, unchanged.
+_DRIVER_ROWS_CONF = "spark.pdi.stream.driverMaxKeyRows"
+_DRIVER_ROWS_DEFAULT = 100_000
+
+
+def freeze_small(df: DataFrame, schema: str):
+    """(frozen DataFrame, collected values | None): bounded-collect
+    `df` (must be a DISTINCT single-column delta-sized relation) into
+    a local relation when it fits `spark.pdi.stream.driverMaxKeyRows`
+    (default 100k), else localCheckpoint it. The second element is
+    the sorted value list on the local path, None on the fallback."""
+    spark = df.sparkSession
+    try:
+        cap = int(
+            spark.conf.get(_DRIVER_ROWS_CONF, str(_DRIVER_ROWS_DEFAULT))
+        )
+    except (TypeError, ValueError):
+        cap = _DRIVER_ROWS_DEFAULT
+    if cap > 0:
+        head = df.limit(cap + 1).collect()
+        if len(head) <= cap:
+            vals = sorted(r[0] for r in head)
+            return (
+                spark.createDataFrame([(v,) for v in vals], schema),
+                vals,
+            )
+    return df.localCheckpoint(), None
+
+
 def commit_base(store_dir: str, gen: int) -> None:
     """Mark base_g{gen} COMMITTED — call strictly after the
     snapshot's last relation write returned. Reads (`_scan_gens`)

@@ -496,10 +496,6 @@ def export_serving_layout(
                 f"{sorted(relations)} would leave the dropped relations "
                 "stale-but-readable — export to a fresh directory instead"
             )
-    from patientdataintegration_spark.streaming.components import (
-        parallel_writes,
-    )
-
     dirs = {name: f"{name}_v{version}" for name in relations}
     # the staged per-relation writes are independent of each other
     # (the atomic meta flip below is what publishes them), so they run

@@ -1060,10 +1060,15 @@ def q278_erasure_sla_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = artifact
         flag_cols = []
         for i, c in enumerate(ref_cols):
+            # .distinct() makes the row-preservation invariant of the
+            # flag LEFT join STRUCTURAL rather than assumed (r17
+            # ADVICE): a duplicate id in the takedown set would
+            # otherwise multiply artifact rows, inflating both n_rows
+            # and refs_to_deleted — the delta-sized agg is free
             flags = F.broadcast(
                 dele.select(
                     F.col(dele_col).cast("bigint").alias(f"_k{i}")
-                ).withColumn(f"_f{i}", F.lit(1))
+                ).distinct().withColumn(f"_f{i}", F.lit(1))
             )
             out = out.join(
                 flags, out[c].cast("bigint") == F.col(f"_k{i}"), "left"
