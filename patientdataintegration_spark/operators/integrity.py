@@ -133,11 +133,15 @@ def locate_divergence(
     (insert/delete divergence, including a shard missing entirely on
     one side), else 'content' (same rows, different bytes).
 
-    This is the anti-entropy shape for 100 TB replicas: level 1
-    costs one scan of each copy reduced to `levels[0]` rows; every
-    deeper level scans only the flagged fraction (for d divergent
-    rows, ≤ d/levels[i] of the data), so total work is ~2 scans plus
-    a sliver — never a row-level join of two full tables. The same
+    This is the anti-entropy shape for 100 TB replicas: when every
+    level divides the next (the normal geometry), ALL levels cost ONE
+    scan of each copy — the finest level's ≤ levels[-1] state rows
+    are exact mergeable (count, DECIMAL-sum) pairs, so coarser levels
+    re-aggregate kilobytes instead of re-scanning — plus the final
+    key-level sliver scan (≤ flagged/levels[-1] of the data after
+    the filter); non-nested level lists fall back to one scan per
+    level over the flagged fraction. Never a row-level join of two
+    full tables. The same
     q234 exactness machinery (portable MD5-prefix fingerprints,
     DECIMAL(38,0) order-independent sums) makes the levels
     cross-engine replayable; the per-pair 2^-64 collision stance is
@@ -157,47 +161,129 @@ def locate_divergence(
     key = F.col(key_col)
     parts: list[DataFrame] = []
     a_cur, b_cur = a, b
-    for i, mod in enumerate(levels, start=1):
-        cs_a = shard_checksum(a_cur, cols, key % mod).select(
+    nested = all(
+        levels[i + 1] % levels[i] == 0 for i in range(len(levels) - 1)
+    )
+    if levels and nested:
+        # SINGLE-PASS level rollup (guide §1.2/§2.4): the per-shard
+        # state is (count, exact DECIMAL(38,0) checksum-sum) — the
+        # module's own mergeability contract — so when every level
+        # divides the next ((k % fine) % coarse == k % coarse for
+        # truncated remainders of nested moduli), ONE finest-level
+        # scan of each copy yields EVERY level by re-aggregating the
+        # ≤ levels[-1] state rows. The previous spelling re-scanned
+        # both full copies once per level (the descent's semi-join
+        # filters rows only after the scan) and paid one sequential
+        # checkpoint barrier per level; this is one scan and one
+        # barrier, with the descent restriction applied EXACTLY by
+        # keeping only children of flagged parents — a child shard's
+        # rows within a flagged parent are identical to its rows in
+        # the full table, so the flag set per level is unchanged.
+        fine = levels[-1]
+        cs_a = shard_checksum(a, cols, key % fine).select(
             F.col("shard"),
             F.col("n_rows").alias("_na"),
             F.col("checksum").alias("_ca"),
         )
-        cs_b = shard_checksum(b_cur, cols, key % mod).select(
+        cs_b = shard_checksum(b, cols, key % fine).select(
             F.col("shard"),
             F.col("n_rows").alias("_nb"),
             F.col("checksum").alias("_cb"),
         )
-        j = cs_a.join(cs_b, "shard", "full_outer")
-        flagged = j.filter(
-            ~F.col("_na").eqNullSafe(F.col("_nb"))
-            | ~F.col("_ca").eqNullSafe(F.col("_cb"))
-        ).select(
-            F.lit(i).cast("int").alias("level"),
-            F.col("shard").cast("bigint").alias("shard"),
-            F.when(~F.col("_na").eqNullSafe(F.col("_nb")), F.lit("count"))
-            .otherwise(F.lit("content"))
-            .alias("reason"),
+        # one materialized job: both copies scanned once, reduced to
+        # ≤ levels[-1] joined state rows (kilobytes)
+        state = cs_a.join(cs_b, "shard", "full_outer").localCheckpoint()
+        flagged_shards: list[int] | None = None
+        for i, mod in enumerate(levels, start=1):
+            # per-side rollup to this level's granularity: a side
+            # absent from a coarse shard contributes no finest rows,
+            # so its rolled (n, checksum) stays NULL — identical to
+            # the full-outer join of per-level checksums
+            lvl = state.groupBy(
+                (F.col("shard") % mod).alias("_lsh")
+            ).agg(
+                F.sum("_na").alias("_na"),
+                F.sum("_ca").alias("_ca"),
+                F.sum("_nb").alias("_nb"),
+                F.sum("_cb").alias("_cb"),
+            )
+            if flagged_shards is not None:
+                # descend only into flagged parents — the original
+                # adaptive restriction, applied to the state rows
+                lvl = lvl.filter(
+                    (F.col("_lsh") % levels[i - 2]).isin(flagged_shards)
+                )
+            flagged = lvl.filter(
+                ~F.col("_na").eqNullSafe(F.col("_nb"))
+                | ~F.col("_ca").eqNullSafe(F.col("_cb"))
+            ).select(
+                F.lit(i).cast("int").alias("level"),
+                F.col("_lsh").cast("bigint").alias("shard"),
+                F.when(~F.col("_na").eqNullSafe(F.col("_nb")), F.lit("count"))
+                .otherwise(F.lit("content"))
+                .alias("reason"),
+            )
+            # the flag set is ≤ shard-count rows of checkpointed
+            # state: the collect is driver-cheap and becomes the next
+            # level's literal predicate (and the sliver scan's below)
+            rows = flagged.collect()
+            flagged_shards = [int(r["shard"]) for r in rows]
+            parts.append(
+                a.sparkSession.createDataFrame(rows, flagged.schema)
+            )
+        # the key-level sliver: flagged finest shards imply flagged
+        # parents at every level, so one IN-list on the finest modulus
+        # reproduces the stacked semi-joins (empty flag set → no keys)
+        sliver = (
+            (key % fine).isin(flagged_shards)
+            if flagged_shards
+            else F.lit(False)
         )
-        # MATERIALIZE each level's flag set (kilobytes — bounded by
-        # the shard count) before descending: the drill is inherently
-        # adaptive (level i+1's scan predicate IS level i's result),
-        # and without this each of the three consumers (output union,
-        # both semi-joins) would re-plan the level's full checksum
-        # scans — 3 scans per level per side instead of 1.
-        flagged = flagged.localCheckpoint()
-        parts.append(flagged)
-        sh = flagged.select(F.col("shard").cast("int").alias("_sh"))
-        a_cur = (
-            a_cur.withColumn("_sh", (key % mod).cast("int"))
-            .join(F.broadcast(sh), "_sh", "left_semi")
-            .drop("_sh")
-        )
-        b_cur = (
-            b_cur.withColumn("_sh", (key % mod).cast("int"))
-            .join(F.broadcast(sh), "_sh", "left_semi")
-            .drop("_sh")
-        )
+        a_cur = a.filter(sliver)
+        b_cur = b.filter(sliver)
+    else:
+        for i, mod in enumerate(levels, start=1):
+            cs_a = shard_checksum(a_cur, cols, key % mod).select(
+                F.col("shard"),
+                F.col("n_rows").alias("_na"),
+                F.col("checksum").alias("_ca"),
+            )
+            cs_b = shard_checksum(b_cur, cols, key % mod).select(
+                F.col("shard"),
+                F.col("n_rows").alias("_nb"),
+                F.col("checksum").alias("_cb"),
+            )
+            j = cs_a.join(cs_b, "shard", "full_outer")
+            flagged = j.filter(
+                ~F.col("_na").eqNullSafe(F.col("_nb"))
+                | ~F.col("_ca").eqNullSafe(F.col("_cb"))
+            ).select(
+                F.lit(i).cast("int").alias("level"),
+                F.col("shard").cast("bigint").alias("shard"),
+                F.when(~F.col("_na").eqNullSafe(F.col("_nb")), F.lit("count"))
+                .otherwise(F.lit("content"))
+                .alias("reason"),
+            )
+            # MATERIALIZE each level's flag set (kilobytes — bounded
+            # by the shard count) before descending: the drill is
+            # inherently adaptive (level i+1's scan predicate IS
+            # level i's result), and without this each of the three
+            # consumers (output union, both semi-joins) would re-plan
+            # the level's full checksum scans — 3 scans per level per
+            # side instead of 1.
+            flagged = flagged.localCheckpoint()
+            parts.append(flagged)
+            sh = flagged.select(F.col("shard").cast("int").alias("_sh"))
+            a_cur = (
+                a_cur.withColumn("_sh", (key % mod).cast("int"))
+                .join(F.broadcast(sh), "_sh", "left_semi")
+                .drop("_sh")
+            )
+            b_cur = (
+                b_cur.withColumn("_sh", (key % mod).cast("int"))
+                .join(F.broadcast(sh), "_sh", "left_semi")
+                .drop("_sh")
+            )
     # final level: per-key fingerprints over the surviving sliver
     ka = (
         a_cur.select(key.alias("_k"), row_fingerprint(cols).alias("_fp"))
