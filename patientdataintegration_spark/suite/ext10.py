@@ -584,15 +584,32 @@ def q289_bm25_drift_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = d.filter(F.col("doc_id") % 100 == 1).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    served = bm25_from_store(
-        read_index_store(spark, store, "tf"),
-        read_index_stats(spark, store),
-        queries,
-        k=5,
+    # the cert's two sides each pin one corpus-sized relation eagerly
+    # (the store candidates / the recompute's tf) and are independent
+    # until the full-outer join — overlap the two materializations so
+    # one side's stage tail back-fills the other's executors (guide
+    # §2.6, the parallel_actions discipline; r17 verdict item 3)
+    from patientdataintegration_spark.streaming.components import (
+        parallel_actions,
     )
-    recomputed = bm25_topk(
-        d.filter(F.col("doc_id") % 5 != 0), queries, k=5
-    )
+
+    res: dict = {}
+
+    def _served() -> None:
+        res["s"] = bm25_from_store(
+            read_index_store(spark, store, "tf"),
+            read_index_stats(spark, store),
+            queries,
+            k=5,
+        )
+
+    def _recomputed() -> None:
+        res["c"] = bm25_topk(
+            d.filter(F.col("doc_id") % 5 != 0), queries, k=5
+        )
+
+    parallel_actions([_served, _recomputed])
+    served, recomputed = res["s"], res["c"]
     j = served.alias("s").join(
         recomputed.alias("c"),
         ["query_id", "doc_id", "rnk"],

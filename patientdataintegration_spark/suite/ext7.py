@@ -316,22 +316,51 @@ def q246_nightly_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     view_row = cert("join_view", view_maint, view_full, cs_cols)
 
-    # 5. bloom store generation update
+    # 5. bloom store generation update. Guide §5 / §1.2 (the q278
+    # discipline at certificate scale — r17 verdict item 3): the
+    # fingerprint derivation (regex-normalize + md5 over every
+    # document) is the cert's expensive subtree, and the lazy
+    # spelling re-executed it under every consumer — the plan scanned
+    # documents 24 times. Pin exactly the SMALL twice-consumed
+    # relations: the day's fresh fingerprints (delta-sized — feeds
+    # the store union, its own bitmap, and the count) and the
+    # history bitmap (≤ m_bits/64 word rows — feeds the prefilter
+    # AND the merge, which previously each rebuilt it). The
+    # corpus-sized history fingerprints stay UNPINNED (recomputed
+    # per consumer — at 100 TB a corpus-sized persist is the wrong
+    # trade), and the scratch-rebuild twin stays a genuine full
+    # recompute over the updated store: it IS the certificate.
     d = load_table(spark, sf_dir, "documents")
     fp = fingerprint(d)
     hist_fp = (
         fp.filter(F.col("doc_id") % 10 < 7).select("fingerprint").distinct()
     )
-    delta_fp = (
-        fp.filter(F.col("doc_id") % 10 >= 7).select("fingerprint").distinct()
+    from patientdataintegration_spark.streaming.components import (
+        parallel_actions,
     )
-    fresh = bloom_prefiltered_antijoin(delta_fp, hist_fp, "fingerprint")
+
+    res: dict = {}
+
+    def _delta_fp() -> None:
+        res["d"] = (
+            fp.filter(F.col("doc_id") % 10 >= 7)
+            .select("fingerprint")
+            .distinct()
+            .localCheckpoint()  # consumers: bloom tag + exact anti probe
+        )
+
+    def _bm_hist() -> None:
+        res["b"] = bloom_bitmap(hist_fp, "fingerprint").localCheckpoint()
+
+    # the two pins are independent — overlap them (guide §2.6)
+    parallel_actions([_delta_fp, _bm_hist])
+    delta_fp, bm_hist = res["d"], res["b"]
+    fresh = bloom_prefiltered_antijoin(
+        delta_fp, hist_fp, "fingerprint", bitmap=bm_hist
+    ).localCheckpoint()  # consumers: store union, own bitmap, count
     store_new = hist_fp.unionByName(fresh)  # disjoint by construction
     bm_merged = merge_bloom_bitmaps(
-        [
-            bloom_bitmap(hist_fp, "fingerprint"),
-            bloom_bitmap(fresh, "fingerprint"),
-        ]
+        [bm_hist, bloom_bitmap(fresh, "fingerprint")]
     )
     bm_scratch = bloom_bitmap(store_new, "fingerprint")
     bloom_row = cert(

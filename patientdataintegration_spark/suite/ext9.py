@@ -635,11 +635,36 @@ def q274_takedown_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = cached_minhash_sigs(spark, sf_dir)
 
     pairs_maint = retract_lsh_pairs(pairs_all, deleted)
-    pairs_twin = lsh_candidate_pairs(
-        sigs.filter(alive), bands=4, rows_per_band=2
-    ).localCheckpoint()
-    labels_maint = retract_documents(pairs_all, labels_all, deleted).localCheckpoint()
-    labels_twin = connected_components_star(pairs_twin)
+
+    # the two pinned pipelines below are independent until the canon
+    # certs join them: the TWIN chain (re-band survivors → star
+    # closure, with its per-iteration materializations) and the
+    # MAINTAINED repair — overlap them so one chain's stage tails
+    # back-fill the other's executors (guide §2.6, the r17
+    # parallel_actions discipline; r17 verdict item 3)
+    from patientdataintegration_spark.streaming.components import (
+        parallel_actions,
+    )
+
+    res: dict = {}
+
+    def _twin_chain() -> None:
+        res["pt"] = lsh_candidate_pairs(
+            sigs.filter(alive), bands=4, rows_per_band=2
+        ).localCheckpoint()
+        # pinned like labels_maint: two consumers (its own cert +
+        # canon_twin) otherwise re-execute the closure's final label
+        # aggregation — one shuffle of the label set per consumer
+        # (guide §5; same magnitude as the other pins here)
+        res["lt"] = connected_components_star(res["pt"]).localCheckpoint()
+
+    def _maint_repair() -> None:
+        res["lm"] = retract_documents(
+            pairs_all, labels_all, deleted
+        ).localCheckpoint()
+
+    parallel_actions([_twin_chain, _maint_repair])
+    pairs_twin, labels_twin, labels_maint = res["pt"], res["lt"], res["lm"]
 
     canon_cols = ["doc_id", "cluster", "rank_in_cluster", "is_canonical"]
     canon_maint = canonicalize_clusters(
