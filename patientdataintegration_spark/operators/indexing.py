@@ -802,9 +802,14 @@ def bm25_from_store(
     cand = tf_store.join(
         F.broadcast(q_terms.select("term").distinct()), "term", "left_semi"
     ).localCheckpoint()  # consumers: the df agg + the impact join
-    dfreq = cand.select("term", "doc").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    # df = the per-term candidate row count DIRECTLY: tf_store rows
+    # are (term, doc)-unique by the relation's contract (they are
+    # `doc_term_stats` rows — one row per distinct (document, term),
+    # maintained wholesale per term by the store verbs), so the
+    # previous defensive `.distinct()` only re-shuffled the full
+    # candidate (term, doc) set before counting; the plain count
+    # map-side-combines to |terms| rows (guide §2.3)
+    dfreq = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     guarded = cand
     if max_df is not None:
         rare = dfreq.filter(F.col("df") <= max_df)
@@ -899,10 +904,18 @@ def bm25_topk(
         .localCheckpoint()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    doclen = tf.groupBy("_doc").agg(F.sum("tf").alias("len_d"))
-    totals = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("len_d").alias("total_tokens"),
+    # len_d as a window over the pinned tf (the `doc_term_stats`
+    # shape) instead of a separate doclen aggregate joined back on
+    # _doc: the join repartitioned BOTH sides by _doc — two more
+    # corpus-sized exchanges than the one the window needs (guide
+    # §2.4); and the corpus totals come straight off tf (Σ tf = total
+    # tokens; distinct-doc count partial-aggregates) without the
+    # doclen detour. Same exact integers either way.
+    w_doc = Window.partitionBy("_doc")
+    tfl = tf.withColumn("len_d", F.sum("tf").over(w_doc))
+    totals = tf.agg(
+        F.count_distinct(F.col("_doc")).alias("n_docs"),
+        F.sum("tf").alias("total_tokens"),
     )
     q_terms = (
         queries.select(
@@ -914,10 +927,10 @@ def bm25_topk(
         .filter(F.col("term") != "")
         .distinct()
     )
-    guarded = tf
+    guarded = tfl
     if max_df is not None:
         rare = dfreq.filter(F.col("df") <= max_df)
-        guarded = tf.join(F.broadcast(rare), "term", "left_semi")
+        guarded = tfl.join(F.broadcast(rare), "term", "left_semi")
     # per-(term, doc) IMPACT, computed ONCE on the tf-sized relation —
     # the score contribution is query-independent (Lucene's impact
     # trick), so the |queries| fan-out below only SUMS precomputed
@@ -927,7 +940,6 @@ def bm25_topk(
     # construction
     impacts = (
         guarded.join(F.broadcast(dfreq), "term")
-        .join(doclen, "_doc")
         .crossJoin(F.broadcast(totals))
         .select(
             "term",
