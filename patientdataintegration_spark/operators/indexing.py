@@ -135,6 +135,27 @@ def inverted_index(
     return _roll_postings(ranked, min_df)
 
 
+def _freeze_terms(terms: DataFrame) -> DataFrame:
+    """Freeze a delta-sized distinct dirty-term relation for its
+    multiple consumers (the caller's anti-probes + the repair semis):
+    bounded driver collect into a LOCAL relation when it fits
+    `spark.pdi.stream.driverMaxKeyRows` (guide §1.2 / r17 verdict
+    item 2 — same one job as the localCheckpoint it replaces, but
+    every broadcast probe becomes a LocalTableScan build and the
+    term list itself rides along as `_pdi_local_rows` for the
+    streaming caller's driver-side planning: net-dirty unions, the
+    commit-marker write, serving-bucket computation). Above the cap:
+    localCheckpoint, the prior spelling, unchanged — a 100 TB batch
+    whose vocabulary outgrows driver memory falls back
+    automatically."""
+    from patientdataintegration_spark.streaming.components import freeze_small
+
+    df, vals = freeze_small(terms, "term string")
+    if vals is not None:
+        df._pdi_local_rows = vals
+    return df
+
+
 def _rank_term_docs(term_docs: DataFrame) -> DataFrame:
     """One shuffle on the term key serving both the doc-frequency
     window-count and the posting cap — shared by the index builders
@@ -299,7 +320,7 @@ def retract_inverted_index_delta(
     posted = index.select(
         "term", F.explode("postings").alias("_doc")
     )
-    dirty_terms = (
+    dirty_terms = _freeze_terms(
         posted.join(dele, "_doc", "left_semi")
         .select("term")
         .unionByName(
@@ -308,7 +329,6 @@ def retract_inverted_index_delta(
             ).select("term")
         )
         .distinct()
-        .localCheckpoint()  # consumers: caller's antis + the repair semis
     )
     members = (
         posted.join(F.broadcast(dirty_terms), "term", "left_semi")
@@ -410,9 +430,7 @@ def extend_inverted_index_delta(
         F.col(id_col).cast("bigint").alias("_doc"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
     ).filter(F.col("term") != "")
-    dirty_terms = (
-        t_new.select("term").distinct().localCheckpoint()
-    )  # consumers: caller's antis + the repair semis
+    dirty_terms = _freeze_terms(t_new.select("term").distinct())
     stored = (
         index.select("term", F.explode("postings").alias("_doc"))
         .join(F.broadcast(dirty_terms), "term", "left_semi")
@@ -426,6 +444,84 @@ def extend_inverted_index_delta(
     members = stored.unionByName(t_new).dropDuplicates(["term", "_doc"])
     ranked = _rank_term_docs(members).localCheckpoint()  # index + overflow sides
     repaired_index, repaired_overflow = _split_ranked(ranked, min_df, max_postings)
+    return dirty_terms, repaired_index, repaired_overflow
+
+
+def crud_inverted_index_delta(
+    index: DataFrame,
+    overflow: DataFrame,
+    new_docs: DataFrame,
+    deleted_ids: DataFrame,
+    max_postings: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """ONE-PASS net repair for a micro-batch carrying BOTH inserts and
+    takedowns (inserts first, takedowns second — the q275 order):
+    returns (dirty_terms, index_rows, overflow_rows) BIT-IDENTICAL to
+    `extend_inverted_index_delta` followed by
+    `retract_inverted_index_delta` over the lazily-composed
+    post-insert state, in ONE dirty-term derivation and ONE re-rank
+    instead of two of each (r17 verdict item 2 — the two
+    `_rank_term_docs` checkpoints were the stream's priciest per-batch
+    jobs). min_df is fixed at 1, the maintained store's contract
+    (`extend_inverted_index`).
+
+    Equality argument: (a) the net dirty set — retract's dirty terms
+    are those whose POST-INSERT rows mention a deleted doc; a batch
+    term's post-insert rows are stored ∪ batch ⊇ stored, and every
+    batch term is already insert-dirty, so the union reduces to
+    D = batch vocabulary ∪ {terms whose STORED postings/overflow
+    mention a deleted doc} — computable against the OLD state, no
+    post-insert composition. (b) the net rows per dirty term t:
+    extend-then-retract yields ((stored(t) ∪ batch(t)) dedup)
+    ∖ deleted docs, re-ranked and re-capped — for t with no deleted
+    reference the ∖ is a no-op (extend's result), for a delete-only t
+    the batch contributes no rows (retract's repair) — which is
+    exactly the single expression below. A doc ingested and taken
+    down in the SAME batch enters members and is then removed: the
+    definitional insert-before-takedown order. Pinned by the
+    fused-vs-composed equivalence test in
+    tests/test_streaming_index.py and q283/q275's full-rebuild
+    oracles."""
+    from patientdataintegration_spark.operators.textops import tokens
+
+    t_new = new_docs.select(
+        F.col(id_col).cast("bigint").alias("_doc"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    dele = F.broadcast(
+        deleted_ids.select(
+            F.col(id_col).cast("bigint").alias("_doc")
+        ).distinct()
+    )
+    posted = index.select("term", F.explode("postings").alias("_doc"))
+    del_dirty = (
+        posted.join(dele, "_doc", "left_semi")
+        .select("term")
+        .unionByName(
+            overflow.join(
+                dele.withColumnRenamed("_doc", "doc"), "doc", "left_semi"
+            ).select("term")
+        )
+    )
+    dirty_terms = _freeze_terms(
+        t_new.select("term").unionByName(del_dirty).distinct()
+    )
+    stored = (
+        posted.join(F.broadcast(dirty_terms), "term", "left_semi")
+        .unionByName(
+            overflow.join(F.broadcast(dirty_terms), "term", "left_semi")
+            .select("term", F.col("doc").alias("_doc"))
+        )
+    )
+    members = (
+        stored.unionByName(t_new)
+        .dropDuplicates(["term", "_doc"])
+        .join(dele, "_doc", "left_anti")
+    )
+    ranked = _rank_term_docs(members).localCheckpoint()  # index + overflow
+    repaired_index, repaired_overflow = _split_ranked(ranked, 1, max_postings)
     return dirty_terms, repaired_index, repaired_overflow
 
 

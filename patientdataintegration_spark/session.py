@@ -53,6 +53,14 @@ def build_session(
         # no-op unless a Python source implements pushFilters
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # bounded driver collects (freeze_small / collect_pruning_terms
+        # / the star probe) use limit(cap+1).collect(); the default
+        # CollectLimit executes 1 partition first and scales up 4x per
+        # retry, costing 2-4 scheduled jobs per probe on multi-partition
+        # children — scan all partitions in ONE job instead (each
+        # partition is locally capped at the limit, so the driver
+        # transfer stays bounded)
+        .config("spark.sql.limit.initialNumPartitions", "10000")
         # driver parquet writes TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and normalize in the catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

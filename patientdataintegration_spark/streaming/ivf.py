@@ -66,8 +66,10 @@ from patientdataintegration_spark.streaming.components import (
     _delta_path,
     commit_base,
     commit_delta,
+    freeze_small,
     gc_generations,
     latest_generation,
+    parallel_actions,
     parallel_writes,
     read_rowstore,
     uncommit_delta,
@@ -261,6 +263,8 @@ def refresh_ivf_serving_layout(
     out_dir: str,
     version: int | None = None,
     keep_old_versions: int = 0,
+    tomb_ids: list | None = None,
+    tombs_version: int | None = None,
 ) -> dict:
     """INCREMENTAL refresh of an exported IVF serving layout — the
     serving tier's last full-scan cost (`refresh_serving_layout`'s
@@ -329,7 +333,23 @@ def refresh_ivf_serving_layout(
             _delta_path(store_dir, g, "assigned")
         ).withColumn("_gen", F.lit(int(g)).cast("int"))
         inserts = d if inserts is None else inserts.unionByName(d)
-    new_tombs = _tombs_by_id(spark, store_dir, needed, "neighbor_id")
+    if (
+        tomb_ids is not None
+        and tombs_version is not None
+        and needed == [int(tombs_version)]
+    ):
+        # validated driver-side hint (r17 verdict item 2,
+        # `refresh_serving_layout`'s rule): the inline caller just
+        # wrote exactly this range's tombstones, so the delete-file
+        # side relation is a local relation — no delta re-read, no
+        # per-id max aggregate. Ignored whenever the range spans
+        # other generations (replay/catch-up), so it can narrow
+        # cost, never results.
+        new_tombs = spark.createDataFrame(
+            [(i, int(tombs_version)) for i in tomb_ids], TOMB_SCHEMA
+        )
+    else:
+        new_tombs = _tombs_by_id(spark, store_dir, needed, "neighbor_id")
     live = (
         inserts.join(F.broadcast(new_tombs), "neighbor_id", "left")
         .filter(F.col("_tg").isNull() | (F.col("_tg") < F.col("_gen")))
@@ -362,11 +382,6 @@ def refresh_ivf_serving_layout(
         # vanish): a cell is dirty only because a live insert lands in
         # it, so every rewritten partition is non-empty by construction
         content = kept.unionByName(live).localCheckpoint()
-        content.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("cell").parquet(
-            os.path.join(out_dir, meta.get("assigned", "assigned"))
-        )
     old_rel = meta["tombs"]
     merged = (
         spark.read.schema(TOMB_SCHEMA)
@@ -376,7 +391,23 @@ def refresh_ivf_serving_layout(
         .agg(F.max("_tg").alias("_tg"))
     )
     new_rel = f"tombs_v{v_new}"
-    merged.write.mode("overwrite").parquet(os.path.join(out_dir, new_rel))
+    # the cell rewrite and the delete-file fold are independent (the
+    # meta flip below is the single publish point) — overlap them
+    # (guide §2.6)
+    wjobs = [
+        lambda: merged.write.mode("overwrite").parquet(
+            os.path.join(out_dir, new_rel)
+        )
+    ]
+    if dirty:
+        wjobs.append(
+            lambda: content.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("cell").parquet(
+                os.path.join(out_dir, meta.get("assigned", "assigned"))
+            )
+        )
+    parallel_actions(wjobs)
     _write_ivf_serving_meta(out_dir, {**meta, "version": v_new, "tombs": new_rel})
     from patientdataintegration_spark.streaming.index import (
         _gc_versioned_dirs,
@@ -541,17 +572,24 @@ def ivf_stream(
     def advance(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
         g = int(batch_id) + 1
+        tomb_ids: list | None = None
         if op_col is not None:
-            deleted = (
+            # bounded driver materialization (freeze_small): the tombs
+            # write below becomes a local-relation write instead of a
+            # second batch scan, and the inline refresh gets the
+            # tombstone list for driver-side planning
+            deleted, tomb_ids = freeze_small(
                 batch.filter(F.col(op_col) < 0)
                 .select(F.col(id_col).cast("bigint").alias("neighbor_id"))
-                .distinct()
+                .distinct(),
+                "neighbor_id bigint",
             )
             ingest = batch.filter(F.col(op_col) > 0).drop(op_col)
         else:
             deleted = batch.select(
                 F.col(id_col).cast("bigint").alias("neighbor_id")
             ).filter(F.lit(False))
+            tomb_ids = []
             ingest = batch
         cent = read_ivf_centroids(s, store_dir)
         assigned_delta = ivf_assign(ingest, cent, id_col, vec_col)
@@ -569,7 +607,10 @@ def ivf_stream(
         if compact_every and g % compact_every == 0:
             _compact_ivf(s, store_dir, g)
         if serving_out is not None:
-            refresh_ivf_serving_layout(s, store_dir, serving_out)
+            refresh_ivf_serving_layout(
+                s, store_dir, serving_out,
+                tomb_ids=tomb_ids, tombs_version=g,
+            )
 
     stream = (
         spark.readStream.schema(vec_schema)

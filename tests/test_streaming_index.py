@@ -390,3 +390,83 @@ def test_reingest_upsert_is_deterministic_batch_wins(spark, tmp_path):
     assert pos == [
         ("a", 1, 1), ("a", 1, 2), ("b", 1, 2), ("c", 1, 3),
     ]
+
+
+def test_fused_crud_repair_equals_extend_then_retract(spark):
+    """`crud_inverted_index_delta` (the stream's one-pass CRUD repair)
+    must be BIT-IDENTICAL to `extend_inverted_index_delta` followed by
+    `retract_inverted_index_delta` over the lazily-composed
+    post-insert state — same net dirty set, same repaired rows — on a
+    battery covering at-cap displacement, overflow re-admission, a
+    delete-only term, a brand-new term, and a SAME-BATCH
+    ingest+takedown (which must end deleted)."""
+    from patientdataintegration_spark.operators.indexing import (
+        crud_inverted_index_delta,
+        extend_inverted_index_delta,
+        inverted_index_with_overflow,
+        retract_inverted_index_delta,
+    )
+
+    # store: "hot" at cap (docs 1..2 in postings, 3..4 overflow),
+    # "solo" owned by doc 3, "dead" owned by doc 5
+    docs0 = spark.createDataFrame(
+        [
+            (1, "hot solo"),
+            (2, "hot"),
+            (3, "hot solo"),
+            (4, "hot"),
+            (5, "hot dead"),
+        ],
+        "doc_id bigint, text string",
+    )
+    index0, overflow0 = inverted_index_with_overflow(
+        docs0, min_df=1, max_postings=2
+    )
+    index0 = index0.localCheckpoint()
+    overflow0 = overflow0.localCheckpoint()
+    # batch: doc 0 ingests (displaces at-cap postings; brand-new term
+    # "new"); doc 6 ingests AND is taken down in the same batch; docs
+    # 3 (overflow member + solo owner) and 5 (dead's only doc) leave
+    batch = spark.createDataFrame(
+        [(0, "hot new"), (6, "hot solo new")],
+        "doc_id bigint, text string",
+    )
+    deleted = spark.createDataFrame(
+        [(3,), (5,), (6,)], "doc_id bigint"
+    )
+
+    d_f, i_f, o_f = crud_inverted_index_delta(
+        index0, overflow0, batch, deleted, max_postings=2
+    )
+
+    d1, i1, o1 = extend_inverted_index_delta(
+        index0, overflow0, batch, max_postings=2
+    )
+    postins_index = index0.join(
+        F.broadcast(d1), "term", "left_anti"
+    ).unionByName(i1)
+    postins_overflow = overflow0.join(
+        F.broadcast(d1), "term", "left_anti"
+    ).unionByName(o1)
+    d2, i2, o2 = retract_inverted_index_delta(
+        postins_index, postins_overflow, deleted, min_df=1, max_postings=2
+    )
+    dirty_ref = sorted(
+        r["term"] for r in d1.unionByName(d2).distinct().collect()
+    )
+    index_ref = i2.unionByName(i1.join(F.broadcast(d2), "term", "left_anti"))
+    overflow_ref = o2.unionByName(
+        o1.join(F.broadcast(d2), "term", "left_anti")
+    )
+
+    assert sorted(r["term"] for r in d_f.collect()) == dirty_ref
+    assert _norm_index(i_f) == _norm_index(index_ref)
+    assert _norm_overflow(o_f) == _norm_overflow(overflow_ref)
+    # the battery's own expectations, so a regression in BOTH paths
+    # cannot hide: "dead" left the index; same-batch doc 6 is gone;
+    # doc 3's departure re-admits the smallest displaced posting
+    got = {r["term"]: (r["doc_freq"], tuple(r["postings"])) for r in i_f.collect()}
+    assert "dead" not in got
+    assert got["new"] == (1, (0,))
+    assert got["solo"] == (1, (1,))
+    assert got["hot"][0] == 4 and got["hot"][1] == (0, 1)
