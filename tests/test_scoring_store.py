@@ -1125,8 +1125,8 @@ def test_continuous_trigger_cadence_refreshes_after_every_batch(
     seen = []
     real_refresh = ix.refresh_serving_layout
 
-    def recording_refresh(s, store_dir, out_dir, version=None):
-        res = real_refresh(s, store_dir, out_dir, version)
+    def recording_refresh(s, store_dir, out_dir, version=None, **kw):
+        res = real_refresh(s, store_dir, out_dir, version, **kw)
         seen.append((res["version"], res["mode"]))
         return res
 
@@ -1209,12 +1209,13 @@ def test_export_retention_window_keeps_previous_version(spark, tmp_path):
 def test_export_retention_protects_pre_flip_refs_after_refreshes(
     spark, tmp_path
 ):
-    """Retain BY REFERENCE, not by tag (r16 ADVICE): incremental
-    refreshes advance the meta's version and stats tag while the
-    relation dirs keep the original export's tag, so a later full
-    re-export with keep_old_versions=1 must retain the directories
-    the PRE-FLIP meta actually references (lagging tags included) —
-    not merely the newest old version tag."""
+    """Retain BY REFERENCE (r16 ADVICE), under copy-on-write
+    refreshes (r18): each incremental refresh stages every relation
+    to a fresh `{name}_v{version}` directory and GCs the superseded
+    one per the retention window, so the meta's dirs always carry the
+    meta's own version; a later full re-export with
+    keep_old_versions=1 must retain exactly the directories the
+    PRE-FLIP meta references."""
     from patientdataintegration_spark.streaming.index import (
         _read_serving_meta,
         refresh_serving_layout,
@@ -1235,7 +1236,9 @@ def test_export_retention_protects_pre_flip_refs_after_refreshes(
             op_col="op", max_postings=16, compact_every=0,
         )
 
-    # two refresh windows: dirs stay tf_v0, stats/version advance
+    # two refresh windows: dirs and stats stage copy-on-write to the
+    # new version's names; the superseded ones are GC'd immediately
+    # (keep_old_versions=0, the tight-disk default)
     for batch in (BATCH_A, BATCH_B):
         spark.createDataFrame(batch, DOC_SCHEMA).coalesce(1).write.mode(
             "append"
@@ -1245,8 +1248,11 @@ def test_export_retention_protects_pre_flip_refs_after_refreshes(
             "incremental"
         )
     pre_flip = _read_serving_meta(out)
-    assert pre_flip["version"] == 2 and pre_flip["dirs"]["tf"] == "tf_v0"
+    assert pre_flip["version"] == 2 and pre_flip["dirs"]["tf"] == "tf_v2"
     assert pre_flip["stats"] == "stats_v2"
+    assert {"tf_v0", "tf_v1", "stats_v0", "stats_v1"}.isdisjoint(
+        os.listdir(out)
+    )
 
     # a third generation, then a FULL re-export with a retention window
     spark.createDataFrame([(30, "p q r", 1)], DOC_SCHEMA).coalesce(
@@ -1260,12 +1266,98 @@ def test_export_retention_protects_pre_flip_refs_after_refreshes(
     names = set(os.listdir(out))
     # everything the pre-flip meta references survives the GC — a
     # reader that planned against it can finish its scan
-    assert {"tf_v0", "stats_v2", "tf_v3", "stats_v3"} <= names
+    assert {"tf_v2", "stats_v2", "tf_v3", "stats_v3"} <= names
     from patientdataintegration_spark.streaming.index import TF_SCHEMA
 
     old = spark.read.schema(f"{TF_SCHEMA}, tb int").parquet(
-        os.path.join(out, "tf_v0")
+        os.path.join(out, "tf_v2")
     )
     assert _norm(old.drop("tb")) == _norm(
         read_index_store(spark, store, "tf", version=2)
     )
+
+
+def test_refresh_crash_before_flip_leaves_old_layout_intact(
+    spark, tmp_path, monkeypatch
+):
+    """COPY-ON-WRITE refresh staging (r16 verdict item 2): the
+    incremental refresh never writes into a directory the live meta
+    references — dirty buckets stage to `{name}_v{v_new}`, untouched
+    buckets hardlink across, and the meta flip publishes rows AND
+    stats together. A reader racing the refresh (or surviving a crash
+    anywhere before the flip, simulated by failing the meta write)
+    therefore serves the OLD layout byte-identically — never a mix of
+    pre- and post-refresh buckets, and never v_new rows against v_exp
+    stats. The retry then lands the new version cleanly with the
+    untouched buckets carried over byte-identical."""
+    import patientdataintegration_spark.streaming.index as ix
+    from patientdataintegration_spark.streaming.index import (
+        _read_serving_meta,
+        refresh_serving_layout,
+        term_bucket_py,
+    )
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    os.makedirs(src)
+    os.makedirs(store)
+    # disjoint single-term docs so dirty/untouched buckets separate
+    seed = [(i, f"u{i} u{i}", 1) for i in range(1, 7)]
+    _seed(spark, store, seed)
+    out = str(tmp_path / "export")
+    n_buckets = 16
+    assert export_serving_layout(
+        spark, store, out, relations=("tf",), n_buckets=n_buckets
+    ) == 0
+    want_v0 = _norm(read_serving_relation(spark, out, "tf", None))
+    stats_v0 = _norm(
+        spark.read.parquet(os.path.join(out, _meta_dir(out, "stats")))
+    )
+    state_v0 = _export_file_state(out, "tf")
+
+    spark.createDataFrame(
+        [(7, "u1 x7", 1), (2, None, -1)], DOC_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    index_stream(
+        spark, src, "*.parquet", store, ckpt,
+        op_col="op", max_postings=16, compact_every=0,
+    )
+
+    real_write = ix._write_serving_meta
+
+    def crash(*a, **kw):
+        raise RuntimeError("simulated crash before the meta flip")
+
+    monkeypatch.setattr(ix, "_write_serving_meta", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        refresh_serving_layout(spark, store, out)
+    monkeypatch.setattr(ix, "_write_serving_meta", real_write)
+
+    # the old meta still points at the old directories, whose every
+    # file is byte-identical (same digest, same mtime — the staging
+    # never opened them): a concurrent reader sees exactly the
+    # pre-refresh layout, rows AND stats
+    assert _read_serving_meta(out)["version"] == 0
+    assert _export_file_state(out, "tf") == state_v0
+    assert _norm(read_serving_relation(spark, out, "tf", None)) == want_v0
+    assert _norm(
+        spark.read.parquet(os.path.join(out, _meta_dir(out, "stats")))
+    ) == stats_v0
+
+    # the retry lands v1: the refreshed layout equals the store at the
+    # new version, and every untouched bucket's files carried over
+    # byte-identical (hardlinked) under the new directory
+    res = refresh_serving_layout(spark, store, out)
+    assert res["version"] == 1 and res["mode"] == "incremental"
+    assert _meta_dir(out, "tf") == "tf_v1"
+    assert _norm(read_serving_relation(spark, out, "tf", None)) == _norm(
+        read_index_store(spark, store, "tf", version=1)
+    )
+    dirty = {term_bucket_py(t, n_buckets) for t in ("u1", "x7", "u2")}
+    after = _export_file_state(out, "tf")
+    untouched = {
+        p: s for p, s in state_v0.items()
+        if p.startswith("tb=") and int(p.split(os.sep)[0][3:]) not in dirty
+    }
+    assert untouched, "test needs untouched buckets to witness"
+    for p, s in untouched.items():
+        assert after.get(p) == s, f"untouched bucket not carried over: {p}"
