@@ -66,7 +66,6 @@ from patientdataintegration_spark.streaming.components import (
     _delta_path,
     commit_base,
     commit_delta,
-    freeze_small,
     gc_generations,
     latest_generation,
     parallel_actions,
@@ -263,8 +262,6 @@ def refresh_ivf_serving_layout(
     out_dir: str,
     version: int | None = None,
     keep_old_versions: int = 0,
-    tomb_ids: list | None = None,
-    tombs_version: int | None = None,
 ) -> dict:
     """INCREMENTAL refresh of an exported IVF serving layout — the
     serving tier's last full-scan cost (`refresh_serving_layout`'s
@@ -333,23 +330,7 @@ def refresh_ivf_serving_layout(
             _delta_path(store_dir, g, "assigned")
         ).withColumn("_gen", F.lit(int(g)).cast("int"))
         inserts = d if inserts is None else inserts.unionByName(d)
-    if (
-        tomb_ids is not None
-        and tombs_version is not None
-        and needed == [int(tombs_version)]
-    ):
-        # validated driver-side hint (r17 verdict item 2,
-        # `refresh_serving_layout`'s rule): the inline caller just
-        # wrote exactly this range's tombstones, so the delete-file
-        # side relation is a local relation — no delta re-read, no
-        # per-id max aggregate. Ignored whenever the range spans
-        # other generations (replay/catch-up), so it can narrow
-        # cost, never results.
-        new_tombs = spark.createDataFrame(
-            [(i, int(tombs_version)) for i in tomb_ids], TOMB_SCHEMA
-        )
-    else:
-        new_tombs = _tombs_by_id(spark, store_dir, needed, "neighbor_id")
+    new_tombs = _tombs_by_id(spark, store_dir, needed, "neighbor_id")
     live = (
         inserts.join(F.broadcast(new_tombs), "neighbor_id", "left")
         .filter(F.col("_tg").isNull() | (F.col("_tg") < F.col("_gen")))
@@ -572,24 +553,23 @@ def ivf_stream(
     def advance(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
         g = int(batch_id) + 1
-        tomb_ids: list | None = None
         if op_col is not None:
-            # bounded driver materialization (freeze_small): the tombs
-            # write below becomes a local-relation write instead of a
-            # second batch scan, and the inline refresh gets the
-            # tombstone list for driver-side planning
-            deleted, tomb_ids = freeze_small(
+            # the takedown set stays LAZY here (measured r18): unlike
+            # the index/components streams it had no checkpoint or
+            # isEmpty job to replace, so a bounded driver collect only
+            # ADDED a per-batch job (+~1 s on the q284 lane) — its two
+            # consumers (the tombs delta write, the refresh's tombs
+            # fold) are one batch-scan each either way
+            deleted = (
                 batch.filter(F.col(op_col) < 0)
                 .select(F.col(id_col).cast("bigint").alias("neighbor_id"))
-                .distinct(),
-                "neighbor_id bigint",
+                .distinct()
             )
             ingest = batch.filter(F.col(op_col) > 0).drop(op_col)
         else:
             deleted = batch.select(
                 F.col(id_col).cast("bigint").alias("neighbor_id")
             ).filter(F.lit(False))
-            tomb_ids = []
             ingest = batch
         cent = read_ivf_centroids(s, store_dir)
         assigned_delta = ivf_assign(ingest, cent, id_col, vec_col)
@@ -607,10 +587,7 @@ def ivf_stream(
         if compact_every and g % compact_every == 0:
             _compact_ivf(s, store_dir, g)
         if serving_out is not None:
-            refresh_ivf_serving_layout(
-                s, store_dir, serving_out,
-                tomb_ids=tomb_ids, tombs_version=g,
-            )
+            refresh_ivf_serving_layout(s, store_dir, serving_out)
 
     stream = (
         spark.readStream.schema(vec_schema)
