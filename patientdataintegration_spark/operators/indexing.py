@@ -145,8 +145,9 @@ def _freeze_terms(terms: DataFrame) -> DataFrame:
     term list itself rides along as `_pdi_local_rows` for the
     streaming caller's driver-side planning: net-dirty unions, the
     commit-marker write, serving-bucket computation). Above the cap:
-    localCheckpoint, the prior spelling, unchanged — a 100 TB batch
-    whose vocabulary outgrows driver memory falls back
+    the relation comes back lazily pinned — already materialized by
+    the probe, one job either way — so a build-scale batch whose
+    vocabulary outgrows the cap keeps the r17 checkpoint shape
     automatically."""
     from patientdataintegration_spark.streaming.components import freeze_small
 

@@ -161,24 +161,33 @@ def parallel_actions(fns: list) -> list:
 
 
 # bounded driver materialization of BATCH-SIZED key sets (the
-# `collect_pruning_terms` guard pattern, shared by the three streams'
-# takedown/dirty sets): below the cap the set collects into a LOCAL
-# relation — same one job as the localCheckpoint it replaces, but
-# every downstream broadcast probe becomes a LocalTableScan build,
-# the emptiness test is free (the isEmpty job disappears), and the
-# caller gets the values themselves for driver-side planning (net
-# dirty unions, serving-bucket computation, tombstone writes).
-# Above the cap: localCheckpoint, the r17 spelling, unchanged.
+# `collect_pruning_terms` guard pattern, shared by the streams'
+# takedown/dirty sets): ONE job — a lazy localCheckpoint pin whose
+# bounded probe collect both materializes the relation
+# (`_star_labels_bounded`'s rule) and, below the cap, hands the
+# caller the values themselves for DRIVER-SIDE planning (free
+# emptiness tests instead of an isEmpty job, net-dirty unions, the
+# serving-refresh bucket hint). The returned DataFrame is ALWAYS the
+# pinned distributed relation, never a LocalRelation rebuilt from the
+# collected rows: substituting a LocalRelation was measured (r18) to
+# replan downstream joins off its exact tiny stats — q283 9.3 s vs
+# 6.0 s, the ttravel store build up to 3x — because every relation
+# derived through it suddenly estimates small enough to broadcast
+# corpus-sized subtrees. The values are a planning hint, not a plan
+# input.
 _DRIVER_ROWS_CONF = "spark.pdi.stream.driverMaxKeyRows"
-_DRIVER_ROWS_DEFAULT = 100_000
+_DRIVER_ROWS_DEFAULT = 4_000
 
 
 def freeze_small(df: DataFrame, schema: str):
-    """(frozen DataFrame, collected values | None): bounded-collect
-    `df` (must be a DISTINCT single-column delta-sized relation) into
-    a local relation when it fits `spark.pdi.stream.driverMaxKeyRows`
-    (default 100k), else localCheckpoint it. The second element is
-    the sorted value list on the local path, None on the fallback."""
+    """(pinned DataFrame, collected values | None): pin `df` (must be
+    a DISTINCT single-column delta-sized relation) with ONE
+    materialization job, and return its sorted value list alongside
+    when it fits `spark.pdi.stream.driverMaxKeyRows` (default 4k) —
+    None above the cap. The DataFrame is the pinned distributed
+    relation in both cases (see the cap note above for why the values
+    never become a LocalRelation plan input); `schema` is kept for
+    the callers that construct hint relations from the values."""
     spark = df.sparkSession
     try:
         cap = int(
@@ -187,16 +196,19 @@ def freeze_small(df: DataFrame, schema: str):
     except (TypeError, ValueError):
         cap = _DRIVER_ROWS_DEFAULT
     if cap > 0:
+        # LAZY pin before the probe (`_star_labels_bounded`'s rule):
+        # the probe's collect materializes the relation exactly once
+        # and everything downstream REUSES the pinned RDD — one job
+        # whether or not the values fit the cap
+        df = df.localCheckpoint(eager=False)
         head = df.limit(cap + 1).collect()
         if len(head) <= cap:
-            # NULL-safe sort: a NULL key row (e.g. a malformed CDC row)
-            # survives the local relation exactly as it survived the
-            # checkpoint — equality joins never match it either way
+            # NULL-safe sort (a NULL key row, e.g. a malformed CDC
+            # row, stays representable): deterministic order for the
+            # driver-side consumers of the list
             vals = sorted((r[0] for r in head), key=lambda v: (v is None, v))
-            return (
-                spark.createDataFrame([(v,) for v in vals], schema),
-                vals,
-            )
+            return df, vals
+        return df, None
     return df.localCheckpoint(), None
 
 

@@ -1087,11 +1087,9 @@ def index_stream(
         sat_rows: dict[str, DataFrame] = {}
         stats_new: DataFrame | None = None
         if feats:
-            if dirty_local is None:
-                # only the over-cap fallback still pins; a local dirty
-                # relation serves the terms write + satellite semis
-                # free
-                dirty = dirty.localCheckpoint()
+            # dirty is already pinned (freeze_small's lazy checkpoint,
+            # materialized by its probe) — the satellite semis and the
+            # terms write reuse the cached relation
             # the batch's ingested doc ids — re-ingest idempotency for
             # the satellites is a DETERMINISTIC anti-join on these
             # (store rows of a doc the batch carries always lose to
